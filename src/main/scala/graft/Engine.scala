@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the graft engine.
+  *
+  * Defaults are chosen for the 100 TB design point, scaled down to the
+  * local[N] test harness: AQE on (runtime partition coalescing + skew-join
+  * splitting replace the reference's static range splits,
+  * program.c:143-181,378-413), shuffle partitions sized to cores rather
+  * than Spark's default 200, UTC session time zone for oracle parity.
+  */
+object Engine {
+  def builder(cores: Int): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.ui.enabled", "false")
+
+  /** One shared session for tests / mains. */
+  def session(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = builder(cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
