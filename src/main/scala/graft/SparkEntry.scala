@@ -14,19 +14,30 @@ import graft.queries._
   */
 object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
-    RelationalQueries
+    RelationalQueries,
+    MatrixQueries
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     RelationalQueries.queries("q03_join_agg")(spark, "/root/testdata/sf0.001")
 
+  /** Merge pack maps, failing fast on duplicate keys (a later pack
+    * silently shadowing an earlier one would desync queries vs oracles —
+    * round-1 ADVICE fix). */
+  private def merged[V](parts: Seq[Map[String, V]]): Map[String, V] = {
+    val all = parts.flatten
+    val dups = all.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty, s"duplicate query keys across packs: ${dups.mkString(", ")}")
+    all.toMap
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+    merged(packs.map(_.queries))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    packs.flatMap(_.oracles).toMap
+    merged(packs.map(_.oracles))
 }

@@ -25,13 +25,14 @@ object Exact {
   /** Order-independent, bit-exact money sum (result in currency units). */
   def moneySum(c: Column): Column = sum(cents(c)) / lit(100.0)
 
-  /** Order-independent money avg. */
-  def moneyAvg(c: Column): Column = sum(cents(c)) / lit(100.0) / count(lit(1))
+  /** Order-independent money avg. Divides by the non-null count of `c`
+    * (SQL AVG null semantics — round-1 ADVICE fix). */
+  def moneyAvg(c: Column): Column = sum(cents(c)) / lit(100.0) / count(c)
 
   /** Oracle-side SQL fragment equivalent of [[moneySum]]. */
   def moneySumSql(expr: String): String =
     s"sum(CAST(round(($expr)*100) AS BIGINT))/100.0"
 
   def moneyAvgSql(expr: String): String =
-    s"sum(CAST(round(($expr)*100) AS BIGINT))/100.0/count(*)"
+    s"sum(CAST(round(($expr)*100) AS BIGINT))/100.0/count($expr)"
 }

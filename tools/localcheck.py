@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate (DuckDB oracle compare).
+
+Usage: python3 tools/localcheck.py <sfDir> <outDir> [query ...]
+
+Reads outDir/<name>/ parquet written by graft.Verify, runs the matching
+oracle SQL from outDir/oracle_sql.json in DuckDB over the sfDir parquet
+tables, sorts columns by name, and compares row-by-row (exact for
+non-floats, 1e-9 relative for floats). Dev tool only — the real gate is
+driver-side.
+"""
+import sys, json, math, glob
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    names = sorted(oracle) if not only else sorted(only & set(oracle))
+    fails = 0
+    for name in names:
+        try:
+            files = glob.glob(f"{out_dir}/{name}/*.parquet")
+            if not files:
+                print(f"FAIL {name}: no spark output"); fails += 1; continue
+            spark = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            ora = con.sql(oracle[name])
+            scols, ocols = sorted(spark.columns), sorted(ora.columns)
+            if [c.lower() for c in scols] != [c.lower() for c in ocols]:
+                print(f"FAIL {name}: schema {scols} vs {ocols}"); fails += 1; continue
+            srows = spark.df()[scols].values.tolist()
+            orows = ora.df()[ocols].values.tolist()
+            if len(srows) != len(orows):
+                print(f"FAIL {name}: rows {len(srows)} vs {len(orows)}"); fails += 1; continue
+            bad = None
+            for i, (a, b) in enumerate(zip(srows, orows)):
+                for x, y in zip(a, b):
+                    if isinstance(x, float) or isinstance(y, float):
+                        if x != y and not (isinstance(x,(int,float)) and isinstance(y,(int,float))
+                                           and math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-12)):
+                            bad = (i, x, y); break
+                    elif x != y:
+                        bad = (i, x, y); break
+                if bad: break
+            if bad:
+                print(f"FAIL {name}: row {bad[0]}: {bad[1]!r} != {bad[2]!r}"); fails += 1
+            else:
+                print(f"PASS {name}: {len(srows)} rows")
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}"); fails += 1
+    sys.exit(1 if fails else 0)
+
+if __name__ == "__main__":
+    main()
