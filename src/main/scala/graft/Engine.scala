@@ -21,6 +21,10 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Harness events.parquet stores TIMESTAMP(NANOS), which Spark's
+      // parquet reader rejects by default; read as raw nanos and let
+      // Tables.events convert (losslessly — the data is µs-precision).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.ui.enabled", "false")
 

@@ -15,7 +15,10 @@ import graft.queries._
 object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     RelationalQueries,
-    MatrixQueries
+    MatrixQueries,
+    WindowQueries,
+    ScalarQueries,
+    AggQueries
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Exact._
+
+/** Aggregation-surface completion (SURVEY.md §2.2 "Aggregation"):
+  * min/max/stddev/variance, collect_list, rollup/cube/grouping sets,
+  * approx_count_distinct. All are partial+final hash aggregates — the
+  * map-side combine the reference's rank-0-only "combiner"
+  * (`program.c:298-311`) never actually was.
+  *
+  * Scale notes: rollup/cube expand each input row into one row per
+  * grouping set *after* partial aggregation (Spark's Expand sits below
+  * the shuffle, so the shuffle carries |groups|×|sets| rows, not
+  * |input|×|sets|). collect_list is the one operator here with
+  * unbounded per-group state — usable only where group cardinality is
+  * bounded by construction (here: customers per nation).
+  */
+object AggQueries extends QueryPack {
+
+  override val queries: Map[String, Q] = Map(
+    // MIN/MAX/STDDEV/VARIANCE over groups.
+    "q29_stats" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_linestatus")
+        .agg(
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          stddev_samp(col("l_quantity")).as("sd_qty"),
+          var_samp(col("l_quantity")).as("var_qty"))
+        .orderBy("l_linestatus")),
+
+    // collect_list + array_sort; joined to a string so the compare is
+    // hash-stable (array columns round-trip differently through
+    // parquet/pandas than through DuckDB's native lists).
+    "q30_collect_list" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy("c_nationkey")
+        .agg(
+          array_join(array_sort(collect_list(col("c_mktsegment"))), ",").as("segs"),
+          size(collect_set(col("c_mktsegment"))).as("n_distinct_segs"))
+        .orderBy("c_nationkey")),
+
+    // ROLLUP: (flag, status), (flag), () — grand total included.
+    "q31_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        // grouping_id() is only resolvable inside the agg of the
+        // rollup/cube itself, not in a later select.
+        .agg(grouping_id().cast("long").as("gid"),
+          sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          col("gid"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n"))
+        .orderBy("gid", "rf", "ls")),
+
+    // CUBE over orders dims with an exact money sum.
+    "q32_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("rev"))
+        .select(
+          col("gid"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("n"), col("rev"))
+        .orderBy("gid", "st", "prio")),
+
+    // GROUPING SETS via the SQL surface (the DataFrame API exposes only
+    // rollup/cube; arbitrary sets are a SQL-level feature in Spark).
+    "q33_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("li_gsets")
+      s.sql(
+        """SELECT CAST(grouping_id() AS BIGINT) AS gid,
+          |  coalesce(l_returnflag, 'ALL') AS rf,
+          |  coalesce(l_linestatus, 'ALL') AS ls,
+          |  sum(l_quantity) AS sum_qty
+          |FROM li_gsets
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY gid, rf, ls""".stripMargin)
+    }),
+
+    // approx_count_distinct (HLL++): no SQL oracle — sketches are
+    // engine-specific (driver records rows-only; accuracy is property-
+    // tested in AggSpec against exact counts).
+    "q34_approx_count_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy("l_returnflag"))
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q29_stats" ->
+      """SELECT l_linestatus,
+        |  min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty,
+        |  stddev_samp(l_quantity) AS sd_qty,
+        |  var_samp(l_quantity) AS var_qty
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q30_collect_list" ->
+      """SELECT c_nationkey,
+        |  array_to_string(list_sort(list(c_mktsegment)), ',') AS segs,
+        |  CAST(count(DISTINCT c_mktsegment) AS INT) AS n_distinct_segs
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q31_rollup" ->
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  sum(l_quantity) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin,
+
+    "q32_cube" ->
+      s"""SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         |  coalesce(o_orderstatus, 'ALL') AS st,
+         |  coalesce(o_orderpriority, 'ALL') AS prio,
+         |  count(*) AS n,
+         |  ${moneySumSql("o_totalprice")} AS rev
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY gid, st, prio""".stripMargin,
+
+    "q33_grouping_sets" ->
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, rf, ls""".stripMargin
+    // q34: no oracle by design (approx sketch) — rows-only driver check.
+  )
+}

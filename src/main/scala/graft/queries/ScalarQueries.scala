@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import graft.sources.Tables
+
+/** Scalar-function families (SURVEY.md §2.2 "Scalar functions"):
+  * date/time, json, conditional/null, array higher-order, string.
+  * The reference's only scalar computation is int arithmetic
+  * (`program.c:434`), string assembly (`program.c:203-212`) and parsing
+  * (`program.c:432`); each family generalizes one of those or is EXT.
+  *
+  * Everything here is built-in `functions._` — codegen'd
+  * expressions inside whole-stage codegen, zero UDFs (the 100 TB rule:
+  * a scalar UDF in the hot path breaks codegen and serializes per row).
+  */
+object ScalarQueries extends QueryPack {
+
+  override val queries: Map[String, Q] = Map(
+    // Date/time family over o_orderdate (timestamps were unexercised in
+    // round 1 — verdict gap).
+    "q24_datetime" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).as("mon_start"),
+          datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).as("days_since"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("due"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy("o_orderkey")),
+
+    // JSON family over events.props (a JSON string, FIXTURES.md):
+    // get_json_object path extraction + from_json with an explicit schema.
+    "q25_json" -> ((s, dir) => {
+      val schema = StructType(Seq(StructField("k", IntegerType)))
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+          from_json(col("props"), schema).getField("k").as("k_struct"))
+        .orderBy("event_id")
+    }),
+
+    // Conditional/null family: when/otherwise, nullif, coalesce, casts.
+    "q26_conditional" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .select(
+          col("c_custkey"),
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high").as("band"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg2"),
+          // floor, not a bare double→int cast: Spark's cast truncates
+          // toward zero while DuckDB's rounds — floor is identical in both.
+          floor(col("c_acctbal")).cast("int").as("bal_int"))
+        .orderBy("c_custkey")),
+
+    // Array higher-order family over embeddings.embedding
+    // (ARRAY<FLOAT>, len 64): size, element_at, transform+aggregate
+    // (squared L2 norm — the building block of the cosine operators).
+    // Floats are cast to double BEFORE multiplication on both engines so
+    // the arithmetic is identical.
+    "q27_array_hof" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("e1"),
+          aggregate(
+            transform(col("embedding"), x => x.cast("double")),
+            lit(0.0),
+            (acc, x) => acc + x * x).as("sq_norm"),
+          array_max(col("embedding")).cast("double").as("emax"))
+        .orderBy("vec_id")),
+
+    // String family: the reference's sprintf/sscanf surface
+    // (program.c:203-212,432) generalized.
+    "q28_string" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          lower(col("p_name")).as("name_lc"),
+          substring(col("p_type"), 1, 5).as("type5"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+          format_string("%d:%s", col("p_partkey"), col("p_brand")).as("tagged"))
+        .orderBy("p_partkey"))
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q24_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  date_trunc('month', o_orderdate) AS mon_start,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+        |  o_orderdate + INTERVAL 30 DAY AS due,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q25_json" ->
+      """SELECT event_id,
+        |  CAST(props->>'$.k' AS INT) AS k_path,
+        |  CAST(props->>'$.k' AS INT) AS k_struct
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q26_conditional" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg'
+        |       WHEN c_acctbal < 5000 THEN 'mid'
+        |       ELSE 'high' END AS band,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg2,
+        |  CAST(floor(c_acctbal) AS INT) AS bal_int
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q27_array_hof" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS e1,
+        |  list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq_norm,
+        |  CAST(list_max(embedding) AS DOUBLE) AS emax
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q28_string" ->
+      """SELECT p_partkey,
+        |  lower(p_name) AS name_lc,
+        |  substring(p_type, 1, 5) AS type5,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  concat_ws('-', p_brand, p_type) AS brand_type,
+        |  regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+        |  printf('%d:%s', p_partkey, p_brand) AS tagged
+        |FROM part ORDER BY p_partkey""".stripMargin
+  )
+}

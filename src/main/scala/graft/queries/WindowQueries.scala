@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Window functions: ranking, analytic, framed aggregates (SURVEY.md
+  * §2.2 "Windows"). The reference has no window surface; these are the
+  * EXT generalization of its per-key sequential fold (`program.c:424-436`
+  * walks a key's value list in order — exactly what a framed running
+  * aggregate formalizes, minus the order fragility).
+  *
+  * Scale: a window is one shuffle on `partitionBy` keys + per-partition
+  * sort — no driver materialization, skew bounded by the largest single
+  * partition key (users/priorities here, both low-cardinality value sets
+  * with bounded per-key row counts). Every orderBy inside a window
+  * carries a unique tie-break key so ranks are deterministic and
+  * oracle-comparable.
+  */
+object WindowQueries extends QueryPack {
+
+  override val queries: Map[String, Q] = Map(
+    // row_number top-N per group: the most common analytics pattern the
+    // round-1 surface lacked.
+    "q20_topn_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    // rank/dense_rank over a NON-unique order key (tie semantics are the
+    // point); ntile over a unique key (its row split requires total order).
+    "q21_rank_dense_ntile" -> ((s, dir) => {
+      val byPrio = Window.partitionBy("o_orderstatus").orderBy(col("o_orderpriority"))
+      val byPrice = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          col("o_orderstatus"),
+          rank().over(byPrio).as("rnk"),
+          dense_rank().over(byPrio).as("drnk"),
+          ntile(4).over(byPrice).as("quartile"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Analytic lag/lead/first_value/last_value over each user's event
+    // sequence (unique tie-break: event_id).
+    "q22_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          // Sentinel, not NULL, at partition edges: a NULL double hashes
+          // engine-specifically (NaN vs None) in the driver compare.
+          coalesce(lag("value", 1).over(w), lit(-1.0)).as("prev_v"),
+          coalesce(lead("value", 1).over(w), lit(-1.0)).as("next_v"),
+          first("event_type").over(full).as("first_type"),
+          last("event_type").over(full).as("last_type"))
+        .orderBy("event_id")
+    }),
+
+    // Framed aggregates: running sum + 3-row moving average. Identical
+    // unique ordering on both engines → identical fold order → identical
+    // bits (double adds happen in the same sequence).
+    "q23_running_agg" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          sum("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("run_sum"),
+          avg("value").over(w.rowsBetween(-2, Window.currentRow)).as("mov_avg3"))
+        .orderBy("event_id")
+    })
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q20_topn_per_group" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q21_rank_dense_ntile" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS INT) AS rnk,
+        |  CAST(dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS INT) AS drnk,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderstatus
+        |                      ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q22_lag_lead" ->
+      """SELECT event_id, user_id,
+        |  coalesce(lag(value, 1) OVER w, -1.0) AS prev_v,
+        |  coalesce(lead(value, 1) OVER w, -1.0) AS next_v,
+        |  first_value(event_type) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING) AS first_type,
+        |  last_value(event_type) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING) AS last_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q23_running_agg" ->
+      """SELECT event_id,
+        |  sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum,
+        |  avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg3
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin
+  )
+}

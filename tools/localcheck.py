@@ -42,6 +42,10 @@ def main():
             for i, (a, b) in enumerate(zip(srows, orows)):
                 for x, y in zip(a, b):
                     if isinstance(x, float) or isinstance(y, float):
+                        both_nan = (isinstance(x, float) and isinstance(y, float)
+                                    and math.isnan(x) and math.isnan(y))
+                        if both_nan:
+                            continue
                         if x != y and not (isinstance(x,(int,float)) and isinstance(y,(int,float))
                                            and math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-12)):
                             bad = (i, x, y); break
