@@ -18,7 +18,9 @@ object SparkEntry {
     MatrixQueries,
     WindowQueries,
     ScalarQueries,
-    AggQueries
+    AggQueries,
+    JoinQueries,
+    SourceQueries
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

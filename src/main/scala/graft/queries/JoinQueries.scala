@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.AsOf
+
+/** Join-surface completion (SURVEY.md §2.2 "Joins"): right/full outer,
+  * theta/range join, as-of join. Round 1 covered inner/broadcast/left/
+  * semi/anti/cross.
+  *
+  * Scale notes: the range join (q37) anchors on an equi key (user_id)
+  * so Spark plans a hash/sort-merge join on the key with the time-band
+  * predicate as a join filter — never a cartesian. The as-of join (q38)
+  * is the union+window composition: one shuffle, no pair blow-up.
+  */
+object JoinQueries extends QueryPack {
+
+  override val queries: Map[String, Q] = Map(
+    // Right outer: every customer kept, orders optional (q07's mirror
+    // through the right-join path).
+    "q35_right_outer" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    // Full outer over the nation-key sets of customer × supplier.
+    "q36_full_outer" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val su = Tables.supplier(s, dir)
+      c.join(su, c("c_nationkey") === su("s_nationkey"), "full")
+        .groupBy(coalesce(col("c_nationkey"), col("s_nationkey")).as("nk"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          count(col("c_custkey")).as("n_cust"),
+          count(col("s_suppkey")).as("n_supp"))
+        .orderBy("nk")
+    }),
+
+    // Theta/range join: events within a 10-minute follow window of an
+    // error event by the same user. Equi-anchor on user_id + range
+    // predicate as join condition — the scalable non-equi shape.
+    "q37_range_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val errs = e.filter(col("event_type") === "error")
+        .select(col("user_id").as("u"), col("ts").as("err_ts"))
+      val follow = e.select(col("user_id"), col("ts"), col("event_type"))
+      errs.join(follow,
+          col("u") === col("user_id")
+            && col("ts") > col("err_ts")
+            && col("ts") <= col("err_ts") + expr("INTERVAL 10 MINUTES"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_follow"))
+        .orderBy("event_type")
+    }),
+
+    // As-of join: each event gets the user's most recent purchase value
+    // at or before its timestamp (union+window composition, ops/AsOf).
+    "q38_asof" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      // ≤1 right row per (user_id, ts): pre-aggregate purchases.
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max("value").as("pv"))
+      AsOf.join(
+          e, purchases,
+          keys = Seq("user_id"), tsCol = "ts", valueCol = "pv",
+          leftCols = Seq("event_id"))
+        .select(col("event_id"),
+          coalesce(col("asof_pv"), lit(-1.0)).as("last_purchase_v"))
+        .orderBy("event_id")
+    })
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q35_right_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q36_full_outer" ->
+      """SELECT coalesce(c_nationkey, s_nationkey) AS nk,
+        |  count(*) AS n_pairs,
+        |  count(c_custkey) AS n_cust,
+        |  count(s_suppkey) AS n_supp
+        |FROM customer FULL JOIN supplier ON c_nationkey = s_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q37_range_join" ->
+      """SELECT f.event_type, count(*) AS n_follow
+        |FROM (SELECT user_id AS u, ts AS err_ts FROM events
+        |      WHERE event_type = 'error') e
+        |JOIN events f ON e.u = f.user_id
+        |  AND f.ts > e.err_ts AND f.ts <= e.err_ts + INTERVAL 10 MINUTE
+        |GROUP BY f.event_type ORDER BY f.event_type""".stripMargin,
+
+    "q38_asof" ->
+      """SELECT e.event_id,
+        |  coalesce(p.pv, -1.0) AS last_purchase_v
+        |FROM events e
+        |ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS pv FROM events
+        |                WHERE event_type = 'purchase'
+        |                GROUP BY user_id, ts) p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin
+  )
+}

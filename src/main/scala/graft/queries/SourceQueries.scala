@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Source/sink surface (SURVEY.md §2.2 "Sources / sinks"): CSV and
+  * JSON-lines scans with explicit schemas, an engine-level parquet sink
+  * exercised as an operator (not just Verify plumbing), and the
+  * in-memory collect surface.
+  *
+  * Round-trip pattern: write the harness table through the engine sink,
+  * read it back through the engine scan, and let the oracle read the
+  * ORIGINAL parquet — any loss in either direction (quoting, type
+  * mapping, null encoding, float formatting) breaks the hash match.
+  * This is the honest version of the reference's write-then-read cycle
+  * (`filecreation.c:19-28` → `program.c:45-72`).
+  *
+  * Scale: csv/json/parquet writes are one file per partition (the
+  * reference's parallel sink, `program.c:437-439`, done right); reads
+  * are splittable scans. The tiny `coalesce(1)` here is for
+  * deterministic single-file fixtures only — never an engine default.
+  */
+object SourceQueries extends QueryPack {
+
+  private def tmp(dir: String, name: String): String =
+    s"/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9]", "_")}/$name"
+
+  override val queries: Map[String, Q] = Map(
+    // CSV sink → CSV scan with explicit schema.
+    "q39_csv_roundtrip" -> ((s, dir) => {
+      val path = tmp(dir, "nation_csv")
+      Tables.nation(s, dir).coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(path)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.schema(schema).option("header", "true").csv(path)
+        .orderBy("n_nationkey")
+    }),
+
+    // JSON-lines sink → JSON scan with explicit schema (doubles survive
+    // the text round-trip bit-exactly via Spark's shortest-repr print).
+    "q40_json_roundtrip" -> ((s, dir) => {
+      val path = tmp(dir, "supplier_json")
+      Tables.supplier(s, dir).coalesce(1)
+        .write.mode("overwrite").json(path)
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType),
+        StructField("s_acctbal", DoubleType)))
+      s.read.schema(schema).json(path)
+        .orderBy("s_suppkey")
+    }),
+
+    // Engine parquet sink as a tested operator: filter → write → scan.
+    "q41_parquet_sink" -> ((s, dir) => {
+      val path = tmp(dir, "orders_parquet")
+      Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // In-memory rows (collect) surface: small dim collected to the
+    // driver, re-entering the plan as a local filter list — the
+    // broadcast-scalar pattern (bounded: dim rows only, never a fact).
+    "q42_collect_filter" -> ((s, dir) => {
+      val keys: Array[Int] = Tables.region(s, dir)
+        .filter(col("r_name") < "B")
+        .select("r_regionkey")
+        .collect().map(_.getInt(0))
+      Tables.nation(s, dir)
+        .filter(col("n_regionkey").isin(keys.toIndexedSeq: _*))
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    })
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q39_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "q40_json_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+
+    "q41_parquet_sink" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q42_collect_filter" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name < 'B')
+        |ORDER BY n_nationkey""".stripMargin
+  )
+}
