@@ -20,7 +20,8 @@ object SparkEntry {
     ScalarQueries,
     AggQueries,
     JoinQueries,
-    SourceQueries
+    SourceQueries,
+    LlmQueries
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`ARRAY<FLOAT>`):
+  * brute-force cosine top-k as the exact baseline, hyperplane-LSH
+  * bucketing as the approximate scale path (SURVEY.md §2.2 "similarity
+  * search").
+  *
+  * All vector math is higher-order array expressions (zip_with +
+  * aggregate) in double precision — codegen'd, no UDFs, and
+  * bit-comparable to an oracle that follows the same cast-then-multiply
+  * order.
+  *
+  * Scale shapes:
+  *  - [[topK]] streams the candidate side once against a BROADCAST
+  *    probe set (probes × candidates rows exist only inside the join
+  *    stage, pruned to k per probe by the window). Right for "few
+  *    probes vs huge corpus". For all-pairs workloads use [[lshBuckets]]
+  *    so the join is bucket-equi, not cross.
+  *  - [[lshBuckets]] buckets = sign pattern of `nPlanes` deterministic
+  *    pseudo-random hyperplanes → candidates collide only within a
+  *    bucket; recall/probe tradeoff is tested in LlmSpec, not assumed.
+  */
+object Similarity {
+
+  /** Elementwise product sum in double: Σ aᵢ·bᵢ (cast before multiply —
+    * float×float would round differently than the oracle's double math).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact cosine top-k: for each probe row, the `k` nearest candidate
+    * rows (self-matches excluded). `probes` must be small (it is
+    * broadcast); `candidates` can be arbitrarily large.
+    */
+  def topK(probes: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    c.join(broadcast(p), col("cand_id") =!= col("probe_id"))
+      .withColumn("cos", cosine(col("pv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("probe_id", "rnk", "cand_id", "cos")
+  }
+
+  /** Deterministic pseudo-random hyperplane component: plane `p`,
+    * dimension `d` → value in [-1, 1). Same arithmetic-formula trick as
+    * [[graft.sources.Generator]] so planes are reproducible without a
+    * stateful RNG.
+    */
+  private def planeComponent(p: Int, d: Column): Column =
+    ((d * 1315423911L + lit(p.toLong) * 2654435761L + 97531L) % 10007L)
+      .cast("double") / 5003.5 - 1.0
+
+  /** Sign-pattern LSH bucket id over `nPlanes` hyperplanes, packed into
+    * a LONG. Vectors in the same bucket agree on every plane side —
+    * cosine-similar vectors collide with high probability.
+    */
+  def lshBucket(emb: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), size(emb) - 1),
+          (x, d) => x.cast("double") * planeComponent(p, d)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed approximate top-k: candidates join probes on bucket
+    * equality (an equi shuffle join — the 100 TB shape), then exact
+    * cosine + window prune within buckets.
+    */
+  def topKLsh(probes: DataFrame, candidates: DataFrame, k: Int, nPlanes: Int): DataFrame = {
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+      lshBucket(col("embedding"), nPlanes).as("bucket"))
+    val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      lshBucket(col("embedding"), nPlanes).as("bucket"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    c.join(p, Seq("bucket"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("cos", cosine(col("pv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("probe_id", "rnk", "cand_id", "cos")
+  }
+}

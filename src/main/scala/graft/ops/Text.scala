@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the training-data pipeline surface
+  * (SURVEY.md §2.2 "LLM-data-pipeline extensions"): tokenization,
+  * shingling, language-ID heuristic, quality scoring, fingerprinting.
+  *
+  * Everything except [[rollingHash]] is pure Column expressions —
+  * codegen'd, no UDFs, embarrassingly parallel: the 100 TB cost is one
+  * narrow pass over the text column.
+  */
+object Text {
+
+  /** Whitespace tokens with empties dropped (codegen'd split+filter). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Word n-gram shingles: `n` consecutive tokens joined by a space.
+    * Input must be a token array; output is empty for docs shorter
+    * than `n` tokens.
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(-1)))
+    transform(idx, i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*))
+  }
+
+  /** Stopword-membership language-ID heuristic. Confidence-free and
+    * deliberately SQL-expressible (same CASE runs in the oracle): real
+    * n-gram models are a model artifact, not an engine feature — the
+    * engine-side contract is "a per-row classifier over tokens stays in
+    * codegen".
+    */
+  def langIdHeuristic(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    when(padded.contains(" der ") || padded.contains(" und "), "de")
+      .when(padded.contains(" el ") || padded.contains(" los "), "es")
+      .when(padded.contains(" the "), "en")
+      .otherwise("other")
+  }
+
+  /** Quality metrics struct: token count, mean token length, stopword
+    * ratio, punctuation ratio — the standard cheap pre-filters of a
+    * training-data pipeline.
+    */
+  def qualityMetrics(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val stop = filter(toks, t => t.isin("the", "a", "of", "and"))
+    Seq(
+      "n_tokens" -> nTok,
+      "mean_tok_len" -> (length(text) - nTok + 1).cast("double") /
+        greatest(nTok, lit(1)).cast("double"),
+      "stopword_ratio" -> size(stop).cast("double") / greatest(nTok, lit(1)).cast("double"),
+      "punct_ratio" -> length(regexp_replace(text, "[^.!?,;]", "")).cast("double") /
+        greatest(length(text), lit(1)).cast("double"))
+  }
+
+  /** 16-hex-char content fingerprint (md5 prefix): cross-engine-stable
+    * document identity key for dedup joins.
+    */
+  def fingerprint(text: Column): Column = substring(md5(text), 1, 16)
+
+  /** Polynomial rolling hash over the text's bytes (mod 2^61-1) as a
+    * Column expression: a left fold with `aggregate` over the char
+    * codes — deterministic, order-sensitive (unlike a token-set hash),
+    * the building block for shift-tolerant chunk fingerprints. Not
+    * SQL-oracle-expressible (no modmul fold in ANSI SQL) — covered by
+    * LlmSpec determinism/sensitivity properties instead.
+    */
+  def rollingHash(text: Column): Column = {
+    val p = lit(2305843009213693951L) // 2^61-1, Mersenne
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(7L),
+      (acc, c) => pmod(acc * 131 + c, p))
+  }
+}

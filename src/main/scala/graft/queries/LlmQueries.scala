@@ -1,0 +1,294 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.ops.{Dedup, Similarity, Text}
+
+/** Training-data pipeline operators over `documents`/`embeddings`
+  * (SURVEY.md §2.2 "LLM-data-pipeline extensions"; round-1 verdict: all
+  * five families were 0%).
+  *
+  * Oracle strategy: everything expressible in ANSI SQL gets a DuckDB
+  * oracle (dedup, stats, TF, lang-ID, quality, jaccard, multimodal
+  * join, brute-force cosine). Sketch-based operators (MinHash/LSH,
+  * SimHash, hyperplane ANN) hash with engine-specific functions —
+  * those get rows-only driver checks plus recall/determinism property
+  * tests in LlmSpec.
+  */
+object LlmQueries extends QueryPack {
+
+  override val queries: Map[String, Q] = Map(
+    // Exact dedup: content-hash groupBy, keeper = min id. One shuffle
+    // on the 128-bit key at any scale.
+    "q43_exact_dedup" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), "text", "doc_id")
+        .orderBy("content_key")),
+
+    // Normalized-key dedup: docs sharing their first 5 tokens form a
+    // group (the harness corpus has no byte-exact dups, so this key
+    // exercises real >1 groups and the keep-min + semi-join pattern).
+    "q44_normalized_dedup" -> ((s, dir) => {
+      val keyed = Tables.documents(s, dir)
+        .withColumn("nkey", concat_ws(" ", slice(Text.tokens(col("text")), 1, 5)))
+      keyed.groupBy("nkey")
+        .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .orderBy("nkey")
+    }),
+
+    // Text stats per source: doc counts, char/token volumes.
+    "q45_text_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          sum(size(Text.tokens(col("text")))).as("total_tokens"),
+          avg(size(Text.tokens(col("text")))).as("avg_tokens"))
+        .orderBy("source")),
+
+    // Term frequencies per language: tokenize → explode → count
+    // (the UDTF/generator surface; reference analog: per-key emit,
+    // program.c:203-217).
+    "q46_tf" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(Text.tokens(col("text"))).as("token"))
+        .groupBy("lang", "token")
+        .agg(count(lit(1)).as("tf"))
+        .orderBy("lang", "token")),
+
+    // Language-ID heuristic per doc + agreement with the label.
+    "q47_langid" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          Text.langIdHeuristic(col("text")).as("pred_lang"),
+          (Text.langIdHeuristic(col("text")) === col("lang")).cast("int").as("agree"))
+        .orderBy("doc_id")),
+
+    // Quality scoring: cheap per-doc pre-filter metrics.
+    "q48_quality" -> ((s, dir) => {
+      val metrics = Text.qualityMetrics(col("text"))
+      Tables.documents(s, dir)
+        .select(col("doc_id") +: metrics.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    }),
+
+    // Content fingerprint (md5-prefix) + per-fingerprint counts.
+    "q49_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // Multimodal row: documents ⋈ embeddings on doc_id = vec_id with
+    // typed metadata + vector features in one flat row.
+    "q50_multimodal_join" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir)
+      d.join(e, d("doc_id") === e("vec_id"))
+        .select(
+          col("doc_id"), col("lang"), col("source"), col("label"),
+          size(col("embedding")).as("dim"),
+          Similarity.l2norm(col("embedding")).as("norm"))
+        .orderBy("doc_id")
+    }),
+
+    // Brute-force cosine top-k (exact baseline): 10 probes vs the
+    // whole corpus, k=5.
+    "q51_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.topK(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Exact word-3-gram Jaccard over a probe subset (all pairs among
+    // 60 docs — the exact-verification stage of near-dup dedup).
+    "q52_ngram_jaccard" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          array_distinct(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+      val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Embedding-cosine near-dup pairs above a threshold (equi-free
+    // pair scan restricted to a probe window; the full-corpus path is
+    // q54's bucketed join).
+    "q53_embed_neardup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+        .filter(col("cos") > 0.40)
+        .select("id_a", "id_b", "cos")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // MinHash LSH index summary: band/bucket structure + candidate
+    // volume (rows-only: xxhash64 is engine-specific; recall is
+    // property-tested in LlmSpec).
+    "q54_minhash_lsh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          array_distinct(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+        .withColumn("sig", Dedup.minHashSignature(col("sh"), numHashes = 64))
+      val index = Dedup.lshBands(docs, "doc_id", "sig", bands = 16, rows = 4)
+      val pairs = Dedup.candidatePairs(index, "doc_id")
+      index.groupBy("band")
+        .agg(countDistinct(col("bucket")).as("n_buckets"),
+          count(lit(1)).as("n_rows"))
+        .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_candidate_pairs"))))
+        .orderBy("band")
+    }),
+
+    // SimHash signatures (rows-only; determinism + near-dup hamming
+    // properties in LlmSpec).
+    "q55_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.simHash(Text.tokens(col("text"))).as("sig"))
+        .orderBy("doc_id")),
+
+    // Hyperplane-LSH bucketed ANN (approximate scale path of q51;
+    // rows-only, recall property-tested).
+    "q56_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.topKLsh(emb.filter(col("vec_id") < 10), emb, k = 5, nPlanes = 4)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // Multimodal binary column: text encoded as opaque BINARY media,
+    // byte-level features extracted scan-side (the codec-free half of
+    // ops/Multimodal; the mapPartitions decode-stub path is
+    // LlmSpec-tested).
+    "q57_media_bytes" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+        .select(
+          col("doc_id"),
+          octet_length(col("media")).as("n_bytes"),
+          (octet_length(col("media")) % 1920).as("width"),
+          (octet_length(col("media")) % 1080).as("height"))
+        .orderBy("doc_id"))
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q43_exact_dedup" ->
+      """SELECT md5(text) AS content_key, min(doc_id) AS keeper_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY content_key""".stripMargin,
+
+    "q44_normalized_dedup" ->
+      """SELECT nkey, min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM (SELECT doc_id, array_to_string(
+        |        list_filter(string_split(text, ' '), t -> t <> '')[1:5], ' ') AS nkey
+        |      FROM documents)
+        |GROUP BY nkey HAVING count(*) > 1 ORDER BY nkey""".stripMargin,
+
+    "q45_text_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(n_chars) AS total_chars,
+        |  sum(len(list_filter(string_split(text,' '), t -> t <> ''))) AS total_tokens,
+        |  avg(len(list_filter(string_split(text,' '), t -> t <> ''))) AS avg_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q46_tf" ->
+      """SELECT lang, token, count(*) AS tf
+        |FROM (SELECT lang, unnest(list_filter(string_split(text, ' '),
+        |        t -> t <> '')) AS token FROM documents)
+        |GROUP BY lang, token ORDER BY lang, token""".stripMargin,
+
+    "q47_langid" ->
+      """SELECT doc_id,
+        |  CASE WHEN ' '||text||' ' LIKE '% der %' OR ' '||text||' ' LIKE '% und %' THEN 'de'
+        |       WHEN ' '||text||' ' LIKE '% el %' OR ' '||text||' ' LIKE '% los %' THEN 'es'
+        |       WHEN ' '||text||' ' LIKE '% the %' THEN 'en'
+        |       ELSE 'other' END AS pred_lang,
+        |  CAST(CASE WHEN ' '||text||' ' LIKE '% der %' OR ' '||text||' ' LIKE '% und %' THEN 'de'
+        |       WHEN ' '||text||' ' LIKE '% el %' OR ' '||text||' ' LIKE '% los %' THEN 'es'
+        |       WHEN ' '||text||' ' LIKE '% the %' THEN 'en'
+        |       ELSE 'other' END = lang AS INT) AS agree
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q48_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t <> '')) AS INT) AS n_tokens,
+        |  CAST(length(text) - len(list_filter(string_split(text,' '), t -> t <> '')) + 1 AS DOUBLE)
+        |    / greatest(len(list_filter(string_split(text,' '), t -> t <> '')), 1) AS mean_tok_len,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |        t -> t IN ('the','a','of','and'))) AS DOUBLE)
+        |    / greatest(len(list_filter(string_split(text,' '), t -> t <> '')), 1) AS stopword_ratio,
+        |  CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(text), 1) AS punct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q49_fingerprint" ->
+      """SELECT doc_id, substring(md5(text), 1, 16) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q50_multimodal_join" ->
+      """SELECT doc_id, lang, source, label,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS norm
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q51_cosine_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    list_dot_product(p.v, c.v) /
+        |      (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+        |  FROM e p JOIN e c ON p.vec_id < 10 AND c.vec_id <> p.vec_id)
+        |SELECT probe_id, rnk, cand_id, cos FROM (
+        |  SELECT probe_id, cand_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cos DESC, cand_id) AS INT) AS rnk
+        |  FROM pairs)
+        |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    "q52_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+        |          t -> t <> '') AS toks
+        |        FROM documents WHERE doc_id < 60))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+        |       ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.sh, b.sh))) END AS jac
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q53_embed_neardup" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id < 200)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.40
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q57_media_bytes" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 1920 AS INT) AS width,
+        |  CAST(octet_length(encode(text)) % 1080 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // q54/q55/q56: sketch hashes are engine-specific → rows-only +
+    // LlmSpec property tests.
+  )
+}
