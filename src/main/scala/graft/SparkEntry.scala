@@ -21,7 +21,8 @@ object SparkEntry {
     AggQueries,
     JoinQueries,
     SourceQueries,
-    LlmQueries
+    LlmQueries,
+    StreamingQueries
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-stream transforms (SURVEY.md §2.2 "Streaming", EXT — the
+  * reference is batch-only).
+  *
+  * Each transform is written against a plain DataFrame so the SAME
+  * function runs in batch (DuckDB-checkable — the correctness leg) and
+  * under Structured Streaming via `readStream` (the deployment leg;
+  * StreamingSpec proves batch/stream equivalence on MemoryStream).
+  * That batch-equivalence contract is what makes streaming testable
+  * here at all: watermarks and triggers change *when* results emit,
+  * never *what* the final result is.
+  *
+  * Scale: windowed aggregation state is bounded by (watermark horizon ×
+  * groups); session windows additionally merge, keyed per user. No
+  * per-key unbounded state anywhere.
+  */
+object Events {
+
+  /** Tumbling-window counts/sums per event type. */
+  def tumbling(events: DataFrame, width: String): DataFrame =
+    events.groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_v"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_v"))
+
+  /** Sliding-window counts (width, slide) — each event lands in
+    * width/slide windows.
+    */
+  def sliding(events: DataFrame, width: String, slide: String): DataFrame =
+    events.groupBy(window(col("ts"), width, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("n"))
+
+  /** Session windows per user: events within `gap` of each other merge;
+    * the session ends `gap` after its last event.
+    */
+  def sessions(events: DataFrame, gap: String): DataFrame =
+    events.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
+
+  /** Streaming dedup on event_id with a bounded state horizon. On a
+    * batch DataFrame this degrades to plain dropDuplicates (same rows).
+    */
+  def dedupWithinWatermark(events: DataFrame, horizon: String): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", horizon).dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+}

@@ -1,0 +1,132 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.streaming.Events
+
+/** Top-level so Spark can derive an Encoder (inner classes can't be
+  * instantiated without the enclosing test's scope).
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Streaming semantics: batch-equivalence on MemoryStream (SURVEY.md
+  * §5.2.4), watermark late-data drop, stateful dedup, arbitrary state.
+  * DuckDB can't run watermarks — these properties are the oracle for
+  * the streaming-only behaviors.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ev(id: Long, minute: Int, user: Long = 1L,
+                 typ: String = "click", v: Double = 1.0) =
+    Ev(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), user, typ, v)
+
+  test("tumbling window agg: streaming (complete mode) equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(ev(1, 1), ev(2, 3), ev(3, 12), ev(4, 14, typ = "view"), ev(5, 25))
+
+    val stream = MemoryStream[Ev]
+    val q = Events.tumbling(stream.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("t_tumb")
+      .outputMode(OutputMode.Complete()).start()
+    stream.addData(rows.take(2))
+    q.processAllAvailable()
+    stream.addData(rows.drop(2)) // second micro-batch updates open windows
+    q.processAllAvailable()
+    val streamed = spark.table("t_tumb")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    q.stop()
+
+    val batch = Events.tumbling(rows.toDF(), "10 minutes")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
+  test("watermark drops events later than the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val agg = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("t_wm")
+      .outputMode(OutputMode.Append()).start()
+
+    stream.addData(ev(1, 5)); q.processAllAvailable()
+    // Advance event time far ahead → watermark passes the first window.
+    stream.addData(ev(2, 50)); q.processAllAvailable()
+    // Late arrival INTO the closed first window: must be dropped.
+    stream.addData(ev(3, 7)); q.processAllAvailable()
+    stream.addData(ev(4, 59)); q.processAllAvailable()
+    q.stop()
+    val n0 = spark.table("t_wm")
+      .filter(col("window.start") === Timestamp.valueOf("2024-01-01 10:00:00"))
+      .select("n").collect().map(_.getLong(0))
+    // The 10:00 window emitted once with only the on-time event.
+    assert(n0.toSeq === Seq(1L))
+  }
+
+  test("streaming dedup within watermark equals batch distinct") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(ev(1, 1), ev(1, 1), ev(2, 3), ev(2, 4), ev(3, 5))
+    val stream = MemoryStream[Ev]
+    val q = Events.dedupWithinWatermark(stream.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(rows); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_dedup").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed === Seq(1L, 2L, 3L))
+  }
+
+  test("arbitrary state: running per-user event count via flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val counted = stream.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + evs.size
+          state.update(total)
+          Iterator((user, total))
+      }
+    val q = counted.toDF("user_id", "n")
+      .writeStream.format("memory").queryName("t_state")
+      .outputMode(OutputMode.Update()).start()
+    stream.addData(ev(1, 1, user = 7), ev(2, 2, user = 7), ev(3, 3, user = 9))
+    q.processAllAvailable()
+    stream.addData(ev(4, 4, user = 7))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("t_state")
+      .groupBy("user_id").agg(max("n").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(last === Map(7L -> 3L, 9L -> 1L))
+  }
+
+  test("session windows: streaming equals batch on out-of-order input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(ev(1, 1), ev(3, 45), ev(2, 10), ev(4, 50, user = 2))
+    val stream = MemoryStream[Ev]
+    val q = Events.sessions(stream.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("t_sess")
+      .outputMode(OutputMode.Complete()).start()
+    stream.addData(rows); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_sess")
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = Events.sessions(rows.toDF(), "30 minutes")
+      .collect().map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+}
