@@ -38,24 +38,42 @@ object Dedup {
     * `h → (h·aᵢ + bᵢ) mod P` over the field Z_P (odd multiplier,
     * deterministic constants — no stateful RNG). Empty shingle sets get
     * P (an impossible min) so they never collide with real content.
+    *
+    * Written as ONE fold over the shingles with a `numHashes`-wide
+    * accumulator — not `numHashes` independent array_min passes. The
+    * naive per-permutation form inlines (and re-evaluates) the whole
+    * shingle/tokenize subtree once per permutation; higher-order
+    * functions run interpreted (no codegen), so that redundancy
+    * multiplied a full regex tokenize ×64 per row and serialized a
+    * bench stage into minutes. One pass = the shingle array and its
+    * hashes are computed once per row.
     */
   def minHashSignature(shinglesCol: Column, numHashes: Int): Column = {
-    val base = transform(shinglesCol, s => pmod(xxhash64(s), lit(P)))
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      coalesce(
-        array_min(transform(base, h =>
-          pmod(h * pmod(i * 2L + 1315423911L, lit(P)) + (i * 7919L + 104729L), lit(P)))),
-        lit(P)))
+    val perms = sequence(lit(0), lit(numHashes - 1))
+    aggregate(
+      transform(shinglesCol, s => pmod(xxhash64(s), lit(P))),
+      array_repeat(lit(P), numHashes),
+      (acc, h) => zip_with(acc, perms, (m, i) =>
+        least(m, pmod(h * pmod(i * 2L + 1315423911L, lit(P)) + (i * 7919L + 104729L), lit(P)))))
   }
 
   /** (id, band, bucket) rows: the LSH index. `rows` signature values
     * per band, hashed to one bucket id.
+    *
+    * The signature column is let-bound via a single-element-array
+    * lambda (`transform(array(sig), s => ...)`) so it evaluates ONCE
+    * per row: referencing `col(sigCol)` inside the per-band lambda
+    * would inline the signature expression `bands` times after
+    * projection collapse (see [[minHashSignature]] for why that
+    * redundancy is catastrophic in interpreted higher-order exprs).
     */
   def lshBands(df: DataFrame, idCol: String, sigCol: String,
                bands: Int, rows: Int): DataFrame =
-    df.select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)), b =>
-          xxhash64(concat_ws(",", slice(col(sigCol), b * rows + 1, lit(rows))), b)))
+    df.select(col(idCol), posexplode(element_at(
+        transform(array(col(sigCol)), s =>
+          transform(sequence(lit(0), lit(bands - 1)), b =>
+            xxhash64(concat_ws(",", slice(s, b * rows + 1, lit(rows))), b))),
+        1))
       ).toDF(idCol, "band", "bucket")
 
   /** Candidate near-dup pairs: self-join of the LSH index on
@@ -81,16 +99,23 @@ object Dedup {
   }
 
   /** 64-bit SimHash over a token array: bit `b` is set when the sum of
-    * ±1 contributions (sign of token-hash bit `b`) is positive. Pure
-    * column fold — one narrow pass, 64 × |tokens| bit ops per doc.
+    * ±1 contributions (sign of token-hash bit `b`) is positive.
+    *
+    * ONE fold over the tokens with a 64-wide vote accumulator, then one
+    * pack pass — not 64 independent aggregates (which would re-tokenize
+    * per bit in interpreted eval; see [[minHashSignature]]).
     */
   def simHash(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
-    (0 until 64).map { b =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + shiftright(h, b).bitwiseAND(1L) * 2L - 1L)
-      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val bits = sequence(lit(0), lit(63))
+    val votes = aggregate(
+      transform(toks, t => xxhash64(t)),
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, bits, (a, b) =>
+        a + call_function("shiftright", h, b.cast("int")).bitwiseAND(1L) * 2L - 1L))
+    aggregate(
+      zip_with(votes, bits, (v, b) =>
+        when(v > 0, call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Hamming distance between two 64-bit signatures. */

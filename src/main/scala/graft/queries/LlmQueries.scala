@@ -134,11 +134,22 @@ object LlmQueries extends QueryPack {
     // volume (rows-only: xxhash64 is engine-specific; recall is
     // property-tested in LlmSpec).
     "q54_minhash_lsh" -> ((s, dir) => {
+      // repartition: the scan is one small file = one task, but the
+      // signature expressions are interpreted (higher-order, no
+      // codegen) — spread the per-row work across cores. At real scale
+      // the scan has many splits and this becomes a no-op to drop.
       val docs = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           array_distinct(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
         .withColumn("sig", Dedup.minHashSignature(col("sh"), numHashes = 64))
+      // persist: the index feeds three consumers (band stats + both
+      // sides of the pair self-join); without it the 64-perm signature
+      // fold — the expensive part — re-executes per consumer. The
+      // index is tiny (|docs| × bands rows of 3 longs), so caching it
+      // is the same call a user would make at any scale.
       val index = Dedup.lshBands(docs, "doc_id", "sig", bands = 16, rows = 4)
+        .persist()
       val pairs = Dedup.candidatePairs(index, "doc_id")
       index.groupBy("band")
         .agg(countDistinct(col("bucket")).as("n_buckets"),
@@ -151,6 +162,7 @@ object LlmQueries extends QueryPack {
     // properties in LlmSpec).
     "q55_simhash" -> ((s, dir) =>
       Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), Dedup.simHash(Text.tokens(col("text"))).as("sig"))
         .orderBy("doc_id")),
 
