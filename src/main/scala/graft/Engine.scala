@@ -16,6 +16,8 @@ object Engine {
       .builder()
       .master(s"local[$cores]")
       .appName("graft")
+      // Engine extensions: native codegen'd expressions (graft_dot).
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native codegen'd dot product over two `ARRAY<FLOAT>` columns.
+  *
+  * This is the one custom Catalyst expression in the engine, justified
+  * per SURVEY.md §4.3's escape-hatch rule ("codegen'd dot-product
+  * Expression if array-UDF similarity search is too slow"): the
+  * higher-order-function formulation (`aggregate(zip_with(...))`,
+  * [[graft.ops.Similarity.dotHof]]) evaluates INTERPRETED — per-element
+  * lambda dispatch outside whole-stage codegen — which profiling showed
+  * dominating the similarity hot path. This expression compiles to a
+  * tight primitive loop inside the generated code (`DotProductSpec`
+  * asserts the speedup and value parity).
+  *
+  * Semantics: Σ (double)aᵢ·(double)bᵢ over min(|a|,|b|) elements —
+  * cast-before-multiply in double, left-to-right, matching both the HOF
+  * baseline and the DuckDB oracle's `list_dot_product` on equal-length
+  * inputs. Null array → null (BinaryExpression null semantics); null
+  * ELEMENTS are treated as 0 contribution.
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  // Manual type check (ExpectsInputTypes' AbstractDataType is
+  // private[sql] in Spark 4): both inputs must be ARRAY<FLOAT>.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires two ARRAY<FLOAT> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
+         |    $acc += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** SparkSessionExtensions installer: registers `graft_dot` in the
+  * function registry so it is callable from SQL and via
+  * `call_function("graft_dot", a, b)` — the supported public route to a
+  * custom expression (no Column internals). Wired into every session by
+  * [[graft.Engine.builder]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_dot takes exactly 2 arguments")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}

@@ -28,11 +28,23 @@ object Similarity {
 
   /** Elementwise product sum in double: Σ aᵢ·bᵢ (cast before multiply —
     * float×float would round differently than the oracle's double math).
+    *
+    * Baseline formulation via higher-order array functions. Correct but
+    * INTERPRETED (lambdas evaluate outside whole-stage codegen) — kept
+    * as the reference semantics and for non-float element types.
     */
-  def dot(a: Column, b: Column): Column =
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
+
+  /** Hot-path dot product: the native codegen'd
+    * [[graft.functions.DotProduct]] expression (registered as
+    * `graft_dot` by [[graft.functions.GraftExtensions]]) — a primitive
+    * loop inside generated code, same double-accumulation semantics as
+    * [[dotHof]] on equal-length float arrays.
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

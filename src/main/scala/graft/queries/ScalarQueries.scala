@@ -76,6 +76,42 @@ object ScalarQueries extends QueryPack {
           array_max(col("embedding")).cast("double").as("emax"))
         .orderBy("vec_id")),
 
+    // Map family: construction, key/value extraction, lookup, explode.
+    // Maps are built engine-side; outputs are flattened to scalars
+    // (raw MAP columns don't round-trip comparably through parquet vs
+    // DuckDB's MAP, so the compare surface is lookups and joins).
+    "q61_map" -> ((s, dir) =>
+      Tables.nation(s, dir)
+        .select(col("n_nationkey"),
+          map(lit("name"), col("n_name"),
+            lit("region"), col("n_regionkey").cast("string")).as("m"))
+        .select(
+          col("n_nationkey"),
+          element_at(col("m"), "name").as("m_name"),
+          concat_ws(",", map_keys(col("m"))).as("keys_csv"),
+          concat_ws(",", map_values(col("m"))).as("vals_csv"),
+          size(col("m")).as("m_size"))
+        .orderBy("n_nationkey")),
+
+    // Explode over a map: one row per entry (generator surface on maps).
+    "q62_map_explode" -> ((s, dir) =>
+      Tables.region(s, dir)
+        .select(col("r_regionkey"),
+          explode(map(lit("k1"), col("r_name"), lit("k2"), lower(col("r_name")))))
+        .toDF("r_regionkey", "mk", "mv")
+        .orderBy("r_regionkey", "mk")),
+
+    // Scalar UDF surface: the declared compat layer (SURVEY.md §2.2
+    // "UDF"). The udf() here mirrors a built-in so the oracle can
+    // check it — the POINT is the registration surface; the engine
+    // rule stays "builtins > UDFs in hot paths" (UDFs break codegen).
+    "q63_scalar_udf" -> ((s, dir) => {
+      val revUdf = udf((sIn: String) => if (sIn == null) null else sIn.reverse)
+      Tables.part(s, dir)
+        .select(col("p_partkey"), revUdf(col("p_brand")).as("brand_rev"))
+        .orderBy("p_partkey")
+    }),
+
     // String family: the reference's sprintf/sscanf surface
     // (program.c:203-212,432) generalized.
     "q28_string" -> ((s, dir) =>
@@ -126,6 +162,25 @@ object ScalarQueries extends QueryPack {
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq_norm,
         |  CAST(list_max(embedding) AS DOUBLE) AS emax
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q61_map" ->
+      """SELECT n_nationkey,
+        |  n_name AS m_name,
+        |  'name,region' AS keys_csv,
+        |  n_name || ',' || CAST(n_regionkey AS VARCHAR) AS vals_csv,
+        |  2 AS m_size
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q62_map_explode" ->
+      """SELECT r_regionkey, mk, mv FROM (
+        |  SELECT r_regionkey, 'k1' AS mk, r_name AS mv FROM region
+        |  UNION ALL
+        |  SELECT r_regionkey, 'k2' AS mk, lower(r_name) AS mv FROM region)
+        |ORDER BY r_regionkey, mk""".stripMargin,
+
+    "q63_scalar_udf" ->
+      """SELECT p_partkey, reverse(p_brand) AS brand_rev
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q28_string" ->
       """SELECT p_partkey,
