@@ -56,6 +56,15 @@ object MatrixQueries extends QueryPack {
         .orderBy("i", "k")
     }),
 
+    // Blocked (tiled) matmul — identical result to q16 through the
+    // SUMMA-style dense-kernel path (tile size deliberately NOT
+    // dividing the 48/32/40 dims, exercising ragged edge tiles).
+    "q64_matmul_blocked" -> ((s, _) => {
+      val a = Generator.cooMatrix(s, L, M, seed = 1, iName = "i", jName = "j")
+      val b = Generator.cooMatrix(s, M, N, seed = 2, iName = "j", jName = "k")
+      Matrix.matmulBlocked(a, b, t = 13).orderBy("i", "k")
+    }),
+
     // MapReduce-compat facade (SURVEY.md §7.1): word count on documents
     // through the reference's exact phase vocabulary — map emits (token,1)
     // pairs, combiner-style reduceByKey folds them (program.c:184-311).
@@ -92,6 +101,7 @@ object MatrixQueries extends QueryPack {
         |GROUP BY a.i, b.k
         |ORDER BY a.i, b.k""".stripMargin,
     "q18_matmul_udaf" -> genOracle,
+    "q64_matmul_blocked" -> genOracle,
     "q19_mr_wordcount" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -49,6 +49,23 @@ class MatrixSpec extends SparkSpec {
     }
   }
 
+  test("blocked matmul equals row-level matmul on dense inputs, ragged tiles included") {
+    for (seed <- 0 until 8) {
+      val rnd = new scala.util.Random(100 + seed)
+      val (l, m, n) = (1 + rnd.nextInt(12), 1 + rnd.nextInt(12), 1 + rnd.nextInt(12))
+      val t = 1 + rnd.nextInt(5) // tile sizes that rarely divide the dims
+      val a = Array.fill(l, m)(rnd.nextInt(19) - 9)
+      val b = Array.fill(m, n)(rnd.nextInt(19) - 9)
+      val expect = serial(a, b)
+      val got = Matrix.matmulBlocked(toCoo(a, "i", "j"), toCoo(b, "j", "k"), t)
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+      assert(got.size === l * n, s"shapes ${l}x$m ⋈ ${m}x$n t=$t seed=$seed")
+      for (i <- 0 until l; k <- 0 until n)
+        assert(got((i, k)) === expect(i)(k),
+          s"C[$i][$k] shapes ${l}x$m ⋈ ${m}x$n t=$t seed=$seed")
+    }
+  }
+
   test("identity matrix is a right identity") {
     val rnd = new scala.util.Random(7)
     val a = Array.fill(5, 4)(rnd.nextInt(10))
