@@ -71,32 +71,35 @@ object Similarity {
     * [[graft.sources.Generator]] so planes are reproducible without a
     * stateful RNG.
     */
-  private def planeComponent(p: Int, d: Column): Column =
-    ((d * 1315423911L + lit(p.toLong) * 2654435761L + 97531L) % 10007L)
-      .cast("double") / 5003.5 - 1.0
+  private def planeComponent(p: Int, d: Int): Float =
+    (((d.toLong * 1315423911L + p.toLong * 2654435761L + 97531L) % 10007L)
+      .toDouble / 5003.5 - 1.0).toFloat
 
   /** Sign-pattern LSH bucket id over `nPlanes` hyperplanes, packed into
     * a LONG. Vectors in the same bucket agree on every plane side —
     * cosine-similar vectors collide with high probability.
+    *
+    * Planes are materialized driver-side as literal float arrays so the
+    * projections run through the codegen'd `graft_dot` — the previous
+    * index-formula HOF form evaluated interpreted per element per plane.
+    * `dim` must match the embedding length.
     */
-  def lshBucket(emb: Column, nPlanes: Int): Column =
+  def lshBucket(emb: Column, nPlanes: Int, dim: Int): Column =
     (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (x, d) => x.cast("double") * planeComponent(p, d)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      val plane = typedLit((0 until dim).map(d => planeComponent(p, d)).toArray)
+      when(dot(emb, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Bucketed approximate top-k: candidates join probes on bucket
     * equality (an equi shuffle join — the 100 TB shape), then exact
     * cosine + window prune within buckets.
     */
-  def topKLsh(probes: DataFrame, candidates: DataFrame, k: Int, nPlanes: Int): DataFrame = {
+  def topKLsh(probes: DataFrame, candidates: DataFrame, k: Int, nPlanes: Int,
+              dim: Int = 64): DataFrame = {
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
-      lshBucket(col("embedding"), nPlanes).as("bucket"))
+      lshBucket(col("embedding"), nPlanes, dim).as("bucket"))
     val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-      lshBucket(col("embedding"), nPlanes).as("bucket"))
+      lshBucket(col("embedding"), nPlanes, dim).as("bucket"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("cand_id").asc)
     c.join(p, Seq("bucket"))

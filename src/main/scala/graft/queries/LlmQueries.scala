@@ -174,6 +174,20 @@ object LlmQueries extends QueryPack {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Token counting, whitespace vs BPE-ish: a subword-style regex
+    // (letter runs / digit runs / single punctuation, the GPT-2
+    // pre-tokenizer shape) against the whitespace count — the standard
+    // "how many tokens is this corpus" pipeline stage.
+    "q65_token_count" -> ((s, dir) => {
+      val bpeish = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(Text.tokens(col("text"))).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit(bpeish), lit(0))).as("bpeish_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal binary column: text encoded as opaque BINARY media,
     // byte-level features extracted scan-side (the codec-free half of
     // ops/Multimodal; the mapPartitions decode-stub path is
@@ -293,6 +307,12 @@ object LlmQueries extends QueryPack {
         |WHERE list_dot_product(a.v, b.v) /
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.40
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q65_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '), t -> t <> '')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q57_media_bytes" ->
       """SELECT doc_id,
