@@ -90,6 +90,54 @@ object Similarity {
       when(dot(emb, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF-style bucketed ANN: every vector is assigned to its nearest
+    * of `nLists` coarse centroids (the "inverted file" cell), then
+    * probes meet candidates only within their cell — an equi join on
+    * the centroid id, like [[topKLsh]] but with data-derived buckets.
+    *
+    * Centroid selection is a deterministic coarse sample of the
+    * candidate set (every |c|/nLists-th vector by id) — one bounded
+    * `collect` of nLists vectors to the driver, embedded as plan
+    * literals. A k-means refinement would drop in here without
+    * changing the query shape; selection quality only affects recall,
+    * never correctness of the within-cell exact cosine.
+    */
+  def topKIvf(probes: DataFrame, candidates: DataFrame, k: Int, nLists: Int): DataFrame = {
+    // Deterministic coarse centroids: ids ≡ 0 (mod stride), stride
+    // derived from one scalar aggregate — never a full id collect
+    // (only the nLists centroid VECTORS come to the driver, bounded).
+    val maxId = candidates.agg(max(col("vec_id"))).collect()(0).getLong(0)
+    val stride = math.max(1L, (maxId + 1) / nLists)
+    val centroids = candidates
+      .filter(col("vec_id") % stride === 0)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(nLists)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+    // cell = argmax cosine over the centroid literals (greatest-of
+    // chain — static nLists, all through the codegen'd graft_dot).
+    def cell(emb: Column): Column = {
+      val scored = centroids.map { case (cid, vec) =>
+        struct(cosine(emb, typedLit(vec)).as("cos"), lit(cid).as("cid"))
+      }
+      greatest(scored: _*).getField("cid")
+    }
+
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+      cell(col("embedding")).as("cell"))
+    val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+      cell(col("embedding")).as("cell"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    c.join(p, Seq("cell"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("cos", cosine(col("pv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("probe_id", "rnk", "cand_id", "cos")
+  }
+
   /** Bucketed approximate top-k: candidates join probes on bucket
     * equality (an equi shuffle join — the 100 TB shape), then exact
     * cosine + window prune within buckets.

@@ -84,6 +84,19 @@ object AggQueries extends QueryPack {
           |ORDER BY gid, rf, ls""".stripMargin)
     }),
 
+    // Pivot (SURVEY.md §2.1 S19: the reference's text-parse → pivot-to-
+    // matrix step, `program.c:447-464`, as the relational operator).
+    // Explicit pivot values keep the output schema static — the
+    // scale-safe form (value discovery would need an extra pass).
+    "q66_pivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum("l_quantity"))
+        .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+        .na.fill(0.0, Seq("qty_f", "qty_o"))
+        .orderBy("l_returnflag")),
+
     // approx_count_distinct (HLL++): no SQL oracle — sketches are
     // engine-specific (driver records rows-only; accuracy is property-
     // tested in AggSpec against exact counts).
@@ -126,6 +139,12 @@ object AggQueries extends QueryPack {
          |  ${moneySumSql("o_totalprice")} AS rev
          |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          |ORDER BY gid, st, prio""".stripMargin,
+
+    "q66_pivot" ->
+      """SELECT l_returnflag,
+        |  coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0) AS qty_f,
+        |  coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q33_grouping_sets" ->
       """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

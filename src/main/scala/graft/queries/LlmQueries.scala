@@ -174,6 +174,14 @@ object LlmQueries extends QueryPack {
         .orderBy("probe_id", "rnk")
     }),
 
+    // IVF-bucketed ANN (data-derived coarse cells, the other standard
+    // scale path next to q56's LSH; rows-only, recall in LlmSpec).
+    "q67_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.topKIvf(emb.filter(col("vec_id") < 10), emb, k = 5, nLists = 4)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // Token counting, whitespace vs BPE-ish: a subword-style regex
     // (letter runs / digit runs / single punctuation, the GPT-2
     // pre-tokenizer shape) against the whitespace count — the standard

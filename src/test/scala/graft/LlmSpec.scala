@@ -77,6 +77,18 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall@5 = $recall — bucketing is broken if ~0")
   }
 
+  test("IVF ANN: every probe gets k results; recall vs brute force is nontrivial") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.topK(probes, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.topKIvf(probes, emb, 5, nLists = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(ivf.nonEmpty)
+    assert(recall >= 0.2, s"IVF recall@5 = $recall — cell assignment broken if ~0")
+  }
+
   test("rolling hash: deterministic, order-sensitive, content-sensitive") {
     import spark.implicits._
     val df = Seq(

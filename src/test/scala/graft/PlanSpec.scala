@@ -1,0 +1,68 @@
+package graft
+
+/** Physical-plan shape assertions: the scale properties the engine
+  * claims (broadcast dims, pushdown, top-k without global sort,
+  * aggregate-below-join, single-shuffle as-of) are load-bearing — a
+  * regression here is a 100× slowdown at scale that small-SF
+  * correctness tests would never catch.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  private def optimizedOf(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+
+  test("q03: the 25-row nation dim joins via broadcast, not shuffle") {
+    assert(planOf("q03_join_agg").contains("BroadcastHashJoin"))
+  }
+
+  test("q01: the shipdate filter is pushed into the parquet scan") {
+    val plan = planOf("q01_pricing_summary")
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"))
+  }
+
+  test("q24: column pruning — the orders scan reads only 2 of 6 columns") {
+    val plan = planOf("q24_datetime")
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_orderdate:timestamp"))
+  }
+
+  test("q04: top-k plans as TakeOrderedAndProject, not a global sort") {
+    assert(planOf("q04_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q07: the aggregate sits below the outer join (pre-aggregated orders)") {
+    // In the optimized plan, Aggregate must appear as a descendant of
+    // the Join, i.e. the plan string has Join above an Aggregate.
+    val plan = optimizedOf("q07_left_outer")
+    val joinIdx = plan.indexOf("Join")
+    val aggBelow = plan.indexOf("Aggregate", joinIdx)
+    assert(joinIdx >= 0 && aggBelow > joinIdx,
+      s"expected Aggregate below Join:\n$plan")
+  }
+
+  test("q38: the as-of join is one window over a union — no range-join pair blow-up") {
+    val plan = planOf("q38_asof")
+    assert(plan.contains("Window"))
+    assert(plan.contains("Union"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q51: probes broadcast against the streamed candidate corpus") {
+    assert(planOf("q51_cosine_topk").contains("Broadcast"))
+  }
+
+  test("no accidental cartesian anywhere in the registry") {
+    // The one legitimate cross join (q10) is explicit and 5x25; every
+    // other query must be cartesian-free.
+    for ((name, fn) <- SparkEntry.queries if name != "q10_cross_join") {
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name contains a CartesianProduct")
+    }
+  }
+}
