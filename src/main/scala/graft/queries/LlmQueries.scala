@@ -174,6 +174,25 @@ object LlmQueries extends QueryPack {
         .orderBy("probe_id", "rnk")
     }),
 
+    // The composed training-data pipeline — dedup → quality filter →
+    // language tag → corpus stats — as ONE declarative plan (what a
+    // reference user actually runs end-to-end). Per-row stages are
+    // narrow; the shuffles are the dedup aggregate, the keeper join
+    // (broadcast at this scale), and the final aggregate.
+    "q68_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val keepers = docs
+        .groupBy(md5(col("text")).as("ck")).agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      docs.join(keepers, "doc_id")
+        .withColumn("n_tokens", size(Text.tokens(col("text"))))
+        .filter(col("n_tokens") >= 20)
+        .withColumn("pred_lang", Text.langIdHeuristic(col("text")))
+        .groupBy("source", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        .orderBy("source", "pred_lang")
+    }),
+
     // IVF-bucketed ANN (data-derived coarse cells, the other standard
     // scale path next to q56's LSH; rows-only, recall in LlmSpec).
     "q67_ann_ivf" -> ((s, dir) => {
@@ -321,6 +340,22 @@ object LlmQueries extends QueryPack {
         |  CAST(len(list_filter(string_split(text,' '), t -> t <> '')) AS INT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q68_pipeline" ->
+      """WITH keepers AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |tagged AS (
+        |  SELECT d.source,
+        |    len(list_filter(string_split(d.text,' '), t -> t <> '')) AS n_tokens,
+        |    CASE WHEN ' '||d.text||' ' LIKE '% der %' OR ' '||d.text||' ' LIKE '% und %' THEN 'de'
+        |         WHEN ' '||d.text||' ' LIKE '% el %' OR ' '||d.text||' ' LIKE '% los %' THEN 'es'
+        |         WHEN ' '||d.text||' ' LIKE '% the %' THEN 'en'
+        |         ELSE 'other' END AS pred_lang
+        |  FROM documents d JOIN keepers k ON d.doc_id = k.doc_id)
+        |SELECT source, pred_lang, count(*) AS n_docs,
+        |  sum(n_tokens) AS total_tokens
+        |FROM tagged WHERE n_tokens >= 20
+        |GROUP BY source, pred_lang ORDER BY source, pred_lang""".stripMargin,
 
     "q57_media_bytes" ->
       """SELECT doc_id,

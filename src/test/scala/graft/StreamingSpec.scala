@@ -112,6 +112,77 @@ class StreamingSpec extends SparkSpec {
     assert(last === Map(7L -> 3L, 9L -> 1L))
   }
 
+  test("stream-static join: streaming events enrich against a static dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val stream = MemoryStream[Ev]
+    val q = stream.toDF()
+      .join(dim, Seq("user_id"), "left")
+      .select(col("event_id"), coalesce(col("tier"), lit("none")).as("tier"))
+      .writeStream.format("memory").queryName("t_ssj")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(ev(1, 1, user = 1), ev(2, 2, user = 2), ev(3, 3, user = 99))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_ssj")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "gold", 2L -> "silver", 3L -> "none"))
+  }
+
+  test("transformWithState: running max value per user (new Spark 4 state API)") {
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.streaming.ValueState
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    class MaxProcessor extends StatefulProcessor[Long, Ev, (Long, Double)] {
+      @transient private var maxState: ValueState[Double] = _
+      override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                        timeMode: TimeMode): Unit =
+        maxState = getHandle.getValueState[Double]("mx", Encoders.scalaDouble, TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                   timerValues: TimerValues): Iterator[(Long, Double)] = {
+        val prev = if (maxState.exists()) maxState.get() else Double.MinValue
+        val mx = rows.foldLeft(prev)((acc, e) => math.max(acc, e.value))
+        maxState.update(mx)
+        Iterator((key, mx))
+      }
+    }
+
+    // transformWithState requires the RocksDB state store provider.
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[Ev]
+      val out = stream.toDS()
+        .groupByKey(_.user_id)
+        .transformWithState(new MaxProcessor, TimeMode.None(), OutputMode.Update(),
+          implicitly[Encoder[(Long, Double)]])
+      val q = out.toDF("user_id", "mx")
+        .writeStream.format("memory").queryName("t_tws")
+        .outputMode(OutputMode.Update()).start()
+      stream.addData(ev(1, 1, user = 7, v = 2.0), ev(2, 2, user = 7, v = 5.0))
+      q.processAllAvailable()
+      stream.addData(ev(3, 3, user = 7, v = 3.0)) // below running max → max stays 5
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table("t_tws")
+        .groupBy("user_id").agg(max("mx").as("mx"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(last === Map(7L -> 5.0))
+      // Second batch must still see 5.0 (state survived the batch boundary).
+      assert(spark.table("t_tws").count() >= 2)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("session windows: streaming equals batch on out-of-order input") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
