@@ -48,7 +48,16 @@ object Dedup {
     * bench stage into minutes. One pass = the shingle array and its
     * hashes are computed once per row.
     */
-  def minHashSignature(shinglesCol: Column, numHashes: Int): Column = {
+  def minHashSignature(shinglesCol: Column, numHashes: Int): Column =
+    call_function("minhash_sig", shinglesCol, lit(numHashes))
+
+  /** Reference semantics of [[minHashSignature]] as a declarative fold —
+    * kept for the parity test (DedupSpec asserts the native expression
+    * produces identical signatures) and as documentation of the math.
+    * Interpreted per (shingle × permutation); the native form is the
+    * hot path.
+    */
+  def minHashSignatureHof(shinglesCol: Column, numHashes: Int): Column = {
     val perms = sequence(lit(0), lit(numHashes - 1))
     aggregate(
       transform(shinglesCol, s => pmod(xxhash64(s), lit(P))),

@@ -34,6 +34,20 @@ class LlmSpec extends SparkSpec {
         s"exact dup pair ($id, ${id + 10000L}) missed by LSH")
   }
 
+  test("native minhash_sig equals the declarative HOF fold bit-for-bit") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+      .select(col("doc_id"),
+        array_distinct(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+    val pairs = docs.select(
+        Dedup.minHashSignature(col("sh"), 64).as("native"),
+        Dedup.minHashSignatureHof(col("sh"), 64).as("hof"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
   test("minhash signature is deterministic and length-correct") {
     val docs = Tables.documents(spark, sfDir).limit(20)
       .select(col("doc_id"),
