@@ -44,8 +44,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val fstr = failures.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
-      .mkString("[", ",", "]")
+    // Full control-char escaping (JsonOut): Spark error messages are
+    // multi-line, and a raw newline would invalidate the whole file.
+    val fstr = failures.map(JsonOut.q).mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fstr,"sf":"$sfDir"}"""
     println(line)

@@ -106,8 +106,15 @@ object Similarity {
     // Deterministic coarse centroids: ids ≡ 0 (mod stride), stride
     // derived from one scalar aggregate — never a full id collect
     // (only the nLists centroid VECTORS come to the driver, bounded).
-    val maxId = candidates.agg(max(col("vec_id"))).collect()(0).getLong(0)
-    val stride = math.max(1L, (maxId + 1) / nLists)
+    val maxIdRow = candidates.agg(max(col("vec_id"))).collect()(0)
+    if (maxIdRow.isNullAt(0)) {
+      // Empty corpus → empty top-k with the contract schema.
+      return candidates.sparkSession.emptyDataFrame
+        .select(lit(0L).as("probe_id"), lit(0).as("rnk"),
+          lit(0L).as("cand_id"), lit(0.0).as("cos"))
+        .limit(0)
+    }
+    val stride = math.max(1L, (maxIdRow.getLong(0) + 1) / nLists)
     val centroids = candidates
       .filter(col("vec_id") % stride === 0)
       .select(col("vec_id"), col("embedding"))
@@ -117,11 +124,13 @@ object Similarity {
 
     // cell = argmax cosine over the centroid literals (greatest-of
     // chain — static nLists, all through the codegen'd graft_dot).
+    // greatest() needs >= 2 args; a single-centroid index is one cell.
     def cell(emb: Column): Column = {
       val scored = centroids.map { case (cid, vec) =>
         struct(cosine(emb, typedLit(vec)).as("cos"), lit(cid).as("cid"))
       }
-      greatest(scored: _*).getField("cid")
+      if (scored.length == 1) lit(centroids.head._1)
+      else greatest(scored.toIndexedSeq: _*).getField("cid")
     }
 
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),

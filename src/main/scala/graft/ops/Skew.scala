@@ -11,12 +11,20 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Two-phase salted aggregation: rows are spread over `salts`
-    * sub-keys (deterministic spread — a stable hash of the whole row's
-    * key+payload via `xxhash64`, not `rand()`, so results are
-    * reproducible), partially aggregated per (key, salt), then finally
+    * sub-keys, partially aggregated per (key, salt), then finally
     * combined per key. For a hot key this turns one giant reduce
     * partition into `salts` balanced ones at the cost of a second
     * (tiny — |keys|×salts rows) shuffle.
+    *
+    * The salt hashes the row's content PLUS a per-row ordinal
+    * (`monotonically_increasing_id`): content alone would send every
+    * duplicate of a hot key's repeated payload to the same salt,
+    * silently collapsing the spread right where it matters most
+    * (duplicate-heavy hot keys). The ordinal depends on physical
+    * partitioning, so salt ASSIGNMENT varies across runs — the
+    * aggregation RESULT does not (the final combine merges all salts;
+    * as with any Spark shuffle, non-associative float effects are
+    * bounded to ulps).
     *
     * `aggs` must be algebraic (decomposable into partial+final):
     * provide the partial aggregate and the matching final combiner,
@@ -25,7 +33,8 @@ object Skew {
   def saltedAggregate(df: DataFrame, key: Column, salts: Int,
                       partial: Seq[Column], finalAgg: Seq[Column]): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(salts)))
+      pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*),
+        monotonically_increasing_id()), lit(salts)))
     salted
       .groupBy(key.as("__key"), col("__salt"))
       .agg(partial.head, partial.tail: _*)

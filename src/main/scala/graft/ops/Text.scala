@@ -19,12 +19,15 @@ object Text {
 
   /** Word n-gram shingles: `n` consecutive tokens joined by a space.
     * Input must be a token array; output is empty for docs shorter
-    * than `n` tokens.
+    * than `n` tokens. The short-doc case needs an explicit branch:
+    * `sequence(0, -1)` is a DESCENDING range `[0,-1]` in Spark, whose
+    * out-of-bounds `element_at` calls throw under default ANSI mode.
     */
-  def shingles(toks: Column, n: Int): Column = {
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(-1)))
-    transform(idx, i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*))
-  }
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*)))
 
   /** Stopword-membership language-ID heuristic. Confidence-free and
     * deliberately SQL-expressible (same CASE runs in the oracle): real
@@ -62,15 +65,20 @@ object Text {
     */
   def fingerprint(text: Column): Column = substring(md5(text), 1, 16)
 
-  /** Polynomial rolling hash over the text's bytes (mod 2^61-1) as a
+  /** Polynomial rolling hash over the text's bytes (mod 2^31-1) as a
     * Column expression: a left fold with `aggregate` over the char
     * codes — deterministic, order-sensitive (unlike a token-set hash),
     * the building block for shift-tolerant chunk fingerprints. Not
     * SQL-oracle-expressible (no modmul fold in ANSI SQL) — covered by
     * LlmSpec determinism/sensitivity properties instead.
+    *
+    * The modulus is 2^31-1 (not 2^61-1): the accumulator stays < 2^31
+    * so `acc*131 + c` stays far below Long range — a 2^61 modulus
+    * overflows the multiply after ~8 characters and crashes under
+    * Spark 4's default ANSI arithmetic.
     */
   def rollingHash(text: Column): Column = {
-    val p = lit(2305843009213693951L) // 2^61-1, Mersenne
+    val p = lit(2147483647L) // 2^31-1, Mersenne; keeps acc*131 < 2^39
     aggregate(
       transform(split(text, ""), c => ascii(c).cast("long")),
       lit(7L),

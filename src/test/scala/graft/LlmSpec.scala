@@ -103,16 +103,29 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall@5 = $recall — cell assignment broken if ~0")
   }
 
-  test("rolling hash: deterministic, order-sensitive, content-sensitive") {
+  test("rolling hash: deterministic, order-sensitive, and survives long text (ANSI overflow)") {
     import spark.implicits._
+    val long1 = "the quick brown fox jumps over the lazy dog " * 50
     val df = Seq(
-      (1L, "a b c"), (2L, "a b c"), (3L, "c b a"), (4L, "a b d"))
+      (1L, "a b c"), (2L, "a b c"), (3L, "c b a"), (4L, "a b d"),
+      (5L, long1), (6L, long1 + "!"))
       .toDF("id", "text")
       .select(col("id"), Text.rollingHash(col("text")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(df(1L) === df(2L))
     assert(df(1L) !== df(3L)) // order matters
     assert(df(1L) !== df(4L)) // content matters
+    assert(df(5L) !== df(6L)) // 2250-char texts hash without overflow
+  }
+
+  test("shingles of docs shorter than n are empty, not an ANSI index crash") {
+    import spark.implicits._
+    val df = Seq((1L, "one two"), (2L, ""), (3L, "a b c d"))
+      .toDF("id", "text")
+      .select(col("id"),
+        size(Text.shingles(Text.tokens(col("text")), 3)).as("n_sh"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(df === Map(1L -> 0, 2L -> 0, 3L -> 2))
   }
 
   test("multimodal decode stub: deterministic features with requested frame count") {
