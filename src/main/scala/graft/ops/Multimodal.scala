@@ -38,6 +38,21 @@ object Multimodal {
     MediaFeatures(docId, n, n % 1920, n % 1080, frames)
   }
 
+  /** STUB resize: deterministic downscale of decoded dimensions to fit
+    * a bounding box, preserving aspect ratio (integer math only). A
+    * real implementation would resample pixels; the engine-relevant
+    * part — a pure per-row transform that composes with
+    * [[extractFeatures]] without adding a shuffle — is real.
+    */
+  def resizeStub(f: MediaFeatures, maxW: Int, maxH: Int): MediaFeatures = {
+    val w = math.max(1, f.width); val h = math.max(1, f.height)
+    val scaleNum = math.min(maxW.toLong * h, maxH.toLong * w)
+    val scaleDen = w.toLong * h
+    val nw = math.max(1, (w * scaleNum / scaleDen).toInt)
+    val nh = math.max(1, (h * scaleNum / scaleDen).toInt)
+    f.copy(width = math.min(nw, maxW), height = math.min(nh, maxH))
+  }
+
   /** media table (doc_id, media BINARY) → features, as a narrow
     * per-partition batch pass.
     */

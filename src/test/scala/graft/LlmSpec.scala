@@ -142,5 +142,9 @@ class LlmSpec extends SparkSpec {
     val again = Multimodal.extractFeatures(media, frameCount = 4).collect()
     assert(feats.map(f => (f.doc_id, f.n_bytes, f.frames.toSeq)).toSet ===
       again.map(f => (f.doc_id, f.n_bytes, f.frames.toSeq)).toSet)
+    // Resize stub: fits the box, preserves ratio direction, never 0.
+    feats.map(Multimodal.resizeStub(_, 64, 48)).foreach { r =>
+      assert(r.width <= 64 && r.height <= 48 && r.width >= 1 && r.height >= 1)
+    }
   }
 }
