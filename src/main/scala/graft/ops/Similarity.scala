@@ -48,7 +48,16 @@ object Similarity {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** Cosine similarity, defined as 0 when either vector has zero norm:
+    * a bare division crashes with DIVIDE_BY_ZERO under Spark 4's ANSI
+    * default, and NaN would rank FIRST in a descending top-k (Spark
+    * orders NaN above every double) — 0 is the safe "no direction, no
+    * similarity" semantics. CASE WHEN guards the division per row.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2norm(a) * l2norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
 
   /** Exact cosine top-k: for each probe row, the `k` nearest candidate
     * rows (self-matches excluded). `probes` must be small (it is

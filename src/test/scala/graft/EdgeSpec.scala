@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.{AsOf, Dedup, Matrix, Similarity}
+
+/** Null-semantics and empty-relation edges (SURVEY.md §5.2.2): the
+  * cases the DuckDB differential can't isolate because the harness
+  * tables contain neither nulls nor empty inputs.
+  */
+class EdgeSpec extends SparkSpec {
+
+  private def df(schema: StructType, rows: Row*) =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 2), schema)
+
+  private val kv = StructType(Seq(
+    StructField("k", IntegerType, nullable = true),
+    StructField("v", IntegerType, nullable = true)))
+
+  test("null join keys never match (SQL semantics), including self-join") {
+    val l = df(kv, Row(1, 10), Row(null, 20))
+    val r = df(kv, Row(1, 100), Row(null, 200))
+    assert(l.join(r, l("k") === r("k")).count() === 1)
+    assert(l.join(r, l("k") === r("k"), "left").count() === 2) // null row kept, unmatched
+  }
+
+  test("aggregates skip nulls; count(*) does not; all-null group sums to null") {
+    val d = df(kv, Row(1, null), Row(1, null), Row(2, 5))
+    val out = d.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"), count(col("v")).as("nv"),
+        collect_list(col("v")).as("l"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(1).isNullAt(1) && out(1).getLong(2) === 2 && out(1).getLong(3) === 0)
+    assert(out(1).getSeq[Int](4).isEmpty) // collect_list drops nulls
+    assert(out(2).getLong(1) === 5L) // sum(int) widens to long
+  }
+
+  test("empty relation flows through join, window, and aggregation with correct schemas") {
+    val e = df(kv) // zero rows
+    val joined = e.join(df(kv, Row(1, 1)), Seq("k"))
+    assert(joined.count() === 0)
+    val w = Window.partitionBy("k").orderBy("v")
+    assert(e.withColumn("rn", row_number().over(w)).count() === 0)
+    val agg = e.groupBy("k").agg(sum("v")).collect()
+    assert(agg.isEmpty) // grouped agg of empty input has no rows (vs global agg: one row)
+    assert(e.agg(count(lit(1))).collect()(0).getLong(0) === 0)
+  }
+
+  test("as-of join with no matching right rows yields nulls, not dropped rows") {
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_id", LongType)))
+    val l = df(schema,
+      Row(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L))
+    val rSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("pv", DoubleType)))
+    val r = df(rSchema) // empty right side
+    val out = AsOf.join(l, r, Seq("user_id"), "ts", "pv", Seq("event_id")).collect()
+    assert(out.length === 1)
+    assert(out(0).isNullAt(out(0).fieldIndex("asof_pv")))
+  }
+
+  test("matmul with disjoint inner dimensions is empty (join semantics)") {
+    val a = df(StructType(Seq(StructField("i", IntegerType),
+      StructField("j", IntegerType), StructField("v", IntegerType))), Row(0, 0, 1))
+    val b = df(StructType(Seq(StructField("j", IntegerType),
+      StructField("k", IntegerType), StructField("v", IntegerType))), Row(5, 0, 1))
+    assert(Matrix.matmul(a, b).count() === 0)
+  }
+
+  test("minhash of an empty shingle set is the sentinel signature and never collides with content") {
+    import spark.implicits._
+    val d = Seq((1L, Array.empty[String]), (2L, Array("real shingle")))
+      .toDF("id", "sh")
+      .select(col("id"), Dedup.minHashSignature(col("sh"), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(d(1L).forall(_ === 2147483647L))
+    assert(d(1L) !== d(2L))
+  }
+
+  test("cosine of a zero-norm vector is 0, not an ANSI divide-by-zero crash") {
+    // A bare division here crashed with DIVIDE_BY_ZERO before the
+    // guard (found by this test) — and NaN would rank first in
+    // descending top-k, so 0 is the contract.
+    import spark.implicits._
+    val d = Seq((1L, Array(0.0f, 0.0f), Array(1.0f, 2.0f)))
+      .toDF("id", "a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect()
+    assert(d(0).getDouble(0) === 0.0)
+  }
+}
