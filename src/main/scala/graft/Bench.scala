@@ -48,7 +48,7 @@ object Bench {
     // multi-line, and a raw newline would invalidate the whole file.
     val fstr = failures.map(JsonOut.q).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fstr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fstr,"sf":${JsonOut.q(sfDir)}}"""
     println(line)
     Files.writeString(Paths.get("BENCH_LOCAL.json"), line)
     spark.stop()

@@ -39,17 +39,20 @@ case class MinHashSig(child: Expression, numHashes: Int)
     val mins = Array.fill(numHashes)(P)
     var s = 0
     while (s < n) {
-      if (!arr.isNullAt(s)) {
-        val h0 = XxHash64Function.hash(
+      // Null elements hash to the seed itself (42) — what SQL
+      // xxhash64(NULL) returns — preserving bit parity with the HOF
+      // reference fold on arrays that contain nulls.
+      val h0 =
+        if (arr.isNullAt(s)) 42L
+        else XxHash64Function.hash(
           arr.getUTF8String(s), StringType, 42L) // xxhash64's default seed
-        val h = ((h0 % P) + P) % P // pmod
-        var i = 0
-        while (i < numHashes) {
-          val a = (i * 2L + 1315423911L) % P
-          val v = ((h * a + (i * 7919L + 104729L)) % P + P) % P
-          if (v < mins(i)) mins(i) = v
-          i += 1
-        }
+      val h = ((h0 % P) + P) % P // pmod
+      var i = 0
+      while (i < numHashes) {
+        val a = (i * 2L + 1315423911L) % P
+        val v = ((h * a + (i * 7919L + 104729L)) % P + P) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
       }
       s += 1
     }

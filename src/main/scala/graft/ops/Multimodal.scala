@@ -46,11 +46,14 @@ object Multimodal {
     */
   def resizeStub(f: MediaFeatures, maxW: Int, maxH: Int): MediaFeatures = {
     val w = math.max(1, f.width); val h = math.max(1, f.height)
-    val scaleNum = math.min(maxW.toLong * h, maxH.toLong * w)
-    val scaleDen = w.toLong * h
-    val nw = math.max(1, (w * scaleNum / scaleDen).toInt)
-    val nh = math.max(1, (h * scaleNum / scaleDen).toInt)
-    f.copy(width = math.min(nw, maxW), height = math.min(nh, maxH))
+    if (w <= maxW && h <= maxH) f.copy(width = w, height = h) // never upscale
+    else {
+      val scaleNum = math.min(maxW.toLong * h, maxH.toLong * w)
+      val scaleDen = w.toLong * h
+      val nw = math.max(1, (w * scaleNum / scaleDen).toInt)
+      val nh = math.max(1, (h * scaleNum / scaleDen).toInt)
+      f.copy(width = math.min(nw, maxW), height = math.min(nh, maxH))
+    }
   }
 
   /** media table (doc_id, media BINARY) → features, as a narrow

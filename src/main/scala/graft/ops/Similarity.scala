@@ -124,12 +124,19 @@ object Similarity {
         .limit(0)
     }
     val stride = math.max(1L, (maxIdRow.getLong(0) + 1) / nLists)
-    val centroids = candidates
+    val strided = candidates
       .filter(col("vec_id") % stride === 0)
       .select(col("vec_id"), col("embedding"))
       .orderBy("vec_id").limit(nLists)
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // Sparse/offset id sets can contain no multiple of stride — fall
+    // back to the first nLists vectors by id (still deterministic and
+    // bounded) rather than crashing with an empty centroid set.
+    val rows =
+      if (strided.nonEmpty) strided
+      else candidates.select(col("vec_id"), col("embedding"))
+        .orderBy("vec_id").limit(nLists).collect()
+    val centroids = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
 
     // cell = argmax cosine over the centroid literals (greatest-of
     // chain — static nLists, all through the codegen'd graft_dot).

@@ -16,25 +16,26 @@ object Skew {
     * partition into `salts` balanced ones at the cost of a second
     * (tiny — |keys|×salts rows) shuffle.
     *
-    * The salt hashes the row's content PLUS a per-row ordinal
-    * (`monotonically_increasing_id`): content alone would send every
-    * duplicate of a hot key's repeated payload to the same salt,
-    * silently collapsing the spread right where it matters most
-    * (duplicate-heavy hot keys). The ordinal depends on physical
-    * partitioning, so salt ASSIGNMENT varies across runs — the
-    * aggregation RESULT does not (the final combine merges all salts;
-    * as with any Spark shuffle, non-associative float effects are
-    * bounded to ulps).
+    * The salt MUST be a deterministic function of row content — a
+    * physical-position salt (`monotonically_increasing_id`, `rand`)
+    * makes the shuffle key unstable under partial stage recomputation
+    * (a fetch-failure rerun re-salts rows into different reducers
+    * while surviving reducer outputs are kept → silent double-count /
+    * loss). Default salt: hash of the full row. Caveat: identical
+    * duplicate rows then share a salt, so a hot key whose rows are
+    * byte-identical does not spread — pass `saltOn = Some(uniqueCol)`
+    * (an id column, or a pre-assigned batch ordinal) when the data has
+    * one; that keeps determinism AND spreads duplicates.
     *
     * `aggs` must be algebraic (decomposable into partial+final):
     * provide the partial aggregate and the matching final combiner,
     * e.g. partial `sum(x) as s` + final `sum(s)`.
     */
   def saltedAggregate(df: DataFrame, key: Column, salts: Int,
-                      partial: Seq[Column], finalAgg: Seq[Column]): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*),
-        monotonically_increasing_id()), lit(salts)))
+                      partial: Seq[Column], finalAgg: Seq[Column],
+                      saltOn: Option[Column] = None): DataFrame = {
+    val saltSrc = saltOn.getOrElse(struct(df.columns.map(col).toIndexedSeq: _*))
+    val salted = df.withColumn("__salt", pmod(xxhash64(saltSrc), lit(salts)))
     salted
       .groupBy(key.as("__key"), col("__salt"))
       .agg(partial.head, partial.tail: _*)

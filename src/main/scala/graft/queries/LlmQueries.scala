@@ -155,8 +155,12 @@ object LlmQueries extends QueryPack {
       // so repeated runs in a long-lived session hold at most one.
       val index = Dedup.lshBands(docs, "doc_id", "sig", bands = 16, rows = 4)
         .persist()
-      LlmQueries.lshIndexCache.getAndSet(Some(index))
-        .foreach(_.unpersist(blocking = false))
+      LlmQueries.lshIndexCache.getAndSet(Some(index)).foreach { prev =>
+        // The previous index may belong to a since-stopped session —
+        // unpersisting it then throws; dropping the reference suffices.
+        try prev.unpersist(blocking = false)
+        catch { case _: IllegalStateException => () }
+      }
       val pairs = Dedup.candidatePairs(index, "doc_id")
       index.groupBy("band")
         .agg(countDistinct(col("bucket")).as("n_buckets"),

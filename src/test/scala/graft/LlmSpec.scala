@@ -48,6 +48,32 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("minhash_sig parity holds for arrays containing null elements") {
+    import spark.implicits._
+    val d = Seq(Tuple1(Seq[String]("a", null, "b"))).toDF("sh")
+      .select(
+        Dedup.minHashSignature(col("sh"), 16).as("native"),
+        Dedup.minHashSignatureHof(col("sh"), 16).as("hof"))
+      .collect()(0)
+    assert(d.getSeq[Long](0) === d.getSeq[Long](1))
+  }
+
+  test("IVF centroid selection survives sparse id sets with no stride multiple") {
+    // vec_ids {4,5}: maxId=5, stride=3 for nLists=2 → no id % 3 == 0;
+    // the fallback picks first-by-id centroids instead of crashing on
+    // an empty greatest(). With each vector its own centroid the cells
+    // are singletons, so an EMPTY result is the correct ANN answer —
+    // the assertion is "executes with the contract schema".
+    val sparse = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id").isin(4L, 5L))
+    val out = Similarity.topKIvf(sparse, sparse, k = 1, nLists = 2)
+    assert(out.columns.toSeq === Seq("probe_id", "rnk", "cand_id", "cos"))
+    out.collect() // must not throw
+    // Single-list variant puts both vectors in one cell → real pairs.
+    val one = Similarity.topKIvf(sparse, sparse, k = 1, nLists = 1).collect()
+    assert(one.length === 2)
+  }
+
   test("minhash signature is deterministic and length-correct") {
     val docs = Tables.documents(spark, sfDir).limit(20)
       .select(col("doc_id"),
