@@ -149,6 +149,41 @@ object RelationalQueries extends QueryPack {
       c.except(su).orderBy("nk")
     }),
 
+    // TPC-H Q5-shaped 5-table join: fact ⋈ fact ⋈ dim ⋈ dim ⋈ dim.
+    // The deep-join showcase: Catalyst orders the joins, both small
+    // dims broadcast, the two fact tables shuffle once on their key.
+    "q69_five_way_join" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        .groupBy("r_name")
+        .agg(
+          moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name")
+    }),
+
+    // Correlated scalar subquery (SQL surface — Catalyst decorrelates
+    // it into a left outer aggregate join; the subquery machinery the
+    // DataFrame API can't express directly).
+    "q70_correlated_subquery" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("cust_q70")
+      Tables.orders(s, dir).createOrReplaceTempView("ord_q70")
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT count(*) FROM ord_q70 o
+          |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000) AS n_big
+          |FROM cust_q70 c
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // Multi-column global sort (range-partitioned SortExec) + limit.
     "q15_sort_limit" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -246,6 +281,25 @@ object RelationalQueries extends QueryPack {
         |EXCEPT
         |SELECT s_nationkey AS nk FROM supplier
         |ORDER BY nk""".stripMargin,
+
+    "q69_five_way_join" ->
+      s"""SELECT r_name,
+         |  ${moneySumSql("l_extendedprice*(1-l_discount)")} AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q70_correlated_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000) AS n_big
+        |FROM customer c
+        |ORDER BY c_custkey""".stripMargin,
 
     "q15_sort_limit" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
