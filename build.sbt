@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep sbt's "[success] Total time" off stdout and pass the forked
+// JVM's stdout through unprefixed: the driver parses the bench JSON
+// from `runMain graft.Bench` stdout (BENCH_r02 recorded "parsed": null
+// because the line carried an "[info] " prefix and a success line
+// trailed it).
+showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -24,8 +24,11 @@ object Aggregators {
     */
   object DotProductAgg extends Aggregator[(Long, Long), Long, Long] {
     override def zero: Long = 0L
-    override def reduce(acc: Long, in: (Long, Long)): Long = acc + in._1 * in._2
-    override def merge(a: Long, b: Long): Long = a + b
+    // addExact/multiplyExact: fail loudly on overflow like the
+    // declarative ANSI-mode sum path, instead of wrapping silently.
+    override def reduce(acc: Long, in: (Long, Long)): Long =
+      Math.addExact(acc, Math.multiplyExact(in._1, in._2))
+    override def merge(a: Long, b: Long): Long = Math.addExact(a, b)
     override def finish(acc: Long): Long = acc
     override def bufferEncoder: Encoder[Long] = Encoders.scalaLong
     override def outputEncoder: Encoder[Long] = Encoders.scalaLong

@@ -99,6 +99,13 @@ object Matrix {
     // B-tile of its block-column exactly once.
     val partials = aTiles.joinWith(bTiles, aTiles("bj") === bTiles("bi"))
       .map { case (ta, tb) =>
+        // Enforce the documented dense-only contract: with missing
+        // cells the inferred tile extents can disagree and the kernel
+        // below would index out of bounds or misalign rows.
+        require(ta.cols == tb.rows,
+          s"matmulBlocked requires dense input: A-tile (${ta.bi},${ta.bj}) " +
+            s"has ${ta.cols} cols but B-tile (${tb.bi},${tb.bj}) has " +
+            s"${tb.rows} rows — use Matrix.matmul for sparse matrices")
         // dense t×t kernel: C_tile += A_tile × B_tile
         val out = new Array[Long](ta.rows * tb.cols)
         var i = 0

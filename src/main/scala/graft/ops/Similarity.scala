@@ -111,7 +111,12 @@ object Similarity {
     * changing the query shape; selection quality only affects recall,
     * never correctness of the within-cell exact cosine.
     */
-  def topKIvf(probes: DataFrame, candidates: DataFrame, k: Int, nLists: Int): DataFrame = {
+  def topKIvf(probes0: DataFrame, candidates0: DataFrame, k: Int, nLists: Int): DataFrame = {
+    // Normalize ids to long up front so the operator is id-type
+    // agnostic (int-typed vec_id would otherwise ClassCastException in
+    // getLong and change the empty-corpus schema).
+    val probes = probes0.withColumn("vec_id", col("vec_id").cast("long"))
+    val candidates = candidates0.withColumn("vec_id", col("vec_id").cast("long"))
     // Deterministic coarse centroids: ids ≡ 0 (mod stride), stride
     // derived from one scalar aggregate — never a full id collect
     // (only the nLists centroid VECTORS come to the driver, bounded).

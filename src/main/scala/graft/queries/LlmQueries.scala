@@ -255,8 +255,8 @@ object LlmQueries extends QueryPack {
 
     "q45_text_stats" ->
       """SELECT source, count(*) AS n_docs,
-        |  sum(n_chars) AS total_chars,
-        |  sum(len(list_filter(string_split(text,' '), t -> t <> ''))) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(list_filter(string_split(text,' '), t -> t <> ''))) AS BIGINT) AS total_tokens,
         |  avg(len(list_filter(string_split(text,' '), t -> t <> ''))) AS avg_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
@@ -307,9 +307,12 @@ object LlmQueries extends QueryPack {
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
         |pairs AS (
+        |  -- zero-norm guard mirrors Similarity.cosine (0.0, not NULL/NaN)
         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
-        |    list_dot_product(p.v, c.v) /
-        |      (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+        |    CASE WHEN list_dot_product(p.v, p.v) = 0 OR list_dot_product(c.v, c.v) = 0
+        |         THEN 0.0
+        |         ELSE list_dot_product(p.v, c.v) /
+        |      (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) END AS cos
         |  FROM e p JOIN e c ON p.vec_id < 10 AND c.vec_id <> p.vec_id)
         |SELECT probe_id, rnk, cand_id, cos FROM (
         |  SELECT probe_id, cand_id, cos,
@@ -336,13 +339,16 @@ object LlmQueries extends QueryPack {
     "q53_embed_neardup" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings WHERE vec_id < 200)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_dot_product(a.v, b.v) /
-        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.v, b.v) /
-        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.40
+        |  FROM embeddings WHERE vec_id < 200),
+        |scored AS (
+        |  -- zero-norm guard mirrors Similarity.cosine (0.0, not NULL/NaN)
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CASE WHEN list_dot_product(a.v, a.v) = 0 OR list_dot_product(b.v, b.v) = 0
+        |         THEN 0.0
+        |         ELSE list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM scored WHERE cos > 0.40
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q65_token_count" ->
@@ -363,7 +369,7 @@ object LlmQueries extends QueryPack {
         |         ELSE 'other' END AS pred_lang
         |  FROM documents d JOIN keepers k ON d.doc_id = k.doc_id)
         |SELECT source, pred_lang, count(*) AS n_docs,
-        |  sum(n_tokens) AS total_tokens
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM tagged WHERE n_tokens >= 20
         |GROUP BY source, pred_lang ORDER BY source, pred_lang""".stripMargin,
 

@@ -45,13 +45,15 @@ object StreamingQueries extends QueryPack {
         |GROUP BY w_start ORDER BY w_start""".stripMargin,
 
     // Sessions as gaps-and-islands: a new session starts when the gap
-    // from the previous event of the same user exceeds 30 minutes;
-    // session end = last ts + gap (Spark session_window semantics).
+    // from the previous event of the same user reaches 30 minutes
+    // (>=, matching Spark's half-open [start, last+gap) session window:
+    // an event exactly gap after the previous one opens a NEW session);
+    // session end = last ts + gap.
     "q60_session" ->
       """WITH marked AS (
         |  SELECT user_id, ts,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |              > INTERVAL '30 minutes'
+        |              >= INTERVAL '30 minutes'
         |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |         THEN 1 ELSE 0 END AS boundary
         |  FROM events),

@@ -34,8 +34,19 @@ def main():
             scols, ocols = sorted(spark.columns), sorted(ora.columns)
             if [c.lower() for c in scols] != [c.lower() for c in ocols]:
                 print(f"FAIL {name}: schema {scols} vs {ocols}"); fails += 1; continue
-            srows = spark.df()[scols].values.tolist()
-            orows = ora.df()[ocols].values.tolist()
+            sdf, odf = spark.df()[scols], ora.df()[ocols]
+            # Driver hash-compares stringified values exactly: an int64
+            # Spark column vs a HUGEINT oracle column (pandas float64)
+            # hash-mismatches even when numerically identical. DuckDB
+            # sum(INTEGER) widens to HUGEINT -> CAST(... AS BIGINT).
+            rep = [c for c in scols
+                   if {sdf[c].dtype.kind, odf[c].dtype.kind} == {"i", "f"}]
+            if rep:
+                print(f"FAIL {name}: int-vs-float representation mismatch on "
+                      f"{rep} (CAST oracle aggregate to BIGINT?)")
+                fails += 1; continue
+            srows = sdf.values.tolist()
+            orows = odf.values.tolist()
             if len(srows) != len(orows):
                 print(f"FAIL {name}: rows {len(srows)} vs {len(orows)}"); fails += 1; continue
             bad = None
