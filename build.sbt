@@ -16,7 +16,7 @@ run / fork := true
 // from `runMain graft.Bench` stdout (BENCH_r02 recorded "parsed": null
 // because the line carried an "[info] " prefix and a success line
 // trailed it).
-showSuccess := false
+Global / showSuccess := false
 run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

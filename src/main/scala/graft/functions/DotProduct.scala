@@ -107,5 +107,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashSig(children.head, k)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "simhash64 takes (tokens)")
+        SimHash64(children.head)
+      }))
   }
 }

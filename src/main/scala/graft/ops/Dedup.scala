@@ -109,12 +109,18 @@ object Dedup {
 
   /** 64-bit SimHash over a token array: bit `b` is set when the sum of
     * ±1 contributions (sign of token-hash bit `b`) is positive.
-    *
-    * ONE fold over the tokens with a 64-wide vote accumulator, then one
-    * pack pass — not 64 independent aggregates (which would re-tokenize
-    * per bit in interpreted eval; see [[minHashSignature]]).
+    * Native tight-loop expression ([[graft.functions.SimHash64]]); the
+    * HOF reference fold below is kept for the parity test.
     */
-  def simHash(toks: Column): Column = {
+  def simHash(toks: Column): Column = call_function("simhash64", toks)
+
+  /** Reference semantics of [[simHash]] as a declarative fold — ONE
+    * fold over the tokens with a 64-wide vote accumulator, then one
+    * pack pass. Interpreted per (token × bit); kept for the parity
+    * test (LlmSpec asserts the native expression matches) and as
+    * documentation of the math.
+    */
+  def simHashHof(toks: Column): Column = {
     val bits = sequence(lit(0), lit(63))
     val votes = aggregate(
       transform(toks, t => xxhash64(t)),

@@ -22,12 +22,20 @@ object Text {
     * than `n` tokens. The short-doc case needs an explicit branch:
     * `sequence(0, -1)` is a DESCENDING range `[0,-1]` in Spark, whose
     * out-of-bounds `element_at` calls throw under default ANSI mode.
+    *
+    * The token array is let-bound via the single-element-array trick
+    * (`transform(array(toks), tk => ...)`): the shingle lambda
+    * references its token array `n` times per shingle, and a free
+    * `toks` subtree (split+filter, interpreted) would re-evaluate per
+    * reference — ~`n·|shingles|` full tokenizations per row. Binding it
+    * to the lambda variable `tk` evaluates the subtree once per row.
     */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o + 1)): _*)))
+    element_at(transform(array(toks), tk =>
+      when(size(tk) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), size(tk) - n),
+          i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o + 1)): _*)))), 1)
 
   /** Stopword-membership language-ID heuristic. Confidence-free and
     * deliberately SQL-expressible (same CASE runs in the oracle): real

@@ -58,6 +58,28 @@ class LlmSpec extends SparkSpec {
     assert(d.getSeq[Long](0) === d.getSeq[Long](1))
   }
 
+  test("native simhash64 equals the declarative HOF fold bit-for-bit") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+      .select(Text.tokens(col("text")).as("toks"))
+    val pairs = docs.select(
+        Dedup.simHash(col("toks")).as("native"),
+        Dedup.simHashHof(col("toks")).as("hof"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("simhash64 parity holds for empty and null-element token arrays") {
+    import spark.implicits._
+    val rows = Seq(Tuple1(Seq.empty[String]), Tuple1(Seq[String]("a", null, "b")))
+      .toDF("toks")
+      .select(
+        Dedup.simHash(col("toks")).as("native"),
+        Dedup.simHashHof(col("toks")).as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("IVF centroid selection survives sparse id sets with no stride multiple") {
     // vec_ids {4,5}: maxId=5, stride=3 for nLists=2 → no id % 3 == 0;
     // the fallback picks first-by-id centroids instead of crashing on
