@@ -104,7 +104,48 @@ object AggQueries extends QueryPack {
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // UNPIVOT (melt): wide columns → (metric, value) rows — the inverse
+    // of q66's pivot. Narrow, no shuffle until the final sort.
+    "q72_unpivot" -> ((s, dir) =>
+      Tables.nation(s, dir)
+        .unpivot(
+          Array(col("n_name")),
+          Array(col("n_nationkey"), col("n_regionkey")),
+          "metric", "value")
+        .orderBy("n_name", "metric")),
+
+    // Exact interpolated percentiles per group (sort-based within the
+    // aggregate — bounded by the largest group, like any exact
+    // percentile; the sketch path for unbounded groups is q34's HLL
+    // cousin approx_percentile).
+    "q77_percentile" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5D)").as("p50"),
+          expr("percentile(l_quantity, 0.9D)").as("p90"))
+        .orderBy("l_returnflag")),
+
+    // Two-phase salted aggregation (ops/Skew): the hot-key spread the
+    // 100 TB brief mandates, checked for exactness against the plain
+    // one-shuffle GROUP BY oracle. Salt source = (orderkey, linenumber)
+    // — deterministic row content, so stage retries re-salt
+    // identically. Cents quantization keeps the re-ordered partial
+    // sums bit-exact.
+    "q83_salted_agg" -> ((s, dir) =>
+      graft.ops.Skew.saltedAggregate(
+        Tables.lineitem(s, dir)
+          .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"),
+        key = col("l_returnflag"),
+        salts = 8,
+        partial = Seq(sum(cents(col("l_quantity"))).as("pc"),
+          count(lit(1)).as("pn")),
+        finalAgg = Seq((sum(col("pc")) / lit(100.0)).as("sum_qty"),
+          sum(col("pn")).as("n_rows")),
+        saltOn = Some(struct(col("l_orderkey"), col("l_linenumber"))))
+        .orderBy("key"))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -153,7 +194,25 @@ object AggQueries extends QueryPack {
         |  sum(l_quantity) AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        |ORDER BY gid, rf, ls""".stripMargin
+        |ORDER BY gid, rf, ls""".stripMargin,
+
+    "q72_unpivot" ->
+      """SELECT n_name, 'n_nationkey' AS metric, n_nationkey AS value FROM nation
+        |UNION ALL
+        |SELECT n_name, 'n_regionkey' AS metric, n_regionkey AS value FROM nation
+        |ORDER BY n_name, metric""".stripMargin,
+
+    "q77_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q83_salted_agg" ->
+      s"""SELECT l_returnflag AS key,
+         |  ${moneySumSql("l_quantity")} AS sum_qty,
+         |  count(*) AS n_rows
+         |FROM lineitem GROUP BY l_returnflag ORDER BY key""".stripMargin
     // q34: no oracle by design (approx sketch) — rows-only driver check.
   )
 }

@@ -72,6 +72,36 @@ object JoinQueries extends QueryPack {
         .select(col("event_id"),
           coalesce(col("asof_pv"), lit(-1.0)).as("last_purchase_v"))
         .orderBy("event_id")
+    }),
+
+    // Null-safe equi-join (<=>): NULL keys match each other instead of
+    // dropping — still a hash-partitionable equi key (NULLs co-locate
+    // in one partition), unlike an OR-of-IS-NULL condition which would
+    // degrade to a nested-loop join. Region 2 is nulled on both sides
+    // to manufacture NULL keys from the NULL-free harness data.
+    "q74_nullsafe_join" -> ((s, dir) => {
+      val n = Tables.nation(s, dir).select(col("n_name"),
+        when(col("n_regionkey") === 2, lit(null)).otherwise(col("n_regionkey")).as("nk"))
+      val r = Tables.region(s, dir).select(col("r_name"),
+        when(col("r_regionkey") === 2, lit(null)).otherwise(col("r_regionkey")).as("rk"))
+      n.join(broadcast(r), n("nk") <=> r("rk"))
+        .select("n_name", "r_name")
+        .orderBy("n_name", "r_name")
+    }),
+
+    // EXISTS / NOT EXISTS subqueries (SQL surface): planned as
+    // left-semi ⨝ left-anti — the same scale shape as q08/q09, reached
+    // through the subquery rewrite instead of the DataFrame API.
+    "q75_exists_subquery" -> ((s, dir) => {
+      Tables.part(s, dir).createOrReplaceTempView("part_q75")
+      Tables.lineitem(s, dir).createOrReplaceTempView("li_q75")
+      s.sql(
+        """SELECT p_partkey, p_name FROM part_q75 p
+          |WHERE EXISTS (SELECT 1 FROM li_q75 l
+          |              WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+          |  AND NOT EXISTS (SELECT 1 FROM li_q75 l
+          |                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity <= 2)
+          |ORDER BY p_partkey""".stripMargin)
     })
   )
 
@@ -105,6 +135,25 @@ object JoinQueries extends QueryPack {
         |                WHERE event_type = 'purchase'
         |                GROUP BY user_id, ts) p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q74_nullsafe_join" ->
+      """SELECT n_name, r_name
+        |FROM (SELECT n_name,
+        |        CASE WHEN n_regionkey = 2 THEN NULL ELSE n_regionkey END AS nk
+        |      FROM nation) n
+        |JOIN (SELECT r_name,
+        |        CASE WHEN r_regionkey = 2 THEN NULL ELSE r_regionkey END AS rk
+        |      FROM region) r
+        |  ON n.nk IS NOT DISTINCT FROM r.rk
+        |ORDER BY n_name, r_name""".stripMargin,
+
+    "q75_exists_subquery" ->
+      """SELECT p_partkey, p_name FROM part p
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity <= 2)
+        |ORDER BY p_partkey""".stripMargin
   )
 }

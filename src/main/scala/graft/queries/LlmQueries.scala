@@ -225,6 +225,87 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Deterministic train/val split by content-stable hash — the
+    // reproducible alternative to rand() sampling: re-runs, retries and
+    // engine swaps all assign identical splits. ~75% of md5 first hex
+    // chars are < 'c'.
+    "q76_hash_split" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("split",
+          when(substring(md5(col("doc_id").cast("string")), 1, 1) < "c", "train")
+            .otherwise("val"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(Text.tokens(col("text")))).as("total_tokens"))
+        .orderBy("split")),
+
+    // Term redaction (the PII-scrub plumbing: the regex would be
+    // emails/SSNs in production; the harness corpus has no digits, so
+    // stopwords stand in as the redaction targets). Narrow single-pass
+    // regexp_replace — embarrassingly parallel at any scale.
+    "q78_redact" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          length(col("text")).as("len_before"),
+          length(regexp_replace(col("text"), "\\b(the|of|and)\\b", "<W>"))
+            .as("len_after"),
+          substring(regexp_replace(col("text"), "\\b(the|of|and)\\b", "<W>"), 1, 40)
+            .as("head40"))
+        .orderBy("doc_id")),
+
+    // Chunk-level dedup: non-overlapping 10-token chunks per doc,
+    // distinct-vs-total per source — the sub-document granularity
+    // (paragraph/chunk) dedup pass of a training pipeline. Chunking is
+    // narrow; the only shuffle is the count-distinct aggregate.
+    "q79_chunk_dedup" -> ((s, dir) => {
+      val chunks = element_at(transform(array(Text.tokens(col("text"))), tk =>
+        transform(sequence(lit(0), ((size(tk) - 1) / 10).cast("int")),
+          c => concat_ws(" ", slice(tk, c * 10 + 1, lit(10))))), 1)
+      Tables.documents(s, dir)
+        .select(col("source"), explode(chunks).as("chunk"))
+        .filter(col("chunk") =!= "")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk")).as("n_distinct"))
+        .orderBy("source")
+    }),
+
+    // Sequence packing: greedy 2048-token bins per source in doc_id
+    // order (window running sum → bin = how many full windows precede
+    // the doc's start offset). The standard "pack short docs into
+    // fixed-length training sequences" stage as one windowed plan.
+    "q80_pack_sequences" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.documents(s, dir)
+        .withColumn("n_tokens", size(Text.tokens(col("text"))))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .withColumn("bin", floor((col("cum") - col("n_tokens")) / lit(2048.0)))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+        .orderBy("source", "bin")
+    }),
+
+    // L2 normalization of the embedding column (the standard prep step
+    // before cosine ANN — normalized vectors reduce cosine to dot).
+    // Per-row fold order is fixed, so the doubles are cross-engine
+    // bit-exact (same IEEE ops in the same sequence).
+    "q81_l2_normalize" -> ((s, dir) => {
+      val norm = Similarity.l2norm(col("embedding"))
+      Tables.embeddings(s, dir)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          norm.as("pre_norm"),
+          when(norm === 0.0, 0.0)
+            .otherwise(element_at(col("embedding"), 1).cast("double") / norm)
+            .as("n0"))
+        .orderBy("vec_id")
+    }),
+
     // Multimodal binary column: text encoded as opaque BINARY media,
     // byte-level features extracted scan-side (the codec-free half of
     // ops/Multimodal; the mapPartitions decode-stub path is
@@ -378,7 +459,58 @@ object LlmQueries extends QueryPack {
         |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  CAST(octet_length(encode(text)) % 1920 AS INT) AS width,
         |  CAST(octet_length(encode(text)) % 1080 AS INT) AS height
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q76_hash_split" ->
+      """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+        |            THEN 'train' ELSE 'val' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split(text,' '), t -> t <> ''))) AS BIGINT)
+        |    AS total_tokens
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q78_redact" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS len_before,
+        |  CAST(length(regexp_replace(text, '\b(the|of|and)\b', '<W>', 'g')) AS INT)
+        |    AS len_after,
+        |  substring(regexp_replace(text, '\b(the|of|and)\b', '<W>', 'g'), 1, 40)
+        |    AS head40
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q79_chunk_dedup" ->
+      """WITH ch AS (
+        |  SELECT source, array_to_string(toks[c.i*10+1 : c.i*10+10], ' ') AS chunk
+        |  FROM (SELECT source, list_filter(string_split(text,' '), t -> t <> '') AS toks
+        |        FROM documents) d,
+        |  LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(floor((len(d.toks)-1)/10.0) AS INT))) AS i) c)
+        |SELECT source, count(*) AS n_chunks, count(DISTINCT chunk) AS n_distinct
+        |FROM ch WHERE chunk <> '' GROUP BY source ORDER BY source""".stripMargin,
+
+    "q80_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(string_split(text,' '), t -> t <> '')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT source, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    "q81_l2_normalize" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS pre_norm
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(len(embedding) AS INT) AS dim, pre_norm,
+        |  CASE WHEN pre_norm = 0 THEN 0.0
+        |       ELSE CAST(embedding[1] AS DOUBLE) / pre_norm END AS n0
+        |FROM e ORDER BY vec_id""".stripMargin
     // q54/q55/q56: sketch hashes are engine-specific → rows-only +
     // LlmSpec property tests.
   )

@@ -124,7 +124,17 @@ object ScalarQueries extends QueryPack {
           concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
           regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
           format_string("%d:%s", col("p_partkey"), col("p_brand")).as("tagged"))
-        .orderBy("p_partkey"))
+        .orderBy("p_partkey")),
+
+    // posexplode: the ordinal-preserving generator (q46's explode loses
+    // position; token position matters for any sequence-aware pipeline
+    // stage). Narrow row expansion — no shuffle before the final sort.
+    "q73_posexplode" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(graft.ops.Text.tokens(col("text"))).as(Seq("pos", "token")))
+        .orderBy("doc_id", "pos"))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -190,6 +200,14 @@ object ScalarQueries extends QueryPack {
         |  concat_ws('-', p_brand, p_type) AS brand_type,
         |  regexp_extract(p_type, '^(\w+)', 1) AS type_head,
         |  printf('%d:%s', p_partkey, p_brand) AS tagged
-        |FROM part ORDER BY p_partkey""".stripMargin
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q73_posexplode" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '), t -> t <> '') AS toks
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, toks[u.i] AS token
+        |FROM d, LATERAL (SELECT unnest(generate_series(1, len(d.toks))) AS i) u
+        |ORDER BY doc_id, pos""".stripMargin
   )
 }

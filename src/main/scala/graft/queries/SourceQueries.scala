@@ -67,6 +67,24 @@ object SourceQueries extends QueryPack {
         .orderBy("o_orderpriority")
     }),
 
+    // Text sink → text scan: rows serialized to delimited lines
+    // (format_string, the reference's sprintf emit, program.c:203-212)
+    // and parsed back with split (its sscanf, program.c:432,461).
+    "q82_text_roundtrip" -> ((s, dir) => {
+      val path = tmp(dir, "nation_text")
+      Tables.nation(s, dir)
+        .select(format_string("%d|%s|%d",
+          col("n_nationkey"), col("n_name"), col("n_regionkey")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(path)
+      val f = split(col("value"), "\\|")
+      s.read.text(path)
+        .select(
+          f.getItem(0).cast("int").as("n_nationkey"),
+          f.getItem(1).as("n_name"),
+          f.getItem(2).cast("int").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    }),
+
     // In-memory rows (collect) surface: small dim collected to the
     // driver, re-entering the plan as a local filter list — the
     // broadcast-scalar pattern (bounded: dim rows only, never a fact).
@@ -98,6 +116,9 @@ object SourceQueries extends QueryPack {
     "q42_collect_filter" ->
       """SELECT n_nationkey, n_name FROM nation
         |WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name < 'B')
-        |ORDER BY n_nationkey""".stripMargin
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q82_text_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
   )
 }

@@ -48,6 +48,21 @@ object WindowQueries extends QueryPack {
         .orderBy("o_orderkey")
     }),
 
+    // Relative-rank family: percent_rank = (rank-1)/(n-1) and
+    // cume_dist = n_preceding_or_peer/n — single int-int divisions of
+    // exact counts, so the doubles are bit-identical across engines.
+    "q71_percent_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          col("o_orderstatus"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
+    }),
+
     // Analytic lag/lead/first_value/last_value over each user's event
     // sequence (unique tie-break: event_id).
     "q22_lag_lead" -> ((s, dir) => {
@@ -117,6 +132,14 @@ object WindowQueries extends QueryPack {
         |  avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg3
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q71_percent_rank" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
