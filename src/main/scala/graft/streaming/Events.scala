@@ -51,4 +51,28 @@ object Events {
     if (events.isStreaming)
       events.withWatermark("ts", horizon).dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
+
+  /** Stream-stream interval join: each left event pairs with right
+    * events of the same user whose timestamp falls in
+    * `[left.ts, left.ts + window]`. Both sides carry watermarks and the
+    * join condition is time-bounded in both directions, so Spark can
+    * expire join state — the join buffers only `horizon + window` of
+    * each stream per key instead of growing without bound. On batch
+    * DataFrames the same function is the plain interval equi+range
+    * join (the DuckDB-checkable leg).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   horizon: String, window: String): DataFrame = {
+    def wm(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark("ts", horizon) else df
+    val l = wm(left).select(col("event_id").as("l_id"),
+      col("user_id").as("l_user"), col("ts").as("l_ts"))
+    val r = wm(right).select(col("event_id").as("r_id"),
+      col("user_id").as("r_user"), col("ts").as("r_ts"))
+    l.join(r,
+        col("l_user") === col("r_user")
+          && col("r_ts") >= col("l_ts")
+          && col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+      .select(col("l_id"), col("r_id"), col("l_user"))
+  }
 }

@@ -112,6 +112,35 @@ class StreamingSpec extends SparkSpec {
     assert(last === Map(7L -> 3L, 9L -> 1L))
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = Seq(ev(1, 1), ev(2, 10), ev(3, 30), ev(4, 5, user = 2L))
+    val buys = Seq(ev(101, 4, typ = "purchase"), ev(102, 18, typ = "purchase"),
+      ev(103, 6, user = 2L, typ = "purchase"), ev(104, 35, typ = "purchase"))
+
+    val ls = MemoryStream[Ev]; val rs = MemoryStream[Ev]
+    val q = Events.intervalJoin(ls.toDF(), rs.toDF(), "20 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("t_ssj")
+      .outputMode(OutputMode.Append()).start()
+    // Interleave across micro-batches: pairs must form across batch
+    // boundaries from buffered join state, not within one batch only.
+    ls.addData(views.take(2)); rs.addData(buys.take(1)); q.processAllAvailable()
+    rs.addData(buys.drop(1)); ls.addData(views.drop(2)); q.processAllAvailable()
+    val streamed = spark.table("t_ssj")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+
+    val batch = Events.intervalJoin(views.toDF(), buys.toDF(), "20 minutes", "10 minutes")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    // Sanity on the expected pairs themselves (window = [view, view+10']):
+    // user-1 views :01→:04 buy, :10→:18 buy, :30→:35 buy; user-2 :05→:06.
+    // The (2,102) pair spans micro-batches: view 2 arrived in batch 1,
+    // purchase 102 in batch 2 — it can only come from buffered state.
+    assert(batch === Set((1L, 101L), (2L, 102L), (3L, 104L), (4L, 103L)))
+  }
+
   test("stream-static join: streaming events enrich against a static dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
