@@ -56,6 +56,30 @@ class PlanSpec extends SparkSpec {
     assert(planOf("q51_cosine_topk").contains("Broadcast"))
   }
 
+  test("q74: the null-safe join stays a hash join, never nested-loop") {
+    val plan = planOf("q74_nullsafe_join")
+    assert(plan.contains("BroadcastHashJoin"), s"expected hash join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"<=> degraded to nested-loop:\n$plan")
+  }
+
+  test("q83: salted aggregation is two hash-agg phases over one wide shuffle") {
+    val plan = planOf("q83_salted_agg")
+    // partial+final per groupBy phase = 4 HashAggregate operators, and
+    // the salted phase's shuffle key must carry the salt column.
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, s"plan:\n$plan")
+    assert(plan.contains("__salt"), s"salt column absent from plan:\n$plan")
+  }
+
+  test("q80: packing runs one window pass feeding the aggregate — a single width") {
+    val plan = planOf("q80_pack_sequences")
+    assert("RunningWindowFunction|Window".r.findAllIn(plan).size >= 1)
+    // Window partition (source, doc_id-ordered) then agg on (source,
+    // bin): both hash-partition by source first — no extra exchange
+    // between window and aggregate beyond the agg's own.
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("no accidental cartesian anywhere in the registry") {
     // The one legitimate cross join (q10) is explicit and 5x25; every
     // other query must be cartesian-free.
