@@ -69,20 +69,19 @@ object Dedup {
   /** (id, band, bucket) rows: the LSH index. `rows` signature values
     * per band, hashed to one bucket id.
     *
-    * The signature column is let-bound via a single-element-array
-    * lambda (`transform(array(sig), s => ...)`) so it evaluates ONCE
-    * per row: referencing `col(sigCol)` inside the per-band lambda
-    * would inline the signature expression `bands` times after
-    * projection collapse (see [[minHashSignature]] for why that
-    * redundancy is catastrophic in interpreted higher-order exprs).
+    * The signature column is [[Text.letBound]] so it evaluates ONCE per
+    * row: referencing `col(sigCol)` inside the per-band lambda would
+    * inline the signature expression `bands` times after projection
+    * collapse (see [[minHashSignature]] for why that redundancy is
+    * catastrophic in interpreted higher-order exprs).
     */
   def lshBands(df: DataFrame, idCol: String, sigCol: String,
                bands: Int, rows: Int): DataFrame =
-    df.select(col(idCol), posexplode(element_at(
-        transform(array(col(sigCol)), s =>
+    df.select(col(idCol), posexplode(
+        Text.letBound(col(sigCol)) { s =>
           transform(sequence(lit(0), lit(bands - 1)), b =>
-            xxhash64(concat_ws(",", slice(s, b * rows + 1, lit(rows))), b))),
-        1))
+            xxhash64(concat_ws(",", slice(s, b * rows + 1, lit(rows))), b))
+        })
       ).toDF(idCol, "band", "bucket")
 
   /** Candidate near-dup pairs: self-join of the LSH index on

@@ -17,25 +17,34 @@ object Text {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
+  /** Let-binding for higher-order lambdas: evaluates `c` ONCE per row
+    * and hands the bound value to `f` as a lambda variable. A free
+    * column subtree referenced k times inside an interpreted HOF lambda
+    * re-evaluates k times per element (lambda bodies get no
+    * common-subexpression elimination); wrapping it as the element of a
+    * single-element array makes every reference a cheap variable read.
+    */
+  def letBound(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** Word n-gram shingles: `n` consecutive tokens joined by a space.
     * Input must be a token array; output is empty for docs shorter
     * than `n` tokens. The short-doc case needs an explicit branch:
     * `sequence(0, -1)` is a DESCENDING range `[0,-1]` in Spark, whose
     * out-of-bounds `element_at` calls throw under default ANSI mode.
     *
-    * The token array is let-bound via the single-element-array trick
-    * (`transform(array(toks), tk => ...)`): the shingle lambda
-    * references its token array `n` times per shingle, and a free
-    * `toks` subtree (split+filter, interpreted) would re-evaluate per
-    * reference — ~`n·|shingles|` full tokenizations per row. Binding it
-    * to the lambda variable `tk` evaluates the subtree once per row.
+    * The token array is [[letBound]]: the shingle lambda references it
+    * `n` times per shingle, and a free `toks` subtree (split+filter,
+    * interpreted) would re-evaluate per reference — ~`n·|shingles|`
+    * full tokenizations per row.
     */
   def shingles(toks: Column, n: Int): Column =
-    element_at(transform(array(toks), tk =>
+    letBound(toks) { tk =>
       when(size(tk) < n, array().cast("array<string>"))
         .otherwise(transform(
           sequence(lit(0), size(tk) - n),
-          i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o + 1)): _*)))), 1)
+          i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o + 1)): _*)))
+    }
 
   /** Stopword-membership language-ID heuristic. Confidence-free and
     * deliberately SQL-expressible (same CASE runs in the oracle): real

@@ -259,9 +259,10 @@ object LlmQueries extends QueryPack {
     // (paragraph/chunk) dedup pass of a training pipeline. Chunking is
     // narrow; the only shuffle is the count-distinct aggregate.
     "q79_chunk_dedup" -> ((s, dir) => {
-      val chunks = element_at(transform(array(Text.tokens(col("text"))), tk =>
+      val chunks = Text.letBound(Text.tokens(col("text"))) { tk =>
         transform(sequence(lit(0), ((size(tk) - 1) / 10).cast("int")),
-          c => concat_ws(" ", slice(tk, c * 10 + 1, lit(10))))), 1)
+          c => concat_ws(" ", slice(tk, c * 10 + 1, lit(10))))
+      }
       Tables.documents(s, dir)
         .select(col("source"), explode(chunks).as("chunk"))
         .filter(col("chunk") =!= "")

@@ -45,15 +45,16 @@ object StreamingQueries extends QueryPack {
         |GROUP BY w_start ORDER BY w_start""".stripMargin,
 
     // Sessions as gaps-and-islands: a new session starts when the gap
-    // from the previous event of the same user reaches 30 minutes
-    // (>=, matching Spark's half-open [start, last+gap) session window:
-    // an event exactly gap after the previous one opens a NEW session);
-    // session end = last ts + gap.
+    // from the previous event of the same user EXCEEDS 30 minutes
+    // (strict >: verified empirically on Spark 4.1.2 — session_window
+    // MERGES an event arriving exactly gap after the previous one, so
+    // [start, last+gap) is closed at the exact-gap boundary for merge
+    // purposes); session end = last ts + gap.
     "q60_session" ->
       """WITH marked AS (
         |  SELECT user_id, ts,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |              >= INTERVAL '30 minutes'
+        |              > INTERVAL '30 minutes'
         |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |         THEN 1 ELSE 0 END AS boundary
         |  FROM events),

@@ -39,8 +39,8 @@ def main():
             # Spark column vs a HUGEINT oracle column (pandas float64)
             # hash-mismatches even when numerically identical. DuckDB
             # sum(INTEGER) widens to HUGEINT -> CAST(... AS BIGINT).
-            rep = [c for c in scols
-                   if {sdf[c].dtype.kind, odf[c].dtype.kind} == {"i", "f"}]
+            rep = [sc for sc, oc in zip(scols, ocols)
+                   if {sdf[sc].dtype.kind, odf[oc].dtype.kind} == {"i", "f"}]
             if rep:
                 print(f"FAIL {name}: int-vs-float representation mismatch on "
                       f"{rep} (CAST oracle aggregate to BIGINT?)")
