@@ -511,8 +511,90 @@ object LlmQueries extends QueryPack {
         |SELECT vec_id, CAST(len(embedding) AS INT) AS dim, pre_norm,
         |  CASE WHEN pre_norm = 0 THEN 0.0
         |       ELSE CAST(embedding[1] AS DOUBLE) / pre_norm END AS n0
-        |FROM e ORDER BY vec_id""".stripMargin
-    // q54/q55/q56: sketch hashes are engine-specific → rows-only +
-    // LlmSpec property tests.
+        |FROM e ORDER BY vec_id""".stripMargin,
+
+    // q56: the hyperplane components are pure integer arithmetic
+    // (Similarity.planeComponent), so the whole LSH path — plane
+    // construction, sign-pattern bucketing, bucket join, within-bucket
+    // exact cosine top-k — replays in SQL.
+    "q56_ann_lsh" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |planes AS (
+        |  SELECT pp.p AS p, list_transform(generate_series(0, 63), d ->
+        |    CAST(CAST((d*1315423911 + pp.p*2654435761 + 97531) % 10007 AS DOUBLE)
+        |         / 5003.5 - 1.0 AS FLOAT)) AS plane
+        |  FROM (SELECT unnest(generate_series(0, 3)) AS p) pp),
+        |buckets AS (
+        |  SELECT e.vec_id,
+        |    CAST(sum(CASE WHEN list_dot_product(e.v,
+        |        list_transform(pl.plane, x -> CAST(x AS DOUBLE))) >= 0
+        |      THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM e, planes pl GROUP BY e.vec_id),
+        |scored AS (
+        |  SELECT pb.vec_id AS probe_id, cb.vec_id AS cand_id,
+        |    CASE WHEN list_dot_product(ep.v, ep.v) = 0
+        |           OR list_dot_product(ec.v, ec.v) = 0 THEN 0.0
+        |         ELSE list_dot_product(ep.v, ec.v) /
+        |           (sqrt(list_dot_product(ep.v, ep.v)) *
+        |            sqrt(list_dot_product(ec.v, ec.v))) END AS cos
+        |  FROM buckets pb
+        |  JOIN buckets cb ON pb.bucket = cb.bucket AND cb.vec_id <> pb.vec_id
+        |  JOIN e ep ON ep.vec_id = pb.vec_id
+        |  JOIN e ec ON ec.vec_id = cb.vec_id
+        |  WHERE pb.vec_id < 10)
+        |SELECT probe_id, rnk, cand_id, cos FROM (
+        |  SELECT probe_id, cand_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cos DESC, cand_id) AS INT) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    // q67: centroids are a deterministic strided sample by id, cell
+    // assignment is argmax cosine (tie → higher centroid id, matching
+    // greatest() struct ordering) — all SQL-expressible.
+    "q67_ann_ivf" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |mx AS (SELECT greatest(1, (max(vec_id)+1) // 4) AS stride FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cid, v FROM e, mx
+        |  WHERE vec_id % mx.stride = 0 ORDER BY vec_id LIMIT 4),
+        |assign AS (
+        |  SELECT e.vec_id, c.cid,
+        |    CASE WHEN list_dot_product(e.v, e.v) = 0
+        |           OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+        |         ELSE list_dot_product(e.v, c.v) /
+        |           (sqrt(list_dot_product(e.v, e.v)) *
+        |            sqrt(list_dot_product(c.v, c.v))) END AS ccos
+        |  FROM e CROSS JOIN cents c),
+        |cells AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cid DESC) AS rn FROM assign)
+        |  WHERE rn = 1),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    CASE WHEN list_dot_product(ep.v, ep.v) = 0
+        |           OR list_dot_product(ec.v, ec.v) = 0 THEN 0.0
+        |         ELSE list_dot_product(ep.v, ec.v) /
+        |           (sqrt(list_dot_product(ep.v, ep.v)) *
+        |            sqrt(list_dot_product(ec.v, ec.v))) END AS cos
+        |  FROM cells p
+        |  JOIN cells c ON p.cell = c.cell AND c.vec_id <> p.vec_id
+        |  JOIN e ep ON ep.vec_id = p.vec_id
+        |  JOIN e ec ON ec.vec_id = c.vec_id
+        |  WHERE p.vec_id < 10)
+        |SELECT probe_id, rnk, cand_id, cos FROM (
+        |  SELECT probe_id, cand_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cos DESC, cand_id) AS INT) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+    // q54/q55: xxhash64-based sketches have no DuckDB equivalent →
+    // rows-only + LlmSpec property tests. q56/q67 ARE oracle-checked
+    // (their bucket math is plain arithmetic, replayed in SQL above).
   )
 }
