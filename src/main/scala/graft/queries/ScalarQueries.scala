@@ -134,7 +134,21 @@ object ScalarQueries extends QueryPack {
         .filter(col("doc_id") < 20)
         .select(col("doc_id"),
           posexplode(graft.ops.Text.tokens(col("text"))).as(Seq("pos", "token")))
-        .orderBy("doc_id", "pos"))
+        .orderBy("doc_id", "pos")),
+
+    // explode_outer: the null-preserving generator — docs with no
+    // matching token keep their row (an inner explode silently drops
+    // them; the outer form is what a per-doc feature join needs).
+    // ~23% of docs have no w-token, so both branches carry real rows.
+    // NULL is coalesced to '' because ASC null ordering differs across
+    // engines (Spark nulls-first, DuckDB nulls-last).
+    "q85_explode_outer" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode_outer(filter(graft.ops.Text.tokens(col("text")),
+            t => t.startsWith("w"))).as("wtok"))
+        .select(col("doc_id"), coalesce(col("wtok"), lit("")).as("wtok"))
+        .orderBy("doc_id", "wtok"))
   )
 
   override val oracles: Map[String, String] = Map(
@@ -208,6 +222,15 @@ object ScalarQueries extends QueryPack {
         |  FROM documents WHERE doc_id < 20)
         |SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, toks[u.i] AS token
         |FROM d, LATERAL (SELECT unnest(generate_series(1, len(d.toks))) AS i) u
-        |ORDER BY doc_id, pos""".stripMargin
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q85_explode_outer" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text,' '),
+        |    t -> t LIKE 'w%') AS wt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  unnest(CASE WHEN len(wt) = 0 THEN [''] ELSE wt END) AS wtok
+        |FROM d ORDER BY doc_id, wtok""".stripMargin
   )
 }

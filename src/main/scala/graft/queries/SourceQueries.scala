@@ -85,6 +85,25 @@ object SourceQueries extends QueryPack {
         .orderBy("n_nationkey")
     }),
 
+    // Range-partitioned, sorted parquet write — the layout that makes
+    // parquet zone maps (min/max per row group) effective: each output
+    // file covers a narrow o_orderdate band, so a date-range scan
+    // skips whole files. The read-back filter + agg is the checkable
+    // leg; the layout itself is what a 100 TB table would ship with.
+    "q84_sorted_write" -> ((s, dir) => {
+      val path = tmp(dir, "orders_ranged")
+      Tables.orders(s, dir)
+        .repartitionByRange(4, col("o_orderdate"))
+        .sortWithinPartitions("o_orderdate", "o_orderkey")
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), graft.functions.Exact.moneySum(col("o_totalprice")).as("rev"))
+        .orderBy("o_orderpriority")
+    }),
+
     // In-memory rows (collect) surface: small dim collected to the
     // driver, re-entering the plan as a local filter list — the
     // broadcast-scalar pattern (bounded: dim rows only, never a fact).
@@ -119,6 +138,14 @@ object SourceQueries extends QueryPack {
         |ORDER BY n_nationkey""".stripMargin,
 
     "q82_text_roundtrip" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "q84_sorted_write" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |  ${graft.functions.Exact.moneySumSql("o_totalprice")} AS rev
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-01-01'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

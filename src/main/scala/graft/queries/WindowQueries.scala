@@ -81,6 +81,34 @@ object WindowQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // Latest-record-per-key compaction (CDC "latest wins" / upsert
+    // resolution): one window shuffle on the key, rn=1 keeps the
+    // newest version. The scale path for "current state of N billion
+    // keys from an append-only log".
+    "q86_latest_by_key" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    }),
+
+    // RANGE frame (value-based, vs q23's ROWS frames): events in the
+    // trailing 10 minutes per user, keyed on epoch seconds. Peers at
+    // the same second aggregate identically regardless of tie order —
+    // the property that makes RANGE frames deterministic where ROWS
+    // frames need a unique tie-break.
+    "q87_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-600, org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), count(lit(1)).over(w).as("n_trail_10m"))
+        .orderBy("event_id")
+    }),
+
     // Framed aggregates: running sum + 3-row moving average. Identical
     // unique ordering on both engines → identical fold order → identical
     // bits (double adds happen in the same sequence).
@@ -140,6 +168,21 @@ object WindowQueries extends QueryPack {
         |  cume_dist() OVER w AS cd
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q86_latest_by_key" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q87_range_frame" ->
+      """SELECT event_id,
+        |  count(*) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS n_trail_10m
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }
