@@ -58,6 +58,30 @@ class LlmSpec extends SparkSpec {
     assert(d.getSeq[Long](0) === d.getSeq[Long](1))
   }
 
+  test("hash split is deterministic, disjoint, and roughly 3:1") {
+    val q = SparkEntry.queries("q76_hash_split")
+    val r1 = q(spark, sfDir).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r2 = q(spark, sfDir).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 === r2) // content-hash assignment: identical on re-run
+    val total = Tables.documents(spark, sfDir).count()
+    assert(r1.values.sum === total) // disjoint + exhaustive
+    val frac = r1("train").toDouble / total
+    assert(frac > 0.6 && frac < 0.9, s"train fraction $frac drifted from ~0.75")
+  }
+
+  test("sequence packing conserves tokens and fills bins contiguously") {
+    val packed = SparkEntry.queries("q80_pack_sequences")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totals = Tables.documents(spark, sfDir)
+      .groupBy("source").agg(sum(size(Text.tokens(col("text")))).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    packed.groupBy(_._1).foreach { case (src, bins) =>
+      assert(bins.map(_._4).sum === totals(src), s"$src: token mass not conserved")
+      val ids = bins.map(_._2).sorted
+      assert(ids === (0L until ids.length).toArray.toSeq, s"$src: bins not contiguous")
+    }
+  }
+
   test("native simhash64 equals the declarative HOF fold bit-for-bit") {
     val docs = Tables.documents(spark, sfDir).limit(50)
       .select(Text.tokens(col("text")).as("toks"))
