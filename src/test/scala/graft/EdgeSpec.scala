@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.ops.{AsOf, Dedup, Matrix, Similarity}
+import graft.ops.{AsOf, Dedup, Matrix, Similarity, Text}
 
 /** Null-semantics and empty-relation edges (SURVEY.md §5.2.2): the
   * cases the DuckDB differential can't isolate because the harness
@@ -79,6 +79,22 @@ class EdgeSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(d(1L).forall(_ === 2147483647L))
     assert(d(1L) !== d(2L))
+  }
+
+  test("letBound preserves null and empty-array semantics of the inlined form") {
+    import spark.implicits._
+    // shingles routes through Text.letBound; null text → null tokens →
+    // null shingles (not a crash, not an empty array), empty/short
+    // token arrays → empty shingle array. Same results as the pre-
+    // letBound inlined expression.
+    val d = Seq((1L, null: String), (2L, ""), (3L, "a b"), (4L, "a b c d"))
+      .toDF("id", "text")
+      .select(col("id"), Text.shingles(Text.tokens(col("text")), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+    assert(d(1L) === null)
+    assert(d(2L) === Seq.empty)
+    assert(d(3L) === Seq.empty)
+    assert(d(4L) === Seq("a b c", "b c d"))
   }
 
   test("cosine of a zero-norm vector is 0, not an ANSI divide-by-zero crash") {
