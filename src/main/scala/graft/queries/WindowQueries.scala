@@ -117,8 +117,15 @@ object WindowQueries extends QueryPack {
       Tables.events(s, dir)
         .select(
           col("event_id"),
-          sum("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .as("run_sum"),
+          // Cents-quantized running sum: long partial sums are
+          // order-independent, so the result is bit-exact at ANY
+          // partition size. A double sum("value") matched the oracle at
+          // sf0.01 but diverged in the last ulp at sf0.1 — DuckDB
+          // windows switch to segment-tree (pairwise) summation on
+          // larger partitions, changing double addition order.
+          (sum(graft.functions.Exact.cents(col("value")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            / lit(100.0)).as("run_sum"),
           avg("value").over(w.rowsBetween(-2, Window.currentRow)).as("mov_avg3"))
         .orderBy("event_id")
     })
@@ -156,7 +163,8 @@ object WindowQueries extends QueryPack {
 
     "q23_running_agg" ->
       """SELECT event_id,
-        |  sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum,
+        |  sum(CAST(round(value*100) AS BIGINT))
+        |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS run_sum,
         |  avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg3
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
