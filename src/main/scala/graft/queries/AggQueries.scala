@@ -27,8 +27,13 @@ object AggQueries extends QueryPack {
         .agg(
           min("l_quantity").as("min_qty"),
           max("l_quantity").as("max_qty"),
-          stddev_samp(col("l_quantity")).as("sd_qty"),
-          var_samp(col("l_quantity")).as("var_qty"))
+          // round(…, 9): moment merges are evaluation-order dependent
+          // (partial-aggregate arrival order is nondeterministic even
+          // run-to-run within Spark), so raw stddev/var can differ in
+          // the final ulp from any oracle. 9 decimals is far above ulp
+          // noise and far below the statistic's meaningful precision.
+          round(stddev_samp(col("l_quantity")), 9).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 9).as("var_qty"))
         .orderBy("l_linestatus")),
 
     // collect_list + array_sort; joined to a string so the compare is
@@ -153,8 +158,8 @@ object AggQueries extends QueryPack {
       """SELECT l_linestatus,
         |  min(l_quantity) AS min_qty,
         |  max(l_quantity) AS max_qty,
-        |  stddev_samp(l_quantity) AS sd_qty,
-        |  var_samp(l_quantity) AS var_qty
+        |  round(stddev_samp(l_quantity), 9) AS sd_qty,
+        |  round(var_samp(l_quantity), 9) AS var_qty
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "q30_collect_list" ->

@@ -1,13 +1,17 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's correctness gate (DuckDB oracle compare).
 
-Usage: python3 tools/localcheck.py <sfDir> <outDir> [query ...]
+Usage: python3 tools/localcheck.py [--exact] <sfDir> <outDir> [query ...]
 
 Reads outDir/<name>/ parquet written by graft.Verify, runs the matching
 oracle SQL from outDir/oracle_sql.json in DuckDB over the sfDir parquet
 tables, sorts columns by name, and compares row-by-row (exact for
-non-floats, 1e-9 relative for floats). Dev tool only — the real gate is
-driver-side.
+non-floats, 1e-9 relative for floats). --exact disables the float
+tolerance, mimicking the driver's bit-exact hash compare — floats that
+pass the default mode but fail --exact are last-ulp evaluation-order
+divergences (e.g. a double window sum under DuckDB's segment-tree
+summation) and WILL fail the driver gate. Dev tool only — the real gate
+is driver-side.
 """
 import sys, json, math, glob
 import duckdb
@@ -16,8 +20,10 @@ TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = [a for a in sys.argv[1:] if a != "--exact"]
+    exact = "--exact" in sys.argv[1:]
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -57,8 +63,8 @@ def main():
                                     and math.isnan(x) and math.isnan(y))
                         if both_nan:
                             continue
-                        if x != y and not (isinstance(x,(int,float)) and isinstance(y,(int,float))
-                                           and math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-12)):
+                        if x != y and (exact or not (isinstance(x,(int,float)) and isinstance(y,(int,float))
+                                           and math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-12))):
                             bad = (i, x, y); break
                     elif x != y:
                         bad = (i, x, y); break
