@@ -80,6 +80,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q86: rank limit pushes below the shuffle (map-side top-1 per key)") {
+    val plan = planOf("q86_latest_by_key")
+    // WindowGroupLimit BEFORE the exchange means each map task keeps
+    // only its local latest row per key — the shuffle carries ≤
+    // (tasks × keys) rows instead of the whole log. Load-bearing for
+    // the CDC-compaction claim at 100 TB.
+    val limitIdx = plan.indexOf("WindowGroupLimit")
+    val exchIdx = plan.indexOf("Exchange")
+    assert(limitIdx >= 0, s"WindowGroupLimit missing:\n$plan")
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"expected partial+final WindowGroupLimit:\n$plan")
+  }
+
+  test("q80: the aggregate reuses the window's hash partitioning — no extra exchange") {
+    val plan = planOf("q80_pack_sequences")
+    // One exchange for the window (partitionBy source), one for the
+    // final oracle-contract sort; the groupBy(source, bin) aggregate
+    // must NOT add a third (source partitioning already satisfies it).
+    assert("Exchange".r.findAllIn(plan).size <= 2, s"extra exchange:\n$plan")
+  }
+
   test("no accidental cartesian anywhere in the registry") {
     // The one legitimate cross join (q10) is explicit and 5x25; every
     // other query must be cartesian-free.
