@@ -29,10 +29,16 @@ object Exact {
     * (SQL AVG null semantics — round-1 ADVICE fix). */
   def moneyAvg(c: Column): Column = sum(cents(c)) / lit(100.0) / count(c)
 
+  /** Oracle-side SQL fragment equivalent of [[cents]] — the ONE place
+    * the quantization is spelled in SQL, so engine and oracle cannot
+    * silently desync (window sums build on it too, e.g. q23). */
+  def centsSql(expr: String): String =
+    s"CAST(round(($expr)*100) AS BIGINT)"
+
   /** Oracle-side SQL fragment equivalent of [[moneySum]]. */
   def moneySumSql(expr: String): String =
-    s"sum(CAST(round(($expr)*100) AS BIGINT))/100.0"
+    s"sum(${centsSql(expr)})/100.0"
 
   def moneyAvgSql(expr: String): String =
-    s"sum(CAST(round(($expr)*100) AS BIGINT))/100.0/count($expr)"
+    s"sum(${centsSql(expr)})/100.0/count($expr)"
 }

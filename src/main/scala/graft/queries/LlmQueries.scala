@@ -559,9 +559,17 @@ object LlmQueries extends QueryPack {
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
         |mx AS (SELECT greatest(1, (max(vec_id)+1) // 4) AS stride FROM embeddings),
-        |cents AS (
+        |strided AS (
         |  SELECT vec_id AS cid, v FROM e, mx
         |  WHERE vec_id % mx.stride = 0 ORDER BY vec_id LIMIT 4),
+        |-- topKIvf's sparse-id fallback: when no id is a stride
+        |-- multiple, centroids are the first nLists vectors by id
+        |fallback AS (SELECT vec_id AS cid, v FROM e ORDER BY vec_id LIMIT 4),
+        |cents AS (
+        |  SELECT * FROM strided
+        |  UNION ALL
+        |  SELECT * FROM fallback
+        |  WHERE NOT EXISTS (SELECT 1 FROM strided)),
         |assign AS (
         |  SELECT e.vec_id, c.cid,
         |    CASE WHEN list_dot_product(e.v, e.v) = 0

@@ -230,7 +230,9 @@ object ScalarQueries extends QueryPack {
         |    t -> t LIKE 'w%') AS wt
         |  FROM documents)
         |SELECT doc_id,
-        |  unnest(CASE WHEN len(wt) = 0 THEN [''] ELSE wt END) AS wtok
+        |  -- wt IS NULL: NULL text → Spark emits (doc_id, '') via
+        |  -- explode_outer + coalesce; unnest(NULL) would emit nothing
+        |  unnest(CASE WHEN wt IS NULL OR len(wt) = 0 THEN [''] ELSE wt END) AS wtok
         |FROM d ORDER BY doc_id, wtok""".stripMargin
   )
 }

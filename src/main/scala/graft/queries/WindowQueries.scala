@@ -162,13 +162,13 @@ object WindowQueries extends QueryPack {
         |ORDER BY event_id""".stripMargin,
 
     "q23_running_agg" ->
-      """SELECT event_id,
-        |  sum(CAST(round(value*100) AS BIGINT))
-        |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS run_sum,
-        |  avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg3
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY event_id""".stripMargin,
+      s"""SELECT event_id,
+         |  sum(${graft.functions.Exact.centsSql("value")})
+         |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS run_sum,
+         |  avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg3
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |ORDER BY event_id""".stripMargin,
 
     "q71_percent_rank" ->
       """SELECT o_orderkey, o_orderstatus,

@@ -86,9 +86,12 @@ class PlanSpec extends SparkSpec {
     // only its local latest row per key — the shuffle carries ≤
     // (tasks × keys) rows instead of the whole log. Load-bearing for
     // the CDC-compaction claim at 100 TB.
-    val limitIdx = plan.indexOf("WindowGroupLimit")
-    val exchIdx = plan.indexOf("Exchange")
-    assert(limitIdx >= 0, s"WindowGroupLimit missing:\n$plan")
+    // Plan text prints top-down, so the map-side (deepest) operator has
+    // the LAST index: a WindowGroupLimit after the last Exchange is the
+    // partial limit running before any shuffle.
+    assert(plan.contains("WindowGroupLimit"), s"WindowGroupLimit missing:\n$plan")
+    assert(plan.lastIndexOf("WindowGroupLimit") > plan.lastIndexOf("Exchange"),
+      s"no map-side WindowGroupLimit below the lowest shuffle:\n$plan")
     assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
       s"expected partial+final WindowGroupLimit:\n$plan")
   }

@@ -13,8 +13,14 @@ divergences (e.g. a double window sum under DuckDB's segment-tree
 summation) and WILL fail the driver gate. Dev tool only — the real gate
 is driver-side.
 """
-import sys, json, math, glob
+import sys, json, math, glob, struct
 import duckdb
+
+def bits(x):
+    """IEEE-754 bytes of a float: distinguishes -0.0 from 0.0 (and any
+    other same-value different-repr pair the driver's stringified hash
+    would treat as different)."""
+    return struct.pack('d', x)
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
@@ -63,8 +69,15 @@ def main():
                                     and math.isnan(x) and math.isnan(y))
                         if both_nan:
                             continue
-                        if x != y and (exact or not (isinstance(x,(int,float)) and isinstance(y,(int,float))
-                                           and math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-12))):
+                        if exact:
+                            if not (isinstance(x, float) and isinstance(y, float)
+                                    and bits(x) == bits(y)) and x != y:
+                                bad = (i, x, y); break
+                            if (isinstance(x, float) and isinstance(y, float)
+                                    and bits(x) != bits(y)):
+                                bad = (i, x, y); break
+                        elif x != y and not (isinstance(x,(int,float)) and isinstance(y,(int,float))
+                                           and math.isclose(float(x), float(y), rel_tol=1e-9, abs_tol=1e-12)):
                             bad = (i, x, y); break
                     elif x != y:
                         bad = (i, x, y); break
