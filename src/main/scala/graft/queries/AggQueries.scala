@@ -133,6 +133,18 @@ object AggQueries extends QueryPack {
           expr("percentile(l_quantity, 0.9D)").as("p90"))
         .orderBy("l_returnflag")),
 
+    // approx_percentile (t-digest-style sketch): the unbounded-group
+    // companion to q77's exact sort-based percentile. Engine-specific
+    // sketch → rows-only driver check; AggSpec bounds its error
+    // against the exact percentile.
+    "q88_approx_percentile" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5D, 1000)").as("ap50"),
+          expr("approx_percentile(l_quantity, 0.9D, 1000)").as("ap90"))
+        .orderBy("l_returnflag")),
+
     // Two-phase salted aggregation (ops/Skew): the hot-key spread the
     // 100 TB brief mandates, checked for exactness against the plain
     // one-shuffle GROUP BY oracle. Salt source = (orderkey, linenumber)

@@ -23,6 +23,26 @@ class AggSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile lands within one quantity unit of the exact percentile") {
+    val df = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5D)").as("exact50"),
+        expr("approx_percentile(l_quantity, 0.5D, 1000)").as("ap50"),
+        expr("percentile(l_quantity, 0.9D)").as("exact90"),
+        expr("approx_percentile(l_quantity, 0.9D, 1000)").as("ap90"))
+      .collect()
+    assert(df.nonEmpty)
+    df.foreach { r =>
+      // quantity is integral 1..50; accuracy=1000 keeps the sketch
+      // within a single value step of the exact interpolated percentile.
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) <= 1.0,
+        s"p50 ${r.getDouble(2)} vs exact ${r.getDouble(1)}")
+      assert(math.abs(r.getDouble(3) - r.getDouble(4)) <= 1.0,
+        s"p90 ${r.getDouble(4)} vs exact ${r.getDouble(3)}")
+    }
+  }
+
   test("collect_list length equals count per group (algebraic invariant)") {
     val df = Tables.customer(spark, sfDir)
       .groupBy("c_nationkey")
