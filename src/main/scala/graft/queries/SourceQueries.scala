@@ -104,6 +104,56 @@ object SourceQueries extends QueryPack {
         .orderBy("o_orderpriority")
     }),
 
+    // Bucketed co-located join: both sides pre-bucketed on the join
+    // key, so the join runs with ZERO exchanges (each bucket pair joins
+    // locally). The 100 TB pattern for a fact⋈fact join that recurs —
+    // pay the layout cost once at write time, never shuffle again.
+    // PlanSpec asserts the exchange-free shape.
+    "q89_bucketed_join" -> ((s, dir) => {
+      // A fresh session's in-memory catalog doesn't know about table
+      // directories left in the warehouse by a previous run, and CTAS
+      // refuses a non-empty location — drop both layers explicitly.
+      Seq("graft_q89_orders", "graft_q89_customer").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        val p = java.nio.file.Paths.get(wh, t)
+        if (java.nio.file.Files.exists(p)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+      Tables.orders(s, dir).write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_q89_orders")
+      Tables.customer(s, dir).write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_q89_customer")
+      s.table("graft_q89_orders")
+        .join(s.table("graft_q89_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          graft.functions.Exact.moneySum(col("o_totalprice")).as("rev"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Hive-style partitioned layout + partition pruning: the directory
+    // key (o_orderpriority) never reaches row data; a filter on it
+    // prunes whole directories at planning time (PartitionFilters in
+    // the scan, q90's PlanSpec guard) — the coarse sibling of q84's
+    // zone-map row-group skipping.
+    "q90_partition_pruning" -> ((s, dir) => {
+      val path = tmp(dir, "orders_bypriority")
+      Tables.orders(s, dir).write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(path)
+      s.read.parquet(path)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
     // In-memory rows (collect) surface: small dim collected to the
     // driver, re-entering the plan as a local filter list — the
     // broadcast-scalar pattern (bounded: dim rows only, never a fact).
@@ -146,6 +196,17 @@ object SourceQueries extends QueryPack {
          |FROM orders
          |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
          |  AND o_orderdate < TIMESTAMP '1996-01-01'
-         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q89_bucketed_join" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |  ${graft.functions.Exact.moneySumSql("o_totalprice")} AS rev
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q90_partition_pruning" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -104,6 +104,29 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size <= 2, s"extra exchange:\n$plan")
   }
 
+  test("q89: the bucketed join has no shuffle exchange before the join") {
+    // At test SF the dim side broadcasts (also exchange-free, but not
+    // the layout under test); disable broadcast to force the bucketed
+    // path — at 100 TB neither side would broadcast.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planOf("q89_bucketed_join")
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected sort-merge join over buckets:\n$plan")
+      // Plan prints top-down; anything AFTER the join line is below it.
+      // No Exchange may appear below the join (buckets replace it).
+      assert(!plan.substring(joinIdx).contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"), s"scan not bucketed:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("q90: the priority filter prunes partitions at the scan") {
+    val plan = planOf("q90_partition_pruning")
+    assert(plan.contains("PartitionFilters") && plan.contains("1-URGENT"),
+      s"partition pruning absent:\n$plan")
+  }
+
   test("no accidental cartesian anywhere in the registry") {
     // The one legitimate cross join (q10) is explicit and 5x25; every
     // other query must be cartesian-free.
