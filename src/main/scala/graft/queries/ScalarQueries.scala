@@ -136,6 +136,26 @@ object ScalarQueries extends QueryPack {
           posexplode(graft.ops.Text.tokens(col("text"))).as(Seq("pos", "token")))
         .orderBy("doc_id", "pos")),
 
+    // Date spine + gap fill: sequence() generates the full calendar
+    // between min and max order date, left-joined to per-day counts so
+    // empty days appear as zeros — the canonical time-series
+    // densification. The spine derives from one 2-value aggregate,
+    // never a driver-side loop.
+    "q91_date_spine" -> ((s, dir) => {
+      val days = Tables.orders(s, dir)
+        .agg(min(to_date(col("o_orderdate"))).as("d0"),
+          max(to_date(col("o_orderdate"))).as("d1"))
+        .select(explode(sequence(col("d0"), col("d1"),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      val perDay = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n0"))
+      days.join(perDay, Seq("day"), "left")
+        .select(col("day").cast("string").as("day"),
+          coalesce(col("n0"), lit(0L)).as("n_orders"))
+        .orderBy("day")
+    }),
+
     // explode_outer: the null-preserving generator — docs with no
     // matching token keep their row (an inner explode silently drops
     // them; the outer form is what a per-doc feature join needs).
@@ -233,6 +253,21 @@ object ScalarQueries extends QueryPack {
         |  -- wt IS NULL: NULL text → Spark emits (doc_id, '') via
         |  -- explode_outer + coalesce; unnest(NULL) would emit nothing
         |  unnest(CASE WHEN wt IS NULL OR len(wt) = 0 THEN [''] ELSE wt END) AS wtok
-        |FROM d ORDER BY doc_id, wtok""".stripMargin
+        |FROM d ORDER BY doc_id, wtok""".stripMargin,
+
+    "q91_date_spine" ->
+      """WITH bounds AS (
+        |  SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+        |         CAST(max(o_orderdate) AS DATE) AS d1 FROM orders),
+        |spine AS (
+        |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        |  FROM bounds),
+        |per_day AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n0
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(CAST(s.day AS DATE) AS VARCHAR) AS day,
+        |  coalesce(p.n0, 0) AS n_orders
+        |FROM spine s LEFT JOIN per_day p ON CAST(s.day AS DATE) = p.day
+        |ORDER BY day""".stripMargin
   )
 }

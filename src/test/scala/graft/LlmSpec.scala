@@ -58,6 +58,22 @@ class LlmSpec extends SparkSpec {
     assert(d.getSeq[Long](0) === d.getSeq[Long](1))
   }
 
+  test("shingles equals the brute-force sliding window on random token arrays") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val cases = (0 until 60).map { i =>
+      val n = rng.nextInt(8) // 0..7 tokens — covers short-doc branches
+      (i.toLong, (0 until n).map(_ => s"t${rng.nextInt(5)}"))
+    }
+    val got = cases.toDF("id", "toks")
+      .select(col("id"), Text.shingles(col("toks"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    cases.foreach { case (id, toks) =>
+      val expect = toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      assert(got(id) === expect, s"id=$id toks=$toks")
+    }
+  }
+
   test("hash split is deterministic, disjoint, and roughly 3:1") {
     val q = SparkEntry.queries("q76_hash_split")
     val r1 = q(spark, sfDir).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
