@@ -101,6 +101,32 @@ object ScalarQueries extends QueryPack {
         .toDF("r_regionkey", "mk", "mv")
         .orderBy("r_regionkey", "mk")),
 
+    // Map family completion: build from entry arrays, merge with
+    // map_concat (last-wins on key collision), rewrite values with the
+    // transform_values higher-order function, parse from a delimited
+    // string with str_to_map. Flattened to scalars for the oracle.
+    "q92_map_ops" -> ((s, dir) =>
+      Tables.nation(s, dir)
+        .select(col("n_nationkey"),
+          map_concat(
+            map_from_entries(array(
+              struct(lit("name").as("k"), col("n_name").as("v")))),
+            map_from_entries(array(
+              struct(lit("nk").as("k"), col("n_nationkey").cast("string").as("v"))))
+          ).as("m"),
+          str_to_map(
+            concat(lit("rk:"), col("n_regionkey").cast("string"),
+              lit(",id:"), col("n_nationkey").cast("string")),
+            lit(","), lit(":")).as("parsed"))
+        .select(
+          col("n_nationkey"),
+          element_at(transform_values(col("m"),
+            (_, v) => upper(v)), "name").as("name_uc"),
+          size(col("m")).as("m_size"),
+          element_at(col("parsed"), "rk").cast("int").as("rk"),
+          element_at(col("parsed"), "id").cast("int").as("id"))
+        .orderBy("n_nationkey")),
+
     // Scalar UDF surface: the declared compat layer (SURVEY.md §2.2
     // "UDF"). The udf() here mirrors a built-in so the oracle can
     // check it — the POINT is the registration surface; the engine
@@ -254,6 +280,14 @@ object ScalarQueries extends QueryPack {
         |  -- explode_outer + coalesce; unnest(NULL) would emit nothing
         |  unnest(CASE WHEN wt IS NULL OR len(wt) = 0 THEN [''] ELSE wt END) AS wtok
         |FROM d ORDER BY doc_id, wtok""".stripMargin,
+
+    "q92_map_ops" ->
+      """SELECT n_nationkey,
+        |  upper(n_name) AS name_uc,
+        |  2 AS m_size,
+        |  n_regionkey AS rk,
+        |  n_nationkey AS id
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
 
     "q91_date_spine" ->
       """WITH bounds AS (
