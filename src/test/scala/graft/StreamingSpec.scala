@@ -112,6 +112,46 @@ class StreamingSpec extends SparkSpec {
     assert(last === Map(7L -> 3L, 9L -> 1L))
   }
 
+  test("foreachBatch with AvailableNow drains everything then stops, batches union to the batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(ev(1, 1), ev(2, 3), ev(3, 12), ev(4, 25))
+    val stream = MemoryStream[Ev]
+    stream.addData(rows)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    // foreachBatch: the operational sink (per-batch writes to external
+    // systems). AvailableNow processes the backlog then terminates —
+    // the batch-job-over-streaming-source deployment mode.
+    val q = stream.toDF()
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.collect().foreach(r => seen.add((id, r.getLong(0))))
+      }
+      .start()
+    q.awaitTermination(60000)
+    assert(!q.isActive, "AvailableNow query should self-terminate")
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.map(_._2).toSet === rows.map(_.event_id).toSet)
+  }
+
+  test("interval join with an empty right stream yields no rows but a valid schema") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ls = MemoryStream[Ev]; val rs = MemoryStream[Ev]
+    val joined = Events.intervalJoin(ls.toDF(), rs.toDF(), "20 minutes", "10 minutes")
+    assert(joined.columns.toSeq === Seq("l_id", "r_id", "l_user"))
+    val q = joined.writeStream.format("memory").queryName("t_ssj_empty")
+      .outputMode(OutputMode.Append()).start()
+    ls.addData(ev(1, 1), ev(2, 2))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("t_ssj_empty").count() === 0)
+    // Batch leg agrees: empty right side → empty inner join.
+    assert(Events.intervalJoin(Seq(ev(1, 1)).toDF(),
+      Seq.empty[Ev].toDF(), "20 minutes", "10 minutes").count() === 0)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
