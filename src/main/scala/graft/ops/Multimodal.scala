@@ -56,6 +56,17 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling: keep every `stride`-th frame hash (a video
+    * pipeline keeps 1 frame/sec of a 30 fps stream). Pure per-row
+    * transform — composes with [[extractFeatures]] shuffle-free.
+    */
+  def sampleFrames(f: MediaFeatures, stride: Int): MediaFeatures = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    f.copy(frames = f.frames.indices.collect {
+      case i if i % stride == 0 => f.frames(i)
+    }.toArray)
+  }
+
   /** media table (doc_id, media BINARY) → features, as a narrow
     * per-partition batch pass.
     */

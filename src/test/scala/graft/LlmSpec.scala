@@ -234,5 +234,10 @@ class LlmSpec extends SparkSpec {
     feats.map(Multimodal.resizeStub(_, 64, 48)).foreach { r =>
       assert(r.width <= 64 && r.height <= 48 && r.width >= 1 && r.height >= 1)
     }
+    // Frame sampling: every 2nd of 4 frames, preserving order.
+    feats.foreach { f =>
+      val sampled = Multimodal.sampleFrames(f, 2)
+      assert(sampled.frames.toSeq === Seq(f.frames(0), f.frames(2)))
+    }
   }
 }
