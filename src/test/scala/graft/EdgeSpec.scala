@@ -71,6 +71,23 @@ class EdgeSpec extends SparkSpec {
     assert(Matrix.matmul(a, b).count() === 0)
   }
 
+  test("matmulBlocked rejects sparse input with the dense-contract error, not corrupt output") {
+    // A-tile inferred as 1 col (only j=0 present), B-tile as 2 rows
+    // (j=0 and j=1): mismatched tile extents must fail loudly.
+    val a = df(StructType(Seq(StructField("i", IntegerType),
+      StructField("j", IntegerType), StructField("v", IntegerType))),
+      Row(0, 0, 1))
+    val b = df(StructType(Seq(StructField("j", IntegerType),
+      StructField("k", IntegerType), StructField("v", IntegerType))),
+      Row(0, 0, 1), Row(1, 0, 1))
+    val e = intercept[org.apache.spark.SparkException] {
+      Matrix.matmulBlocked(a, b, t = 4).collect()
+    }
+    assert(e.getMessage.contains("matmulBlocked requires dense input")
+      || Option(e.getCause).exists(_.getMessage.contains("matmulBlocked requires dense input")),
+      s"unexpected failure: ${e.getMessage}")
+  }
+
   test("minhash of an empty shingle set is the sentinel signature and never collides with content") {
     import spark.implicits._
     val d = Seq((1L, Array.empty[String]), (2L, Array("real shingle")))

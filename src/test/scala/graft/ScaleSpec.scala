@@ -53,4 +53,21 @@ class ScaleSpec extends SparkSpec {
       assert(salted(k)._2 === n, s"count mismatch for $k")
     }
   }
+
+  test("salted aggregation is invariant in the salt count (incl. degenerate salts=1)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // Hot-key distribution: 80% of rows share one key.
+    val rows = (0 until 2000).map { i =>
+      (i.toLong, if (rng.nextInt(5) < 4) "hot" else s"k${rng.nextInt(10)}", rng.nextInt(100).toLong)
+    }.toDF("id", "key", "v")
+    def run(salts: Int) = graft.ops.Skew.saltedAggregate(
+        rows, col("key"), salts,
+        partial = Seq(sum("v").as("pv"), count(lit(1)).as("pn")),
+        finalAgg = Seq(sum("pv").as("s"), sum("pn").as("n")),
+        saltOn = Some(col("id")))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val r1 = run(1); val r4 = run(4); val r32 = run(32)
+    assert(r1 === r4 && r4 === r32)
+  }
 }
