@@ -49,8 +49,21 @@ object Bench {
     val fstr = failures.map(JsonOut.q).mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fstr,"sf":${JsonOut.q(sfDir)}}"""
-    println(line)
     Files.writeString(Paths.get("BENCH_LOCAL.json"), line)
+
+    // The driver keeps only the LAST ~2000 chars of stdout and json-parses the
+    // final line; the full-name full-precision line above exceeds that with
+    // 90+ queries, so the printed line uses the bare `qNN` prefix as key and
+    // 3-decimal seconds. Full detail stays in BENCH_LOCAL.json.
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qsShort = results
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val fShort = failures.map(f => JsonOut.q(f.take(60))).mkString("[", ",", "]")
+    val shortLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qsShort,"failures":$fShort,"sf":${JsonOut.q(sfDir)}}"""
+    println(shortLine)
     spark.stop()
   }
 }

@@ -130,6 +130,13 @@ object Matrix {
     partials
       .groupByKey(p => (p.bi, p.bj))
       .reduceGroups { (x, y) =>
+        // Same dense-only contract as the kernel above: sparse misuse can
+        // make two partials of one (bi,bj) infer different extents, and a
+        // longer y would otherwise be silently truncated to sum.length.
+        require(x.rows == y.rows && x.cols == y.cols,
+          s"matmulBlocked requires dense input: partial C-tiles (${x.bi},${x.bj}) " +
+            s"disagree on extent (${x.rows}x${x.cols} vs ${y.rows}x${y.cols}) " +
+            "— use Matrix.matmul for sparse matrices")
         val sum = x.cells.clone()
         var i = 0
         while (i < sum.length) { sum(i) += y.cells(i); i += 1 }

@@ -119,8 +119,10 @@ object SourceQueries extends QueryPack {
         val p = java.nio.file.Paths.get(wh, t)
         if (java.nio.file.Files.exists(p)) {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          val st = java.nio.file.Files.walk(p)
+          try st.iterator().asScala.toSeq.reverse
             .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally st.close()
         }
       }
       Tables.orders(s, dir).write.mode("overwrite")

@@ -63,6 +63,14 @@ object Events {
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    horizon: String, window: String): DataFrame = {
+    // Both strings are interpolated into interval expressions below;
+    // validate up front so misuse fails here with a clear message, not
+    // deep inside the join condition with an opaque parse error.
+    def checkInterval(label: String, v: String): Unit =
+      require(v != null && v.trim.matches("(?i)\\d+\\s+(millisecond|second|minute|hour|day|week)s?"),
+        s"$label must look like '<n> <unit>' (e.g. '10 minutes'), got: '$v'")
+    checkInterval("horizon", horizon)
+    checkInterval("window", window)
     def wm(df: DataFrame) =
       if (df.isStreaming) df.withWatermark("ts", horizon) else df
     val l = wm(left).select(col("event_id").as("l_id"),

@@ -120,6 +120,22 @@ class LlmSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("simhash64 parity holds for a NULL array input (both forms return NULL)") {
+    // Native relies on UnaryExpression's default null propagation; the
+    // HOF fold propagates null through transform/aggregate. Pin the
+    // equivalence so a refactor of either side can't diverge silently.
+    import spark.implicits._
+    val rows = Seq(Tuple1(null: Seq[String]))
+      .toDF("toks")
+      .select(
+        Dedup.simHash(col("toks")).as("native"),
+        Dedup.simHashHof(col("toks")).as("hof"))
+      .collect()
+    assert(rows.length === 1)
+    assert(rows(0).isNullAt(0), "native simhash64 must be NULL for NULL input")
+    assert(rows(0).isNullAt(1), "HOF simhash must be NULL for NULL input")
+  }
+
   test("IVF centroid selection survives sparse id sets with no stride multiple") {
     // vec_ids {4,5}: maxId=5, stride=3 for nLists=2 → no id % 3 == 0;
     // the fallback picks first-by-id centroids instead of crashing on

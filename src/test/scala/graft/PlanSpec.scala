@@ -108,6 +108,7 @@ class PlanSpec extends SparkSpec {
     // At test SF the dim side broadcasts (also exchange-free, but not
     // the layout under test); disable broadcast to force the bucketed
     // path — at 100 TB neither side would broadcast.
+    val prior = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val plan = planOf("q89_bucketed_join")
@@ -118,7 +119,12 @@ class PlanSpec extends SparkSpec {
       assert(!plan.substring(joinIdx).contains("Exchange hashpartitioning"),
         s"bucketed join still shuffles:\n$plan")
       assert(plan.contains("SelectedBucketsCount"), s"scan not bucketed:\n$plan")
-    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally prior match {
+      // Restore the value in effect before the test, not the session
+      // default — unset would silently drop any custom threshold.
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None    => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("q90: the priority filter prunes partitions at the scan") {
