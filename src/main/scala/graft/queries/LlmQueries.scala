@@ -21,6 +21,23 @@ object LlmQueries extends QueryPack {
   private val lshIndexCache =
     new java.util.concurrent.atomic.AtomicReference[Option[org.apache.spark.sql.DataFrame]](None)
 
+  /** One-slot cache for q94's persisted shingle table (same lifecycle
+    * contract as [[lshIndexCache]]: repeated invocations in a
+    * long-lived session hold at most one persisted copy). */
+  private val q94ShingleCache =
+    new java.util.concurrent.atomic.AtomicReference[Option[org.apache.spark.sql.DataFrame]](None)
+
+  /** Swaps `df` (already persisted) into `slot`, unpersisting the
+    * previous occupant — which may belong to a since-stopped session,
+    * where unpersist throws and dropping the reference suffices. */
+  private def swapCached(
+      slot: java.util.concurrent.atomic.AtomicReference[Option[org.apache.spark.sql.DataFrame]],
+      df: org.apache.spark.sql.DataFrame): Unit =
+    slot.getAndSet(Some(df)).foreach { prev =>
+      try prev.unpersist(blocking = false)
+      catch { case _: IllegalStateException => () }
+    }
+
   override val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash groupBy, keeper = min id. One shuffle
     // on the 128-bit key at any scale.
@@ -155,12 +172,7 @@ object LlmQueries extends QueryPack {
       // so repeated runs in a long-lived session hold at most one.
       val index = Dedup.lshBands(docs, "doc_id", "sig", bands = 16, rows = 4)
         .persist()
-      LlmQueries.lshIndexCache.getAndSet(Some(index)).foreach { prev =>
-        // The previous index may belong to a since-stopped session —
-        // unpersisting it then throws; dropping the reference suffices.
-        try prev.unpersist(blocking = false)
-        catch { case _: IllegalStateException => () }
-      }
+      swapCached(lshIndexCache, index)
       val pairs = Dedup.candidatePairs(index, "doc_id")
       index.groupBy("band")
         .agg(countDistinct(col("bucket")).as("n_buckets"),
@@ -305,6 +317,58 @@ object LlmQueries extends QueryPack {
             .otherwise(element_at(col("embedding"), 1).cast("double") / norm)
             .as("n0"))
         .orderBy("vec_id")
+    }),
+
+    // End-to-end near-dup DEDUP — the full pipeline a corpus cleaner
+    // actually runs, not just the index stats (q54):
+    //   corpus → shingles → MinHash sigs → LSH bands → candidate pairs
+    //   → exact-Jaccard VERIFY → drop every doc with a smaller-id
+    //   near-dup → deduped keeper corpus.
+    // The harness corpus has zero natural near-dups, so the fixture
+    // manufactures them: originals (doc_id < 200) self-unioned with a
+    // perturbed copy (first token dropped, id + 100000). A perturbed
+    // n-token doc shares (n-3) of its original's (n-2) shingles —
+    // Jaccard (n-3)/(n-2), well above the 0.8 verify threshold for
+    // normal-length docs, below it for degenerate short ones (both
+    // engines agree either way, since the threshold is exact Jaccard).
+    // ORACLE-GREEN even though MinHash is engine-specific: LSH only
+    // proposes CANDIDATES; the verify stage recomputes exact Jaccard,
+    // so the output matches DuckDB's all-pairs ground truth as long as
+    // LSH has no false negatives at j ≥ 0.8 (16 bands × 4 rows ⇒ miss
+    // prob (1-j⁴)¹⁶ ≈ 2e-4 at j = 0.8, ~1e-10 at the j ≈ 0.94 the
+    // fixture actually produces; deterministic per dataset and
+    // verified at all three sf dirs).
+    // Scale: candidate volume is Σ bucket² (never |docs|²); the verify
+    // join ships shingle arrays only for candidate ids — the all-pairs
+    // comparison exists ONLY on the oracle side.
+    "q94_neardup_dedup" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") < 200).select("doc_id", "text")
+      val toks = Text.tokens(col("text"))
+      val perturbed = base.select(
+        (col("doc_id") + 100000).as("doc_id"),
+        array_join(slice(toks, lit(2), greatest(size(toks) - 1, lit(0))), " ").as("text"))
+      val corpus = base.unionAll(perturbed)
+      val sh = corpus
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          array_distinct(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+        // three consumers (LSH index build + both verify-stage shingle
+        // joins): persist so the interpreted shingle fold runs once per
+        // row; one-slot cache bounds what a long-lived session holds.
+        .persist()
+      swapCached(q94ShingleCache, sh)
+      val index = Dedup.lshBands(
+        sh.withColumn("sig", Dedup.minHashSignature(col("sh"), numHashes = 64)),
+        "doc_id", "sig", bands = 16, rows = 4)
+      val verified = Dedup.candidatePairs(index, "doc_id")
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.8)
+      val removed = verified.select(col("id_b").as("doc_id")).distinct()
+      corpus.join(removed, Seq("doc_id"), "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
     }),
 
     // Multimodal binary column: text encoded as opaque BINARY media,
@@ -600,7 +664,36 @@ object LlmQueries extends QueryPack {
         |    CAST(row_number() OVER (PARTITION BY probe_id
         |      ORDER BY cos DESC, cand_id) AS INT) AS rnk
         |  FROM scored)
-        |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+        |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+    // q94: the oracle computes ground truth the brute-force way —
+    // ALL-pairs exact Jaccard over the same manufactured corpus, then
+    // removes every doc with a smaller-id near-dup. The engine side
+    // reaches the same answer through MinHash LSH + verify; agreement
+    // is exactly the "no false negatives ≥ threshold" property.
+    "q94_neardup_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    array_to_string(
+        |      list_filter(string_split(text, ' '), t -> t <> '')[2:], ' ') AS text
+        |  FROM base),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+        |          t -> t <> '') AS toks FROM corpus)),
+        |removed AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+        |        ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |           / len(list_distinct(list_concat(a.sh, b.sh))) END >= 0.8)
+        |SELECT doc_id FROM corpus
+        |WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+        |ORDER BY doc_id""".stripMargin
     // q54/q55: xxhash64-based sketches have no DuckDB equivalent →
     // rows-only + LlmSpec property tests. q56/q67 ARE oracle-checked
     // (their bucket math is plain arithmetic, replayed in SQL above).

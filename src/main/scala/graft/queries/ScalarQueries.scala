@@ -32,15 +32,21 @@ object ScalarQueries extends QueryPack {
           unix_timestamp(col("o_orderdate")).as("epoch_s"))
         .orderBy("o_orderkey")),
 
-    // JSON family over events.props (a JSON string, FIXTURES.md):
-    // get_json_object path extraction + from_json with an explicit schema.
+    // JSON family over events.props (a JSON string, FIXTURES.md).
+    // ONE from_json parse per row, bound in its own projection; both output
+    // columns extract from the parsed struct. (An earlier version ran
+    // get_json_object AND from_json — two full JSON parses per row — which
+    // doubled the query's work; at 100 TB the parse IS the query, so parse
+    // once. CollapseProject will not inline a non-cheap alias referenced
+    // twice, so the two-step select keeps exactly one parse.)
     "q25_json" -> ((s, dir) => {
       val schema = StructType(Seq(StructField("k", IntegerType)))
       Tables.events(s, dir)
+        .select(col("event_id"), from_json(col("props"), schema).as("p"))
         .select(
           col("event_id"),
-          get_json_object(col("props"), "$.k").cast("int").as("k_path"),
-          from_json(col("props"), schema).getField("k").as("k_struct"))
+          col("p").getField("k").as("k_path"),
+          col("p").getField("k").as("k_struct"))
         .orderBy("event_id")
     }),
 

@@ -65,10 +65,19 @@ object Events {
                    horizon: String, window: String): DataFrame = {
     // Both strings are interpolated into interval expressions below;
     // validate up front so misuse fails here with a clear message, not
-    // deep inside the join condition with an opaque parse error.
-    def checkInterval(label: String, v: String): Unit =
-      require(v != null && v.trim.matches("(?i)\\d+\\s+(millisecond|second|minute|hour|day|week)s?"),
-        s"$label must look like '<n> <unit>' (e.g. '10 minutes'), got: '$v'")
+    // deep inside the join condition with an opaque parse error. Validate
+    // by PARSING with Spark's own interval parser (not a hand-rolled
+    // regex, which rejected compound '1 minute 30 seconds' and fractional
+    // '0.5 seconds' forms Spark itself accepts).
+    def checkInterval(label: String, v: String): Unit = {
+      require(v != null && v.trim.nonEmpty, s"$label must be a non-empty interval string")
+      try org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v))
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"$label must be a Spark interval (e.g. '10 minutes', '1 minute 30 seconds'), got: '$v'", e)
+      }
+    }
     checkInterval("horizon", horizon)
     checkInterval("window", window)
     def wm(df: DataFrame) =
