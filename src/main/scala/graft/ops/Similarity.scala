@@ -107,11 +107,22 @@ object Similarity {
     * Centroid selection is a deterministic coarse sample of the
     * candidate set (every |c|/nLists-th vector by id) — one bounded
     * `collect` of nLists vectors to the driver, embedded as plan
-    * literals. A k-means refinement would drop in here without
-    * changing the query shape; selection quality only affects recall,
-    * never correctness of the within-cell exact cosine.
+    * literals — optionally refined by `lloydIters` Lloyd (k-means)
+    * iterations. Each iteration assigns every candidate to its nearest
+    * centroid and recomputes centroids as cell means; the per-cell sums
+    * use EXACT integer arithmetic (components quantized to 1e-4 via
+    * `floor(x·10⁴ + 0.5)`, summed as BIGINT) so the result is
+    * bit-deterministic under any partitioning / aggregation order —
+    * float sums would differ run to run and engine to engine. The mean
+    * is then rounded back to FLOAT, keeping centroid literals on the
+    * codegen'd `graft_dot` path and the whole refinement replayable by
+    * an exact SQL oracle. Empty cells keep their seed centroid. Each
+    * iteration is one shuffle of (cell, dim) partial sums + one bounded
+    * nLists×dim collect. Selection quality only affects recall, never
+    * correctness of the within-cell exact cosine.
     */
-  def topKIvf(probes0: DataFrame, candidates0: DataFrame, k: Int, nLists: Int): DataFrame = {
+  def topKIvf(probes0: DataFrame, candidates0: DataFrame, k: Int, nLists: Int,
+              lloydIters: Int = 0): DataFrame = {
     // Normalize ids to long up front so the operator is id-type
     // agnostic (int-typed vec_id would otherwise ClassCastException in
     // getLong and change the empty-corpus schema).
@@ -141,23 +152,53 @@ object Similarity {
       if (strided.nonEmpty) strided
       else candidates.select(col("vec_id"), col("embedding"))
         .orderBy("vec_id").limit(nLists).collect()
-    val centroids = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    var centroids = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
 
     // cell = argmax cosine over the centroid literals (greatest-of
     // chain — static nLists, all through the codegen'd graft_dot).
     // greatest() needs >= 2 args; a single-centroid index is one cell.
-    def cell(emb: Column): Column = {
-      val scored = centroids.map { case (cid, vec) =>
+    // Ties break toward the higher centroid id (struct ordering).
+    def cell(cents: Array[(Long, Array[Float])])(emb: Column): Column = {
+      val scored = cents.map { case (cid, vec) =>
         struct(cosine(emb, typedLit(vec)).as("cos"), lit(cid).as("cid"))
       }
-      if (scored.length == 1) lit(centroids.head._1)
+      if (scored.length == 1) lit(cents.head._1)
       else greatest(scored.toIndexedSeq: _*).getField("cid")
     }
 
+    for (_ <- 0 until lloydIters) {
+      val fixed = centroids // stable capture for the closure below
+      val sums = candidates
+        .select(cell(fixed)(col("embedding")).as("cell"),
+          posexplode(col("embedding")))
+        .select(col("cell"), col("pos").as("d"),
+          // exact quantized contribution: floor(x·10⁴ + 0.5) as BIGINT
+          // (floor(+0.5) = half-up, identical in Spark and DuckDB,
+          // unlike round()'s engine-specific half-even/half-away)
+          floor(col("col").cast("double") * 10000.0 + 0.5).cast("long").as("q"))
+        .groupBy("cell", "d")
+        .agg(sum("q").as("s"), count(lit(1)).as("n"))
+        .collect() // bounded: ≤ nLists × dim rows
+      val byCell = sums.groupBy(_.getLong(0))
+      centroids = centroids.map { case (cid, seedVec) =>
+        byCell.get(cid) match {
+          case Some(cellRows) =>
+            val arr = seedVec.clone()
+            cellRows.foreach { r =>
+              val d = r.getInt(1)
+              // same op order as the oracle: (Σq / n) / 10⁴, then float
+              arr(d) = ((r.getLong(2).toDouble / r.getLong(3)) / 10000.0).toFloat
+            }
+            (cid, arr)
+          case None => (cid, seedVec) // empty cell keeps its seed
+        }
+      }
+    }
+
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
-      cell(col("embedding")).as("cell"))
+      cell(centroids)(col("embedding")).as("cell"))
     val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-      cell(col("embedding")).as("cell"))
+      cell(centroids)(col("embedding")).as("cell"))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("cand_id").asc)
     c.join(p, Seq("cell"))

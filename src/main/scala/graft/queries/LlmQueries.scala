@@ -223,6 +223,18 @@ object LlmQueries extends QueryPack {
         .orderBy("probe_id", "rnk")
     }),
 
+    // IVF-ANN with one Lloyd refinement over the seed centroids — the
+    // production IVF shape (k-means-trained cells). Oracle-green like
+    // q67: the refinement's cell means use exact integer-quantized
+    // sums (see Similarity.topKIvf), so the whole iteration replays
+    // bit-exactly in DuckDB SQL.
+    "q95_ann_ivf_lloyd" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.topKIvf(emb.filter(col("vec_id") < 10), emb,
+          k = 5, nLists = 4, lloydIters = 1)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // Token counting, whitespace vs BPE-ish: a subword-style regex
     // (letter runs / digit runs / single punctuation, the GPT-2
     // pre-tokenizer shape) against the whitespace count — the standard
@@ -646,6 +658,85 @@ object LlmQueries extends QueryPack {
         |  SELECT vec_id, cid AS cell FROM (
         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
         |      ORDER BY ccos DESC, cid DESC) AS rn FROM assign)
+        |  WHERE rn = 1),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    CASE WHEN list_dot_product(ep.v, ep.v) = 0
+        |           OR list_dot_product(ec.v, ec.v) = 0 THEN 0.0
+        |         ELSE list_dot_product(ep.v, ec.v) /
+        |           (sqrt(list_dot_product(ep.v, ep.v)) *
+        |            sqrt(list_dot_product(ec.v, ec.v))) END AS cos
+        |  FROM cells p
+        |  JOIN cells c ON p.cell = c.cell AND c.vec_id <> p.vec_id
+        |  JOIN e ep ON ep.vec_id = p.vec_id
+        |  JOIN e ec ON ec.vec_id = c.vec_id
+        |  WHERE p.vec_id < 10)
+        |SELECT probe_id, rnk, cand_id, cos FROM (
+        |  SELECT probe_id, cand_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cos DESC, cand_id) AS INT) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    // q95: q67's chain + one Lloyd round. The refined centroid for a
+    // cell is the mean of its members' 1e-4-quantized components —
+    // BIGINT sums (order-independent), double division in the same
+    // op order as the engine ((Σq / n) / 10⁴), rounded through FLOAT
+    // because the engine keeps centroids on the float graft_dot path.
+    "q95_ann_ivf_lloyd" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |mx AS (SELECT greatest(1, (max(vec_id)+1) // 4) AS stride FROM embeddings),
+        |strided AS (
+        |  SELECT vec_id AS cid, v FROM e, mx
+        |  WHERE vec_id % mx.stride = 0 ORDER BY vec_id LIMIT 4),
+        |fallback AS (SELECT vec_id AS cid, v FROM e ORDER BY vec_id LIMIT 4),
+        |cents AS (
+        |  SELECT * FROM strided
+        |  UNION ALL
+        |  SELECT * FROM fallback
+        |  WHERE NOT EXISTS (SELECT 1 FROM strided)),
+        |assign0 AS (
+        |  SELECT e.vec_id, c.cid,
+        |    CASE WHEN list_dot_product(e.v, e.v) = 0
+        |           OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+        |         ELSE list_dot_product(e.v, c.v) /
+        |           (sqrt(list_dot_product(e.v, e.v)) *
+        |            sqrt(list_dot_product(c.v, c.v))) END AS ccos
+        |  FROM e CROSS JOIN cents c),
+        |cells0 AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cid DESC) AS rn FROM assign0)
+        |  WHERE rn = 1),
+        |sums AS (
+        |  SELECT a.cell, u.d,
+        |    SUM(CAST(floor(e.v[u.d]*10000.0 + 0.5) AS BIGINT)) AS s,
+        |    count(*) AS n
+        |  FROM cells0 a JOIN e ON e.vec_id = a.vec_id,
+        |    LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS d) u
+        |  GROUP BY a.cell, u.d),
+        |refined AS (
+        |  SELECT cell AS cid,
+        |    list(CAST(CAST((CAST(s AS DOUBLE)/n)/10000.0 AS FLOAT) AS DOUBLE)
+        |         ORDER BY d) AS v
+        |  FROM sums GROUP BY cell),
+        |cents1 AS (
+        |  SELECT c.cid, coalesce(r.v, c.v) AS v
+        |  FROM cents c LEFT JOIN refined r ON r.cid = c.cid),
+        |assign1 AS (
+        |  SELECT e.vec_id, c.cid,
+        |    CASE WHEN list_dot_product(e.v, e.v) = 0
+        |           OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+        |         ELSE list_dot_product(e.v, c.v) /
+        |           (sqrt(list_dot_product(e.v, e.v)) *
+        |            sqrt(list_dot_product(c.v, c.v))) END AS ccos
+        |  FROM e CROSS JOIN cents1 c),
+        |cells AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cid DESC) AS rn FROM assign1)
         |  WHERE rn = 1),
         |scored AS (
         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,

@@ -207,6 +207,26 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall@5 = $recall — cell assignment broken if ~0")
   }
 
+  test("IVF ANN + one Lloyd iteration: recall does not regress vs the seed index") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.topK(probes, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(iters: Int) = {
+      val got = Similarity.topKIvf(probes, emb, 5, nLists = 4, lloydIters = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val seed = recallOf(0)
+    val refined = recallOf(1)
+    info(s"recall@5: seed=$seed refined=$refined")
+    // Trained cells must not be WORSE than the arbitrary strided seeds
+    // on the fixed corpus, and must clear a tighter absolute floor than
+    // the seed index's 0.2 sanity bound.
+    assert(refined >= seed, s"Lloyd refinement regressed recall: $refined < $seed")
+    assert(refined >= 0.3, s"refined IVF recall@5 = $refined")
+  }
+
   test("rolling hash: deterministic, order-sensitive, and survives long text (ANSI overflow)") {
     import spark.implicits._
     val long1 = "the quick brown fox jumps over the lazy dog " * 50

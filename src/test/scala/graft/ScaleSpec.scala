@@ -54,6 +54,44 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a manufactured skewed join (OptimizeSkewedJoin fires)") {
+    // The 100 TB skew story (Dedup/Matrix scale notes) leans on AQE's
+    // runtime skew-split; this manufactures the pathology — one key
+    // owning 50% of the rows — with thresholds scaled down to test
+    // size, and asserts the FINAL adaptive plan actually split the
+    // skewed partitions (skew=true on the SortMergeJoin).
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pad = "x" * 64
+      // 50% of the left rows share key 0; the rest spread over 100 keys.
+      val left = spark.range(50000).select(
+        when(col("id") % 2 === 0, lit(0L))
+          .otherwise(pmod(col("id"), lit(100L)) + 1).as("k"),
+        concat(lit(pad), col("id")).as("payload"))
+      val right = spark.range(101).select(col("id").as("k"), col("id").as("rv"))
+      val j = left.join(right, "k")
+      // collect() runs j's own QueryExecution, so the adaptive plan
+      // below is the FINAL one (post-execution re-planning included).
+      assert(j.collect().length === 50000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected OptimizeSkewedJoin to mark the SMJ skew=true:\n$plan")
+    } finally {
+      saved.foreach { case (k, vOpt) =>
+        vOpt.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+  }
+
   test("salted aggregation is invariant in the salt count (incl. degenerate salts=1)") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
