@@ -111,6 +111,25 @@ object AggQueries extends QueryPack {
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
         .orderBy("l_returnflag")),
 
+    // Mergeable-sketch rollup (Datasketches HLL): per-month sketches of
+    // the customer id, UNIONED into one corpus-wide estimate — the
+    // shape a 100 TB distinct-count rollup actually ships (pre-agg a
+    // sketch per partition/day, merge downstream; raw re-scan never
+    // happens twice). Sketch-register union is lossless, so the merged
+    // estimate equals the single global sketch's exactly (AggSpec
+    // property). No SQL oracle — sketch bytes are engine-specific
+    // (driver records rows-only).
+    "q96_hll_union" -> ((s, dir) => {
+      val perMonth = Tables.orders(s, dir)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+          count(lit(1)).as("n_rows"))
+      perMonth.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("approx_distinct_custkeys"),
+        sum("n_rows").as("n_orders"))
+    }),
+
     // UNPIVOT (melt): wide columns → (metric, value) rows — the inverse
     // of q66's pivot. Narrow, no shuffle until the final sort.
     "q72_unpivot" -> ((s, dir) =>

@@ -23,6 +23,28 @@ class AggSpec extends SparkSpec {
     }
   }
 
+  test("HLL sketch union: merged per-group sketches estimate exactly as one global sketch") {
+    val orders = Tables.orders(spark, sfDir)
+    // Pre-aggregate a sketch per month, union downstream (q96's shape).
+    val merged = orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect()(0).getLong(0)
+    val global = orders
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("est"))
+      .collect()(0).getLong(0)
+    val exact = orders.select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    // Register-level union is lossless: merging per-month sketches must
+    // give EXACTLY the single-pass sketch's estimate — the property that
+    // makes pre-aggregated sketch rollups safe at 100 TB.
+    assert(merged === global, s"union-merged $merged != global sketch $global")
+    // And the sketch itself must be a sane estimator (default lgk=12
+    // → ~1.6% rsd; allow 5%).
+    assert(math.abs(merged - exact).toDouble / exact <= 0.05,
+      s"estimate $merged vs exact $exact")
+  }
+
   test("approx_percentile lands within one quantity unit of the exact percentile") {
     val df = Tables.lineitem(spark, sfDir)
       .groupBy("l_returnflag")
