@@ -21,10 +21,13 @@ object LlmQueries extends QueryPack {
   private val lshIndexCache =
     new java.util.concurrent.atomic.AtomicReference[Option[org.apache.spark.sql.DataFrame]](None)
 
-  /** One-slot cache for q94's persisted shingle table (same lifecycle
-    * contract as [[lshIndexCache]]: repeated invocations in a
-    * long-lived session hold at most one persisted copy). */
+  /** One-slot caches for q94's persisted shingle table and LSH index
+    * (same lifecycle contract as [[lshIndexCache]]: repeated
+    * invocations in a long-lived session hold at most one persisted
+    * copy each). */
   private val q94ShingleCache =
+    new java.util.concurrent.atomic.AtomicReference[Option[org.apache.spark.sql.DataFrame]](None)
+  private val q94IndexCache =
     new java.util.concurrent.atomic.AtomicReference[Option[org.apache.spark.sql.DataFrame]](None)
 
   /** Swaps `df` (already persisted) into `slot`, unpersisting the
@@ -370,9 +373,14 @@ object LlmQueries extends QueryPack {
         // row; one-slot cache bounds what a long-lived session holds.
         .persist()
       swapCached(q94ShingleCache, sh)
+      // The index, too: candidatePairs self-joins it (two legs), and
+      // unpersisted each leg would recompute the 64-perm signature —
+      // the expensive part — once more per leg.
       val index = Dedup.lshBands(
         sh.withColumn("sig", Dedup.minHashSignature(col("sh"), numHashes = 64)),
         "doc_id", "sig", bands = 16, rows = 4)
+        .persist()
+      swapCached(q94IndexCache, index)
       val verified = Dedup.candidatePairs(index, "doc_id")
         .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")

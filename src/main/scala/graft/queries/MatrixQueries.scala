@@ -83,7 +83,10 @@ object MatrixQueries extends QueryPack {
       import s.implicits._
       val outDir = s"/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9]", "_")}/refbin"
       writeReferenceBinary(outDir, L, M, seed = 1)
-      val dims = "_([0-9]+)x([0-9]+)_"
+      // Anchored on the 'Array_' filename prefix: an unanchored
+      // '_NxM_' would match a data-dir segment earlier in the path
+      // (regexp_extract takes the FIRST match) and poison the dims.
+      val dims = "Array_([0-9]+)x([0-9]+)_"
       // pathGlobFilter, not a glob in the path: a glob path makes the
       // resolver's streaming-metadata probe log a spurious exception.
       s.read.format("binaryFile").option("pathGlobFilter", "*.dat").load(outDir)
@@ -131,9 +134,19 @@ object MatrixQueries extends QueryPack {
       bb.putInt((((id * 73 + 17 + seed) % 97) % 10).toInt)
       id += 1
     }
-    val p = java.nio.file.Paths.get(outDir, s"Array_${rows}x${cols}_$seed.dat")
-    java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p, bb.array())
+    val parent = java.nio.file.Paths.get(outDir)
+    java.nio.file.Files.createDirectories(parent)
+    // Clear stale .dat files (e.g. a different shape left by an earlier
+    // run) — the scan globs the whole directory, and a stray file would
+    // union foreign rows into the output.
+    val old = java.nio.file.Files.list(parent)
+    try {
+      import scala.jdk.CollectionConverters._
+      old.iterator().asScala.filter(_.toString.endsWith(".dat"))
+        .toSeq.foreach(java.nio.file.Files.deleteIfExists(_))
+    } finally old.close()
+    java.nio.file.Files.write(
+      parent.resolve(s"Array_${rows}x${cols}_$seed.dat"), bb.array())
   }
 
   private def genOracle: String =

@@ -50,6 +50,20 @@ object ScalarQueries extends QueryPack {
         .orderBy("event_id")
     }),
 
+    // JSON path-extraction + generation surfaces (q25 covers the
+    // parse-once from_json shape): get_json_object for ad-hoc path
+    // access without a schema, to_json for row → JSON emission. On a
+    // bounded subset — these are API-surface demonstrations; the bulk
+    // JSON path is q25's single bound parse.
+    "q97_json_path" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_id") % 10 === 0)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+          to_json(struct(col("event_id").as("id"))).as("j_out"))
+        .orderBy("event_id")),
+
     // Conditional/null family: when/otherwise, nullif, coalesce, casts.
     "q26_conditional" -> ((s, dir) =>
       Tables.customer(s, dir)
@@ -220,6 +234,12 @@ object ScalarQueries extends QueryPack {
         |  CAST(props->>'$.k' AS INT) AS k_path,
         |  CAST(props->>'$.k' AS INT) AS k_struct
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q97_json_path" ->
+      """SELECT event_id,
+        |  CAST(props->>'$.k' AS INT) AS k_path,
+        |  '{"id":' || event_id || '}' AS j_out
+        |FROM events WHERE event_id % 10 = 0 ORDER BY event_id""".stripMargin,
 
     "q26_conditional" ->
       """SELECT c_custkey,

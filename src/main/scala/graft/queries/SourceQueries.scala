@@ -30,14 +30,23 @@ object SourceQueries extends QueryPack {
   // plan-inspection tools (graft.Explain, PlanSpec) and bench re-runs build
   // the DataFrame without re-triggering the CTAS write jobs each time —
   // matching the operator's own story that the layout cost is paid ONCE.
-  // Keyed on the session AND the data dir (a dir switch must rebuild, or
-  // the catalog tables would silently hold the previous dir's rows).
+  // Keyed on a STRING identity of the session (appId + identity hash), not
+  // the session object — a strong reference here would pin a stopped
+  // session (and everything it retains) for the JVM's lifetime — plus the
+  // data dir (a dir switch must rebuild, or the catalog tables would
+  // silently hold the previous dir's rows). The skip path re-checks the
+  // catalog, so an external DROP TABLE self-heals instead of failing with
+  // TABLE_OR_VIEW_NOT_FOUND.
   private val q89State =
-    new java.util.concurrent.atomic.AtomicReference[(org.apache.spark.sql.SparkSession, String)]()
+    new java.util.concurrent.atomic.AtomicReference[(String, String)]()
 
   private def ensureQ89Tables(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
     q89State.synchronized {
-      if (q89State.get != ((s, dir))) {
+      val key = (s.sparkContext.applicationId + "/" + System.identityHashCode(s), dir)
+      val cached = q89State.get == key &&
+        s.catalog.tableExists("graft_q89_orders") &&
+        s.catalog.tableExists("graft_q89_customer")
+      if (!cached) {
         // A fresh session's in-memory catalog doesn't know about table
         // directories left in the warehouse by a previous run, and CTAS
         // refuses a non-empty location — drop both layers explicitly.
@@ -59,7 +68,7 @@ object SourceQueries extends QueryPack {
         Tables.customer(s, dir).write.mode("overwrite")
           .bucketBy(8, "c_custkey").sortBy("c_custkey")
           .saveAsTable("graft_q89_customer")
-        q89State.set((s, dir))
+        q89State.set(key)
       }
     }
 

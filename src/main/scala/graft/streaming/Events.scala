@@ -71,12 +71,23 @@ object Events {
     // '0.5 seconds' forms Spark itself accepts).
     def checkInterval(label: String, v: String): Unit = {
       require(v != null && v.trim.nonEmpty, s"$label must be a non-empty interval string")
-      try org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
-        org.apache.spark.unsafe.types.UTF8String.fromString(v))
-      catch { case e: Exception =>
-        throw new IllegalArgumentException(
-          s"$label must be a Spark interval (e.g. '10 minutes', '1 minute 30 seconds'), got: '$v'", e)
-      }
+      val parsed =
+        try org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+          org.apache.spark.unsafe.types.UTF8String.fromString(v))
+        catch { case e: Exception =>
+          throw new IllegalArgumentException(
+            s"$label must be a Spark interval (e.g. '10 minutes', '1 minute 30 seconds'), got: '$v'", e)
+        }
+      // The parser is laxer than this call's contract: it accepts signed
+      // intervals (which would silently empty the join range) and an
+      // 'interval' prefix (which would break the `INTERVAL $v` splice
+      // below with the opaque downstream error this check exists to
+      // prevent) — reject both explicitly.
+      require(parsed.months >= 0 && parsed.days >= 0 && parsed.microseconds >= 0
+          && (parsed.months > 0 || parsed.days > 0 || parsed.microseconds > 0),
+        s"$label must be a positive interval, got: '$v'")
+      require(!v.trim.toLowerCase.startsWith("interval"),
+        s"$label must not carry an 'interval' prefix (it is spliced into INTERVAL <$label>), got: '$v'")
     }
     checkInterval("horizon", horizon)
     checkInterval("window", window)
