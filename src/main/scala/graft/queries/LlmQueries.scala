@@ -391,6 +391,59 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF term weighting (the classic retrieval/quality-scoring
+    // feature): tf = in-doc count, df = docs containing the token,
+    // weight = tf · N / df. LINEAR inverse document frequency, not
+    // log-idf: ln() is libm-dependent (Java vs DuckDB can differ in
+    // the last ulp, breaking the driver's bit-exact hash), while
+    // tf·N (exact integer) ÷ df is one IEEE division — identical
+    // everywhere. The log variant is a one-character swap in both
+    // formulas. Probe subset keeps the per-doc explode bounded; df/N
+    // come from the FULL corpus (what a real pipeline does — document
+    // frequencies are corpus statistics, not subset statistics).
+    // Scale: explode → two hash aggregations + a broadcast-joined df
+    // table; no all-pairs anything.
+    "q98_tfidf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("token"))
+      val n = docs.count() // one scalar: corpus size as a plan literal
+      val df = toks.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      toks.filter(col("doc_id") < 30)
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .join(broadcast(df), "token")
+        .select(col("doc_id"), col("token"), col("tf"),
+          (col("tf").cast("double") * n / col("df")).as("tfidf_lin"))
+        .orderBy("doc_id", "token")
+    }),
+
+    // Embedding int8 quantization (absmax symmetric — the standard
+    // compression step before shipping vectors to an ANN index or a
+    // training shard): scale = amax/127, qᵢ = floor(xᵢ/scale + 0.5)
+    // (half-up, identical in both engines), plus the max absolute
+    // reconstruction error. Every op is exact IEEE arithmetic — no
+    // libm — so the doubles hash bit-equal. letBound keeps the scale
+    // subtree evaluated once per row, not once per element (the
+    // interpreted-HOF re-evaluation trap).
+    "q99_int8_quant" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          Text.letBound(
+            array_max(transform(col("embedding"), e => abs(e.cast("double"))))) { amax =>
+            when(amax === 0.0, 1.0).otherwise(amax / 127.0)
+          }.as("scale"))
+        .select(col("vec_id"), col("scale"),
+          Text.letBound(col("scale")) { sc =>
+            transform(col("embedding"), e =>
+              floor(e.cast("double") / sc + 0.5).cast("int"))
+          }.as("q"))
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+          array_max(col("q")).as("q_max"),
+          array_min(col("q")).as("q_min"))
+        .orderBy("vec_id")),
+
     // Multimodal binary column: text encoded as opaque BINARY media,
     // byte-level features extracted scan-side (the codec-free half of
     // ops/Multimodal; the mapPartitions decode-stub path is
@@ -792,7 +845,40 @@ object LlmQueries extends QueryPack {
         |           / len(list_distinct(list_concat(a.sh, b.sh))) END >= 0.8)
         |SELECT doc_id FROM corpus
         |WHERE doc_id NOT IN (SELECT doc_id FROM removed)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q98_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    t -> t <> '')) AS token
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |df AS (SELECT token, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |  FROM toks WHERE doc_id < 30 GROUP BY doc_id, token)
+        |SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+        |  CAST(tf.tf AS DOUBLE) * n.n / df.df AS tfidf_lin
+        |FROM tf JOIN df USING (token) CROSS JOIN n
+        |ORDER BY doc_id, token""".stripMargin,
+
+    "q99_int8_quant" ->
+      """WITH s AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+        |         ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
+        |    END AS scale
+        |  FROM s),
+        |q AS (SELECT vec_id, scale,
+        |    list_transform(v, x -> CAST(floor(x/scale + 0.5) AS INT)) AS q
+        |  FROM sc)
+        |SELECT vec_id, scale,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(list_max(q) AS INT) AS q_max,
+        |  CAST(list_min(q) AS INT) AS q_min
+        |FROM q ORDER BY vec_id""".stripMargin,
+
     // q54/q55: xxhash64-based sketches have no DuckDB equivalent →
     // rows-only + LlmSpec property tests. q56/q67 ARE oracle-checked
     // (their bucket math is plain arithmetic, replayed in SQL above).
