@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.sources.{Generator, Tables}
+import graft.sources.{BinaryMatrix, Generator, Tables}
 import graft.ops.Matrix
 import graft.functions.Aggregators.DotProductAgg
 import graft.mr.MapReduceCompat
@@ -66,45 +66,16 @@ object MatrixQueries extends QueryPack {
     }),
 
     // Raw headerless int32 binary ingest — the reference's literal
-    // on-disk matrix format: `filecreation.c:26` writes the dense array
-    // as `fwrite(arr, sizeof(int), rows*cols, f)` (row-major,
-    // native-endian = little on x86) into a file whose NAME carries the
-    // dimensions (`Array_<rows>x<cols>_<k>.dat`, parsed by
-    // `program.c:34-43`). The engine-side scan is `binaryFile` (one
-    // splittable task per file — at 100 TB the corpus is many .dat
-    // files decoded in parallel; a single unsplittable blob is the
-    // reference's limitation, not ours), dims recovered from the path
-    // with regexp_extract exactly as the reference does, and the byte
-    // slicing is genuine per-partition imperative work (the typed-API
-    // carve-out of SURVEY §2.1) — ByteBuffer → (i, j, v) COO rows.
-    // The fixture file is written driver-side with the same seeded cell
-    // formula the Generator uses, so the DuckDB oracle replays it.
+    // on-disk matrix format, as a library op ([[BinaryMatrix]]:
+    // binaryFile scan, filename dims, per-partition ByteBuffer decode
+    // to COO). The fixture file is written driver-side with the same
+    // seeded cell formula the Generator uses, so the DuckDB oracle
+    // replays it.
     "q93_binary_ingest" -> ((s, dir) => {
-      import s.implicits._
       val outDir = s"/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9]", "_")}/refbin"
-      writeReferenceBinary(outDir, L, M, seed = 1)
-      // Anchored on the 'Array_' filename prefix: an unanchored
-      // '_NxM_' would match a data-dir segment earlier in the path
-      // (regexp_extract takes the FIRST match) and poison the dims.
-      val dims = "Array_([0-9]+)x([0-9]+)_"
-      // pathGlobFilter, not a glob in the path: a glob path makes the
-      // resolver's streaming-metadata probe log a spurious exception.
-      s.read.format("binaryFile").option("pathGlobFilter", "*.dat").load(outDir)
-        .select(
-          regexp_extract(col("path"), dims, 1).cast("int").as("rows"),
-          regexp_extract(col("path"), dims, 2).cast("int").as("cols"),
-          col("content"))
-        .as[(Int, Int, Array[Byte])]
-        .mapPartitions { (it: Iterator[(Int, Int, Array[Byte])]) =>
-          it.flatMap { case (rows, cols, bytes) =>
-            val ints = java.nio.ByteBuffer.wrap(bytes)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN).asIntBuffer()
-            Iterator.tabulate(rows * cols)(idx =>
-              (idx / cols, idx % cols, ints.get(idx)))
-          }
-        }
-        .toDF("i", "j", "v")
-        .orderBy("i", "j")
+      BinaryMatrix.clear(outDir) // a stale .dat would union foreign rows
+      BinaryMatrix.write(outDir, L, M, tag = 1)(id => (((id * 73 + 18) % 97) % 10).toInt)
+      BinaryMatrix.readCoo(s, outDir).orderBy("i", "j")
     }),
 
     // MapReduce-compat facade (SURVEY.md §7.1): word count on documents
@@ -120,34 +91,6 @@ object MatrixQueries extends QueryPack {
         .orderBy("token")
     })
   )
-
-  /** Writes the reference's exact binary format (`filecreation.c:19-28`):
-    * headerless row-major int32, little-endian, dims in the filename —
-    * cell values from the Generator formula so the oracle can replay
-    * them. Idempotent per (dir, shape, seed): ~6 KB, rewritten cheaply.
-    */
-  private def writeReferenceBinary(outDir: String, rows: Int, cols: Int, seed: Int): Unit = {
-    val bb = java.nio.ByteBuffer.allocate(rows * cols * 4)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    var id = 0L
-    while (id < rows.toLong * cols) {
-      bb.putInt((((id * 73 + 17 + seed) % 97) % 10).toInt)
-      id += 1
-    }
-    val parent = java.nio.file.Paths.get(outDir)
-    java.nio.file.Files.createDirectories(parent)
-    // Clear stale .dat files (e.g. a different shape left by an earlier
-    // run) — the scan globs the whole directory, and a stray file would
-    // union foreign rows into the output.
-    val old = java.nio.file.Files.list(parent)
-    try {
-      import scala.jdk.CollectionConverters._
-      old.iterator().asScala.filter(_.toString.endsWith(".dat"))
-        .toSeq.foreach(java.nio.file.Files.deleteIfExists(_))
-    } finally old.close()
-    java.nio.file.Files.write(
-      parent.resolve(s"Array_${rows}x${cols}_$seed.dat"), bb.array())
-  }
 
   private def genOracle: String =
     s"""WITH a AS (${Generator.cooMatrixSql(L, M, seed = 1)}),

@@ -82,6 +82,37 @@ class MatrixSpec extends SparkSpec {
     assert(Matrix.matmul(empty, b).count() === 0)
   }
 
+  test("binary ingest round-trips multiple files, non-square shapes and negative values") {
+    import graft.sources.BinaryMatrix
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin_spec").toString
+    try {
+      // Two files with DIFFERENT shapes in one directory — per-file dims
+      // from each filename — plus negative and extreme int32 values to
+      // pin the little-endian two's-complement decode.
+      val a = Array(-5, 0, 7, Int.MaxValue, Int.MinValue, 42) // 2×3
+      val b = Array(1, -1, 100, -100, 0, 9)                   // 3×2
+      BinaryMatrix.write(dir, 2, 3, tag = 1)(id => a(id.toInt))
+      BinaryMatrix.write(dir, 3, 2, tag = 2)(id => b(id.toInt))
+      val got = BinaryMatrix.readCoo(spark, dir)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+      assert(got.length === 12)
+      val cells = got.groupBy(identity).map { case (k, v) => (k, v.length) }
+      // 2×3 file: row-major a; 3×2 file: row-major b. (i,j,v) triples
+      // may coincide across files, so compare as a multiset.
+      val expect = (a.zipWithIndex.map { case (v, id) => (id / 3, id % 3, v) } ++
+        b.zipWithIndex.map { case (v, id) => (id / 2, id % 2, v) })
+        .groupBy(identity).map { case (k, v) => (k, v.length) }
+      assert(cells === expect)
+      // clear() removes both fixtures → empty scan-side directory.
+      BinaryMatrix.clear(dir)
+      assert(!java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .iterator().hasNext)
+    } finally {
+      BinaryMatrix.clear(dir)
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("generator matches its own SQL-side formula (spot check)") {
     // Generator.cooMatrix and Generator.cooMatrixSql must describe the
     // same matrix — this is what makes q16/q18's oracle valid.
