@@ -133,6 +133,22 @@ class PlanSpec extends SparkSpec {
       s"partition pruning absent:\n$plan")
   }
 
+  test("q94: the candidate self-join shuffles on (band, bucket) — never all-pairs") {
+    // The LSH index self-join must be a hash/sort-merge equi join keyed
+    // on the bucket; a cartesian here is the |docs|² blow-up the whole
+    // design exists to avoid.
+    val plan = planOf("q94_neardup_dedup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q94 degenerated to an all-pairs join:\n$plan")
+    assert(plan.contains("band"), "expected the band/bucket equi key in the plan")
+  }
+
+  test("q98: the document-frequency table joins via broadcast") {
+    // df is |vocab| rows (tiny vs the token stream) — it must build the
+    // broadcast side so the tf stream never shuffles for the join.
+    assert(planOf("q98_tfidf").contains("BroadcastHashJoin"))
+  }
+
   test("no accidental cartesian anywhere in the registry") {
     // The one legitimate cross join (q10) is explicit and 5x25; every
     // other query must be cartesian-free.
