@@ -152,6 +152,22 @@ class StreamingSpec extends SparkSpec {
       Seq.empty[Ev].toDF(), "20 minutes", "10 minutes").count() === 0)
   }
 
+  test("intervalJoin validates its interval strings: compound/fractional pass, signed/prefixed fail") {
+    import spark.implicits._
+    def build(h: String, w: String) =
+      Events.intervalJoin(Seq(ev(1, 1)).toDF(), Seq(ev(2, 2)).toDF(), h, w)
+    // Forms Spark accepts must pass the guard (the old regex wrongly
+    // rejected compound and fractional strings).
+    build("1 minute 30 seconds", "0.5 seconds")
+    build("2 hours", "90 seconds")
+    // A negative window would silently produce an always-empty join
+    // range; an 'interval' prefix would break the INTERVAL splice.
+    intercept[IllegalArgumentException](build("20 minutes", "-10 minutes"))
+    intercept[IllegalArgumentException](build("interval 20 minutes", "10 minutes"))
+    intercept[IllegalArgumentException](build("0 seconds", "10 minutes"))
+    intercept[IllegalArgumentException](build("garbage", "10 minutes"))
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
