@@ -114,5 +114,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "simhash64 takes (tokens)")
         SimHash64(children.head)
       }))
+    // ANN assignment expressions (IvfCells.scala): the centroid/plane
+    // matrix arrives as ONE foldable array-of-array literal and is
+    // folded into the expression at analysis time — the plan holds a
+    // single constant-size node however many lists the index has.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_best_cell"),
+      new ExpressionInfo(classOf[BestCell].getName, "graft_best_cell"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_best_cell takes (emb, cents, cids)")
+        BestCell(children.head,
+          IvfCells.evalFloatMatrix(children(1), "graft_best_cell cents"),
+          IvfCells.evalLongArray(children(2), "graft_best_cell cids"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_top_cells"),
+      new ExpressionInfo(classOf[TopCells].getName, "graft_top_cells"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4, "graft_top_cells takes (emb, cents, cids, p)")
+        TopCells(children.head,
+          IvfCells.evalFloatMatrix(children(1), "graft_top_cells cents"),
+          IvfCells.evalLongArray(children(2), "graft_top_cells cids"),
+          IvfCells.evalIntLiteral(children(3), "graft_top_cells p"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucketBits].getName, "graft_lsh_bucket"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_lsh_bucket takes (emb, planes)")
+        LshBucketBits(children.head,
+          IvfCells.evalFloatMatrix(children(1), "graft_lsh_bucket planes"))
+      }))
   }
 }

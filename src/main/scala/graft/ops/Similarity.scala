@@ -88,16 +88,17 @@ object Similarity {
     * a LONG. Vectors in the same bucket agree on every plane side —
     * cosine-similar vectors collide with high probability.
     *
-    * Planes are materialized driver-side as literal float arrays so the
-    * projections run through the codegen'd `graft_dot` — the previous
-    * index-formula HOF form evaluated interpreted per element per plane.
-    * `dim` must match the embedding length.
+    * Planes are materialized driver-side and folded into ONE native
+    * [[graft.functions.LshBucketBits]] expression (all nPlanes
+    * projections in a single codegen'd loop). The earlier per-plane
+    * `when(dot ≥ 0, …)` chain carried nPlanes separate plane literals
+    * and expression nodes in the plan — fine at 4, a plan blow-up at
+    * scale. `dim` must match the embedding length.
     */
-  def lshBucket(emb: Column, nPlanes: Int, dim: Int): Column =
-    (0 until nPlanes).map { p =>
-      val plane = typedLit((0 until dim).map(d => planeComponent(p, d)).toArray)
-      when(dot(emb, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  def lshBucket(emb: Column, nPlanes: Int, dim: Int): Column = {
+    val planes = typedLit(Array.tabulate(nPlanes, dim)(planeComponent))
+    call_function("graft_lsh_bucket", emb, planes)
+  }
 
   /** IVF-style bucketed ANN: every vector is assigned to its nearest
     * of `nLists` coarse centroids (the "inverted file" cell), then
@@ -122,7 +123,7 @@ object Similarity {
     * correctness of the within-cell exact cosine.
     */
   def topKIvf(probes0: DataFrame, candidates0: DataFrame, k: Int, nLists: Int,
-              lloydIters: Int = 0): DataFrame = {
+              lloydIters: Int = 0, nProbe: Int = 1): DataFrame = {
     // Normalize ids to long up front so the operator is id-type
     // agnostic (int-typed vec_id would otherwise ClassCastException in
     // getLong and change the empty-corpus schema).
@@ -154,17 +155,17 @@ object Similarity {
         .orderBy("vec_id").limit(nLists).collect()
     var centroids = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
 
-    // cell = argmax cosine over the centroid literals (greatest-of
-    // chain — static nLists, all through the codegen'd graft_dot).
-    // greatest() needs >= 2 args; a single-centroid index is one cell.
-    // Ties break toward the higher centroid id (struct ordering).
-    def cell(cents: Array[(Long, Array[Float])])(emb: Column): Column = {
-      val scored = cents.map { case (cid, vec) =>
-        struct(cosine(emb, typedLit(vec)).as("cos"), lit(cid).as("cid"))
-      }
-      if (scored.length == 1) lit(cents.head._1)
-      else greatest(scored.toIndexedSeq: _*).getField("cid")
-    }
+    // cell = argmax cosine over the centroid matrix, as ONE native
+    // expression (graft_best_cell — IvfCells.scala) holding the whole
+    // matrix as constant data. The earlier greatest()-of-structs chain
+    // embedded every centroid as its own plan literal: an
+    // analyzer/codegen blow-up at the thousands of lists a 100 TB IVF
+    // needs. Ties break toward the higher centroid id, same as the
+    // old struct ordering (and the oracle's ORDER BY ccos DESC, cid
+    // DESC replay).
+    def cell(cents: Array[(Long, Array[Float])])(emb: Column): Column =
+      call_function("graft_best_cell", emb,
+        typedLit(cents.map(_._2)), typedLit(cents.map(_._1)))
 
     for (_ <- 0 until lloydIters) {
       val fixed = centroids // stable capture for the closure below
@@ -195,8 +196,20 @@ object Similarity {
       }
     }
 
-    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
-      cell(centroids)(col("embedding")).as("cell"))
+    // Multi-probe: each probe searches its nProbe nearest cells (rank 1
+    // = the best_cell assignment) — recall climbs at candidate cost
+    // bounded by nProbe × cell size. Candidates keep their single cell
+    // (each lives in exactly one inverted list), so probing distinct
+    // cells never duplicates a (probe, candidate) pair.
+    val p =
+      if (nProbe <= 1)
+        probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+          cell(centroids)(col("embedding")).as("cell"))
+      else
+        probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+          explode(call_function("graft_top_cells", col("embedding"),
+            typedLit(centroids.map(_._2)), typedLit(centroids.map(_._1)),
+            lit(nProbe))).as("cell"))
     val c = candidates.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
       cell(centroids)(col("embedding")).as("cell"))
     val w = Window.partitionBy("probe_id")

@@ -253,6 +253,18 @@ object LlmQueries extends QueryPack {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Multi-probe IVF: each probe searches its 2 nearest cells instead
+    // of 1 — the standard recall knob of a production IVF index
+    // (candidate cost bounded by nProbe × cell size, never all-pairs).
+    // Oracle-green: the probe-side cell ranking is the same argmax
+    // arithmetic as q67, replayed in SQL with rn <= 2.
+    "q100_ann_ivf_multiprobe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.topKIvf(emb.filter(col("vec_id") < 10), emb,
+          k = 5, nLists = 4, nProbe = 2)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // Token counting, whitespace vs BPE-ish: a subword-style regex
     // (letter runs / digit runs / single punctuation, the GPT-2
     // pre-tokenizer shape) against the whitespace count — the standard
@@ -419,14 +431,46 @@ object LlmQueries extends QueryPack {
       val docs = Tables.documents(s, dir)
       val toks = docs.select(col("doc_id"),
         explode(Text.tokens(col("text"))).as("token"))
-      val n = docs.count() // one scalar: corpus size as a plan literal
+      // Corpus size as a broadcast one-row aggregate INSIDE the plan
+      // (the q54 pattern): an eager docs.count() here was a second
+      // full scan of the corpus and a driver sync point on every
+      // invocation — at 100 TB, a whole extra job before the real one.
+      val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
       val df = toks.select("doc_id", "token").distinct()
         .groupBy("token").agg(count(lit(1)).as("df"))
       toks.filter(col("doc_id") < 30)
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
         .join(broadcast(df), "token")
+        .crossJoin(n)
         .select(col("doc_id"), col("token"), col("tf"),
-          (col("tf").cast("double") * n / col("df")).as("tfidf_lin"))
+          (col("tf").cast("double") * col("n_docs") / col("df")).as("tfidf_lin"))
+        .orderBy("doc_id", "token")
+    }),
+
+    // Log-idf TF-IDF (the variant real retrieval pipelines use:
+    // weight = tf · ln(N/df)). ln() is libm arithmetic — Java and
+    // DuckDB can disagree in the last ulp — so the idf is quantized to
+    // 9 decimals via the engine-portable half-up `floor(x·10⁹+0.5)/10⁹`
+    // (the q95 trick; round() differs between engines, floor does not).
+    // A last-ulp ln() divergence would need to land within 1e-7 of a
+    // quantization boundary to change the result — checked empirically
+    // per dataset by the three-SF exact sweep. The subsequent tf·idf is
+    // one IEEE multiply of exactly-representable values: deterministic.
+    "q101_tfidf_logidf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("token"))
+      val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+      val df = toks.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      toks.filter(col("doc_id") < 30)
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .join(broadcast(df), "token")
+        .crossJoin(n)
+        .select(col("doc_id"), col("token"), col("tf"),
+          (col("tf").cast("double") *
+            (floor(log(col("n_docs").cast("double") / col("df")) * 1e9 + 0.5) / 1e9))
+            .as("tfidf_log"))
         .orderBy("doc_id", "token")
     }),
 
@@ -751,6 +795,55 @@ object LlmQueries extends QueryPack {
         |  FROM scored)
         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
 
+    // q100: q67's chain with multi-probe — candidates keep their rn=1
+    // cell, probes take their top-2 cells (same ccos DESC, cid DESC
+    // ranking the engine's graft_top_cells uses).
+    "q100_ann_ivf_multiprobe" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |mx AS (SELECT greatest(1, (max(vec_id)+1) // 4) AS stride FROM embeddings),
+        |strided AS (
+        |  SELECT vec_id AS cid, v FROM e, mx
+        |  WHERE vec_id % mx.stride = 0 ORDER BY vec_id LIMIT 4),
+        |fallback AS (SELECT vec_id AS cid, v FROM e ORDER BY vec_id LIMIT 4),
+        |cents AS (
+        |  SELECT * FROM strided
+        |  UNION ALL
+        |  SELECT * FROM fallback
+        |  WHERE NOT EXISTS (SELECT 1 FROM strided)),
+        |assign AS (
+        |  SELECT e.vec_id, c.cid,
+        |    CASE WHEN list_dot_product(e.v, e.v) = 0
+        |           OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+        |         ELSE list_dot_product(e.v, c.v) /
+        |           (sqrt(list_dot_product(e.v, e.v)) *
+        |            sqrt(list_dot_product(c.v, c.v))) END AS ccos
+        |  FROM e CROSS JOIN cents c),
+        |ranked AS (
+        |  SELECT vec_id, cid AS cell, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY ccos DESC, cid DESC) AS rn FROM assign),
+        |cand_cells AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+        |probe_cells AS (SELECT vec_id, cell FROM ranked
+        |  WHERE rn <= 2 AND vec_id < 10),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    CASE WHEN list_dot_product(ep.v, ep.v) = 0
+        |           OR list_dot_product(ec.v, ec.v) = 0 THEN 0.0
+        |         ELSE list_dot_product(ep.v, ec.v) /
+        |           (sqrt(list_dot_product(ep.v, ep.v)) *
+        |            sqrt(list_dot_product(ec.v, ec.v))) END AS cos
+        |  FROM probe_cells p
+        |  JOIN cand_cells c ON p.cell = c.cell AND c.vec_id <> p.vec_id
+        |  JOIN e ep ON ep.vec_id = p.vec_id
+        |  JOIN e ec ON ec.vec_id = c.vec_id)
+        |SELECT probe_id, rnk, cand_id, cos FROM (
+        |  SELECT probe_id, cand_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cos DESC, cand_id) AS INT) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
     // q95: q67's chain + one Lloyd round. The refined centroid for a
     // cell is the mean of its members' 1e-4-quantized components —
     // BIGINT sums (order-independent), double division in the same
@@ -870,6 +963,26 @@ object LlmQueries extends QueryPack {
         |  FROM toks WHERE doc_id < 30 GROUP BY doc_id, token)
         |SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
         |  CAST(tf.tf AS DOUBLE) * n.n / df.df AS tfidf_lin
+        |FROM tf JOIN df USING (token) CROSS JOIN n
+        |ORDER BY doc_id, token""".stripMargin,
+
+    // q101: the log-idf variant — ln() quantized to 9 decimals with
+    // the engine-portable floor(x·10⁹+0.5)/10⁹ half-up, absorbing any
+    // last-ulp libm divergence between Java's and DuckDB's ln.
+    "q101_tfidf_logidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    t -> t <> '')) AS token
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |df AS (SELECT token, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |  FROM toks WHERE doc_id < 30 GROUP BY doc_id, token)
+        |SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+        |  CAST(tf.tf AS DOUBLE) *
+        |    (floor(ln(CAST(n.n AS DOUBLE) / df.df) * 1000000000.0 + 0.5)
+        |     / 1000000000.0) AS tfidf_log
         |FROM tf JOIN df USING (token) CROSS JOIN n
         |ORDER BY doc_id, token""".stripMargin,
 

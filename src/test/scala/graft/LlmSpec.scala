@@ -207,6 +207,46 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.2, s"IVF recall@5 = $recall — cell assignment broken if ~0")
   }
 
+  test("graft_best_cell equals the greatest()-of-structs chain bit-for-bit") {
+    // The native expression replaced the chain for plan-size reasons;
+    // its argmax (incl. the tie → higher cid rule) must reproduce the
+    // old greatest() struct ordering exactly — q67/q95's oracles
+    // replay precisely these semantics.
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val cents: Array[(Long, Array[Float])] = emb
+      .filter(col("vec_id") % 50 === 3).orderBy("vec_id").limit(8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(cents.length >= 2, "fixture must yield multiple centroids")
+    val chain = greatest(cents.map { case (cid, vec) =>
+      struct(Similarity.cosine(col("embedding"), typedLit(vec)).as("cos"),
+        lit(cid).as("cid"))
+    }.toIndexedSeq: _*).getField("cid")
+    val native = call_function("graft_best_cell", col("embedding"),
+      typedLit(cents.map(_._2)), typedLit(cents.map(_._1)))
+    val diff = emb.select(chain.as("a"), native.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0, s"$diff rows assign differently under the native expression")
+  }
+
+  test("multi-probe IVF: nProbe=2 recall@5 beats single-probe at equal nLists") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.topK(probes, emb, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(nProbe: Int) = {
+      val got = Similarity.topKIvf(probes, emb, 5, nLists = 4, nProbe = nProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val single = recallOf(1)
+    val multi = recallOf(2)
+    info(s"recall@5: nProbe=1 $single  nProbe=2 $multi")
+    assert(multi >= single,
+      s"multi-probe recall $multi regressed below single-probe $single")
+    assert(multi >= 0.6, s"nProbe=2 recall@5 = $multi — expected a clear lift")
+  }
+
   test("IVF ANN + one Lloyd iteration: recall does not regress vs the seed index") {
     val emb = Tables.embeddings(spark, sfDir)
     val probes = emb.filter(col("vec_id") < 10)

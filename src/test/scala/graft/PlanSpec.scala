@@ -149,6 +149,25 @@ class PlanSpec extends SparkSpec {
     assert(planOf("q98_tfidf").contains("BroadcastHashJoin"))
   }
 
+  test("IVF at nLists=256: cell assignment is one native expression, not a literal chain") {
+    import org.apache.spark.sql.functions.col
+    // Round-5 weak spot: assignment used to be a greatest() chain over
+    // nLists struct expressions, each with its own centroid literal —
+    // a plan/codegen blow-up at the thousands of lists a 100 TB IVF
+    // needs. The native graft_best_cell holds the whole matrix as ONE
+    // constant-size plan node; this must build AND execute at a list
+    // count the old chain could not survive.
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val df = graft.ops.Similarity.topKIvf(
+      emb.filter(col("vec_id") < 5), emb, k = 3, nLists = 256)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_best_cell"),
+      s"native cell assignment missing from plan:\n${plan.take(4000)}")
+    assert(!plan.contains("greatest("),
+      "cell assignment regressed to a greatest() literal chain")
+    df.collect() // end-to-end at 256 lists — the old chain's failure mode
+  }
+
   test("no accidental cartesian anywhere in the registry") {
     // The one legitimate cross join (q10) is explicit and 5x25; every
     // other query must be cartesian-free.
