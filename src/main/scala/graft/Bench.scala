@@ -16,7 +16,12 @@ import java.nio.file.{Files, Paths}
   *    (q25 2.3→8.5 s, q21 8.2→2.4 s the other way) — single-run timings on a
   *    shared sandbox measure scheduler weather, not the engine. The min of N
   *    runs is the standard noise floor estimator; the max is kept alongside
-  *    so the spread itself is visible in the artifact;
+  *    so the spread itself is visible in the artifact. Every rep starts
+  *    COLD: the cross-invocation memoized state (q54/q94's persisted index
+  *    slots, q89's bucketed-table key) is reset before each rep, so the
+  *    minimum estimates the cold pipeline under the least scheduler noise —
+  *    never a warm-cache artifact — and stays comparable to single-rep
+  *    rounds;
   *  - failures are recorded in the JSON (`-1` timing + `failures` list),
   *    never swallowed into a fast fake pass. A query only counts as
   *    failed when NO rep succeeded (first failure stops further reps);
@@ -42,6 +47,17 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    // Cross-invocation memoized state (the q54/q94 persisted index
+    // slots, q89's bucketed-table catalog key) must be dropped between
+    // reps: otherwise rep 2 reuses rep 1's caches and the reported
+    // best-of-N minimum measures a warm-cache execution, not the
+    // query's pipeline — every rep below is a COLD run of the full
+    // pipeline, so min stays comparable to single-rep rounds.
+    def resetMemoizedState(): Unit = {
+      graft.queries.LlmQueries.clearCaches()
+      graft.queries.SourceQueries.resetQ89State()
+    }
+
     // Warmup (not timed): flagship join+agg touches scan/join/agg/codegen.
     try runNoop("q03_join_agg") catch { case _: Throwable => () }
 
@@ -54,6 +70,7 @@ object Bench {
       var stop = false
       var rep = 0
       while (rep < reps && !stop) {
+        resetMemoizedState()
         val t0 = System.nanoTime()
         try {
           runNoop(name)

@@ -38,6 +38,20 @@ object LlmQueries extends QueryPack {
     * persisted and swapped in, unpersisting the previous occupant —
     * which may belong to a since-stopped session, where unpersist (or
     * even plan comparison) throws and dropping the reference suffices. */
+  /** Drops every one-slot persisted cache. Bench calls this between
+    * reps: without it, rep 2 of q54/q94 reuses the previous rep's
+    * persisted index and the reported best-of-N minimum measures a
+    * warm-cache execution, not the query's pipeline. */
+  def clearCaches(): Unit =
+    Seq(lshIndexCache, q94ShingleCache, q94IndexCache).foreach { slot =>
+      slot.synchronized {
+        slot.getAndSet(None).foreach { prev =>
+          try prev.unpersist(blocking = false)
+          catch { case _: Exception => () } // stopped-session slots just drop
+        }
+      }
+    }
+
   private def cachedSlot(
       slot: java.util.concurrent.atomic.AtomicReference[Option[org.apache.spark.sql.DataFrame]],
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =

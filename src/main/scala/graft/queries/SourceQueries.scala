@@ -40,6 +40,12 @@ object SourceQueries extends QueryPack {
   private val q89State =
     new java.util.concurrent.atomic.AtomicReference[(String, String)]()
 
+  /** Forgets the q89 bucketed-table state so the next invocation
+    * re-runs the full CTAS layout. Bench calls this between reps so
+    * q89's best-of-N measures the whole pipeline (layout + join), not
+    * a catalog cache hit on the previous rep's tables. */
+  def resetQ89State(): Unit = q89State.set(null)
+
   private def ensureQ89Tables(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
     q89State.synchronized {
       val key = (s.sparkContext.applicationId + "/" + System.identityHashCode(s), dir)

@@ -177,4 +177,53 @@ class PlanSpec extends SparkSpec {
         s"$name contains a CartesianProduct")
     }
   }
+
+  test("no nested-loop join outside the declared non-equi allowlist") {
+    // BroadcastNestedLoopJoin is O(|big| × |broadcast|): legitimate
+    // ONLY where the join genuinely has no equi key AND the broadcast
+    // side is provably tiny — everywhere else it is an accidental
+    // all-pairs scan that a 100× scale-up turns into the bottleneck.
+    val allowed = Map(
+      // explicit 5×25 cross join — the operator under test
+      "q10_cross_join" -> "explicit cross join surface",
+      // pure range predicate (no equi key exists to hash on)
+      "q37_range_join" -> "theta/range join, 5-row broadcast side",
+      // brute-force exact top-k: deliberately scores probes × corpus
+      // (the only join key is cand != probe); the probe set is small
+      // by operator contract and broadcasts — the all-pairs-free scale
+      // path is q56/q67/q100, not this baseline
+      "q51_cosine_topk" -> "exact-scoring baseline, broadcast probe set",
+      // bounded probe-window pair scans (join key is only id_a < id_b);
+      // the full-corpus near-dup path is q54/q94's bucketed equi join
+      "q52_ngram_jaccard" -> "probe-window pair scan, bounded window",
+      "q53_embed_neardup" -> "probe-window pair scan, bounded window",
+      // one-row broadcast scalar aggregate crossJoin'd into the plan
+      "q54_minhash_lsh" -> "1-row corpus-count broadcast",
+      "q98_tfidf" -> "1-row corpus-count broadcast",
+      "q101_tfidf_logidf" -> "1-row corpus-count broadcast")
+    for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name contains an unexpected BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("no exchange directly feeds an identical exchange anywhere in the registry") {
+    // Two stacked shuffles on the same keys mean a partitioning was
+    // computed and immediately thrown away — pure wasted data movement
+    // that small-SF timing would never surface. Expression ids differ
+    // per node, so compare the partitioning text with ids stripped.
+    def key(line: String): String =
+      line.substring(line.indexOf("hashpartitioning")).replaceAll("#\\d+", "")
+    for ((name, fn) <- SparkEntry.queries) {
+      val lines = fn(spark, sfDir).queryExecution.executedPlan.toString.linesIterator.toSeq
+      lines.sliding(2).foreach {
+        case Seq(a, b) if a.contains("Exchange hashpartitioning") &&
+            b.contains("Exchange hashpartitioning") =>
+          assert(key(a) != key(b),
+            s"$name: an exchange feeds an identical exchange:\n$a\n$b")
+        case _ => ()
+      }
+    }
+  }
 }
