@@ -41,6 +41,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // Debug knobs for bench-harness attribution runs (not used by the
+    // driver): ONLY restricts the run to a comma-separated list of qNN
+    // prefixes; NO_RESET=1 skips the cold-rep cache resets so cache-churn
+    // interference can be isolated from query cost.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val noReset = sys.env.get("SPARK_GRAFT_BENCH_NO_RESET").contains("1")
     val spark = Engine.session(cpus)
 
     def runNoop(name: String): Unit =
@@ -63,14 +70,16 @@ object Bench {
 
     val failures = scala.collection.mutable.ListBuffer[String]()
     // (name, minSec, maxSec); -1 on failure.
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    val selected = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n.takeWhile(_ != '_'))))
+    val results = selected.map { name =>
       var minT = Double.MaxValue
       var maxT = -1.0
       var ok = 0
       var stop = false
       var rep = 0
       while (rep < reps && !stop) {
-        resetMemoizedState()
+        if (!noReset) resetMemoizedState()
         val t0 = System.nanoTime()
         try {
           runNoop(name)
