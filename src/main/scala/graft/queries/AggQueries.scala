@@ -140,10 +140,11 @@ object AggQueries extends QueryPack {
           "metric", "value")
         .orderBy("n_name", "metric")),
 
-    // Exact interpolated percentiles per group (sort-based within the
-    // aggregate — bounded by the largest group, like any exact
-    // percentile; the sketch path for unbounded groups is q34's HLL
-    // cousin approx_percentile).
+    // Exact interpolated percentiles per group. Spark's percentile() is a
+    // sort-based aggregate that buffers EVERY value of the group in one
+    // task — fine for bounded groups, a single-task memory cliff on a
+    // 3-value key at 100×. Kept as the literal built-in surface; the
+    // scale paths are q88 (sketch) and q103 (two-pass exact, same bits).
     "q77_percentile" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
@@ -151,6 +152,57 @@ object AggQueries extends QueryPack {
           expr("percentile(l_quantity, 0.5D)").as("p50"),
           expr("percentile(l_quantity, 0.9D)").as("p90"))
         .orderBy("l_returnflag")),
+
+    // Two-pass EXACT percentile without per-group value buffering (the
+    // q77 100 TB fix). Pass 1: ops/ScalableRank assigns every lineitem a
+    // global (flag, quantity)-order rank via range buckets — every sort
+    // bounded at rows/buckets — and yields per-flag counts n. Pass 2:
+    // the interpolation positions pos = p·(n−1) reduce each percentile
+    // to TWO order statistics (ranks ⌊pos⌋+1 / ⌈pos⌉+1), fetched by a
+    // broadcast join of the 6-row target table against the ranked rows,
+    // then blended exactly as Spark's Percentile.getPercentile does:
+    // (⌈pos⌉−pos)·v_lo + (pos−⌊pos⌋)·v_hi (NOT v_lo + frac·Δ — the two
+    // differ in the last ulp). No task ever holds more than one range
+    // bucket; PercentileSpec asserts bit-equality with q77's built-in.
+    "q103_percentile_2pass" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+      val (ranked, stats) = graft.ops.ScalableRank.rowNumbered(
+        li,
+        partCols = Seq("l_returnflag"),
+        orderCols =
+          Seq(col("l_quantity").asc, col("l_orderkey").asc, col("l_linenumber").asc),
+        buckets = 32)
+      val targets = stats
+        .select(
+          col("l_returnflag").as("tf"),
+          explode(array(lit(0.5), lit(0.9))).as("p"),
+          col("n"))
+        .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
+        .withColumn("rk_lo", floor(col("pos")) + 1)
+        .withColumn("rk_hi", ceil(col("pos")) + 1)
+      val hits = ranked.join(
+        broadcast(targets),
+        col("l_returnflag") === col("tf") &&
+          (col("rn") === col("rk_lo") || col("rn") === col("rk_hi")))
+      hits
+        .groupBy("l_returnflag", "p")
+        .agg(
+          min(when(col("rn") === col("rk_lo"), col("l_quantity"))).as("v_lo"),
+          min(when(col("rn") === col("rk_hi"), col("l_quantity"))).as("v_hi"),
+          min("pos").as("pos"))
+        .withColumn(
+          "pct",
+          when(floor(col("pos")) === ceil(col("pos")), col("v_lo"))
+            .otherwise(
+              (ceil(col("pos")).cast("double") - col("pos")) * col("v_lo") +
+                (col("pos") - floor(col("pos")).cast("double")) * col("v_hi")))
+        .groupBy("l_returnflag")
+        .agg(
+          min(when(col("p") === 0.5, col("pct"))).as("p50"),
+          min(when(col("p") === 0.9, col("pct"))).as("p90"))
+        .orderBy("l_returnflag")
+    }),
 
     // approx_percentile (t-digest-style sketch): the unbounded-group
     // companion to q77's exact sort-based percentile. Engine-specific
@@ -243,6 +295,43 @@ object AggQueries extends QueryPack {
         |  quantile_cont(l_quantity, 0.5) AS p50,
         |  quantile_cont(l_quantity, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Replays the two-pass math natively: window rank → two order
+    // statistics per (flag, p) → Spark's exact blend formula. All double
+    // arithmetic is written in the same operand order as the Spark side,
+    // and p is cast to DOUBLE up front (a bare 0.5 is DECIMAL in DuckDB,
+    // which would compute pos in decimal and round differently).
+    "q103_percentile_2pass" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem),
+        |targets AS (
+        |  SELECT l_returnflag AS tf, p,
+        |    p * CAST(n - 1 AS DOUBLE) AS pos,
+        |    CAST(floor(p * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS rk_lo,
+        |    CAST(ceil(p * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS rk_hi
+        |  FROM (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag),
+        |       (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS p)),
+        |hits AS (
+        |  SELECT r.l_returnflag, t.p,
+        |    min(CASE WHEN r.rn = t.rk_lo THEN r.l_quantity END) AS v_lo,
+        |    min(CASE WHEN r.rn = t.rk_hi THEN r.l_quantity END) AS v_hi,
+        |    min(t.pos) AS pos
+        |  FROM ranked r JOIN targets t
+        |    ON r.l_returnflag = t.tf AND (r.rn = t.rk_lo OR r.rn = t.rk_hi)
+        |  GROUP BY r.l_returnflag, t.p),
+        |interp AS (
+        |  SELECT l_returnflag, p,
+        |    CASE WHEN floor(pos) = ceil(pos) THEN v_lo
+        |         ELSE (ceil(pos) - pos) * v_lo + (pos - floor(pos)) * v_hi
+        |    END AS pct
+        |  FROM hits)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN p = 0.5 THEN pct END) AS p50,
+        |  min(CASE WHEN p = 0.9 THEN pct END) AS p90
+        |FROM interp GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q83_salted_agg" ->
       s"""SELECT l_returnflag AS key,

@@ -11,11 +11,18 @@ import graft.sources.Tables
   * aggregate formalizes, minus the order fragility).
   *
   * Scale: a window is one shuffle on `partitionBy` keys + per-partition
-  * sort — no driver materialization, skew bounded by the largest single
-  * partition key (users/priorities here, both low-cardinality value sets
-  * with bounded per-key row counts). Every orderBy inside a window
-  * carries a unique tie-break key so ranks are deterministic and
-  * oracle-comparable.
+  * sort — no driver materialization, but the sort runs in ONE task per
+  * partition key, so per-key row counts must be bounded for the shape to
+  * survive a 100× scale-up. That holds for the event-keyed windows here
+  * (user_id is high-cardinality with bounded per-user rows) and for the
+  * rank-filtered ones (q20/q86 → map-side WindowGroupLimit), but NOT for
+  * q21/q71: they partition orders on 3-value keys with full output, so a
+  * third of the table sorts in a single task — correct, oracle-checkable,
+  * and deliberately kept as the literal-window surface, with q102 as the
+  * scale path (two-phase range-bucketed ranking via [[graft.ops.ScalableRank]]
+  * that computes the same numbers with every sort bounded at rows/buckets).
+  * Every orderBy inside a window carries a unique tie-break key so ranks
+  * are deterministic and oracle-comparable.
   */
 object WindowQueries extends QueryPack {
 
@@ -34,6 +41,7 @@ object WindowQueries extends QueryPack {
 
     // rank/dense_rank over a NON-unique order key (tie semantics are the
     // point); ntile over a unique key (its row split requires total order).
+    // Single-task-sort-per-status by construction — scale path is q102.
     "q21_rank_dense_ntile" -> ((s, dir) => {
       val byPrio = Window.partitionBy("o_orderstatus").orderBy(col("o_orderpriority"))
       val byPrice = Window.partitionBy("o_orderstatus")
@@ -51,6 +59,7 @@ object WindowQueries extends QueryPack {
     // Relative-rank family: percent_rank = (rank-1)/(n-1) and
     // cume_dist = n_preceding_or_peer/n — single int-int divisions of
     // exact counts, so the doubles are bit-identical across engines.
+    // Same single-task-sort shape as q21 — scale path is q102.
     "q71_percent_rank" -> ((s, dir) => {
       val w = Window.partitionBy("o_orderstatus")
         .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
@@ -60,6 +69,35 @@ object WindowQueries extends QueryPack {
           col("o_orderstatus"),
           percent_rank().over(w).as("pr"),
           cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Scalable full-output ranking (the q21/q71 100 TB fix): global
+    // row_number / percent_rank / cume_dist per 3-value status WITHOUT a
+    // single-task per-status sort. ops/ScalableRank range-buckets the
+    // (status, price, key) order into 32 bounded sorts and reassembles
+    // global ranks from broadcast bucket offsets; pr/cd are then the
+    // same int-int double divisions the built-ins use — (rn-1)/(n-1)
+    // and rn/n (unique order ⇒ no peer groups) — so the oracle checks
+    // the output against DuckDB's NATIVE window functions, proving the
+    // two-phase plan is value-identical to the textbook one-shuffle
+    // window at 1/buckets the per-task memory.
+    "q102_scalable_rank" -> ((s, dir) => {
+      val (ranked, stats) = graft.ops.ScalableRank.rowNumbered(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        partCols = Seq("o_orderstatus"),
+        orderCols = Seq(col("o_totalprice").asc, col("o_orderkey").asc),
+        buckets = 32)
+      ranked
+        .join(broadcast(stats), Seq("o_orderstatus"))
+        .select(
+          col("o_orderkey"),
+          col("o_orderstatus"),
+          col("rn"),
+          when(col("n") === 1, lit(0.0))
+            .otherwise((col("rn") - 1).cast("double") / (col("n") - 1).cast("double"))
+            .as("pr"),
+          (col("rn").cast("double") / col("n").cast("double")).as("cd"))
         .orderBy("o_orderkey")
     }),
 
@@ -172,6 +210,18 @@ object WindowQueries extends QueryPack {
 
     "q71_percent_rank" ->
       """SELECT o_orderkey, o_orderstatus,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // The oracle is the NATIVE one-shuffle window formulation — the
+    // strongest possible check that the two-phase plan changes the
+    // physical shape only.
+    "q102_scalable_rank" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
         |  percent_rank() OVER w AS pr,
         |  cume_dist() OVER w AS cd
         |FROM orders

@@ -168,6 +168,49 @@ class PlanSpec extends SparkSpec {
     df.collect() // end-to-end at 256 lists — the old chain's failure mode
   }
 
+  test("q102: ranking windows are keyed on the range bucket, never the bare 3-value status") {
+    val plan = planOf("q102_scalable_rank")
+    // The input must range-partition on (status, price, key) …
+    assert(plan.contains("rangepartitioning"), s"no range exchange:\n$plan")
+    // … and every ranking window must include the bucket id in its
+    // partition spec — a window keyed on o_orderstatus alone is the
+    // single-task sort this query exists to avoid. (The offsets window
+    // runs over the 3×buckets-row counts table, where bare-status
+    // partitioning is exactly right; it prints as a sum() window, so
+    // only row_number() windows are checked here.)
+    val rankWindows = plan.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(rankWindows.nonEmpty, s"no ranking window found:\n$plan")
+    rankWindows.foreach { l =>
+      assert(l.contains("__pid"),
+        s"ranking window not bucket-keyed (single-task sort at scale):\n$l")
+    }
+  }
+
+  test("q102: the range exchange is computed once and reused for the counts branch") {
+    // The bucket-counts branch and the rank branch both consume the
+    // same repartitionByRange output; without ReuseExchange the table
+    // would be scanned and range-shuffled twice. AQE materializes stage
+    // reuse at RUNTIME, so assert on the post-execution adaptive plan
+    // (the pre-execution string still shows two independent exchanges).
+    val df = SparkEntry.queries("q102_scalable_rank")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"), s"range exchange not reused:\n$plan")
+  }
+
+  test("q103: percentile plan has no per-group value buffering aggregate") {
+    val plan = planOf("q103_percentile_2pass")
+    // The built-in percentile() is a sort-based ObjectHashAggregate that
+    // buffers every group value in one task; the two-pass plan must not
+    // contain it — ranks come from bucket-bounded sorts instead.
+    assert(!plan.contains("percentile"), s"built-in percentile leaked in:\n$plan")
+    assert(plan.contains("rangepartitioning") && plan.contains("__pid"),
+      s"two-phase rank shape missing:\n$plan")
+    // Order statistics are fetched by a broadcast of the 6-row target
+    // table — the lineitem side must never shuffle for that join.
+    assert(plan.contains("BroadcastHashJoin"), s"target join not broadcast:\n$plan")
+  }
+
   test("no accidental cartesian anywhere in the registry") {
     // The one legitimate cross join (q10) is explicit and 5x25; every
     // other query must be cartesian-free.

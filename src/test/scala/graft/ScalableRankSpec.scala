@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.ScalableRank
+
+/** ops/ScalableRank: the two-phase range-bucketed ranking must be
+  * VALUE-identical to the textbook one-shuffle window at every bucket
+  * count — boundaries may split a part key, split a tie run, or leave
+  * buckets empty, and none of it may show in the output.
+  */
+class ScalableRankSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // Skewed synthetic input: one hot key (70%), duplicate order values
+  // (forced tie runs that straddle bucket boundaries), a key with a
+  // single row (n=1 edge), in scrambled insertion order.
+  private lazy val df = {
+    val rows = (1 to 700).map(i => ("hot", (i % 13).toDouble, i)) ++
+      (1 to 280).map(i => ("warm", (i % 7).toDouble, 1000 + i)) ++
+      Seq(("lone", 42.0, 9999))
+    rows.toDF("k", "v", "id").repartition(7)
+  }
+
+  private def oneShuffleRanks = {
+    val w = Window.partitionBy("k").orderBy(col("v").asc, col("id").asc)
+    df.select(col("k"), col("id"), row_number().over(w).cast("long").as("rn"))
+  }
+
+  for (buckets <- Seq(1, 5, 64)) {
+    test(s"two-phase rank at buckets=$buckets equals the one-shuffle window") {
+      val (ranked, stats) = ScalableRank.rowNumbered(
+        df, Seq("k"), Seq(col("v").asc, col("id").asc), buckets)
+      val twoPhase = ranked.select("k", "id", "rn")
+      assert(twoPhase.except(oneShuffleRanks).isEmpty &&
+        oneShuffleRanks.except(twoPhase).isEmpty,
+        s"rank mismatch at buckets=$buckets")
+      val n = stats.as[(String, Long)].collect().toMap
+      assert(n == Map("hot" -> 700L, "warm" -> 280L, "lone" -> 1L))
+    }
+  }
+
+  test("ranks are a 1..n permutation within every part key") {
+    val (ranked, _) = ScalableRank.rowNumbered(
+      df, Seq("k"), Seq(col("v").asc, col("id").asc), buckets = 8)
+    val bad = ranked.groupBy("k")
+      .agg(count(lit(1)).as("n"), min("rn").as("lo"), max("rn").as("hi"),
+        countDistinct("rn").as("d"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n") || col("d") =!= col("n"))
+    assert(bad.isEmpty, "rn is not a dense 1..n permutation per key")
+  }
+
+  test("q103 two-pass percentile is bit-identical to q77's built-in percentile()") {
+    // The whole point of q103: same bits as percentile() with per-task
+    // memory bounded by the range bucket, not the group. Exact double
+    // equality — the blend formula was chosen to match
+    // Percentile.getPercentile ulp-for-ulp.
+    val twoPass = SparkEntry.queries("q103_percentile_2pass")(spark, sfDir)
+      .as[(String, Double, Double)].collect().sortBy(_._1)
+    val builtin = SparkEntry.queries("q77_percentile")(spark, sfDir)
+      .as[(String, Double, Double)].collect().sortBy(_._1)
+    assert(twoPass.sameElements(builtin),
+      s"two-pass ${twoPass.mkString(",")} != builtin ${builtin.mkString(",")}")
+  }
+}
