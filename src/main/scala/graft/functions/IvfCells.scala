@@ -55,7 +55,9 @@ object IvfCells {
     })
     require(ok, s"$who must be a foldable ARRAY<BIGINT> literal, " +
       s"got ${e.dataType.simpleString}")
-    e.eval(null).asInstanceOf[ArrayData].toLongArray()
+    val ad = e.eval(null).asInstanceOf[ArrayData]
+    require(ad != null && ad.numElements() > 0, s"$who must be non-empty")
+    ad.toLongArray()
   }
 
   def evalIntLiteral(e: Expression, who: String): Int = e match {
@@ -95,6 +97,17 @@ object IvfCells {
     }
     out
   }
+
+  /** Content (not reference) comparison for the expression case classes
+    * below: Scala case-class equality compares Array fields by eq, so
+    * two semantically identical nodes built from separate typedLit calls
+    * would never satisfy semanticEquals — blocking subexpression
+    * elimination and plan dedup. Conservative-only, but free to fix. */
+  private[functions] def matEquals(a: Array[Array[Float]], b: Array[Array[Float]]): Boolean =
+    java.util.Arrays.deepEquals(a.asInstanceOf[Array[AnyRef]], b.asInstanceOf[Array[AnyRef]])
+
+  private[functions] def matHash(a: Array[Array[Float]]): Int =
+    java.util.Arrays.deepHashCode(a.asInstanceOf[Array[AnyRef]])
 
   private[functions] def centroidNorms(cents: Array[Array[Float]]): Array[Double] =
     cents.map { v =>
@@ -180,13 +193,14 @@ case class BestCell(child: Expression, cents: Array[Array[Float]], cids: Array[L
       val bc = ctx.freshName("bestCos")
       val bi = ctx.freshName("bestId")
       val cmp = ctx.freshName("cmp")
+      val v = ctx.freshName("v")
       s"""
          |int $elen = $e.numElements();
          |double $ne = 0.0;
          |for (int $i = 0; $i < $elen; $i++) {
          |  if (!$e.isNullAt($i)) {
-         |    double v = (double) $e.getFloat($i);
-         |    $ne += v * v;
+         |    double $v = (double) $e.getFloat($i);
+         |    $ne += $v * $v;
          |  }
          |}
          |$ne = java.lang.Math.sqrt($ne);
@@ -213,6 +227,15 @@ case class BestCell(child: Expression, cents: Array[Array[Float]], cids: Array[L
        """.stripMargin
     })
   }
+
+  override def equals(o: Any): Boolean = o match {
+    case b: BestCell => child == b.child && IvfCells.matEquals(cents, b.cents) &&
+      java.util.Arrays.equals(cids, b.cids)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, Integer.valueOf(IvfCells.matHash(cents)),
+    Integer.valueOf(java.util.Arrays.hashCode(cids)))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -246,6 +269,15 @@ case class TopCells(child: Expression, cents: Array[Array[Float]], cids: Array[L
     }
     new GenericArrayData(order.take(math.min(nProbe, cos.length)).map(cids(_)))
   }
+
+  override def equals(o: Any): Boolean = o match {
+    case t: TopCells => child == t.child && nProbe == t.nProbe &&
+      IvfCells.matEquals(cents, t.cents) && java.util.Arrays.equals(cids, t.cids)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, Integer.valueOf(nProbe), Integer.valueOf(IvfCells.matHash(cents)),
+    Integer.valueOf(java.util.Arrays.hashCode(cids)))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -313,6 +345,13 @@ case class LshBucketBits(child: Expression, cents: Array[Array[Float]])
        """.stripMargin
     })
   }
+
+  override def equals(o: Any): Boolean = o match {
+    case l: LshBucketBits => child == l.child && IvfCells.matEquals(cents, l.cents)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(IvfCells.matHash(cents)))
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

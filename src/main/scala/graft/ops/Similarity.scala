@@ -121,6 +121,14 @@ object Similarity {
     * iteration is one shuffle of (cell, dim) partial sums + one bounded
     * nLists×dim collect. Selection quality only affects recall, never
     * correctness of the within-cell exact cosine.
+    *
+    * NULL-embedding contract: `graft_best_cell` / `graft_top_cells` are
+    * null-intolerant, so a row with a NULL `embedding` gets a NULL
+    * cell, never matches the inner cell-equality join, and silently
+    * appears in NO result — on either side. (The pre-round-6 literal
+    * chain instead assigned such rows a concrete cell, so they could
+    * surface as degenerate cos=0 matches.) Filter or impute NULL
+    * embeddings upstream if they must participate.
     */
   def topKIvf(probes0: DataFrame, candidates0: DataFrame, k: Int, nLists: Int,
               lloydIters: Int = 0, nProbe: Int = 1): DataFrame = {
@@ -225,6 +233,10 @@ object Similarity {
   /** Bucketed approximate top-k: candidates join probes on bucket
     * equality (an equi shuffle join — the 100 TB shape), then exact
     * cosine + window prune within buckets.
+    *
+    * NULL-embedding contract: same as [[topKIvf]] — a NULL embedding
+    * yields a NULL `graft_lsh_bucket`, never joins, and is silently
+    * excluded from results on both sides.
     */
   def topKLsh(probes: DataFrame, candidates: DataFrame, k: Int, nPlanes: Int,
               dim: Int = 64): DataFrame = {
