@@ -38,6 +38,39 @@ import org.apache.spark.sql.functions._
   */
 object ScalableRank {
 
+  /** Phase 1, shared by [[rowNumbered]] and bucket-pruned consumers
+    * (q103's order statistics): range-bucket `df` and count each
+    * bucket. Returns (bucketed, offsets, stats):
+    *  - `bucketed` = `df` + `__pid` (the range bucket id);
+    *  - `offsets`  = one row per (part, `__pid`) with `__cnt` (bucket
+    *    row count) and `__off` (exclusive prefix sum = global rank of
+    *    the bucket's first row, minus one) — |part|×buckets rows;
+    *  - `stats`    = one row per part key with its total count `n`.
+    * The counts branch reuses `bucketed`'s range exchange (AQE stage
+    * reuse), so the input is scanned and range-shuffled exactly once.
+    */
+  def bucketize(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCols: Seq[Column],
+      buckets: Int,
+      n: String = "n"): (DataFrame, DataFrame, DataFrame) = {
+    val rangeCols = partCols.map(col) ++ orderCols
+    val bucketed = df
+      .repartitionByRange(buckets, rangeCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val grpPid = (partCols :+ "__pid").map(col)
+    val counts = bucketed.groupBy(grpPid: _*).agg(count(lit(1)).as("__cnt"))
+    val byPart = Window.partitionBy(partCols.map(col): _*)
+    val offsets = counts.withColumn(
+      "__off",
+      coalesce(
+        sum("__cnt").over(byPart.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val stats = counts.groupBy(partCols.map(col): _*).agg(sum("__cnt").as(n))
+    (bucketed, offsets, stats)
+  }
+
   /** Returns (ranked, stats): `ranked` = `df` + column `rn` (1-based
     * global row number within `partCols` under `orderCols`, BIGINT);
     * `stats` = one row per part key with its total row count `n` —
@@ -54,23 +87,8 @@ object ScalableRank {
       buckets: Int,
       rn: String = "rn",
       n: String = "n"): (DataFrame, DataFrame) = {
-    val rangeCols = partCols.map(col) ++ orderCols
-    val bucketed = df
-      .repartitionByRange(buckets, rangeCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    val grpPid = (partCols :+ "__pid").map(col)
-    val counts = bucketed.groupBy(grpPid: _*).agg(count(lit(1)).as("__cnt"))
-    val byPart = Window.partitionBy(partCols.map(col): _*)
-    // Exclusive prefix sum over bucket ids = global rank of each bucket's
-    // first row, minus one. Runs on |part|×buckets rows — driver-free and
-    // trivially small at any data scale.
-    val offsets = counts.withColumn(
-      "__off",
-      coalesce(
-        sum("__cnt").over(byPart.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-    val stats = counts.groupBy(partCols.map(col): _*).agg(sum("__cnt").as(n))
-    val wLocal = Window.partitionBy(grpPid: _*).orderBy(orderCols: _*)
+    val (bucketed, offsets, stats) = bucketize(df, partCols, orderCols, buckets, n)
+    val wLocal = Window.partitionBy((partCols :+ "__pid").map(col): _*).orderBy(orderCols: _*)
     val ranked = bucketed
       .join(broadcast(offsets.drop("__cnt")), partCols :+ "__pid")
       .withColumn(rn, col("__off") + row_number().over(wLocal))

@@ -154,25 +154,26 @@ object AggQueries extends QueryPack {
         .orderBy("l_returnflag")),
 
     // Two-pass EXACT percentile without per-group value buffering (the
-    // q77 100 TB fix). Pass 1: ops/ScalableRank assigns every lineitem a
-    // global (flag, quantity)-order rank via range buckets — every sort
-    // bounded at rows/buckets — and yields per-flag counts n. Pass 2:
-    // the interpolation positions pos = p·(n−1) reduce each percentile
-    // to TWO order statistics (ranks ⌊pos⌋+1 / ⌈pos⌉+1), fetched by a
-    // broadcast join of the 6-row target table against the ranked rows,
-    // then blended exactly as Spark's Percentile.getPercentile does:
-    // (⌈pos⌉−pos)·v_lo + (pos−⌊pos⌋)·v_hi (NOT v_lo + frac·Δ — the two
-    // differ in the last ulp). No task ever holds more than one range
-    // bucket; PercentileSpec asserts bit-equality with q77's built-in.
+    // q77 100 TB fix). Pass 1: ops/ScalableRank range-buckets lineitem
+    // on (flag, quantity) and counts each bucket — every sort bounded
+    // at rows/buckets, per-flag counts n for free. Pass 2: the
+    // interpolation positions pos = p·(n−1) reduce each percentile to
+    // TWO order statistics (ranks ⌊pos⌋+1 / ⌈pos⌉+1); the tiny offsets
+    // table locates which bucket holds each target rank, so only THOSE
+    // buckets' rows (≤ 4 buckets of rows/32 each, regardless of data
+    // size) are semi-joined in, locally ranked, and probed — the other
+    // 28+ buckets are never sorted at all. Values then blend exactly as
+    // Spark's Percentile.getPercentile does: (⌈pos⌉−pos)·v_lo +
+    // (pos−⌊pos⌋)·v_hi (NOT v_lo + frac·Δ — the two differ in the last
+    // ulp). ScalableRankSpec asserts bit-equality with q77's built-in.
     "q103_percentile_2pass" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
         .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
-      val (ranked, stats) = graft.ops.ScalableRank.rowNumbered(
-        li,
-        partCols = Seq("l_returnflag"),
-        orderCols =
-          Seq(col("l_quantity").asc, col("l_orderkey").asc, col("l_linenumber").asc),
-        buckets = 32)
+      val orderCols =
+        Seq(col("l_quantity").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      val (bucketed, offsets, stats) = graft.ops.ScalableRank.bucketize(
+        li, partCols = Seq("l_returnflag"), orderCols = orderCols, buckets = 32)
+      // 6 rows: (flag, p) with interpolation position + bracketing ranks.
       val targets = stats
         .select(
           col("l_returnflag").as("tf"),
@@ -181,6 +182,24 @@ object AggQueries extends QueryPack {
         .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
         .withColumn("rk_lo", floor(col("pos")) + 1)
         .withColumn("rk_hi", ceil(col("pos")) + 1)
+      // ≤ 12 rows: one per needed order statistic, located to its range
+      // bucket via the offsets table (rank rk lives in the bucket where
+      // __off < rk ≤ __off + __cnt).
+      val wanted = targets
+        .withColumn("rk", explode(array(col("rk_lo"), col("rk_hi"))))
+        .join(
+          offsets,
+          col("tf") === col("l_returnflag") &&
+            col("rk") > col("__off") && col("rk") <= col("__off") + col("__cnt"))
+      val neededBuckets =
+        wanted.select("l_returnflag", "__pid", "__off").distinct()
+      // Only the located buckets' rows are ranked: the inner broadcast
+      // join drops every other bucket before any sort happens.
+      val wLocal = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag", "__pid").orderBy(orderCols: _*)
+      val ranked = bucketed
+        .join(broadcast(neededBuckets), Seq("l_returnflag", "__pid"))
+        .withColumn("rn", col("__off") + row_number().over(wLocal))
       val hits = ranked.join(
         broadcast(targets),
         col("l_returnflag") === col("tf") &&
@@ -190,6 +209,62 @@ object AggQueries extends QueryPack {
         .agg(
           min(when(col("rn") === col("rk_lo"), col("l_quantity"))).as("v_lo"),
           min(when(col("rn") === col("rk_hi"), col("l_quantity"))).as("v_hi"),
+          min("pos").as("pos"))
+        .withColumn(
+          "pct",
+          when(floor(col("pos")) === ceil(col("pos")), col("v_lo"))
+            .otherwise(
+              (ceil(col("pos")).cast("double") - col("pos")) * col("v_lo") +
+                (col("pos") - floor(col("pos")).cast("double")) * col("v_hi")))
+        .groupBy("l_returnflag")
+        .agg(
+          min(when(col("p") === 0.5, col("pct"))).as("p50"),
+          min(when(col("p") === 0.9, col("pct"))).as("p90"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Value-count exact percentile — the third point in the percentile
+    // design space (q77 buffers whole groups: dies at scale; q103
+    // shuffles the full table once: general but pays row-count shuffle
+    // volume). For DISCRETE/quantized value domains, aggregate
+    // (group, value) counts first: map-side partial aggregation means
+    // the shuffle carries |groups|×|distinct values| rows (3×50 here)
+    // no matter how many input rows exist, and every later step runs on
+    // that tiny table — cumulative counts locate the two bracketing
+    // order statistics as the values whose count interval
+    // (prev_cum, cum] contains the target rank. Scale contract: distinct
+    // values per group must fit one task (true for integer quantities,
+    // star ratings, cents-quantized prices…); for unbounded continuous
+    // domains use q103. Same blend as Spark's Percentile — bit-exact.
+    "q104_percentile_counts" -> ((s, dir) => {
+      val vc = Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy("l_quantity")
+      val cum = vc
+        .withColumn("cum", sum("cnt").over(wCum))
+        .withColumn("prev", col("cum") - col("cnt"))
+      val targets = vc.groupBy("l_returnflag").agg(sum("cnt").as("n"))
+        .select(
+          col("l_returnflag").as("tf"),
+          explode(array(lit(0.5), lit(0.9))).as("p"),
+          col("n"))
+        .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
+        .withColumn("rk_lo", floor(col("pos")) + 1)
+        .withColumn("rk_hi", ceil(col("pos")) + 1)
+      cum
+        .join(
+          broadcast(targets),
+          col("l_returnflag") === col("tf") &&
+            ((col("rk_lo") > col("prev") && col("rk_lo") <= col("cum")) ||
+              (col("rk_hi") > col("prev") && col("rk_hi") <= col("cum"))))
+        .groupBy("l_returnflag", "p")
+        .agg(
+          min(when(col("rk_lo") > col("prev") && col("rk_lo") <= col("cum"),
+            col("l_quantity"))).as("v_lo"),
+          min(when(col("rk_hi") > col("prev") && col("rk_hi") <= col("cum"),
+            col("l_quantity"))).as("v_hi"),
           min("pos").as("pos"))
         .withColumn(
           "pct",
@@ -322,6 +397,45 @@ object AggQueries extends QueryPack {
         |  FROM ranked r JOIN targets t
         |    ON r.l_returnflag = t.tf AND (r.rn = t.rk_lo OR r.rn = t.rk_hi)
         |  GROUP BY r.l_returnflag, t.p),
+        |interp AS (
+        |  SELECT l_returnflag, p,
+        |    CASE WHEN floor(pos) = ceil(pos) THEN v_lo
+        |         ELSE (ceil(pos) - pos) * v_lo + (pos - floor(pos)) * v_hi
+        |    END AS pct
+        |  FROM hits)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN p = 0.5 THEN pct END) AS p50,
+        |  min(CASE WHEN p = 0.9 THEN pct END) AS p90
+        |FROM interp GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Replays the count-based math: (group, value) counts → cumulative
+    // intervals → bracketing order statistics → the same blend as q103
+    // (p cast to DOUBLE up front, same operand order).
+    "q104_percentile_counts" ->
+      """WITH vc AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |cum AS (
+        |  SELECT l_returnflag, l_quantity, cnt,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cum
+        |  FROM vc),
+        |cum2 AS (SELECT l_returnflag, l_quantity, cum, cum - cnt AS prev FROM cum),
+        |targets AS (
+        |  SELECT l_returnflag AS tf, p,
+        |    p * CAST(n - 1 AS DOUBLE) AS pos,
+        |    CAST(floor(p * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS rk_lo,
+        |    CAST(ceil(p * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS rk_hi
+        |  FROM (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag),
+        |       (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS p)),
+        |hits AS (
+        |  SELECT c.l_returnflag, t.p,
+        |    min(CASE WHEN t.rk_lo > c.prev AND t.rk_lo <= c.cum THEN c.l_quantity END) AS v_lo,
+        |    min(CASE WHEN t.rk_hi > c.prev AND t.rk_hi <= c.cum THEN c.l_quantity END) AS v_hi,
+        |    min(t.pos) AS pos
+        |  FROM cum2 c JOIN targets t ON c.l_returnflag = t.tf
+        |    AND ((t.rk_lo > c.prev AND t.rk_lo <= c.cum)
+        |      OR (t.rk_hi > c.prev AND t.rk_hi <= c.cum))
+        |  GROUP BY c.l_returnflag, t.p),
         |interp AS (
         |  SELECT l_returnflag, p,
         |    CASE WHEN floor(pos) = ceil(pos) THEN v_lo

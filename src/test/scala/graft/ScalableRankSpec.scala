@@ -51,16 +51,19 @@ class ScalableRankSpec extends SparkSpec {
     assert(bad.isEmpty, "rn is not a dense 1..n permutation per key")
   }
 
-  test("q103 two-pass percentile is bit-identical to q77's built-in percentile()") {
-    // The whole point of q103: same bits as percentile() with per-task
-    // memory bounded by the range bucket, not the group. Exact double
-    // equality — the blend formula was chosen to match
-    // Percentile.getPercentile ulp-for-ulp.
-    val twoPass = SparkEntry.queries("q103_percentile_2pass")(spark, sfDir)
-      .as[(String, Double, Double)].collect().sortBy(_._1)
-    val builtin = SparkEntry.queries("q77_percentile")(spark, sfDir)
-      .as[(String, Double, Double)].collect().sortBy(_._1)
-    assert(twoPass.sameElements(builtin),
-      s"two-pass ${twoPass.mkString(",")} != builtin ${builtin.mkString(",")}")
+  for (q <- Seq("q103_percentile_2pass", "q104_percentile_counts")) {
+    test(s"$q is bit-identical to q77's built-in percentile()") {
+      // The whole point of the scalable percentiles: same bits as
+      // percentile() with per-task memory bounded (by the range bucket
+      // for q103, by distinct values for q104), never by the group.
+      // Exact double equality — both blend formulas were chosen to
+      // match Percentile.getPercentile ulp-for-ulp.
+      val scalable = SparkEntry.queries(q)(spark, sfDir)
+        .as[(String, Double, Double)].collect().sortBy(_._1)
+      val builtin = SparkEntry.queries("q77_percentile")(spark, sfDir)
+        .as[(String, Double, Double)].collect().sortBy(_._1)
+      assert(scalable.sameElements(builtin),
+        s"$q ${scalable.mkString(",")} != builtin ${builtin.mkString(",")}")
+    }
   }
 }
