@@ -514,6 +514,44 @@ object LlmQueries extends QueryPack {
           array_min(col("q")).as("q_min"))
         .orderBy("vec_id")),
 
+    // End-to-end embedding-cosine near-dup dedup at FULL-CORPUS scale —
+    // the embedding analog of q94 (q53 is the bounded probe-window pair
+    // scan). Candidates come from a hyperplane-LSH bucket EQUI-join
+    // (one shuffle keyed on the 16-bit sign pattern, candidate volume
+    // Σ bucket² — never |corpus|²), then exact cosine ≥ 0.9 verifies,
+    // and survivors' higher ids are removed. Near-dups are manufactured
+    // by power-of-two scaling, which makes the probabilistic structure
+    // DETERMINISTIC and therefore oracle-checkable: scaling by +2
+    // preserves every hyperplane dot sign exactly (float ×2 is exact),
+    // so each true dup pair shares its bucket with recall 1.0 by
+    // construction, cos(v, 2v) ≡ 1 > 0.9; scaling by −2 flips every
+    // sign, cos = −1 — a guaranteed NON-dup that must survive. The
+    // oracle replays the verify over brute-force all-pairs, so any
+    // bucketing/verify defect shows as a hash mismatch.
+    "q105_embed_dedup" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 500).select("vec_id", "embedding")
+      val copies = base
+        .withColumn("f",
+          when(pmod(col("vec_id"), lit(2)) === 0, lit(2.0f)).otherwise(lit(-2.0f)))
+        .select(
+          (col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * col("f")).as("embedding"))
+      val corpus = base.unionAll(copies)
+      val indexed = corpus.withColumn(
+        "bucket", Similarity.lshBucket(col("embedding"), nPlanes = 16, dim = 64))
+      val a = indexed.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("bucket"))
+      val b = indexed.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("bucket"))
+      val removed = a.join(b, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(Similarity.cosine(col("va"), col("vb")) > 0.9)
+        .select(col("id_b").as("vec_id")).distinct()
+      corpus.join(removed, Seq("vec_id"), "left_anti")
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     // Multimodal binary column: text encoded as opaque BINARY media,
     // byte-level features extracted scan-side (the codec-free half of
     // ops/Multimodal; the mapPartitions decode-stub path is
@@ -999,6 +1037,36 @@ object LlmQueries extends QueryPack {
         |     / 1000000000.0) AS tfidf_log
         |FROM tf JOIN df USING (token) CROSS JOIN n
         |ORDER BY doc_id, token""".stripMargin,
+
+    // Brute-force all-pairs replay of the LSH-bucketed pipeline: the
+    // bucket structure exists only Spark-side; the oracle verifies the
+    // same exact-cosine decision over every pair. The ×(±2) perturbation
+    // is exact in any float width, so both engines build bit-identical
+    // corpora.
+    "q105_embed_dedup" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) *
+        |      (CASE WHEN vec_id % 2 = 0 THEN CAST(2.0 AS DOUBLE)
+        |            ELSE CAST(-2.0 AS DOUBLE) END) AS FLOAT)) AS embedding
+        |  FROM base),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM corpus),
+        |removed AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE (CASE WHEN list_dot_product(a.v, a.v) = 0
+        |                OR list_dot_product(b.v, b.v) = 0 THEN 0.0
+        |         ELSE list_dot_product(a.v, b.v) /
+        |           (sqrt(list_dot_product(a.v, a.v)) *
+        |            sqrt(list_dot_product(b.v, b.v))) END) > 0.9)
+        |SELECT vec_id FROM corpus
+        |WHERE vec_id NOT IN (SELECT vec_id FROM removed)
+        |ORDER BY vec_id""".stripMargin,
 
     "q99_int8_quant" ->
       """WITH s AS (SELECT vec_id,

@@ -143,6 +143,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("band"), "expected the band/bucket equi key in the plan")
   }
 
+  test("q105: embed near-dup candidates join on the LSH bucket — never all-pairs") {
+    // Same property as q94 but for the embedding pipeline: the
+    // candidate self-join must be an equi join keyed on the hyperplane
+    // bucket; a cartesian is the |corpus|² blow-up the bucketing
+    // exists to avoid.
+    val plan = planOf("q105_embed_dedup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q105 degenerated to an all-pairs join:\n$plan")
+    assert(plan.contains("bucket"), "expected the bucket equi key in the plan")
+    assert(plan.contains("graft_lsh_bucket"), "expected the native bucket expression")
+  }
+
   test("q98: the document-frequency table joins via broadcast") {
     // df is |vocab| rows (tiny vs the token stream) — it must build the
     // broadcast side so the tf stream never shuffles for the join.
