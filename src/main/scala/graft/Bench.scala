@@ -99,6 +99,28 @@ object Bench {
       }
       if (ok == 0) (name, -1.0, -1.0) else (name, minT, maxT)
     }
+    // Optional streaming leg (SPARK_GRAFT_BENCH_STREAMING=1): drive the
+    // tumbling-window aggregation end-to-end under Structured Streaming
+    // (readStream → watermark + window agg → noop sink, AvailableNow) so
+    // a perf regression in the streaming path becomes visible — q58–q60
+    // bench only their batch legs. Reported as an extra JSON field; the
+    // headline total stays batch-only for round-over-round
+    // comparability.
+    val streamingSec: Option[Double] =
+      if (!sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("1")) None
+      else Some {
+        val t0 = System.nanoTime()
+        val src = graft.streaming.Events.parquetStream(spark, sfDir)
+          .withWatermark("ts", "1 hour")
+        val q = graft.streaming.Events.tumbling(src, "10 minutes")
+          .writeStream.format("noop").outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+    val streamField = streamingSec.map(v => s""","streaming_sec":$v""").getOrElse("")
+
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qsMax = results.map { case (k, _, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -106,7 +128,7 @@ object Bench {
     // multi-line, and a raw newline would invalidate the whole file.
     val fstr = failures.map(JsonOut.q).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_max":$qsMax,"failures":$fstr,"sf":${JsonOut.q(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_max":$qsMax,"failures":$fstr$streamField,"sf":${JsonOut.q(sfDir)}}"""
     Files.writeString(Paths.get("BENCH_LOCAL.json"), line)
 
     // The driver keeps only the LAST ~2000 chars of stdout and json-parses the
@@ -121,8 +143,9 @@ object Bench {
     // Cap the failure list: 92 failures x 60 chars would blow the window on
     // their own; n_failures plus BENCH_LOCAL.json carry the full story.
     val fShort = failures.take(5).map(f => JsonOut.q(f.take(60))).mkString("[", ",", "]")
+    val streamShort = streamingSec.map(v => s""","streaming_sec":${r3(v)}""").getOrElse("")
     val shortLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"n_failures":${failures.size},"queries":$qsShort,"failures":$fShort,"sf":${JsonOut.q(sfDir)}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"n_failures":${failures.size},"queries":$qsShort,"failures":$fShort$streamShort,"sf":${JsonOut.q(sfDir)}}"""
     println(shortLine)
     spark.stop()
   }

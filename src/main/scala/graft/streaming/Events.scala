@@ -20,6 +20,37 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** File-source stream over the harness events table: same schema and
+    * ts conversion as `Tables.events`, but via `readStream` — the
+    * deployment leg, drivable end-to-end with `Trigger.AvailableNow`
+    * (the bench's streaming leg uses exactly this). The schema is
+    * probed with one batch read because file-source streams require an
+    * explicit schema.
+    */
+  def parquetStream(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(s"$dir/events.parquet")
+    // The file stream source lists a DIRECTORY. Driver testdata is a
+    // single parquet file, so stage a symlink dir once; Spark-written
+    // tables (e.g. HeadroomGen output) are already directories and
+    // stream directly.
+    val streamDir =
+      if (Files.isDirectory(src)) src
+      else {
+        val stage = Paths.get(
+          s"/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9]", "_")}/events_stream")
+        Files.createDirectories(stage)
+        val link = stage.resolve("events.parquet")
+        if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+        stage
+      }
+    val schema = s.read.parquet(src.toString).schema
+    val raw = s.readStream.schema(schema).parquet(streamDir.toString)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
   /** Tumbling-window counts/sums per event type. */
   def tumbling(events: DataFrame, width: String): DataFrame =
     events.groupBy(window(col("ts"), width), col("event_type"))
