@@ -43,10 +43,14 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     // Debug knobs for bench-harness attribution runs (not used by the
     // driver): ONLY restricts the run to a comma-separated list of qNN
-    // prefixes; NO_RESET=1 skips the cold-rep cache resets so cache-churn
-    // interference can be isolated from query cost.
+    // prefixes or full query names; NO_RESET=1 skips the cold-rep cache
+    // resets so cache-churn interference can be isolated from query
+    // cost. A filtered run writes BENCH_DEBUG.json, never
+    // BENCH_LOCAL.json — a partial total carries the same JSON shape as
+    // a full run and must not clobber the round's headline artifact.
     val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val noReset = sys.env.get("SPARK_GRAFT_BENCH_NO_RESET").contains("1")
     val spark = Engine.session(cpus)
 
@@ -71,7 +75,9 @@ object Bench {
     val failures = scala.collection.mutable.ListBuffer[String]()
     // (name, minSec, maxSec); -1 on failure.
     val selected = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n.takeWhile(_ != '_'))))
+      .filter(n => only.forall(f => f.contains(n.takeWhile(_ != '_')) || f.contains(n)))
+    require(selected.nonEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY=${only.getOrElse(Set())} matched no registered query")
     val results = selected.map { name =>
       var minT = Double.MaxValue
       var maxT = -1.0
@@ -106,18 +112,27 @@ object Bench {
     // bench only their batch legs. Reported as an extra JSON field; the
     // headline total stays batch-only for round-over-round
     // comparability.
+    // A streaming failure must not discard the whole batch run's
+    // results (the JSON write happens after this): recorded as -1 + a
+    // failures entry, same policy as per-query errors.
     val streamingSec: Option[Double] =
       if (!sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("1")) None
       else Some {
         val t0 = System.nanoTime()
-        val src = graft.streaming.Events.parquetStream(spark, sfDir)
-          .withWatermark("ts", "1 hour")
-        val q = graft.streaming.Events.tumbling(src, "10 minutes")
-          .writeStream.format("noop").outputMode("update")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        (System.nanoTime() - t0) / 1e9
+        try {
+          val src = graft.streaming.Events.parquetStream(spark, sfDir)
+            .withWatermark("ts", "1 hour")
+          val q = graft.streaming.Events.tumbling(src, "10 minutes")
+            .writeStream.format("noop").outputMode("update")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            failures += s"streaming: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
+            -1.0
+        }
       }
     val streamField = streamingSec.map(v => s""","streaming_sec":$v""").getOrElse("")
 
@@ -129,7 +144,8 @@ object Bench {
     val fstr = failures.map(JsonOut.q).mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_max":$qsMax,"failures":$fstr$streamField,"sf":${JsonOut.q(sfDir)}}"""
-    Files.writeString(Paths.get("BENCH_LOCAL.json"), line)
+    Files.writeString(
+      Paths.get(if (only.isDefined) "BENCH_DEBUG.json" else "BENCH_LOCAL.json"), line)
 
     // The driver keeps only the LAST ~2000 chars of stdout and json-parses the
     // final line; the full-name full-precision line above exceeds that with

@@ -38,6 +38,8 @@ object HeadroomGen {
   }
 
   def main(args: Array[String]): Unit = {
+    require(args.length >= 3 && args(2).forall(_.isDigit),
+      "usage: runMain graft.HeadroomGen <srcSfDir> <dstDir> <copies>")
     val Array(src, dst, nStr) = args.take(3)
     val n = nStr.toInt
     val spark = Engine.session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)

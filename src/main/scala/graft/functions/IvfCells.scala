@@ -233,9 +233,13 @@ case class BestCell(child: Expression, cents: Array[Array[Float]], cids: Array[L
       java.util.Arrays.equals(cids, b.cids)
     case _ => false
   }
-  override def hashCode(): Int = java.util.Objects.hash(
+  // Cached: Expression.hashCode is hit repeatedly by ExpressionSet /
+  // canonicalization maps, and deep-hashing a 256×64 matrix per call
+  // would tax exactly the machinery content-equality enables.
+  @transient private lazy val cachedHash: Int = java.util.Objects.hash(
     child, Integer.valueOf(IvfCells.matHash(cents)),
     Integer.valueOf(java.util.Arrays.hashCode(cids)))
+  override def hashCode(): Int = cachedHash
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -275,9 +279,10 @@ case class TopCells(child: Expression, cents: Array[Array[Float]], cids: Array[L
       IvfCells.matEquals(cents, t.cents) && java.util.Arrays.equals(cids, t.cids)
     case _ => false
   }
-  override def hashCode(): Int = java.util.Objects.hash(
+  @transient private lazy val cachedHash: Int = java.util.Objects.hash(
     child, Integer.valueOf(nProbe), Integer.valueOf(IvfCells.matHash(cents)),
     Integer.valueOf(java.util.Arrays.hashCode(cids)))
+  override def hashCode(): Int = cachedHash
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -350,8 +355,9 @@ case class LshBucketBits(child: Expression, cents: Array[Array[Float]])
     case l: LshBucketBits => child == l.child && IvfCells.matEquals(cents, l.cents)
     case _ => false
   }
-  override def hashCode(): Int =
+  @transient private lazy val cachedHash: Int =
     java.util.Objects.hash(child, Integer.valueOf(IvfCells.matHash(cents)))
+  override def hashCode(): Int = cachedHash
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

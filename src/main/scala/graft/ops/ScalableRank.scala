@@ -46,8 +46,23 @@ object ScalableRank {
     *    row count) and `__off` (exclusive prefix sum = global rank of
     *    the bucket's first row, minus one) — |part|×buckets rows;
     *  - `stats`    = one row per part key with its total count `n`.
-    * The counts branch reuses `bucketed`'s range exchange (AQE stage
-    * reuse), so the input is scanned and range-shuffled exactly once.
+    *
+    * CORRECTNESS CONTRACT — one exchange, two consumers. The offsets
+    * branch and the data branch must observe the SAME `__pid`
+    * assignment. Range boundaries come from sampling seeded by RDD
+    * lineage, so two INDEPENDENT executions of the exchange may pick
+    * different boundaries — consistent only because Spark's exchange
+    * reuse (default-on, AQE stage reuse at runtime) unifies the two
+    * branches into one physical exchange. For reuse to fire, the two
+    * exchange subtrees must canonicalize identically, which holds as
+    * long as EVERY column of `df` appears in `partCols ++ orderCols`
+    * (as q102/q103's inputs do): a payload column would let column
+    * pruning narrow the counts branch's scan and split the subtrees.
+    * Callers adding payload columns must instead join them back on the
+    * tie-break key afterwards (or persist `bucketed`). PlanSpec asserts
+    * ReusedExchange in both q102's and q103's executed plans, and
+    * ScalableRankSpec's 1..n-permutation property would fail loudly on
+    * any divergence.
     */
   def bucketize(
       df: DataFrame,

@@ -19,6 +19,40 @@ import graft.functions.Exact._
   */
 object AggQueries extends QueryPack {
 
+  /** Shared by q103/q104 (their comments stress the math must match
+    * Spark's Percentile ulp-for-ulp — one copy, not two): the 6-row
+    * (flag, p) target table with interpolation position pos = p·(n−1)
+    * and bracketing 1-based ranks ⌊pos⌋+1 / ⌈pos⌉+1, built from
+    * per-flag counts (`l_returnflag`, `n`). */
+  private def percentileTargets(stats: org.apache.spark.sql.DataFrame) =
+    stats
+      .select(
+        col("l_returnflag").as("tf"),
+        explode(array(lit(0.5), lit(0.9))).as("p"),
+        col("n"))
+      .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
+      .withColumn("rk_lo", floor(col("pos")) + 1)
+      .withColumn("rk_hi", ceil(col("pos")) + 1)
+
+  /** Shared by q103/q104: Percentile.getPercentile's exact blend —
+    * (⌈pos⌉−pos)·v_lo + (pos−⌊pos⌋)·v_hi, v_lo alone when pos is
+    * integral (NOT v_lo + frac·Δ, which differs in the last ulp) —
+    * over grouped (l_returnflag, p, v_lo, v_hi, pos), pivoted to
+    * p50/p90 per flag. */
+  private def percentileBlendPivot(grouped: org.apache.spark.sql.DataFrame) =
+    grouped
+      .withColumn(
+        "pct",
+        when(floor(col("pos")) === ceil(col("pos")), col("v_lo"))
+          .otherwise(
+            (ceil(col("pos")).cast("double") - col("pos")) * col("v_lo") +
+              (col("pos") - floor(col("pos")).cast("double")) * col("v_hi")))
+      .groupBy("l_returnflag")
+      .agg(
+        min(when(col("p") === 0.5, col("pct"))).as("p50"),
+        min(when(col("p") === 0.9, col("pct"))).as("p90"))
+      .orderBy("l_returnflag")
+
   override val queries: Map[String, Q] = Map(
     // MIN/MAX/STDDEV/VARIANCE over groups.
     "q29_stats" -> ((s, dir) =>
@@ -174,14 +208,7 @@ object AggQueries extends QueryPack {
       val (bucketed, offsets, stats) = graft.ops.ScalableRank.bucketize(
         li, partCols = Seq("l_returnflag"), orderCols = orderCols, buckets = 32)
       // 6 rows: (flag, p) with interpolation position + bracketing ranks.
-      val targets = stats
-        .select(
-          col("l_returnflag").as("tf"),
-          explode(array(lit(0.5), lit(0.9))).as("p"),
-          col("n"))
-        .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
-        .withColumn("rk_lo", floor(col("pos")) + 1)
-        .withColumn("rk_hi", ceil(col("pos")) + 1)
+      val targets = percentileTargets(stats)
       // ≤ 12 rows: one per needed order statistic, located to its range
       // bucket via the offsets table (rank rk lives in the bucket where
       // __off < rk ≤ __off + __cnt).
@@ -204,23 +231,12 @@ object AggQueries extends QueryPack {
         broadcast(targets),
         col("l_returnflag") === col("tf") &&
           (col("rn") === col("rk_lo") || col("rn") === col("rk_hi")))
-      hits
+      percentileBlendPivot(hits
         .groupBy("l_returnflag", "p")
         .agg(
           min(when(col("rn") === col("rk_lo"), col("l_quantity"))).as("v_lo"),
           min(when(col("rn") === col("rk_hi"), col("l_quantity"))).as("v_hi"),
-          min("pos").as("pos"))
-        .withColumn(
-          "pct",
-          when(floor(col("pos")) === ceil(col("pos")), col("v_lo"))
-            .otherwise(
-              (ceil(col("pos")).cast("double") - col("pos")) * col("v_lo") +
-                (col("pos") - floor(col("pos")).cast("double")) * col("v_hi")))
-        .groupBy("l_returnflag")
-        .agg(
-          min(when(col("p") === 0.5, col("pct"))).as("p50"),
-          min(when(col("p") === 0.9, col("pct"))).as("p90"))
-        .orderBy("l_returnflag")
+          min("pos").as("pos")))
     }),
 
     // Value-count exact percentile — the third point in the percentile
@@ -245,15 +261,9 @@ object AggQueries extends QueryPack {
       val cum = vc
         .withColumn("cum", sum("cnt").over(wCum))
         .withColumn("prev", col("cum") - col("cnt"))
-      val targets = vc.groupBy("l_returnflag").agg(sum("cnt").as("n"))
-        .select(
-          col("l_returnflag").as("tf"),
-          explode(array(lit(0.5), lit(0.9))).as("p"),
-          col("n"))
-        .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
-        .withColumn("rk_lo", floor(col("pos")) + 1)
-        .withColumn("rk_hi", ceil(col("pos")) + 1)
-      cum
+      val targets = percentileTargets(
+        vc.groupBy("l_returnflag").agg(sum("cnt").as("n")))
+      percentileBlendPivot(cum
         .join(
           broadcast(targets),
           col("l_returnflag") === col("tf") &&
@@ -265,18 +275,7 @@ object AggQueries extends QueryPack {
             col("l_quantity"))).as("v_lo"),
           min(when(col("rk_hi") > col("prev") && col("rk_hi") <= col("cum"),
             col("l_quantity"))).as("v_hi"),
-          min("pos").as("pos"))
-        .withColumn(
-          "pct",
-          when(floor(col("pos")) === ceil(col("pos")), col("v_lo"))
-            .otherwise(
-              (ceil(col("pos")).cast("double") - col("pos")) * col("v_lo") +
-                (col("pos") - floor(col("pos")).cast("double")) * col("v_hi")))
-        .groupBy("l_returnflag")
-        .agg(
-          min(when(col("p") === 0.5, col("pct"))).as("p50"),
-          min(when(col("p") === 0.9, col("pct"))).as("p90"))
-        .orderBy("l_returnflag")
+          min("pos").as("pos")))
     }),
 
     // approx_percentile (t-digest-style sketch): the unbounded-group
@@ -310,6 +309,34 @@ object AggQueries extends QueryPack {
         saltOn = Some(struct(col("l_orderkey"), col("l_linenumber"))))
         .orderBy("key"))
   )
+
+  /** Oracle-side twin of [[percentileTargets]] (one copy for both
+    * q103/q104 oracles): p cast to DOUBLE up front — a bare 0.5 is
+    * DECIMAL in DuckDB, which would compute pos in decimal and round
+    * differently. */
+  private val percentileTargetsSql: String =
+    """targets AS (
+      |  SELECT l_returnflag AS tf, p,
+      |    p * CAST(n - 1 AS DOUBLE) AS pos,
+      |    CAST(floor(p * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS rk_lo,
+      |    CAST(ceil(p * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS rk_hi
+      |  FROM (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag),
+      |       (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS p))""".stripMargin
+
+  /** Oracle-side twin of [[percentileBlendPivot]]: consumes a `hits`
+    * CTE with (l_returnflag, p, v_lo, v_hi, pos), same operand order as
+    * the Spark side. */
+  private val percentileBlendPivotSql: String =
+    """interp AS (
+      |  SELECT l_returnflag, p,
+      |    CASE WHEN floor(pos) = ceil(pos) THEN v_lo
+      |         ELSE (ceil(pos) - pos) * v_lo + (pos - floor(pos)) * v_hi
+      |    END AS pct
+      |  FROM hits)
+      |SELECT l_returnflag,
+      |  min(CASE WHEN p = 0.5 THEN pct END) AS p50,
+      |  min(CASE WHEN p = 0.9 THEN pct END) AS p90
+      |FROM interp GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   override val oracles: Map[String, String] = Map(
     "q29_stats" ->
@@ -372,80 +399,48 @@ object AggQueries extends QueryPack {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // Replays the two-pass math natively: window rank → two order
-    // statistics per (flag, p) → Spark's exact blend formula. All double
-    // arithmetic is written in the same operand order as the Spark side,
-    // and p is cast to DOUBLE up front (a bare 0.5 is DECIMAL in DuckDB,
-    // which would compute pos in decimal and round differently).
+    // statistics per (flag, p) → Spark's exact blend formula, via the
+    // shared targets/blend SQL fragments.
     "q103_percentile_2pass" ->
-      """WITH ranked AS (
-        |  SELECT l_returnflag, l_quantity,
-        |    row_number() OVER (PARTITION BY l_returnflag
-        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn
-        |  FROM lineitem),
-        |targets AS (
-        |  SELECT l_returnflag AS tf, p,
-        |    p * CAST(n - 1 AS DOUBLE) AS pos,
-        |    CAST(floor(p * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS rk_lo,
-        |    CAST(ceil(p * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS rk_hi
-        |  FROM (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag),
-        |       (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS p)),
-        |hits AS (
-        |  SELECT r.l_returnflag, t.p,
-        |    min(CASE WHEN r.rn = t.rk_lo THEN r.l_quantity END) AS v_lo,
-        |    min(CASE WHEN r.rn = t.rk_hi THEN r.l_quantity END) AS v_hi,
-        |    min(t.pos) AS pos
-        |  FROM ranked r JOIN targets t
-        |    ON r.l_returnflag = t.tf AND (r.rn = t.rk_lo OR r.rn = t.rk_hi)
-        |  GROUP BY r.l_returnflag, t.p),
-        |interp AS (
-        |  SELECT l_returnflag, p,
-        |    CASE WHEN floor(pos) = ceil(pos) THEN v_lo
-        |         ELSE (ceil(pos) - pos) * v_lo + (pos - floor(pos)) * v_hi
-        |    END AS pct
-        |  FROM hits)
-        |SELECT l_returnflag,
-        |  min(CASE WHEN p = 0.5 THEN pct END) AS p50,
-        |  min(CASE WHEN p = 0.9 THEN pct END) AS p90
-        |FROM interp GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      s"""WITH ranked AS (
+         |  SELECT l_returnflag, l_quantity,
+         |    row_number() OVER (PARTITION BY l_returnflag
+         |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn
+         |  FROM lineitem),
+         |$percentileTargetsSql,
+         |hits AS (
+         |  SELECT r.l_returnflag, t.p,
+         |    min(CASE WHEN r.rn = t.rk_lo THEN r.l_quantity END) AS v_lo,
+         |    min(CASE WHEN r.rn = t.rk_hi THEN r.l_quantity END) AS v_hi,
+         |    min(t.pos) AS pos
+         |  FROM ranked r JOIN targets t
+         |    ON r.l_returnflag = t.tf AND (r.rn = t.rk_lo OR r.rn = t.rk_hi)
+         |  GROUP BY r.l_returnflag, t.p),
+         |$percentileBlendPivotSql""".stripMargin,
 
     // Replays the count-based math: (group, value) counts → cumulative
-    // intervals → bracketing order statistics → the same blend as q103
-    // (p cast to DOUBLE up front, same operand order).
+    // intervals → bracketing order statistics → the shared targets/blend
+    // SQL fragments.
     "q104_percentile_counts" ->
-      """WITH vc AS (
-        |  SELECT l_returnflag, l_quantity, count(*) AS cnt
-        |  FROM lineitem GROUP BY l_returnflag, l_quantity),
-        |cum AS (
-        |  SELECT l_returnflag, l_quantity, cnt,
-        |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cum
-        |  FROM vc),
-        |cum2 AS (SELECT l_returnflag, l_quantity, cum, cum - cnt AS prev FROM cum),
-        |targets AS (
-        |  SELECT l_returnflag AS tf, p,
-        |    p * CAST(n - 1 AS DOUBLE) AS pos,
-        |    CAST(floor(p * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS rk_lo,
-        |    CAST(ceil(p * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS rk_hi
-        |  FROM (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag),
-        |       (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS p)),
-        |hits AS (
-        |  SELECT c.l_returnflag, t.p,
-        |    min(CASE WHEN t.rk_lo > c.prev AND t.rk_lo <= c.cum THEN c.l_quantity END) AS v_lo,
-        |    min(CASE WHEN t.rk_hi > c.prev AND t.rk_hi <= c.cum THEN c.l_quantity END) AS v_hi,
-        |    min(t.pos) AS pos
-        |  FROM cum2 c JOIN targets t ON c.l_returnflag = t.tf
-        |    AND ((t.rk_lo > c.prev AND t.rk_lo <= c.cum)
-        |      OR (t.rk_hi > c.prev AND t.rk_hi <= c.cum))
-        |  GROUP BY c.l_returnflag, t.p),
-        |interp AS (
-        |  SELECT l_returnflag, p,
-        |    CASE WHEN floor(pos) = ceil(pos) THEN v_lo
-        |         ELSE (ceil(pos) - pos) * v_lo + (pos - floor(pos)) * v_hi
-        |    END AS pct
-        |  FROM hits)
-        |SELECT l_returnflag,
-        |  min(CASE WHEN p = 0.5 THEN pct END) AS p50,
-        |  min(CASE WHEN p = 0.9 THEN pct END) AS p90
-        |FROM interp GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      s"""WITH vc AS (
+         |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+         |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+         |cum AS (
+         |  SELECT l_returnflag, l_quantity, cnt,
+         |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cum
+         |  FROM vc),
+         |cum2 AS (SELECT l_returnflag, l_quantity, cum, cum - cnt AS prev FROM cum),
+         |$percentileTargetsSql,
+         |hits AS (
+         |  SELECT c.l_returnflag, t.p,
+         |    min(CASE WHEN t.rk_lo > c.prev AND t.rk_lo <= c.cum THEN c.l_quantity END) AS v_lo,
+         |    min(CASE WHEN t.rk_hi > c.prev AND t.rk_hi <= c.cum THEN c.l_quantity END) AS v_hi,
+         |    min(t.pos) AS pos
+         |  FROM cum2 c JOIN targets t ON c.l_returnflag = t.tf
+         |    AND ((t.rk_lo > c.prev AND t.rk_lo <= c.cum)
+         |      OR (t.rk_hi > c.prev AND t.rk_hi <= c.cum))
+         |  GROUP BY c.l_returnflag, t.p),
+         |$percentileBlendPivotSql""".stripMargin,
 
     "q83_salted_agg" ->
       s"""SELECT l_returnflag AS key,

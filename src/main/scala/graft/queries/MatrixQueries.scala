@@ -72,7 +72,7 @@ object MatrixQueries extends QueryPack {
     // seeded cell formula the Generator uses, so the DuckDB oracle
     // replays it.
     "q93_binary_ingest" -> ((s, dir) => {
-      val outDir = s"/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9]", "_")}/refbin"
+      val outDir = graft.sources.Staging.dir(dir, "refbin")
       BinaryMatrix.clear(outDir) // a stale .dat would union foreign rows
       BinaryMatrix.write(outDir, L, M, tag = 1)(id => (((id * 73 + 18) % 97) % 10).toInt)
       BinaryMatrix.readCoo(s, outDir).orderBy("i", "j")

@@ -24,7 +24,7 @@ import graft.sources.Tables
 object SourceQueries extends QueryPack {
 
   private def tmp(dir: String, name: String): String =
-    s"/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9]", "_")}/$name"
+    graft.sources.Staging.dir(dir, name)
 
   // q89's bucketed tables materialize lazily, once per live (session, dir):
   // plan-inspection tools (graft.Explain, PlanSpec) and bench re-runs build

@@ -37,8 +37,7 @@ object Events {
     val streamDir =
       if (Files.isDirectory(src)) src
       else {
-        val stage = Paths.get(
-          s"/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9]", "_")}/events_stream")
+        val stage = Paths.get(graft.sources.Staging.dir(dir, "events_stream"))
         Files.createDirectories(stage)
         val link = stage.resolve("events.parquet")
         if (!Files.exists(link)) Files.createSymbolicLink(link, src)

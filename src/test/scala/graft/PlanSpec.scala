@@ -198,16 +198,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q102: the range exchange is computed once and reused for the counts branch") {
-    // The bucket-counts branch and the rank branch both consume the
-    // same repartitionByRange output; without ReuseExchange the table
-    // would be scanned and range-shuffled twice. AQE materializes stage
-    // reuse at RUNTIME, so assert on the post-execution adaptive plan
-    // (the pre-execution string still shows two independent exchanges).
-    val df = SparkEntry.queries("q102_scalable_rank")(spark, sfDir)
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange"), s"range exchange not reused:\n$plan")
+  for (q <- Seq("q102_scalable_rank", "q103_percentile_2pass")) {
+    test(s"$q: the range exchange is computed once and reused for the counts branch") {
+      // CORRECTNESS, not just perf (ScalableRank.bucketize contract):
+      // range boundaries are sampled per exchange execution, so the
+      // offsets branch and the data branch agree on __pid only because
+      // exchange reuse unifies them into one physical exchange. AQE
+      // materializes stage reuse at RUNTIME, so assert on the
+      // post-execution adaptive plan (the pre-execution string still
+      // shows two independent exchanges).
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"), s"range exchange not reused:\n$plan")
+    }
   }
 
   test("q103: percentile plan has no per-group value buffering aggregate") {
