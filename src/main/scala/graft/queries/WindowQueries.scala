@@ -73,21 +73,35 @@ object WindowQueries extends QueryPack {
     }),
 
     // Scalable full-output ranking (the q21/q71 100 TB fix): global
-    // row_number / percent_rank / cume_dist per 3-value status WITHOUT a
-    // single-task per-status sort. ops/ScalableRank range-buckets the
-    // (status, price, key) order into 32 bounded sorts and reassembles
-    // global ranks from broadcast bucket offsets; pr/cd are then the
-    // same int-int double divisions the built-ins use — (rn-1)/(n-1)
-    // and rn/n (unique order ⇒ no peer groups) — so the oracle checks
-    // the output against DuckDB's NATIVE window functions, proving the
-    // two-phase plan is value-identical to the textbook one-shuffle
-    // window at 1/buckets the per-task memory.
+    // row_number / percent_rank / cume_dist / ntile per 3-value status
+    // WITHOUT a single-task per-status sort. ops/ScalableRank
+    // range-buckets the (status, price, key) order into 32 bounded
+    // sorts and reassembles global ranks from broadcast bucket offsets;
+    // pr/cd are then the same int-int double divisions the built-ins
+    // use — (rn-1)/(n-1) and rn/n (unique order ⇒ no peer groups) —
+    // and ntile's uneven-bucket rule (the first n mod k tiles take one
+    // extra row) is pure integer arithmetic over (rn, n). The oracle
+    // checks the output against DuckDB's NATIVE window functions,
+    // proving the two-phase plan is value-identical to the textbook
+    // one-shuffle window at 1/buckets the per-task memory.
     "q102_scalable_rank" -> ((s, dir) => {
       val (ranked, stats) = graft.ops.ScalableRank.rowNumbered(
         Tables.orders(s, dir).select("o_orderkey", "o_orderstatus", "o_totalprice"),
         partCols = Seq("o_orderstatus"),
         orderCols = Seq(col("o_totalprice").asc, col("o_orderkey").asc),
         buckets = 32)
+      // ntile(k): small = n div k tiles of base size, the first
+      // n mod k tiles hold one extra row. threshold = rows covered by
+      // the extra-sized tiles; n < k degenerates to tile = rn (the
+      // otherwise-branch is unreachable there, so its div-by-small is
+      // safe). SQL `div` keeps the arithmetic exact-integer at any n
+      // (a `/` would round-trip through double).
+      val quartile = expr(
+        """CAST(CASE
+          |  WHEN rn <= (n div 4 + 1) * (n % 4)
+          |    THEN (rn - 1) div (n div 4 + 1) + 1
+          |  ELSE n % 4 + (rn - (n div 4 + 1) * (n % 4) - 1) div (n div 4) + 1
+          |END AS INT)""".stripMargin)
       ranked
         .join(broadcast(stats), Seq("o_orderstatus"))
         .select(
@@ -97,7 +111,8 @@ object WindowQueries extends QueryPack {
           when(col("n") === 1, lit(0.0))
             .otherwise((col("rn") - 1).cast("double") / (col("n") - 1).cast("double"))
             .as("pr"),
-          (col("rn").cast("double") / col("n").cast("double")).as("cd"))
+          (col("rn").cast("double") / col("n").cast("double")).as("cd"),
+          quartile.as("quartile"))
         .orderBy("o_orderkey")
     }),
 
@@ -223,7 +238,8 @@ object WindowQueries extends QueryPack {
       """SELECT o_orderkey, o_orderstatus,
         |  CAST(row_number() OVER w AS BIGINT) AS rn,
         |  percent_rank() OVER w AS pr,
-        |  cume_dist() OVER w AS cd
+        |  cume_dist() OVER w AS cd,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
