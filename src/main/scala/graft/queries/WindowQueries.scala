@@ -116,6 +116,39 @@ object WindowQueries extends QueryPack {
         .orderBy("o_orderkey")
     }),
 
+    // Scalable rank/dense_rank WITH tie semantics (q102 covers the
+    // unique-order functions; this covers q21's tied ones). Ties break
+    // the plain offset trick — a peer group can straddle range
+    // buckets — so: rank = min(rn) over the peer group, computed as a
+    // partial-aggregated groupBy on (part, order value) (map-side
+    // combine ⇒ scale-safe under ANY tie multiplicity, unlike a window
+    // on the same key which would buffer the whole peer group in one
+    // task); dense_rank = row_number over the DISTINCT value table per
+    // part. Contract: distinct order values per part must be bounded
+    // (5 priorities here) — for unbounded value domains, rank the
+    // distinct table with ScalableRank again instead of a window.
+    // Oracle = DuckDB's native rank/dense_rank.
+    "q106_scalable_rank_ties" -> ((s, dir) => {
+      val (ranked, _) = graft.ops.ScalableRank.rowNumbered(
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority"),
+        partCols = Seq("o_orderstatus"),
+        orderCols = Seq(col("o_orderpriority").asc, col("o_orderkey").asc),
+        buckets = 32)
+      val valRanks = ranked
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(min("rn").as("rnk"))
+        .withColumn("drnk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("o_orderstatus").orderBy("o_orderpriority")))
+      ranked
+        .join(broadcast(valRanks), Seq("o_orderstatus", "o_orderpriority"))
+        .select(
+          col("o_orderkey"), col("o_orderstatus"),
+          col("rnk"), col("drnk").cast("long").as("drnk"))
+        .orderBy("o_orderkey")
+    }),
+
     // Analytic lag/lead/first_value/last_value over each user's event
     // sequence (unique tie-break: event_id).
     "q22_lag_lead" -> ((s, dir) => {
@@ -242,6 +275,14 @@ object WindowQueries extends QueryPack {
         |  CAST(ntile(4) OVER w AS INT) AS quartile
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q106_scalable_rank_ties" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority)
         |ORDER BY o_orderkey""".stripMargin,
 
     "q86_latest_by_key" ->

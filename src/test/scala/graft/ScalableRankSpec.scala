@@ -41,6 +41,26 @@ class ScalableRankSpec extends SparkSpec {
     }
   }
 
+  test("tie-semantics rank/dense_rank via aggregation equals the native window") {
+    // The q106 shape: rank = min(rn) per peer group (partial-aggregated
+    // groupBy, safe under any tie multiplicity), dense_rank = row_number
+    // over the distinct value table. The synthetic df's v = i % 13
+    // forces ~54-row peer groups that straddle bucket boundaries.
+    val (ranked, _) = ScalableRank.rowNumbered(
+      df, Seq("k"), Seq(col("v").asc, col("id").asc), buckets = 8)
+    val valRanks = ranked.groupBy("k", "v").agg(min("rn").as("rnk"))
+      .withColumn("drnk", row_number().over(
+        Window.partitionBy("k").orderBy("v")).cast("long"))
+    val twoPhase = ranked.join(broadcast(valRanks), Seq("k", "v"))
+      .select("k", "id", "rnk", "drnk")
+    val w = Window.partitionBy("k").orderBy("v")
+    val native = df.select(col("k"), col("id"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk"))
+    assert(twoPhase.except(native).isEmpty && native.except(twoPhase).isEmpty,
+      "tie-semantics ranks diverge from the native window")
+  }
+
   test("ranks are a 1..n permutation within every part key") {
     val (ranked, _) = ScalableRank.rowNumbered(
       df, Seq("k"), Seq(col("v").asc, col("id").asc), buckets = 8)
