@@ -134,4 +134,66 @@ object Dedup {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Connected components over an undirected similarity graph by
+    * iterative min-label propagation — the cluster-level dedup step
+    * between pairwise near-dup detection and "keep one per duplicate
+    * CLUSTER" (remove-any-higher-pair-id, as q94/q105 do, can keep two
+    * docs that are both similar to a third but not to each other; the
+    * component minimum cannot).
+    *
+    * `vertices`: one `id` column. `edges`: (`src`, `dst`) pairs, either
+    * orientation (symmetrized here). Returns (`id`, `lbl`) with `lbl` =
+    * the minimum id reachable from `id` — the canonical component
+    * representative.
+    *
+    * Scale shape: each iteration is one equi-join of edges against
+    * current labels + one min-aggregate (both partial-aggregated,
+    * shuffled on vertex id) — no task ever holds more than a hash
+    * partition. Labels only decrease, so convergence (no label
+    * changed) is a monotone fixpoint reached in ≤ graph-diameter
+    * iterations; the driver loop checks convergence with one `isEmpty`
+    * action per round (bounded by `maxIters` as a runaway guard — at
+    * web-corpus diameters, switch to the doubling
+    * large-star/small-star variant; near-dup similarity graphs have
+    * tiny diameters).
+    *
+    * Each round is cut with an EAGER `localCheckpoint`, not
+    * `persist()`: the new labels reference the old twice (join +
+    * convergence check), so an unbroken lineage doubles the logical
+    * plan per iteration — exponential analysis cost by iteration 20 —
+    * and a persisted frame additionally pins cache-manager entries the
+    * caller never sees to unpersist. Checkpointing truncates plan and
+    * lineage to a materialized LogicalRDD whose blocks the context
+    * cleaner frees once the frame is unreferenced.
+    */
+  def connectedComponents(
+      vertices: DataFrame,
+      edges: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val sym = edges.select("src", "dst")
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = vertices.select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var done = false
+    var i = 0
+    while (!done && i < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("src"), col("lbl").as("slbl")), "src")
+        .groupBy(col("dst").as("id")).agg(min("slbl").as("nlbl"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      // Labels are monotonically non-increasing: any strict decrease
+      // means another round is needed.
+      done = next
+        .join(labels.select(col("id"), col("lbl").as("prev")), Seq("id"))
+        .filter(col("lbl") < col("prev"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
 }

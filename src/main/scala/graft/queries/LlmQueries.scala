@@ -552,6 +552,47 @@ object LlmQueries extends QueryPack {
         .select("vec_id").orderBy("vec_id")
     }),
 
+    // Duplicate-CLUSTER resolution (the step after q105's pairwise
+    // detection): candidate pairs from the same LSH bucket join + exact
+    // cosine verify become an undirected similarity graph, and
+    // Dedup.connectedComponents propagates minimum labels to a fixpoint
+    // so every document maps to its cluster representative — the
+    // semantics remove-any-higher-pair-id cannot give (it can keep two
+    // docs both similar to a third but not to each other). Corpus:
+    // even-id vectors get ×2 AND ×4 copies (sign-preserving ⇒ all three
+    // mutually cos=1 ⇒ one triangle component with the original id as
+    // minimum); odd-id vectors get a ×(−2) copy (cos=−1 ⇒ two
+    // singletons). The oracle replays the graph on brute-force
+    // all-pairs and resolves components with a recursive CTE —
+    // label-propagation and transitive closure must agree exactly.
+    "q107_dedup_components" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 500).select("vec_id", "embedding")
+      def scaled(df: org.apache.spark.sql.DataFrame, factor: Float, shift: Long) =
+        df.select(
+          (col("vec_id") + shift).as("vec_id"),
+          transform(col("embedding"), x => x * lit(factor)).as("embedding"))
+      val even = base.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = base.filter(pmod(col("vec_id"), lit(2)) === 1)
+      val corpus = base
+        .unionAll(scaled(even, 2.0f, 100000L))
+        .unionAll(scaled(even, 4.0f, 200000L))
+        .unionAll(scaled(odd, -2.0f, 100000L))
+      val indexed = corpus.withColumn(
+        "bucket", Similarity.lshBucket(col("embedding"), nPlanes = 16, dim = 64))
+      val a = indexed.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("bucket"))
+      val b = indexed.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("bucket"))
+      val edges = a.join(b, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(Similarity.cosine(col("va"), col("vb")) > 0.9)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      Dedup.connectedComponents(corpus.select(col("vec_id").as("id")), edges)
+        .select(col("id").as("vec_id"), col("lbl").as("component"))
+        .orderBy("vec_id")
+    }),
+
     // Multimodal binary column: text encoded as opaque BINARY media,
     // byte-level features extracted scan-side (the codec-free half of
     // ops/Multimodal; the mapPartitions decode-stub path is
@@ -1067,6 +1108,47 @@ object LlmQueries extends QueryPack {
         |SELECT vec_id FROM corpus
         |WHERE vec_id NOT IN (SELECT vec_id FROM removed)
         |ORDER BY vec_id""".stripMargin,
+
+    // Brute-force all-pairs edges + recursive-CTE transitive closure:
+    // min reachable id per vertex ≡ the Spark side's label-propagation
+    // fixpoint. The walk's state space is deduplicated (id, lbl) pairs,
+    // bounded at |V|² — fine at oracle scale.
+    "q107_dedup_components" ->
+      """WITH RECURSIVE base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(2.0 AS DOUBLE) AS FLOAT))
+        |  FROM base WHERE vec_id % 2 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 200000,
+        |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(4.0 AS DOUBLE) AS FLOAT))
+        |  FROM base WHERE vec_id % 2 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(-2.0 AS DOUBLE) AS FLOAT))
+        |  FROM base WHERE vec_id % 2 = 1),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM corpus),
+        |edges AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE (CASE WHEN list_dot_product(a.v, a.v) = 0
+        |                OR list_dot_product(b.v, b.v) = 0 THEN 0.0
+        |         ELSE list_dot_product(a.v, b.v) /
+        |           (sqrt(list_dot_product(a.v, a.v)) *
+        |            sqrt(list_dot_product(b.v, b.v))) END) > 0.9),
+        |sym AS (
+        |  SELECT src, dst FROM edges
+        |  UNION SELECT dst AS src, src AS dst FROM edges),
+        |walk(id, lbl) AS (
+        |  SELECT vec_id, vec_id FROM corpus
+        |  UNION
+        |  SELECT s.dst, w.lbl FROM walk w JOIN sym s ON s.src = w.id)
+        |SELECT id AS vec_id, CAST(min(lbl) AS BIGINT) AS component
+        |FROM walk GROUP BY id ORDER BY vec_id""".stripMargin,
 
     "q99_int8_quant" ->
       """WITH s AS (SELECT vec_id,

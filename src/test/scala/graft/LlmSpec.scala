@@ -316,4 +316,21 @@ class LlmSpec extends SparkSpec {
       assert(sampled.frames.toSeq === Seq(f.frames(0), f.frames(2)))
     }
   }
+
+  test("connected components converge past diameter 1 (path graph, mixed edge orientation)") {
+    // q107's triangle components converge in one propagation round;
+    // this is the case that actually exercises the fixpoint loop: a
+    // 10-vertex path (diameter 9, label 1 must walk the whole chain),
+    // deliberately mixed edge orientations (symmetrization under
+    // test), plus a 2-vertex component and an isolated vertex.
+    import spark.implicits._
+    val verts = ((1L to 10L) ++ Seq(20L, 21L, 30L)).toDF("id")
+    val edges = ((1L to 9L).map(i => if (i % 2 == 0) (i, i + 1) else (i + 1, i)) ++
+      Seq((21L, 20L))).toDF("src", "dst")
+    val labels = graft.ops.Dedup.connectedComponents(verts, edges)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 10L).forall(labels(_) == 1L), s"path component wrong: $labels")
+    assert(labels(20L) == 20L && labels(21L) == 20L)
+    assert(labels(30L) == 30L)
+  }
 }
