@@ -278,6 +278,25 @@ object AggQueries extends QueryPack {
           min("pos").as("pos")))
     }),
 
+    // Scalable MODE (most frequent value per group) — q104's value-count
+    // shape: (group, value) counts partial-aggregate map-side, then one
+    // struct-max per group picks (highest count, then SMALLEST value —
+    // the negated-value field makes the lexicographic struct max a
+    // deterministic tie-break; DuckDB's native mode() leaves ties
+    // unspecified, so the oracle replays the same rule). Every step is
+    // an algebraic aggregate: no sort, no window, no per-group buffer.
+    "q108_mode" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("l_returnflag")
+        .agg(max(struct(col("cnt"), (-col("l_quantity")).as("nv"))).as("m"))
+        .select(
+          col("l_returnflag"),
+          (-col("m.nv")).as("mode_qty"),
+          col("m.cnt").as("n_mode"))
+        .orderBy("l_returnflag")),
+
     // approx_percentile (t-digest-style sketch): the unbounded-group
     // companion to q77's exact sort-based percentile. Engine-specific
     // sketch → rows-only driver check; AggSpec bounds its error
@@ -441,6 +460,19 @@ object AggQueries extends QueryPack {
          |      OR (t.rk_hi > c.prev AND t.rk_hi <= c.cum))
          |  GROUP BY c.l_returnflag, t.p),
          |$percentileBlendPivotSql""".stripMargin,
+
+    // Same deterministic tie-break replayed: count DESC, value ASC.
+    "q108_mode" ->
+      """WITH vc AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |r AS (
+        |  SELECT l_returnflag, l_quantity, cnt,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cnt DESC, l_quantity ASC) AS rn
+        |  FROM vc)
+        |SELECT l_returnflag, l_quantity AS mode_qty, CAST(cnt AS BIGINT) AS n_mode
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
 
     "q83_salted_agg" ->
       s"""SELECT l_returnflag AS key,
