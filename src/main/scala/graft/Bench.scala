@@ -66,6 +66,7 @@ object Bench {
     // pipeline, so min stays comparable to single-rep rounds.
     def resetMemoizedState(): Unit = {
       graft.queries.LlmQueries.clearCaches()
+      graft.queries.LlmQueries.resetIvfIndexState()
       graft.queries.SourceQueries.resetQ89State()
     }
 

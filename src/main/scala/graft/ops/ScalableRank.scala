@@ -110,4 +110,55 @@ object ScalableRank {
       .drop("__pid", "__off")
     (ranked, stats)
   }
+
+  /** Two-phase scalable RUNNING SUM (prefix sum) of integral `valCol`
+    * within `partCols` under `orderCols` — [[rowNumbered]]'s shape
+    * accumulating a value instead of a count. A plain
+    * `sum(v).over(partitionBy(k).orderBy(o))` on a low-cardinality `k`
+    * is the same single-task scan as the rank case; here each task
+    * folds only its range bucket, and bucket START sums (exclusive
+    * prefix over per-bucket totals, |part|×buckets rows) are broadcast
+    * back and added.
+    *
+    * Bit-exactness: `valCol` is summed as LONG — integer partial sums
+    * are associative/commutative, so the decomposition equals the
+    * single-pass window under ANY bucket boundaries. (A double value
+    * column would NOT be safe: fold order changes.)
+    *
+    * Exchange-reuse contract: same as [[bucketize]] — both branches
+    * consume the one range exchange. `valCol` is referenced by BOTH
+    * branches (bucket totals and the local running sum), and the order
+    * columns are partitioning expressions, so column pruning cannot
+    * split the canonical subtrees; keep `df` projected to exactly
+    * partCols ++ orderCols ++ valCol regardless.
+    */
+  def runningSummed(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCols: Seq[Column],
+      valCol: String,
+      buckets: Int,
+      run: String = "run"): DataFrame = {
+    val rangeCols = partCols.map(col) ++ orderCols
+    val bucketed = df
+      .repartitionByRange(buckets, rangeCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val grpPid = (partCols :+ "__pid").map(col)
+    val byPart = Window.partitionBy(partCols.map(col): _*)
+    val offsets = bucketed
+      .groupBy(grpPid: _*)
+      .agg(sum(col(valCol).cast("long")).as("__bsum"))
+      .withColumn(
+        "__off",
+        coalesce(
+          sum("__bsum").over(byPart.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("__bsum")
+    val wLocal = Window.partitionBy(grpPid: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(broadcast(offsets), partCols :+ "__pid")
+      .withColumn(run, col("__off") + sum(col(valCol).cast("long")).over(wLocal))
+      .drop("__pid", "__off")
+  }
 }

@@ -130,6 +130,44 @@ object Similarity {
     * surface as degenerate cos=0 matches.) Filter or impute NULL
     * embeddings upstream if they must participate.
     */
+  /** Deterministic coarse seed centroids: the first `nLists` vectors
+    * with ids ≡ 0 (mod stride), stride derived from one scalar
+    * aggregate — never a full id collect (only the nLists centroid
+    * VECTORS come to the driver, bounded). Sparse/offset id sets can
+    * contain no multiple of stride — fall back to the first nLists
+    * vectors by id (still deterministic and bounded) rather than
+    * crashing with an empty centroid set. Empty corpus → empty array.
+    */
+  def seedCentroids(candidates0: DataFrame, nLists: Int): Array[(Long, Array[Float])] = {
+    val candidates = candidates0.withColumn("vec_id", col("vec_id").cast("long"))
+    val maxIdRow = candidates.agg(max(col("vec_id"))).collect()(0)
+    if (maxIdRow.isNullAt(0)) return Array.empty
+    val stride = math.max(1L, (maxIdRow.getLong(0) + 1) / nLists)
+    val strided = candidates
+      .filter(col("vec_id") % stride === 0)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(nLists)
+      .collect()
+    val rows =
+      if (strided.nonEmpty) strided
+      else candidates.select(col("vec_id"), col("embedding"))
+        .orderBy("vec_id").limit(nLists).collect()
+    rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+  }
+
+  /** cell = argmax cosine over the centroid matrix, as ONE native
+    * expression (graft_best_cell — IvfCells.scala) holding the whole
+    * matrix as constant data. The earlier greatest()-of-structs chain
+    * embedded every centroid as its own plan literal: an
+    * analyzer/codegen blow-up at the thousands of lists a 100 TB IVF
+    * needs. Ties break toward the higher centroid id, same as the
+    * old struct ordering (and the oracle's ORDER BY ccos DESC, cid
+    * DESC replay).
+    */
+  def cellExpr(cents: Array[(Long, Array[Float])])(emb: Column): Column =
+    call_function("graft_best_cell", emb,
+      typedLit(cents.map(_._2)), typedLit(cents.map(_._1)))
+
   def topKIvf(probes0: DataFrame, candidates0: DataFrame, k: Int, nLists: Int,
               lloydIters: Int = 0, nProbe: Int = 1): DataFrame = {
     // Normalize ids to long up front so the operator is id-type
@@ -137,43 +175,17 @@ object Similarity {
     // getLong and change the empty-corpus schema).
     val probes = probes0.withColumn("vec_id", col("vec_id").cast("long"))
     val candidates = candidates0.withColumn("vec_id", col("vec_id").cast("long"))
-    // Deterministic coarse centroids: ids ≡ 0 (mod stride), stride
-    // derived from one scalar aggregate — never a full id collect
-    // (only the nLists centroid VECTORS come to the driver, bounded).
-    val maxIdRow = candidates.agg(max(col("vec_id"))).collect()(0)
-    if (maxIdRow.isNullAt(0)) {
+    var centroids = seedCentroids(candidates, nLists)
+    if (centroids.isEmpty) {
       // Empty corpus → empty top-k with the contract schema.
       return candidates.sparkSession.emptyDataFrame
         .select(lit(0L).as("probe_id"), lit(0).as("rnk"),
           lit(0L).as("cand_id"), lit(0.0).as("cos"))
         .limit(0)
     }
-    val stride = math.max(1L, (maxIdRow.getLong(0) + 1) / nLists)
-    val strided = candidates
-      .filter(col("vec_id") % stride === 0)
-      .select(col("vec_id"), col("embedding"))
-      .orderBy("vec_id").limit(nLists)
-      .collect()
-    // Sparse/offset id sets can contain no multiple of stride — fall
-    // back to the first nLists vectors by id (still deterministic and
-    // bounded) rather than crashing with an empty centroid set.
-    val rows =
-      if (strided.nonEmpty) strided
-      else candidates.select(col("vec_id"), col("embedding"))
-        .orderBy("vec_id").limit(nLists).collect()
-    var centroids = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
 
-    // cell = argmax cosine over the centroid matrix, as ONE native
-    // expression (graft_best_cell — IvfCells.scala) holding the whole
-    // matrix as constant data. The earlier greatest()-of-structs chain
-    // embedded every centroid as its own plan literal: an
-    // analyzer/codegen blow-up at the thousands of lists a 100 TB IVF
-    // needs. Ties break toward the higher centroid id, same as the
-    // old struct ordering (and the oracle's ORDER BY ccos DESC, cid
-    // DESC replay).
     def cell(cents: Array[(Long, Array[Float])])(emb: Column): Column =
-      call_function("graft_best_cell", emb,
-        typedLit(cents.map(_._2)), typedLit(cents.map(_._1)))
+      cellExpr(cents)(emb)
 
     for (_ <- 0 until lloydIters) {
       val fixed = centroids // stable capture for the closure below
@@ -223,6 +235,55 @@ object Similarity {
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("cand_id").asc)
     c.join(p, Seq("cell"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("cos", cosine(col("pv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("probe_id", "rnk", "cand_id", "cos")
+  }
+
+  /** Inverted-list assignment for a PERSISTED IVF index: every
+    * candidate row tagged with its coarse cell. This is the
+    * build-once side of the index — materialize the result as a table
+    * bucketed on `cell` (see `LlmQueries.ensureIvfIndex`) and repeated
+    * ANN queries skip re-assignment entirely AND join co-located on
+    * the cell without a candidate-side shuffle.
+    *
+    * NULL-embedding contract: same as [[topKIvf]] — NULL embedding →
+    * NULL cell → excluded from every probe result.
+    */
+  def assignCells(candidates0: DataFrame, cents: Array[(Long, Array[Float])]): DataFrame = {
+    val candidates = candidates0.withColumn("vec_id", col("vec_id").cast("long"))
+    candidates.select(
+      col("vec_id").as("cand_id"),
+      col("embedding").as("cv"),
+      cellExpr(cents)(col("embedding")).as("cell"))
+  }
+
+  /** Probe an already-materialized IVF index: `lists` is the
+    * [[assignCells]] output (read back from its bucketed table),
+    * `cents` the persisted centroids. Identical result contract (and
+    * bit-identical output) to [[topKIvf]] with the same parameters —
+    * the difference is purely physical: assignment cost was paid once
+    * at build time, and the candidate side arrives pre-partitioned on
+    * `cell`, so the probe join needs no exchange under it.
+    */
+  def topKIvfIndexed(probes0: DataFrame, lists: DataFrame,
+                     cents: Array[(Long, Array[Float])], k: Int,
+                     nProbe: Int = 1): DataFrame = {
+    val probes = probes0.withColumn("vec_id", col("vec_id").cast("long"))
+    val p =
+      if (nProbe <= 1)
+        probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+          cellExpr(cents)(col("embedding")).as("cell"))
+      else
+        probes.select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+          explode(call_function("graft_top_cells", col("embedding"),
+            typedLit(cents.map(_._2)), typedLit(cents.map(_._1)),
+            lit(nProbe))).as("cell"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    lists.join(p, Seq("cell"))
       .filter(col("cand_id") =!= col("probe_id"))
       .withColumn("cos", cosine(col("pv"), col("cv")))
       .withColumn("rnk", row_number().over(w))

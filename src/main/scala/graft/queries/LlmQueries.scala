@@ -71,6 +71,62 @@ object LlmQueries extends QueryPack {
       }
     }
 
+  /** The persisted IVF index materializes lazily, once per live
+    * (session, dir) — same contract as q89's bucketed tables: plan
+    * inspection and bench re-runs see the build cost ONCE, which is
+    * the operator's whole story (pay assignment + layout at build
+    * time, every subsequent ANN probe joins the pre-partitioned lists
+    * with no candidate-side exchange and no re-assignment). Keyed on a
+    * string identity of the session (not the object — a strong ref
+    * would pin a stopped session) plus the data dir.
+    */
+  private val ivfIndexState =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)]()
+
+  /** nLists for the persisted index — matches q67 so the probe surface
+    * (q110) shares q67's oracle replay. */
+  private val IvfIndexLists = 4
+
+  /** Forgets the persisted-index state so the next invocation re-runs
+    * the full build. Bench calls this between reps (via
+    * [[clearCaches]] companionship in `Bench.resetMemoizedState`). */
+  def resetIvfIndexState(): Unit = ivfIndexState.set(null)
+
+  private def ensureIvfIndex(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    ivfIndexState.synchronized {
+      val key = (s.sparkContext.applicationId + "/" + System.identityHashCode(s), dir)
+      val cached = ivfIndexState.get == key &&
+        s.catalog.tableExists("graft_ivf_lists") &&
+        s.catalog.tableExists("graft_ivf_cents")
+      if (!cached) {
+        Seq("graft_ivf_lists", "graft_ivf_cents")
+          .foreach(graft.sources.Staging.dropManagedTable(s, _))
+        val emb = Tables.embeddings(s, dir)
+        val cents = Similarity.seedCentroids(emb, IvfIndexLists)
+        // Inverted lists: (cell, cand_id, cv) bucketed on the cell so
+        // a probe join reads candidates already partitioned — the
+        // exchange the ad-hoc q67 pays on every query is paid once
+        // here. 8 buckets ≥ nLists keeps each cell in one bucket.
+        Similarity.assignCells(emb, cents)
+          .write.mode("overwrite")
+          .bucketBy(8, "cell").sortBy("cell")
+          .saveAsTable("graft_ivf_lists")
+        // Centroid matrix: tiny (nLists rows) — the probe side reads
+        // it back with one bounded collect instead of re-deriving
+        // seeds from the corpus.
+        import s.implicits._
+        cents.toSeq.toDF("cid", "centroid")
+          .write.mode("overwrite").saveAsTable("graft_ivf_cents")
+        ivfIndexState.set(key)
+      }
+    }
+
+  /** Reads the persisted centroid matrix back as the driver-side array
+    * [[Similarity.topKIvfIndexed]] needs — bounded at nLists rows. */
+  private def loadCentroids(s: org.apache.spark.sql.SparkSession): Array[(Long, Array[Float])] =
+    s.table("graft_ivf_cents").orderBy("cid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
   override val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash groupBy, keeper = min id. One shuffle
     // on the 128-bit key at any scale.
@@ -279,6 +335,34 @@ object LlmQueries extends QueryPack {
         .orderBy("probe_id", "rnk")
     }),
 
+    // PERSISTED IVF index, build side: materialize (cell → inverted
+    // list) as a table bucketed on the cell plus the centroid matrix
+    // (ensureIvfIndex). The observable result is the index manifest —
+    // per-cell list sizes and id bounds — which the oracle replays by
+    // re-deriving the assignment in SQL. At 100 TB this is the
+    // build-once layout job; q110 is the cheap repeated-probe side.
+    "q109_ivf_index_build" -> ((s, dir) => {
+      ensureIvfIndex(s, dir)
+      s.table("graft_ivf_lists")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          min("cand_id").as("min_id"), max("cand_id").as("max_id"))
+        .orderBy("cell")
+    }),
+
+    // PERSISTED IVF index, probe side: identical result contract to
+    // q67 (same nLists/k/probe set — shares q67's oracle replay), but
+    // physically: NO per-query assignment of the corpus (the lists
+    // table already carries cells) and NO candidate-side exchange
+    // (the table is bucketed on the join key — PlanSpec asserts it).
+    "q110_ann_ivf_indexed" -> ((s, dir) => {
+      ensureIvfIndex(s, dir)
+      Similarity.topKIvfIndexed(
+          Tables.embeddings(s, dir).filter(col("vec_id") < 10),
+          s.table("graft_ivf_lists"), loadCentroids(s), k = 5)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // Token counting, whitespace vs BPE-ish: a subword-style regex
     // (letter runs / digit runs / single punctuation, the GPT-2
     // pre-tokenizer shape) against the whitespace count — the standard
@@ -345,13 +429,18 @@ object LlmQueries extends QueryPack {
     // the doc's start offset). The standard "pack short docs into
     // fixed-length training sequences" stage as one windowed plan.
     "q80_pack_sequences" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy("doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      Tables.documents(s, dir)
+      // Packing = running token sum per source → 2048-token bins. A
+      // plain sum().over(partitionBy(source)) is a single-task fold of
+      // a third of the corpus (source has 3 values) — the q21 defect
+      // class, caught by PlanSpec's window-cardinality gate. The
+      // two-phase prefix sum bounds every task at one range bucket;
+      // integer token counts make the decomposition bit-exact.
+      val docs = Tables.documents(s, dir)
         .withColumn("n_tokens", size(Text.tokens(col("text"))))
-        .withColumn("cum", sum("n_tokens").over(w))
+        .select("source", "doc_id", "n_tokens")
+      graft.ops.ScalableRank.runningSummed(
+          docs, partCols = Seq("source"), orderCols = Seq(col("doc_id").asc),
+          valCol = "n_tokens", buckets = 32, run = "cum")
         .withColumn("bin", floor((col("cum") - col("n_tokens")) / lit(2048.0)))
         .groupBy("source", "bin")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
@@ -608,6 +697,66 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id"))
   )
 
+  /** Shared oracle fragment: the IVF seed-centroid + cell-assignment
+    * replay (centroids are a deterministic strided sample by id, cell
+    * assignment is argmax cosine, tie → higher centroid id). One
+    * source of truth for q67 (ad-hoc IVF), q109 (index build) and
+    * q110 (indexed probe) so the three replays can never diverge.
+    */
+  private val ivfCellsCte =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |mx AS (SELECT greatest(1, (max(vec_id)+1) // 4) AS stride FROM embeddings),
+      |strided AS (
+      |  SELECT vec_id AS cid, v FROM e, mx
+      |  WHERE vec_id % mx.stride = 0 ORDER BY vec_id LIMIT 4),
+      |-- topKIvf's sparse-id fallback: when no id is a stride
+      |-- multiple, centroids are the first nLists vectors by id
+      |fallback AS (SELECT vec_id AS cid, v FROM e ORDER BY vec_id LIMIT 4),
+      |cents AS (
+      |  SELECT * FROM strided
+      |  UNION ALL
+      |  SELECT * FROM fallback
+      |  WHERE NOT EXISTS (SELECT 1 FROM strided)),
+      |assign AS (
+      |  SELECT e.vec_id, c.cid,
+      |    CASE WHEN list_dot_product(e.v, e.v) = 0
+      |           OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+      |         ELSE list_dot_product(e.v, c.v) /
+      |           (sqrt(list_dot_product(e.v, e.v)) *
+      |            sqrt(list_dot_product(c.v, c.v))) END AS ccos
+      |  FROM e CROSS JOIN cents c),
+      |cells AS (
+      |  SELECT vec_id, cid AS cell FROM (
+      |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY ccos DESC, cid DESC) AS rn FROM assign)
+      |  WHERE rn = 1)""".stripMargin
+
+  /** q67's full replay — also q110's oracle: the indexed probe is
+    * contractually bit-identical to the ad-hoc IVF at the same
+    * parameters (the index only changes WHERE the assignment cost is
+    * paid, never the result). */
+  private val ivfTopKOracle = ivfCellsCte + ",\n" +
+    """scored AS (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+      |    CASE WHEN list_dot_product(ep.v, ep.v) = 0
+      |           OR list_dot_product(ec.v, ec.v) = 0 THEN 0.0
+      |         ELSE list_dot_product(ep.v, ec.v) /
+      |           (sqrt(list_dot_product(ep.v, ep.v)) *
+      |            sqrt(list_dot_product(ec.v, ec.v))) END AS cos
+      |  FROM cells p
+      |  JOIN cells c ON p.cell = c.cell AND c.vec_id <> p.vec_id
+      |  JOIN e ep ON ep.vec_id = p.vec_id
+      |  JOIN e ec ON ec.vec_id = c.vec_id
+      |  WHERE p.vec_id < 10)
+      |SELECT probe_id, rnk, cand_id, cos FROM (
+      |  SELECT probe_id, cand_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY probe_id
+      |      ORDER BY cos DESC, cand_id) AS INT) AS rnk
+      |  FROM scored)
+      |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+
   override val oracles: Map[String, String] = Map(
     "q43_exact_dedup" ->
       """SELECT md5(text) AS content_key, min(doc_id) AS keeper_id,
@@ -837,56 +986,20 @@ object LlmQueries extends QueryPack {
         |  FROM scored)
         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
 
-    // q67: centroids are a deterministic strided sample by id, cell
-    // assignment is argmax cosine (tie → higher centroid id, matching
-    // greatest() struct ordering) — all SQL-expressible.
-    "q67_ann_ivf" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |mx AS (SELECT greatest(1, (max(vec_id)+1) // 4) AS stride FROM embeddings),
-        |strided AS (
-        |  SELECT vec_id AS cid, v FROM e, mx
-        |  WHERE vec_id % mx.stride = 0 ORDER BY vec_id LIMIT 4),
-        |-- topKIvf's sparse-id fallback: when no id is a stride
-        |-- multiple, centroids are the first nLists vectors by id
-        |fallback AS (SELECT vec_id AS cid, v FROM e ORDER BY vec_id LIMIT 4),
-        |cents AS (
-        |  SELECT * FROM strided
-        |  UNION ALL
-        |  SELECT * FROM fallback
-        |  WHERE NOT EXISTS (SELECT 1 FROM strided)),
-        |assign AS (
-        |  SELECT e.vec_id, c.cid,
-        |    CASE WHEN list_dot_product(e.v, e.v) = 0
-        |           OR list_dot_product(c.v, c.v) = 0 THEN 0.0
-        |         ELSE list_dot_product(e.v, c.v) /
-        |           (sqrt(list_dot_product(e.v, e.v)) *
-        |            sqrt(list_dot_product(c.v, c.v))) END AS ccos
-        |  FROM e CROSS JOIN cents c),
-        |cells AS (
-        |  SELECT vec_id, cid AS cell FROM (
-        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY ccos DESC, cid DESC) AS rn FROM assign)
-        |  WHERE rn = 1),
-        |scored AS (
-        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
-        |    CASE WHEN list_dot_product(ep.v, ep.v) = 0
-        |           OR list_dot_product(ec.v, ec.v) = 0 THEN 0.0
-        |         ELSE list_dot_product(ep.v, ec.v) /
-        |           (sqrt(list_dot_product(ep.v, ep.v)) *
-        |            sqrt(list_dot_product(ec.v, ec.v))) END AS cos
-        |  FROM cells p
-        |  JOIN cells c ON p.cell = c.cell AND c.vec_id <> p.vec_id
-        |  JOIN e ep ON ep.vec_id = p.vec_id
-        |  JOIN e ec ON ec.vec_id = c.vec_id
-        |  WHERE p.vec_id < 10)
-        |SELECT probe_id, rnk, cand_id, cos FROM (
-        |  SELECT probe_id, cand_id, cos,
-        |    CAST(row_number() OVER (PARTITION BY probe_id
-        |      ORDER BY cos DESC, cand_id) AS INT) AS rnk
-        |  FROM scored)
-        |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+    // q67: see ivfCellsCte/ivfTopKOracle — the shared strided-seed +
+    // argmax-cosine replay.
+    "q67_ann_ivf" -> ivfTopKOracle,
+
+    // q110: bit-identical contract to q67 — the persisted index only
+    // moves the assignment cost to build time.
+    "q110_ann_ivf_indexed" -> ivfTopKOracle,
+
+    // q109: the index manifest — replay the assignment, aggregate the
+    // inverted-list shapes.
+    "q109_ivf_index_build" -> (ivfCellsCte + "\n" +
+      """SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  min(vec_id) AS min_id, max(vec_id) AS max_id
+        |FROM cells GROUP BY cell ORDER BY cell""".stripMargin),
 
     // q100: q67's chain with multi-probe — candidates keep their rn=1
     // cell, probes take their top-2 cells (same ccos DESC, cid DESC

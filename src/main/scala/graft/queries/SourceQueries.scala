@@ -53,21 +53,8 @@ object SourceQueries extends QueryPack {
         s.catalog.tableExists("graft_q89_orders") &&
         s.catalog.tableExists("graft_q89_customer")
       if (!cached) {
-        // A fresh session's in-memory catalog doesn't know about table
-        // directories left in the warehouse by a previous run, and CTAS
-        // refuses a non-empty location — drop both layers explicitly.
-        Seq("graft_q89_orders", "graft_q89_customer").foreach { t =>
-          s.sql(s"DROP TABLE IF EXISTS $t")
-          val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-          val p = java.nio.file.Paths.get(wh, t)
-          if (java.nio.file.Files.exists(p)) {
-            import scala.jdk.CollectionConverters._
-            val st = java.nio.file.Files.walk(p)
-            try st.iterator().asScala.toSeq.reverse
-              .foreach(java.nio.file.Files.deleteIfExists(_))
-            finally st.close()
-          }
-        }
+        Seq("graft_q89_orders", "graft_q89_customer")
+          .foreach(graft.sources.Staging.dropManagedTable(s, _))
         Tables.orders(s, dir).write.mode("overwrite")
           .bucketBy(8, "o_custkey").sortBy("o_custkey")
           .saveAsTable("graft_q89_orders")

@@ -71,13 +71,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("__salt"), s"salt column absent from plan:\n$plan")
   }
 
-  test("q80: packing runs one window pass feeding the aggregate — a single width") {
+  test("q80: the packing running sum is range-bucketed, never keyed on bare source") {
     val plan = planOf("q80_pack_sequences")
-    assert("RunningWindowFunction|Window".r.findAllIn(plan).size >= 1)
-    // Window partition (source, doc_id-ordered) then agg on (source,
-    // bin): both hash-partition by source first — no extra exchange
-    // between window and aggregate beyond the agg's own.
-    assert(!plan.contains("CartesianProduct"))
+    // The running sum's window must partition on (source, __pid) — a
+    // bare partitionBy(source) is a single-task fold of a third of the
+    // corpus (the q21 defect class; the registry-wide window gate
+    // enforces the same property generically).
+    assert(plan.contains("rangepartitioning") && plan.contains("__pid"),
+      s"two-phase running-sum shape missing:\n$plan")
+    // Bucket start offsets join back via broadcast — the doc side must
+    // not shuffle for it.
+    assert(plan.contains("BroadcastHashJoin"), s"offsets join not broadcast:\n$plan")
   }
 
   test("q86: rank limit pushes below the shuffle (map-side top-1 per key)") {
@@ -96,13 +100,6 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final WindowGroupLimit:\n$plan")
   }
 
-  test("q80: the aggregate reuses the window's hash partitioning — no extra exchange") {
-    val plan = planOf("q80_pack_sequences")
-    // One exchange for the window (partitionBy source), one for the
-    // final oracle-contract sort; the groupBy(source, bin) aggregate
-    // must NOT add a third (source partitioning already satisfies it).
-    assert("Exchange".r.findAllIn(plan).size <= 2, s"extra exchange:\n$plan")
-  }
 
   test("q89: the bucketed join has no shuffle exchange before the join") {
     // At test SF the dim side broadcasts (also exchange-free, but not
@@ -198,7 +195,7 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  for (q <- Seq("q102_scalable_rank", "q103_percentile_2pass")) {
+  for (q <- Seq("q102_scalable_rank", "q103_percentile_2pass", "q80_pack_sequences")) {
     test(s"$q: the range exchange is computed once and reused for the counts branch") {
       // CORRECTNESS, not just perf (ScalableRank.bucketize contract):
       // range boundaries are sampled per exchange execution, so the
@@ -225,6 +222,115 @@ class PlanSpec extends SparkSpec {
     // Order statistics are fetched by a broadcast of the 6-row target
     // table — the lineitem side must never shuffle for that join.
     assert(plan.contains("BroadcastHashJoin"), s"target join not broadcast:\n$plan")
+  }
+
+  test("q110: the indexed ANN probe join is exchange-free on the candidate side") {
+    // The persisted IVF index's whole point: the lists table is
+    // bucketed on `cell`, so the probe join reads candidates already
+    // partitioned — no exchange under the candidate side, ever. At
+    // test SF the tiny probe side broadcasts (also candidate-
+    // exchange-free, but not the layout under test); disable broadcast
+    // AND adaptive execution so the plain plan tree is traversable and
+    // the bucketed sort-merge path is forced.
+    val priorBc = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val priorAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("q110_ann_ivf_indexed")(spark, sfDir)
+        .queryExecution.executedPlan
+      val smjs = exec.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(smjs.nonEmpty, s"expected a sort-merge join over buckets:\n$exec")
+      val joinsWithBucketedSide = smjs.filter { j =>
+        Seq(j.left, j.right).exists { side =>
+          side.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.bucketSpec.isDefined => f
+          }.nonEmpty
+        }
+      }
+      assert(joinsWithBucketedSide.nonEmpty,
+        s"no join side scans the bucketed lists table:\n$exec")
+      for (j <- joinsWithBucketedSide;
+           side <- Seq(j.left, j.right)
+           if side.collect {
+             case f: org.apache.spark.sql.execution.FileSourceScanExec
+               if f.relation.bucketSpec.isDefined => f
+           }.nonEmpty) {
+        val exchanges = side.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+        assert(exchanges.isEmpty,
+          s"candidate (bucketed) side still shuffles:\n$side")
+      }
+    } finally {
+      def restore(k: String, v: Option[String]): Unit = v match {
+        case Some(x) => spark.conf.set(k, x)
+        case None    => spark.conf.unset(k)
+      }
+      restore("spark.sql.autoBroadcastJoinThreshold", priorBc)
+      restore("spark.sql.adaptive.enabled", priorAqe)
+    }
+  }
+
+  test("every window partition key is high-cardinality or map-side rank-limited") {
+    // The round-6 verdict's last scale-shape defect class: a ranking
+    // window partitioned on a low-cardinality key with full output is
+    // a single-task sort of 1/k of the table at 100 TB. This gate
+    // makes the class unrecurrable: every Window in the registry must
+    // either (a) partition on a key documented high-cardinality /
+    // bounded-per-key below, (b) be covered by a WindowGroupLimit
+    // (rank-filter pushdown caps per-partition work map-side), or
+    // (c) appear in the explicit bounded-demo allowlist.
+    val highCard = Set(
+      // per-entity ids: cardinality grows with the data
+      "user_id", "doc_id", "probe_id", "vec_id", "cand_id", "chunk_id",
+      "o_orderkey", "l_orderkey", "o_custkey", "c_custkey", "event_id",
+      "content_key", "nkey", "sig", "session_id",
+      // range-bucket keys: cardinality chosen so per-bucket rows are
+      // bounded by construction (ops/ScalableRank)
+      "__bucket", "__pid", "bucket", "band", "cell")
+    val allowed = Map(
+      // the two deliberate bounded-demo window surfaces: native
+      // rank/ntile semantics on a 3-value key, kept as the literal
+      // operator surface next to their scalable reformulations
+      // (q102/q106 two-phase rank, q103/q104 percentile)
+      "q21_rank_dense_ntile" -> "bounded-demo; scalable path is q102/q106",
+      "q71_percent_rank" -> "bounded-demo; scalable path is q102",
+      // percentile companions partition on (returnflag, linestatus):
+      // the scalable exact path is q103/q104
+      "q77_percentile" -> "agg surface; scalable path is q103/q104",
+      // as-of join: the window partitions by the join key of the
+      // union'd sides — key count grows with the dims, demo-bounded
+      "q38_asof" -> "as-of key cardinality = |sensor set|, data-bounded")
+    val violations = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
+      val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+      val limits = plan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit =>
+          g.partitionSpec.flatMap(_.references.map(_.name)).toSet }
+      for (w <- windows) {
+        val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+        // A window whose INPUT is an aggregate runs over the group
+        // table, not the fact table — bounded by the group cardinality
+        // (the prefix-sum-over-bucket-counts shape in ScalableRank,
+        // q106's distinct-value ranking). The defect class under test
+        // is a low-card window DIRECTLY over unbounded rows.
+        val aggregatedInput = w.child.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }.nonEmpty
+        val ok = keys.exists(highCard) ||
+          limits.exists(l => l.subsetOf(keys) && l.nonEmpty) ||
+          aggregatedInput
+        if (!ok) violations += s"$name: window partitioned on $keys"
+      }
+    }
+    assert(violations.isEmpty,
+      "windows partitioned on low-cardinality keys with no WindowGroupLimit " +
+      "— single-task sorts at scale. Either re-key, add a rank filter, or " +
+      "document in the allowlist:\n" + violations.mkString("\n"))
   }
 
   test("no accidental cartesian anywhere in the registry") {
