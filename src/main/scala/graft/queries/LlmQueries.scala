@@ -363,6 +363,82 @@ object LlmQueries extends QueryPack {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Benchmark DECONTAMINATION — the eval-overlap scrub every serious
+    // training pipeline runs before the corpus ships: find train docs
+    // sharing any word n-gram with the held-out eval set. Eval docs
+    // (doc_id ≡ 0 mod 50) explode to (gram, eval_id) and BROADCAST —
+    // the eval set is benchmarks, tiny next to the corpus — so the
+    // train side streams once with no shuffle for the join; the
+    // count-distinct agg shuffles only the matched grams (a vanishing
+    // fraction of the corpus at 100 TB).
+    "q111_decontaminate" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir).select(col("doc_id"),
+        array_distinct(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+      val ev = sh.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("eval_id"), explode(col("sh")).as("g"))
+      val tr = sh.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+      tr.join(broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(countDistinct("g").as("n_hit_grams"),
+          countDistinct("eval_id").as("n_eval_docs"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic STRATIFIED sampling — per-source rates (0.15 /
+    // 0.30 / 0.45 / 0.60 by source index mod 4), decided by a
+    // content-stable md5 prefix against a per-stratum hex threshold
+    // (⌊rate·256⌋ as two hex chars — the q76 trick generalized from
+    // one global rate to a rate PER stratum). Embarrassingly parallel:
+    // a narrow filter, no shuffle, and re-runs/retries/engine swaps
+    // sample identical rows — what rand()-based sampleBy can't give.
+    "q112_stratified_sample" -> ((s, dir) => {
+      val srcIdx = substring(col("source"), 4, 10).cast("int")
+      val thresh = element_at(
+        typedLit(Array("26", "4c", "73", "99")), pmod(srcIdx, lit(4)) + 1)
+      Tables.documents(s, dir)
+        .withColumn("hash2",
+          substring(md5(concat(lit("strat:"), col("doc_id").cast("string"))), 1, 2))
+        .filter(col("hash2") < thresh)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // Document CHUNKING with overlap — the pre-training windowing step
+    // (context-length slices, stride < size so boundaries are seen
+    // twice): 16-token windows at stride 8, one row per chunk. Narrow
+    // per-row generate (explode of a computed index range) — no
+    // shuffle except the oracle-contract sort, any-scale safe.
+    "q113_doc_chunks" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", Text.tokens(col("text")))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0),
+            floor((size(col("toks")) - 1).cast("double") / 8.0).cast("int"))).as("k"))
+        .select(col("doc_id"),
+          col("k").cast("int").as("chunk_idx"),
+          size(slice(col("toks"), col("k") * 8 + 1, lit(16))).as("n_chunk_tokens"),
+          concat_ws(" ", slice(col("toks"), col("k") * 8 + 1, lit(16))).as("chunk_text"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Deterministic global CORPUS SHUFFLE — the "shuffle the training
+    // set" step done reproducibly: order by a salted content hash and
+    // assign contiguous positions. A bare row_number() over the global
+    // order is ONE task sorting the whole corpus; ScalableRank's
+    // two-phase rank (range-bucket on the hash → bucket-local rank +
+    // broadcast offsets) bounds every task at one range bucket.
+    "q114_corpus_shuffle" -> ((s, dir) => {
+      val keyed = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(concat(lit("shuf42:"), col("doc_id").cast("string"))).as("skey"))
+      val (ranked, _) = graft.ops.ScalableRank.rowNumbered(
+        keyed, partCols = Seq.empty,
+        orderCols = Seq(col("skey").asc, col("doc_id").asc),
+        buckets = 32, rn = "pos")
+      ranked.select(col("pos"), col("doc_id"), col("skey")).orderBy("pos")
+    }),
+
     // Token counting, whitespace vs BPE-ish: a subword-style regex
     // (letter runs / digit runs / single punctuation, the GPT-2
     // pre-tokenizer shape) against the whitespace count — the standard
@@ -1000,6 +1076,58 @@ object LlmQueries extends QueryPack {
       """SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
         |  min(vec_id) AS min_id, max(vec_id) AS max_id
         |FROM cells GROUP BY cell ORDER BY cell""".stripMargin),
+
+    // q111: 3-gram shingles replayed with q52's list idiom; eval =
+    // doc_id ≡ 0 (mod 50), overlap counted distinct on both axes.
+    "q111_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+        |          t -> t <> '') AS toks
+        |        FROM documents)),
+        |ev AS (SELECT doc_id AS eval_id, unnest(sh) AS g FROM sh
+        |       WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, unnest(sh) AS g FROM sh
+        |       WHERE doc_id % 50 <> 0)
+        |SELECT tr.doc_id AS doc_id,
+        |  CAST(count(DISTINCT tr.g) AS BIGINT) AS n_hit_grams,
+        |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+        |FROM tr JOIN ev ON tr.g = ev.g
+        |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+
+    // q112: same md5-prefix-vs-threshold math; threshold by source
+    // index mod 4.
+    "q112_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE (CAST(substring(source, 4) AS INT) % 4)
+        |    WHEN 0 THEN '26' WHEN 1 THEN '4c' WHEN 2 THEN '73'
+        |    ELSE '99' END
+        |ORDER BY doc_id""".stripMargin,
+
+    // q113: 16-token windows at stride 8 — DuckDB's 1-based inclusive
+    // list slice l[a:b] mirrors Spark's slice(l, a, 16) with b=a+15.
+    "q113_doc_chunks" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id, CAST(c.k AS INT) AS chunk_idx,
+        |  CAST(len(toks[c.k*8+1 : c.k*8+16]) AS INT) AS n_chunk_tokens,
+        |  array_to_string(toks[c.k*8+1 : c.k*8+16], ' ') AS chunk_text
+        |FROM d, LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(floor((len(toks) - 1) / 8.0) AS INT))) AS k) c
+        |WHERE len(toks) > 0
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // q114: the two-phase rank equals the single global row_number by
+    // construction (offsets absorb bucket boundaries).
+    "q114_corpus_shuffle" ->
+      """SELECT row_number() OVER (
+        |    ORDER BY md5('shuf42:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos,
+        |  doc_id, md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS skey
+        |FROM documents ORDER BY pos""".stripMargin,
 
     // q100: q67's chain with multi-probe — candidates keep their rn=1
     // cell, probes take their top-2 cells (same ccos DESC, cid DESC

@@ -195,7 +195,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  for (q <- Seq("q102_scalable_rank", "q103_percentile_2pass", "q80_pack_sequences")) {
+  test("q111: the eval n-gram set joins via broadcast — train side never shuffles for it") {
+    assert(planOf("q111_decontaminate").contains("BroadcastHashJoin"))
+  }
+
+  for (q <- Seq("q102_scalable_rank", "q103_percentile_2pass",
+                "q80_pack_sequences", "q114_corpus_shuffle")) {
     test(s"$q: the range exchange is computed once and reused for the counts branch") {
       // CORRECTNESS, not just perf (ScalableRank.bucketize contract):
       // range boundaries are sampled per exchange execution, so the
