@@ -374,14 +374,25 @@ object LlmQueries extends QueryPack {
     "q111_decontaminate" -> ((s, dir) => {
       val sh = Tables.documents(s, dir).select(col("doc_id"),
         array_distinct(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+      // Pre-aggregate the eval side to (gram → eval-id set) BEFORE the
+      // join: the raw (gram, eval_id) pairs multiply the train join by
+      // each gram's eval multiplicity (4.8 M intermediate rows at sf1,
+      // doubled again by the two-distinct-count Expand); the set form
+      // keeps one row per distinct eval gram (5.4 k at sf1), so the
+      // join output is exactly the hit pairs (442 k) and the per-doc
+      // distinct-eval union folds bounded arrays instead of re-deduping
+      // exploded rows. (doc_id, g) is unique on the train side
+      // (array_distinct), so n_hit_grams is a plain count.
       val ev = sh.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("eval_id"), explode(col("sh")).as("g"))
+        .groupBy("g").agg(collect_set("eval_id").as("evs"))
       val tr = sh.filter(col("doc_id") % 50 =!= 0)
         .select(col("doc_id"), explode(col("sh")).as("g"))
       tr.join(broadcast(ev), "g")
         .groupBy("doc_id")
-        .agg(countDistinct("g").as("n_hit_grams"),
-          countDistinct("eval_id").as("n_eval_docs"))
+        .agg(count(lit(1)).as("n_hit_grams"),
+          size(array_distinct(flatten(collect_list("evs"))))
+            .cast("long").as("n_eval_docs"))
         .orderBy("doc_id")
     }),
 
