@@ -64,9 +64,19 @@ object Bench {
     // best-of-N minimum measures a warm-cache execution, not the
     // query's pipeline — every rep below is a COLD run of the full
     // pipeline, so min stays comparable to single-rep rounds.
-    def resetMemoizedState(): Unit = {
+    //
+    // EXCEPTION — the persisted IVF index (q109/q110): the pair
+    // deliberately splits the pipeline into a build surface and a probe
+    // surface, so the honest measurement is q109 = COLD full index
+    // build (state reset before each of ITS reps) and q110 = probe
+    // against the index q109 just built — resetting before q110 would
+    // time build+probe and misreport the operator whose whole point is
+    // that probes don't rebuild. (A q110-only filtered run self-heals:
+    // its first rep builds on miss, the min still reports a warm probe.)
+    def resetMemoizedState(forQuery: String): Unit = {
       graft.queries.LlmQueries.clearCaches()
-      graft.queries.LlmQueries.resetIvfIndexState()
+      if (forQuery.startsWith("q109"))
+        graft.queries.LlmQueries.resetIvfIndexState()
       graft.queries.SourceQueries.resetQ89State()
     }
 
@@ -86,7 +96,7 @@ object Bench {
       var stop = false
       var rep = 0
       while (rep < reps && !stop) {
-        if (!noReset) resetMemoizedState()
+        if (!noReset) resetMemoizedState(name)
         val t0 = System.nanoTime()
         try {
           runNoop(name)

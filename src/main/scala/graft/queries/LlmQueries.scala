@@ -83,6 +83,13 @@ object LlmQueries extends QueryPack {
   private val ivfIndexState =
     new java.util.concurrent.atomic.AtomicReference[(String, String)]()
 
+  /** Driver-side centroid cache keyed like [[ivfIndexState]] — the
+    * probe query needs the matrix as plan literals; re-collecting the
+    * (tiny) centroid table on every probe invocation is a needless
+    * extra job on the repeated-probe path the index exists for. */
+  private val ivfCentsCache = new java.util.concurrent.atomic.AtomicReference[
+    ((String, String), Array[(Long, Array[Float])])]()
+
   /** nLists for the persisted index — matches q67 so the probe surface
     * (q110) shares q67's oracle replay. */
   private val IvfIndexLists = 4
@@ -90,7 +97,10 @@ object LlmQueries extends QueryPack {
   /** Forgets the persisted-index state so the next invocation re-runs
     * the full build. Bench calls this between reps (via
     * [[clearCaches]] companionship in `Bench.resetMemoizedState`). */
-  def resetIvfIndexState(): Unit = ivfIndexState.set(null)
+  def resetIvfIndexState(): Unit = {
+    ivfIndexState.set(null)
+    ivfCentsCache.set(null)
+  }
 
   private def ensureIvfIndex(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
     ivfIndexState.synchronized {
@@ -117,15 +127,27 @@ object LlmQueries extends QueryPack {
         import s.implicits._
         cents.toSeq.toDF("cid", "centroid")
           .write.mode("overwrite").saveAsTable("graft_ivf_cents")
+        ivfCentsCache.set((key, cents))
         ivfIndexState.set(key)
       }
     }
 
-  /** Reads the persisted centroid matrix back as the driver-side array
-    * [[Similarity.topKIvfIndexed]] needs — bounded at nLists rows. */
-  private def loadCentroids(s: org.apache.spark.sql.SparkSession): Array[(Long, Array[Float])] =
-    s.table("graft_ivf_cents").orderBy("cid").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+  /** The persisted centroid matrix as the driver-side array
+    * [[Similarity.topKIvfIndexed]] needs — from the cache when this
+    * session built/loaded it already, else one bounded (≤ nLists rows)
+    * collect of the centroid table. */
+  private def loadCentroids(s: org.apache.spark.sql.SparkSession,
+                            dir: String): Array[(Long, Array[Float])] = {
+    val key = (s.sparkContext.applicationId + "/" + System.identityHashCode(s), dir)
+    val hit = ivfCentsCache.get
+    if (hit != null && hit._1 == key) hit._2
+    else {
+      val cents = s.table("graft_ivf_cents").orderBy("cid").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      ivfCentsCache.set((key, cents))
+      cents
+    }
+  }
 
   override val queries: Map[String, Q] = Map(
     // Exact dedup: content-hash groupBy, keeper = min id. One shuffle
@@ -359,7 +381,7 @@ object LlmQueries extends QueryPack {
       ensureIvfIndex(s, dir)
       Similarity.topKIvfIndexed(
           Tables.embeddings(s, dir).filter(col("vec_id") < 10),
-          s.table("graft_ivf_lists"), loadCentroids(s), k = 5)
+          s.table("graft_ivf_lists"), loadCentroids(s, dir), k = 5)
         .orderBy("probe_id", "rnk")
     }),
 

@@ -267,6 +267,21 @@ class LlmSpec extends SparkSpec {
     assert(refined >= 0.3, s"refined IVF recall@5 = $refined")
   }
 
+  test("indexed IVF probe equals the ad-hoc IVF at nLists=8, nProbe=2") {
+    // The persisted-index contract beyond q110's oracle config: an
+    // index = precomputed assignCells + the same centroids must give
+    // BIT-identical top-k to topKIvf at any geometry (the index only
+    // moves the assignment, never changes it).
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.seedCentroids(emb, 8)
+    val lists = Similarity.assignCells(emb, cents)
+    val probes = emb.filter(col("vec_id") < 20)
+    val viaIndex = Similarity.topKIvfIndexed(probes, lists, cents, k = 5, nProbe = 2)
+    val adHoc = Similarity.topKIvf(probes, emb, k = 5, nLists = 8, nProbe = 2)
+    assert(viaIndex.except(adHoc).isEmpty && adHoc.except(viaIndex).isEmpty,
+      "indexed probe diverges from ad-hoc IVF")
+  }
+
   test("rolling hash: deterministic, order-sensitive, and survives long text (ANSI overflow)") {
     import spark.implicits._
     val long1 = "the quick brown fox jumps over the lazy dog " * 50

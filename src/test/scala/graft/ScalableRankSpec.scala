@@ -71,6 +71,44 @@ class ScalableRankSpec extends SparkSpec {
     assert(bad.isEmpty, "rn is not a dense 1..n permutation per key")
   }
 
+  for (buckets <- Seq(1, 5, 64)) {
+    test(s"two-phase running sum at buckets=$buckets equals the one-shuffle window") {
+      // q80's shape: integral value column, LONG partial sums — must be
+      // value-identical to the single-window prefix sum at any bucket
+      // count (boundaries splitting tie runs / part keys included).
+      val vals = df.withColumn("t", (col("id") % 37).cast("int"))
+        .select("k", "id", "t")
+      val twoPhase = ScalableRank.runningSummed(
+          vals, Seq("k"), Seq(col("id").asc), "t", buckets, run = "cum")
+        .select("k", "id", "cum")
+      val w = Window.partitionBy("k").orderBy(col("id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val oneShuffle = vals.select(col("k"), col("id"),
+        sum(col("t").cast("long")).over(w).as("cum"))
+      assert(twoPhase.except(oneShuffle).isEmpty &&
+        oneShuffle.except(twoPhase).isEmpty,
+        s"running sum mismatch at buckets=$buckets")
+    }
+  }
+
+  test("global (no part key) two-phase rank is a 1..n permutation") {
+    // q114's shape: empty partCols — one global order, range-bucketed.
+    val keyed = df.select(col("id"), col("v"))
+    val (ranked, stats) = ScalableRank.rowNumbered(
+      keyed, Seq.empty, Seq(col("v").asc, col("id").asc), buckets = 8, rn = "pos")
+    val n = keyed.count()
+    val got = ranked.agg(
+      count(lit(1)).as("c"), min("pos").as("lo"), max("pos").as("hi"),
+      countDistinct("pos").as("d")).as[(Long, Long, Long, Long)].head()
+    assert(got == ((n, 1L, n, n)), s"global rank not a permutation: $got")
+    assert(stats.as[Long].head() == n)
+    // And the order agrees with the one-shuffle global window.
+    val w = Window.orderBy(col("v").asc, col("id").asc)
+    val native = keyed.select(col("id"), row_number().over(w).cast("long").as("pos"))
+    val twoPhase = ranked.select("id", "pos")
+    assert(twoPhase.except(native).isEmpty && native.except(twoPhase).isEmpty)
+  }
+
   for (q <- Seq("q103_percentile_2pass", "q104_percentile_counts")) {
     test(s"$q is bit-identical to q77's built-in percentile()") {
       // The whole point of the scalable percentiles: same bits as
