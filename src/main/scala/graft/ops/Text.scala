@@ -27,18 +27,29 @@ object Text {
   def letBound(c: Column)(f: Column => Column): Column =
     element_at(transform(array(c), f), 1)
 
-  /** Word n-gram shingles: `n` consecutive tokens joined by a space.
-    * Input must be a token array; output is empty for docs shorter
-    * than `n` tokens. The short-doc case needs an explicit branch:
-    * `sequence(0, -1)` is a DESCENDING range `[0,-1]` in Spark, whose
-    * out-of-bounds `element_at` calls throw under default ANSI mode.
+  /** Word n-gram shingles: `n` consecutive tokens joined by a space;
+    * empty for docs shorter than `n` tokens. One native tight loop per
+    * row ([[graft.functions.Shingles]], registered as
+    * `graft_shingles`) — the HOF formulation it replaced is kept as
+    * [[shinglesHof]] and bit-parity-tested in LlmSpec.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    call_function("graft_shingles", toks, lit(n))
+
+  /** The declarative higher-order reference formulation of
+    * [[shingles]] — interpreted (lambda dispatch per shingle,
+    * element_at per token); kept as the parity oracle for the native
+    * expression, not for production use. The short-doc case needs an
+    * explicit branch: `sequence(0, -1)` is a DESCENDING range
+    * `[0,-1]` in Spark, whose out-of-bounds `element_at` calls throw
+    * under default ANSI mode.
     *
     * The token array is [[letBound]]: the shingle lambda references it
     * `n` times per shingle, and a free `toks` subtree (split+filter,
     * interpreted) would re-evaluate per reference — ~`n·|shingles|`
     * full tokenizations per row.
     */
-  def shingles(toks: Column, n: Int): Column =
+  def shinglesHof(toks: Column, n: Int): Column =
     letBound(toks) { tk =>
       when(size(tk) < n, array().cast("array<string>"))
         .otherwise(transform(

@@ -267,6 +267,22 @@ class LlmSpec extends SparkSpec {
     assert(refined >= 0.3, s"refined IVF recall@5 = $refined")
   }
 
+  test("native graft_shingles bit-equals the HOF reference (short docs, nulls, exact-n)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+    val corpus = docs.select(
+      Text.shingles(col("tk"), 3).as("a"), Text.shinglesHof(col("tk"), 3).as("b"))
+    assert(corpus.filter(not(col("a") <=> col("b"))).isEmpty,
+      "native shingles diverge from the HOF reference on the corpus")
+    val edge = Seq(Seq.empty[String], Seq("a"), Seq("a", "b"), Seq("a", "b", "c"),
+        Seq("a", null, "c", "d")).toDF("tk")
+    val e = edge.select(
+      Text.shingles(col("tk"), 3).as("a"), Text.shinglesHof(col("tk"), 3).as("b"))
+    assert(e.filter(not(col("a") <=> col("b"))).isEmpty,
+      "native shingles diverge on edge inputs")
+  }
+
   test("indexed IVF probe equals the ad-hoc IVF at nLists=8, nProbe=2") {
     // The persisted-index contract beyond q110's oracle config: an
     // index = precomputed assignCells + the same centroids must give
