@@ -97,6 +97,20 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate pairs ACROSS two banded indexes (incoming batch ⋈
+    * existing corpus) — the incremental-ingest shape: the
+    * already-deduped corpus is never self-joined, so candidate volume
+    * is bounded by buckets SHARED between the delta and the corpus
+    * (an equi join on (band, bucket)), never |corpus|² and never even
+    * |corpus| × |batch|.
+    */
+  def crossCandidates(batchIdx: DataFrame, corpusIdx: DataFrame,
+                      idCol: String): DataFrame = {
+    val b = batchIdx.select(col("band"), col("bucket"), col(idCol).as("b_id"))
+    val c = corpusIdx.select(col("band"), col("bucket"), col(idCol).as("c_id"))
+    b.join(c, Seq("band", "bucket")).select("b_id", "c_id").distinct()
+  }
+
   /** Exact Jaccard similarity of two shingle-array columns (distinct
     * semantics, as for set Jaccard).
     */

@@ -461,6 +461,43 @@ object LlmQueries extends QueryPack {
     // order is ONE task sorting the whole corpus; ScalableRank's
     // two-phase rank (range-bucket on the hash → bucket-local rank +
     // broadcast offsets) bounds every task at one range bucket.
+    // INCREMENTAL (delta) dedup — the daily-ingest pipeline step: a new
+    // batch arrives, and only docs that near-dup the EXISTING corpus
+    // are dropped; the corpus itself (already deduped) is never
+    // re-checked. Fixture: fresh docs (200–249) ∪ manufactured
+    // near-dups of corpus docs < 30 (first token dropped, id+200000 —
+    // the q94 trick). Scale shape: both sides band to the LSH index,
+    // candidates come from Dedup.crossCandidates' (band, bucket) equi
+    // join of batch vs corpus — candidate volume is shared-bucket
+    // bounded, the corpus streams once, and nothing is ever all-pairs.
+    // Oracle = brute-force batch×corpus Jaccard ground truth.
+    "q115_delta_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") < 200).select("doc_id", "text")
+      val toks = Text.tokens(col("text"))
+      val fresh = docs.filter(col("doc_id") >= 200 && col("doc_id") < 250)
+        .select("doc_id", "text")
+      val dups = corpus.filter(col("doc_id") < 30).select(
+        (col("doc_id") + 200000).as("doc_id"),
+        array_join(slice(toks, lit(2), greatest(size(toks) - 1, lit(0))), " ").as("text"))
+      val batch = fresh.unionAll(dups)
+      def shingled(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+        array_distinct(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+      def banded(sh: org.apache.spark.sql.DataFrame) = Dedup.lshBands(
+        sh.withColumn("sig", Dedup.minHashSignature(col("sh"), numHashes = 64)),
+        "doc_id", "sig", bands = 16, rows = 4)
+      val shC = shingled(corpus)
+      val shB = shingled(batch)
+      val contaminated = Dedup.crossCandidates(banded(shB), banded(shC), "doc_id")
+        .join(shB.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
+        .join(shC.select(col("doc_id").as("c_id"), col("sh").as("sh_c")), "c_id")
+        .filter(Dedup.jaccard(col("sh_b"), col("sh_c")) >= 0.8)
+        .select(col("b_id").as("doc_id")).distinct()
+      batch.join(contaminated, Seq("doc_id"), "left_anti")
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q114_corpus_shuffle" -> ((s, dir) => {
       val keyed = Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -1153,6 +1190,41 @@ object LlmQueries extends QueryPack {
         |    CAST(floor((len(toks) - 1) / 8.0) AS INT))) AS k) c
         |WHERE len(toks) > 0
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // q115: brute-force batch×corpus Jaccard is the ground truth the
+    // LSH path must reproduce (the all-pairs form exists ONLY oracle-
+    // side; the engine joins on shared LSH buckets).
+    "q115_delta_dedup" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id >= 200 AND doc_id < 250
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id,
+        |    array_to_string(
+        |      list_filter(string_split(text, ' '), t -> t <> '')[2:], ' ') AS text
+        |  FROM corpus WHERE doc_id < 30),
+        |shc AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+        |          t -> t <> '') AS toks FROM corpus)),
+        |shb AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+        |          t -> t <> '') AS toks FROM batch)),
+        |contaminated AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM shb b JOIN shc c ON
+        |    CASE WHEN len(list_distinct(list_concat(b.sh, c.sh))) = 0 THEN 0.0
+        |      ELSE CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+        |         / len(list_distinct(list_concat(b.sh, c.sh))) END >= 0.8)
+        |SELECT doc_id FROM batch
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin,
 
     // q114: the two-phase rank equals the single global row_number by
     // construction (offsets absorb bucket boundaries).

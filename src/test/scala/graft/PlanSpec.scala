@@ -152,6 +152,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("graft_lsh_bucket"), "expected the native bucket expression")
   }
 
+  test("q115: delta-dedup candidates come from a batch⋈corpus bucket equi join") {
+    // Incremental ingest: the corpus is NEVER self-joined (it is
+    // already deduped) and the batch never cross-joins it — candidates
+    // exist only where the two banded indexes share an (band, bucket)
+    // key.
+    val plan = planOf("q115_delta_dedup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q115 degenerated to an all-pairs join:\n$plan")
+    assert(plan.contains("band"), "expected the band/bucket equi key in the plan")
+  }
+
   test("q98: the document-frequency table joins via broadcast") {
     // df is |vocab| rows (tiny vs the token stream) — it must build the
     // broadcast side so the tf stream never shuffles for the join.
