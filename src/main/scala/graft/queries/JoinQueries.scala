@@ -16,6 +16,24 @@ import graft.ops.AsOf
 object JoinQueries extends QueryPack {
 
   override val queries: Map[String, Q] = Map(
+    // Runtime-filter join pruning surface: a selectively filtered dim
+    // joined to the fact on its key. At test SF the dim broadcasts
+    // (and the broadcast IS the runtime filter); at cluster scale,
+    // when both sides shuffle, Spark's InjectRuntimeFilter turns the
+    // dim filter into a bloom filter applied AT THE FACT SCAN — rows
+    // for other brands never enter the shuffle. PlanSpec proves the
+    // injection fires on this exact plan with the shuffle-join
+    // thresholds a 100 TB run would see.
+    "q116_runtime_filter_join" -> ((s, dir) => {
+      val p = Tables.part(s, dir).filter(col("p_brand") === "Brand#7")
+      Tables.lineitem(s, dir)
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          graft.functions.Exact.moneySum(col("l_extendedprice")).as("revenue"))
+        .orderBy("p_brand")
+    }),
+
     // Right outer: every customer kept, orders optional (q07's mirror
     // through the right-join path).
     "q35_right_outer" -> ((s, dir) => {
@@ -106,6 +124,13 @@ object JoinQueries extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q116_runtime_filter_join" ->
+      s"""SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+         |  ${graft.functions.Exact.moneySumSql("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand = 'Brand#7'
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
     "q35_right_outer" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey

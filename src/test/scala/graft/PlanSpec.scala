@@ -163,6 +163,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("band"), "expected the band/bucket equi key in the plan")
   }
 
+  test("q116: under shuffle-join thresholds the dim filter injects a bloom filter at the fact side") {
+    // At 100 TB neither side broadcasts and the fact scan is huge —
+    // exactly the regime where InjectRuntimeFilter turns the selective
+    // dim predicate into a bloom filter applied before the fact's
+    // shuffle. Recreate that regime: broadcast off, application-side
+    // size threshold zeroed (the 6 GB default can never be met by
+    // testdata). The creation-side threshold keeps its default — the
+    // filtered dim must genuinely qualify as small.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val priors = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "-1")
+    spark.conf.set(keys(1), "0")
+    try {
+      val plan = optimizedOf("q116_runtime_filter_join").toLowerCase
+      assert(plan.contains("bloomfilter") || plan.contains("bloom_filter"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally priors.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q98: the document-frequency table joins via broadcast") {
     // df is |vocab| rows (tiny vs the token stream) — it must build the
     // broadcast side so the tf stream never shuffles for the join.
