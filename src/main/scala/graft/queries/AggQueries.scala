@@ -164,6 +164,29 @@ object AggQueries extends QueryPack {
         sum("n_rows").as("n_orders"))
     }),
 
+    // COUNT-MIN frequency sketch — the mergeable approximate-frequency
+    // member of the sketch family (next to HLL distinct q34/q96 and
+    // the percentile sketch q88), built fully ORACLE-REPLAYABLE: cell
+    // hashing is md5-nibble arithmetic (identical in both engines)
+    // instead of engine-private xxhash. One pass: every token
+    // increments one cell per hash row (d=4, w=64); the sketch is a
+    // 256-cell table mergeable by cell-wise sum (AggSpec property).
+    // Estimates = min over the d cells — ≥ truth by construction,
+    // verified here against the exact counts of the 20 most frequent
+    // tokens. Scale: the sketch aggregate partial-aggregates map-side
+    // to ≤ d·w rows per task no matter the corpus size.
+    "q117_countmin_freq" -> ((s, dir) => {
+      import graft.ops.Sketch
+      val toks = Tables.documents(s, dir)
+        .select(explode(graft.ops.Text.tokens(col("text"))).as("token"))
+      val sketch = Sketch.cmSketch(toks, "token", d = 4, w = 64)
+      val truth = toks.groupBy("token").agg(count(lit(1)).as("true_cnt"))
+      val probes = truth.orderBy(col("true_cnt").desc, col("token").asc).limit(20)
+      Sketch.cmEstimate(probes, sketch, "token", d = 4, w = 64)
+        .select("token", "true_cnt", "cm_est")
+        .orderBy(col("true_cnt").desc, col("token").asc)
+    }),
+
     // UNPIVOT (melt): wide columns → (metric, value) rows — the inverse
     // of q66's pivot. Narrow, no shuffle until the final sort.
     "q72_unpivot" -> ((s, dir) =>
@@ -358,6 +381,34 @@ object AggQueries extends QueryPack {
       |FROM interp GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+    // q117: the md5-nibble cell hash replays exactly — both engines
+    // md5 identically, and instr-over-hexdigits is plain arithmetic.
+    "q117_countmin_freq" ->
+      """WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '),
+        |    t -> t <> '')) AS token FROM documents),
+        |cells AS (
+        |  SELECT token, hd.d AS d,
+        |    ((instr('0123456789abcdef',
+        |        substr(md5('cm' || hd.d || ':' || token), 1, 1)) - 1) * 16
+        |     + (instr('0123456789abcdef',
+        |        substr(md5('cm' || hd.d || ':' || token), 2, 1)) - 1)) % 64 AS b
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(0, 3)) AS d) hd),
+        |sketch AS (SELECT d, b, count(*) AS cnt FROM cells GROUP BY d, b),
+        |truth AS (SELECT token, count(*) AS true_cnt FROM toks GROUP BY token),
+        |probes AS (SELECT token, true_cnt FROM truth
+        |  ORDER BY true_cnt DESC, token LIMIT 20),
+        |pcells AS (
+        |  SELECT p.token, p.true_cnt, hd.d AS d,
+        |    ((instr('0123456789abcdef',
+        |        substr(md5('cm' || hd.d || ':' || p.token), 1, 1)) - 1) * 16
+        |     + (instr('0123456789abcdef',
+        |        substr(md5('cm' || hd.d || ':' || p.token), 2, 1)) - 1)) % 64 AS b
+        |  FROM probes p, LATERAL (SELECT unnest(generate_series(0, 3)) AS d) hd)
+        |SELECT token, CAST(true_cnt AS BIGINT) AS true_cnt,
+        |  CAST(min(cnt) AS BIGINT) AS cm_est
+        |FROM pcells JOIN sketch USING (d, b)
+        |GROUP BY token, true_cnt
+        |ORDER BY true_cnt DESC, token""".stripMargin,
     "q29_stats" ->
       """SELECT l_linestatus,
         |  min(l_quantity) AS min_qty,

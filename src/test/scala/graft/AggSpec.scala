@@ -23,6 +23,31 @@ class AggSpec extends SparkSpec {
     }
   }
 
+  test("count-min: disjoint-corpus sketches merge by cell-wise sum to the global sketch") {
+    import graft.ops.{Sketch, Text}
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+    val a = toks.filter(col("doc_id") % 2 === 0).select("token")
+    val b = toks.filter(col("doc_id") % 2 =!= 0).select("token")
+    val merged = Sketch.cmSketch(a, "token", 4, 64)
+      .unionByName(Sketch.cmSketch(b, "token", 4, 64))
+      .groupBy("d", "b").agg(sum("cnt").as("cnt"))
+    val global = Sketch.cmSketch(toks.select("token"), "token", 4, 64)
+    assert(merged.except(global).isEmpty && global.except(merged).isEmpty,
+      "cell-wise sum of partial sketches differs from the global sketch")
+  }
+
+  test("count-min: every estimate is >= the true count (overestimate-only)") {
+    import graft.ops.{Sketch, Text}
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(Text.tokens(col("text"))).as("token"))
+    val sketch = Sketch.cmSketch(toks, "token", 4, 64)
+    val truth = toks.groupBy("token").agg(count(lit(1)).as("true_cnt"))
+    val bad = Sketch.cmEstimate(truth, sketch, "token", 4, 64)
+      .filter(col("cm_est") < col("true_cnt"))
+    assert(bad.isEmpty, "count-min underestimated a frequency")
+  }
+
   test("HLL sketch union: merged per-group sketches estimate exactly as one global sketch") {
     val orders = Tables.orders(spark, sfDir)
     // Pre-aggregate a sketch per month, union downstream (q96's shape).
