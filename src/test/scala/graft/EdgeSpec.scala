@@ -125,4 +125,49 @@ class EdgeSpec extends SparkSpec {
       .collect()
     assert(d(0).getDouble(0) === 0.0)
   }
+
+  test("two-phase rank and running sum over an EMPTY relation are empty, schema intact") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Int, Int)].toDF("k", "id", "t")
+    val (ranked, stats) = graft.ops.ScalableRank.rowNumbered(
+      empty.select("k", "id"), Seq("k"), Seq(col("id").asc), buckets = 4)
+    assert(ranked.count() === 0 && stats.count() === 0)
+    assert(ranked.columns.contains("rn"))
+    val summed = graft.ops.ScalableRank.runningSummed(
+      empty, Seq("k"), Seq(col("id").asc), "t", buckets = 4, run = "cum")
+    assert(summed.count() === 0 && summed.columns.contains("cum"))
+  }
+
+  test("delta-dedup cross candidates with an empty batch are empty, not an error") {
+    import spark.implicits._
+    val mk = (ids: Seq[Long]) => ids.toDF("doc_id")
+      .withColumn("sh", array(concat(lit("t"), col("doc_id"))))
+      .withColumn("sig", Dedup.minHashSignature(col("sh"), 8))
+    val corpusIdx = Dedup.lshBands(mk(Seq(1L, 2L)), "doc_id", "sig", bands = 2, rows = 4)
+    val emptyIdx = Dedup.lshBands(mk(Seq.empty), "doc_id", "sig", bands = 2, rows = 4)
+    assert(Dedup.crossCandidates(emptyIdx, corpusIdx, "doc_id").count() === 0)
+    assert(Dedup.crossCandidates(corpusIdx, emptyIdx, "doc_id").count() === 0)
+  }
+
+  test("count-min sketch of an empty token stream is empty; estimates then find no cells") {
+    import spark.implicits._
+    val empty = Seq.empty[String].toDF("token")
+    val sk = graft.ops.Sketch.cmSketch(empty, "token", 4, 64)
+    assert(sk.count() === 0)
+    val probes = Seq("x").toDF("token")
+    // min over zero matching cells → no row (inner join): an absent
+    // token in an empty sketch has no estimate, it is not zero-counted.
+    assert(graft.ops.Sketch.cmEstimate(probes, sk, "token", 4, 64).count() === 0)
+  }
+
+  test("native shingles of an all-null token array still produce space-joined grams") {
+    // concat_ws semantics: nulls are SKIPPED, so a 3-shingle of
+    // (null, null, null) is the empty string — same as the HOF form.
+    import spark.implicits._
+    val d = Seq(Seq[String](null, null, null, null)).toDF("tk")
+    val got = d.select(Text.shingles(col("tk"), 3).as("a"),
+        Text.shinglesHof(col("tk"), 3).as("b")).collect()(0)
+    assert(got.getSeq[String](0) == Seq("", ""))
+    assert(got.getSeq[String](0) == got.getSeq[String](1))
+  }
 }
