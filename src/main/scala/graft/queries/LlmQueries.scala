@@ -498,6 +498,43 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // COMPOSED prep pipeline v2 (q68's successor with the round-8
+    // stages): eval-overlap DECONTAMINATION (≥5 shared 3-grams →
+    // drop) → QUALITY filter (≥20 tokens) → deterministic hash SAMPLE
+    // (50%) → CHUNK accounting (16-token/stride-8 windows). Every
+    // stage is the scale shape its standalone query proves: broadcast
+    // eval grams, narrow filters, one final group-by. The pipeline
+    // matters because real corpus prep is exactly this composition —
+    // each stage's selectivity feeds the next with no materialization
+    // between stages.
+    "q118_prep_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = docs.select(col("doc_id"),
+        array_distinct(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+      val ev = sh.filter(col("doc_id") % 50 === 0)
+        .select(explode(col("sh")).as("g")).distinct()
+      val contaminated = sh.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .join(broadcast(ev), "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+        .filter(col("n_hit") >= 5)
+        .select("doc_id")
+      val kept = docs.filter(col("doc_id") % 50 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .withColumn("n_tokens", size(Text.tokens(col("text"))))
+        .filter(col("n_tokens") >= 20)
+        .filter(substring(
+          md5(concat(lit("strat:"), col("doc_id").cast("string"))), 1, 1) < "8")
+      kept.select(col("source"), col("n_tokens"),
+          (floor((col("n_tokens") - 1).cast("double") / 8.0).cast("long") + 1)
+            .as("doc_chunks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          sum("doc_chunks").as("n_chunks"))
+        .orderBy("source")
+    }),
+
     "q114_corpus_shuffle" -> ((s, dir) => {
       val keyed = Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -1225,6 +1262,33 @@ object LlmQueries extends QueryPack {
         |SELECT doc_id FROM batch
         |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         |ORDER BY doc_id""".stripMargin,
+
+    // q118: the composed pipeline, stage by stage in SQL.
+    "q118_prep_pipeline" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+        |          t -> t <> '') AS toks FROM documents)),
+        |ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 <> 0),
+        |contaminated AS (
+        |  SELECT tr.doc_id FROM tr JOIN ev USING (g)
+        |  GROUP BY tr.doc_id HAVING count(*) >= 5),
+        |kept AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+        |  FROM documents
+        |  WHERE doc_id % 50 <> 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |    AND len(list_filter(string_split(text, ' '), t -> t <> '')) >= 20
+        |    AND substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 1) < '8')
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CAST(floor((n_tokens - 1) / 8.0) AS BIGINT) + 1) AS BIGINT)
+        |    AS n_chunks
+        |FROM kept GROUP BY source ORDER BY source""".stripMargin,
 
     // q114: the two-phase rank equals the single global row_number by
     // construction (offsets absorb bucket boundaries).
