@@ -535,6 +535,72 @@ object LlmQueries extends QueryPack {
         .orderBy("source")
     }),
 
+    // REPETITION metrics (the Gopher-style quality filters — Rae et
+    // al. 2021 drop docs whose "top n-gram fraction" or "duplicate
+    // n-gram fraction" is high; degenerate/boilerplate text repeats
+    // itself): per doc, over word bigrams — top-bigram token fraction,
+    // fraction of bigram slots covered by any repeated bigram, and the
+    // distinct/total bigram ratio. Every fraction is one IEEE division
+    // of exact integer counts — no libm, bit-stable cross-engine.
+    // Scale: explode → two hash aggregations keyed (doc_id, gram) then
+    // doc_id, both with map-side partial agg; nothing all-pairs, no
+    // window.
+    "q119_repetition_metrics" -> ((s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          explode(Text.shingles(col("toks"), 2)).as("g"))
+      grams.groupBy("doc_id", "n_tokens", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n_tokens")
+        .agg(sum("c").as("n_bigrams"),
+          max("c").as("top_n"),
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("rep_n"),
+          count(lit(1)).as("n_distinct"))
+        .select(col("doc_id"), col("n_tokens"), col("n_bigrams"),
+          (col("top_n").cast("double") / col("n_bigrams").cast("double"))
+            .as("top_bigram_frac"),
+          (col("rep_n").cast("double") / col("n_bigrams").cast("double"))
+            .as("rep_bigram_frac"),
+          (col("n_distinct").cast("double") / col("n_bigrams").cast("double"))
+            .as("distinct_bigram_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // UNIGRAM LOG-PROB corpus scoring — the KenLM-style perplexity
+    // proxy every data-quality pipeline runs (CCNet/Wenzek et al.
+    // 2020 rank documents by LM score): train a unigram LM on the
+    // corpus itself (token → count/total), then score each doc by its
+    // mean negative log-likelihood. Exactness: each token's
+    // -ln(c/T) is quantized half-up to an integer number of 1e-9
+    // units (BIGINT), so the per-doc sum is INTEGER arithmetic —
+    // order-independent, no float-sum non-associativity — and the
+    // final mean is one IEEE division of exactly-representable
+    // values. Scale: the LM is vocab-sized → broadcast (the 1-row
+    // corpus total crossJoin'd, the q98 pattern); the per-doc pass
+    // pre-aggregates (doc_id, token) tf so the doc_id shuffle carries
+    // distinct-token rows, not the raw token stream.
+    "q120_unigram_logprob" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      val tot = broadcast(toks.agg(count(lit(1)).as("t")))
+      val lm = broadcast(
+        toks.groupBy("token").agg(count(lit(1)).as("c"))
+          .crossJoin(tot)
+          .select(col("token"),
+            floor(-log(col("c").cast("double") / col("t").cast("double"))
+              * 1e9 + 0.5).cast("long").as("nll_q")))
+      toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .join(lm, "token")
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_tokens"),
+          sum(col("tf") * col("nll_q")).as("nll_q_sum"))
+        .select(col("doc_id"), col("n_tokens"), col("nll_q_sum"),
+          (col("nll_q_sum").cast("double") /
+            (col("n_tokens").cast("double") * 1e9)).as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
     "q114_corpus_shuffle" -> ((s, dir) => {
       val keyed = Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -1289,6 +1355,49 @@ object LlmQueries extends QueryPack {
         |  CAST(sum(CAST(floor((n_tokens - 1) / 8.0) AS BIGINT) + 1) AS BIGINT)
         |    AS n_chunks
         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+
+    // q119: same bigram construction as q111's shingles (1-indexed
+    // list_transform); fractions are exact-integer divisions, so
+    // bit-equal to Spark's.
+    "q119_repetition_metrics" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS g
+        |  FROM t WHERE len(toks) >= 2),
+        |c AS (SELECT doc_id, n_tokens, g, count(*) AS c
+        |  FROM b GROUP BY doc_id, n_tokens, g)
+        |SELECT doc_id, n_tokens,
+        |  CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(c) AS DOUBLE) AS rep_bigram_frac,
+        |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+        |    AS distinct_bigram_ratio
+        |FROM c GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+
+    // q120: identical integer-quantized -ln(c/T) per token; the doc
+    // sum is BIGINT arithmetic, so only the final division is IEEE.
+    "q120_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    x -> x <> '')) AS token
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS t FROM toks),
+        |lm AS (SELECT token, CAST(floor(
+        |      -ln(CAST(count(*) AS DOUBLE) / CAST(t AS DOUBLE))
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS nll_q
+        |  FROM toks, tot GROUP BY token, t),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |  FROM toks GROUP BY doc_id, token)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(tf * nll_q) AS BIGINT) AS nll_q_sum,
+        |  CAST(sum(tf * nll_q) AS DOUBLE)
+        |    / (CAST(sum(tf) AS DOUBLE) * 1000000000.0) AS avg_nll
+        |FROM tf JOIN lm USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q114: the two-phase rank equals the single global row_number by
     // construction (offsets absorb bucket boundaries).

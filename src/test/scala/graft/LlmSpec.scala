@@ -348,6 +348,50 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("repetition metrics: fractions bounded, consistent, and exact on a known doc") {
+    val rows = SparkEntry.queries("q119_repetition_metrics")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nTok = r.getAs[Int]("n_tokens")
+      val nBig = r.getAs[Long]("n_bigrams")
+      assert(nBig == nTok - 1, "every length-n doc has n-1 bigram slots")
+      val top = r.getAs[Double]("top_bigram_frac")
+      val rep = r.getAs[Double]("rep_bigram_frac")
+      val dis = r.getAs[Double]("distinct_bigram_ratio")
+      assert(top > 0.0 && top <= 1.0 && rep >= 0.0 && rep <= 1.0 &&
+        dis > 0.0 && dis <= 1.0)
+      // rep_n = Σ counts over duplicated bigrams ≥ (B − D) + 1 when any
+      // duplicate exists (B−D excess slots plus one base occurrence).
+      assert(rep == 0.0 || rep >= (1.0 - dis) + 1.0 / nBig - 1e-12)
+      // The max per-bigram count is at least the mean: top·nBig ≥ 1/dis.
+      assert(top * nBig.toDouble >= 1.0 / dis - 1e-9)
+    }
+    // Degenerate repetition is the signal the filter exists for: a doc
+    // that is one token repeated n times has n−1 identical bigrams.
+    import spark.implicits._
+    val degen = Seq((1L, Seq.fill(8)("spam").mkString(" "))).toDF("doc_id", "text")
+      .select(Text.shingles(Text.tokens(col("text")), 2).as("sh"))
+    assert(degen.select(size(col("sh")), size(array_distinct(col("sh"))))
+      .head match { case r => r.getInt(0) == 7 && r.getInt(1) == 1 })
+  }
+
+  test("unigram log-prob: positive integer-exact scores; mean reconstructs from the sum") {
+    val rows = SparkEntry.queries("q120_unigram_logprob")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // The LM floor: no token is more probable than 1, so every
+    // quantized NLL unit is ≥ 0 and any real corpus has sum > 0.
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val sum = r.getAs[Long]("nll_q_sum")
+      val avg = r.getAs[Double]("avg_nll")
+      assert(n > 0 && sum > 0 && avg > 0.0)
+      // The quantized mean reconstructs from the integer sum exactly —
+      // the whole point of the BIGINT formulation.
+      assert(avg == sum.toDouble / (n.toDouble * 1e9))
+    }
+  }
+
   test("connected components converge past diameter 1 (path graph, mixed edge orientation)") {
     // q107's triangle components converge in one propagation round;
     // this is the case that actually exercises the fixpoint loop: a

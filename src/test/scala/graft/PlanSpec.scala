@@ -405,7 +405,8 @@ class PlanSpec extends SparkSpec {
       // one-row broadcast scalar aggregate crossJoin'd into the plan
       "q54_minhash_lsh" -> "1-row corpus-count broadcast",
       "q98_tfidf" -> "1-row corpus-count broadcast",
-      "q101_tfidf_logidf" -> "1-row corpus-count broadcast")
+      "q101_tfidf_logidf" -> "1-row corpus-count broadcast",
+      "q120_unigram_logprob" -> "1-row corpus-count broadcast")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
