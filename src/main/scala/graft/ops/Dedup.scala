@@ -185,8 +185,15 @@ object Dedup {
       vertices: DataFrame,
       edges: DataFrame,
       maxIters: Int = 20): DataFrame = {
+    // Materialize the symmetrized edge list ONCE: it is re-joined every
+    // propagation round, and without this the entire upstream
+    // candidate-generation pipeline (LSH bucket self-join + verify in
+    // q107's case) re-executes per iteration. Post-dedup-filter edge
+    // lists are small next to the corpus, so this is the standard
+    // iterate-over-materialized-edges shape at any scale.
     val sym = edges.select("src", "dst")
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     var labels = vertices.select(col("id"), col("id").as("lbl")).localCheckpoint()
     var done = false
     var i = 0
@@ -194,18 +201,18 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("id").as("src"), col("lbl").as("slbl")), "src")
         .groupBy(col("dst").as("id")).agg(min("slbl").as("nlbl"))
+      // Labels are monotonically non-increasing: any strict decrease
+      // means another round is needed. The flag rides along in the
+      // checkpointed iterate, so convergence is a cached-partition scan
+      // — not a second join of the old and new label tables.
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("changed"))
         .localCheckpoint()
-      // Labels are monotonically non-increasing: any strict decrease
-      // means another round is needed.
-      done = next
-        .join(labels.select(col("id"), col("lbl").as("prev")), Seq("id"))
-        .filter(col("lbl") < col("prev"))
-        .isEmpty
-      labels = next
+      done = next.filter(col("changed")).isEmpty
+      labels = next.select("id", "lbl")
       i += 1
     }
     labels
