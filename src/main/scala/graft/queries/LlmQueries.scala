@@ -601,6 +601,89 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Quality-ranked duplicate-cluster RESOLUTION — real pipelines keep
+    // the BEST member of each near-dup cluster (longest, highest
+    // quality), not the smallest id: the perturbed/truncated copies are
+    // the ones to drop. Fixture: q94's drop-first-token trick twice
+    // (drop-1 → +100000, drop-2 → +200000 for doc_id < 50) makes
+    // 3-member chains where A~C may fall under the 0.8 Jaccard
+    // threshold for short docs — exactly the case where PAIRWISE
+    // keeper rules (q94's min-of-pair) disagree with cluster-level
+    // resolution and transitive components are required. Scale: LSH
+    // banding → candidate equi-join → bounded-iteration label
+    // propagation over the materialized edge list; keeper selection is
+    // two component-keyed aggregations. Oracle replays the full
+    // brute-force pair set + recursive-CTE closure + the same
+    // max-tokens/min-id keeper rule.
+    "q121_cluster_best_keeper" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") < 200).select("doc_id", "text")
+      val toks = Text.tokens(col("text"))
+      def dropK(k: Int, shift: Long) = base.filter(col("doc_id") < 50).select(
+        (col("doc_id") + shift).as("doc_id"),
+        array_join(slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))), " ")
+          .as("text"))
+      val corpus = base
+        .unionAll(dropK(1, 100000L))
+        .unionAll(dropK(2, 200000L))
+      // Four consumers (index build, both verify legs, quality join):
+      // materialize once so the interpreted shingle fold runs once.
+      val sh = corpus.select(col("doc_id"),
+          size(Text.tokens(col("text"))).as("n_tokens"),
+          array_distinct(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+        .localCheckpoint()
+      val index = Dedup.lshBands(
+        sh.withColumn("sig", Dedup.minHashSignature(col("sh"), numHashes = 64)),
+        "doc_id", "sig", bands = 16, rows = 4)
+      val edges = Dedup.candidatePairs(index, "doc_id")
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.8)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val members = Dedup
+        .connectedComponents(corpus.select(col("doc_id").as("id")), edges)
+        .join(sh.select(col("doc_id").as("id"), col("n_tokens")), "id")
+      val stats = members.groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_members"), max("n_tokens").as("keeper_tokens"))
+      members.join(stats, "lbl")
+        .filter(col("n_tokens") === col("keeper_tokens"))
+        .groupBy("lbl", "n_members", "keeper_tokens")
+        .agg(min("id").as("keeper_id"))
+        .select(col("lbl").as("component"), col("keeper_id"),
+          col("n_members"), col("keeper_tokens"))
+        .orderBy("component")
+    }),
+
+    // VOCABULARY head coverage (the Zipf head/tail profile that sizes
+    // tokenizer vocabularies): how many distinct tokens, taken in
+    // frequency order, cover 50/90/99% of the corpus token mass. The
+    // threshold test is pure integer arithmetic (cum·100 ≥ p·total) —
+    // no float comparisons — and the window runs over the AGGREGATED
+    // vocab table (bounded by vocab size, not corpus size), which the
+    // registry window-cardinality gate recognizes as the
+    // window-over-aggregate shape.
+    "q122_vocab_coverage" -> ((s, dir) => {
+      val freq = Tables.documents(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val tot = broadcast(freq.agg(sum("cnt").as("t"), count(lit(1)).as("vocab")))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("token").asc)
+      freq.select(col("cnt"),
+          sum("cnt").over(w).as("cum"),
+          row_number().over(w).as("head_n"))
+        .crossJoin(tot)
+        .select(col("head_n"), col("cum"), col("t"), col("vocab"),
+          explode(typedLit(Array(50L, 90L, 99L))).as("p_pct"))
+        .filter(col("cum") * 100 >= col("p_pct") * col("t"))
+        .groupBy("p_pct", "vocab")
+        .agg(min("head_n").as("head_tokens"))
+        .select(col("p_pct"), col("head_tokens"), col("vocab"),
+          (col("head_tokens").cast("double") / col("vocab").cast("double"))
+            .as("head_frac"))
+        .orderBy("p_pct")
+    }),
+
     "q114_corpus_shuffle" -> ((s, dir) => {
       val keyed = Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -1398,6 +1481,83 @@ object LlmQueries extends QueryPack {
         |    / (CAST(sum(tf) AS DOUBLE) * 1000000000.0) AS avg_nll
         |FROM tf JOIN lm USING (token)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q121: brute-force pair set (all-pairs exists ONLY oracle-side) →
+    // recursive-CTE transitive closure → identical
+    // max-tokens/min-id keeper rule.
+    "q121_cluster_best_keeper" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    array_to_string(
+        |      list_filter(string_split(text, ' '), t -> t <> '')[2:], ' ') AS text
+        |  FROM base WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id,
+        |    array_to_string(
+        |      list_filter(string_split(text, ' '), t -> t <> '')[3:], ' ') AS text
+        |  FROM base WHERE doc_id < 50),
+        |sh AS (
+        |  SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(toks) - 2, 0)),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+        |          t -> t <> '') AS toks FROM corpus)),
+        |edges AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+        |      ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |         / len(list_distinct(list_concat(a.sh, b.sh))) END >= 0.8),
+        |sym AS (
+        |  SELECT src, dst FROM edges
+        |  UNION SELECT dst AS src, src AS dst FROM edges),
+        |walk(id, lbl) AS (
+        |  SELECT doc_id, doc_id FROM corpus
+        |  UNION
+        |  SELECT s.dst, w.lbl FROM walk w JOIN sym s ON s.src = w.id),
+        |comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id),
+        |members AS (
+        |  SELECT c.component, s.doc_id AS id, s.n_tokens
+        |  FROM comp c JOIN sh s ON s.doc_id = c.id),
+        |stats AS (
+        |  SELECT component, count(*) AS n_members,
+        |    max(n_tokens) AS keeper_tokens
+        |  FROM members GROUP BY component)
+        |SELECT CAST(m.component AS BIGINT) AS component,
+        |  CAST(min(m.id) AS BIGINT) AS keeper_id,
+        |  CAST(st.n_members AS BIGINT) AS n_members,
+        |  CAST(st.keeper_tokens AS INT) AS keeper_tokens
+        |FROM members m JOIN stats st USING (component)
+        |WHERE m.n_tokens = st.keeper_tokens
+        |GROUP BY m.component, st.n_members, st.keeper_tokens
+        |ORDER BY component""".stripMargin,
+
+    // q122: integer threshold test (cum·100 ≥ p·total), window over
+    // the aggregated vocab.
+    "q122_vocab_coverage" ->
+      """WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '),
+        |    t -> t <> '')) AS token FROM documents),
+        |freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+        |tot AS (SELECT sum(cnt) AS t, count(*) AS vocab FROM freq),
+        |cum AS (SELECT cnt,
+        |    sum(cnt) OVER (ORDER BY cnt DESC, token) AS cum,
+        |    row_number() OVER (ORDER BY cnt DESC, token) AS head_n
+        |  FROM freq)
+        |SELECT p_pct, head_tokens, vocab,
+        |  CAST(head_tokens AS DOUBLE) / CAST(vocab AS DOUBLE) AS head_frac
+        |FROM (
+        |  SELECT CAST(p.p_pct AS BIGINT) AS p_pct,
+        |    CAST(min(c.head_n) AS INT) AS head_tokens,
+        |    CAST(tot.vocab AS BIGINT) AS vocab
+        |  FROM cum c, tot, (VALUES (50), (90), (99)) AS p(p_pct)
+        |  WHERE c.cum * 100 >= p.p_pct * tot.t
+        |  GROUP BY p.p_pct, tot.vocab)
+        |ORDER BY p_pct""".stripMargin,
 
     // q114: the two-phase rank equals the single global row_number by
     // construction (offsets absorb bucket boundaries).

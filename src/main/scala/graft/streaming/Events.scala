@@ -82,6 +82,29 @@ object Events {
       events.withWatermark("ts", horizon).dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** Stream-static anti-join dedup — the live half of incremental
+    * corpus dedup (q115's batch shape as a running ingest): stream
+    * rows whose `key` already exists in a static index are dropped.
+    * The static side re-plans as a normal batch scan each micro-batch
+    * (so an index refreshed on disk is picked up) and broadcasts —
+    * NO streaming state is kept, which is the whole point: the
+    * "have we seen this fingerprint" memory lives in the index table,
+    * not in per-key executor state, so the stream can run forever
+    * without state growth and the index can be arbitrarily large
+    * (drop the broadcast hint past executor memory and it becomes a
+    * shuffled join on the same plan). On a batch DataFrame the same
+    * function is the plain anti join (the DuckDB-checkable leg).
+    */
+  def antiJoinStatic(stream: DataFrame, index: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(index.select(col(key))), Seq(key), "left_anti")
+
+  /** Stream-static enrichment join: tag stream rows with dimension
+    * columns from a static table (broadcast, stateless — same
+    * per-micro-batch re-plan contract as [[antiJoinStatic]]).
+    */
+  def enrichFromStatic(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Stream-stream interval join: each left event pairs with right
     * events of the same user whose timestamp falls in
     * `[left.ts, left.ts + window]`. Both sides carry watermarks and the

@@ -406,7 +406,8 @@ class PlanSpec extends SparkSpec {
       "q54_minhash_lsh" -> "1-row corpus-count broadcast",
       "q98_tfidf" -> "1-row corpus-count broadcast",
       "q101_tfidf_logidf" -> "1-row corpus-count broadcast",
-      "q120_unigram_logprob" -> "1-row corpus-count broadcast")
+      "q120_unigram_logprob" -> "1-row corpus-count broadcast",
+      "q122_vocab_coverage" -> "1-row corpus-total broadcast")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),

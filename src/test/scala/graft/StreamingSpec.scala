@@ -168,6 +168,54 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException](build("garbage", "10 minutes"))
   }
 
+  test("stream-static anti-join drops indexed keys statelessly; equals the batch anti join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Static "corpus fingerprint index": even event ids are known.
+    val index = (0L to 10L by 2).toDF("event_id")
+    val rows = (1L to 9L).map(i => ev(i, i.toInt))
+
+    val stream = MemoryStream[Ev]
+    val q = Events.antiJoinStatic(stream.toDF(), index, "event_id")
+      .writeStream.format("memory").queryName("t_anti")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(rows.take(4)); q.processAllAvailable()
+    stream.addData(rows.drop(4)); q.processAllAvailable()
+    val streamed = spark.table("t_anti").select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    // The plan must be STATELESS: no streaming state operator at all.
+    assert(!q.lastProgress.toString.contains("stateOperators\" : [ {"),
+      "anti join against a static side must not create streaming state")
+    q.stop()
+
+    val batch = Events.antiJoinStatic(rows.toDF(), index, "event_id")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(streamed === Set(1L, 3L, 5L, 7L, 9L))
+    assert(streamed === batch)
+  }
+
+  test("stream-static enrichment join tags rows from the static dim; equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "free")).toDF("user_id", "tier")
+    val rows = Seq(ev(1, 1, user = 1L), ev(2, 2, user = 2L), ev(3, 3, user = 9L))
+
+    val stream = MemoryStream[Ev]
+    val q = Events.enrichFromStatic(stream.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("t_enrich")
+      .outputMode(OutputMode.Append()).start()
+    stream.addData(rows); q.processAllAvailable()
+    val streamed = spark.table("t_enrich").select("event_id", "tier")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    q.stop()
+
+    val batch = Events.enrichFromStatic(rows.toDF(), dim, "user_id")
+      .select("event_id", "tier")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(streamed === Set((1L, Some("gold")), (2L, Some("free")), (3L, None)))
+    assert(streamed === batch)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
