@@ -684,6 +684,83 @@ object LlmQueries extends QueryPack {
         .orderBy("p_pct")
     }),
 
+    // Domain MIXTURE WEIGHTS — the corpus-composition step (temperature
+    // sampling à la multilingual-BERT / DoReMi-style reweighting):
+    // per-source sampling weight ∝ (token share)^α with α = 0.7, which
+    // upweights small domains relative to proportional sampling. The
+    // libm pow() is quantized half-up to integer 1e-9 units (the q101
+    // ln() contract — empirically boundary-safe per dataset via the
+    // three-SF sweep), so the normalizing sum is BIGINT arithmetic and
+    // only the final share is one IEEE division. Source-count-sized
+    // data throughout: one narrow scan + one tiny agg.
+    "q123_mixture_weights" -> ((s, dir) => {
+      val bySource = Tables.documents(s, dir)
+        .select(col("source"), size(Text.tokens(col("text"))).as("n_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("src_tokens"))
+      val w = bySource.withColumn("w_q",
+        floor(pow(col("src_tokens").cast("double"), lit(0.7)) * 1e9 + 0.5)
+          .cast("long"))
+      w.crossJoin(broadcast(w.agg(sum("w_q").as("w_tot"))))
+        .select(col("source"), col("n_docs"), col("src_tokens"),
+          (col("w_q").cast("double") / col("w_tot").cast("double")).as("weight"))
+        .orderBy("source")
+    }),
+
+    // Composed QUALITY GATE — the decision table a production filter
+    // stack emits: every signal (length, stopword ratio, bigram
+    // repetition, unigram-LM score) per doc plus keep/drop and the
+    // FIRST failing reason, so downstream can audit why mass was
+    // dropped per rule. Signals reuse q45/q119/q120's exact/quantized
+    // formulations; the gate itself is a deterministic CASE chain.
+    // Scale: three doc-keyed aggregations joined on doc_id — the same
+    // shapes the standalone queries prove, nothing new materializes.
+    "q124_quality_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val baseSig = docs.select(col("doc_id"),
+        size(Text.tokens(col("text"))).as("n_tokens"),
+        (size(filter(Text.tokens(col("text")),
+          t => t.isin("the", "a", "of", "and"))).cast("double") /
+          greatest(size(Text.tokens(col("text"))), lit(1)).cast("double"))
+          .as("stopword_ratio"))
+      val rep = docs
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(Text.shingles(col("toks"), 2)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg((max("c").cast("double") / sum("c").cast("double"))
+          .as("top_bigram_frac"))
+      val toks = docs.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("token"))
+      val tot = broadcast(toks.agg(count(lit(1)).as("t")))
+      val lm = broadcast(
+        toks.groupBy("token").agg(count(lit(1)).as("c"))
+          .crossJoin(tot)
+          .select(col("token"),
+            floor(-log(col("c").cast("double") / col("t").cast("double"))
+              * 1e9 + 0.5).cast("long").as("nll_q")))
+      val nll = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .join(lm, "token")
+        .groupBy("doc_id")
+        .agg((sum(col("tf") * col("nll_q")).cast("double") /
+          (sum("tf").cast("double") * 1e9)).as("avg_nll"))
+      baseSig
+        .join(rep, Seq("doc_id"), "left")
+        .join(nll, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"),
+          coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+          coalesce(col("avg_nll"), lit(0.0)).as("avg_nll"))
+        .withColumn("reason",
+          when(col("n_tokens") < 20, "too_short")
+            .when(col("stopword_ratio") > 0.5, "stopword_heavy")
+            .when(col("top_bigram_frac") > 0.2, "repetitive")
+            .when(col("avg_nll") > 3.6, "high_perplexity")
+            .otherwise("ok"))
+        .withColumn("keep", col("reason") === "ok")
+        .orderBy("doc_id")
+    }),
+
     "q114_corpus_shuffle" -> ((s, dir) => {
       val keyed = Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -1558,6 +1635,75 @@ object LlmQueries extends QueryPack {
         |  WHERE c.cum * 100 >= p.p_pct * tot.t
         |  GROUP BY p.p_pct, tot.vocab)
         |ORDER BY p_pct""".stripMargin,
+
+    // q123: same quantized pow(α=0.7); BIGINT normalizer, one final
+    // IEEE division.
+    "q123_mixture_weights" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
+        |      AS src_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs, src_tokens,
+        |    CAST(floor(pow(CAST(src_tokens AS DOUBLE), CAST(0.7 AS DOUBLE))
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS w_q
+        |  FROM s),
+        |tot AS (SELECT sum(w_q) AS w_tot FROM w)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(src_tokens AS BIGINT) AS src_tokens,
+        |  CAST(w_q AS DOUBLE) / CAST(w_tot AS DOUBLE) AS weight
+        |FROM w, tot ORDER BY source""".stripMargin,
+
+    // q124: each signal replays its standalone query's formula; the
+    // CASE chain mirrors the Spark when-order exactly.
+    "q124_quality_gate" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |    CAST(len(list_filter(toks,
+        |        x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+        |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio
+        |  FROM t),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS g
+        |  FROM t WHERE len(toks) >= 2),
+        |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+        |rep AS (SELECT doc_id,
+        |    CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac
+        |  FROM bgc GROUP BY doc_id),
+        |toks AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        |tot AS (SELECT count(*) AS tt FROM toks),
+        |lm AS (SELECT token, CAST(floor(
+        |      -ln(CAST(count(*) AS DOUBLE) / CAST(tt AS DOUBLE))
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS nll_q
+        |  FROM toks, tot GROUP BY token, tt),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |  FROM toks GROUP BY doc_id, token),
+        |nll AS (SELECT doc_id,
+        |    CAST(sum(tf * nll_q) AS DOUBLE)
+        |      / (CAST(sum(tf) AS DOUBLE) * 1000000000.0) AS avg_nll
+        |  FROM tf JOIN lm USING (token) GROUP BY doc_id),
+        |sig AS (
+        |  SELECT b.doc_id, b.n_tokens, b.stopword_ratio,
+        |    coalesce(r.top_bigram_frac, CAST(0.0 AS DOUBLE)) AS top_bigram_frac,
+        |    coalesce(n.avg_nll, CAST(0.0 AS DOUBLE)) AS avg_nll
+        |  FROM base b
+        |  LEFT JOIN rep r ON b.doc_id = r.doc_id
+        |  LEFT JOIN nll n ON b.doc_id = n.doc_id)
+        |SELECT doc_id, n_tokens, stopword_ratio, top_bigram_frac, avg_nll,
+        |  CASE WHEN n_tokens < 20 THEN 'too_short'
+        |    WHEN stopword_ratio > CAST(0.5 AS DOUBLE) THEN 'stopword_heavy'
+        |    WHEN top_bigram_frac > CAST(0.2 AS DOUBLE) THEN 'repetitive'
+        |    WHEN avg_nll > CAST(3.6 AS DOUBLE) THEN 'high_perplexity'
+        |    ELSE 'ok' END AS reason,
+        |  (CASE WHEN n_tokens < 20 THEN 'too_short'
+        |    WHEN stopword_ratio > CAST(0.5 AS DOUBLE) THEN 'stopword_heavy'
+        |    WHEN top_bigram_frac > CAST(0.2 AS DOUBLE) THEN 'repetitive'
+        |    WHEN avg_nll > CAST(3.6 AS DOUBLE) THEN 'high_perplexity'
+        |    ELSE 'ok' END) = 'ok' AS keep
+        |FROM sig ORDER BY doc_id""".stripMargin,
 
     // q114: the two-phase rank equals the single global row_number by
     // construction (offsets absorb bucket boundaries).
