@@ -136,6 +136,59 @@ object LlmQueries extends QueryPack {
     * [[Similarity.topKIvfIndexed]] needs — from the cache when this
     * session built/loaded it already, else one bounded (≤ nLists rows)
     * collect of the centroid table. */
+  /** Shared signal table for the quality-gate family (q124 decision
+    * table, q125 audit rollup): per doc — source, token count,
+    * stopword ratio, q119's top-bigram fraction, q120's quantized
+    * unigram-LM mean NLL, and the first-failing-reason CASE chain.
+    * One source of truth so the decision and its audit can never
+    * disagree on a threshold.
+    */
+  private def qualityGateSignals(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val baseSig = docs.select(col("doc_id"), col("source"),
+      size(Text.tokens(col("text"))).as("n_tokens"),
+      (size(filter(Text.tokens(col("text")),
+        t => t.isin("the", "a", "of", "and"))).cast("double") /
+        greatest(size(Text.tokens(col("text"))), lit(1)).cast("double"))
+        .as("stopword_ratio"))
+    val rep = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(Text.shingles(col("toks"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max("c").cast("double") / sum("c").cast("double"))
+        .as("top_bigram_frac"))
+    val toks = docs.select(col("doc_id"),
+      explode(Text.tokens(col("text"))).as("token"))
+    val tot = broadcast(toks.agg(count(lit(1)).as("t")))
+    val lm = broadcast(
+      toks.groupBy("token").agg(count(lit(1)).as("c"))
+        .crossJoin(tot)
+        .select(col("token"),
+          floor(-log(col("c").cast("double") / col("t").cast("double"))
+            * 1e9 + 0.5).cast("long").as("nll_q")))
+    val nll = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .join(lm, "token")
+      .groupBy("doc_id")
+      .agg((sum(col("tf") * col("nll_q")).cast("double") /
+        (sum("tf").cast("double") * 1e9)).as("avg_nll"))
+    baseSig
+      .join(rep, Seq("doc_id"), "left")
+      .join(nll, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("stopword_ratio"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("avg_nll"), lit(0.0)).as("avg_nll"))
+      .withColumn("reason",
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("stopword_ratio") > 0.5, "stopword_heavy")
+          .when(col("top_bigram_frac") > 0.2, "repetitive")
+          .when(col("avg_nll") > 3.6, "high_perplexity")
+          .otherwise("ok"))
+  }
+
   private def loadCentroids(s: org.apache.spark.sql.SparkSession,
                             dir: String): Array[(Long, Array[Float])] = {
     val key = (s.sparkContext.applicationId + "/" + System.identityHashCode(s), dir)
@@ -715,50 +768,30 @@ object LlmQueries extends QueryPack {
     // formulations; the gate itself is a deterministic CASE chain.
     // Scale: three doc-keyed aggregations joined on doc_id — the same
     // shapes the standalone queries prove, nothing new materializes.
-    "q124_quality_gate" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val baseSig = docs.select(col("doc_id"),
-        size(Text.tokens(col("text"))).as("n_tokens"),
-        (size(filter(Text.tokens(col("text")),
-          t => t.isin("the", "a", "of", "and"))).cast("double") /
-          greatest(size(Text.tokens(col("text"))), lit(1)).cast("double"))
-          .as("stopword_ratio"))
-      val rep = docs
-        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), explode(Text.shingles(col("toks"), 2)).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg((max("c").cast("double") / sum("c").cast("double"))
-          .as("top_bigram_frac"))
-      val toks = docs.select(col("doc_id"),
-        explode(Text.tokens(col("text"))).as("token"))
-      val tot = broadcast(toks.agg(count(lit(1)).as("t")))
-      val lm = broadcast(
-        toks.groupBy("token").agg(count(lit(1)).as("c"))
-          .crossJoin(tot)
-          .select(col("token"),
-            floor(-log(col("c").cast("double") / col("t").cast("double"))
-              * 1e9 + 0.5).cast("long").as("nll_q")))
-      val nll = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-        .join(lm, "token")
-        .groupBy("doc_id")
-        .agg((sum(col("tf") * col("nll_q")).cast("double") /
-          (sum("tf").cast("double") * 1e9)).as("avg_nll"))
-      baseSig
-        .join(rep, Seq("doc_id"), "left")
-        .join(nll, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"),
-          coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
-          coalesce(col("avg_nll"), lit(0.0)).as("avg_nll"))
-        .withColumn("reason",
-          when(col("n_tokens") < 20, "too_short")
-            .when(col("stopword_ratio") > 0.5, "stopword_heavy")
-            .when(col("top_bigram_frac") > 0.2, "repetitive")
-            .when(col("avg_nll") > 3.6, "high_perplexity")
-            .otherwise("ok"))
+    "q124_quality_gate" -> ((s, dir) =>
+      qualityGateSignals(s, dir)
+        .drop("source")
         .withColumn("keep", col("reason") === "ok")
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // Drop-mass AUDIT rollup — the per-domain dashboard behind the
+    // gate: for each (source, reason), how many docs and tokens were
+    // affected and what share of the source's documents that is. The
+    // question every pipeline owner asks after a filter change
+    // ("which domain lost mass, to which rule"). One extra tiny
+    // aggregation over q124's decision table; shares are exact-integer
+    // divisions.
+    "q125_drop_audit" -> ((s, dir) => {
+      val sig = qualityGateSignals(s, dir)
+      val bySource = sig.groupBy("source")
+        .agg(count(lit(1)).as("src_docs"))
+      sig.groupBy("source", "reason")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .join(broadcast(bySource), "source")
+        .select(col("source"), col("reason"), col("n_docs"), col("n_tokens"),
+          (col("n_docs").cast("double") / col("src_docs").cast("double"))
+            .as("doc_share"))
+        .orderBy("source", "reason")
     }),
 
     "q114_corpus_shuffle" -> ((s, dir) => {
@@ -1704,6 +1737,57 @@ object LlmQueries extends QueryPack {
         |    WHEN avg_nll > CAST(3.6 AS DOUBLE) THEN 'high_perplexity'
         |    ELSE 'ok' END) = 'ok' AS keep
         |FROM sig ORDER BY doc_id""".stripMargin,
+
+    // q125: q124's CTE chain + source, rolled up per (source, reason).
+    "q125_drop_audit" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, source, CAST(len(toks) AS INT) AS n_tokens,
+        |    CAST(len(list_filter(toks,
+        |        x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+        |      / CAST(greatest(len(toks), 1) AS DOUBLE) AS stopword_ratio
+        |  FROM t),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS g
+        |  FROM t WHERE len(toks) >= 2),
+        |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+        |rep AS (SELECT doc_id,
+        |    CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac
+        |  FROM bgc GROUP BY doc_id),
+        |toks AS (SELECT doc_id, unnest(toks) AS token FROM t),
+        |tot AS (SELECT count(*) AS tt FROM toks),
+        |lm AS (SELECT token, CAST(floor(
+        |      -ln(CAST(count(*) AS DOUBLE) / CAST(tt AS DOUBLE))
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS nll_q
+        |  FROM toks, tot GROUP BY token, tt),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |  FROM toks GROUP BY doc_id, token),
+        |nll AS (SELECT doc_id,
+        |    CAST(sum(tf * nll_q) AS DOUBLE)
+        |      / (CAST(sum(tf) AS DOUBLE) * 1000000000.0) AS avg_nll
+        |  FROM tf JOIN lm USING (token) GROUP BY doc_id),
+        |sig AS (
+        |  SELECT b.doc_id, b.source, b.n_tokens,
+        |    CASE WHEN b.n_tokens < 20 THEN 'too_short'
+        |      WHEN b.stopword_ratio > CAST(0.5 AS DOUBLE) THEN 'stopword_heavy'
+        |      WHEN coalesce(r.top_bigram_frac, CAST(0.0 AS DOUBLE))
+        |        > CAST(0.2 AS DOUBLE) THEN 'repetitive'
+        |      WHEN coalesce(n.avg_nll, CAST(0.0 AS DOUBLE))
+        |        > CAST(3.6 AS DOUBLE) THEN 'high_perplexity'
+        |      ELSE 'ok' END AS reason
+        |  FROM base b
+        |  LEFT JOIN rep r ON b.doc_id = r.doc_id
+        |  LEFT JOIN nll n ON b.doc_id = n.doc_id),
+        |src AS (SELECT source, count(*) AS src_docs FROM sig GROUP BY source)
+        |SELECT g.source, g.reason,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(g.n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS DOUBLE) / CAST(src.src_docs AS DOUBLE) AS doc_share
+        |FROM sig g JOIN src USING (source)
+        |GROUP BY g.source, g.reason, src.src_docs
+        |ORDER BY g.source, g.reason""".stripMargin,
 
     // q114: the two-phase rank equals the single global row_number by
     // construction (offsets absorb bucket boundaries).

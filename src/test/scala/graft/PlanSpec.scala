@@ -409,7 +409,8 @@ class PlanSpec extends SparkSpec {
       "q120_unigram_logprob" -> "1-row corpus-count broadcast",
       "q122_vocab_coverage" -> "1-row corpus-total broadcast",
       "q123_mixture_weights" -> "1-row weight-normalizer broadcast",
-      "q124_quality_gate" -> "1-row corpus-count broadcast")
+      "q124_quality_gate" -> "1-row corpus-count broadcast",
+      "q125_drop_audit" -> "1-row corpus-count broadcast")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
