@@ -22,7 +22,8 @@ object SparkEntry {
     JoinQueries,
     SourceQueries,
     LlmQueries,
-    StreamingQueries
+    StreamingQueries,
+    AnalyticsQueries
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

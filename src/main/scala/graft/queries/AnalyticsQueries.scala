@@ -1,0 +1,376 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Text
+import graft.sources.Tables
+
+/** Retrieval and event-analytics composites (round 8): BM25 scoring,
+  * substring-level duplication audit, funnel / cohort-retention /
+  * sessionization / SCD-2 over the event log, and corpus-drift KL
+  * divergence — the operations a production corpus sits next to
+  * (search quality, product analytics, warehouse dimensioning) that
+  * the engine should express with the same scale discipline as the
+  * core relational surface.
+  *
+  * Scale notes (the 100 TB contract):
+  *   - every shuffle here keys on an unbounded-cardinality column
+  *     (doc_id, user_id, token, shingle) — no low-card window
+  *     partitions, no driver loops;
+  *   - corpus-level scalars (N, avgdl, vocab size) ride as 1-row
+  *     broadcast aggregates inside the plan (the q54/q98 pattern), so
+  *     no query pays a second scan or a driver sync for a count;
+  *   - float aggregation that must hash-match DuckDB uses the
+  *     engine-portable 9-dp half-up quantization (floor(x·10⁹+0.5),
+  *     summed as BIGINT — order-independent), per q101/q95.
+  */
+object AnalyticsQueries extends QueryPack {
+
+  /** BM25 hyperparameters (the Robertson/Walker defaults). */
+  private val K1 = 1.2
+  private val B  = 0.75
+
+  /** The standing query for the BM25 surface: three mid-frequency
+    * corpus terms. A real system would parameterize; the registry
+    * needs a deterministic instance. */
+  private val Bm25Terms = Seq("join", "hash", "vector")
+
+  /** floor(x·10⁹ + 0.5) as BIGINT — the portable half-up quantizer
+    * (round() rounds half-to-even in some engines; floor does not). */
+  private def q9(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(1e9) + lit(0.5)).cast("long")
+
+  override val queries: Map[String, Q] = Map(
+
+    // ---------------------------------------------------------------
+    // q126: BM25 retrieval — score every document against a term set,
+    // return the top 20. idf = ln(1 + (N − df + ½)/(df + ½)) (the
+    // Lucene formulation: always positive), tf saturation k1=1.2,
+    // length normalization b=0.75. Plan shape: the token stream is
+    // filtered to the query terms BEFORE any aggregation (the scan
+    // emits ~|Q| matches per doc, not the whole posting universe);
+    // df (|Q| rows) and the corpus stats (1 row) broadcast; the only
+    // shuffles key on doc_id. Per-term contributions are 9-dp
+    // quantized and summed as BIGINT so the score is bit-stable
+    // across engines and summation orders.
+    "q126_bm25" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("token"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = broadcast(dl.agg(
+        count(lit(1)).as("n"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl")))
+      val qtoks = toks.filter(col("token").isin(Bm25Terms: _*))
+      val df = broadcast(qtoks.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df")))
+      val tf = qtoks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val idf9 = floor(log(lit(1.0) +
+        (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * lit(1e9) +
+        lit(0.5)) / lit(1e9)
+      val tfPart = col("tf").cast("double") * lit(K1 + 1.0) /
+        (col("tf").cast("double") +
+          lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+      tf.join(df, "token")
+        .join(dl, "doc_id")
+        .crossJoin(stats)
+        .select(col("doc_id"), q9(idf9 * tfPart).as("c9"))
+        .groupBy("doc_id").agg(sum("c9").as("score9"))
+        .select(col("doc_id"), col("score9"),
+          (col("score9") / lit(1e9)).as("score"))
+        .orderBy(col("score9").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // ---------------------------------------------------------------
+    // q127: substring-level duplication audit (the Lee et al. 2022
+    // "deduplicating training data" shape at shingle granularity):
+    // every 5-token window of every doc, flagged if the identical
+    // window appears in ≥2 distinct docs; per-doc duplicated-span
+    // mass. Shingling is the native graft_shingles loop; the
+    // per-shingle doc count and the span↔count join both shuffle on
+    // the shingle value — unbounded cardinality, even spread. At
+    // 100 TB the shuffle key would be a 128-bit content hash of the
+    // shingle (the ops/Dedup exact-dedup pattern) rather than the
+    // string itself; the string key is kept here because the oracle
+    // compares raw shingles and collision behavior must match.
+    "q127_dup_spans" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val spans = docs.select(col("doc_id"),
+        explode(Text.shingles(Text.tokens(col("text")), 5)).as("sh"))
+      val counts = spans.groupBy("sh")
+        .agg(count_distinct(col("doc_id")).as("nd"))
+      spans.join(counts, "sh")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------------------------------------------------------
+    // q128: ordered event funnel view → click → purchase, each stage
+    // within 3 days of the previous stage's first completion. Pure
+    // min-aggregate + equi-join chain on user_id (no windows, no
+    // per-user event buffering): each stage is one groupBy and one
+    // join keyed on user_id, so the whole funnel is a fixed number of
+    // evenly-spread shuffles regardless of per-user event counts.
+    "q128_event_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val window = expr("INTERVAL 3 DAYS")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val c = ev.filter(col("event_type") === "click").as("e")
+        .join(v, "user_id")
+        .filter(col("ts") > col("t1") && col("ts") <= col("t1") + window)
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val p = ev.filter(col("event_type") === "purchase").as("e")
+        .join(c, "user_id")
+        .filter(col("ts") > col("t2") && col("ts") <= col("t2") + window)
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      v.agg(count(lit(1)).as("n_users")).select(lit(1L).as("stage"),
+          lit("view").as("name"), col("n_users"))
+        .unionAll(c.agg(count(lit(1)).as("n_users"))
+          .select(lit(2L).as("stage"), lit("click").as("name"), col("n_users")))
+        .unionAll(p.agg(count(lit(1)).as("n_users"))
+          .select(lit(3L).as("stage"), lit("purchase").as("name"), col("n_users")))
+        .orderBy("stage")
+    }),
+
+    // ---------------------------------------------------------------
+    // q129: weekly cohort retention — users grouped by first-activity
+    // week, counted in each subsequent active week. Two aggregates
+    // and one join, all keyed on user_id; the output is |cohorts| ×
+    // |offsets| rows (bounded by calendar span, not data volume).
+    // Week offsets are exact: both sides are Monday-truncated, so the
+    // day delta is always a multiple of 7 and the division is exact.
+    "q129_retention_cohort" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val first = ev.groupBy("user_id")
+        .agg(date_trunc("week", min("ts")).cast("date").as("cohort_week"))
+      val active = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("active_week")).distinct()
+      first.join(active, "user_id")
+        .groupBy(col("cohort_week"),
+          (datediff(col("active_week"), col("cohort_week")) / 7)
+            .cast("long").as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // ---------------------------------------------------------------
+    // q130: gap-based sessionization — explicit session ids attached
+    // to events (what session_window's aggregate-only output cannot
+    // give you), via lag + running flag sum partitioned on user_id
+    // (unbounded cardinality: one user's events per window partition).
+    // A 30-minute silence starts a new session.
+    "q130_sessionize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val flagged = ev.withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+            .otherwise(0L))
+      flagged.withColumn("session_idx",
+          sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_idx").agg(
+          min("ts").as("s_start"), max("ts").as("s_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // ---------------------------------------------------------------
+    // q131: SCD type-2 dimension build — collapse the event log into
+    // validity intervals of the per-user attribute `k` (from props),
+    // emitting a row per change with [valid_from, valid_to). Change
+    // detection and interval close are two windows over the same
+    // (user_id; ts, event_id) sort — one shuffle, high-cardinality
+    // partition key. Open (current) intervals carry the conventional
+    // 9999-12-31 high-date sentinel rather than NULL: the engines
+    // stringify NULL timestamps differently, and the sentinel is the
+    // standard warehouse SCD-2 contract anyway.
+    "q131_scd2" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id") < 30)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val changes = ev
+        .withColumn("prev_k", lag("k_val", 1).over(byUser))
+        .filter(col("prev_k").isNull || !(col("prev_k") <=> col("k_val")))
+      changes
+        .withColumn("valid_to", coalesce(lead("ts", 1).over(byUser),
+          lit("9999-12-31 00:00:00").cast("timestamp")))
+        .select(col("user_id"), col("ts").as("valid_from"),
+          col("valid_to"), col("k_val"))
+        .orderBy("user_id", "valid_from")
+    }),
+
+    // ---------------------------------------------------------------
+    // q132: corpus drift — add-one-smoothed KL(source ‖ corpus) over
+    // the global vocabulary, per source. The vocabulary × source grid
+    // (needed because absent tokens still contribute smoothed mass)
+    // is built by broadcasting the |sources|-row totals against the
+    // vocab stream — an explode, not a pair scan; the only real
+    // shuffles key on token and (source, token). ln is 9-dp
+    // quantized, contributions summed as BIGINT (order-independent).
+    "q132_kl_divergence" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("source"),
+        explode(Text.tokens(col("text"))).as("token"))
+      val tfSrc = toks.groupBy("source", "token").agg(count(lit(1)).as("tf_s"))
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("tf_all"))
+      val srcTotals = broadcast(tfSrc.groupBy("source").agg(sum("tf_s").as("len_s")))
+      val totals = broadcast(vocab.agg(
+        sum("tf_all").as("len_all"), count(lit(1)).as("v")))
+      val grid = vocab.crossJoin(srcTotals).crossJoin(totals)
+        .join(tfSrc, Seq("source", "token"), "left")
+        .withColumn("tf_s", coalesce(col("tf_s"), lit(0L)))
+      val p = (col("tf_s") + lit(1)).cast("double") / (col("len_s") + col("v"))
+      val qd = (col("tf_all") + lit(1)).cast("double") / (col("len_all") + col("v"))
+      val ln9 = floor(log(p / qd) * lit(1e9) + lit(0.5)) / lit(1e9)
+      grid.select(col("source"), q9(p * ln9).as("c9"))
+        .groupBy("source").agg(sum("c9").as("kl9"))
+        .select(col("source"), col("kl9"), (col("kl9") / lit(1e9)).as("kl"))
+        .orderBy("source")
+    })
+  )
+
+  override val oracles: Map[String, String] = Map(
+
+    "q126_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    t -> t <> '')) AS token FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n,
+        |  CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl),
+        |qt AS (SELECT * FROM (VALUES ('join'),('hash'),('vector')) q(token)),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks
+        |  WHERE token IN (SELECT token FROM qt) GROUP BY 1),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |  WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT tf.doc_id, CAST(floor(
+        |    (floor(ln(1.0 + (stats.n - df.df + 0.5)/(df.df + 0.5))*1e9 + 0.5)/1e9)
+        |    * (CAST(tf.tf AS DOUBLE)*2.2
+        |       / (CAST(tf.tf AS DOUBLE) + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)))
+        |    * 1e9 + 0.5) AS BIGINT) AS c9
+        |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, CAST(sum(c9) AS BIGINT) AS score9,
+        |  CAST(sum(c9) AS BIGINT)/1e9 AS score
+        |FROM contrib GROUP BY doc_id
+        |ORDER BY score9 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q127_dup_spans" ->
+      """WITH toks AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, array_to_string(list_slice(tk, g.i, g.i + 4), ' ') AS sh
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 4)) AS i) g
+        |  WHERE len(tk) >= 5),
+        |shc AS (SELECT sh, count(DISTINCT doc_id) AS nd FROM spans GROUP BY sh)
+        |SELECT s.doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN shc.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |  CAST(sum(CASE WHEN shc.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    / CAST(count(*) AS DOUBLE) AS dup_frac
+        |FROM spans s JOIN shc USING (sh)
+        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q128_event_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t1
+        |    AND e.ts <= v.t1 + INTERVAL '3 days' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |    AND e.ts <= c.t2 + INTERVAL '3 days' GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS name, count(*) AS n_users FROM v
+        |UNION ALL SELECT 2, 'click', count(*) FROM c
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM p
+        |ORDER BY stage""".stripMargin,
+
+    // Both sides are Monday-truncated so the day delta is an exact
+    // multiple of 7: the /7 division is an exact integer-valued double
+    // and Spark's truncating CAST equals DuckDB's rounding CAST.
+    "q129_retention_cohort" ->
+      """WITH first AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS active_week
+        |  FROM events)
+        |SELECT f.cohort_week,
+        |  CAST(date_diff('day', f.cohort_week, a.active_week)/7 AS BIGINT)
+        |    AS week_offset,
+        |  count(*) AS n_users
+        |FROM first f JOIN act a USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q130_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM flagged)
+        |SELECT user_id, session_idx, min(ts) AS s_start, max(ts) AS s_end,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    "q131_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(props->>'$.k' AS INT) AS k_val
+        |  FROM events WHERE user_id < 30),
+        |changes AS (
+        |  SELECT user_id, ts, event_id, k_val
+        |  FROM (SELECT *, lag(k_val) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_k,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |    FROM ev)
+        |  WHERE prev_ts IS NULL OR k_val IS DISTINCT FROM prev_k)
+        |SELECT user_id, ts AS valid_from,
+        |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |    TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+        |  k_val
+        |FROM changes ORDER BY user_id, valid_from""".stripMargin,
+
+    "q132_kl_divergence" ->
+      """WITH toks AS (SELECT source, unnest(list_filter(string_split(text, ' '),
+        |    t -> t <> '')) AS token FROM documents),
+        |tf_s AS (SELECT source, token, count(*) AS tf_s FROM toks GROUP BY 1, 2),
+        |vocab AS (SELECT token, count(*) AS tf_all FROM toks GROUP BY 1),
+        |src AS (SELECT source, sum(tf_s) AS len_s FROM tf_s GROUP BY 1),
+        |tot AS (SELECT sum(tf_all) AS len_all, count(*) AS v FROM vocab),
+        |grid AS (
+        |  SELECT src.source, vocab.token, vocab.tf_all, src.len_s,
+        |    tot.len_all, tot.v, coalesce(tf_s.tf_s, 0) AS tf_s
+        |  FROM vocab CROSS JOIN src CROSS JOIN tot
+        |  LEFT JOIN tf_s ON tf_s.source = src.source AND tf_s.token = vocab.token),
+        |contrib AS (
+        |  SELECT source,
+        |    CAST(floor(
+        |      (CAST(tf_s + 1 AS DOUBLE) / (len_s + v))
+        |      * (floor(ln((CAST(tf_s + 1 AS DOUBLE) / (len_s + v))
+        |                  / (CAST(tf_all + 1 AS DOUBLE) / (len_all + v)))*1e9 + 0.5)/1e9)
+        |      * 1e9 + 0.5) AS BIGINT) AS c9
+        |  FROM grid)
+        |SELECT source, CAST(sum(c9) AS BIGINT) AS kl9,
+        |  CAST(sum(c9) AS BIGINT)/1e9 AS kl
+        |FROM contrib GROUP BY source ORDER BY source""".stripMargin
+  )
+}

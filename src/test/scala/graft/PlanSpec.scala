@@ -410,7 +410,10 @@ class PlanSpec extends SparkSpec {
       "q122_vocab_coverage" -> "1-row corpus-total broadcast",
       "q123_mixture_weights" -> "1-row weight-normalizer broadcast",
       "q124_quality_gate" -> "1-row corpus-count broadcast",
-      "q125_drop_audit" -> "1-row corpus-count broadcast")
+      "q125_drop_audit" -> "1-row corpus-count broadcast",
+      "q126_bm25" -> "1-row corpus-stats broadcast",
+      "q132_kl_divergence" ->
+        "vocab × |sources| grid: bounded source-totals broadcast explode")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),

@@ -64,6 +64,9 @@ def main():
             bad = None
             for i, (a, b) in enumerate(zip(srows, orows)):
                 for x, y in zip(a, b):
+                    # pandas NaT/None nulls: x != y is True for NaT pairs
+                    if (x is None or str(x) == 'NaT') and (y is None or str(y) == 'NaT'):
+                        continue
                     if isinstance(x, float) or isinstance(y, float):
                         both_nan = (isinstance(x, float) and isinstance(y, float)
                                     and math.isnan(x) and math.isnan(y))
