@@ -77,6 +77,10 @@ object Bench {
       graft.queries.LlmQueries.clearCaches()
       if (forQuery.startsWith("q109"))
         graft.queries.LlmQueries.resetIvfIndexState()
+      // Same build/probe split for the postings index: q133 prices the
+      // COLD index build, q134 prices a probe against the built index.
+      if (forQuery.startsWith("q133"))
+        graft.queries.AnalyticsQueries.resetPostingsState()
       graft.queries.SourceQueries.resetQ89State()
     }
 

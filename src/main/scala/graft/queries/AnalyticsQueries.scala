@@ -30,6 +30,52 @@ object AnalyticsQueries extends QueryPack {
   private val K1 = 1.2
   private val B  = 0.75
 
+  /** Session-scoped memo key for the persisted postings index (same
+    * contract as LlmQueries' IVF index state): (session identity, sf
+    * dir) of the last build, so repeated probes skip the build but a
+    * new session or data dir rebuilds. */
+  private val postingsState =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+
+  /** Bench hook: force the next ensurePostings to rebuild (cold-rep
+    * policy — see Bench.resetMemoizedState). */
+  def resetPostingsState(): Unit = postingsState.set(null)
+
+  /** Build-once inverted index for the BM25 surface: `graft_postings`
+    * (token, doc_id, tf, dl) BUCKETED ON token — the classic
+    * search-engine posting with the length norm denormalized into the
+    * row, so a probe needs NO join back to the corpus — plus the 1-row
+    * `graft_bm25_stats` (N, avgdl). At 100 TB this is the layout job
+    * you run once per corpus snapshot; bucket pruning turns a probe's
+    * token-IN filter into a read of only the buckets holding the query
+    * terms.
+    */
+  private def ensurePostings(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    postingsState.synchronized {
+      val key = (s.sparkContext.applicationId + "/" + System.identityHashCode(s), dir)
+      val cached = postingsState.get == key &&
+        s.catalog.tableExists("graft_postings") &&
+        s.catalog.tableExists("graft_bm25_stats")
+      if (!cached) {
+        Seq("graft_postings", "graft_bm25_stats")
+          .foreach(graft.sources.Staging.dropManagedTable(s, _))
+        val docs = Tables.documents(s, dir)
+        val toks = docs.select(col("doc_id"),
+          explode(Text.tokens(col("text"))).as("token"))
+        val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        tf.join(dl, "doc_id")
+          .select("token", "doc_id", "tf", "dl")
+          .write.mode("overwrite")
+          .bucketBy(8, "token").sortBy("token")
+          .saveAsTable("graft_postings")
+        dl.agg(count(lit(1)).as("n"),
+            (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+          .write.mode("overwrite").saveAsTable("graft_bm25_stats")
+        postingsState.set(key)
+      }
+    }
+
   /** The standing query for the BM25 surface: three mid-frequency
     * corpus terms. A real system would parameterize; the registry
     * needs a deterministic instance. */
@@ -39,6 +85,28 @@ object AnalyticsQueries extends QueryPack {
     * (round() rounds half-to-even in some engines; floor does not). */
   private def q9(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * lit(1e9) + lit(0.5)).cast("long")
+
+  /** Per-(doc, term) BM25 contribution over columns tf/df/dl/n/avgdl,
+    * 9-dp quantized: shared by the scan-side q126 and the index-side
+    * q134 so the two surfaces are score-identical by construction. */
+  private def bm25C9: org.apache.spark.sql.Column = {
+    val idf9 = floor(log(lit(1.0) +
+      (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * lit(1e9) +
+      lit(0.5)) / lit(1e9)
+    val tfPart = col("tf").cast("double") * lit(K1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
+    q9(idf9 * tfPart)
+  }
+
+  /** Scored (doc_id, c9) rows → the top-20 result contract shared by
+    * q126 and q134. */
+  private def bm25TopK(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    scored.groupBy("doc_id").agg(sum("c9").as("score9"))
+      .select(col("doc_id"), col("score9"),
+        (col("score9") / lit(1e9)).as("score"))
+      .orderBy(col("score9").desc, col("doc_id"))
+      .limit(20)
 
   override val queries: Map[String, Q] = Map(
 
@@ -65,21 +133,76 @@ object AnalyticsQueries extends QueryPack {
       val df = broadcast(qtoks.select("doc_id", "token").distinct()
         .groupBy("token").agg(count(lit(1)).as("df")))
       val tf = qtoks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val idf9 = floor(log(lit(1.0) +
-        (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * lit(1e9) +
-        lit(0.5)) / lit(1e9)
-      val tfPart = col("tf").cast("double") * lit(K1 + 1.0) /
-        (col("tf").cast("double") +
-          lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / col("avgdl")))
-      tf.join(df, "token")
+      bm25TopK(tf.join(df, "token")
         .join(dl, "doc_id")
         .crossJoin(stats)
-        .select(col("doc_id"), q9(idf9 * tfPart).as("c9"))
-        .groupBy("doc_id").agg(sum("c9").as("score9"))
-        .select(col("doc_id"), col("score9"),
-          (col("score9") / lit(1e9)).as("score"))
-        .orderBy(col("score9").desc, col("doc_id"))
-        .limit(20)
+        .select(col("doc_id"), bm25C9.as("c9")))
+    }),
+
+    // ---------------------------------------------------------------
+    // q133: inverted-index BUILD — materialize the postings table
+    // (token, doc_id, tf, dl) bucketed on token plus the 1-row corpus
+    // stats, then emit the per-term manifest (df, total occurrences).
+    // The build pays the corpus tokenization and two doc_id-keyed
+    // shuffles ONCE; every q134 probe after it reads only the buckets
+    // its query terms hash to. The q109/q110 IVF pattern applied to
+    // lexical retrieval.
+    "q133_postings_build" -> ((s, dir) => {
+      ensurePostings(s, dir)
+      s.table("graft_postings")
+        .groupBy("token")
+        .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
+        .orderBy("token")
+    }),
+
+    // ---------------------------------------------------------------
+    // q134: BM25 probe against the persisted postings index —
+    // score-identical to q126 (shared contribution/top-k helpers,
+    // same oracle) but physically: NO corpus scan, NO tokenization,
+    // no dl join (the posting carries its norm); the token-IN filter
+    // prunes buckets, df comes from the fetched postings themselves,
+    // and the only shuffle keys on doc_id over the matched postings.
+    "q134_bm25_indexed" -> ((s, dir) => {
+      ensurePostings(s, dir)
+      val post = s.table("graft_postings")
+        .filter(col("token").isin(Bm25Terms: _*))
+      val df = broadcast(post.groupBy("token").agg(count(lit(1)).as("df")))
+      val stats = broadcast(s.table("graft_bm25_stats"))
+      bm25TopK(post.join(df, "token")
+        .crossJoin(stats)
+        .select(col("doc_id"), bm25C9.as("c9")))
+    }),
+
+    // ---------------------------------------------------------------
+    // q135: temperature-scaled domain sampling (α = 0.5): target
+    // shares ∝ √n_d rebalance the mixture toward small domains at a
+    // fixed total budget (half the corpus), realized as per-domain
+    // deterministic hash acceptance — no RNG state, rerun-stable,
+    // embarrassingly parallel. Per-domain rates are a |sources|-row
+    // broadcast; the corpus streams once through a filter.
+    "q135_temperature_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "source")
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val wq = counts.withColumn("w_q",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1e9) + lit(0.5)).cast("long"))
+      val tot = broadcast(wq.agg(sum("w_q").as("w_tot"),
+        floor(sum("n_docs") / 2).cast("long").as("t_total")))
+      val rates = broadcast(wq.crossJoin(tot)
+        .withColumn("t_d",
+          floor(col("w_q").cast("double") / col("w_tot") * col("t_total") +
+            lit(0.5)).cast("long"))
+        .withColumn("r_d",
+          least(lit(1.0), col("t_d").cast("double") / col("n_docs"))))
+      docs.join(rates, "source")
+        .withColumn("u",
+          conv(substring(md5(concat(lit("temp:"), col("doc_id").cast("string"))),
+            1, 8), 16, 10).cast("long").cast("double") / lit(4294967296.0))
+        .filter(col("u") < col("r_d"))
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        .join(rates.select("source", "n_docs", "t_d"), "source")
+        .select(col("source"), col("n_docs"), col("t_d").as("n_target"),
+          col("n_kept"))
+        .orderBy("source")
     }),
 
     // ---------------------------------------------------------------
@@ -263,6 +386,65 @@ object AnalyticsQueries extends QueryPack {
         |  CAST(sum(c9) AS BIGINT)/1e9 AS score
         |FROM contrib GROUP BY doc_id
         |ORDER BY score9 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q133: the index manifest — per-term df and occurrence mass,
+    // replayed from the raw corpus.
+    "q133_postings_build" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    t -> t <> '')) AS token FROM documents)
+        |SELECT token, count(DISTINCT doc_id) AS df,
+        |  count(*) AS total_tf
+        |FROM toks GROUP BY token ORDER BY token""".stripMargin,
+
+    // q134: identical result contract to q126 — same oracle replay.
+    "q134_bm25_indexed" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    t -> t <> '')) AS token FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n,
+        |  CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl),
+        |qt AS (SELECT * FROM (VALUES ('join'),('hash'),('vector')) q(token)),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks
+        |  WHERE token IN (SELECT token FROM qt) GROUP BY 1),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |  WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT tf.doc_id, CAST(floor(
+        |    (floor(ln(1.0 + (stats.n - df.df + 0.5)/(df.df + 0.5))*1e9 + 0.5)/1e9)
+        |    * (CAST(tf.tf AS DOUBLE)*2.2
+        |       / (CAST(tf.tf AS DOUBLE) + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)))
+        |    * 1e9 + 0.5) AS BIGINT) AS c9
+        |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, CAST(sum(c9) AS BIGINT) AS score9,
+        |  CAST(sum(c9) AS BIGINT)/1e9 AS score
+        |FROM contrib GROUP BY doc_id
+        |ORDER BY score9 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q135: √-temperature rebalance replayed; the acceptance uniform is
+    // the first 8 md5 hex chars of "temp:<doc_id>" over 2³² — exactly
+    // the engine-side conv(md5…,16,10)/2³². sqrt is IEEE
+    // correctly-rounded (unlike pow), so both engines agree bit-for-bit.
+    "q135_temperature_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE))*1e9 + 0.5) AS BIGINT) AS w_q
+        |  FROM c),
+        |tot AS (SELECT sum(w_q) AS w_tot,
+        |  CAST(floor(sum(n_docs)/2) AS BIGINT) AS t_total FROM w),
+        |rates AS (SELECT source, n_docs,
+        |  CAST(floor(CAST(w_q AS DOUBLE)/w_tot*t_total + 0.5) AS BIGINT) AS t_d
+        |  FROM w CROSS JOIN tot),
+        |r2 AS (SELECT *, least(1.0, CAST(t_d AS DOUBLE)/n_docs) AS r_d FROM rates),
+        |kept AS (
+        |  SELECT d.source, count(*) AS n_kept
+        |  FROM documents d JOIN r2 USING (source)
+        |  WHERE CAST(('0x' || substring(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |          AS BIGINT)/4294967296.0 < r2.r_d
+        |  GROUP BY d.source)
+        |SELECT k.source, r2.n_docs, r2.t_d AS n_target, k.n_kept
+        |FROM kept k JOIN r2 USING (source) ORDER BY source""".stripMargin,
 
     "q127_dup_spans" ->
       """WITH toks AS (SELECT doc_id,

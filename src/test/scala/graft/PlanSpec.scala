@@ -313,6 +313,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q134: the indexed BM25 probe scans only pruned postings buckets, never the corpus") {
+    // The persisted postings index's whole point: a probe must not
+    // re-tokenize or even touch the documents table — its only file
+    // scans are the postings table (with the token-IN filter pruning
+    // buckets) and the 1-row stats table.
+    // String-match the executed plan (the registry-gate idiom): AQE
+    // wraps the tree in AdaptiveSparkPlanExec, whose inner plan is not
+    // reachable via collect().
+    val plan = SparkEntry.queries("q134_bm25_indexed")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_postings"),
+      s"probe does not scan the postings table:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"indexed probe rescans the documents corpus:\n$plan")
+    // Bucket pruning: 3 query terms hash to at most 3 of the 8 buckets.
+    val selected = "SelectedBucketsCount: (\\d+) out of 8".r
+      .findAllMatchIn(plan).map(_.group(1).toInt).toSeq
+    assert(selected.nonEmpty, s"no bucket-pruned postings scan in:\n$plan")
+    assert(selected.forall(_ <= 3),
+      s"token-IN filter did not prune postings buckets (selected=$selected):\n$plan")
+  }
+
   test("every window partition key is high-cardinality or map-side rank-limited") {
     // The round-6 verdict's last scale-shape defect class: a ranking
     // window partitioned on a low-cardinality key with full output is
@@ -413,7 +435,9 @@ class PlanSpec extends SparkSpec {
       "q125_drop_audit" -> "1-row corpus-count broadcast",
       "q126_bm25" -> "1-row corpus-stats broadcast",
       "q132_kl_divergence" ->
-        "vocab × |sources| grid: bounded source-totals broadcast explode")
+        "vocab × |sources| grid: bounded source-totals broadcast explode",
+      "q134_bm25_indexed" -> "1-row corpus-stats broadcast",
+      "q135_temperature_sample" -> "1-row budget-total broadcast")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
