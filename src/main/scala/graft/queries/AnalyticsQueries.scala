@@ -99,6 +99,18 @@ object AnalyticsQueries extends QueryPack {
     q9(idf9 * tfPart)
   }
 
+  /** 8-bit × 8-bit Morton (Z-order) interleave as portable SQL
+    * arithmetic — bit i of `x` lands on z-bit 2i, bit i of `y` on
+    * z-bit 2i+1, via floor-divide/mod only (no engine-specific bit
+    * operators), so the SAME generated string runs under Spark's
+    * expr() and the DuckDB oracle. */
+  private def zInterleaveSql(x: String, y: String): String =
+    (0 until 8).map { i =>
+      val p = 1L << i
+      s"((CAST(floor($x/$p) AS BIGINT)%2)*${1L << (2 * i)}" +
+        s" + (CAST(floor($y/$p) AS BIGINT)%2)*${1L << (2 * i + 1)})"
+    }.mkString(" + ")
+
   /** Scored (doc_id, c9) rows → the top-20 result contract shared by
     * q126 and q134. */
   private def bm25TopK(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -171,6 +183,32 @@ object AnalyticsQueries extends QueryPack {
       bm25TopK(post.join(df, "token")
         .crossJoin(stats)
         .select(col("doc_id"), bm25C9.as("c9")))
+    }),
+
+    // ---------------------------------------------------------------
+    // q136: Z-order (Morton-curve) layout — the multi-dimensional
+    // clustering step behind Delta/Iceberg OPTIMIZE ZORDER: interleave
+    // the bits of two scan-predicate columns so range buckets of the
+    // combined key bound BOTH dimensions, letting min/max file stats
+    // prune scans on either column. Output is the per-bucket manifest
+    // (count + per-dimension min/max); with 64 buckets over a 16-bit
+    // z, each bucket fixes the top 3 bits of each dimension, so every
+    // bucket's x- and y-range is ≤ 31 — the property AnalyticsSpec
+    // asserts and a linear layout cannot deliver. At 100 TB the
+    // companion action is repartitionByRange(z) + sorted parquet write
+    // (the q84/q90 machinery); the manifest here is the part with a
+    // checkable contract.
+    "q136_zorder_layout" -> ((s, dir) => {
+      val z = zInterleaveSql("(l_partkey%256)", "(l_suppkey%256)")
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr(s"CAST(floor(($z)/1024) AS BIGINT)").as("zbucket"),
+          (col("l_partkey") % 256).as("x"), (col("l_suppkey") % 256).as("y"))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .orderBy("zbucket")
     }),
 
     // ---------------------------------------------------------------
@@ -421,6 +459,19 @@ object AnalyticsQueries extends QueryPack {
         |  CAST(sum(c9) AS BIGINT)/1e9 AS score
         |FROM contrib GROUP BY doc_id
         |ORDER BY score9 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q136: identical generated interleave arithmetic replayed.
+    "q136_zorder_layout" -> {
+      val z = zInterleaveSql("(l_partkey%256)", "(l_suppkey%256)")
+      s"""WITH pts AS (
+         |  SELECT l_partkey%256 AS x, l_suppkey%256 AS y,
+         |    CAST(floor(($z)/1024) AS BIGINT) AS zbucket
+         |  FROM lineitem)
+         |SELECT zbucket, count(*) AS n,
+         |  min(x) AS min_x, max(x) AS max_x,
+         |  min(y) AS min_y, max(y) AS max_y
+         |FROM pts GROUP BY zbucket ORDER BY zbucket""".stripMargin
+    },
 
     // q135: √-temperature rebalance replayed; the acceptance uniform is
     // the first 8 md5 hex chars of "temp:<doc_id>" over 2³² — exactly

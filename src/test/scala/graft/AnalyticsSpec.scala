@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Properties of the retrieval / event-analytics pack
+  * (queries/AnalyticsQueries.scala) that the DuckDB oracle cannot
+  * state: cross-surface equivalence (indexed vs scan-side BM25),
+  * session-gap invariants, sampler determinism and budget adherence,
+  * and the Z-order locality bound.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("q134 indexed BM25 returns exactly q126's scan-side result") {
+    // Same scores by construction (shared contribution helper) — but
+    // this asserts the INDEX path end-to-end: build, bucket-pruned
+    // fetch, postings-derived df. Any drift between the stored
+    // postings and a fresh tokenization breaks this, not just the
+    // oracle.
+    val scan = run("q126_bm25").collect().toSeq
+    val indexed = run("q134_bm25_indexed").collect().toSeq
+    assert(indexed == scan)
+  }
+
+  test("sessionization respects the 30-minute gap invariant") {
+    // Within a session, consecutive events gap <= 30 min; the first
+    // event of session k+1 comes > 30 min after the LAST event of
+    // session k. Recheck from raw events against q130's output.
+    val sessions = run("q130_sessionize")
+    // s_start of next session > s_end of previous + 30 min, per user.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_idx")
+    val bad = sessions
+      .withColumn("prev_end", lag("s_end", 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        col("s_start") <= col("prev_end") + expr("INTERVAL 30 MINUTES"))
+      .count()
+    assert(bad == 0L, s"$bad session starts within 30 min of the previous session's end")
+
+    // Sessions partition the events exactly: per-user event counts match.
+    val fromSessions = sessions.groupBy("user_id")
+      .agg(sum("n_events").as("n")).orderBy("user_id").collect().toSeq
+    val fromRaw = graft.sources.Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy("user_id").collect().toSeq
+    assert(fromSessions == fromRaw)
+  }
+
+  test("temperature sampler is deterministic and lands near its budget") {
+    val a = run("q135_temperature_sample").collect().toSeq
+    val b = run("q135_temperature_sample").collect().toSeq
+    assert(a == b, "hash-acceptance sampling must be rerun-stable")
+    val kept = a.map(_.getAs[Long]("n_kept")).sum
+    val target = a.map(_.getAs[Long]("n_target")).sum
+    // Bernoulli acceptance: kept ~ Binomial(n, r); at 500 docs the
+    // relative deviation stays well inside 25%.
+    assert(kept > target * 0.75 && kept < target * 1.25,
+      s"kept $kept vs target $target — acceptance hashing is off")
+    for (r <- a)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+  }
+
+  test("z-order buckets bound BOTH dimensions (the clustering property)") {
+    // 64 buckets over a 16-bit z fix the top 3 bits of each dimension:
+    // every bucket's x-range and y-range is <= 31. A linear
+    // (x-then-y) layout bounds only x; this is the property that lets
+    // min/max stats prune scans on EITHER column.
+    val rows = run("q136_zorder_layout").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (xr, yr) = (r.getAs[Long]("max_x") - r.getAs[Long]("min_x"),
+        r.getAs[Long]("max_y") - r.getAs[Long]("min_y"))
+      assert(xr <= 31 && yr <= 31,
+        s"zbucket ${r.getAs[Long]("zbucket")} spans x=$xr y=$yr (> 31)")
+    }
+  }
+
+  test("funnel stages are monotonically non-increasing") {
+    val ns = run("q128_event_funnel").orderBy("stage")
+      .collect().map(_.getAs[Long]("n_users")).toSeq
+    assert(ns.size == 3 && ns == ns.sorted.reverse,
+      s"funnel stage counts must not grow: $ns")
+  }
+
+  test("SCD2 intervals tile each user's timeline without overlap") {
+    val iv = run("q131_scd2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("valid_from")
+    // Each interval closes exactly where the next opens; the last is
+    // open (9999-12-31 sentinel).
+    val bad = iv.withColumn("next_from", lead("valid_from", 1).over(w))
+      .filter(col("next_from").isNotNull && !(col("valid_to") === col("next_from")))
+      .count()
+    assert(bad == 0L, s"$bad SCD2 intervals do not close at the next open")
+    val openPerUser = iv.filter(col("valid_to") === lit("9999-12-31 00:00:00").cast("timestamp"))
+      .groupBy("user_id").count().filter(col("count") =!= 1).count()
+    assert(openPerUser == 0L, "every user must have exactly one open interval")
+  }
+}
