@@ -186,6 +186,65 @@ object AnalyticsQueries extends QueryPack {
     }),
 
     // ---------------------------------------------------------------
+    // q137: BATCH retrieval — a table of queries scored against the
+    // persisted postings index in ONE pass, top-5 docs per query. The
+    // (query_id, term) table broadcasts onto the bucket-pruned
+    // postings fetch, scores aggregate per (query_id, doc_id), and the
+    // per-query cut is a rank FILTER — which Spark turns into a
+    // map-side WindowGroupLimit, so the low-cardinality query_id
+    // partition never sees more than k rows per task. The multi-tenant
+    // serving shape: cost ∝ matched postings, not queries × corpus.
+    "q137_bm25_batch" -> ((s, dir) => {
+      ensurePostings(s, dir)
+      import s.implicits._
+      val terms = Seq(
+        (1L, "join"), (1L, "hash"),
+        (2L, "vector"), (2L, "column"), (2L, "scan"),
+        (3L, "merge"))
+      val queryTerms = terms.toDF("query_id", "token")
+      val post = s.table("graft_postings")
+        .filter(col("token").isin(terms.map(_._2).distinct: _*))
+      val df = broadcast(post.groupBy("token").agg(count(lit(1)).as("df")))
+      val stats = broadcast(s.table("graft_bm25_stats"))
+      val scored = post.join(broadcast(queryTerms), "token")
+        .join(df, "token")
+        .crossJoin(stats)
+        .select(col("query_id"), col("doc_id"), bm25C9.as("c9"))
+        .groupBy("query_id", "doc_id").agg(sum("c9").as("score9"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score9").desc, col("doc_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk"), col("doc_id"), col("score9"),
+          (col("score9") / lit(1e9)).as("score"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // ---------------------------------------------------------------
+    // q138: rolling 7-day distinct actives (the DAU/WAU family) —
+    // sliding-window COUNT DISTINCT, which no built-in window frame
+    // can do scalably (RANGE frames re-buffer each day's user set).
+    // Shape: distinct (user, day) → explode each activity day onto
+    // the 7 report days it covers (narrow ×7) → distinct (user,
+    // report day) → count per day. Every shuffle keys on the
+    // high-cardinality (user_id, day) pair; no per-day user-set
+    // buffering anywhere.
+    "q138_rolling_dau" -> ((s, dir) => {
+      val act = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      val maxDay = broadcast(act.agg(max("day").as("max_day")))
+      act
+        .select(col("user_id"), explode(
+          sequence(col("day"), date_add(col("day"), 6),
+            expr("INTERVAL 1 DAY"))).as("day"))
+        .distinct()
+        .crossJoin(maxDay)
+        .filter(col("day") <= col("max_day"))
+        .groupBy("day").agg(count(lit(1)).as("dau7"))
+        .orderBy("day")
+    }),
+
+    // ---------------------------------------------------------------
     // q136: Z-order (Morton-curve) layout — the multi-dimensional
     // clustering step behind Delta/Iceberg OPTIMIZE ZORDER: interleave
     // the bits of two scan-predicate columns so range buckets of the
@@ -459,6 +518,55 @@ object AnalyticsQueries extends QueryPack {
         |  CAST(sum(c9) AS BIGINT)/1e9 AS score
         |FROM contrib GROUP BY doc_id
         |ORDER BY score9 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q137: the batch replayed from the raw corpus — per-query df is
+    // GLOBAL df (postings count per token), scores per (query, doc),
+    // row_number cut at 5.
+    "q137_bm25_batch" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    t -> t <> '')) AS token FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n,
+        |  CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl),
+        |qt AS (SELECT * FROM (VALUES (1, 'join'), (1, 'hash'),
+        |  (2, 'vector'), (2, 'column'), (2, 'scan'),
+        |  (3, 'merge')) q(query_id, token)),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks
+        |  WHERE token IN (SELECT token FROM qt) GROUP BY 1),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |  WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT qt.query_id, tf.doc_id, CAST(floor(
+        |    (floor(ln(1.0 + (stats.n - df.df + 0.5)/(df.df + 0.5))*1e9 + 0.5)/1e9)
+        |    * (CAST(tf.tf AS DOUBLE)*2.2
+        |       / (CAST(tf.tf AS DOUBLE) + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)))
+        |    * 1e9 + 0.5) AS BIGINT) AS c9
+        |  FROM tf JOIN qt USING (token) JOIN df USING (token)
+        |  JOIN dl USING (doc_id) CROSS JOIN stats),
+        |scored AS (
+        |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+        |    CAST(sum(c9) AS BIGINT) AS score9
+        |  FROM contrib GROUP BY query_id, doc_id),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY score9 DESC, doc_id) AS INT) AS rnk
+        |  FROM scored)
+        |SELECT query_id, rnk, doc_id, score9, score9/1e9 AS score
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // q138: activity days exploded onto the 7 report days they cover.
+    "q138_rolling_dau" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |mx AS (SELECT max(day) AS max_day FROM act),
+        |cover AS (SELECT DISTINCT user_id,
+        |    CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+        |      INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM act)
+        |SELECT c.day, count(*) AS dau7
+        |FROM cover c, mx WHERE c.day <= mx.max_day
+        |GROUP BY c.day ORDER BY c.day""".stripMargin,
 
     // q136: identical generated interleave arithmetic replayed.
     "q136_zorder_layout" -> {

@@ -437,7 +437,9 @@ class PlanSpec extends SparkSpec {
       "q132_kl_divergence" ->
         "vocab × |sources| grid: bounded source-totals broadcast explode",
       "q134_bm25_indexed" -> "1-row corpus-stats broadcast",
-      "q135_temperature_sample" -> "1-row budget-total broadcast")
+      "q135_temperature_sample" -> "1-row budget-total broadcast",
+      "q137_bm25_batch" -> "1-row corpus-stats broadcast",
+      "q138_rolling_dau" -> "1-row max-day broadcast")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
