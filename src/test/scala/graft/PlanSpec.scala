@@ -439,7 +439,10 @@ class PlanSpec extends SparkSpec {
       "q134_bm25_indexed" -> "1-row corpus-stats broadcast",
       "q135_temperature_sample" -> "1-row budget-total broadcast",
       "q137_bm25_batch" -> "1-row corpus-stats broadcast",
-      "q138_rolling_dau" -> "1-row max-day broadcast")
+      "q138_rolling_dau" -> "1-row max-day broadcast",
+      "q139_basket_pairs" -> "1-row order-count broadcast",
+      "q140_sparse_cosine_search" -> "1-row corpus-count + probe-norm broadcasts",
+      "q145_price_histogram" -> "1-row min/max-bounds broadcast")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
