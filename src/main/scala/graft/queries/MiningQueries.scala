@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.Text
+import graft.ops.{Dedup, Text}
 import graft.sources.Tables
 
 /** Data-mining and statistics composites (round 8, batch 2): market-basket
@@ -305,6 +305,100 @@ object MiningQueries extends QueryPack {
           floor(col("num").cast("double") / col("den").cast("double") *
             lit(1e5) + lit(0.5)).cast("long").as("twap9"))
         .orderBy("user_id")
+    }),
+
+    // ---------------------------------------------------------------
+    // q149: EXACT set-similarity join with prefix filtering (the
+    // PPJoin family) — all document pairs with shingle-set Jaccard
+    // ≥ 0.8, GUARANTEED complete. Complements the MinHash-LSH path
+    // (q94): LSH trades a small false-negative probability for speed;
+    // the prefix filter is deterministic — if J(a,b) ≥ t, the two
+    // docs' canonical prefixes (rarest |s|−⌈t·|s|⌉+1 shingles in
+    // global df order) MUST share an element, so the candidate join
+    // on prefix shingles misses nothing. Candidate volume is
+    // Σ prefix-df² — rare-first ordering makes prefix shingles the
+    // low-df ones, which is what bounds the join at corpus scale.
+    // The fixture is q94's: 200 base docs + drop-first-token copies;
+    // the oracle is the brute-force all-pairs truth, so oracle
+    // equality IS the no-false-negative proof. Prefix length uses
+    // pure integer arithmetic (⌈0.8·s⌉ = (8s+9) div 10) — no float
+    // boundary anywhere before the final verified Jaccard.
+    "q149_prefix_setjoin" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") < 200).select("doc_id", "text")
+      val toksC = Text.tokens(col("text"))
+      val perturbed = base.select(
+        (col("doc_id") + 100000).as("doc_id"),
+        array_join(slice(toksC, lit(2), greatest(size(toksC) - 1, lit(0))), " ")
+          .as("text"))
+      val corpus = base.unionAll(perturbed)
+      val sh = corpus.select(col("doc_id"),
+        array_distinct(Text.shingles(Text.tokens(col("text")), 3)).as("sh"))
+      val flat = sh.select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("g"))
+      val dfreq = flat.groupBy("g").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy("df", "g")
+      val prefix = flat.join(dfreq, "g")
+        .withColumn("pos", row_number().over(w))
+        .filter(col("pos") <= col("sz") - expr("(sz * 8 + 9) div 10") + lit(1))
+        .select(col("doc_id"), col("g"))
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.8)
+        .select(col("id_a"), col("id_b"),
+          q9(Dedup.jaccard(col("sh_a"), col("sh_b"))).as("jac9"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---------------------------------------------------------------
+    // q150: large-volume orders (the TPC-H Q18 shape) — orders whose
+    // total line quantity crosses a threshold, joined back to customer.
+    // The HAVING runs BEFORE the joins (aggregate-then-join: the big
+    // fact table collapses to qualifying orders first, so the two
+    // joins move only survivors); quantity sums as exact BIGINT so
+    // the threshold is engine-portable. Both joins are equi-joins on
+    // unbounded keys; the dimension side broadcasts under AQE.
+    "q150_big_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"),
+          floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
+            .as("total_cents"),
+          col("sum_qty"))
+        .orderBy(col("total_cents").desc, col("o_orderkey"))
+    }),
+
+    // ---------------------------------------------------------------
+    // q151: above-average holdouts (the TPC-H Q22 shape) — customers
+    // whose balance beats the positive-balance average yet placed no
+    // urgent order, rolled up per nation. The global average is a
+    // 1-row broadcast compared in EXACT integer form (bal·n > Σbal —
+    // no float threshold, so no engine ever disagrees at the
+    // boundary); the "no urgent order" leg is a left-anti join against
+    // the pre-filtered orders side (filter pushes to the scan, the
+    // anti join ships only urgent orderers' keys).
+    "q151_rich_no_urgent" -> ((s, dir) => {
+      val pos = Tables.customer(s, dir).filter(col("c_acctbal") > 0.0)
+        .select(col("c_custkey"), col("c_nationkey"),
+          floor(col("c_acctbal") * lit(100) + lit(0.5)).cast("long").as("bal2"))
+      val avgs = broadcast(pos.agg(sum("bal2").as("s"), count(lit(1)).as("n")))
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      pos.crossJoin(avgs).filter(col("bal2") * col("n") > col("s"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"), sum("bal2").as("totbal2"))
+        .orderBy("c_nationkey")
     })
   )
 
@@ -449,6 +543,56 @@ object MiningQueries extends QueryPack {
         |  FROM wt GROUP BY 1 HAVING sum(dt) > 0)
         |SELECT user_id,
         |  CAST(floor(CAST(num AS DOUBLE)/CAST(den AS DOUBLE)*1e5 + 0.5) AS BIGINT) AS twap9
-        |FROM agg ORDER BY user_id""".stripMargin
+        |FROM agg ORDER BY user_id""".stripMargin,
+
+    // q149: the brute-force all-pairs ground truth — oracle equality
+    // proves the prefix filter's completeness, not just its precision.
+    "q149_prefix_setjoin" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    array_to_string(
+        |      list_filter(string_split(text, ' '), t -> t <> '')[2:], ' ') AS text
+        |  FROM base),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+        |          t -> t <> '') AS toks FROM corpus))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) * 1e9 + 0.5) AS BIGINT) AS jac9
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q150_big_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) > 300)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS total_cents, sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_cents DESC, o_orderkey""".stripMargin,
+
+    "q151_rich_no_urgent" ->
+      """WITH pos AS (SELECT c_custkey, c_nationkey,
+        |    CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal2 FROM customer
+        |  WHERE c_acctbal > 0.0),
+        |avgs AS (SELECT CAST(sum(bal2) AS BIGINT) AS s, count(*) AS n FROM pos),
+        |rich AS (SELECT pos.* FROM pos, avgs WHERE bal2*n > s)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(bal2) AS BIGINT) AS totbal2
+        |FROM rich
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -118,6 +118,35 @@ class MiningSpec extends SparkSpec {
     assert(joined == 0L, s"$joined users with TWAP outside the value envelope")
   }
 
+  test("q149 prefix filter loses no qualifying pair (vs local brute force)") {
+    // Independent ground truth: rebuild the fixture's shingle sets
+    // locally and enumerate ALL pairs — the completeness guarantee is
+    // the whole point of the prefix filter, so test it against an
+    // oracle that never saw the candidate join.
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 200).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def shingles(text: String): Set[String] = {
+      val t = text.split(" ").filter(_.nonEmpty)
+      (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+    }
+    val corpus = docs.map { case (id, t) => (id, shingles(t)) } ++
+      docs.map { case (id, t) =>
+        (id + 100000, shingles(t.split(" ").filter(_.nonEmpty).drop(1).mkString(" ")))
+      }
+    val brute = (for {
+      i <- corpus.indices; j <- corpus.indices
+      if corpus(i)._1 < corpus(j)._1
+      un = (corpus(i)._2 ++ corpus(j)._2).size if un > 0
+      in = (corpus(i)._2 & corpus(j)._2).size
+      if in.toDouble / un >= 0.8
+    } yield (corpus(i)._1, corpus(j)._1)).toSet
+    val got = run("q149_prefix_setjoin").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+  }
+
   test("q146 argmax pack key is injective over the customer table") {
     // The packed ordering value v = bal2*1e7 + custkey is unique iff
     // custkey < 1e7 — assert the data invariant the determinism
