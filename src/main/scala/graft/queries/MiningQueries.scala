@@ -399,6 +399,94 @@ object MiningQueries extends QueryPack {
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("numcust"), sum("bal2").as("totbal2"))
         .orderBy("c_nationkey")
+    }),
+
+    // ---------------------------------------------------------------
+    // q152: weighted sampling without replacement (Efraimidis–Spirakis
+    // A-ES) — top-50 documents by exponential key −ln(u)/w with
+    // w = n_chars, the one-pass distributed reservoir: every row
+    // computes its key independently (embarrassingly parallel), the
+    // global cut is a top-k (TakeOrderedAndProject — no global sort),
+    // and u is a seeded md5 hash so the sample is rerun- and
+    // engine-stable (q135's determinism discipline; +1 keeps u > 0 so
+    // ln never sees zero). ln is 9-dp half-up quantized BEFORE the
+    // weight division (the q101 contract — three-SF sweep mandatory);
+    // the division is one IEEE op on exact integers.
+    "q152_weighted_sample" -> ((s, dir) => {
+      val u = (conv(substring(md5(concat(lit("ws:"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") + lit(1)) /
+        lit(4294967296.0)
+      val e9 = floor(-log(u) * lit(1e9) + lit(0.5)).cast("long")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), e9.as("e9"))
+        .select(col("doc_id"), col("n_chars"),
+          floor(col("e9").cast("double") * lit(1e6) / col("n_chars") + lit(0.5))
+            .cast("long").as("key15"))
+        .orderBy("key15", "doc_id")
+        .limit(50)
+    }),
+
+    // ---------------------------------------------------------------
+    // q153: chi-square test of independence — event type × day-of-week
+    // contingency table with the full margin grid (absent cells count
+    // as observed 0 — dropping them understates the statistic, the
+    // classic contingency bug). Day bucket is pure integer epoch-day
+    // arithmetic (engine dayofweek() origins differ; days%7 does not).
+    // Margins are |types| and |day| rows — the grid is their cross
+    // join, constant-size at any event volume; per-cell contributions
+    // quantize 9-dp then sum as BIGINT. One scan, shuffles keyed on
+    // the (type, day) pair.
+    "q153_chi_square" -> ((s, dir) => {
+      val o = Tables.events(s, dir)
+        .select(col("event_type"),
+          (unix_date(col("ts").cast("date")) % 7).as("dow"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+      val rt = o.groupBy("event_type").agg(sum("o").as("rt"))
+      val ct = o.groupBy("dow").agg(sum("o").as("ct"))
+      val n = broadcast(o.agg(sum("o").as("n")))
+      val grid = rt.crossJoin(ct).crossJoin(n)
+        .join(o, Seq("event_type", "dow"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+      val e = col("rt").cast("double") * col("ct") / col("n")
+      grid.select(q9((col("o") - e) * (col("o") - e) / e).as("c9"))
+        .agg(sum("c9").as("chi2_9"), count(lit(1)).as("n_cells"))
+    }),
+
+    // ---------------------------------------------------------------
+    // q154: stationary distribution of the q143 event Markov chain by
+    // POWER ITERATION — eight in-plan matrix–vector steps, each a
+    // broadcast join + aggregate over the |states|² transition table.
+    // The iterative-algorithm pattern at scale: per-step state is a
+    // |states|-row vector (constant size — the corpus only feeds the
+    // one-time transition-count estimation), and every intermediate is
+    // REQUANTIZED to integer 1e-9 units with pure-integer half-up
+    // ((x+5e8) div 1e9), so no float drift can accumulate across
+    // iterations and both engines replay bit-identically.
+    "q154_markov_stationary" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val seq0 = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .filter(col("prev").isNotNull)
+      val t = seq0.groupBy(col("prev").as("a"), col("event_type").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = t.groupBy("a").agg(sum("cnt").as("tot"))
+      val p = t.join(tot, "a")
+        .select(col("a"), col("b"),
+          floor(col("cnt").cast("double") / col("tot") * lit(1e9) + lit(0.5))
+            .cast("long").as("p9"))
+      // Uniform start over this schema's 5 event states; the spec's
+      // mass-conservation check (Σv9 ≈ 1e9) guards the assumption.
+      var v = tot.select(col("a"), lit(200000000L).as("v9"))
+      for (_ <- 1 to 8) {
+        v = v.join(p, "a")
+          .groupBy("b").agg(sum(col("v9") * col("p9")).as("s"))
+          .select(col("b").as("a"),
+            expr("(s + 500000000) div 1000000000").cast("long").as("v9"))
+      }
+      v.select(col("a"), col("v9"),
+          (col("v9").cast("double") / lit(1e9)).as("pi"))
+        .orderBy("a")
     })
   )
 
@@ -593,6 +681,61 @@ object MiningQueries extends QueryPack {
         |FROM rich
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q152: the engine-side conv(md5…,16,10) uniform replayed as
+    // DuckDB's '0x…' hex cast (q135's pattern), ln 9-dp quantized
+    // before the weight division.
+    "q152_weighted_sample" ->
+      """WITH u AS (SELECT doc_id, n_chars,
+        |    (CAST(('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |       AS BIGINT) + 1) / 4294967296.0 AS u
+        |  FROM documents),
+        |k AS (SELECT doc_id, n_chars,
+        |    CAST(floor(CAST(floor(-ln(u)*1e9 + 0.5) AS BIGINT)*1e6/n_chars + 0.5)
+        |      AS BIGINT) AS key15
+        |  FROM u)
+        |SELECT doc_id, n_chars, key15 FROM k
+        |ORDER BY key15, doc_id LIMIT 50""".stripMargin,
+
+    "q153_chi_square" ->
+      """WITH o AS (SELECT event_type,
+        |    (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS dow, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM o GROUP BY 1),
+        |ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM o GROUP BY 1),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+        |grid AS (SELECT rt.event_type, ct.dow, rt.rt, ct.ct,
+        |    coalesce(o.o, 0) AS o
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN o ON o.event_type = rt.event_type AND o.dow = ct.dow),
+        |c AS (SELECT CAST(floor(
+        |    (o - CAST(rt AS DOUBLE)*ct/n.n)*(o - CAST(rt AS DOUBLE)*ct/n.n)
+        |      /(CAST(rt AS DOUBLE)*ct/n.n)*1e9 + 0.5) AS BIGINT) AS c9
+        |  FROM grid, n)
+        |SELECT CAST(sum(c9) AS BIGINT) AS chi2_9, count(*) AS n_cells FROM c""".stripMargin,
+
+    // q154: the eight power-iteration steps unrolled as CTEs with the
+    // identical integer half-up requantization per step.
+    "q154_markov_stationary" -> {
+      val head =
+        """WITH seq AS (SELECT user_id, event_type, lag(event_type) OVER
+          |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+          |t AS (SELECT prev AS a, event_type AS b, count(*) AS cnt
+          |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+          |tot AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS tot FROM t GROUP BY 1),
+          |p AS (SELECT a, b,
+          |    CAST(floor(CAST(cnt AS DOUBLE)/tot*1e9 + 0.5) AS BIGINT) AS p9
+          |  FROM t JOIN tot USING (a)),
+          |v0 AS (SELECT a, CAST(200000000 AS BIGINT) AS v9 FROM tot)""".stripMargin
+      val steps = (1 to 8).map { i =>
+        s""", v$i AS (SELECT p.b AS a,
+           |    CAST((CAST(sum(v${i - 1}.v9*p.p9) AS BIGINT) + 500000000)//1000000000
+           |      AS BIGINT) AS v9
+           |  FROM v${i - 1} JOIN p ON v${i - 1}.a = p.a GROUP BY 1)""".stripMargin
+      }.mkString
+      head + steps +
+        "\nSELECT a, v9, CAST(v9 AS DOUBLE)/1e9 AS pi FROM v8 ORDER BY a"
+    }
   )
 }

@@ -147,6 +147,72 @@ class MiningSpec extends SparkSpec {
       s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
   }
 
+  test("q152 weighted sample is rerun-stable with ascending keys") {
+    val a = run("q152_weighted_sample").collect().toSeq
+    val b = run("q152_weighted_sample").collect().toSeq
+    assert(a == b, "hash-keyed sampling must be deterministic")
+    val keys = a.map(_.getAs[Long]("key15"))
+    assert(keys == keys.sorted, "top-k must come back in key order")
+    assert(a.map(_.getAs[Long]("doc_id")).distinct.size == a.size)
+  }
+
+  test("q153 chi-square matches a local recount within quantization slack") {
+    val row = run("q153_chi_square").collect().head
+    val cells = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), (unix_date(col("ts").cast("date")) % 7).as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    val types = cells.keys.map(_._1).toSeq.distinct
+    val dows = cells.keys.map(_._2).toSeq.distinct
+    val rt = types.map(t => t -> cells.collect { case ((a, _), o) if a == t => o }.sum).toMap
+    val ct = dows.map(d => d -> cells.collect { case ((_, b), o) if b == d => o }.sum).toMap
+    val n = cells.values.sum.toDouble
+    val chi2 = (for (t <- types; d <- dows) yield {
+      val e = rt(t) * ct(d) / n
+      val o = cells.getOrElse((t, d), 0L)
+      (o - e) * (o - e) / e
+    }).sum
+    assert(row.getAs[Long]("n_cells") == types.size.toLong * dows.size)
+    // Per-cell half-up quantization slack: ±0.5e-9 per cell.
+    assert(math.abs(row.getAs[Long]("chi2_9") - chi2 * 1e9) <= cells.size + 1,
+      s"chi2_9=${row.getAs[Long]("chi2_9")} vs local ${chi2 * 1e9}")
+  }
+
+  test("q154 stationary vector conserves mass and is P-invariant") {
+    val v = run("q154_markov_stationary").collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[Long]("v9"))).toMap
+    val mass = v.values.sum
+    assert(math.abs(mass - 1000000000L) < 1000L,
+      s"stationary mass $mass drifted from 1e9")
+    // One more application of P moves no state by more than a few
+    // quanta per matrix entry — the fixed-point criterion.
+    val events = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime * 1000 + r.getTimestamp(2).getNanos / 1000 % 1000,
+        r.getLong(3)))
+    val trans = events.groupBy(_._1).values.toSeq.flatMap { es =>
+      val o = es.sortBy(e => (e._3, e._4)).map(_._2)
+      o.zip(o.drop(1))
+    }
+    val byA = trans.groupBy(_._1)
+    val p9 = byA.flatMap { case (a, ts0) =>
+      val tot = ts0.size.toDouble
+      ts0.groupBy(_._2).map { case (b, xs) =>
+        (a, b) -> math.floor(xs.size / tot * 1e9 + 0.5).toLong
+      }
+    }
+    val applied = v.keys.map { c =>
+      c -> v.toSeq.map { case (a, va) =>
+        va * p9.getOrElse((a, c), 0L)
+      }.sum
+    }.toMap.map { case (c, s) => c -> (s + 500000000L) / 1000000000L }
+    v.foreach { case (a, va) =>
+      assert(math.abs(applied(a) - va) <= 50000L,
+        s"state $a moved ${math.abs(applied(a) - va)} quanta under one more P step")
+    }
+  }
+
   test("q146 argmax pack key is injective over the customer table") {
     // The packed ordering value v = bal2*1e7 + custkey is unique iff
     // custkey < 1e7 — assert the data invariant the determinism

@@ -443,7 +443,8 @@ class PlanSpec extends SparkSpec {
       "q139_basket_pairs" -> "1-row order-count broadcast",
       "q140_sparse_cosine_search" -> "1-row corpus-count + probe-norm broadcasts",
       "q145_price_histogram" -> "1-row min/max-bounds broadcast",
-      "q151_rich_no_urgent" -> "1-row balance-average broadcast")
+      "q151_rich_no_urgent" -> "1-row balance-average broadcast",
+      "q153_chi_square" -> "bounded |types|x|days| margin-grid cross join")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
