@@ -43,4 +43,30 @@ object Skew {
       .agg(finalAgg.head, finalAgg.tail: _*)
       .withColumnRenamed("__key", "key")
   }
+
+  /** Salted shuffle JOIN for a skewed fact key: the fact side spreads
+    * each key over `salts` sub-keys (deterministic content hash — same
+    * recompute-stability argument as [[saltedAggregate]]; `saltOn`
+    * should be a unique column so byte-identical hot rows still
+    * spread), the dim side replicates each row `salts` times, and the
+    * equi-join runs on (key, salt) — a hot key's rows now land in
+    * `salts` reducers instead of one.
+    *
+    * When to reach for it: AQE's skew-join split handles most cases by
+    * splitting oversized partitions AFTER the shuffle files exist; the
+    * explicit salt is for the residual class where a SINGLE KEY
+    * dominates so hard that even one key's sort run breaks a task
+    * (AQE cannot split one key's rows across joins with different
+    * semantics) and the dim is too large to broadcast outright but
+    * fine to replicate ×salts. Inner/left-outer on the fact side only:
+    * dim-side outer semantics would see each dim row `salts` times.
+    */
+  def saltedJoin(fact: DataFrame, factKey: String, dim: DataFrame,
+                 dimKey: String, salts: Int, saltOn: Column): DataFrame = {
+    val fs = fact.withColumn("__fsalt", pmod(xxhash64(saltOn), lit(salts.toLong)))
+    val ds = dim.withColumn("__dsalt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+    fs.join(ds, fs(factKey) === ds(dimKey) && col("__fsalt") === col("__dsalt"))
+      .drop("__fsalt", "__dsalt")
+  }
 }

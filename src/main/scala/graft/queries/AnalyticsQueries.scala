@@ -455,6 +455,35 @@ object AnalyticsQueries extends QueryPack {
         .groupBy("source").agg(sum("c9").as("kl9"))
         .select(col("source"), col("kl9"), (col("kl9") / lit(1e9)).as("kl"))
         .orderBy("source")
+    }),
+
+    // ---------------------------------------------------------------
+    // q157: column profiling — the data-quality sweep every ingest
+    // pipeline runs first: per column, row/null/distinct counts and
+    // min/max rendered to strings. One aggregate PER COLUMN (not one
+    // wide multi-distinct aggregate: Spark plans N count(distinct)s in
+    // one agg via an N-way expand that multiplies the scan N-fold;
+    // separate aggregates each read ONE column through the parquet
+    // scan — column-pruned, embarrassingly parallel, and the union is
+    // |columns| rows). Doubles profile through the cents quantizer so
+    // the string rendering is engine-portable.
+    "q157_column_profile" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      def prof(name: String, c: org.apache.spark.sql.Column) =
+        o.agg(
+          count(lit(1)).as("n_rows"),
+          count(when(c.isNull, lit(1))).as("n_null"),
+          countDistinct(c).as("n_distinct"),
+          min(c).cast("string").as("min_s"),
+          max(c).cast("string").as("max_s"))
+          .select(lit(name).as("col_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_s"), col("max_s"))
+      prof("o_custkey", col("o_custkey"))
+        .unionAll(prof("o_orderpriority", col("o_orderpriority")))
+        .unionAll(prof("o_orderstatus", col("o_orderstatus")))
+        .unionAll(prof("o_totalcents",
+          floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")))
+        .orderBy("col_name")
     })
   )
 
@@ -712,6 +741,33 @@ object AnalyticsQueries extends QueryPack {
         |  FROM grid)
         |SELECT source, CAST(sum(c9) AS BIGINT) AS kl9,
         |  CAST(sum(c9) AS BIGINT)/1e9 AS kl
-        |FROM contrib GROUP BY source ORDER BY source""".stripMargin
+        |FROM contrib GROUP BY source ORDER BY source""".stripMargin,
+
+    "q157_column_profile" ->
+      """SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+        |  count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_null,
+        |  count(DISTINCT o_custkey) AS n_distinct,
+        |  CAST(min(o_custkey) AS VARCHAR) AS min_s,
+        |  CAST(max(o_custkey) AS VARCHAR) AS max_s FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |  count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+        |  count(DISTINCT o_orderpriority),
+        |  CAST(min(o_orderpriority) AS VARCHAR),
+        |  CAST(max(o_orderpriority) AS VARCHAR) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*),
+        |  count(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+        |  count(DISTINCT o_orderstatus),
+        |  CAST(min(o_orderstatus) AS VARCHAR),
+        |  CAST(max(o_orderstatus) AS VARCHAR) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalcents', count(*),
+        |  count(CASE WHEN o_totalprice IS NULL THEN 1 END),
+        |  count(DISTINCT CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)),
+        |  CAST(min(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS VARCHAR),
+        |  CAST(max(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS VARCHAR)
+        |  FROM orders
+        |ORDER BY col_name""".stripMargin
   )
 }

@@ -120,10 +120,40 @@ object JoinQueries extends QueryPack {
           |  AND NOT EXISTS (SELECT 1 FROM li_q75 l
           |                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity <= 2)
           |ORDER BY p_partkey""".stripMargin)
+    }),
+
+    // Salted skewed join ([[graft.ops.Skew.saltedJoin]]): the fact side
+    // spreads each customer key over 8 deterministic sub-keys, the dim
+    // replicates ×8, and the join runs on (key, salt) — the explicit
+    // rewrite for the single-dominant-key case AQE's skew split can't
+    // reach. The merge hint forces the shuffle-join path (the one being
+    // salted) even though this dim would broadcast at test SF; result
+    // is bit-equal to the plain join (the oracle IS the plain join).
+    "q156_salted_skew_join" -> ((s, dir) => {
+      val fact = Tables.orders(s, dir).select(col("o_custkey"),
+        col("o_orderkey"),
+        floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
+          .as("cents"))
+      val dim = Tables.customer(s, dir)
+        .select("c_custkey", "c_nationkey").hint("merge")
+      graft.ops.Skew
+        .saltedJoin(fact, "o_custkey", dim, "c_custkey", 8, col("o_orderkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("revenue_cents"))
+        .orderBy("c_nationkey")
     })
   )
 
   override val oracles: Map[String, String] = Map(
+    // q156: the oracle is the UNSALTED plain join — equality proves the
+    // salt/replicate rewrite is semantics-preserving.
+    "q156_salted_skew_join" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q116_runtime_filter_join" ->
       s"""SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
          |  ${graft.functions.Exact.moneySumSql("l_extendedprice")} AS revenue

@@ -487,6 +487,37 @@ object MiningQueries extends QueryPack {
       v.select(col("a"), col("v9"),
           (col("v9").cast("double") / lit(1e9)).as("pi"))
         .orderBy("a")
+    }),
+
+    // ---------------------------------------------------------------
+    // q155: sole-failing supplier (the TPC-H Q21 shape) — suppliers who
+    // were the ONLY supplier with a returned line on a multi-supplier
+    // order. The textbook formulation is TWO self-joins of the fact
+    // table (EXISTS another supplier / NOT EXISTS another failing
+    // supplier — the oracle SQL keeps that shape to prove equivalence);
+    // here both correlated subqueries collapse into ONE aggregate pass:
+    // per order, count distinct suppliers and distinct RETURNED
+    // suppliers — "sole failer on a shared order" is exactly
+    // (n_supp ≥ 2 ∧ n_ret = 1), and min() recovers that supplier id
+    // (unique when n_ret = 1). One fact shuffle on l_orderkey instead
+    // of two fact×fact joins; the supplier dim broadcasts; top-20 is
+    // TakeOrderedAndProject with a unique (numwait, name, key)
+    // tie-break.
+    "q155_waiting_supplier" -> ((s, dir) => {
+      val per = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("n_ret"),
+          min(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("ret_supp"))
+        .filter(col("n_supp") >= 2 && col("n_ret") === 1)
+      per.join(Tables.supplier(s, dir), col("ret_supp") === col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"), col("s_suppkey"))
+        .limit(20)
     })
   )
 
@@ -736,6 +767,24 @@ object MiningQueries extends QueryPack {
       }.mkString
       head + steps +
         "\nSELECT a, v9, CAST(v9 AS DOUBLE)/1e9 AS pi FROM v8 ORDER BY a"
-    }
+    },
+
+    // q155: the oracle keeps the textbook double-correlated-subquery
+    // shape (EXISTS / NOT EXISTS self-joins) so the compare proves the
+    // engine's single-aggregate rewrite semantically equivalent.
+    "q155_waiting_supplier" ->
+      """WITH l1 AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_name, s_suppkey LIMIT 20""".stripMargin
   )
 }

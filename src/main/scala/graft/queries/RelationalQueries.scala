@@ -149,6 +149,25 @@ object RelationalQueries extends QueryPack {
       c.except(su).orderBy("nk")
     }),
 
+    // Multiset set ops — INTERSECT ALL / EXCEPT ALL keep duplicate
+    // MULTIPLICITY (q13/q14 are the distinct variants): two ship-year
+    // slices of (part, qty) compared as bags. Spark plans both as one
+    // hash aggregate counting per-row multiplicity on each side then
+    // replicating min/difference counts — no join, no sort, same
+    // scale shape as a groupBy on the row. Output ordered by all
+    // columns (duplicate rows are interchangeable, so the total order
+    // is still deterministic).
+    "q158_multiset_ops" -> ((s, dir) => {
+      def slice(y: Int) = Tables.lineitem(s, dir)
+        .filter(col("l_partkey") <= 500 && year(col("l_shipdate")) === y)
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"))
+      val a = slice(1996)
+      val b = slice(1997)
+      a.intersectAll(b).withColumn("tag", lit("both"))
+        .unionAll(a.exceptAll(b).withColumn("tag", lit("only_1996")))
+        .orderBy("tag", "l_partkey", "qty")
+    }),
+
     // TPC-H Q5-shaped 5-table join: fact ⋈ fact ⋈ dim ⋈ dim ⋈ dim.
     // The deep-join showcase: Catalyst orders the joins, both small
     // dims broadcast, the two fact tables shuffle once on their key.
@@ -275,6 +294,21 @@ object RelationalQueries extends QueryPack {
         |INTERSECT
         |SELECT s_nationkey AS nk FROM supplier
         |ORDER BY nk""".stripMargin,
+
+    "q158_multiset_ops" ->
+      """WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |    year(l_shipdate) AS y
+        |  FROM lineitem WHERE l_partkey <= 500),
+        |a AS (SELECT l_partkey, qty FROM li WHERE y = 1996),
+        |b AS (SELECT l_partkey, qty FROM li WHERE y = 1997),
+        |m AS (
+        |  SELECT l_partkey, qty, 'both' AS tag
+        |  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |  UNION ALL
+        |  SELECT l_partkey, qty, 'only_1996' AS tag
+        |  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
+        |SELECT l_partkey, qty, tag FROM m
+        |ORDER BY tag, l_partkey, qty""".stripMargin,
 
     "q14_except" ->
       """SELECT c_nationkey AS nk FROM customer

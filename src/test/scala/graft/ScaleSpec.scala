@@ -108,4 +108,29 @@ class ScaleSpec extends SparkSpec {
     val r1 = run(1); val r4 = run(4); val r32 = run(32)
     assert(r1 === r4 && r4 === r32)
   }
+
+  test("salted join equals plain join on a hot-key input and shuffles on (key, salt)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // 70% of fact rows share one dim key — the single-dominant-key
+    // pathology saltedJoin exists for.
+    val fact = (0 until 5000).map { i =>
+      (i.toLong, if (rng.nextInt(10) < 7) 0L else rng.nextInt(50).toLong + 1, rng.nextInt(100).toLong)
+    }.toDF("id", "k", "v")
+    val dim = (0L to 50L).map(k => (k, s"d$k")).toDF("dk", "name")
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .groupBy("name").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val salted = Skew.saltedJoin(fact, "k", dim.hint("merge"), "dk",
+        salts = 8, saltOn = col("id"))
+      .groupBy("name").agg(sum("v").as("s"), count(lit(1)).as("n"))
+    val got = salted.collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got === plain)
+    // The merge hint must survive the rewrite, and the join key must
+    // carry the salt — that (key, salt) composite IS the spread.
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ under merge hint:\n$plan")
+    assert(plan.contains("__fsalt") && plan.contains("__dsalt"),
+      s"expected the salt in the join keys:\n$plan")
+  }
 }
