@@ -320,6 +320,53 @@ object AggQueries extends QueryPack {
           col("m.cnt").as("n_mode"))
         .orderBy("l_returnflag")),
 
+    // Median absolute deviation (robust center + spread) from VALUE
+    // COUNTS — q104's discrete-domain shape applied twice: the median
+    // of a ≤50-value domain comes from per-(flag, value) counts (an
+    // algebraic aggregate; the windows below run over the tiny count
+    // table, never the fact table), then deviations |q − med| re-count
+    // into a second ≤100-value domain whose median is the MAD. All
+    // arithmetic stays integer by doubling units twice: med2 = lo+hi
+    // (half-units), d2 = |2q − med2| (half-units), mad4 = lo₂+hi₂
+    // (quarter-units); the two final divisions are exact dyadic
+    // (÷2.0, ÷4.0), so both engines' doubles are bit-identical with
+    // DuckDB's interpolating median() on the raw values.
+    "q160_mad" -> ((s, dir) => {
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy("q")
+      // Doubled-unit interpolated median of a (flag, q, cnt) count
+      // table: v(rk_lo) + v(rk_hi) where the 1-based central ranks are
+      // (n+1) div 2 and n div 2 + 1 (equal when n is odd).
+      def med2(vc: org.apache.spark.sql.DataFrame, out: String) = {
+        val n = vc.groupBy("l_returnflag").agg(sum("cnt").as("n"))
+          .select(col("l_returnflag").as("tf"),
+            expr("(n + 1) div 2").as("rk_lo"), expr("n div 2 + 1").as("rk_hi"))
+        vc.withColumn("cum", sum("cnt").over(wCum))
+          .withColumn("prev", col("cum") - col("cnt"))
+          .join(broadcast(n), col("l_returnflag") === col("tf"))
+          .groupBy("l_returnflag")
+          .agg((min(when(col("rk_lo") > col("prev") && col("rk_lo") <= col("cum"),
+            col("q"))) +
+            min(when(col("rk_hi") > col("prev") && col("rk_hi") <= col("cum"),
+              col("q")))).as(out))
+      }
+      val vc = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+        .agg(count(lit(1)).as("cnt"))
+      val m = med2(vc, "m2")
+      val dvc = vc
+        .join(m.select(col("l_returnflag").as("mf"), col("m2")),
+          col("l_returnflag") === col("mf"))
+        .groupBy(col("l_returnflag"),
+          abs(lit(2) * col("q") - col("m2")).as("q"))
+        .agg(sum("cnt").as("cnt"))
+      m.join(med2(dvc, "mad4"), "l_returnflag")
+        .select(col("l_returnflag"),
+          (col("m2").cast("double") / lit(2.0)).as("med"),
+          (col("mad4").cast("double") / lit(4.0)).as("mad"))
+        .orderBy("l_returnflag")
+    }),
+
     // approx_percentile (t-digest-style sketch): the unbounded-group
     // companion to q77's exact sort-based percentile. Engine-specific
     // sketch → rows-only driver check; AggSpec bounds its error
@@ -524,6 +571,19 @@ object AggQueries extends QueryPack {
         |  FROM vc)
         |SELECT l_returnflag, l_quantity AS mode_qty, CAST(cnt AS BIGINT) AS n_mode
         |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+
+    // q160: DuckDB's interpolating median() on the raw values — the
+    // engine's doubled-integer blend must land on the same dyadic
+    // doubles.
+    "q160_mad" ->
+      """WITH med AS (SELECT l_returnflag, median(l_quantity) AS med
+        |  FROM lineitem GROUP BY 1),
+        |d AS (SELECT l.l_returnflag, abs(l.l_quantity - med.med) AS ad
+        |  FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag),
+        |m2 AS (SELECT l_returnflag, median(ad) AS mad FROM d GROUP BY 1)
+        |SELECT med.l_returnflag, med.med AS med, m2.mad AS mad
+        |FROM med JOIN m2 USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q83_salted_agg" ->
       s"""SELECT l_returnflag AS key,

@@ -484,6 +484,40 @@ object AnalyticsQueries extends QueryPack {
         .unionAll(prof("o_totalcents",
           floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")))
         .orderBy("col_name")
+    }),
+
+    // ---------------------------------------------------------------
+    // q162: snapshot diff (table-versioning / CDC audit) — which keys
+    // were added, removed, or changed between two versions of a table.
+    // One full outer join on the key comparing content; every shuffle
+    // keys on the unbounded o_orderkey, and the rollup output is
+    // |diff types| rows with a key checksum. The two "snapshots" are
+    // carved deterministically from one base table by an md5-nibble
+    // rule (the q112 split discipline: rerun- and engine-stable, no
+    // RNG): A drops nibble f, B drops nibble 0 and perturbs nibble 1 —
+    // so added/removed/changed are each non-empty with known identity.
+    "q162_snapshot_diff" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
+          .as("cents"),
+        substring(md5(concat(lit("snap:"), col("o_orderkey").cast("string"))),
+          1, 1).as("nib"))
+      val a = o.filter(col("nib") =!= "f")
+        .select(col("o_orderkey").as("ka"), col("cents").as("ca"))
+      val b = o.filter(col("nib") =!= "0")
+        .select(col("o_orderkey").as("kb"),
+          (col("cents") + when(col("nib") === "1", lit(100L)).otherwise(lit(0L)))
+            .as("cb"))
+      a.join(b, col("ka") === col("kb"), "full")
+        .select(coalesce(col("ka"), col("kb")).as("key"),
+          when(col("ka").isNull, "added")
+            .when(col("kb").isNull, "removed")
+            .when(col("ca") =!= col("cb"), "changed")
+            .otherwise("unchanged").as("diff_type"))
+        .filter(col("diff_type") =!= "unchanged")
+        .groupBy("diff_type")
+        .agg(count(lit(1)).as("n"), sum("key").as("key_sum"))
+        .orderBy("diff_type")
     })
   )
 
@@ -768,6 +802,25 @@ object AnalyticsQueries extends QueryPack {
         |  CAST(min(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS VARCHAR),
         |  CAST(max(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS VARCHAR)
         |  FROM orders
-        |ORDER BY col_name""".stripMargin
+        |ORDER BY col_name""".stripMargin,
+
+    "q162_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
+        |    substring(md5('snap:' || CAST(o_orderkey AS VARCHAR)), 1, 1) AS nib
+        |  FROM orders),
+        |a AS (SELECT o_orderkey AS ka, cents AS ca FROM o WHERE nib <> 'f'),
+        |b AS (SELECT o_orderkey AS kb,
+        |    cents + CASE WHEN nib = '1' THEN 100 ELSE 0 END AS cb
+        |  FROM o WHERE nib <> '0'),
+        |d AS (SELECT coalesce(ka, kb) AS key,
+        |    CASE WHEN ka IS NULL THEN 'added'
+        |         WHEN kb IS NULL THEN 'removed'
+        |         WHEN ca <> cb THEN 'changed'
+        |         ELSE 'unchanged' END AS diff_type
+        |  FROM a FULL JOIN b ON ka = kb)
+        |SELECT diff_type, count(*) AS n, CAST(sum(key) AS BIGINT) AS key_sum
+        |FROM d WHERE diff_type <> 'unchanged'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

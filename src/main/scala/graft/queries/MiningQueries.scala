@@ -518,6 +518,78 @@ object MiningQueries extends QueryPack {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"), col("s_suppkey"))
         .limit(20)
+    }),
+
+    // ---------------------------------------------------------------
+    // q159: PageRank over the part co-purchase graph (support ≥ 2
+    // pairs from q139's bounded basket self-join, symmetrized) by four
+    // in-plan power-iteration steps — q154's iterative pattern at the
+    // DISTRIBUTED-graph shape: the rank vector is |nodes| rows
+    // (unbounded — grows with the catalog, unlike q154's constant
+    // |states|²), each step one equi-join on the edge list + one
+    // aggregate on the destination key. The edge list materializes
+    // ONCE (localCheckpoint, the connectedComponents discipline) so
+    // four steps don't re-run the pair self-join four times. The
+    // symmetric graph has no dangling nodes by construction (every
+    // node has in- AND out-edges), so no leak-redistribution term is
+    // needed. ALL arithmetic is integer (1e-9 rank units, truncating
+    // div for both the degree split and the 0.85 damping), so both
+    // engines replay every step bit-identically — no quantization
+    // boundary to sweep.
+    "q159_pagerank" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey").distinct()
+      val pairs = items.as("a").join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      val edges = pairs.select(col("pa").as("a"), col("pb").as("b"))
+        .unionAll(pairs.select(col("pb").as("a"), col("pa").as("b")))
+      val deg = edges.groupBy("a").agg(count(lit(1)).as("d"))
+      val edgesD = edges.join(deg, "a").localCheckpoint()
+      val nb = broadcast(deg.agg(count(lit(1)).as("n")))
+      var r = edgesD.select("a").distinct().crossJoin(nb)
+        .select(col("a"), expr("1000000000 div n").as("r9"))
+      for (_ <- 1 to 4) {
+        r = r.join(edgesD, "a")
+          .groupBy("b").agg(sum(expr("r9 div d")).as("srecv"))
+          .crossJoin(nb)
+          .select(col("b").as("a"),
+            (expr("(15 * (1000000000 div n)) div 100") +
+              expr("(85 * srecv) div 100")).as("r9"))
+      }
+      r.select(col("a"), col("r9"),
+          (col("r9").cast("double") / lit(1e9)).as("pr"))
+        .orderBy(col("r9").desc, col("a")).limit(25)
+    }),
+
+    // ---------------------------------------------------------------
+    // q161: Gini coefficient of positive customer balances per nation —
+    // the inequality statistic needs every row's GLOBAL rank within its
+    // nation (Gini = (2Σi·xᵢ − (n+1)Σx)/(nΣx) over ascending xᵢ), i.e.
+    // a full-output rank partitioned on a 25-value key: exactly the
+    // q21 defect class, so the rank comes from ScalableRank's two-phase
+    // range-bucket shape (bounded per-task sort), not a bare window.
+    // Rank·balance sums are exact BIGINT (ties in bal2 cannot perturb
+    // Σi·xᵢ — permuting equal x among ranks leaves the sum unchanged);
+    // one BIGINT→DOUBLE cast pair and one division per nation at the
+    // end, identical dag on both engines.
+    "q161_gini" -> ((s, dir) => {
+      val pos = Tables.customer(s, dir).filter(col("c_acctbal") > 0.0)
+        .select(col("c_nationkey"),
+          floor(col("c_acctbal") * lit(100) + lit(0.5)).cast("long").as("bal2"),
+          col("c_custkey"))
+      val (ranked, _) = graft.ops.ScalableRank.rowNumbered(
+        pos, Seq("c_nationkey"), Seq(col("bal2"), col("c_custkey")), buckets = 32)
+      ranked.groupBy("c_nationkey")
+        .agg(sum(col("rn") * col("bal2")).as("iwx"), sum("bal2").as("sx"),
+          count(lit(1)).as("n"))
+        .select(col("c_nationkey"), col("n"),
+          floor((lit(2) * col("iwx") - (col("n") + 1) * col("sx")).cast("double")
+            / (col("n") * col("sx")).cast("double") * lit(1e9) + lit(0.5))
+            .cast("long").as("gini9"))
+        .orderBy("c_nationkey")
     })
   )
 
@@ -785,6 +857,50 @@ object MiningQueries extends QueryPack {
         |      AND l3.l_suppkey <> l1.l_suppkey
         |      AND l3.l_returnflag = 'R')
         |GROUP BY 1, 2
-        |ORDER BY numwait DESC, s_name, s_suppkey LIMIT 20""".stripMargin
+        |ORDER BY numwait DESC, s_name, s_suppkey LIMIT 20""".stripMargin,
+
+    // q159: the four power-iteration steps unrolled as CTEs with the
+    // identical all-integer arithmetic (// is DuckDB's truncating
+    // integer division on positives, = Spark's div).
+    "q159_pagerank" -> {
+      val head =
+        """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          |pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          |  FROM items a JOIN items b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |edges AS (SELECT pa AS a, pb AS b FROM pairs
+          |  UNION ALL SELECT pb, pa FROM pairs),
+          |deg AS (SELECT a, count(*) AS d FROM edges GROUP BY 1),
+          |n AS (SELECT count(*) AS n FROM deg),
+          |r0 AS (SELECT a, 1000000000//n.n AS r9 FROM deg, n)""".stripMargin
+      val steps = (1 to 4).map { i =>
+        s""", r$i AS (SELECT e.b AS a,
+           |    (15*(1000000000//n.n))//100
+           |      + (85*CAST(sum(r.r9//deg.d) AS BIGINT))//100 AS r9
+           |  FROM edges e JOIN r${i - 1} r ON e.a = r.a
+           |  JOIN deg ON e.a = deg.a, n
+           |  GROUP BY e.b, n.n)""".stripMargin
+      }.mkString
+      head + steps +
+        "\nSELECT a, r9, CAST(r9 AS DOUBLE)/1e9 AS pr FROM r4" +
+        "\nORDER BY r9 DESC, a LIMIT 25"
+    },
+
+    "q161_gini" ->
+      """WITH pos AS (SELECT c_nationkey,
+        |    CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal2, c_custkey
+        |  FROM customer WHERE c_acctbal > 0.0),
+        |r AS (SELECT c_nationkey, bal2, row_number() OVER
+        |    (PARTITION BY c_nationkey ORDER BY bal2, c_custkey) AS rn
+        |  FROM pos),
+        |g AS (SELECT c_nationkey, count(*) AS n,
+        |    CAST(sum(rn*bal2) AS BIGINT) AS iwx,
+        |    CAST(sum(bal2) AS BIGINT) AS sx
+        |  FROM r GROUP BY 1)
+        |SELECT c_nationkey, n,
+        |  CAST(floor(CAST(2*iwx - (n+1)*sx AS DOUBLE)
+        |    / CAST(n*sx AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS gini9
+        |FROM g ORDER BY c_nationkey""".stripMargin
   )
 }

@@ -444,7 +444,8 @@ class PlanSpec extends SparkSpec {
       "q140_sparse_cosine_search" -> "1-row corpus-count + probe-norm broadcasts",
       "q145_price_histogram" -> "1-row min/max-bounds broadcast",
       "q151_rich_no_urgent" -> "1-row balance-average broadcast",
-      "q153_chi_square" -> "bounded |types|x|days| margin-grid cross join")
+      "q153_chi_square" -> "bounded |types|x|days| margin-grid cross join",
+      "q159_pagerank" -> "1-row node-count broadcast (per iteration)")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
