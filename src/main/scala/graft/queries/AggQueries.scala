@@ -367,6 +367,67 @@ object AggQueries extends QueryPack {
         .orderBy("l_returnflag")
     }),
 
+    // Winsorized mean — the outlier-clipping aggregate of a feature
+    // pipeline: values clamped to the group's [p10, p90] before the
+    // mean. Bounds come from the q104 value-count percentile shape
+    // (windows over the ≤|flags|×50 count table only, exact
+    // Percentile-blend doubles); the CLIPPED SUM is where bit-exactness
+    // would die — p10/p90 are non-dyadic interpolations repeated per
+    // row, so both the bound and each value quantize to integer 1e-9
+    // units BEFORE the clamp, making the sum an order-independent
+    // BIGINT. One IEEE division pair at the end.
+    "q164_winsorized_mean" -> ((s, dir) => {
+      val vc = Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+      val targets = vc.groupBy("l_returnflag").agg(sum("cnt").as("n"))
+        .select(col("l_returnflag").as("tf"),
+          explode(array(lit(0.1), lit(0.9))).as("p"), col("n"))
+        .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
+        .withColumn("rk_lo", floor(col("pos")) + 1)
+        .withColumn("rk_hi", ceil(col("pos")) + 1)
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy("l_quantity")
+      val cum = vc
+        .withColumn("cum", sum("cnt").over(wCum))
+        .withColumn("prev", col("cum") - col("cnt"))
+      val hits = cum
+        .join(broadcast(targets),
+          col("l_returnflag") === col("tf") &&
+            ((col("rk_lo") > col("prev") && col("rk_lo") <= col("cum")) ||
+              (col("rk_hi") > col("prev") && col("rk_hi") <= col("cum"))))
+        .groupBy("l_returnflag", "p")
+        .agg(
+          min(when(col("rk_lo") > col("prev") && col("rk_lo") <= col("cum"),
+            col("l_quantity"))).as("v_lo"),
+          min(when(col("rk_hi") > col("prev") && col("rk_hi") <= col("cum"),
+            col("l_quantity"))).as("v_hi"),
+          min("pos").as("pos"))
+      val bounds = hits
+        .withColumn("pct",
+          when(floor(col("pos")) === ceil(col("pos")), col("v_lo"))
+            .otherwise(
+              (ceil(col("pos")).cast("double") - col("pos")) * col("v_lo") +
+                (col("pos") - floor(col("pos")).cast("double")) * col("v_hi")))
+        .groupBy(col("l_returnflag").as("bf"))
+        .agg(
+          floor(min(when(col("p") === 0.1, col("pct"))) * lit(1e9) + lit(0.5))
+            .cast("long").as("lo9"),
+          floor(min(when(col("p") === 0.9, col("pct"))) * lit(1e9) + lit(0.5))
+            .cast("long").as("hi9"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(bounds), col("l_returnflag") === col("bf"))
+        .select(col("l_returnflag"),
+          greatest(col("lo9"),
+            least(col("hi9"),
+              (col("l_quantity") * lit(1e9)).cast("long"))).as("c9"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("c9").as("s9"))
+        .select(col("l_returnflag"), col("n"), col("s9"),
+          (col("s9").cast("double") / col("n") / lit(1e9)).as("wmean"))
+        .orderBy("l_returnflag")
+    }),
+
     // approx_percentile (t-digest-style sketch): the unbounded-group
     // companion to q77's exact sort-based percentile. Engine-specific
     // sketch → rows-only driver check; AggSpec bounds its error
@@ -584,6 +645,54 @@ object AggQueries extends QueryPack {
         |SELECT med.l_returnflag, med.med AS med, m2.mad AS mad
         |FROM med JOIN m2 USING (l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    // q164: the p10/p90 bounds replay the exact Percentile target/blend
+    // math (q104's pattern at different p), then both bound and value
+    // quantize to 1e-9 BIGINTs before the clamp so the clipped sum is
+    // order-independent.
+    "q164_winsorized_mean" ->
+      """WITH vc AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |cum AS (
+        |  SELECT l_returnflag, l_quantity, cnt,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cum
+        |  FROM vc),
+        |cum2 AS (SELECT l_returnflag, l_quantity, cum, cum - cnt AS prev FROM cum),
+        |targets AS (
+        |  SELECT l_returnflag AS tf, p,
+        |    p * CAST(n - 1 AS DOUBLE) AS pos,
+        |    CAST(floor(p * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS rk_lo,
+        |    CAST(ceil(p * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS rk_hi
+        |  FROM (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag),
+        |       (SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS p)),
+        |hits AS (
+        |  SELECT c.l_returnflag, t.p,
+        |    min(CASE WHEN t.rk_lo > c.prev AND t.rk_lo <= c.cum THEN c.l_quantity END) AS v_lo,
+        |    min(CASE WHEN t.rk_hi > c.prev AND t.rk_hi <= c.cum THEN c.l_quantity END) AS v_hi,
+        |    min(t.pos) AS pos
+        |  FROM cum2 c JOIN targets t ON c.l_returnflag = t.tf
+        |    AND ((t.rk_lo > c.prev AND t.rk_lo <= c.cum)
+        |      OR (t.rk_hi > c.prev AND t.rk_hi <= c.cum))
+        |  GROUP BY c.l_returnflag, t.p),
+        |interp AS (
+        |  SELECT l_returnflag, p,
+        |    CASE WHEN floor(pos) = ceil(pos) THEN v_lo
+        |         ELSE (ceil(pos) - pos) * v_lo + (pos - floor(pos)) * v_hi
+        |    END AS pct
+        |  FROM hits),
+        |bounds AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(min(CASE WHEN p = 0.1 THEN pct END)*1e9 + 0.5) AS BIGINT) AS lo9,
+        |    CAST(floor(min(CASE WHEN p = 0.9 THEN pct END)*1e9 + 0.5) AS BIGINT) AS hi9
+        |  FROM interp GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  CAST(sum(greatest(b.lo9, least(b.hi9,
+        |    CAST(l.l_quantity*1e9 AS BIGINT)))) AS BIGINT) AS s9,
+        |  CAST(sum(greatest(b.lo9, least(b.hi9,
+        |    CAST(l.l_quantity*1e9 AS BIGINT)))) AS DOUBLE)/count(*)/1e9 AS wmean
+        |FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
 
     "q83_salted_agg" ->
       s"""SELECT l_returnflag AS key,

@@ -518,6 +518,33 @@ object AnalyticsQueries extends QueryPack {
         .groupBy("diff_type")
         .agg(count(lit(1)).as("n"), sum("key").as("key_sum"))
         .orderBy("diff_type")
+    }),
+
+    // ---------------------------------------------------------------
+    // q165: first-touch attribution — every purchase credited to the
+    // FIRST event type of its session (q130's 30-minute-gap
+    // sessionization feeding a first_value window over the session
+    // key). The composite marketing-analytics shape: all three windows
+    // ride ONE user_id exchange (same partition prefix), per-user rows
+    // are bounded, and the rollup output is |event types| rows.
+    "q165_first_touch" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val bySess = Window.partitionBy("user_id", "session_idx")
+        .orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+            .otherwise(0L))
+        .withColumn("session_idx",
+          sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("first_touch", first("event_type").over(bySess))
+        .filter(col("event_type") === "purchase")
+        .groupBy("first_touch")
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("first_touch")
     })
   )
 
@@ -821,6 +848,26 @@ object AnalyticsQueries extends QueryPack {
         |  FROM a FULL JOIN b ON ka = kb)
         |SELECT diff_type, count(*) AS n, CAST(sum(key) AS BIGINT) AS key_sum
         |FROM d WHERE diff_type <> 'unchanged'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q165_first_touch" ->
+      """WITH flagged AS (SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (SELECT user_id, event_id, ts, event_type,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM flagged),
+        |attr AS (SELECT user_id, event_type,
+        |    first_value(event_type) OVER (PARTITION BY user_id, session_idx
+        |      ORDER BY ts, event_id) AS first_touch
+        |  FROM sess)
+        |SELECT first_touch, count(*) AS n_purchases,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM attr WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

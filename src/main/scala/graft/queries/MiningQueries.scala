@@ -504,14 +504,19 @@ object MiningQueries extends QueryPack {
     // TakeOrderedAndProject with a unique (numwait, name, key)
     // tie-break.
     "q155_waiting_supplier" -> ((s, dir) => {
+      // Two cascaded plain aggregates instead of two count(DISTINCT)s
+      // in one: multi-distinct plans an Expand that multiplies the
+      // fact scan per distinct column; collapsing to per-(order, supp)
+      // first keeps every row single and both shuffles on l_orderkey.
       val per = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(col("l_returnflag") === "R", lit(1L)).otherwise(lit(0L)))
+          .as("has_r"))
         .groupBy("l_orderkey")
         .agg(
-          countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-            .as("n_ret"),
-          min(when(col("l_returnflag") === "R", col("l_suppkey")))
-            .as("ret_supp"))
+          count(lit(1)).as("n_supp"),
+          sum("has_r").as("n_ret"),
+          min(when(col("has_r") === 1L, col("l_suppkey"))).as("ret_supp"))
         .filter(col("n_supp") >= 2 && col("n_ret") === 1)
       per.join(Tables.supplier(s, dir), col("ret_supp") === col("s_suppkey"))
         .groupBy("s_suppkey", "s_name")
@@ -544,12 +549,17 @@ object MiningQueries extends QueryPack {
             col("a.l_partkey") < col("b.l_partkey"))
         .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
         .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      // Checkpoint the EDGE LIST (the only expensive lineage — the
+      // basket self-join): everything downstream (degrees, node count,
+      // the four iterations) re-derives from the materialized ~|edges|
+      // rows, so the pair generation runs exactly once.
       val edges = pairs.select(col("pa").as("a"), col("pb").as("b"))
         .unionAll(pairs.select(col("pb").as("a"), col("pa").as("b")))
+        .localCheckpoint()
       val deg = edges.groupBy("a").agg(count(lit(1)).as("d"))
-      val edgesD = edges.join(deg, "a").localCheckpoint()
+      val edgesD = edges.join(deg, "a")
       val nb = broadcast(deg.agg(count(lit(1)).as("n")))
-      var r = edgesD.select("a").distinct().crossJoin(nb)
+      var r = deg.crossJoin(nb)
         .select(col("a"), expr("1000000000 div n").as("r9"))
       for (_ <- 1 to 4) {
         r = r.join(edgesD, "a")
@@ -590,6 +600,79 @@ object MiningQueries extends QueryPack {
             / (col("n") * col("sx")).cast("double") * lit(1e9) + lit(0.5))
             .cast("long").as("gini9"))
         .orderBy("c_nationkey")
+    }),
+
+    // ---------------------------------------------------------------
+    // q163: dyadic EWMA — each event's exponentially-weighted trailing
+    // average of `value` over the last ≤20 events of its user (weights
+    // 1,2,4,…,2¹⁹ toward recency, i.e. decay ½ truncated at the frame).
+    // The α=½ choice is what keeps it EXACT: weights are powers of two,
+    // so the weighted sum is Σ v·2ⁱ — a BIGINT on 1e4-unit values
+    // (≤ 5.7e5·2¹⁹·20 ≪ 2⁶³) — and the normalizer is 2^len − 1; the
+    // only floats are two IEEE divisions. The frame is a BOUNDED ROWS
+    // window over high-cardinality user_id (collect_list state ≤ 20
+    // values by construction); a general-α EWMA is an order-dependent
+    // float recursion no engine replays bit-stably — this is the
+    // portable formulation. Oracle replays via a rn-band self-join.
+    "q163_ewma" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("user_id") % 50 === 0)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          floor(col("value") * lit(1e4) + lit(0.5)).cast("long").as("v4"))
+        .withColumn("vals", collect_list("v4").over(w))
+        .select(col("user_id"), col("event_id"),
+          expr("aggregate(transform(vals, (v, i) -> v * shiftleft(CAST(1 AS BIGINT), i)), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("num"),
+          expr("shiftleft(CAST(1 AS BIGINT), size(vals)) - 1").as("den"))
+        .select(col("user_id"), col("event_id"),
+          (col("num").cast("double") / col("den").cast("double") / lit(1e4))
+            .as("ewma"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---------------------------------------------------------------
+    // q166: A/B lift with a two-sample z statistic — users split into
+    // arms by md5 parity (q112's deterministic-assignment discipline:
+    // rerun- and engine-stable, orthogonal to any data order), per-user
+    // spend as the unit metric, Welch z = (m_B − m_A)/√(s²_A/n_A +
+    // s²_B/n_B) from EXACT BIGINT moments (n, Σx, Σx²) in cent units —
+    // the q141/q144 pattern: the only doubles are one fixed combining
+    // dag per arm, identical on both engines. Two shuffles total
+    // (user_id, then the 2-row arm rollup); the z and lift land in one
+    // final 1-row projection.
+    "q166_ab_lift" -> ((s, dir) => {
+      val arm = when(
+        conv(substring(md5(concat(lit("ab:"), col("user_id").cast("string"))),
+          1, 1), 16, 10).cast("int") % 2 === 0, "A").otherwise("B")
+      val peru = Tables.events(s, dir)
+        .select(col("user_id"), arm.as("arm"),
+          floor(col("value") * lit(100) + lit(0.5)).cast("long").as("v2"))
+        .groupBy("arm", "user_id").agg(sum("v2").as("x"))
+      val st = peru.groupBy("arm").agg(
+        count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("q"))
+      // mean = s/n/100; var = (q − s²/n)/(n−1) — each a fixed dag of
+      // IEEE ops on exact integers (s² ≤ (5.7e5·1.5e3)² ≪ 2⁶³ headroom
+      // via the double conversion; both engines convert BIGINT→DOUBLE
+      // round-to-nearest identically).
+      def m(c: String, a: String) = min(when(col("arm") === a, col(c)))
+      st.agg(
+          m("n", "A").as("na"), m("s", "A").as("sa"), m("q", "A").as("qa"),
+          m("n", "B").as("nb"), m("s", "B").as("sb"), m("q", "B").as("qb"))
+        .select(col("na"), col("nb"),
+          (col("sa").cast("double") / col("na") / lit(100.0)).as("mean_a"),
+          (col("sb").cast("double") / col("nb") / lit(100.0)).as("mean_b"),
+          ((col("sb").cast("double") / col("nb") -
+            col("sa").cast("double") / col("na")) /
+            sqrt(
+              (col("qa").cast("double") -
+                col("sa").cast("double") * col("sa").cast("double") / col("na"))
+                / (col("na") - 1) / col("na") +
+              (col("qb").cast("double") -
+                col("sb").cast("double") * col("sb").cast("double") / col("nb"))
+                / (col("nb") - 1) / col("nb"))).as("z"))
     })
   )
 
@@ -901,6 +984,56 @@ object MiningQueries extends QueryPack {
         |SELECT c_nationkey, n,
         |  CAST(floor(CAST(2*iwx - (n+1)*sx AS DOUBLE)
         |    / CAST(n*sx AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS gini9
-        |FROM g ORDER BY c_nationkey""".stripMargin
+        |FROM g ORDER BY c_nationkey""".stripMargin,
+
+    // q163: the bounded frame replayed as a rn-band self-join; the
+    // in-frame position (engine: transform's 0-based index) is
+    // b.rn − max(a.rn−19, 1), the normalizer 2^min(a.rn,20) − 1.
+    "q163_ewma" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |    CAST(floor(value*1e4 + 0.5) AS BIGINT) AS v4
+        |  FROM events WHERE user_id % 50 = 0),
+        |r AS (SELECT user_id, event_id, ts, v4, row_number() OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM e),
+        |j AS (SELECT a.user_id, a.event_id, a.rn,
+        |    CAST(sum(b.v4 * (CAST(1 AS BIGINT)
+        |      << CAST(b.rn - greatest(a.rn - 19, 1) AS INT))) AS BIGINT) AS num
+        |  FROM r a JOIN r b ON a.user_id = b.user_id
+        |    AND b.rn BETWEEN a.rn - 19 AND a.rn
+        |  GROUP BY a.user_id, a.event_id, a.rn)
+        |SELECT user_id, event_id,
+        |  CAST(num AS DOUBLE)
+        |    / CAST((CAST(1 AS BIGINT) << CAST(least(rn, 20) AS INT)) - 1 AS DOUBLE)
+        |    / 1e4 AS ewma
+        |FROM j ORDER BY user_id, event_id""".stripMargin,
+
+    "q166_ab_lift" ->
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1))
+        |      AS INT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT arm, count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+        |    CAST(sum(x*x) AS BIGINT) AS q
+        |  FROM u GROUP BY 1),
+        |w AS (SELECT
+        |    min(CASE WHEN arm = 'A' THEN n END) AS na,
+        |    min(CASE WHEN arm = 'A' THEN s END) AS sa,
+        |    min(CASE WHEN arm = 'A' THEN q END) AS qa,
+        |    min(CASE WHEN arm = 'B' THEN n END) AS nb,
+        |    min(CASE WHEN arm = 'B' THEN s END) AS sb,
+        |    min(CASE WHEN arm = 'B' THEN q END) AS qb
+        |  FROM st)
+        |SELECT na, nb,
+        |  CAST(sa AS DOUBLE)/na/100.0 AS mean_a,
+        |  CAST(sb AS DOUBLE)/nb/100.0 AS mean_b,
+        |  (CAST(sb AS DOUBLE)/nb - CAST(sa AS DOUBLE)/na)
+        |    / sqrt(
+        |        (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE)/na)
+        |          /(na - 1)/na
+        |      + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE)/nb)
+        |          /(nb - 1)/nb) AS z
+        |FROM w""".stripMargin
   )
 }
