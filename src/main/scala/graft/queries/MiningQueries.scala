@@ -471,13 +471,20 @@ object MiningQueries extends QueryPack {
       val t = seq0.groupBy(col("prev").as("a"), col("event_type").as("b"))
         .agg(count(lit(1)).as("cnt"))
       val tot = t.groupBy("a").agg(sum("cnt").as("tot"))
+      // Materialize P once (|states|² rows): each of the 8 iterations
+      // below references it, and without the cut the full event-log
+      // window scan would replay per iteration (the q159 edge-list
+      // lesson).
       val p = t.join(tot, "a")
         .select(col("a"), col("b"),
           floor(col("cnt").cast("double") / col("tot") * lit(1e9) + lit(0.5))
             .cast("long").as("p9"))
-      // Uniform start over this schema's 5 event states; the spec's
-      // mass-conservation check (Σv9 ≈ 1e9) guards the assumption.
-      var v = tot.select(col("a"), lit(200000000L).as("v9"))
+        .localCheckpoint()
+      // Uniform start over this schema's 5 event states (derived from
+      // the materialized P, not `tot`, so no lineage reaches back to
+      // the event scan); the spec's mass-conservation check
+      // (Σv9 ≈ 1e9) guards the assumption.
+      var v = p.select("a").distinct().select(col("a"), lit(200000000L).as("v9"))
       for (_ <- 1 to 8) {
         v = v.join(p, "a")
           .groupBy("b").agg(sum(col("v9") * col("p9")).as("s"))
