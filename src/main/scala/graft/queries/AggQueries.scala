@@ -19,20 +19,51 @@ import graft.functions.Exact._
   */
 object AggQueries extends QueryPack {
 
-  /** Shared by q103/q104 (their comments stress the math must match
-    * Spark's Percentile ulp-for-ulp — one copy, not two): the 6-row
-    * (flag, p) target table with interpolation position pos = p·(n−1)
-    * and bracketing 1-based ranks ⌊pos⌋+1 / ⌈pos⌉+1, built from
-    * per-flag counts (`l_returnflag`, `n`). */
-  private def percentileTargets(stats: org.apache.spark.sql.DataFrame) =
+  /** Shared by q103/q104/q164 (their comments stress the math must
+    * match Spark's Percentile ulp-for-ulp — one copy, not three): the
+    * |flags|×|ps| (flag, p) target table with interpolation position
+    * pos = p·(n−1) and bracketing 1-based ranks ⌊pos⌋+1 / ⌈pos⌉+1,
+    * built from per-flag counts (`l_returnflag`, `n`). */
+  private def percentileTargets(stats: org.apache.spark.sql.DataFrame,
+                                ps: Seq[Double] = Seq(0.5, 0.9)) =
     stats
       .select(
         col("l_returnflag").as("tf"),
-        explode(array(lit(0.5), lit(0.9))).as("p"),
+        explode(array(ps.map(lit(_)): _*)).as("p"),
         col("n"))
       .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
       .withColumn("rk_lo", floor(col("pos")) + 1)
       .withColumn("rk_hi", ceil(col("pos")) + 1)
+
+  /** Shared by q103/q104/q164: Percentile.getPercentile's exact blend
+    * as a column over (v_lo, v_hi, pos) — v_lo alone when pos is
+    * integral (NOT v_lo + frac·Δ, which differs in the last ulp). */
+  private def percentileBlend: org.apache.spark.sql.Column =
+    when(floor(col("pos")) === ceil(col("pos")), col("v_lo"))
+      .otherwise(
+        (ceil(col("pos")).cast("double") - col("pos")) * col("v_lo") +
+          (col("pos") - floor(col("pos")).cast("double")) * col("v_hi"))
+
+  /** Shared by q103/q104/q164: the value-count rank-hit join — each
+    * (flag, p) target matched to the count-table rows whose cumulative
+    * range covers its bracketing ranks, reduced to (flag, p, v_lo,
+    * v_hi, pos). `cum` carries (l_returnflag, valueCol, cum, prev). */
+  private def percentileHits(cum: org.apache.spark.sql.DataFrame,
+                             targets: org.apache.spark.sql.DataFrame,
+                             valueCol: String) =
+    cum
+      .join(
+        broadcast(targets),
+        col("l_returnflag") === col("tf") &&
+          ((col("rk_lo") > col("prev") && col("rk_lo") <= col("cum")) ||
+            (col("rk_hi") > col("prev") && col("rk_hi") <= col("cum"))))
+      .groupBy("l_returnflag", "p")
+      .agg(
+        min(when(col("rk_lo") > col("prev") && col("rk_lo") <= col("cum"),
+          col(valueCol))).as("v_lo"),
+        min(when(col("rk_hi") > col("prev") && col("rk_hi") <= col("cum"),
+          col(valueCol))).as("v_hi"),
+        min("pos").as("pos"))
 
   /** Shared by q103/q104: Percentile.getPercentile's exact blend —
     * (⌈pos⌉−pos)·v_lo + (pos−⌊pos⌋)·v_hi, v_lo alone when pos is
@@ -41,12 +72,7 @@ object AggQueries extends QueryPack {
     * p50/p90 per flag. */
   private def percentileBlendPivot(grouped: org.apache.spark.sql.DataFrame) =
     grouped
-      .withColumn(
-        "pct",
-        when(floor(col("pos")) === ceil(col("pos")), col("v_lo"))
-          .otherwise(
-            (ceil(col("pos")).cast("double") - col("pos")) * col("v_lo") +
-              (col("pos") - floor(col("pos")).cast("double")) * col("v_hi")))
+      .withColumn("pct", percentileBlend)
       .groupBy("l_returnflag")
       .agg(
         min(when(col("p") === 0.5, col("pct"))).as("p50"),
@@ -286,19 +312,7 @@ object AggQueries extends QueryPack {
         .withColumn("prev", col("cum") - col("cnt"))
       val targets = percentileTargets(
         vc.groupBy("l_returnflag").agg(sum("cnt").as("n")))
-      percentileBlendPivot(cum
-        .join(
-          broadcast(targets),
-          col("l_returnflag") === col("tf") &&
-            ((col("rk_lo") > col("prev") && col("rk_lo") <= col("cum")) ||
-              (col("rk_hi") > col("prev") && col("rk_hi") <= col("cum"))))
-        .groupBy("l_returnflag", "p")
-        .agg(
-          min(when(col("rk_lo") > col("prev") && col("rk_lo") <= col("cum"),
-            col("l_quantity"))).as("v_lo"),
-          min(when(col("rk_hi") > col("prev") && col("rk_hi") <= col("cum"),
-            col("l_quantity"))).as("v_hi"),
-          min("pos").as("pos")))
+      percentileBlendPivot(percentileHits(cum, targets, "l_quantity"))
     }),
 
     // Scalable MODE (most frequent value per group) — q104's value-count
@@ -380,35 +394,15 @@ object AggQueries extends QueryPack {
       val vc = Tables.lineitem(s, dir)
         .groupBy("l_returnflag", "l_quantity")
         .agg(count(lit(1)).as("cnt"))
-      val targets = vc.groupBy("l_returnflag").agg(sum("cnt").as("n"))
-        .select(col("l_returnflag").as("tf"),
-          explode(array(lit(0.1), lit(0.9))).as("p"), col("n"))
-        .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
-        .withColumn("rk_lo", floor(col("pos")) + 1)
-        .withColumn("rk_hi", ceil(col("pos")) + 1)
+      val targets = percentileTargets(
+        vc.groupBy("l_returnflag").agg(sum("cnt").as("n")), Seq(0.1, 0.9))
       val wCum = org.apache.spark.sql.expressions.Window
         .partitionBy("l_returnflag").orderBy("l_quantity")
       val cum = vc
         .withColumn("cum", sum("cnt").over(wCum))
         .withColumn("prev", col("cum") - col("cnt"))
-      val hits = cum
-        .join(broadcast(targets),
-          col("l_returnflag") === col("tf") &&
-            ((col("rk_lo") > col("prev") && col("rk_lo") <= col("cum")) ||
-              (col("rk_hi") > col("prev") && col("rk_hi") <= col("cum"))))
-        .groupBy("l_returnflag", "p")
-        .agg(
-          min(when(col("rk_lo") > col("prev") && col("rk_lo") <= col("cum"),
-            col("l_quantity"))).as("v_lo"),
-          min(when(col("rk_hi") > col("prev") && col("rk_hi") <= col("cum"),
-            col("l_quantity"))).as("v_hi"),
-          min("pos").as("pos"))
-      val bounds = hits
-        .withColumn("pct",
-          when(floor(col("pos")) === ceil(col("pos")), col("v_lo"))
-            .otherwise(
-              (ceil(col("pos")).cast("double") - col("pos")) * col("v_lo") +
-                (col("pos") - floor(col("pos")).cast("double")) * col("v_hi")))
+      val bounds = percentileHits(cum, targets, "l_quantity")
+        .withColumn("pct", percentileBlend)
         .groupBy(col("l_returnflag").as("bf"))
         .agg(
           floor(min(when(col("p") === 0.1, col("pct"))) * lit(1e9) + lit(0.5))

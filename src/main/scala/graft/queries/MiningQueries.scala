@@ -471,15 +471,17 @@ object MiningQueries extends QueryPack {
       val t = seq0.groupBy(col("prev").as("a"), col("event_type").as("b"))
         .agg(count(lit(1)).as("cnt"))
       val tot = t.groupBy("a").agg(sum("cnt").as("tot"))
-      // Materialize P once (|states|² rows): each of the 8 iterations
+      // Cut P's lineage (|states|² rows): each of the 8 iterations
       // below references it, and without the cut the full event-log
       // window scan would replay per iteration (the q159 edge-list
-      // lesson).
+      // lesson). Lazy checkpoint: plan-only consumers (PlanSpec's
+      // registry sweeps, .explain) never trigger the job; the first
+      // action materializes it once.
       val p = t.join(tot, "a")
         .select(col("a"), col("b"),
           floor(col("cnt").cast("double") / col("tot") * lit(1e9) + lit(0.5))
             .cast("long").as("p9"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // Uniform start over this schema's 5 event states (derived from
       // the materialized P, not `tot`, so no lineage reaches back to
       // the event scan); the spec's mass-conservation check
@@ -559,10 +561,11 @@ object MiningQueries extends QueryPack {
       // Checkpoint the EDGE LIST (the only expensive lineage — the
       // basket self-join): everything downstream (degrees, node count,
       // the four iterations) re-derives from the materialized ~|edges|
-      // rows, so the pair generation runs exactly once.
+      // rows, so the pair generation runs exactly once. Lazy: plan-only
+      // consumers (PlanSpec sweeps, .explain) never trigger the job.
       val edges = pairs.select(col("pa").as("a"), col("pb").as("b"))
         .unionAll(pairs.select(col("pb").as("a"), col("pa").as("b")))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val deg = edges.groupBy("a").agg(count(lit(1)).as("d"))
       val edgesD = edges.join(deg, "a")
       val nb = broadcast(deg.agg(count(lit(1)).as("n")))
@@ -643,12 +646,16 @@ object MiningQueries extends QueryPack {
     // q166: A/B lift with a two-sample z statistic — users split into
     // arms by md5 parity (q112's deterministic-assignment discipline:
     // rerun- and engine-stable, orthogonal to any data order), per-user
-    // spend as the unit metric, Welch z = (m_B − m_A)/√(s²_A/n_A +
-    // s²_B/n_B) from EXACT BIGINT moments (n, Σx, Σx²) in cent units —
-    // the q141/q144 pattern: the only doubles are one fixed combining
-    // dag per arm, identical on both engines. Two shuffles total
-    // (user_id, then the 2-row arm rollup); the z and lift land in one
-    // final 1-row projection.
+    // MEAN event value as the unit metric (truncating integer division
+    // s div k — deterministic on both engines), Welch z = (m_B − m_A)/
+    // √(s²_A/n_A + s²_B/n_B) from EXACT BIGINT moments (n, Σx, Σx²) in
+    // cent units — the q141/q144 pattern: the only doubles are one
+    // fixed combining dag per arm. The metric being a per-user MEAN is
+    // what makes Σx² 100 TB-safe: x is bounded by the DOMAIN max value
+    // (~5.6e4 cents), not by per-user event volume, so Σx² ≤ n·3.2e9
+    // stays under 2⁶³ past 10⁹ users (a per-user SUM metric would
+    // silently wrap Spark's non-ANSI BIGINT sum near 10⁷ users). Two
+    // shuffles total (user_id, then the 2-row arm rollup).
     "q166_ab_lift" -> ((s, dir) => {
       val arm = when(
         conv(substring(md5(concat(lit("ab:"), col("user_id").cast("string"))),
@@ -656,14 +663,14 @@ object MiningQueries extends QueryPack {
       val peru = Tables.events(s, dir)
         .select(col("user_id"), arm.as("arm"),
           floor(col("value") * lit(100) + lit(0.5)).cast("long").as("v2"))
-        .groupBy("arm", "user_id").agg(sum("v2").as("x"))
+        .groupBy("arm", "user_id")
+        .agg(expr("sum(v2) div count(1)").as("x"))
       val st = peru.groupBy("arm").agg(
         count(lit(1)).as("n"), sum("x").as("s"),
         sum(col("x") * col("x")).as("q"))
       // mean = s/n/100; var = (q − s²/n)/(n−1) — each a fixed dag of
-      // IEEE ops on exact integers (s² ≤ (5.7e5·1.5e3)² ≪ 2⁶³ headroom
-      // via the double conversion; both engines convert BIGINT→DOUBLE
-      // round-to-nearest identically).
+      // IEEE ops on exact integers; both engines convert BIGINT→DOUBLE
+      // round-to-nearest identically.
       def m(c: String, a: String) = min(when(col("arm") === a, col(c)))
       st.agg(
           m("n", "A").as("na"), m("s", "A").as("sa"), m("q", "A").as("qa"),
@@ -1019,7 +1026,8 @@ object MiningQueries extends QueryPack {
       """WITH u AS (SELECT user_id,
         |    CASE WHEN CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1))
         |      AS INT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
-        |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        |    CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      // count(*) AS x
         |  FROM events GROUP BY 1, 2),
         |st AS (SELECT arm, count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
         |    CAST(sum(x*x) AS BIGINT) AS q

@@ -248,9 +248,22 @@ class MiningSpec extends SparkSpec {
     val total = rows.map(_.getAs[Long]("r9")).sum
     assert(total <= 1000000000L + rows.length,
       s"top-25 mass $total exceeds the unit budget")
+    // Recover n (co-purchase node count) independently to pin the
+    // teleport floor (15·(1e9 div n)) div 100 — a dropped or mis-scaled
+    // teleport term would fall below it.
+    val items = graft.sources.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).collect { case (pair, c) if c.size >= 2 => pair }
+      .flatMap(p => Seq(p._1, p._2)).toSet.size
+    val base = (15L * (1000000000L / n)) / 100L
     rows.foreach { r =>
       val v = r.getAs[Long]("r9")
-      assert(v >= 0L && v < 1000000000L, s"rank $v outside [0, 1e9)")
+      assert(v >= base && v < 1000000000L,
+        s"rank $v outside [teleport base $base, 1e9)")
     }
   }
 
@@ -313,12 +326,40 @@ class MiningSpec extends SparkSpec {
     out.foreach(e => assert(e == 7.25, s"constant-series EWMA drifted: $e"))
   }
 
-  test("q164 winsorized mean sits between the clip bounds and shifts less than the raw mean under an outlier") {
+  test("q164 winsorized mean sits inside independently computed [p10, p90] clip bounds") {
+    // A mean of values clamped to [lo, hi] must itself lie in [lo, hi]
+    // — and the raw mean generally does NOT sit in so tight a band, so
+    // an unclipped (or mis-clipped) q164 fails this. Bounds re-derived
+    // locally with the exact Percentile formula (pos = p·(n−1), linear
+    // blend of the bracketing order statistics).
+    def pct(sorted: Array[Double], p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = sorted(math.floor(pos).toInt)
+      val hi = sorted(math.ceil(pos).toInt)
+      if (pos == math.floor(pos)) lo
+      else (math.ceil(pos) - pos) * lo + (pos - math.floor(pos)) * hi
+    }
+    val byFlag = graft.sources.Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_quantity")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
     val rows = run("q164_winsorized_mean").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
+      val f = r.getAs[String]("l_returnflag")
       val wm = r.getAs[Double]("wmean")
-      assert(wm >= 1.0 && wm <= 50.0, s"winsorized mean $wm outside the quantity domain")
+      val (lo, hi) = (pct(byFlag(f), 0.1), pct(byFlag(f), 0.9))
+      assert(wm >= lo - 1e-9 && wm <= hi + 1e-9,
+        s"flag $f: winsorized mean $wm escapes clip bounds [$lo, $hi]")
+      // The clamp must actually bite on this data: the raw mean and
+      // the winsorized mean may only coincide if nothing was clipped.
+      val raw = byFlag(f).sum / byFlag(f).length
+      val clippedShare = byFlag(f).count(v => v < lo || v > hi).toDouble /
+        byFlag(f).length
+      if (clippedShare > 0.05)
+        assert(math.abs(wm - raw) > 1e-12 ||
+          byFlag(f).forall(v => v >= lo && v <= hi),
+          s"flag $f: ${100 * clippedShare}%% of rows clip but wmean == raw mean")
     }
   }
 
@@ -327,7 +368,8 @@ class MiningSpec extends SparkSpec {
     val perUser = graft.sources.Tables.events(spark, sfDir)
       .select(col("user_id"), floor(col("value") * lit(100) + lit(0.5))
         .cast("long").as("v2"))
-      .groupBy("user_id").agg(sum("v2").as("x"))
+      .groupBy("user_id")
+      .agg(expr("sum(v2) div count(1)").as("x"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     def md5Hex(s: String): String = {
       val d = java.security.MessageDigest.getInstance("MD5")
