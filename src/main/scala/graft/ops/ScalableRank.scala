@@ -132,6 +132,50 @@ object ScalableRank {
     * split the canonical subtrees; keep `df` projected to exactly
     * partCols ++ orderCols ++ valCol regardless.
     */
+  /** Two-phase scalable EXCLUSIVE RUNNING MAX of `valCol` within
+    * `partCols` under `orderCols` — the prefix-extremum sibling of
+    * [[runningSummed]] (same range-bucket shape, max instead of sum;
+    * max is associative/commutative on any type, so the decomposition
+    * is exact for doubles too, unlike a float running SUM). Exclusive:
+    * row i sees the max over rows strictly before it (NULL when none),
+    * which is what dominance tests (skyline/Pareto, record-breaking
+    * scans) need. Bucket START maxima are the exclusive prefix max over
+    * per-bucket totals (|part|×buckets rows), broadcast back and
+    * combined with the bucket-local exclusive running max via
+    * `greatest` (null-skipping on both legs).
+    *
+    * Exchange-reuse contract: identical to [[runningSummed]] — keep
+    * `df` projected to exactly partCols ++ orderCols ++ valCol.
+    */
+  def runningMaxed(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCols: Seq[Column],
+      valCol: String,
+      buckets: Int,
+      run: String = "runmax"): DataFrame = {
+    val rangeCols = partCols.map(col) ++ orderCols
+    val bucketed = df
+      .repartitionByRange(buckets, rangeCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val grpPid = (partCols :+ "__pid").map(col)
+    val byPart = Window.partitionBy(partCols.map(col): _*)
+    val offsets = bucketed
+      .groupBy(grpPid: _*)
+      .agg(max(col(valCol)).as("__bmax"))
+      .withColumn(
+        "__off",
+        max("__bmax").over(
+          byPart.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)))
+      .drop("__bmax")
+    val wLocal = Window.partitionBy(grpPid: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .join(broadcast(offsets), partCols :+ "__pid")
+      .withColumn(run, greatest(col("__off"), max(col(valCol)).over(wLocal)))
+      .drop("__pid", "__off")
+  }
+
   def runningSummed(
       df: DataFrame,
       partCols: Seq[String],

@@ -687,6 +687,34 @@ object MiningQueries extends QueryPack {
               (col("qb").cast("double") -
                 col("sb").cast("double") * col("sb").cast("double") / col("nb"))
                 / (col("nb") - 1) / col("nb"))).as("z"))
+    }),
+
+    // ---------------------------------------------------------------
+    // q167: skyline (Pareto frontier) — the orders that are
+    // record-breakers under (cheapest price, largest line-quantity):
+    // scanning orders by ascending (total_cents, o_orderkey), keep
+    // exactly those whose sum_qty exceeds EVERY preceding order's.
+    // The dominance test is an exclusive global running max — a
+    // single-partition window at 100 TB — so it runs on
+    // [[graft.ops.ScalableRank.runningMaxed]]'s two-phase range-bucket
+    // shape: per-task state bounded at rows/buckets, bucket-prefix
+    // maxima broadcast back. All-integer comparisons; the tie-break
+    // key makes the frontier deterministic.
+    "q167_skyline" -> ((s, dir) => {
+      val pts = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
+            .as("total_cents"),
+          col("sum_qty"))
+      graft.ops.ScalableRank
+        .runningMaxed(pts, Seq.empty,
+          Seq(col("total_cents"), col("o_orderkey")), "sum_qty", buckets = 32)
+        .filter(col("runmax").isNull || col("sum_qty") > col("runmax"))
+        .select("o_orderkey", "total_cents", "sum_qty")
+        .orderBy("total_cents", "o_orderkey")
     })
   )
 
@@ -1049,6 +1077,24 @@ object MiningQueries extends QueryPack {
         |          /(na - 1)/na
         |      + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE)/nb)
         |          /(nb - 1)/nb) AS z
-        |FROM w""".stripMargin
+        |FROM w""".stripMargin,
+
+    // q167: the oracle uses the plain single-partition exclusive
+    // running-max window — equality proves the two-phase rewrite.
+    "q167_skyline" ->
+      """WITH pts AS (
+        |  SELECT o_orderkey,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS total_cents,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY o_orderkey, o_totalprice),
+        |m AS (
+        |  SELECT o_orderkey, total_cents, sum_qty,
+        |    max(sum_qty) OVER (ORDER BY total_cents, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+        |  FROM pts)
+        |SELECT o_orderkey, total_cents, sum_qty FROM m
+        |WHERE runmax IS NULL OR sum_qty > runmax
+        |ORDER BY total_cents, o_orderkey""".stripMargin
   )
 }

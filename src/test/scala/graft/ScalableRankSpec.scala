@@ -91,6 +91,28 @@ class ScalableRankSpec extends SparkSpec {
     }
   }
 
+  for (buckets <- Seq(1, 4, 32)) {
+    test(s"two-phase exclusive running max at buckets=$buckets equals the one-shuffle window") {
+      // Same fixture: hot key, tie runs straddling boundaries, n=1 key.
+      val vals = df.select(col("k"), col("id"), col("v"))
+      val twoPhase = ScalableRank.runningMaxed(
+          vals, Seq("k"), Seq(col("id").asc), "v", buckets)
+        .select("k", "id", "runmax")
+      val w = Window.partitionBy("k").orderBy(col("id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val oneShuffle = vals.select(col("k"), col("id"),
+        max("v").over(w).as("runmax"))
+      // except() treats NULL = NULL, so the first-row NULL legs compare.
+      assert(twoPhase.except(oneShuffle).isEmpty &&
+        oneShuffle.except(twoPhase).isEmpty,
+        s"running max mismatch at buckets=$buckets")
+      // Exclusive contract: exactly one NULL per part key (its first row).
+      val nulls = twoPhase.filter(col("runmax").isNull)
+        .groupBy("k").count().as[(String, Long)].collect().toMap
+      assert(nulls.values.forall(_ == 1L) && nulls.size == 3, s"nulls: $nulls")
+    }
+  }
+
   test("global (no part key) two-phase rank is a 1..n permutation") {
     // q114's shape: empty partCols — one global order, range-bucketed.
     val keyed = df.select(col("id"), col("v"))
