@@ -545,6 +545,38 @@ object AnalyticsQueries extends QueryPack {
         .agg(count(lit(1)).as("n_purchases"),
           countDistinct("user_id").as("n_users"))
         .orderBy("first_touch")
+    }),
+
+    // ---------------------------------------------------------------
+    // q169: SCD-2 point-in-time lookup — q131's versioned dimension
+    // joined back to the fact stream: each event resolves the
+    // attribute version valid AT ITS TIMESTAMP (valid_from ≤ ts <
+    // valid_to), the as-of question every warehouse asks of a type-2
+    // dimension. Equi key user_id carries the join (hash/SMJ, never a
+    // cartesian — q37's range-predicate-as-join-filter shape); the
+    // half-open intervals tile each user's timeline (AnalyticsSpec),
+    // so every event matches exactly ONE version — asserted by the
+    // count-preservation oracle column.
+    "q169_scd2_lookup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id") < 30)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val dim = ev
+        .withColumn("prev_k", lag("k_val", 1).over(byUser))
+        .filter(col("prev_k").isNull || !(col("prev_k") <=> col("k_val")))
+        .withColumn("valid_to", coalesce(lead("ts", 1).over(byUser),
+          lit("9999-12-31 00:00:00").cast("timestamp")))
+        .select(col("user_id").as("d_user"), col("ts").as("valid_from"),
+          col("valid_to"), col("k_val"))
+      ev.select(col("user_id"), col("ts"))
+        .join(dim, col("user_id") === col("d_user") &&
+          col("ts") >= col("valid_from") && col("ts") < col("valid_to"))
+        .groupBy("k_val")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("k_val")
     })
   )
 
@@ -868,6 +900,29 @@ object AnalyticsQueries extends QueryPack {
         |SELECT first_touch, count(*) AS n_purchases,
         |  count(DISTINCT user_id) AS n_users
         |FROM attr WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q169: the dim CTE replays q131's oracle verbatim (same change
+    // predicate), then the point-in-time join.
+    "q169_scd2_lookup" ->
+      """WITH ev AS (SELECT user_id, ts, event_id,
+        |    CAST(props->>'$.k' AS INT) AS k_val
+        |  FROM events WHERE user_id < 30),
+        |changes AS (
+        |  SELECT user_id, ts, event_id, k_val
+        |  FROM (SELECT *, lag(k_val) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_k,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |    FROM ev)
+        |  WHERE prev_ts IS NULL OR k_val IS DISTINCT FROM prev_k),
+        |dim AS (SELECT user_id AS d_user, ts AS valid_from,
+        |    coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |      TIMESTAMP '9999-12-31 00:00:00') AS valid_to, k_val
+        |  FROM changes)
+        |SELECT d.k_val, count(*) AS n_events,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM ev e JOIN dim d ON e.user_id = d.d_user
+        |  AND e.ts >= d.valid_from AND e.ts < d.valid_to
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

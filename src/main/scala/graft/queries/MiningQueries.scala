@@ -715,6 +715,33 @@ object MiningQueries extends QueryPack {
         .filter(col("runmax").isNull || col("sum_qty") > col("runmax"))
         .select("o_orderkey", "total_cents", "sum_qty")
         .orderBy("total_cents", "o_orderkey")
+    }),
+
+    // ---------------------------------------------------------------
+    // q168: transitive closure by POINTER JUMPING — each part's depth
+    // in the synthetic binary hierarchy parent(k) = k div 2 (root 0,
+    // self-loop). Five doubling rounds resolve chains up to 2⁵ = 32
+    // deep (max depth is ⌊log₂ maxkey⌋+1 ≈ 15 here, ~60 at a 10²⁰-key
+    // scale — still only 7 rounds: the LOGARITHMIC iteration count is
+    // the 100 TB argument vs walking one parent level per round). Each
+    // round is one |nodes|-row self equi-join, lineage-cut lazily so
+    // the plan stays linear in rounds, not exponential. All-integer;
+    // oracle = recursive CTE walking the chain per node.
+    "q168_closure_depth" -> ((s, dir) => {
+      var anc = Tables.part(s, dir).select(
+        col("p_partkey").as("node"),
+        expr("p_partkey div 2").as("anc"),
+        when(col("p_partkey") === 0, lit(0L)).otherwise(lit(1L)).as("d"))
+      for (_ <- 1 to 5) {
+        anc = anc.as("a")
+          .join(anc.as("b"), col("a.anc") === col("b.node"))
+          .select(col("a.node").as("node"), col("b.anc").as("anc"),
+            (col("a.d") + col("b.d")).as("d"))
+          .localCheckpoint(false)
+      }
+      anc.groupBy(col("d").as("depth"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy("depth")
     })
   )
 
@@ -1095,6 +1122,15 @@ object MiningQueries extends QueryPack {
         |  FROM pts)
         |SELECT o_orderkey, total_cents, sum_qty FROM m
         |WHERE runmax IS NULL OR sum_qty > runmax
-        |ORDER BY total_cents, o_orderkey""".stripMargin
+        |ORDER BY total_cents, o_orderkey""".stripMargin,
+
+    "q168_closure_depth" ->
+      """WITH RECURSIVE walk AS (
+        |  SELECT p_partkey AS node, p_partkey AS cur, 0 AS d FROM part
+        |  UNION ALL
+        |  SELECT node, cur//2, d + 1 FROM walk WHERE cur > 0)
+        |SELECT d AS depth, count(*) AS n_parts FROM (
+        |  SELECT node, max(d) AS d FROM walk GROUP BY node)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
