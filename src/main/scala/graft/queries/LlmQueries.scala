@@ -805,6 +805,35 @@ object LlmQueries extends QueryPack {
       ranked.select(col("pos"), col("doc_id"), col("skey")).orderBy("pos")
     }),
 
+    // Top-p ("nucleus") corpus selection — per source, keep the
+    // largest documents until 90% of the source's character mass is
+    // covered: the budgeted data-selection rule that favors long
+    // documents without a hard count cutoff. The cumulative mass is a
+    // per-source running sum — `source` is LOW-cardinality, exactly
+    // the q21/q80 defect class — so it rides ScalableRank's two-phase
+    // shape; the keep rule compares exclusive-prefix·10 < total·9 in
+    // pure integers (the boundary-crossing doc is kept). Output is a
+    // |sources|-row audit of kept docs/mass.
+    "q170_nucleus_select" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val run = graft.ops.ScalableRank.runningSummed(
+        docs, Seq("source"), Seq(col("n_chars").desc, col("doc_id")),
+        "n_chars", buckets = 32)
+      val tot = broadcast(docs.groupBy(col("source").as("tf"))
+        .agg(sum("n_chars").as("total"), count(lit(1)).as("n_total")))
+      run.join(tot, col("source") === col("tf"))
+        .withColumn("keep",
+          (col("run") - col("n_chars")) * 10 < col("total") * 9)
+        .groupBy("source")
+        .agg(
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          min("n_total").as("n_total"),
+          sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("kept_chars"),
+          min("total").as("total_chars"))
+        .orderBy("source")
+    }),
+
     // Token counting, whitespace vs BPE-ish: a subword-style regex
     // (letter runs / digit runs / single punctuation, the GPT-2
     // pre-tokenizer shape) against the whitespace count — the standard
@@ -1211,6 +1240,26 @@ object LlmQueries extends QueryPack {
         |        list_filter(string_split(text, ' '), t -> t <> '')[1:5], ' ') AS nkey
         |      FROM documents)
         |GROUP BY nkey HAVING count(*) > 1 ORDER BY nkey""".stripMargin,
+
+    "q170_nucleus_select" ->
+      """WITH d AS (SELECT source, doc_id, n_chars FROM documents),
+        |r AS (SELECT source, doc_id, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM d),
+        |t AS (SELECT source AS tf, CAST(sum(n_chars) AS BIGINT) AS total,
+        |    count(*) AS n_total
+        |  FROM d GROUP BY 1)
+        |SELECT source,
+        |  CAST(sum(CASE WHEN (run - n_chars)*10 < total*9 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  min(n_total) AS n_total,
+        |  CAST(sum(CASE WHEN (run - n_chars)*10 < total*9 THEN n_chars
+        |    ELSE 0 END) AS BIGINT) AS kept_chars,
+        |  min(total) AS total_chars
+        |FROM r JOIN t ON source = tf
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q45_text_stats" ->
       """SELECT source, count(*) AS n_docs,
