@@ -136,6 +136,29 @@ class EdgeSpec extends SparkSpec {
     val summed = graft.ops.ScalableRank.runningSummed(
       empty, Seq("k"), Seq(col("id").asc), "t", buckets = 4, run = "cum")
     assert(summed.count() === 0 && summed.columns.contains("cum"))
+    val maxed = graft.ops.ScalableRank.runningMaxed(
+      empty, Seq("k"), Seq(col("id").asc), "t", buckets = 4)
+    assert(maxed.count() === 0 && maxed.columns.contains("runmax"))
+  }
+
+  test("running max on a single row is NULL (exclusive frame has no predecessor)") {
+    import spark.implicits._
+    val one = Seq(("k", 1, 42)).toDF("k", "id", "t")
+    val out = graft.ops.ScalableRank.runningMaxed(
+      one, Seq("k"), Seq(col("id").asc), "t", buckets = 4).collect()
+    assert(out.length === 1 && out.head.isNullAt(out.head.fieldIndex("runmax")))
+  }
+
+  test("salted join with an empty side is empty, not an error") {
+    import spark.implicits._
+    val fact = Seq((1L, 10L)).toDF("k", "v")
+    val emptyDim = Seq.empty[(Long, String)].toDF("dk", "name")
+    assert(graft.ops.Skew.saltedJoin(fact, "k", emptyDim, "dk", 4,
+      saltOn = col("v")).count() === 0)
+    val emptyFact = Seq.empty[(Long, Long)].toDF("k", "v")
+    val dim = Seq((1L, "d")).toDF("dk", "name")
+    assert(graft.ops.Skew.saltedJoin(emptyFact, "k", dim, "dk", 4,
+      saltOn = col("v")).count() === 0)
   }
 
   test("delta-dedup cross candidates with an empty batch are empty, not an error") {

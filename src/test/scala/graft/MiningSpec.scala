@@ -363,6 +363,23 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("q168's five doubling rounds cover the part hierarchy's depth with headroom") {
+    // Pointer jumping resolves chains up to 2^rounds; the max depth of
+    // parent(k) = k div 2 is floor(log2(maxkey)) + 1. Assert the data
+    // invariant the round count rests on (with one spare round).
+    val maxKey = graft.sources.Tables.part(spark, sfDir)
+      .agg(max("p_partkey")).collect().head.getLong(0)
+    val maxDepth = 63 - java.lang.Long.numberOfLeadingZeros(maxKey) + 1
+    assert(maxDepth <= 16,
+      s"max depth $maxDepth exceeds 2^4 — five rounds would still cover " +
+        "2^5 = 32 but the spare-round headroom is gone; bump q168's rounds")
+    // And the histogram partitions the part table exactly.
+    val rows = run("q168_closure_depth").collect()
+    val total = rows.map(_.getAs[Long]("n_parts")).sum
+    val nParts = graft.sources.Tables.part(spark, sfDir).count()
+    assert(total === nParts, s"depth histogram covers $total of $nParts parts")
+  }
+
   test("q166 z statistic matches a local Welch recount") {
     val row = run("q166_ab_lift").collect().head
     val perUser = graft.sources.Tables.events(spark, sfDir)
