@@ -106,6 +106,30 @@ object SourceQueries extends QueryPack {
         .orderBy("o_orderpriority")
     }),
 
+    // Schema EVOLUTION read: a dataset written in two generations — v1
+    // without a column, v2 with it — read back as ONE table via
+    // mergeSchema (the union of file footers; absent columns surface
+    // as NULL, exactly how a 100 TB lake accretes columns without
+    // rewriting history). The aggregate proves the semantics: every
+    // row scans, but `status` is non-null only for v2's rows. The
+    // merge costs one footer pass at planning — row data is untouched.
+    "q171_schema_evolution" -> ((s, dir) => {
+      val path = tmp(dir, "orders_evolving")
+      val o = Tables.orders(s, dir)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .write.mode("overwrite").parquet(s"$path/gen=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus").as("status"))
+        .write.mode("overwrite").parquet(s"$path/gen=2")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy("gen")
+        .agg(count(lit(1)).as("n_rows"), count(col("status")).as("n_status"),
+          countDistinct("status").as("n_status_values"))
+        .orderBy("gen")
+    }),
+
     // Text sink → text scan: rows serialized to delimited lines
     // (format_string, the reference's sprintf emit, program.c:203-212)
     // and parsed back with split (its sscanf, program.c:432,461).
@@ -202,6 +226,18 @@ object SourceQueries extends QueryPack {
       """SELECT o_orderpriority, count(*) AS n FROM orders
         |WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // q171: the expected per-generation counts replayed from the base
+    // table — gen 1 (even keys) has no status column, so n_status = 0.
+    "q171_schema_evolution" ->
+      """SELECT 1 AS gen, count(*) AS n_rows, 0 AS n_status,
+        |  0 AS n_status_values
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 2, count(*), count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus)
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY gen""".stripMargin,
 
     "q42_collect_filter" ->
       """SELECT n_nationkey, n_name FROM nation
