@@ -126,6 +126,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 1, "simhash64 takes (tokens)")
         SimHash64(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lev_bounded"),
+      new ExpressionInfo(classOf[BoundedLevenshtein].getName, "graft_lev_bounded"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_lev_bounded takes (a, b, k)")
+        val k = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_lev_bounded k must be an integer literal, got $other")
+        }
+        BoundedLevenshtein(children.head, children(1), k)
+      }))
     // ANN assignment expressions (IvfCells.scala): the centroid/plane
     // matrix arrives as ONE foldable array-of-array literal and is
     // folded into the expression at analysis time — the plan holds a

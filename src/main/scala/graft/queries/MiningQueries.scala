@@ -155,12 +155,19 @@ object MiningQueries extends QueryPack {
     // blocked candidates. Distinct names first: fuzzy keys dedupe
     // BEFORE pairing, never after.
     "q142_fuzzy_name_pairs" -> ((s, dir) => {
+      // Per-pair distance via the native BANDED DP (`graft_lev_bounded`,
+      // functions/BoundedLevenshtein.scala): O(k·len) with length-gate
+      // and row early-exit vs the built-in's full O(len²) table —
+      // returns the exact distance whenever ≤ 4 (LevenshteinSpec), so
+      // the kept rows and their dist values are bit-identical to the
+      // full-DP oracle.
       val names = Tables.part(s, dir).select("p_name").distinct()
       names.as("a").join(names.as("b"),
           substring(col("a.p_name"), 1, 1) === substring(col("b.p_name"), 1, 1) &&
             col("a.p_name") < col("b.p_name"))
         .select(col("a.p_name").as("name1"), col("b.p_name").as("name2"),
-          levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
+          call_function("graft_lev_bounded",
+            col("a.p_name"), col("b.p_name"), lit(4)).cast("long").as("dist"))
         .filter(col("dist") <= 4)
         .orderBy("dist", "name1", "name2")
     }),
