@@ -130,6 +130,62 @@ object SourceQueries extends QueryPack {
         .orderBy("gen")
     }),
 
+    // Materialized ROLLUP serving — the aggregate-navigator pattern: a
+    // day-partitioned pre-aggregation is built once (group sums are
+    // additive, so any coarser window is answerable from it), then a
+    // week-level question reads ONLY the rollup — |days|×|types| rows
+    // behind partition pruning, never the fact table. At 100 TB this
+    // is the difference between a dashboard query scanning terabytes
+    // and one scanning kilobytes; value sums quantize to cents BEFORE
+    // the rollup so re-aggregation stays exact-integer.
+    "q172_rollup_serve" -> ((s, dir) => {
+      val path = tmp(dir, "events_daily_rollup")
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * lit(100) + lit(0.5)).cast("long"))
+            .as("cents"))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      s.read.parquet(path)
+        .filter(col("day").between("2024-01-08", "2024-01-14"))
+        .groupBy("event_type")
+        .agg(sum("n").as("n_events"), sum("cents").as("total_cents"))
+        .orderBy("event_type")
+    }),
+
+    // Incremental rollup REFRESH via dynamic partition overwrite — the
+    // late-data story: the first build misses "late" rows (md5-carved
+    // from three days, the q162 discipline), the refresh recomputes
+    // ONLY the affected day partitions from full data and
+    // dynamic-overwrites them in place (untouched partitions keep
+    // their files — the write mode that makes day-partitioned rollups
+    // incrementally maintainable at all). The final read must equal a
+    // from-scratch recompute — which IS the oracle.
+    "q173_rollup_refresh" -> ((s, dir) => {
+      val path = tmp(dir, "events_rollup_refresh")
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("ts").cast("date").as("day"),
+          floor(col("value") * lit(100) + lit(0.5)).cast("long").as("v2"),
+          (substring(md5(concat(lit("late:"), col("event_id").cast("string"))),
+            1, 1) === "f" &&
+            col("ts").cast("date").between("2024-01-10", "2024-01-12"))
+            .as("late"))
+      def rollup(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"), sum("v2").as("cents"))
+      rollup(ev.filter(!col("late")))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+      val affected = ev.filter(col("late")).select("day").distinct()
+      rollup(ev.join(affected, "day"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(path)
+      s.read.parquet(path)
+        .groupBy("event_type")
+        .agg(sum("n").as("n_events"), sum("cents").as("total_cents"))
+        .orderBy("event_type")
+    }),
+
     // Text sink → text scan: rows serialized to delimited lines
     // (format_string, the reference's sprintf emit, program.c:203-212)
     // and parsed back with split (its sscanf, program.c:432,461).
@@ -226,6 +282,24 @@ object SourceQueries extends QueryPack {
       """SELECT o_orderpriority, count(*) AS n FROM orders
         |WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // q172/q173: by sum-additivity both answer from the raw fact table.
+    "q172_rollup_serve" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q173: the refreshed rollup must equal a from-scratch recompute —
+    // late rows included exactly once.
+    "q173_rollup_refresh" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q171: the expected per-generation counts replayed from the base
     // table — gen 1 (even keys) has no status column, so n_status = 0.
