@@ -749,6 +749,54 @@ object MiningQueries extends QueryPack {
       anc.groupBy(col("d").as("depth"))
         .agg(count(lit(1)).as("n_parts"))
         .orderBy("depth")
+    }),
+
+    // ---------------------------------------------------------------
+    // q174: multivariate OLS from sufficient statistics — per group,
+    // fit y = b0 + b1·x1 + b2·x2 by the normal equations, solved with
+    // Cramer's rule over the EXACT BIGINT moment matrix (n, Σx1, Σx2,
+    // Σx1², Σx2², Σx1x2, Σy, Σx1y, Σx2y): q141's distributed-stats
+    // pattern lifted to the multi-feature case — one aggregate pass
+    // over the fact table builds the 3×3 system, the solve is a
+    // constant-size fixed IEEE dag per group (BIGINT→DOUBLE converts
+    // round-to-nearest identically on both engines, every product/
+    // subtraction written in ONE association order mirrored in the
+    // oracle SQL). Spark's regr_* builtins aggregate doubles in
+    // partition order — not bit-stable; this is.
+    "q174_ols_two_features" -> ((s, dir) => {
+      val q = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("x1"),
+        floor(col("l_discount") * lit(100) + lit(0.5)).cast("long").as("x2"),
+        floor(col("l_extendedprice") * lit(100) + lit(0.5)).cast("long")
+          .as("y"))
+      val m = q.groupBy("flag").agg(
+        count(lit(1)).as("n"),
+        sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"))
+      def d(c: String) = col(c).cast("double")
+      // det [[a,b,c],[p,q2,r],[u,v,w]] expanded in one fixed order.
+      def det3(a: C, b: C, c: C, p: C, q2: C, r: C, u: C, v: C, w: C): C =
+        a * (q2 * w - r * v) - b * (p * w - r * u) + c * (p * v - q2 * u)
+      val dd = det3(d("n"), d("s1"), d("s2"),
+        d("s1"), d("s11"), d("s12"),
+        d("s2"), d("s12"), d("s22"))
+      val d0 = det3(d("sy"), d("s1"), d("s2"),
+        d("s1y"), d("s11"), d("s12"),
+        d("s2y"), d("s12"), d("s22"))
+      val d1 = det3(d("n"), d("sy"), d("s2"),
+        d("s1"), d("s1y"), d("s12"),
+        d("s2"), d("s2y"), d("s22"))
+      val d2 = det3(d("n"), d("s1"), d("sy"),
+        d("s1"), d("s11"), d("s1y"),
+        d("s2"), d("s12"), d("s2y"))
+      m.select(col("flag"), col("n"),
+          q9(d0 / dd).as("b0_9"), q9(d1 / dd).as("b1_9"), q9(d2 / dd).as("b2_9"))
+        .orderBy("flag")
     })
   )
 
@@ -1130,6 +1178,44 @@ object MiningQueries extends QueryPack {
         |SELECT o_orderkey, total_cents, sum_qty FROM m
         |WHERE runmax IS NULL OR sum_qty > runmax
         |ORDER BY total_cents, o_orderkey""".stripMargin,
+
+    // q174: same moments, same Cramer expansion, same association
+    // order — the doubles agree bit-for-bit.
+    "q174_ols_two_features" -> {
+      def det3(a: String, b: String, c: String, p: String, q2: String,
+               r: String, u: String, v: String, w: String): String =
+        s"($a*($q2*$w - $r*$v) - $b*($p*$w - $r*$u) + $c*($p*$v - $q2*$u))"
+      val cols = Seq("n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y")
+        .map(c => c -> s"CAST($c AS DOUBLE)").toMap
+      def D(k: String) = cols(k)
+      val dd = det3(D("n"), D("s1"), D("s2"), D("s1"), D("s11"), D("s12"),
+        D("s2"), D("s12"), D("s22"))
+      val d0 = det3(D("sy"), D("s1"), D("s2"), D("s1y"), D("s11"), D("s12"),
+        D("s2y"), D("s12"), D("s22"))
+      val d1 = det3(D("n"), D("sy"), D("s2"), D("s1"), D("s1y"), D("s12"),
+        D("s2"), D("s2y"), D("s22"))
+      val d2 = det3(D("n"), D("s1"), D("sy"), D("s1"), D("s11"), D("s1y"),
+        D("s2"), D("s12"), D("s2y"))
+      s"""WITH q AS (SELECT l_returnflag AS flag,
+         |    CAST(l_quantity AS BIGINT) AS x1,
+         |    CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS x2,
+         |    CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS y
+         |  FROM lineitem),
+         |m AS (SELECT flag, count(*) AS n,
+         |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x1*x1) AS BIGINT) AS s11,
+         |    CAST(sum(x2*x2) AS BIGINT) AS s22,
+         |    CAST(sum(x1*x2) AS BIGINT) AS s12,
+         |    CAST(sum(x1*y) AS BIGINT) AS s1y,
+         |    CAST(sum(x2*y) AS BIGINT) AS s2y
+         |  FROM q GROUP BY 1)
+         |SELECT flag, n,
+         |  CAST(floor($d0/$dd*1e9 + 0.5) AS BIGINT) AS b0_9,
+         |  CAST(floor($d1/$dd*1e9 + 0.5) AS BIGINT) AS b1_9,
+         |  CAST(floor($d2/$dd*1e9 + 0.5) AS BIGINT) AS b2_9
+         |FROM m ORDER BY flag""".stripMargin
+    },
 
     "q168_closure_depth" ->
       """WITH RECURSIVE walk AS (

@@ -380,6 +380,35 @@ class MiningSpec extends SparkSpec {
     assert(total === nParts, s"depth histogram covers $total of $nParts parts")
   }
 
+  test("q174 coefficients satisfy the least-squares orthogonality conditions") {
+    // The defining property of OLS: residuals are orthogonal to the
+    // design columns (1, x1, x2). Recompute residual sums locally from
+    // raw rows with the engine's coefficients; relative error vs the
+    // response scale must be negligible.
+    val bs = run("q174_ols_two_features").collect()
+      .map(r => r.getAs[String]("flag") ->
+        (r.getAs[Long]("b0_9") / 1e9, r.getAs[Long]("b1_9") / 1e9,
+          r.getAs[Long]("b2_9") / 1e9)).toMap
+    val rows = graft.sources.Tables.lineitem(spark, sfDir).select(
+      col("l_returnflag"), col("l_quantity").cast("long"),
+      floor(col("l_discount") * lit(100) + lit(0.5)).cast("long"),
+      floor(col("l_extendedprice") * lit(100) + lit(0.5)).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (flag, rs) =>
+      val (b0, b1, b2) = bs(flag)
+      var r0 = 0.0; var r1 = 0.0; var r2 = 0.0; var sy = 0.0
+      rs.foreach { case (_, x1, x2, y) =>
+        val e = y - b0 - b1 * x1 - b2 * x2
+        r0 += e; r1 += e * x1; r2 += e * x2; sy += math.abs(y.toDouble)
+      }
+      // Scale-relative: quantized coefficients shift residual sums by
+      // up to ~1e-9·Σ|x·x| — far below 1e-5 of the response mass.
+      assert(math.abs(r0) / sy < 1e-5, s"$flag: Σe = $r0 vs mass $sy")
+      assert(math.abs(r1) / (sy * 50) < 1e-5, s"$flag: Σe·x1 = $r1")
+      assert(math.abs(r2) / (sy * 10) < 1e-5, s"$flag: Σe·x2 = $r2")
+    }
+  }
+
   test("q166 z statistic matches a local Welch recount") {
     val row = run("q166_ab_lift").collect().head
     val perUser = graft.sources.Tables.events(spark, sfDir)
