@@ -13,7 +13,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * "is the distance ≤ k", but the built-in `levenshtein` fills the full
   * |a|×|b| DP table — O(len²) per candidate pair. The banded DP visits
   * only the 2k+1-wide diagonal (cells that can hold a value ≤ k),
-  * length-gates |len_a − len_b| > k without touching characters, and
+  * byte-length-gates |bytes_a − bytes_b| > 4k in O(1) before any
+  * decode (then the exact UTF-16 length gate after decoding), and
   * early-exits the moment a whole row exceeds k — O(k·len) per pair
   * with tiny constants, which is what a blocked fuzzy join does per
   * candidate at 100 TB. Contract proven in `LevenshteinSpec`:
@@ -68,11 +69,17 @@ object BoundedLevenshtein {
     * reappear once a row's minimum hits INF (early exit).
     */
   def banded(ua: UTF8String, ub: UTF8String, k: Int): Int = {
+    val inf = k + 1
+    // O(1) pre-gate BEFORE any decode: one UTF-16-unit edit changes the
+    // UTF-8 byte length by at most 4, so |byteLen diff| > 4k proves
+    // distance > k without touching characters (numBytes is a stored
+    // field). On ASCII — all harness data — this is just a 4× slack on
+    // the exact length gate below.
+    if (math.abs(ua.numBytes - ub.numBytes) > 4 * k) return inf
     val a = ua.toString
     val b = ub.toString
     val la = a.length
     val lb = b.length
-    val inf = k + 1
     if (math.abs(la - lb) > k) return inf
     if (la == 0) return math.min(lb, inf)
     if (lb == 0) return math.min(la, inf)

@@ -38,6 +38,25 @@ import org.apache.spark.sql.functions._
   */
 object ScalableRank {
 
+  /** Shared phase-0 preamble: range-bucket `df` on partCols ++ orderCols
+    * and tag each row with its bucket id. Every two-phase operator
+    * below derives BOTH its branches (per-bucket offsets and the
+    * bucket-local window) from this ONE frame — see [[bucketize]]'s
+    * exchange-reuse contract for why that sharing is load-bearing. */
+  private def rangeBucketed(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCols: Seq[Column],
+      buckets: Int): (DataFrame, Seq[Column], org.apache.spark.sql.expressions.WindowSpec) = {
+    val rangeCols = partCols.map(col) ++ orderCols
+    val bucketed = df
+      .repartitionByRange(buckets, rangeCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val grpPid = (partCols :+ "__pid").map(col)
+    val byPart = Window.partitionBy(partCols.map(col): _*)
+    (bucketed, grpPid, byPart)
+  }
+
   /** Phase 1, shared by [[rowNumbered]] and bucket-pruned consumers
     * (q103's order statistics): range-bucket `df` and count each
     * bucket. Returns (bucketed, offsets, stats):
@@ -70,13 +89,8 @@ object ScalableRank {
       orderCols: Seq[Column],
       buckets: Int,
       n: String = "n"): (DataFrame, DataFrame, DataFrame) = {
-    val rangeCols = partCols.map(col) ++ orderCols
-    val bucketed = df
-      .repartitionByRange(buckets, rangeCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    val grpPid = (partCols :+ "__pid").map(col)
+    val (bucketed, grpPid, byPart) = rangeBucketed(df, partCols, orderCols, buckets)
     val counts = bucketed.groupBy(grpPid: _*).agg(count(lit(1)).as("__cnt"))
-    val byPart = Window.partitionBy(partCols.map(col): _*)
     val offsets = counts.withColumn(
       "__off",
       coalesce(
@@ -132,6 +146,31 @@ object ScalableRank {
     * split the canonical subtrees; keep `df` projected to exactly
     * partCols ++ orderCols ++ valCol regardless.
     */
+  def runningSummed(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCols: Seq[Column],
+      valCol: String,
+      buckets: Int,
+      run: String = "run"): DataFrame = {
+    val (bucketed, grpPid, byPart) = rangeBucketed(df, partCols, orderCols, buckets)
+    val offsets = bucketed
+      .groupBy(grpPid: _*)
+      .agg(sum(col(valCol).cast("long")).as("__bsum"))
+      .withColumn(
+        "__off",
+        coalesce(
+          sum("__bsum").over(byPart.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("__bsum")
+    val wLocal = Window.partitionBy(grpPid: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(broadcast(offsets), partCols :+ "__pid")
+      .withColumn(run, col("__off") + sum(col(valCol).cast("long")).over(wLocal))
+      .drop("__pid", "__off")
+  }
+
   /** Two-phase scalable EXCLUSIVE RUNNING MAX of `valCol` within
     * `partCols` under `orderCols` — the prefix-extremum sibling of
     * [[runningSummed]] (same range-bucket shape, max instead of sum;
@@ -154,12 +193,7 @@ object ScalableRank {
       valCol: String,
       buckets: Int,
       run: String = "runmax"): DataFrame = {
-    val rangeCols = partCols.map(col) ++ orderCols
-    val bucketed = df
-      .repartitionByRange(buckets, rangeCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    val grpPid = (partCols :+ "__pid").map(col)
-    val byPart = Window.partitionBy(partCols.map(col): _*)
+    val (bucketed, grpPid, byPart) = rangeBucketed(df, partCols, orderCols, buckets)
     val offsets = bucketed
       .groupBy(grpPid: _*)
       .agg(max(col(valCol)).as("__bmax"))
@@ -173,36 +207,6 @@ object ScalableRank {
     bucketed
       .join(broadcast(offsets), partCols :+ "__pid")
       .withColumn(run, greatest(col("__off"), max(col(valCol)).over(wLocal)))
-      .drop("__pid", "__off")
-  }
-
-  def runningSummed(
-      df: DataFrame,
-      partCols: Seq[String],
-      orderCols: Seq[Column],
-      valCol: String,
-      buckets: Int,
-      run: String = "run"): DataFrame = {
-    val rangeCols = partCols.map(col) ++ orderCols
-    val bucketed = df
-      .repartitionByRange(buckets, rangeCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    val grpPid = (partCols :+ "__pid").map(col)
-    val byPart = Window.partitionBy(partCols.map(col): _*)
-    val offsets = bucketed
-      .groupBy(grpPid: _*)
-      .agg(sum(col(valCol).cast("long")).as("__bsum"))
-      .withColumn(
-        "__off",
-        coalesce(
-          sum("__bsum").over(byPart.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .drop("__bsum")
-    val wLocal = Window.partitionBy(grpPid: _*).orderBy(orderCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bucketed
-      .join(broadcast(offsets), partCols :+ "__pid")
-      .withColumn(run, col("__off") + sum(col(valCol).cast("long")).over(wLocal))
       .drop("__pid", "__off")
   }
 }

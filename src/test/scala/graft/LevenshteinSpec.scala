@@ -65,12 +65,23 @@ class LevenshteinSpec extends SparkSpec {
     assert(banded("", "abcdefgh", 3) == 4)
   }
 
-  test("the SQL registration evaluates inside a plan (codegen path)") {
+  test("the SQL registration evaluates inside whole-stage codegen") {
     import spark.implicits._
-    val df = Seq(("kitten", "sitting"), ("abc", "abc"), ("abc", "zzzzzz"))
-      .toDF("a", "b")
+    // A Seq.toDF would be folded by ConvertToLocalRelation and run the
+    // INTERPRETED eval; spark.range keeps a physical plan so the
+    // generated code (doGenCode's static call) actually executes.
+    val df = spark.range(3)
+      .select(
+        when(col("id") === 0, "kitten").when(col("id") === 1, "abc")
+          .otherwise("abc").as("a"),
+        when(col("id") === 0, "sitting").when(col("id") === 1, "abc")
+          .otherwise("zzzzzz").as("b"))
       .select(call_function("graft_lev_bounded",
         col("a"), col("b"), lit(3)).as("d"))
+    // The `*(n)` prefix is the plan-string marker for a
+    // WholeStageCodegen span containing the Project.
+    assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"),
+      "expected the expression inside a WholeStageCodegen span")
     assert(df.as[Int].collect().toSeq == Seq(3, 0, 4))
   }
 
