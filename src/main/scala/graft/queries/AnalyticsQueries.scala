@@ -577,6 +577,45 @@ object AnalyticsQueries extends QueryPack {
         .agg(count(lit(1)).as("n_events"),
           countDistinct("user_id").as("n_users"))
         .orderBy("k_val")
+    }),
+
+    // ---------------------------------------------------------------
+    // q175: Merkle-style bucket reconciliation — the anti-entropy
+    // sync-check between two table versions: each side folds its rows
+    // into 64 RANGE-bucket digests (bit_xor of a 60-bit md5 row hash —
+    // order-independent AND engine-portable, unlike xxhash64), and
+    // only buckets whose digests differ need row-level repair. q162
+    // diffs every row; this prunes the work to dirty buckets FIRST.
+    // Churn is LOCALIZED to the top ~10% of the key space (the
+    // append-mostly reality: recent rows change, history doesn't), so
+    // range bucketing confines the dirt to the tail buckets and the
+    // clean majority genuinely exercises the digests-agree path — at
+    // 100 TB the digest pass is one narrow scan per side and the
+    // repair join touches only the dirty key ranges. Bucket width
+    // comes from an in-plan 1-row max-key broadcast (q145's pattern).
+    "q175_merkle_sync" -> ((s, dir) => {
+      val mk = broadcast(Tables.orders(s, dir)
+        .agg(max("o_orderkey").as("maxkey")))
+      val o = Tables.orders(s, dir).crossJoin(mk).select(
+        col("o_orderkey"), col("maxkey"),
+        floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
+          .as("cents"),
+        (substring(md5(concat(lit("snap:"), col("o_orderkey").cast("string"))),
+          1, 1) === "1" &&
+          col("o_orderkey") * 10 >= col("maxkey") * 9).as("churned"))
+      def digest(df: org.apache.spark.sql.DataFrame, side: String) = df
+        .select(expr("o_orderkey div (maxkey div 64 + 1)").as("bucket"),
+          conv(substring(md5(concat_ws(":",
+            col("o_orderkey").cast("string"), col("cents").cast("string"))),
+            1, 15), 16, 10).cast("long").as("h"))
+        .groupBy("bucket").agg(expr("bit_xor(h)").as(side))
+      val a = digest(o, "ha")
+      val b = digest(o.withColumn("cents",
+        col("cents") + when(col("churned"), lit(100L)).otherwise(lit(0L))), "hb")
+      a.join(b, Seq("bucket"), "full")
+        .select(col("bucket"), col("ha"), col("hb"),
+          (!(col("ha") <=> col("hb"))).as("dirty"))
+        .orderBy("bucket")
     })
   )
 
@@ -923,6 +962,29 @@ object AnalyticsQueries extends QueryPack {
         |  count(DISTINCT e.user_id) AS n_users
         |FROM ev e JOIN dim d ON e.user_id = d.d_user
         |  AND e.ts >= d.valid_from AND e.ts < d.valid_to
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q175_merkle_sync" ->
+      """WITH mk AS (SELECT max(o_orderkey) AS maxkey FROM orders),
+        |o AS (SELECT o_orderkey, maxkey,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
+        |    (substring(md5('snap:' || CAST(o_orderkey AS VARCHAR)), 1, 1) = '1'
+        |      AND o_orderkey*10 >= maxkey*9) AS churned
+        |  FROM orders, mk),
+        |a AS (SELECT o_orderkey // (maxkey // 64 + 1) AS bucket,
+        |    bit_xor(CAST(('0x' || substring(md5(
+        |      CAST(o_orderkey AS VARCHAR) || ':' || CAST(cents AS VARCHAR)),
+        |      1, 15)) AS BIGINT)) AS ha
+        |  FROM o GROUP BY 1),
+        |b AS (SELECT o_orderkey // (maxkey // 64 + 1) AS bucket,
+        |    bit_xor(CAST(('0x' || substring(md5(
+        |      CAST(o_orderkey AS VARCHAR) || ':' ||
+        |      CAST(cents + CASE WHEN churned THEN 100 ELSE 0 END AS VARCHAR)),
+        |      1, 15)) AS BIGINT)) AS hb
+        |  FROM o GROUP BY 1)
+        |SELECT coalesce(a.bucket, b.bucket) AS bucket, ha, hb,
+        |  ha IS DISTINCT FROM hb AS dirty
+        |FROM a FULL JOIN b ON a.bucket = b.bucket
+        |ORDER BY bucket""".stripMargin
   )
 }
