@@ -39,6 +39,28 @@ object WindowQueries extends QueryPack {
         .orderBy("o_orderpriority", "rn")
     }),
 
+    // Top-k WITH TIES — q20's dense_rank() sibling: every line whose
+    // quantity sits in its flag's top 2 VALUES is kept, however many
+    // rows tie (the SQL FETCH FIRST ... WITH TIES semantics; plain
+    // rank() would skip past rank 2 entirely when the top value ties).
+    // The dense_rank filter still triggers the map-side
+    // WindowGroupLimit (it is one of the three supported functions),
+    // so each task pre-prunes to its local top values before the
+    // single window shuffle — the reason this low-cardinality
+    // partition key is scale-safe where q21's full-output rank is not.
+    // Output aggregated per (flag, quantity) to keep the tied row mass
+    // checkable without dumping it.
+    "q176_topk_ties" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_quantity").desc)
+      Tables.lineitem(s, dir)
+        .withColumn("rnk", dense_rank().over(w))
+        .filter(col("rnk") <= 2)
+        .groupBy("l_returnflag", "rnk", "l_quantity")
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "rnk")
+    }),
+
     // rank/dense_rank over a NON-unique order key (tie semantics are the
     // point); ntile over a unique key (its row split requires total order).
     // Single-task-sort-per-status by construction — scale path is q102.
@@ -226,6 +248,16 @@ object WindowQueries extends QueryPack {
         |  FROM orders)
         |WHERE rn <= 3
         |ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q176_topk_ties" ->
+      """SELECT l_returnflag, rnk, l_quantity, count(*) AS n_rows FROM (
+        |  SELECT l_returnflag, l_quantity,
+        |    dense_rank() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY l_quantity DESC) AS rnk
+        |  FROM lineitem)
+        |WHERE rnk <= 2
+        |GROUP BY 1, 2, 3
+        |ORDER BY l_returnflag, rnk""".stripMargin,
 
     "q21_rank_dense_ntile" ->
       """SELECT o_orderkey, o_orderstatus,
