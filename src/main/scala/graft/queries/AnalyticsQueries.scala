@@ -616,6 +616,47 @@ object AnalyticsQueries extends QueryPack {
         .select(col("bucket"), col("ha"), col("hb"),
           (!(col("ha") <=> col("hb"))).as("dirty"))
         .orderBy("bucket")
+    }),
+
+    // ---------------------------------------------------------------
+    // q177: peak concurrency — the classic interval sweep ("maximum
+    // number of simultaneously open sessions"), over q130's gap-based
+    // sessions. Each session [s_start, s_end] (inclusive: end = last
+    // event) becomes a +1 point at start and a −1 at end; kind orders
+    // starts BEFORE ends at equal ts so a session ending at t still
+    // overlaps one starting at t. The prefix sum of deltas over the
+    // global (ts, kind, user, idx) order is the concurrency profile —
+    // a single-partition window at scale (the q21 defect class), so it
+    // runs on ScalableRank.runningSummed's two-phase range-bucket
+    // shape: per-task sort bounded at points/buckets, exact LONG
+    // partials. The peak and its earliest timestamp come back via
+    // 1-row broadcast scalars, never a driver round-trip.
+    "q177_peak_concurrency" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = ev
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+            .otherwise(0L))
+        .withColumn("session_idx",
+          sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_idx")
+        .agg(min("ts").as("s_start"), max("ts").as("s_end"))
+      val points = sess.select(col("s_start").as("ts"), lit(0L).as("kind"),
+          col("user_id"), col("session_idx"), lit(1L).as("delta"))
+        .unionAll(sess.select(col("s_end").as("ts"), lit(1L).as("kind"),
+          col("user_id"), col("session_idx"), lit(-1L).as("delta")))
+      val swept = graft.ops.ScalableRank.runningSummed(points, Seq.empty,
+        Seq(col("ts"), col("kind"), col("user_id"), col("session_idx")),
+        "delta", buckets = 32)
+      val peak = broadcast(swept.agg(max("run").as("peak")))
+      val nSess = broadcast(sess.agg(count(lit(1)).as("n_sessions")))
+      swept.crossJoin(peak).filter(col("run") === col("peak"))
+        .groupBy("peak").agg(min("ts").as("peak_at"))
+        .crossJoin(nSess)
+        .select(col("n_sessions"), col("peak"), col("peak_at"))
     })
   )
 
@@ -985,6 +1026,37 @@ object AnalyticsQueries extends QueryPack {
         |SELECT coalesce(a.bucket, b.bucket) AS bucket, ha, hb,
         |  ha IS DISTINCT FROM hb AS dirty
         |FROM a FULL JOIN b ON a.bucket = b.bucket
-        |ORDER BY bucket""".stripMargin
+        |ORDER BY bucket""".stripMargin,
+
+    "q177_peak_concurrency" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx, ts
+        |  FROM flagged),
+        |intervals AS (
+        |  SELECT user_id, session_idx, min(ts) AS s_start, max(ts) AS s_end
+        |  FROM sess GROUP BY user_id, session_idx),
+        |points AS (
+        |  SELECT s_start AS ts, 0 AS kind, user_id, session_idx, 1 AS delta
+        |  FROM intervals
+        |  UNION ALL
+        |  SELECT s_end, 1, user_id, session_idx, -1 FROM intervals),
+        |swept AS (
+        |  SELECT ts, CAST(sum(delta) OVER (
+        |    ORDER BY ts, kind, user_id, session_idx
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |  FROM points)
+        |SELECT (SELECT count(*) FROM intervals) AS n_sessions,
+        |  (SELECT max(run) FROM swept) AS peak,
+        |  (SELECT min(ts) FROM swept
+        |   WHERE run = (SELECT max(run) FROM swept)) AS peak_at""".stripMargin
   )
 }

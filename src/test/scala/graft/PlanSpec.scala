@@ -447,7 +447,8 @@ class PlanSpec extends SparkSpec {
       "q151_rich_no_urgent" -> "1-row balance-average broadcast",
       "q153_chi_square" -> "bounded |types|x|days| margin-grid cross join",
       "q159_pagerank" -> "1-row node-count broadcast (per iteration)",
-      "q175_merkle_sync" -> "1-row max-key broadcast (bucket width)")
+      "q175_merkle_sync" -> "1-row max-key broadcast (bucket width)",
+      "q177_peak_concurrency" -> "1-row peak / session-count broadcasts")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
