@@ -797,6 +797,60 @@ object MiningQueries extends QueryPack {
       m.select(col("flag"), col("n"),
           q9(d0 / dd).as("b0_9"), q9(d1 / dd).as("b1_9"), q9(d2 / dd).as("b2_9"))
         .orderBy("flag")
+    }),
+
+    // ---------------------------------------------------------------
+    // q178: triangle counting + global clustering coefficient over the
+    // part co-purchase graph (q139's support ≥ 2 edges — bounded basket
+    // self-join, never |table|²). The triangle join uses DEGREE
+    // ORIENTATION (node-iterator++): each undirected edge {u,v} points
+    // from the endpoint with the smaller (deg, id) to the larger, so
+    // every triangle is counted exactly once and the wedge join fans
+    // out by OUT-degree, which orientation bounds by O(√m) per node —
+    // the standard guarantee that keeps hub nodes from generating
+    // deg² wedge candidates at 100 TB (a raw u–v–w walk on a
+    // power-law graph would). Three equi-joins total: wedges share a
+    // src key, closure is a 2-key equi-join back to the edge list.
+    // All-integer counts; the one IEEE division (3·tri/wedges) is
+    // 9-dp quantized. Open-wedge total Σ d(d−1)/2 comes from the
+    // degree table in exact integer form.
+    "q178_triangles" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey").distinct()
+      val edges = items.as("a").join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+        .select("u", "v")
+      val deg = edges.select(col("u").as("node"))
+        .unionAll(edges.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val fwd = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val oriented = edges
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
+          when(fwd, col("v")).otherwise(col("u")).as("dst"),
+          when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
+      val lt = col("e1.ddeg") < col("e2.ddeg") ||
+        (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))
+      val wedges = oriented.as("e1").join(oriented.as("e2"),
+          col("e1.src") === col("e2.src") && lt)
+        .select(col("e1.dst").as("b"), col("e2.dst").as("c"))
+      val tri = wedges
+        .join(oriented.select(col("src").as("b"), col("dst").as("c")),
+          Seq("b", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val stats = broadcast(deg.agg(count(lit(1)).as("n_nodes"),
+        expr("sum(deg * (deg - 1)) div 2").as("n_wedges")))
+      val ne = broadcast(edges.agg(count(lit(1)).as("n_edges")))
+      tri.crossJoin(stats).crossJoin(ne)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          q9((col("n_triangles") * 3).cast("double") /
+            col("n_wedges").cast("double")).as("gcc9"))
     })
   )
 
@@ -1224,6 +1278,42 @@ object MiningQueries extends QueryPack {
         |  SELECT node, cur//2, d + 1 FROM walk WHERE cur > 0)
         |SELECT d AS depth, count(*) AS n_parts FROM (
         |  SELECT node, max(d) AS d FROM walk GROUP BY node)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q178_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |edges AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |  SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+        |  GROUP BY 1),
+        |oriented AS (
+        |  SELECT
+        |    CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+        |    CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst,
+        |    CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS ddeg
+        |  FROM edges
+        |  JOIN (SELECT node AS u, deg AS du FROM deg) USING (u)
+        |  JOIN (SELECT node AS v, deg AS dv FROM deg) USING (v)),
+        |wedges AS (
+        |  SELECT e1.dst AS b, e2.dst AS c
+        |  FROM oriented e1 JOIN oriented e2
+        |    ON e1.src = e2.src AND (e1.ddeg < e2.ddeg
+        |      OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM wedges w JOIN oriented e ON e.src = w.b AND e.dst = w.c)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM edges) AS n_edges,
+        |  (SELECT CAST(sum(deg * (deg - 1)) // 2 AS BIGINT) FROM deg)
+        |    AS n_wedges,
+        |  n_triangles,
+        |  CAST(floor(CAST(n_triangles * 3 AS DOUBLE) /
+        |    CAST((SELECT sum(deg * (deg - 1)) // 2 FROM deg) AS DOUBLE)
+        |    * 1e9 + 0.5) AS BIGINT) AS gcc9
+        |FROM tri""".stripMargin
   )
 }
