@@ -654,6 +654,45 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // BIGRAM LM with add-one smoothing — q120's perplexity proxy with
+    // one token of context: P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V), scored
+    // as each doc's mean negative log-likelihood over its bigram
+    // instances. Same exactness contract as q120: each bigram type's
+    // -ln P quantizes half-up to integer 1e-9 units ONCE (corpus-side),
+    // doc sums are BIGINT, one final IEEE division. The scale shape
+    // DIFFERS from q120 deliberately: a bigram LM is vocab²-sized —
+    // never broadcastable — so docs join the LM by an EQUI-JOIN ON THE
+    // BIGRAM KEY (unbounded-cardinality shuffle both sides, map-side
+    // tf pre-aggregation), while only the vocab size V rides as a
+    // 1-row broadcast. Docs under 2 tokens have no bigrams and drop
+    // out (same contract as q119).
+    "q179_bigram_lm" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toksCol = Text.tokens(col("text"))
+      val uni = docs.select(explode(toksCol).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+      val vocab = broadcast(uni.agg(count(lit(1)).as("v")))
+      val bg = docs.select(col("doc_id"),
+        explode(Text.shingles(toksCol, 2)).as("bg"))
+      val lm = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .join(uni, "w1")
+        .crossJoin(vocab)
+        .select(col("bg"),
+          floor(-log((col("c12") + 1).cast("double") /
+            (col("c1") + col("v")).cast("double")) * 1e9 + 0.5)
+            .cast("long").as("nll_q"))
+      bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+        .join(lm, "bg")
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_bigrams"),
+          sum(col("tf") * col("nll_q")).as("nll_q_sum"))
+        .select(col("doc_id"), col("n_bigrams"), col("nll_q_sum"),
+          (col("nll_q_sum").cast("double") /
+            (col("n_bigrams").cast("double") * 1e9)).as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
     // Quality-ranked duplicate-cluster RESOLUTION — real pipelines keep
     // the BEST member of each near-dup cluster (longest, highest
     // quality), not the smallest id: the perturbed/truncated copies are
@@ -1639,6 +1678,35 @@ object LlmQueries extends QueryPack {
         |  CAST(sum(tf * nll_q) AS DOUBLE)
         |    / (CAST(sum(tf) AS DOUBLE) * 1000000000.0) AS avg_nll
         |FROM tf JOIN lm USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q179: identical add-one bigram probability, quantized corpus-side
+    // once; doc aggregation is BIGINT, final division IEEE — mirrors
+    // the Spark dag operand-for-operand.
+    "q179_bigram_lm" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |uni AS (SELECT unnest(toks) AS w1 FROM t),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY w1),
+        |v AS (SELECT count(*) AS v FROM c1),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM t WHERE len(toks) >= 2),
+        |lm AS (SELECT bg, CAST(floor(
+        |      -ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS nll_q
+        |  FROM (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg)
+        |  JOIN c1 ON c1.w1 = string_split(bg, ' ')[1]
+        |  CROSS JOIN v),
+        |tf AS (SELECT doc_id, bg, count(*) AS tf
+        |  FROM bg GROUP BY doc_id, bg)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(tf * nll_q) AS BIGINT) AS nll_q_sum,
+        |  CAST(sum(tf * nll_q) AS DOUBLE)
+        |    / (CAST(sum(tf) AS DOUBLE) * 1000000000.0) AS avg_nll
+        |FROM tf JOIN lm USING (bg)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q121: brute-force pair set (all-pairs exists ONLY oracle-side) →

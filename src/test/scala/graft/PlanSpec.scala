@@ -449,7 +449,8 @@ class PlanSpec extends SparkSpec {
       "q159_pagerank" -> "1-row node-count broadcast (per iteration)",
       "q175_merkle_sync" -> "1-row max-key broadcast (bucket width)",
       "q177_peak_concurrency" -> "1-row peak / session-count broadcasts",
-      "q178_triangles" -> "1-row graph-stats broadcasts")
+      "q178_triangles" -> "1-row graph-stats broadcasts",
+      "q179_bigram_lm" -> "1-row vocab-size broadcast")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
