@@ -657,6 +657,40 @@ object AnalyticsQueries extends QueryPack {
         .groupBy("peak").agg(min("ts").as("peak_at"))
         .crossJoin(nSess)
         .select(col("n_sessions"), col("peak"), col("peak_at"))
+    }),
+
+    // ---------------------------------------------------------------
+    // q180: reciprocal-rank fusion — the standard hybrid-retrieval
+    // combiner (Cormack et al. 2009; what every lexical+dense search
+    // stack ships): fuse the BM25 ranking (q126) with the sparse
+    // TF-IDF cosine ranking (q140) by RRF(d) = Σ_lists 1/(60+rank_d).
+    // Each leg is the REGISTERED query — score-identical by
+    // construction — and contributes its top-20. Ranks are recovered
+    // WITHOUT a window: each ≤20-row leg collapses to one
+    // collect_list, array_sort on (−score, doc_id) replays the leg's
+    // exact (score desc, id asc) order, posexplode's ordinal is the
+    // rank — bounded by the top-k contract, so no low-card window
+    // partition and no single-task sort of anything unbounded. Each
+    // 1/(60+rank) term quantizes half-up to 1e-9 units; the fused
+    // score is a BIGINT sum.
+    "q180_rrf_fusion" -> ((s, dir) => {
+      def ranked(leg: org.apache.spark.sql.DataFrame, scoreCol: String) = leg
+        .agg(collect_list(struct((-col(scoreCol)).as("ns"),
+          col("doc_id").as("d"))).as("xs"))
+        .select(posexplode(array_sort(col("xs"))).as(Seq("pos", "x")))
+        .select(col("x.d").as("doc_id"), (col("pos") + 1).cast("long").as("rank"))
+      val bm = ranked(
+        queries("q126_bm25")(s, dir).select("doc_id", "score9"), "score9")
+      val sp = ranked(
+        MiningQueries.queries("q140_sparse_cosine_search")(s, dir), "cos9")
+      bm.unionAll(sp)
+        .select(col("doc_id"),
+          floor(lit(1e9) / (lit(60) + col("rank")) + lit(0.5)).cast("long")
+            .as("rrf_q"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lists"), sum("rrf_q").as("rrf9"))
+        .orderBy(col("rrf9").desc, col("doc_id"))
+        .limit(10)
     })
   )
 
@@ -1057,6 +1091,65 @@ object AnalyticsQueries extends QueryPack {
         |SELECT (SELECT count(*) FROM intervals) AS n_sessions,
         |  (SELECT max(run) FROM swept) AS peak,
         |  (SELECT min(ts) FROM swept
-        |   WHERE run = (SELECT max(run) FROM swept)) AS peak_at""".stripMargin
+        |   WHERE run = (SELECT max(run) FROM swept)) AS peak_at""".stripMargin,
+
+    // q180: both legs replayed verbatim (q126 / q140 oracle CTEs,
+    // q140's renamed tf2/df2 to avoid collisions), ranked by
+    // row_number over the same (score desc, id) order, fused with the
+    // identical quantized 1/(60+rank) terms.
+    "q180_rrf_fusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    t -> t <> '')) AS token FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT count(*) AS n,
+        |  CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl),
+        |qt AS (SELECT * FROM (VALUES ('join'),('hash'),('vector')) q(token)),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks
+        |  WHERE token IN (SELECT token FROM qt) GROUP BY 1),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |  WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT tf.doc_id, CAST(floor(
+        |    (floor(ln(1.0 + (stats.n - df.df + 0.5)/(df.df + 0.5))*1e9 + 0.5)/1e9)
+        |    * (CAST(tf.tf AS DOUBLE)*2.2
+        |       / (CAST(tf.tf AS DOUBLE) + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)))
+        |    * 1e9 + 0.5) AS BIGINT) AS c9
+        |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+        |bmtop AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score9 DESC, doc_id)
+        |    AS rank
+        |  FROM (SELECT doc_id, CAST(sum(c9) AS BIGINT) AS score9
+        |    FROM contrib GROUP BY doc_id
+        |    ORDER BY score9 DESC, doc_id LIMIT 20)),
+        |tf2 AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |df2 AS (SELECT token, count(*) AS df FROM tf2 GROUP BY 1),
+        |w AS (SELECT tf2.doc_id, tf2.token,
+        |    CAST(floor(CAST(tf2.tf AS DOUBLE)
+        |      * (CAST(n.n_docs AS DOUBLE)/CAST(df2.df AS DOUBLE))
+        |      * 1e2 + 0.5) AS BIGINT) AS w2
+        |  FROM tf2 JOIN df2 USING (token) CROSS JOIN n),
+        |nrm AS (SELECT doc_id, sqrt(CAST(sum(w2*w2) AS DOUBLE)) AS nrm
+        |  FROM w GROUP BY 1),
+        |probe AS (SELECT token, w2 AS pw2 FROM w WHERE doc_id = 0),
+        |dots AS (SELECT w.doc_id, CAST(sum(w.w2*probe.pw2) AS BIGINT) AS dot
+        |  FROM w JOIN probe USING (token) WHERE w.doc_id <> 0 GROUP BY 1),
+        |sptop AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY cos9 DESC, doc_id)
+        |    AS rank
+        |  FROM (SELECT d.doc_id,
+        |      CAST(floor(CAST(dot AS DOUBLE)/(n1.nrm*n0.nrm)*1e9 + 0.5)
+        |        AS BIGINT) AS cos9
+        |    FROM dots d, nrm n1, nrm n0
+        |    WHERE n1.doc_id = d.doc_id AND n0.doc_id = 0
+        |    ORDER BY cos9 DESC, d.doc_id LIMIT 20)),
+        |u AS (
+        |  SELECT doc_id,
+        |    CAST(floor(1e9/(60 + rank) + 0.5) AS BIGINT) AS rrf_q
+        |  FROM (SELECT * FROM bmtop UNION ALL SELECT * FROM sptop))
+        |SELECT doc_id, count(*) AS n_lists, CAST(sum(rrf_q) AS BIGINT) AS rrf9
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf9 DESC, doc_id LIMIT 10""".stripMargin
   )
 }
