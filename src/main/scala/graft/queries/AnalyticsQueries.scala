@@ -691,6 +691,36 @@ object AnalyticsQueries extends QueryPack {
         .agg(count(lit(1)).as("n_lists"), sum("rrf_q").as("rrf9"))
         .orderBy(col("rrf9").desc, col("doc_id"))
         .limit(10)
+    }),
+
+    // ---------------------------------------------------------------
+    // q181: Shannon entropy of each source's token distribution — the
+    // diversity leg of the corpus-drift family (q132 measures distance
+    // BETWEEN distributions, this measures spread WITHIN one; both
+    // feed domain-mixture decisions like q123/q135). H(source) =
+    // −Σ_token p·ln p with p = c/T. Each token's term is ONE fixed
+    // IEEE dag (division, ln, multiply, negate) quantized half-up to
+    // 1e-9 units, so the per-source sum is exact BIGINT — order-free
+    // and engine-portable; rounding is deterministic-identical on both
+    // engines rather than absent (the q126 summed-quantized-terms
+    // contract). Scale: one (source, token) aggregation — unbounded
+    // key, map-side combinable — then a |sources|-row broadcast of the
+    // totals; nothing else shuffles.
+    "q181_source_entropy" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(Text.tokens(col("text"))).as("token"))
+      val c = toks.groupBy("source", "token").agg(count(lit(1)).as("c"))
+      val t = c.groupBy("source")
+        .agg(sum("c").as("t"), count(lit(1)).as("vocab"))
+      val p = col("c").cast("double") / col("t").cast("double")
+      c.join(broadcast(t), "source")
+        .select(col("source"), col("t"), col("vocab"),
+          floor(-(p * log(p)) * lit(1e9) + lit(0.5)).cast("long").as("h_q"))
+        .groupBy("source", "t", "vocab")
+        .agg(sum("h_q").as("ent9"))
+        .select(col("source"), col("t").as("n_tokens"), col("vocab"),
+          col("ent9"))
+        .orderBy("source")
     })
   )
 
@@ -1150,6 +1180,24 @@ object AnalyticsQueries extends QueryPack {
         |  FROM (SELECT * FROM bmtop UNION ALL SELECT * FROM sptop))
         |SELECT doc_id, count(*) AS n_lists, CAST(sum(rrf_q) AS BIGINT) AS rrf9
         |FROM u GROUP BY doc_id
-        |ORDER BY rrf9 DESC, doc_id LIMIT 10""".stripMargin
+        |ORDER BY rrf9 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q181_source_entropy" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(string_split(text, ' '),
+        |    t -> t <> '')) AS token FROM documents),
+        |c AS (SELECT source, token, count(*) AS c FROM toks GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS t,
+        |    count(*) AS vocab FROM c GROUP BY 1),
+        |terms AS (
+        |  SELECT c.source, t.t, t.vocab, CAST(floor(
+        |    -((CAST(c AS DOUBLE)/CAST(t AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE)/CAST(t AS DOUBLE)))
+        |    * 1e9 + 0.5) AS BIGINT) AS h_q
+        |  FROM c JOIN t USING (source))
+        |SELECT source, t AS n_tokens, vocab,
+        |  CAST(sum(h_q) AS BIGINT) AS ent9
+        |FROM terms GROUP BY source, t, vocab
+        |ORDER BY source""".stripMargin
   )
 }
