@@ -451,7 +451,50 @@ object AggQueries extends QueryPack {
         finalAgg = Seq((sum(col("pc")) / lit(100.0)).as("sum_qty"),
           sum(col("pn")).as("n_rows")),
         saltOn = Some(struct(col("l_orderkey"), col("l_linenumber"))))
-        .orderBy("key"))
+        .orderBy("key")),
+
+    // Equi-DEPTH histogram (quantile binning) — q145's equi-width
+    // sibling: per flag, quartile bin edges are the TYPE-1 order
+    // statistics (smallest value whose cumulative count reaches
+    // ⌈k·n/4⌉ — pure integer rank math, no interpolation, no IEEE
+    // anywhere in this query), computed from q104's value-count shape:
+    // the (flag, value) count table is |flags|×|values| rows no matter
+    // how many input rows exist, its cumulative window runs over that
+    // aggregated table (bounded by the discrete-domain contract), and
+    // the per-row bin assignment is a |flags|-row broadcast of the
+    // three edges — the fact table never shuffles until the final
+    // (flag, bin) aggregation. Bins are (−∞,e1], (e1,e2], (e2,e3],
+    // (e3,∞); depths are near-equal up to value ties (exact depths are
+    // impossible when one value straddles a quartile boundary — the
+    // per-bin min/max prove the value ranges partition the domain).
+    "q182_equidepth_bins" -> ((s, dir) => {
+      val vc = Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy("l_quantity")
+      val cum = vc.withColumn("cum", sum("cnt").over(wCum))
+      val targets = vc.groupBy("l_returnflag").agg(sum("cnt").as("n"))
+        .select(col("l_returnflag").as("tf"),
+          explode(array(lit(1), lit(2), lit(3))).as("k"), col("n"))
+        .withColumn("rk", expr("(k * n + 3) div 4"))
+      val edges = cum.join(broadcast(targets),
+          col("l_returnflag") === col("tf") && col("cum") >= col("rk"))
+        .groupBy("l_returnflag", "k").agg(min("l_quantity").as("edge"))
+        .groupBy("l_returnflag").agg(
+          min(when(col("k") === 1, col("edge"))).as("e1"),
+          min(when(col("k") === 2, col("edge"))).as("e2"),
+          min(when(col("k") === 3, col("edge"))).as("e3"))
+      Tables.lineitem(s, dir).join(broadcast(edges), "l_returnflag")
+        .withColumn("bin",
+          when(col("l_quantity") <= col("e1"), 0L)
+            .when(col("l_quantity") <= col("e2"), 1L)
+            .when(col("l_quantity") <= col("e3"), 2L).otherwise(3L))
+        .groupBy("l_returnflag", "bin")
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_quantity").as("v_min"), max("l_quantity").as("v_max"))
+        .orderBy("l_returnflag", "bin")
+    })
   )
 
   /** Oracle-side twin of [[percentileTargets]] (one copy for both
@@ -692,7 +735,34 @@ object AggQueries extends QueryPack {
       s"""SELECT l_returnflag AS key,
          |  ${moneySumSql("l_quantity")} AS sum_qty,
          |  count(*) AS n_rows
-         |FROM lineitem GROUP BY l_returnflag ORDER BY key""".stripMargin
+         |FROM lineitem GROUP BY l_returnflag ORDER BY key""".stripMargin,
     // q34: no oracle by design (approx sketch) — rows-only driver check.
+
+    "q182_equidepth_bins" ->
+      """WITH vc AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (SELECT l_returnflag, l_quantity, cnt,
+        |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |      AS cum
+        |  FROM vc),
+        |n AS (SELECT l_returnflag, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM vc GROUP BY 1),
+        |t AS (SELECT l_returnflag AS tf, k, (k*n + 3)//4 AS rk
+        |  FROM n, (VALUES (1),(2),(3)) ks(k)),
+        |e AS (SELECT tf, k, min(l_quantity) AS edge
+        |  FROM cum JOIN t ON l_returnflag = tf AND cum >= rk GROUP BY 1, 2),
+        |ep AS (SELECT tf AS l_returnflag,
+        |    min(CASE WHEN k = 1 THEN edge END) AS e1,
+        |    min(CASE WHEN k = 2 THEN edge END) AS e2,
+        |    min(CASE WHEN k = 3 THEN edge END) AS e3
+        |  FROM e GROUP BY 1)
+        |SELECT l.l_returnflag,
+        |  CAST(CASE WHEN l_quantity <= e1 THEN 0
+        |    WHEN l_quantity <= e2 THEN 1
+        |    WHEN l_quantity <= e3 THEN 2 ELSE 3 END AS BIGINT) AS bin,
+        |  count(*) AS n_rows,
+        |  min(l_quantity) AS v_min, max(l_quantity) AS v_max
+        |FROM lineitem l JOIN ep USING (l_returnflag)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
