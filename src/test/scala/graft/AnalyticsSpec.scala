@@ -99,4 +99,21 @@ class AnalyticsSpec extends SparkSpec {
       .groupBy("user_id").count().filter(col("count") =!= 1).count()
     assert(openPerUser == 0L, "every user must have exactly one open interval")
   }
+
+  test("q177 peak concurrency matches a local interval sweep") {
+    // Re-derive the peak from q130's registered session intervals with
+    // a plain in-memory sweep — independent of the two-phase
+    // running-sum plan under test.
+    val sess = run("q130_sessionize").collect().map(r =>
+      (r.getAs[java.sql.Timestamp]("s_start").getTime,
+        r.getAs[java.sql.Timestamp]("s_end").getTime))
+    // starts before ends at equal time: inclusive-interval overlap
+    val points = sess.flatMap { case (a, b) => Seq((a, 0, 1), (b, 1, -1)) }
+      .sortBy(p => (p._1, p._2))
+    val peaks = points.scanLeft(0) { case (acc, (_, _, d)) => acc + d }.tail
+    val row = run("q177_peak_concurrency").collect().head
+    assert(row.getAs[Long]("n_sessions") == sess.length.toLong)
+    assert(row.getAs[Long]("peak") == peaks.max.toLong,
+      s"engine peak ${row.getAs[Long]("peak")} vs local ${peaks.max}")
+  }
 }

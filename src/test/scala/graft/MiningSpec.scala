@@ -437,4 +437,51 @@ class MiningSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("z") - z) < 1e-6,
       s"z mismatch: engine ${row.getAs[Double]("z")} vs local $z")
   }
+
+  test("q178 triangle count matches an unoriented brute-force recount") {
+    // Recompute locally from the same support ≥ 2 edge set: adjacency
+    // sets, each triangle found once at its smallest-id corner —
+    // independent of the degree-orientation trick under test.
+    val items = graft.sources.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 >= 2).keys.toSet
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bruteTri = edges.toSeq.map { case (u, v) =>
+      (adj(u) & adj(v)).count(w => w > v) // u < v < w once per triangle
+    }.sum
+    val bruteWedges = adj.values.map(n => n.size.toLong * (n.size - 1) / 2).sum
+    val row = run("q178_triangles").collect().head
+    assert(row.getAs[Long]("n_edges") == edges.size.toLong)
+    assert(row.getAs[Long]("n_triangles") == bruteTri.toLong,
+      s"oriented count ${row.getAs[Long]("n_triangles")} vs brute $bruteTri")
+    assert(row.getAs[Long]("n_wedges") == bruteWedges)
+  }
+
+  test("q182 bins partition each flag exactly with ordered value ranges") {
+    val bins = run("q182_equidepth_bins").collect()
+      .groupBy(_.getAs[String]("l_returnflag"))
+    val totals = graft.sources.Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((flag, rows) <- bins) {
+      val sorted = rows.sortBy(_.getAs[Long]("bin"))
+      assert(sorted.map(_.getAs[Long]("n_rows")).sum == totals(flag),
+        s"$flag: bin depths must sum to the flag's row count")
+      // Value ranges must be disjoint and ordered: each bin starts
+      // strictly above the previous bin's max (edges are inclusive
+      // upper bounds).
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("v_max") < b.getAs[Double]("v_min"),
+            s"$flag: bins ${a.getAs[Long]("bin")}/${b.getAs[Long]("bin")} overlap")
+        case _ =>
+      }
+    }
+  }
 }
