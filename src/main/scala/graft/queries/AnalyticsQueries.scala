@@ -721,6 +721,49 @@ object AnalyticsQueries extends QueryPack {
         .select(col("source"), col("t").as("n_tokens"), col("vocab"),
           col("ent9"))
         .orderBy("source")
+    }),
+
+    // ---------------------------------------------------------------
+    // q183: referential-integrity audit — orphan counts across the
+    // schema's FK edges (the data-quality check every warehouse load
+    // runs next to q157's column profile). Each edge is ONE left join
+    // of the child's FK column against the parent's DISTINCT keys
+    // (no fan-out possible) folded into a single aggregate — n_child,
+    // orphan rows, distinct orphan keys — so the cost per edge is one
+    // equi-key shuffle of the child's key column, nothing else. The
+    // four real edges prove the clean path; the fifth re-audits
+    // lineitem→orders against a parent with an md5-carved 1/16 of
+    // keys deterministically removed, so the orphan-detection path is
+    // exercised with known-identity damage (the q162/q175 fixture
+    // pattern).
+    "q183_fk_orphans" -> ((s, dir) => {
+      def audit(edge: String, child: org.apache.spark.sql.DataFrame,
+                key: String, parent: org.apache.spark.sql.DataFrame,
+                pkey: String) =
+        child.select(col(key)).filter(col(key).isNotNull)
+          .join(parent.select(col(pkey).as(key)).distinct()
+            .withColumn("__hit", lit(1L)), Seq(key), "left")
+          .agg(count(lit(1)).as("n_child"),
+            coalesce(sum(when(col("__hit").isNull, 1L).otherwise(0L)), lit(0L))
+              .as("n_orphans"),
+            countDistinct(when(col("__hit").isNull, col(key)))
+              .as("n_orphan_keys"))
+          .select(lit(edge).as("fk"), col("n_child"), col("n_orphans"),
+            col("n_orphan_keys"))
+      val damaged = Tables.orders(s, dir).filter(
+        substring(md5(concat(lit("fk:"), col("o_orderkey").cast("string"))),
+          1, 1) =!= "0")
+      audit("customer.c_nationkey->nation", Tables.customer(s, dir),
+          "c_nationkey", Tables.nation(s, dir), "n_nationkey")
+        .unionAll(audit("lineitem.l_orderkey->orders", Tables.lineitem(s, dir),
+          "l_orderkey", Tables.orders(s, dir), "o_orderkey"))
+        .unionAll(audit("lineitem.l_orderkey->orders[damaged]",
+          Tables.lineitem(s, dir), "l_orderkey", damaged, "o_orderkey"))
+        .unionAll(audit("lineitem.l_partkey->part", Tables.lineitem(s, dir),
+          "l_partkey", Tables.part(s, dir), "p_partkey"))
+        .unionAll(audit("orders.o_custkey->customer", Tables.orders(s, dir),
+          "o_custkey", Tables.customer(s, dir), "c_custkey"))
+        .orderBy("fk")
     })
   )
 
@@ -1198,6 +1241,60 @@ object AnalyticsQueries extends QueryPack {
         |SELECT source, t AS n_tokens, vocab,
         |  CAST(sum(h_q) AS BIGINT) AS ent9
         |FROM terms GROUP BY source, t, vocab
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+
+    "q183_fk_orphans" ->
+      """WITH damaged AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE substring(md5('fk:' || CAST(o_orderkey AS VARCHAR)), 1, 1)
+        |    <> '0'),
+        |edges AS (
+        |  SELECT 'customer.c_nationkey->nation' AS fk,
+        |    count(*) AS n_child,
+        |    CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_orphans,
+        |    count(DISTINCT CASE WHEN p.k IS NULL THEN c.c_nationkey END)
+        |      AS n_orphan_keys
+        |  FROM customer c LEFT JOIN
+        |    (SELECT DISTINCT n_nationkey AS k FROM nation) p
+        |    ON c.c_nationkey = p.k
+        |  WHERE c.c_nationkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey->orders',
+        |    count(*),
+        |    CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT CASE WHEN p.k IS NULL THEN l.l_orderkey END)
+        |  FROM lineitem l LEFT JOIN
+        |    (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        |    ON l.l_orderkey = p.k
+        |  WHERE l.l_orderkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey->orders[damaged]',
+        |    count(*),
+        |    CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT CASE WHEN p.k IS NULL THEN l.l_orderkey END)
+        |  FROM lineitem l LEFT JOIN
+        |    (SELECT DISTINCT o_orderkey AS k FROM damaged) p
+        |    ON l.l_orderkey = p.k
+        |  WHERE l.l_orderkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part',
+        |    count(*),
+        |    CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT CASE WHEN p.k IS NULL THEN l.l_partkey END)
+        |  FROM lineitem l LEFT JOIN
+        |    (SELECT DISTINCT p_partkey AS k FROM part) p
+        |    ON l.l_partkey = p.k
+        |  WHERE l.l_partkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer',
+        |    count(*),
+        |    CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT CASE WHEN p.k IS NULL THEN o.o_custkey END)
+        |  FROM orders o LEFT JOIN
+        |    (SELECT DISTINCT c_custkey AS k FROM customer) p
+        |    ON o.o_custkey = p.k
+        |  WHERE o.o_custkey IS NOT NULL)
+        |SELECT * FROM edges ORDER BY fk""".stripMargin
   )
 }
