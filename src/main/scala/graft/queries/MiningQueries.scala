@@ -851,6 +851,47 @@ object MiningQueries extends QueryPack {
           col("n_triangles"),
           q9((col("n_triangles") * 3).cast("double") /
             col("n_wedges").cast("double")).as("gcc9"))
+    }),
+
+    // ---------------------------------------------------------------
+    // q184: k-core peeling — iteratively delete nodes of degree < 3
+    // from the co-purchase graph (q178's edge set) and report the
+    // per-round (surviving nodes, surviving edges) trace, the standard
+    // dense-subgraph / spam-cluster primitive. Each round is one
+    // degree aggregation + two semi-filtering equi-joins on the edge
+    // list — the same per-round cost envelope as q159's PageRank
+    // steps — with the lineage lazily cut per round (q168's pattern:
+    // the edge list is referenced three times per round, so an uncut
+    // plan would grow 3^rounds). FOUR rounds is the query's contract —
+    // a deterministic trace, convergence NOT assumed (the full
+    // decomposition iterates to fixpoint; at cluster scale rounds are
+    // cheap and the count trace tells you when to stop). MiningSpec
+    // replays the same four rounds with a local in-memory peel and
+    // asserts count-for-count parity plus monotone shrinkage.
+    "q184_kcore_peel" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey").distinct()
+      var e = items.as("a").join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+        .select("u", "v")
+      val rounds = (1 to 4).map { r =>
+        val deg = e.select(col("u").as("node"))
+          .unionAll(e.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val keep = deg.filter(col("deg") >= 3).select("node")
+        e = e.join(keep.select(col("node").as("u")), "u")
+          .join(keep.select(col("node").as("v")), "v")
+          .localCheckpoint(false)
+        val nodes = e.select(col("u").as("node"))
+          .unionAll(e.select(col("v").as("node")))
+        nodes.agg(countDistinct("node").as("n_nodes"),
+            expr("count(1) div 2").as("n_edges"))
+          .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+      }
+      rounds.reduce(_ unionAll _).orderBy("round")
     })
   )
 
@@ -1314,6 +1355,37 @@ object MiningQueries extends QueryPack {
         |  CAST(floor(CAST(n_triangles * 3 AS DOUBLE) /
         |    CAST((SELECT sum(deg * (deg - 1)) // 2 FROM deg) AS DOUBLE)
         |    * 1e9 + 0.5) AS BIGINT) AS gcc9
-        |FROM tri""".stripMargin
+        |FROM tri""".stripMargin,
+
+    // q184: four unrolled peel rounds as CTE chains. Every e_r is
+    // referenced 4× (two degree legs, the next round's join, stats) —
+    // AS MATERIALIZED stops DuckDB from re-inlining the whole chain
+    // per reference (exponential replay without it).
+    "q184_kcore_peel" -> {
+      val base =
+        """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          |e0 AS MATERIALIZED (
+          |  SELECT a.l_partkey AS u, b.l_partkey AS v
+          |  FROM items a JOIN items b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+      val rounds = (1 to 4).map { r =>
+        s"""deg$r AS (SELECT node, count(*) AS deg FROM (
+           |  SELECT u AS node FROM e${r - 1} UNION ALL SELECT v FROM e${r - 1})
+           |  GROUP BY 1),
+           |keep$r AS MATERIALIZED (SELECT node FROM deg$r WHERE deg >= 3),
+           |e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1}
+           |  JOIN keep$r ku ON u = ku.node JOIN keep$r kv ON v = kv.node)"""
+          .stripMargin
+      }.mkString(",\n", ",\n", "")
+      val stats = (1 to 4).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS round,
+           |  (SELECT count(DISTINCT node) FROM (
+           |    SELECT u AS node FROM e$r UNION ALL SELECT v FROM e$r))
+           |    AS n_nodes,
+           |  (SELECT count(*) FROM e$r) AS n_edges""".stripMargin
+      }.mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
+      base + rounds + stats
+    }
   )
 }

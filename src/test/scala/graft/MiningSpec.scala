@@ -463,6 +463,34 @@ class MiningSpec extends SparkSpec {
     assert(row.getAs[Long]("n_wedges") == bruteWedges)
   }
 
+  test("q184 peel trace matches a local in-memory peel, monotone") {
+    val items = graft.sources.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var edges = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 >= 2).keys.toSet
+    val trace = (1 to 4).map { _ =>
+      val deg = edges.toSeq.flatMap { case (u, v) => Seq(u, v) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= 3).keySet
+      edges = edges.filter { case (u, v) => keep(u) && keep(v) }
+      val nodes = edges.flatMap { case (u, v) => Seq(u, v) }
+      (nodes.size.toLong, edges.size.toLong)
+    }
+    val got = run("q184_kcore_peel").collect()
+      .sortBy(_.getAs[Long]("round"))
+      .map(r => (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges")))
+    assert(got.toSeq == trace, s"engine trace ${got.toSeq} vs local $trace")
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._1 <= a._1 && b._2 <= a._2, "peel must shrink monotonically")
+      case _ =>
+    }
+  }
+
   test("q182 bins partition each flag exactly with ordered value ranges") {
     val bins = run("q182_equidepth_bins").collect()
       .groupBy(_.getAs[String]("l_returnflag"))
