@@ -35,6 +35,20 @@ object MiningQueries extends QueryPack {
   /** floor(x·10⁹ + 0.5) as BIGINT — portable half-up 9-dp quantizer. */
   private def q9(c: C): C = floor(c * lit(1e9) + lit(0.5)).cast("long")
 
+  /** q185's planted batch-effect direction (unnormalized, integer) and
+    * the per-dim shift 0.25·D̂ applied to the md5-carved half. The
+    * shifts are COMPUTED ONCE here and embedded as full-precision
+    * literals in both the Spark plan and the oracle SQL (%.17g
+    * round-trips a double exactly), so both engines add bit-identical
+    * constants before quantization. */
+  private[graft] val PcaDirection: Array[Double] =
+    Array(3, 1, -2, 0, 2, -1, 1, -2).map(_.toDouble)
+  private[graft] val PcaShift: Array[Double] = {
+    val norm = math.sqrt(PcaDirection.map(d => d * d).sum)
+    PcaDirection.map(d => 0.25 * d / norm)
+  }
+  private def g17(d: Double): String = "%.17g".format(d)
+
   override val queries: Map[String, Q] = Map(
 
     // ---------------------------------------------------------------
@@ -892,6 +906,80 @@ object MiningQueries extends QueryPack {
           .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
       }
       rounds.reduce(_ unionAll _).orderBy("round")
+    }),
+
+    // ---------------------------------------------------------------
+    // q185: embedding batch-effect detection by PCA — recover a
+    // systematic shift planted in half the corpus (the md5-carved
+    // vec_ids get +0.25·D̂ on their first-8-dim projection: the
+    // "contaminated embedding batch" fixture, q183's damage pattern in
+    // vector space) as the leading principal component of the EXACT
+    // integer moment matrix (q141/q174's sufficient-statistics pattern
+    // lifted to a matrix; the raw synthetic embeddings are deliberately
+    // near-isotropic — λ₂/λ₁ ≈ 0.95 — so an honest "PCA of the data"
+    // has nothing to find; the planted batch effect is what gives PC1
+    // meaning AND a 0.6 spectral gap). One bounded 8×8 self-join per
+    // vector builds (j,k,Σxⱼxₖ) plus marginals — map-side combinable,
+    // 64+8 rows out no matter the corpus size — then M = n·Σxⱼxₖ −
+    // ΣxⱼΣxₖ (n²-scaled covariance, exact BIGINT; coords pre-quantized
+    // to 1e6 units → headroom to n ~ 10⁶, rescale units beyond). TEN
+    // power steps run in-plan on the constant 64-row matrix, every
+    // intermediate requantized to integer 1e-9 units of its own max
+    // (q154's no-drift contract: the only IEEE op per step is one
+    // division by a 1-row max broadcast, mirrored operand-for-operand
+    // in the oracle). Sign fixed deterministically (largest-|v|
+    // coordinate positive). MiningSpec asserts the recovered direction
+    // has |cos| ≥ 0.97 with the planted one. d=8 keeps the moment
+    // table readable; the same shape carries any d with the co-moment
+    // explode bounded at d² per row.
+    "q185_pca_power" -> ((s, dir) => {
+      val coords = Tables.embeddings(s, dir).select(col("vec_id"),
+          posexplode(slice(col("embedding"), 1, 8)).as(Seq("j0", "x")))
+        .select(col("vec_id"), (col("j0") + 1).as("j"),
+          (col("x").cast("double") +
+            when(substring(md5(concat(lit("pca:"),
+                col("vec_id").cast("string"))), 1, 1).isin(
+                (0 to 7).map(_.toString): _*),
+              element_at(typedLit(PcaShift), col("j").cast("int")))
+              .otherwise(lit(0.0))).as("xs"))
+        .select(col("vec_id"), col("j"),
+          floor(col("xs") * lit(1e6) + lit(0.5)).cast("long").as("xq"))
+      val n = broadcast(Tables.embeddings(s, dir).agg(count(lit(1)).as("n")))
+      val marg = coords.groupBy("j").agg(sum("xq").as("s"))
+      val p = coords.as("a").join(coords.as("b"), "vec_id")
+        .groupBy(col("a.j").as("j"), col("b.j").as("k"))
+        .agg(sum(col("a.xq") * col("b.xq")).as("p"))
+      val mRaw = p
+        .join(marg.select(col("j"), col("s").as("sj")), "j")
+        .join(marg.select(col("j").as("k"), col("s").as("sk")), "k")
+        .crossJoin(n)
+        .select(col("j"), col("k"),
+          (col("n") * col("p") - col("sj") * col("sk")).as("mraw"))
+      val mMax = broadcast(mRaw.agg(max(abs(col("mraw"))).as("mmax")))
+      val m = mRaw.crossJoin(mMax)
+        .select(col("j"), col("k"),
+          floor(col("mraw").cast("double") / col("mmax").cast("double") *
+            lit(1e9) + lit(0.5)).cast("long").as("m9"))
+        .localCheckpoint(false)
+      var v = s.range(1, 9).select(col("id").as("k"), lit(1000000000L).as("v9"))
+      for (_ <- 1 to 10) {
+        val w = m.join(v, "k").groupBy("j")
+          .agg(sum(col("m9") * col("v9")).as("w"))
+        val wMax = broadcast(w.agg(max(abs(col("w"))).as("wmax")))
+        v = w.crossJoin(wMax)
+          .select(col("j").as("k"),
+            floor(col("w").cast("double") / col("wmax").cast("double") *
+              lit(1e9) + lit(0.5)).cast("long").as("v9"))
+          .localCheckpoint(false)
+      }
+      val sign = broadcast(
+        v.agg(max(struct(abs(col("v9")).as("a"), (-col("k")).as("nk"),
+          signum(col("v9")).cast("long").as("sg"))).as("m"))
+        .select(col("m.sg").as("sg")))
+      v.crossJoin(sign)
+        .select(col("k").cast("long").as("dim"),
+          (col("v9") * col("sg")).as("pc1_9"))
+        .orderBy("dim")
     })
   )
 
@@ -1386,6 +1474,58 @@ object MiningQueries extends QueryPack {
            |  (SELECT count(*) FROM e$r) AS n_edges""".stripMargin
       }.mkString("\n", "\nUNION ALL\n", "\nORDER BY round")
       base + rounds + stats
+    },
+
+    // q185: identical planted shift (full-precision literals), moment
+    // matrix, and ten unrolled requantized power steps; parallel
+    // unnest zips coordinates with ordinals.
+    "q185_pca_power" -> {
+      val shiftRows = PcaShift.zipWithIndex
+        .map { case (sh, i) => s"(${i + 1}, ${g17(sh)})" }.mkString(", ")
+      val base =
+        s"""WITH shifts AS (SELECT * FROM (VALUES $shiftRows) s(j, sh)),
+          |raw AS (
+          |  SELECT vec_id, unnest(generate_series(1, 8)) AS j,
+          |    CAST(unnest(embedding[1:8]) AS DOUBLE) AS x
+          |  FROM embeddings),
+          |coords AS (
+          |  SELECT vec_id, j, CAST(floor(
+          |    (x + CASE WHEN substring(md5('pca:' || CAST(vec_id AS VARCHAR)),
+          |        1, 1) IN ('0','1','2','3','4','5','6','7')
+          |      THEN sh ELSE 0.0 END) * 1e6 + 0.5) AS BIGINT) AS xq
+          |  FROM raw JOIN shifts USING (j)),
+          |n AS (SELECT count(*) AS n FROM embeddings),
+          |marg AS (SELECT j, CAST(sum(xq) AS BIGINT) AS s
+          |  FROM coords GROUP BY 1),
+          |p AS (SELECT a.j AS j, b.j AS k, CAST(sum(a.xq*b.xq) AS BIGINT) AS p
+          |  FROM coords a JOIN coords b USING (vec_id) GROUP BY 1, 2),
+          |mraw AS (SELECT p.j, p.k, n.n*p.p - mj.s*mk.s AS mraw
+          |  FROM p JOIN marg mj ON mj.j = p.j JOIN marg mk ON mk.j = p.k
+          |  CROSS JOIN n),
+          |mmax AS (SELECT max(abs(mraw)) AS mmax FROM mraw),
+          |m AS MATERIALIZED (SELECT j, k, CAST(floor(
+          |    CAST(mraw AS DOUBLE)/CAST(mmax AS DOUBLE)*1e9 + 0.5) AS BIGINT)
+          |    AS m9
+          |  FROM mraw CROSS JOIN mmax),
+          |v0 AS (SELECT unnest(generate_series(1, 8)) AS k,
+          |  CAST(1000000000 AS BIGINT) AS v9)""".stripMargin
+      val steps = (1 to 10).map { r =>
+        s"""w$r AS (SELECT m.j, CAST(sum(m.m9*v.v9) AS BIGINT) AS w
+           |  FROM m JOIN v${r - 1} v ON v.k = m.k GROUP BY 1),
+           |wm$r AS (SELECT max(abs(w)) AS wmax FROM w$r),
+           |v$r AS MATERIALIZED (SELECT j AS k, CAST(floor(
+           |    CAST(w AS DOUBLE)/CAST(wmax AS DOUBLE)*1e9 + 0.5) AS BIGINT)
+           |    AS v9
+           |  FROM w$r CROSS JOIN wm$r)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      val fin =
+        """,
+          |sg AS (SELECT sg FROM (
+          |  SELECT CAST(sign(v9) AS BIGINT) AS sg
+          |  FROM v10 ORDER BY abs(v9) DESC, k ASC LIMIT 1))
+          |SELECT k AS dim, v9 * sg AS pc1_9
+          |FROM v10 CROSS JOIN sg ORDER BY dim""".stripMargin
+      base + steps + fin
     }
   )
 }

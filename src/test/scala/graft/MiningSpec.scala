@@ -491,6 +491,17 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("q185 recovers the planted batch-effect direction") {
+    val got = run("q185_pca_power").collect()
+      .sortBy(_.getAs[Number]("dim").longValue)
+      .map(_.getAs[Long]("pc1_9").toDouble)
+    val d = graft.queries.MiningQueries.PcaDirection
+    val dot = got.zip(d).map { case (a, b) => a * b }.sum
+    val cos = math.abs(dot) /
+      (math.sqrt(got.map(x => x * x).sum) * math.sqrt(d.map(x => x * x).sum))
+    assert(cos >= 0.97, s"|cos(PC1, planted)| = $cos < 0.97")
+  }
+
   test("q182 bins partition each flag exactly with ordered value ranges") {
     val bins = run("q182_equidepth_bins").collect()
       .groupBy(_.getAs[String]("l_returnflag"))

@@ -451,7 +451,8 @@ class PlanSpec extends SparkSpec {
       "q177_peak_concurrency" -> "1-row peak / session-count broadcasts",
       "q178_triangles" -> "1-row graph-stats broadcasts",
       "q179_bigram_lm" -> "1-row vocab-size broadcast",
-      "q180_rrf_fusion" -> "inherits q126/q140 1-row stat broadcasts")
+      "q180_rrf_fusion" -> "inherits q126/q140 1-row stat broadcasts",
+      "q185_pca_power" -> "1-row normalizer/sign broadcasts (per iteration)")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
