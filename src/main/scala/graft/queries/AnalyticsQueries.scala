@@ -644,6 +644,9 @@ object AnalyticsQueries extends QueryPack {
           sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
         .groupBy("user_id", "session_idx")
         .agg(min("ts").as("s_start"), max("ts").as("s_end"))
+        // Referenced three times (both sweep legs + the session count):
+        // cut lazily so the sessionization windows run once.
+        .localCheckpoint(false)
       val points = sess.select(col("s_start").as("ts"), lit(0L).as("kind"),
           col("user_id"), col("session_idx"), lit(1L).as("delta"))
         .unionAll(sess.select(col("s_end").as("ts"), lit(1L).as("kind"),

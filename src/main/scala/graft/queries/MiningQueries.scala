@@ -837,6 +837,9 @@ object MiningQueries extends QueryPack {
         .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
         .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
         .select("u", "v")
+        // Referenced by both degree legs and the orientation join: cut
+        // lazily so the basket self-join runs once, not three times.
+        .localCheckpoint(false)
       val deg = edges.select(col("u").as("node"))
         .unionAll(edges.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -848,6 +851,8 @@ object MiningQueries extends QueryPack {
         .select(when(fwd, col("u")).otherwise(col("v")).as("src"),
           when(fwd, col("v")).otherwise(col("u")).as("dst"),
           when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
+        // Both wedge legs + the closure join reference this: one cut.
+        .localCheckpoint(false)
       val lt = col("e1.ddeg") < col("e2.ddeg") ||
         (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))
       val wedges = oriented.as("e1").join(oriented.as("e2"),
@@ -891,6 +896,9 @@ object MiningQueries extends QueryPack {
         .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
         .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
         .select("u", "v")
+        // Round 1 references the edge list three times — same cut as
+        // every later round gets from its own checkpoint.
+        .localCheckpoint(false)
       val rounds = (1 to 4).map { r =>
         val deg = e.select(col("u").as("node"))
           .unionAll(e.select(col("v").as("node")))
@@ -944,6 +952,8 @@ object MiningQueries extends QueryPack {
               .otherwise(lit(0.0))).as("xs"))
         .select(col("vec_id"), col("j"),
           floor(col("xs") * lit(1e6) + lit(0.5)).cast("long").as("xq"))
+        // Marginals + both co-moment self-join sides: one lazy cut.
+        .localCheckpoint(false)
       val n = broadcast(Tables.embeddings(s, dir).agg(count(lit(1)).as("n")))
       val marg = coords.groupBy("j").agg(sum("xq").as("s"))
       val p = coords.as("a").join(coords.as("b"), "vec_id")
