@@ -767,6 +767,78 @@ object AnalyticsQueries extends QueryPack {
         .unionAll(audit("orders.o_custkey->customer", Tables.orders(s, dir),
           "o_custkey", Tables.customer(s, dir), "c_custkey"))
         .orderBy("fk")
+    }),
+
+    // ---------------------------------------------------------------
+    // q187: sequence pattern with NEGATION — "first view, then a
+    // purchase within 3 days, with NO click in between": the
+    // MATCH_RECOGNIZE shape SQL engines bolt on, composed here from
+    // three user_id-keyed conditional aggregates (q128's funnel plus
+    // the between-events negative condition it cannot express). Pass 1
+    // anchors the pattern (first view); pass 2 finds the earliest
+    // in-window purchase after the anchor; pass 3 counts blockers
+    // strictly between the two. Every pass is a hash aggregate on the
+    // unbounded user key — no windows, no per-user event buffering —
+    // and the funnel counts collapse to one row of exact integers
+    // (latency sums in whole seconds).
+    "q187_pattern_negation" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("user_id", "event_type", "ts")
+      val anchors = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("t_v"))
+        .filter(col("t_v").isNotNull)
+      val conv = ev.join(anchors, "user_id")
+        .groupBy("user_id", "t_v")
+        .agg(min(when(col("event_type") === "purchase" &&
+          col("ts") > col("t_v") &&
+          col("ts") <= col("t_v") + expr("INTERVAL 3 DAYS"), col("ts")))
+          .as("t_p"))
+      val blocked = ev.join(conv.filter(col("t_p").isNotNull), "user_id")
+        .groupBy("user_id", "t_v", "t_p")
+        .agg(sum(when(col("event_type") === "click" &&
+          col("ts") > col("t_v") && col("ts") < col("t_p"), 1L)
+          .otherwise(0L)).as("n_clicks_between"))
+      conv.join(blocked, Seq("user_id", "t_v", "t_p"), "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          count(col("t_p")).as("n_converted"),
+          sum(when(col("t_p").isNotNull && col("n_clicks_between") === 0, 1L)
+            .otherwise(0L)).as("n_clean"),
+          coalesce(sum(when(col("n_clicks_between") === 0,
+            unix_timestamp(col("t_p")) - unix_timestamp(col("t_v")))), lit(0L))
+            .as("clean_latency_s"))
+    }),
+
+    // ---------------------------------------------------------------
+    // q188: burst detection — parts whose daily order volume spikes
+    // against their own trailing 7-day baseline (the corpus-monitoring
+    // / trending-topics shape on the order stream). The baseline is
+    // built WITHOUT a per-part time window: each (part, day, cnt) row
+    // explodes onto the ≤7 later days it baselines (q138's bounded
+    // fan-out), so one (part, day)-keyed aggregation yields trailing
+    // sums and the join back is equi-keyed — no RANGE window over a
+    // low-cardinality partition anywhere. lift = 7·cnt/baseline as one
+    // quantized IEEE division; thresholds are exact integers. Top 20
+    // bursts, ties broken (day, part).
+    "q188_burst_parts" -> ((s, dir) => {
+      val daily = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey").as("part"),
+          to_date(col("o_orderdate")).as("day"))
+        .groupBy("part", "day").agg(count(lit(1)).as("cnt"))
+      val baseline = daily
+        .select(col("part"), explode(sequence(lit(1), lit(7))).as("off"),
+          col("day"), col("cnt"))
+        .select(col("part"), date_add(col("day"), col("off")).as("day"),
+          col("cnt"))
+        .groupBy("part", "day").agg(sum("cnt").as("base"))
+      daily.join(baseline, Seq("part", "day"))
+        .filter(col("cnt") >= 3 && col("base") >= 3)
+        .select(col("day"), col("part"), col("cnt"), col("base"),
+          q9((col("cnt") * 7).cast("double") / col("base").cast("double"))
+            .as("lift9"))
+        .orderBy(col("lift9").desc, col("day"), col("part"))
+        .limit(20)
     })
   )
 
@@ -1298,6 +1370,52 @@ object AnalyticsQueries extends QueryPack {
         |    (SELECT DISTINCT c_custkey AS k FROM customer) p
         |    ON o.o_custkey = p.k
         |  WHERE o.o_custkey IS NOT NULL)
-        |SELECT * FROM edges ORDER BY fk""".stripMargin
+        |SELECT * FROM edges ORDER BY fk""".stripMargin,
+
+    "q187_pattern_negation" ->
+      """WITH ev AS (SELECT user_id, event_type, ts FROM events),
+        |anchors AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END)
+        |    AS t_v
+        |  FROM ev GROUP BY 1),
+        |a2 AS (SELECT * FROM anchors WHERE t_v IS NOT NULL),
+        |conv AS (
+        |  SELECT e.user_id, t_v,
+        |    min(CASE WHEN event_type = 'purchase' AND ts > t_v
+        |      AND ts <= t_v + INTERVAL 3 DAY THEN ts END) AS t_p
+        |  FROM ev e JOIN a2 USING (user_id) GROUP BY 1, 2),
+        |blocked AS (
+        |  SELECT e.user_id, c.t_v, c.t_p,
+        |    CAST(sum(CASE WHEN event_type = 'click' AND ts > c.t_v
+        |      AND ts < c.t_p THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_clicks_between
+        |  FROM ev e JOIN (SELECT * FROM conv WHERE t_p IS NOT NULL) c
+        |    USING (user_id)
+        |  GROUP BY 1, 2, 3)
+        |SELECT count(*) AS n_candidates, count(t_p) AS n_converted,
+        |  CAST(sum(CASE WHEN t_p IS NOT NULL AND n_clicks_between = 0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+        |  CAST(coalesce(sum(CASE WHEN n_clicks_between = 0
+        |    THEN date_diff('second', t_v, t_p) END), 0) AS BIGINT)
+        |    AS clean_latency_s
+        |FROM conv LEFT JOIN blocked USING (user_id, t_v, t_p)""".stripMargin,
+
+    "q188_burst_parts" ->
+      """WITH daily AS (
+        |  SELECT l_partkey AS part, CAST(o_orderdate AS DATE) AS day,
+        |    count(*) AS cnt
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |baseline AS (
+        |  SELECT part, day + CAST(off AS INTEGER) AS day,
+        |    CAST(sum(cnt) AS BIGINT) AS base
+        |  FROM daily, (SELECT unnest(generate_series(1, 7)) AS off)
+        |  GROUP BY 1, 2)
+        |SELECT d.day, d.part, d.cnt, b.base,
+        |  CAST(floor(CAST(d.cnt * 7 AS DOUBLE) / CAST(b.base AS DOUBLE)
+        |    * 1e9 + 0.5) AS BIGINT) AS lift9
+        |FROM daily d JOIN baseline b USING (part, day)
+        |WHERE d.cnt >= 3 AND b.base >= 3
+        |ORDER BY lift9 DESC, day, part LIMIT 20""".stripMargin
   )
 }

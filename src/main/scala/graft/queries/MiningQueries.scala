@@ -930,7 +930,10 @@ object MiningQueries extends QueryPack {
     // vector builds (j,k,Σxⱼxₖ) plus marginals — map-side combinable,
     // 64+8 rows out no matter the corpus size — then M = n·Σxⱼxₖ −
     // ΣxⱼΣxₖ (n²-scaled covariance, exact BIGINT; coords pre-quantized
-    // to 1e6 units → headroom to n ~ 10⁶, rescale units beyond). TEN
+    // to 1e4 units, so |M| ≤ n²·(x·10⁴)² bounds n at ~6·10⁵ before
+    // 2⁶³ — the sf1 headroom run caught 1e6 units overflowing at
+    // n = 2·10⁴; rescale units with corpus size, direction recovery
+    // only needs ~3 digits of coordinate precision). TEN
     // power steps run in-plan on the constant 64-row matrix, every
     // intermediate requantized to integer 1e-9 units of its own max
     // (q154's no-drift contract: the only IEEE op per step is one
@@ -951,7 +954,7 @@ object MiningQueries extends QueryPack {
               element_at(typedLit(PcaShift), col("j").cast("int")))
               .otherwise(lit(0.0))).as("xs"))
         .select(col("vec_id"), col("j"),
-          floor(col("xs") * lit(1e6) + lit(0.5)).cast("long").as("xq"))
+          floor(col("xs") * lit(1e4) + lit(0.5)).cast("long").as("xq"))
         // Marginals + both co-moment self-join sides: one lazy cut.
         .localCheckpoint(false)
       val n = broadcast(Tables.embeddings(s, dir).agg(count(lit(1)).as("n")))
@@ -1502,7 +1505,7 @@ object MiningQueries extends QueryPack {
           |  SELECT vec_id, j, CAST(floor(
           |    (x + CASE WHEN substring(md5('pca:' || CAST(vec_id AS VARCHAR)),
           |        1, 1) IN ('0','1','2','3','4','5','6','7')
-          |      THEN sh ELSE 0.0 END) * 1e6 + 0.5) AS BIGINT) AS xq
+          |      THEN sh ELSE 0.0 END) * 1e4 + 0.5) AS BIGINT) AS xq
           |  FROM raw JOIN shifts USING (j)),
           |n AS (SELECT count(*) AS n FROM embeddings),
           |marg AS (SELECT j, CAST(sum(xq) AS BIGINT) AS s

@@ -94,6 +94,25 @@ object SourceQueries extends QueryPack {
         .orderBy("s_suppkey")
     }),
 
+    // ORC sink → ORC scan — the second columnar lake format Spark
+    // ships natively (vectorized reader, predicate pushdown, zone
+    // stats like parquet; the interchange format a Hive-era warehouse
+    // hands us). Doubles round-trip bit-exactly through ORC's binary
+    // encoding, so the post-scan aggregate hash-matches the oracle
+    // computed from the original parquet — proving the format hop is
+    // lossless, not just row-preserving.
+    "q186_orc_roundtrip" -> ((s, dir) => {
+      val path = tmp(dir, "part_orc")
+      Tables.part(s, dir).write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .filter(col("p_size") >= 10)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(graft.functions.Exact.cents(col("p_retailprice")))
+            .as("retail_cents"))
+        .orderBy("p_brand")
+    }),
+
     // Engine parquet sink as a tested operator: filter → write → scan.
     "q41_parquet_sink" -> ((s, dir) => {
       val path = tmp(dir, "orders_parquet")
@@ -282,6 +301,13 @@ object SourceQueries extends QueryPack {
       """SELECT o_orderpriority, count(*) AS n FROM orders
         |WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q186_orc_roundtrip" ->
+      s"""SELECT p_brand, count(*) AS n,
+         |  CAST(sum(${graft.functions.Exact.centsSql("p_retailprice")})
+         |    AS BIGINT) AS retail_cents
+         |FROM part WHERE p_size >= 10
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     // q172/q173: by sum-additivity both answer from the raw fact table.
     "q172_rollup_serve" ->
