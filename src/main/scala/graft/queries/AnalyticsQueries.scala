@@ -809,35 +809,37 @@ object AnalyticsQueries extends QueryPack {
     }),
 
     // ---------------------------------------------------------------
-    // q188: burst detection — parts whose daily order volume spikes
-    // against their own trailing 7-day baseline (the corpus-monitoring
-    // / trending-topics shape on the order stream). The baseline is
-    // built WITHOUT a per-part time window: each (part, day, cnt) row
-    // explodes onto the ≤7 later days it baselines (q138's bounded
-    // fan-out), so one (part, day)-keyed aggregation yields trailing
+    // q188: burst detection — brands whose weekly order volume spikes
+    // against their own trailing 4-week baseline (the trending-topics
+    // / corpus-monitoring shape on the order stream). The baseline is
+    // built WITHOUT a per-key time window: each (brand, week, cnt) row
+    // explodes onto the ≤4 later weeks it baselines (q138's bounded
+    // fan-out), so one (brand, week)-keyed aggregation yields trailing
     // sums and the join back is equi-keyed — no RANGE window over a
-    // low-cardinality partition anywhere. lift = 7·cnt/baseline as one
-    // quantized IEEE division; thresholds are exact integers. Top 20
-    // bursts, ties broken (day, part).
-    "q188_burst_parts" -> ((s, dir) => {
-      val daily = Tables.lineitem(s, dir)
+    // low-cardinality partition anywhere, and the shape is identical
+    // for an unbounded key (tokens, parts) at production density.
+    // lift = 4·cnt/baseline as one quantized IEEE division; thresholds
+    // are exact integers. Top 20 bursts, ties broken (week, brand).
+    "q188_burst_brands" -> ((s, dir) => {
+      val weekly = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir),
           col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_partkey").as("part"),
-          to_date(col("o_orderdate")).as("day"))
-        .groupBy("part", "day").agg(count(lit(1)).as("cnt"))
-      val baseline = daily
-        .select(col("part"), explode(sequence(lit(1), lit(7))).as("off"),
-          col("day"), col("cnt"))
-        .select(col("part"), date_add(col("day"), col("off")).as("day"),
+        .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("brand"),
+          to_date(date_trunc("week", col("o_orderdate"))).as("wk"))
+        .groupBy("brand", "wk").agg(count(lit(1)).as("cnt"))
+      val baseline = weekly
+        .select(col("brand"), explode(sequence(lit(1), lit(4))).as("off"),
+          col("wk"), col("cnt"))
+        .select(col("brand"), date_add(col("wk"), col("off") * 7).as("wk"),
           col("cnt"))
-        .groupBy("part", "day").agg(sum("cnt").as("base"))
-      daily.join(baseline, Seq("part", "day"))
-        .filter(col("cnt") >= 3 && col("base") >= 3)
-        .select(col("day"), col("part"), col("cnt"), col("base"),
-          q9((col("cnt") * 7).cast("double") / col("base").cast("double"))
+        .groupBy("brand", "wk").agg(sum("cnt").as("base"))
+      weekly.join(baseline, Seq("brand", "wk"))
+        .filter(col("cnt") >= 8 && col("base") >= 12)
+        .select(col("wk"), col("brand"), col("cnt"), col("base"),
+          q9((col("cnt") * 4).cast("double") / col("base").cast("double"))
             .as("lift9"))
-        .orderBy(col("lift9").desc, col("day"), col("part"))
+        .orderBy(col("lift9").desc, col("wk"), col("brand"))
         .limit(20)
     })
   )
@@ -1400,22 +1402,24 @@ object AnalyticsQueries extends QueryPack {
         |    AS clean_latency_s
         |FROM conv LEFT JOIN blocked USING (user_id, t_v, t_p)""".stripMargin,
 
-    "q188_burst_parts" ->
-      """WITH daily AS (
-        |  SELECT l_partkey AS part, CAST(o_orderdate AS DATE) AS day,
+    "q188_burst_brands" ->
+      """WITH weekly AS (
+        |  SELECT p_brand AS brand,
+        |    date_trunc('week', CAST(o_orderdate AS DATE)) AS wk,
         |    count(*) AS cnt
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey
         |  GROUP BY 1, 2),
         |baseline AS (
-        |  SELECT part, day + CAST(off AS INTEGER) AS day,
+        |  SELECT brand, wk + CAST(off * 7 AS INTEGER) AS wk,
         |    CAST(sum(cnt) AS BIGINT) AS base
-        |  FROM daily, (SELECT unnest(generate_series(1, 7)) AS off)
+        |  FROM weekly, (SELECT unnest(generate_series(1, 4)) AS off)
         |  GROUP BY 1, 2)
-        |SELECT d.day, d.part, d.cnt, b.base,
-        |  CAST(floor(CAST(d.cnt * 7 AS DOUBLE) / CAST(b.base AS DOUBLE)
+        |SELECT w.wk, w.brand, w.cnt, b.base,
+        |  CAST(floor(CAST(w.cnt * 4 AS DOUBLE) / CAST(b.base AS DOUBLE)
         |    * 1e9 + 0.5) AS BIGINT) AS lift9
-        |FROM daily d JOIN baseline b USING (part, day)
-        |WHERE d.cnt >= 3 AND b.base >= 3
-        |ORDER BY lift9 DESC, day, part LIMIT 20""".stripMargin
+        |FROM weekly w JOIN baseline b USING (brand, wk)
+        |WHERE w.cnt >= 8 AND b.base >= 12
+        |ORDER BY lift9 DESC, wk, brand LIMIT 20""".stripMargin
   )
 }
