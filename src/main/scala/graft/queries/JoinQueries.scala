@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.ops.AsOf
 
@@ -141,6 +142,56 @@ object JoinQueries extends QueryPack {
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_orders"), sum("cents").as("revenue_cents"))
         .orderBy("c_nationkey")
+    }),
+
+    // ---------------------------------------------------------------
+    // q190: SCALABLE interval-overlap join — sessions × promo windows
+    // via DAY-GRID bucketing: both interval sets explode onto the grid
+    // cells they cover (bounded fan-out: sessions span ≤ 2 days, each
+    // promo exactly 3), candidates meet in an EQUI-join on the cell,
+    // the exact timestamp predicate verifies on candidates only, and
+    // DISTINCT collapses pairs that share several cells. This is the
+    // interval join that still works when q37's broadcast-theta shape
+    // can't (both sides big): candidate volume ∝ co-resident intervals
+    // per cell, never |L|×|R|; grid resolution trades fan-out against
+    // selectivity. Promo fixture: ten 3-day windows laid every 3 days
+    // from the week-truncated global min — derived in-plan from a
+    // 1-row broadcast, no driver round-trip. Oracle = the plain theta
+    // join (tiny at oracle scale), proving the bucketed rewrite exact.
+    "q190_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = ev
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+            .otherwise(0L))
+        .withColumn("session_idx",
+          sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_idx")
+        .agg(min("ts").as("s_start"), max("ts").as("s_end"))
+        .localCheckpoint(false)
+      val w0 = broadcast(ev.agg(date_trunc("week", min("ts")).as("w0")))
+      val promos = w0.select(
+          explode(sequence(lit(0), lit(9))).as("p_id"), col("w0"))
+        .select(col("p_id").cast("long").as("p_id"),
+          expr("timestampadd(DAY, CAST(p_id * 3 AS INT), w0)").as("ps"))
+        .withColumn("pe", expr("timestampadd(DAY, 3, ps)"))
+      val sessCells = sess.select(col("user_id"), col("session_idx"),
+        col("s_start"), col("s_end"),
+        explode(sequence(to_date(col("s_start")), to_date(col("s_end"))))
+          .as("cell"))
+      val promoCells = promos.select(col("p_id"), col("ps"), col("pe"),
+        explode(sequence(to_date(col("ps")), date_add(to_date(col("ps")), 2)))
+          .as("cell"))
+      sessCells.join(promoCells, "cell")
+        .filter(col("s_start") < col("pe") && col("ps") <= col("s_end"))
+        .select("p_id", "user_id", "session_idx").distinct()
+        .groupBy("p_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("p_id")
     })
   )
 
@@ -209,6 +260,37 @@ object JoinQueries extends QueryPack {
         |              WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
         |  AND NOT EXISTS (SELECT 1 FROM lineitem l
         |                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity <= 2)
-        |ORDER BY p_partkey""".stripMargin
+        |ORDER BY p_partkey""".stripMargin,
+
+    // q190: the oracle is the PLAIN theta join over the same sessions
+    // and promo spine — equality proves the day-grid bucketed rewrite
+    // finds exactly the overlapping pairs.
+    "q190_interval_join" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx, ts
+        |  FROM flagged),
+        |intervals AS (
+        |  SELECT user_id, session_idx, min(ts) AS s_start, max(ts) AS s_end
+        |  FROM sess GROUP BY user_id, session_idx),
+        |w0 AS (SELECT date_trunc('week', min(ts)) AS w0 FROM events),
+        |promos AS (
+        |  SELECT CAST(i AS BIGINT) AS p_id,
+        |    w0 + INTERVAL 1 DAY * CAST(i * 3 AS INTEGER) AS ps,
+        |    w0 + INTERVAL 1 DAY * CAST(i * 3 + 3 AS INTEGER) AS pe
+        |  FROM w0, (SELECT unnest(generate_series(0, 9)) AS i))
+        |SELECT p_id, count(*) AS n_sessions,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM intervals JOIN promos
+        |  ON s_start < pe AND ps <= s_end
+        |GROUP BY p_id ORDER BY p_id""".stripMargin
   )
 }

@@ -64,6 +64,35 @@ object ScalarQueries extends QueryPack {
           to_json(struct(col("event_id").as("id"))).as("j_out"))
         .orderBy("event_id")),
 
+    // VARIANT semi-structured ingestion (Spark 4's open-format JSON
+    // type): nested JSON — built by the engine's own to_json so the
+    // fixture needs no new data — parses ONCE to a binary VariantType
+    // column, then typed variant_get path/array access feeds a plain
+    // aggregate. The oracle computes from the RAW columns, proving the
+    // string→variant→typed round-trip lossless (the reason variant
+    // exists: parse cost paid once at ingest, every later access is
+    // O(path) on the binary encoding, not a re-parse — the 100 TB
+    // semi-structured contract). Longs only in the JSON: float text
+    // rendering is engine-specific, integers are not.
+    "q189_variant_json" -> ((s, dir) => {
+      val js = Tables.orders(s, dir).select(
+        to_json(struct(
+          col("o_orderstatus").as("status"),
+          struct(col("o_orderpriority").as("prio"),
+            col("o_custkey").as("cust")).as("meta"),
+          array(col("o_custkey"), col("o_orderkey")).as("keys"))).as("j"))
+      js.select(parse_json(col("j")).as("v"))
+        .select(
+          expr("variant_get(v, '$.status', 'string')").as("status"),
+          expr("variant_get(v, '$.meta.prio', 'string')").as("prio"),
+          expr("variant_get(v, '$.keys[1]', 'long')").as("okey"),
+          expr("variant_get(v, '$.meta.cust', 'long')").as("cust"))
+        .groupBy("status", "prio")
+        .agg(count(lit(1)).as("n"), sum("okey").as("sum_okey"),
+          sum("cust").as("sum_cust"))
+        .orderBy("status", "prio")
+    }),
+
     // Conditional/null family: when/otherwise, nullif, coalesce, casts.
     "q26_conditional" -> ((s, dir) =>
       Tables.customer(s, dir)
@@ -218,6 +247,15 @@ object ScalarQueries extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    // q189: straight from the raw columns — equality proves the
+    // JSON→variant→typed path dropped nothing.
+    "q189_variant_json" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS prio,
+        |  count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q24_datetime" ->
       """SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS INT) AS yr,
