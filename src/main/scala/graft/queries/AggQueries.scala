@@ -494,7 +494,31 @@ object AggQueries extends QueryPack {
         .agg(count(lit(1)).as("n_rows"),
           min("l_quantity").as("v_min"), max("l_quantity").as("v_max"))
         .orderBy("l_returnflag", "bin")
-    })
+    }),
+
+    // OHLC downsampling — the time-series resample every metrics store
+    // runs: per (event type, hour), open/high/low/close/volume of the
+    // value stream. Open and close are NOT min/max of value — they are
+    // the value AT the earliest/latest row — picked by lexicographic
+    // struct min/max over (ts, event_id, value): a plain algebraic
+    // aggregate (mergeable map-side, no window, no per-group buffer),
+    // with event_id making ties deterministic. The oracle replays the
+    // same rule with row_number windows — different machinery, same
+    // rows, proving the struct-extremum trick exact.
+    "q191_ohlc_bars" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+          col("ts"), col("event_id"), col("value"))
+        .groupBy("event_type", "hr")
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+          max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+          max("value").as("high"), min("value").as("low"),
+          count(lit(1)).as("volume"))
+        .select(col("event_type"), col("hr"),
+          col("o.value").as("open"), col("high"), col("low"),
+          col("c.value").as("close"), col("volume"))
+        .orderBy("event_type", "hr"))
   )
 
   /** Oracle-side twin of [[percentileTargets]] (one copy for both
@@ -763,6 +787,25 @@ object AggQueries extends QueryPack {
         |  count(*) AS n_rows,
         |  min(l_quantity) AS v_min, max(l_quantity) AS v_max
         |FROM lineitem l JOIN ep USING (l_returnflag)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q191: open/close replayed with first/last row_number windows
+    // over the same (ts, event_id) order.
+    "q191_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr, ts, event_id,
+        |    value,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT event_type, hr,
+        |  min(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  min(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  count(*) AS volume
+        |FROM e GROUP BY event_type, hr
+        |ORDER BY event_type, hr""".stripMargin
   )
 }

@@ -841,6 +841,45 @@ object AnalyticsQueries extends QueryPack {
             .as("lift9"))
         .orderBy(col("lift9").desc, col("wk"), col("brand"))
         .limit(20)
+    }),
+
+    // ---------------------------------------------------------------
+    // q192: MERGE / upsert (SCD type-1) — the warehouse MERGE INTO
+    // statement expressed as its relational core: base ∪ updates via
+    // ONE full outer join on the key, coalesce(update, base) per
+    // column — update wins, unmatched updates insert, unmatched base
+    // survives. Fixture carves deterministic change classes from
+    // orders (q162's md5 pattern): base = keys with md5 nibble ≠ 'f',
+    // updates = a carved slice with +1 cents (the overlap → updated)
+    // plus the nibble-'f' keys base never had (→ inserted). The audit
+    // row proves per-class counts AND the merged table's content via
+    // an order-independent bit_xor digest over (key, cents) — q175's
+    // whole-table checksum, so the oracle equality covers every row,
+    // not just the counts.
+    "q192_merge_upsert" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
+          .as("cents"),
+        substring(md5(concat(lit("mg:"), col("o_orderkey").cast("string"))),
+          1, 1).as("nib"))
+      val base = o.filter(col("nib") =!= "f").select("k", "cents")
+      val updates = o.filter(col("nib") === "0")
+        .select(col("k"), (col("cents") + 1).as("cents"))
+        .unionAll(o.filter(col("nib") === "f").select("k", "cents"))
+      val merged = base.as("b")
+        .join(updates.as("u"), col("b.k") === col("u.k"), "full")
+        .select(coalesce(col("u.k"), col("b.k")).as("k"),
+          coalesce(col("u.cents"), col("b.cents")).as("cents"),
+          when(col("u.k").isNull, lit("kept"))
+            .when(col("b.k").isNull, lit("inserted"))
+            .otherwise(lit("updated")).as("cls"))
+      merged
+        .withColumn("h",
+          conv(substring(md5(concat_ws(":", col("k").cast("string"),
+            col("cents").cast("string"))), 1, 15), 16, 10).cast("long"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("digest"))
+        .orderBy("cls")
     })
   )
 
@@ -1420,6 +1459,30 @@ object AnalyticsQueries extends QueryPack {
         |    * 1e9 + 0.5) AS BIGINT) AS lift9
         |FROM weekly w JOIN baseline b USING (brand, wk)
         |WHERE w.cnt >= 8 AND b.base >= 12
-        |ORDER BY lift9 DESC, wk, brand LIMIT 20""".stripMargin
+        |ORDER BY lift9 DESC, wk, brand LIMIT 20""".stripMargin,
+
+    "q192_merge_upsert" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
+        |    substring(md5('mg:' || CAST(o_orderkey AS VARCHAR)), 1, 1) AS nib
+        |  FROM orders),
+        |base AS (SELECT k, cents FROM o WHERE nib <> 'f'),
+        |updates AS (
+        |  SELECT k, cents + 1 AS cents FROM o WHERE nib = '0'
+        |  UNION ALL
+        |  SELECT k, cents FROM o WHERE nib = 'f'),
+        |merged AS (
+        |  SELECT coalesce(u.k, b.k) AS k,
+        |    coalesce(u.cents, b.cents) AS cents,
+        |    CASE WHEN u.k IS NULL THEN 'kept'
+        |      WHEN b.k IS NULL THEN 'inserted'
+        |      ELSE 'updated' END AS cls
+        |  FROM base b FULL JOIN updates u ON b.k = u.k)
+        |SELECT cls, count(*) AS n,
+        |  bit_xor(CAST(('0x' || substring(md5(
+        |    CAST(k AS VARCHAR) || ':' || CAST(cents AS VARCHAR)),
+        |    1, 15)) AS BIGINT)) AS digest
+        |FROM merged GROUP BY cls ORDER BY cls""".stripMargin
   )
 }
