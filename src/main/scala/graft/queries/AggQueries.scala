@@ -519,6 +519,32 @@ object AggQueries extends QueryPack {
           col("o.value").as("open"), col("high"), col("low"),
           col("c.value").as("close"), col("volume"))
         .orderBy("event_type", "hr"))
+,
+    // WEIGHTED median — the revenue-weighted center ("the quantity at
+    // which half the money sits") — q104's value-count shape with a
+    // weight sum instead of a row count: per (flag, value) the weights
+    // partial-aggregate map-side, the cumulative window runs over the
+    // aggregated ≤|values|-per-flag table, and the lower weighted
+    // median is the smallest value whose cumulative weight reaches
+    // ⌈W/2⌉. Pure integer arithmetic end to end (weights are cents);
+    // no interpolation ambiguity, no IEEE ops.
+    "q193_weighted_median" -> ((s, dir) => {
+      val vc = Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(sum(cents(col("l_extendedprice"))).as("w"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy("l_quantity")
+      val cum = vc.withColumn("cum", sum("w").over(wCum))
+      val targets = vc.groupBy("l_returnflag").agg(sum("w").as("tw"))
+        .select(col("l_returnflag").as("tf"),
+          col("tw"), expr("(tw + 1) div 2").as("half"))
+      cum.join(broadcast(targets),
+          col("l_returnflag") === col("tf") && col("cum") >= col("half"))
+        .groupBy("l_returnflag")
+        .agg(min("l_quantity").as("w_median"),
+          min("tw").as("total_weight_cents"))
+        .orderBy("l_returnflag")
+    })
   )
 
   /** Oracle-side twin of [[percentileTargets]] (one copy for both
@@ -806,6 +832,23 @@ object AggQueries extends QueryPack {
         |  min(CASE WHEN rn_d = 1 THEN value END) AS close,
         |  count(*) AS volume
         |FROM e GROUP BY event_type, hr
-        |ORDER BY event_type, hr""".stripMargin
+        |ORDER BY event_type, hr""".stripMargin,
+
+    "q193_weighted_median" ->
+      s"""WITH vc AS (
+         |  SELECT l_returnflag, l_quantity,
+         |    CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS w
+         |  FROM lineitem GROUP BY 1, 2),
+         |cum AS (SELECT l_returnflag, l_quantity, w,
+         |    CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+         |      AS BIGINT) AS cum
+         |  FROM vc),
+         |t AS (SELECT l_returnflag AS tf, CAST(sum(w) AS BIGINT) AS tw,
+         |    (sum(w) + 1) // 2 AS half
+         |  FROM vc GROUP BY 1)
+         |SELECT l_returnflag, min(l_quantity) AS w_median,
+         |  CAST(min(tw) AS BIGINT) AS total_weight_cents
+         |FROM cum JOIN t ON l_returnflag = tf AND cum >= half
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }
