@@ -673,7 +673,11 @@ object LlmQueries extends QueryPack {
         .groupBy("w1").agg(count(lit(1)).as("c1"))
       val vocab = broadcast(uni.agg(count(lit(1)).as("v")))
       val bg = docs.select(col("doc_id"),
-        explode(Text.shingles(toksCol, 2)).as("bg"))
+          explode(Text.shingles(toksCol, 2)).as("bg"))
+        // The bigram stream feeds BOTH the LM build and the doc tf
+        // pass — cut lazily so the corpus tokenizes once, not twice
+        // (the sf1 run priced the double pass at ~2× the query).
+        .localCheckpoint(false)
       val lm = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
         .withColumn("w1", substring_index(col("bg"), " ", 1))
         .join(uni, "w1")
