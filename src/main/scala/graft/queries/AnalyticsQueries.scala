@@ -86,6 +86,51 @@ object AnalyticsQueries extends QueryPack {
   private def q9(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * lit(1e9) + lit(0.5)).cast("long")
 
+  /** The 30-minute-gap session contract, ONCE: per (user_id,
+    * session_idx), [s_start, s_end] = first/last event ts (inclusive
+    * end). Shared by q130 (the operator surface), q177 (concurrency
+    * sweep), and q190 (interval join) so the session definition cannot
+    * drift between the queries that SURVEY documents as running on the
+    * same intervals — AnalyticsSpec's q177 test derives its expected
+    * peak from q130's output and silently depends on this. No lineage
+    * cut here: single-consumer callers (q130, q190) shouldn't pay a
+    * materialization; q177 cuts at its own fan-out point. */
+  private[queries] def sessionIntervals(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev.withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_idx")
+      .agg(min("ts").as("s_start"), max("ts").as("s_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Oracle-side twin of [[sessionIntervals]] (the AggQueries
+    * shared-fragment pattern): CTEs `flagged`/`sess`/`intervals`
+    * producing (user_id, session_idx, s_start, s_end, n_events). */
+  private[queries] val SessionIntervalsSql: String =
+    """flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
+      |    THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx, ts
+      |  FROM flagged),
+      |intervals AS (
+      |  SELECT user_id, session_idx, min(ts) AS s_start, max(ts) AS s_end,
+      |    count(*) AS n_events
+      |  FROM sess GROUP BY user_id, session_idx)""".stripMargin
+
   /** Per-(doc, term) BM25 contribution over columns tf/df/dl/n/avgdl,
     * 9-dp quantized: shared by the scan-side q126 and the index-side
     * q134 so the two surfaces are score-identical by construction. */
@@ -385,21 +430,9 @@ object AnalyticsQueries extends QueryPack {
     // give you), via lag + running flag sum partitioned on user_id
     // (unbounded cardinality: one user's events per window partition).
     // A 30-minute silence starts a new session.
-    "q130_sessionize" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val flagged = ev.withColumn("prev_ts", lag("ts", 1).over(byUser))
-        .withColumn("is_new",
-          when(col("prev_ts").isNull ||
-            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
-            .otherwise(0L))
-      flagged.withColumn("session_idx",
-          sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy("user_id", "session_idx").agg(
-          min("ts").as("s_start"), max("ts").as("s_end"),
-          count(lit(1)).as("n_events"))
-        .orderBy("user_id", "session_idx")
-    }),
+    "q130_sessionize" -> ((s, dir) =>
+      sessionIntervals(Tables.events(s, dir))
+        .orderBy("user_id", "session_idx")),
 
     // ---------------------------------------------------------------
     // q131: SCD type-2 dimension build — collapse the event log into
@@ -632,20 +665,9 @@ object AnalyticsQueries extends QueryPack {
     // partials. The peak and its earliest timestamp come back via
     // 1-row broadcast scalars, never a driver round-trip.
     "q177_peak_concurrency" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val sess = ev
-        .withColumn("prev_ts", lag("ts", 1).over(byUser))
-        .withColumn("is_new",
-          when(col("prev_ts").isNull ||
-            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
-            .otherwise(0L))
-        .withColumn("session_idx",
-          sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy("user_id", "session_idx")
-        .agg(min("ts").as("s_start"), max("ts").as("s_end"))
-        // Referenced three times (both sweep legs + the session count):
-        // cut lazily so the sessionization windows run once.
+      // Three consumers (both sweep legs + the session count): cut
+      // lazily so the sessionization windows run once.
+      val sess = sessionIntervals(Tables.events(s, dir))
         .localCheckpoint(false)
       val points = sess.select(col("s_start").as("ts"), lit(0L).as("kind"),
           col("user_id"), col("session_idx"), lit(1L).as("delta"))
@@ -654,6 +676,9 @@ object AnalyticsQueries extends QueryPack {
       val swept = graft.ops.ScalableRank.runningSummed(points, Seq.empty,
         Seq(col("ts"), col("kind"), col("user_id"), col("session_idx")),
         "delta", buckets = 32)
+        // Two consumers (peak aggregate + peak filter): cut so the
+        // two-phase sweep's shuffles run once.
+        .localCheckpoint(false)
       val peak = broadcast(swept.agg(max("run").as("peak")))
       val nSess = broadcast(sess.agg(count(lit(1)).as("n_sessions")))
       swept.crossJoin(peak).filter(col("run") === col("peak"))
@@ -1080,21 +1105,9 @@ object AnalyticsQueries extends QueryPack {
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
 
     "q130_sessionize" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |      OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
-        |    THEN 1 ELSE 0 END AS is_new
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        |  SELECT user_id, ts,
-        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
-        |  FROM flagged)
-        |SELECT user_id, session_idx, min(ts) AS s_start, max(ts) AS s_end,
-        |  count(*) AS n_events
-        |FROM sess GROUP BY user_id, session_idx
+      s"""WITH $SessionIntervalsSql
+        |SELECT user_id, session_idx, s_start, s_end, n_events
+        |FROM intervals
         |ORDER BY user_id, session_idx""".stripMargin,
 
     "q131_scd2" ->
@@ -1252,21 +1265,7 @@ object AnalyticsQueries extends QueryPack {
         |ORDER BY bucket""".stripMargin,
 
     "q177_peak_concurrency" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |      OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
-        |    THEN 1 ELSE 0 END AS is_new
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        |  SELECT user_id,
-        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx, ts
-        |  FROM flagged),
-        |intervals AS (
-        |  SELECT user_id, session_idx, min(ts) AS s_start, max(ts) AS s_end
-        |  FROM sess GROUP BY user_id, session_idx),
+      s"""WITH $SessionIntervalsSql,
         |points AS (
         |  SELECT s_start AS ts, 0 AS kind, user_id, session_idx, 1 AS delta
         |  FROM intervals

@@ -160,18 +160,7 @@ object JoinQueries extends QueryPack {
     // join (tiny at oracle scale), proving the bucketed rewrite exact.
     "q190_interval_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val sess = ev
-        .withColumn("prev_ts", lag("ts", 1).over(byUser))
-        .withColumn("is_new",
-          when(col("prev_ts").isNull ||
-            col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L)
-            .otherwise(0L))
-        .withColumn("session_idx",
-          sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy("user_id", "session_idx")
-        .agg(min("ts").as("s_start"), max("ts").as("s_end"))
-        .localCheckpoint(false)
+      val sess = AnalyticsQueries.sessionIntervals(ev)
       val w0 = broadcast(ev.agg(date_trunc("week", min("ts")).as("w0")))
       val promos = w0.select(
           explode(sequence(lit(0), lit(9))).as("p_id"), col("w0"))
@@ -266,21 +255,7 @@ object JoinQueries extends QueryPack {
     // and promo spine — equality proves the day-grid bucketed rewrite
     // finds exactly the overlapping pairs.
     "q190_interval_join" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts, event_id,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |      OR ts > lag(ts) OVER w + INTERVAL '30 minutes'
-        |    THEN 1 ELSE 0 END AS is_new
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        |  SELECT user_id,
-        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx, ts
-        |  FROM flagged),
-        |intervals AS (
-        |  SELECT user_id, session_idx, min(ts) AS s_start, max(ts) AS s_end
-        |  FROM sess GROUP BY user_id, session_idx),
+      s"""WITH ${AnalyticsQueries.SessionIntervalsSql},
         |w0 AS (SELECT date_trunc('week', min(ts)) AS w0 FROM events),
         |promos AS (
         |  SELECT CAST(i AS BIGINT) AS p_id,

@@ -671,6 +671,10 @@ object LlmQueries extends QueryPack {
       val toksCol = Text.tokens(col("text"))
       val uni = docs.select(explode(toksCol).as("w1"))
         .groupBy("w1").agg(count(lit(1)).as("c1"))
+        // Two consumers (vocab count + the LM join), each of which
+        // would otherwise re-tokenize the corpus: one lazy cut of the
+        // vocab-sized count table.
+        .localCheckpoint(false)
       val vocab = broadcast(uni.agg(count(lit(1)).as("v")))
       val bg = docs.select(col("doc_id"),
           explode(Text.shingles(toksCol, 2)).as("bg"))

@@ -49,6 +49,35 @@ object MiningQueries extends QueryPack {
   }
   private def g17(d: Double): String = "%.17g".format(d)
 
+  /** The support ≥ 2 co-purchase graph, ONCE (q139's bounded basket
+    * self-join): undirected edges u < v over parts bought in the same
+    * order. Shared by q178 (triangles) and q184 (k-core) — SURVEY
+    * documents both as running on the same edge set, so the threshold
+    * and dedup rule must not drift. Lazily checkpointed: every caller
+    * fans the edge list into ≥2 consumers. */
+  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey").distinct()
+    items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+      .select("u", "v")
+      .localCheckpoint(false)
+  }
+
+  /** Oracle-side twin of [[copurchaseEdges]]: a CTE fragment
+    * producing `edges(u, v)`. */
+  private val CopurchaseEdgesSql: String =
+    """items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |edges AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
   override val queries: Map[String, Q] = Map(
 
     // ---------------------------------------------------------------
@@ -829,20 +858,13 @@ object MiningQueries extends QueryPack {
     // 9-dp quantized. Open-wedge total Σ d(d−1)/2 comes from the
     // degree table in exact integer form.
     "q178_triangles" -> ((s, dir) => {
-      val items = Tables.lineitem(s, dir)
-        .select("l_orderkey", "l_partkey").distinct()
-      val edges = items.as("a").join(items.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
-        .select("u", "v")
-        // Referenced by both degree legs and the orientation join: cut
-        // lazily so the basket self-join runs once, not three times.
-        .localCheckpoint(false)
+      val edges = copurchaseEdges(s, dir)
+      // Three consumers (both orientation joins + the stats broadcast):
+      // one cut, same rule as edges/oriented.
       val deg = edges.select(col("u").as("node"))
         .unionAll(edges.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(false)
       val fwd = col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v"))
       val oriented = edges
@@ -888,17 +910,7 @@ object MiningQueries extends QueryPack {
     // replays the same four rounds with a local in-memory peel and
     // asserts count-for-count parity plus monotone shrinkage.
     "q184_kcore_peel" -> ((s, dir) => {
-      val items = Tables.lineitem(s, dir)
-        .select("l_orderkey", "l_partkey").distinct()
-      var e = items.as("a").join(items.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
-        .select("u", "v")
-        // Round 1 references the edge list three times — same cut as
-        // every later round gets from its own checkpoint.
-        .localCheckpoint(false)
+      var e = copurchaseEdges(s, dir)
       val rounds = (1 to 4).map { r =>
         val deg = e.select(col("u").as("node"))
           .unionAll(e.select(col("v").as("node")))
@@ -1423,12 +1435,7 @@ object MiningQueries extends QueryPack {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q178_triangles" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |edges AS (
-        |  SELECT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM items a JOIN items b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      s"""WITH $CopurchaseEdgesSql,
         |deg AS (SELECT node, count(*) AS deg FROM (
         |  SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
         |  GROUP BY 1),
@@ -1464,12 +1471,8 @@ object MiningQueries extends QueryPack {
     // per reference (exponential replay without it).
     "q184_kcore_peel" -> {
       val base =
-        """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-          |e0 AS MATERIALIZED (
-          |  SELECT a.l_partkey AS u, b.l_partkey AS v
-          |  FROM items a JOIN items b
-          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-          |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+        s"""WITH $CopurchaseEdgesSql,
+          |e0 AS MATERIALIZED (SELECT u, v FROM edges)""".stripMargin
       val rounds = (1 to 4).map { r =>
         s"""deg$r AS (SELECT node, count(*) AS deg FROM (
            |  SELECT u AS node FROM e${r - 1} UNION ALL SELECT v FROM e${r - 1})
