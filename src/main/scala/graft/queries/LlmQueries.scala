@@ -701,6 +701,51 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // WINNOWING document fingerprints (Schleimer et al. 2003 — the
+    // MOSS algorithm): hash every 3-gram shingle, keep the MINIMUM of
+    // each sliding window of 4 hashes, distinct the kept positions.
+    // Winnowing GUARANTEES any shared run of ≥ w+n−1 tokens yields a
+    // shared fingerprint while keeping ~2/(w+1) of the hashes — the
+    // robust-to-offset local dedup q94's fixture is made for: the
+    // drop-first-token copies shift every position yet share nearly
+    // all fingerprints. Per-doc work is one codegen'd HOF chain over
+    // the shingle array (bounded by doc length); the cross-doc pair
+    // scan is an equi-join on the fingerprint key with ubiquitous
+    // fingerprints (df > 20) dropped first — the LSH-style guard that
+    // keeps candidate volume Σ df², never |docs|². md5-prefix hashes
+    // replay bit-exactly in the oracle.
+    "q194_winnow_fingerprints" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") < 200).select("doc_id", "text")
+      val toks = Text.tokens(col("text"))
+      val perturbed = base.select(
+        (col("doc_id") + 100000).as("doc_id"),
+        array_join(slice(toks, lit(2), greatest(size(toks) - 1, lit(0))), " ")
+          .as("text"))
+      val corpus = base.unionAll(perturbed)
+      val hashes = transform(
+        Text.shingles(Text.tokens(col("text")), 3),
+        x => conv(substring(md5(x), 1, 15), 16, 10).cast("long"))
+      val fps = Text.letBound(hashes) { h =>
+        when(size(h) === 0, array().cast("array<long>"))
+          .when(size(h) < 4, array(array_min(h)))
+          .otherwise(array_distinct(transform(
+            sequence(lit(0), size(h) - 4),
+            i => array_min(slice(h, i + 1, lit(4))))))
+      }
+      val e = corpus.select(col("doc_id"), explode(fps).as("fp"))
+        .localCheckpoint(false)
+      val rare = e.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 20).select("fp")
+      val e2 = e.join(rare, "fp")
+      e2.as("a").join(e2.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 5)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Quality-ranked duplicate-cluster RESOLUTION — real pipelines keep
     // the BEST member of each near-dup cluster (longest, highest
     // quality), not the smallest id: the perturbed/truncated copies are
@@ -1716,6 +1761,44 @@ object LlmQueries extends QueryPack {
         |    / (CAST(sum(tf) AS DOUBLE) * 1000000000.0) AS avg_nll
         |FROM tf JOIN lm USING (bg)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q194: identical hash/window/min dag over DuckDB lists; slices
+    // are inclusive-both-ends there (hs[i:i+3] = 4 elements = Spark's
+    // slice(h, i+1, 4)).
+    "q194_winnow_fingerprints" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    array_to_string(
+        |      (list_filter(string_split(text, ' '), x -> x <> ''))[2:], ' ')
+        |  FROM base),
+        |tk AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM corpus),
+        |h AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(generate_series(1, len(toks) - 2),
+        |        i -> CAST(('0x' || substring(md5(
+        |          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+        |          1, 15)) AS BIGINT))
+        |    ELSE CAST([] AS BIGINT[]) END AS hs
+        |  FROM tk),
+        |fp AS (SELECT doc_id,
+        |    CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+        |      WHEN len(hs) < 4 THEN [list_min(hs)]
+        |      ELSE list_distinct(list_transform(
+        |        generate_series(1, len(hs) - 3),
+        |        i -> list_min(hs[i:i+3]))) END AS fps
+        |  FROM h),
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+        |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM e GROUP BY 1)
+        |  WHERE df <= 20),
+        |e2 AS (SELECT doc_id, fp FROM e JOIN rare USING (fp))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |FROM e2 a JOIN e2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // q121: brute-force pair set (all-pairs exists ONLY oracle-side) →
     // recursive-CTE transitive closure → identical

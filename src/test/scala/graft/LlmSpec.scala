@@ -408,4 +408,23 @@ class LlmSpec extends SparkSpec {
     assert(labels(20L) == 20L && labels(21L) == 20L)
     assert(labels(30L) == 30L)
   }
+
+  test("q194 winnowing recovers the planted offset-shifted copies") {
+    // The fixture plants (d, d+100000) with the first token dropped —
+    // every position shifts by one, the exact case winnowing's
+    // window-minimum selection is robust to (and fixed-position
+    // sampling is not). Long-enough docs must pair with their copy.
+    val rows = SparkEntry.queries("q194_winnow_fingerprints")(spark, sfDir)
+      .collect()
+    val planted = rows.count(r =>
+      r.getAs[Long]("id_b") - r.getAs[Long]("id_a") == 100000L)
+    val eligible = graft.sources.Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 200)
+      .filter(org.apache.spark.sql.functions.size(
+        graft.ops.Text.tokens(
+          org.apache.spark.sql.functions.col("text"))) >= 12)
+      .count()
+    assert(planted >= (eligible * 9) / 10,
+      s"winnowing found $planted planted pairs of ~$eligible eligible")
+  }
 }
