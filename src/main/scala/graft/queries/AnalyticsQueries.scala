@@ -905,6 +905,54 @@ object AnalyticsQueries extends QueryPack {
         .groupBy("cls")
         .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("digest"))
         .orderBy("cls")
+    }),
+
+    // ---------------------------------------------------------------
+    // q195: consistent-hashing shard rebalance audit — assign every
+    // document to a shard by hash-ring successor lookup (16 shards × 8
+    // virtual nodes), then re-assign on a 17-shard ring and measure
+    // what moved: consistent hashing's contract is that ONLY keys
+    // landing on the new shard's vnodes move (expected fraction ≈
+    // 8/136 of the ring), vs. modulo sharding where ~16/17 of all
+    // keys would. Both rings ride as 1-row broadcast sorted
+    // struct-arrays (136 vnodes max); the per-doc successor lookup is
+    // a filter+get HOF over that array — no join fan-out, no shuffle
+    // beyond the final 1-row aggregate. get() (not element_at) for the
+    // wrap-around: an empty filter result must yield NULL → coalesce
+    // to the ring's first vnode, not an ANSI error.
+    "q195_shard_rebalance" -> ((s, dir) => {
+      def ring(shards: Int) = broadcast(
+        s.range(0, shards * 8L).select(
+          expr("id div 8").as("shard"), expr("id % 8").as("r"))
+          .select(struct(
+            conv(substring(md5(concat(lit("vn:"),
+              col("shard").cast("string"), lit(":"),
+              col("r").cast("string"))), 1, 15), 16, 10).cast("long")
+              .as("vh"),
+            col("shard")).as("vn"))
+          .agg(sort_array(collect_list(col("vn"))).as("ring")))
+      def assigned(ringCol: org.apache.spark.sql.Column,
+                   h: org.apache.spark.sql.Column) =
+        coalesce(
+          get(filter(ringCol, x => x.getField("vh") >= h), lit(0)),
+          get(ringCol, lit(0))).getField("shard")
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        conv(substring(md5(concat(lit("doc:"), col("doc_id").cast("string"))),
+          1, 15), 16, 10).cast("long").as("h"))
+      docs
+        .crossJoin(ring(16).select(col("ring").as("r16")))
+        .crossJoin(ring(17).select(col("ring").as("r17")))
+        .select(col("doc_id"),
+          assigned(col("r16"), col("h")).as("s16"),
+          assigned(col("r17"), col("h")).as("s17"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("s16") =!= col("s17"), 1L).otherwise(0L))
+            .as("n_moved"),
+          sum(when(col("s16") =!= col("s17") && col("s17") =!= 16, 1L)
+            .otherwise(0L)).as("n_moved_elsewhere"))
+        .select(col("n_docs"), col("n_moved"), col("n_moved_elsewhere"),
+          q9(col("n_moved").cast("double") / col("n_docs").cast("double"))
+            .as("moved_frac9"))
     })
   )
 
@@ -1482,6 +1530,41 @@ object AnalyticsQueries extends QueryPack {
         |  bit_xor(CAST(('0x' || substring(md5(
         |    CAST(k AS VARCHAR) || ':' || CAST(cents AS VARCHAR)),
         |    1, 15)) AS BIGINT)) AS digest
-        |FROM merged GROUP BY cls ORDER BY cls""".stripMargin
+        |FROM merged GROUP BY cls ORDER BY cls""".stripMargin,
+
+    "q195_shard_rebalance" ->
+      """WITH vn16 AS (
+        |  SELECT {'vh': CAST(('0x' || substring(md5(
+        |      'vn:' || CAST(i//8 AS VARCHAR) || ':' || CAST(i%8 AS VARCHAR)),
+        |      1, 15)) AS BIGINT), 'shard': i//8} AS vn
+        |  FROM (SELECT unnest(generate_series(0, 127)) AS i)),
+        |vn17 AS (
+        |  SELECT {'vh': CAST(('0x' || substring(md5(
+        |      'vn:' || CAST(i//8 AS VARCHAR) || ':' || CAST(i%8 AS VARCHAR)),
+        |      1, 15)) AS BIGINT), 'shard': i//8} AS vn
+        |  FROM (SELECT unnest(generate_series(0, 135)) AS i)),
+        |r16 AS (SELECT list_sort(list(vn)) AS r16 FROM vn16),
+        |r17 AS (SELECT list_sort(list(vn)) AS r17 FROM vn17),
+        |docs AS (
+        |  SELECT doc_id, CAST(('0x' || substring(md5(
+        |      'doc:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |assigned AS (
+        |  SELECT doc_id,
+        |    coalesce(list_filter(r16, x -> x.vh >= h)[1], r16[1]).shard
+        |      AS s16,
+        |    coalesce(list_filter(r17, x -> x.vh >= h)[1], r17[1]).shard
+        |      AS s17
+        |  FROM docs, r16, r17)
+        |SELECT count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_moved,
+        |  CAST(sum(CASE WHEN s16 <> s17 AND s17 <> 16 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_moved_elsewhere,
+        |  CAST(floor(
+        |    CAST(sum(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
+        |    AS moved_frac9
+        |FROM assigned""".stripMargin
   )
 }
