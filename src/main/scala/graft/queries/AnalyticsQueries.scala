@@ -953,6 +953,33 @@ object AnalyticsQueries extends QueryPack {
         .select(col("n_docs"), col("n_moved"), col("n_moved_elsewhere"),
           q9(col("n_moved").cast("double") / col("n_docs").cast("double"))
             .as("moved_frac9"))
+    }),
+
+    // ---------------------------------------------------------------
+    // q197: join-key skew diagnostics — the pre-flight report a 100 TB
+    // join plan review starts from: per candidate shuffle key, the key
+    // cardinality, the hottest key and its row count, and the skew
+    // ratio max/avg = max·n_keys/n_rows (>> 1 ⇒ salt it, q156/q83's
+    // cue). One value-count aggregation per key column (map-side
+    // combinable), one struct-max for the deterministic hottest key
+    // (largest count, smallest key on ties — q108's packed tie-break),
+    // one quantized division. The key column is scanned alone: column
+    // pruning keeps each audit a single-column pass.
+    "q197_skew_diagnostics" -> ((s, dir) => {
+      def audit(keyCol: String) = {
+        val vc = Tables.lineitem(s, dir).groupBy(keyCol)
+          .agg(count(lit(1)).as("cnt"))
+        vc.agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
+            max(struct(col("cnt"), (-col(keyCol)).as("nk"))).as("m"))
+          .select(lit(keyCol).as("key_col"), col("n_rows"), col("n_keys"),
+            (-col("m.nk")).as("hot_key"), col("m.cnt").as("hot_rows"),
+            q9(col("m.cnt").cast("double") * col("n_keys").cast("double") /
+              col("n_rows").cast("double")).as("skew9"))
+      }
+      audit("l_orderkey")
+        .unionAll(audit("l_partkey"))
+        .unionAll(audit("l_suppkey"))
+        .orderBy("key_col")
     })
   )
 
@@ -1565,6 +1592,39 @@ object AnalyticsQueries extends QueryPack {
         |    CAST(sum(CASE WHEN s16 <> s17 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
         |    AS moved_frac9
-        |FROM assigned""".stripMargin
+        |FROM assigned""".stripMargin,
+
+    "q197_skew_diagnostics" ->
+      """WITH a AS (
+        |  SELECT 'l_orderkey' AS key_col, count(*) AS n_rows,
+        |    count(DISTINCT l_orderkey) AS n_keys
+        |  FROM lineitem),
+        |ha AS (SELECT l_orderkey AS hot_key, count(*) AS hot_rows
+        |  FROM lineitem GROUP BY 1 ORDER BY hot_rows DESC, hot_key LIMIT 1),
+        |b AS (
+        |  SELECT 'l_partkey' AS key_col, count(*) AS n_rows,
+        |    count(DISTINCT l_partkey) AS n_keys
+        |  FROM lineitem),
+        |hb AS (SELECT l_partkey AS hot_key, count(*) AS hot_rows
+        |  FROM lineitem GROUP BY 1 ORDER BY hot_rows DESC, hot_key LIMIT 1),
+        |c AS (
+        |  SELECT 'l_suppkey' AS key_col, count(*) AS n_rows,
+        |    count(DISTINCT l_suppkey) AS n_keys
+        |  FROM lineitem),
+        |hc AS (SELECT l_suppkey AS hot_key, count(*) AS hot_rows
+        |  FROM lineitem GROUP BY 1 ORDER BY hot_rows DESC, hot_key LIMIT 1),
+        |rows_u AS (
+        |  SELECT a.key_col, a.n_rows, a.n_keys, ha.hot_key, ha.hot_rows
+        |  FROM a, ha
+        |  UNION ALL
+        |  SELECT b.key_col, b.n_rows, b.n_keys, hb.hot_key, hb.hot_rows
+        |  FROM b, hb
+        |  UNION ALL
+        |  SELECT c.key_col, c.n_rows, c.n_keys, hc.hot_key, hc.hot_rows
+        |  FROM c, hc)
+        |SELECT key_col, n_rows, n_keys, hot_key, hot_rows,
+        |  CAST(floor(CAST(hot_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
+        |    / CAST(n_rows AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS skew9
+        |FROM rows_u ORDER BY key_col""".stripMargin
   )
 }

@@ -929,6 +929,41 @@ object MiningQueries extends QueryPack {
     }),
 
     // ---------------------------------------------------------------
+    // q196: frequent triples with APRIORI pruning — the second
+    // candidate-generation step q139's pairs feed: a triple can only
+    // be frequent if ALL THREE of its pairs are (downward closure), so
+    // the basket-bounded triple enumeration is semi-joined against the
+    // frequent-pair edge list on (p1,p2), (p2,p3) AND (p1,p3) BEFORE
+    // the counting aggregation ever sees it. At this SF the pruning is
+    // ~10⁴:1 (157 k raw in-order triples → the few living on frequent
+    // pairs); at 100 TB it is what makes level-wise itemset mining
+    // feasible at all — the raw C(basket,3) explosion never reaches a
+    // shuffle. Same support threshold (≥ 2) as the shared edge set.
+    "q196_frequent_triples" -> ((s, dir) => {
+      val e = copurchaseEdges(s, dir)
+      val items = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey").distinct()
+      val pairsInOrder = items.as("a").join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_orderkey").as("o"),
+          col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .join(e.select(col("u").as("p1"), col("v").as("p2")),
+          Seq("p1", "p2"), "left_semi")
+      pairsInOrder
+        .join(items.select(col("l_orderkey").as("o"),
+          col("l_partkey").as("p3")), "o")
+        .filter(col("p3") > col("p2"))
+        .join(e.select(col("u").as("p2"), col("v").as("p3")),
+          Seq("p2", "p3"), "left_semi")
+        .join(e.select(col("u").as("p1"), col("v").as("p3")),
+          Seq("p1", "p3"), "left_semi")
+        .groupBy("p1", "p2", "p3").agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .orderBy("p1", "p2", "p3")
+    }),
+
+    // ---------------------------------------------------------------
     // q185: embedding batch-effect detection by PCA — recover a
     // systematic shift planted in half the corpus (the md5-carved
     // vec_ids get +0.25·D̂ on their first-8-dim projection: the
@@ -1424,6 +1459,27 @@ object MiningQueries extends QueryPack {
          |  CAST(floor($d2/$dd*1e9 + 0.5) AS BIGINT) AS b2_9
          |FROM m ORDER BY flag""".stripMargin
     },
+
+    // q196: inner joins against the UNIQUE-key edge list stand in for
+    // the Spark semi-joins (same result on a unique right side).
+    "q196_frequent_triples" ->
+      s"""WITH $CopurchaseEdgesSql,
+        |pio AS (
+        |  SELECT a.l_orderkey AS o, a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  JOIN edges e1 ON e1.u = a.l_partkey AND e1.v = b.l_partkey),
+        |tri AS (
+        |  SELECT p1, p2, c.l_partkey AS p3
+        |  FROM pio JOIN items c ON c.l_orderkey = pio.o
+        |  WHERE c.l_partkey > pio.p2),
+        |pruned AS (
+        |  SELECT p1, p2, p3 FROM tri
+        |  JOIN edges e2 ON e2.u = p2 AND e2.v = p3
+        |  JOIN edges e3 ON e3.u = p1 AND e3.v = p3)
+        |SELECT p1, p2, p3, count(*) AS sup
+        |FROM pruned GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |ORDER BY p1, p2, p3""".stripMargin,
 
     "q168_closure_depth" ->
       """WITH RECURSIVE walk AS (
