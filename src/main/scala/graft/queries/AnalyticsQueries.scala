@@ -95,7 +95,7 @@ object AnalyticsQueries extends QueryPack {
     * peak from q130's output and silently depends on this. No lineage
     * cut here: single-consumer callers (q130, q190) shouldn't pay a
     * materialization; q177 cuts at its own fan-out point. */
-  private[queries] def sessionIntervals(
+  private[graft] def sessionIntervals(
       ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ev.withColumn("prev_ts", lag("ts", 1).over(byUser))

@@ -193,4 +193,29 @@ class EdgeSpec extends SparkSpec {
     assert(got.getSeq[String](0) == Seq("", ""))
     assert(got.getSeq[String](0) == got.getSeq[String](1))
   }
+
+  test("session gap boundary: exactly 30 minutes does NOT split; 30m+1s does") {
+    // The contract is `ts > prev + 30 min` — an event landing exactly
+    // on the boundary continues the session. Single-event users yield
+    // a one-event interval with s_start = s_end.
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    val ev = Seq(
+      (1L, 1L, at(0)), (1L, 2L, at(1800)),   // exactly 30m later: same
+      (1L, 3L, at(3601)),                     // 30m+1s after #2: split
+      (2L, 4L, at(0))                         // singleton user
+    ).toDF("user_id", "event_id", "ts")
+    val got = graft.queries.AnalyticsQueries.sessionIntervals(ev)
+      .orderBy("user_id", "session_idx")
+      .collect()
+    assert(got.length == 3, s"expected 3 sessions, got ${got.toSeq}")
+    val u1 = got.filter(_.getLong(0) == 1L)
+    assert(u1(0).getAs[Long]("n_events") == 2L,
+      "the exactly-30-minute event must stay in session 1")
+    assert(u1(1).getAs[Long]("n_events") == 1L)
+    val u2 = got.filter(_.getLong(0) == 2L).head
+    assert(u2.getAs[java.sql.Timestamp]("s_start") ==
+      u2.getAs[java.sql.Timestamp]("s_end"))
+  }
 }
