@@ -120,6 +120,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Shingles(children.head, n)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_winnow takes (hashes, w)")
+        val w = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_winnow w must be an integer literal, got $other")
+        }
+        Winnow(children.head, w)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => {

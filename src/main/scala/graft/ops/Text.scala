@@ -57,6 +57,28 @@ object Text {
           i => concat_ws(" ", (0 until n).map(o => element_at(tk, i + o + 1)): _*)))
     }
 
+  /** Winnowing fingerprint selection — native expression
+    * ([[graft.functions.Winnow]], registered as `graft_winnow`):
+    * distinct sliding-window-of-`w` minima of a hash array in
+    * first-occurrence order. [[winnowHof]] is the declarative
+    * reference it is bit-parity-tested against.
+    */
+  def winnow(hashes: Column, w: Int): Column =
+    call_function("graft_winnow", hashes, lit(w))
+
+  /** The declarative HOF reference formulation of [[winnow]] —
+    * interpreted (lambda dispatch + O(w) slice/min per window); kept
+    * as the parity oracle, not for production use. Let-bound for the
+    * same reason as [[shinglesHof]]. */
+  def winnowHof(hashes: Column, w: Int): Column =
+    letBound(hashes) { h =>
+      when(size(h) === 0, array().cast("array<long>"))
+        .when(size(h) < w, array(array_min(h)))
+        .otherwise(array_distinct(transform(
+          sequence(lit(0), size(h) - w),
+          i => array_min(slice(h, i + 1, lit(w))))))
+    }
+
   /** Stopword-membership language-ID heuristic. Confidence-free and
     * deliberately SQL-expressible (same CASE runs in the oracle): real
     * n-gram models are a model artifact, not an engine feature — the

@@ -726,13 +726,7 @@ object LlmQueries extends QueryPack {
       val hashes = transform(
         Text.shingles(Text.tokens(col("text")), 3),
         x => conv(substring(md5(x), 1, 15), 16, 10).cast("long"))
-      val fps = Text.letBound(hashes) { h =>
-        when(size(h) === 0, array().cast("array<long>"))
-          .when(size(h) < 4, array(array_min(h)))
-          .otherwise(array_distinct(transform(
-            sequence(lit(0), size(h) - 4),
-            i => array_min(slice(h, i + 1, lit(4))))))
-      }
+      val fps = Text.winnow(hashes, 4)
       val e = corpus.select(col("doc_id"), explode(fps).as("fp"))
         .localCheckpoint(false)
       val rare = e.groupBy("fp").agg(count(lit(1)).as("df"))

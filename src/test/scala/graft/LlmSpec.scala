@@ -409,6 +409,34 @@ class LlmSpec extends SparkSpec {
     assert(labels(30L) == 30L)
   }
 
+  test("graft_winnow is bit-equal to the HOF reference on real docs and edges") {
+    import org.apache.spark.sql.functions._
+    // Real corpus hashes (every doc length / tie pattern in the data)
+    val hashes = transform(
+      graft.ops.Text.shingles(graft.ops.Text.tokens(col("text")), 3),
+      x => conv(substring(md5(x), 1, 15), 16, 10).cast("long"))
+    val mism = graft.sources.Tables.documents(spark, sfDir)
+      .select(graft.ops.Text.winnow(hashes, 4).as("a"),
+        graft.ops.Text.winnowHof(hashes, 4).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(mism == 0L, s"$mism docs diverge from the HOF reference")
+    // Synthetic edges: empty, shorter-than-window, nulls, ties
+    import spark.implicits._
+    val edge = Seq(
+      Seq[java.lang.Long](),
+      Seq[java.lang.Long](5L),
+      Seq[java.lang.Long](9L, 7L, 8L),
+      Seq[java.lang.Long](null, null, null, null, null),
+      Seq[java.lang.Long](3L, null, 3L, 1L, 1L, 9L),
+      Seq[java.lang.Long](1L, 2L, 3L, 4L, 5L, 6L)
+    ).toDF("h")
+    val bad = edge
+      .select(graft.ops.Text.winnow(col("h"), 4).as("a"),
+        graft.ops.Text.winnowHof(col("h"), 4).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(bad == 0L, "edge-case divergence from the HOF reference")
+  }
+
   test("q194 winnowing recovers the planted offset-shifted copies") {
     // The fixture plants (d, d+100000) with the first token dropped —
     // every position shifts by one, the exact case winnowing's
