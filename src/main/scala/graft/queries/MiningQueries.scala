@@ -940,16 +940,28 @@ object MiningQueries extends QueryPack {
     // feasible at all — the raw C(basket,3) explosion never reaches a
     // shuffle. Same support threshold (≥ 2) as the shared edge set.
     "q196_frequent_triples" -> ((s, dir) => {
-      val e = copurchaseEdges(s, dir)
       val items = Tables.lineitem(s, dir)
         .select("l_orderkey", "l_partkey").distinct()
-      val pairsInOrder = items.as("a").join(items.as("b"),
+        .localCheckpoint(false)
+      // Enumerate the C(basket,2) in-order pair stream ONCE and keep
+      // it: the frequent-pair list (same definition as the shared
+      // copurchaseEdges) aggregates from it AND the Apriori semi-join
+      // reads it back — the alternatives each paid the enumeration
+      // twice (via the shared helper) or blew it up through the
+      // part-frequency join (both measured slower at sf1).
+      val pairs = items.as("a").join(items.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
             col("a.l_partkey") < col("b.l_partkey"))
         .select(col("a.l_orderkey").as("o"),
-          col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-        .join(e.select(col("u").as("p1"), col("v").as("p2")),
-          Seq("p1", "p2"), "left_semi")
+          col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .localCheckpoint(false)
+      val e = pairs.groupBy("u", "v")
+        .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+        .select("u", "v")
+        .localCheckpoint(false)
+      val pairsInOrder = pairs
+        .join(e, Seq("u", "v"), "left_semi")
+        .select(col("o"), col("u").as("p1"), col("v").as("p2"))
       pairsInOrder
         .join(items.select(col("l_orderkey").as("o"),
           col("l_partkey").as("p3")), "o")
