@@ -980,6 +980,62 @@ object AnalyticsQueries extends QueryPack {
         .unionAll(audit("l_partkey"))
         .unionAll(audit("l_suppkey"))
         .orderBy("key_col")
+    }),
+
+    // ---------------------------------------------------------------
+    // q198: linear-interpolation gap repair — the time-series cleaning
+    // step q91's zero-fill gap detection stops short of: every event
+    // with a NULL metric (md5-carved ~1/4 of purchase values, known
+    // identity) is repaired by interpolating between its nearest
+    // non-null neighbors IN TIME within the same user: v = v_prev +
+    // (v_next − v_prev)·(t − t_prev)/(t_next − t_prev). The neighbor
+    // lookup is two IGNORE-NULLS window functions (last_value/
+    // first_value over the user_id sort — high-cardinality partition,
+    // one shuffle); edges with only one neighbor take that neighbor
+    // (ffill/bfill). Values quantize to cents and times to whole
+    // seconds first, so the single interpolation division is the only
+    // IEEE op and both engines replay it bit-identically. Output
+    // aggregates the repair mass per event type.
+    "q198_interpolate_gaps" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"),
+          when(substring(md5(concat(lit("gap:"),
+              col("event_id").cast("string"))), 1, 1).isin("0", "1", "2", "3"),
+            lit(null).cast("long"))
+            .otherwise(floor(col("value") * 100 + lit(0.5)).cast("long"))
+            .as("v"),
+          unix_timestamp(col("ts")).as("t"))
+      val nb = ev
+        .withColumn("pv", last("v", ignoreNulls = true)
+          .over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("pt", last(when(col("v").isNotNull, col("t")),
+          ignoreNulls = true)
+          .over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("nv", first("v", ignoreNulls = true)
+          .over(byUser.rowsBetween(1, Window.unboundedFollowing)))
+        .withColumn("nt", first(when(col("v").isNotNull, col("t")),
+          ignoreNulls = true)
+          .over(byUser.rowsBetween(1, Window.unboundedFollowing)))
+      val repaired = nb.withColumn("rv",
+        when(col("v").isNotNull, col("v").cast("double"))
+          // nt > pt guards the division: same-second neighbors fall
+          // back to the previous value (ffill), not an Inf blow-up.
+          .when(col("pv").isNotNull && col("nv").isNotNull &&
+              col("nt") > col("pt"),
+            col("pv").cast("double") +
+              (col("nv") - col("pv")).cast("double") *
+              (col("t") - col("pt")).cast("double") /
+              (col("nt") - col("pt")).cast("double"))
+          .otherwise(coalesce(col("pv"), col("nv")).cast("double")))
+      repaired.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_repaired"),
+          sum(when(col("v").isNull && col("rv").isNull, 1L).otherwise(0L))
+            .as("n_unrepairable"),
+          sum(when(col("v").isNull, q9(col("rv")))).as("repaired_mass9"))
+        .orderBy("event_type")
     })
   )
 
@@ -1625,6 +1681,47 @@ object AnalyticsQueries extends QueryPack {
         |SELECT key_col, n_rows, n_keys, hot_key, hot_rows,
         |  CAST(floor(CAST(hot_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
         |    / CAST(n_rows AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS skew9
-        |FROM rows_u ORDER BY key_col""".stripMargin
+        |FROM rows_u ORDER BY key_col""".stripMargin,
+
+    "q198_interpolate_gaps" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN substring(md5('gap:' || CAST(event_id AS VARCHAR)),
+        |        1, 1) IN ('0','1','2','3') THEN NULL
+        |      ELSE CAST(floor(value*100 + 0.5) AS BIGINT) END AS v,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t
+        |  FROM events),
+        |nb AS (
+        |  SELECT *,
+        |    last_value(v IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+        |    first_value(v IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM ev),
+        |rep AS (
+        |  SELECT event_type, v,
+        |    CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+        |      WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt > pt THEN
+        |        CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE)
+        |          * CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE)
+        |      ELSE CAST(coalesce(pv, nv) AS DOUBLE) END AS rv
+        |  FROM nb)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_repaired,
+        |  CAST(sum(CASE WHEN v IS NULL AND rv IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_unrepairable,
+        |  CAST(sum(CASE WHEN v IS NULL THEN
+        |    CAST(floor(rv*1e9 + 0.5) AS BIGINT) END) AS BIGINT)
+        |    AS repaired_mass9
+        |FROM rep GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
