@@ -740,6 +740,28 @@ object LlmQueries extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // PHRASE search — exact in-order token sequence matching ("slow
+    // hash batch"), the positional-index retrieval primitive BM25's
+    // bag-of-words scoring cannot express. Each phrase word filters
+    // the positional posting stream FIRST (selectivity before any
+    // join), then consecutive words join on (doc_id, pos+k) — equi
+    // keys, candidate volume ∝ the rarest word's postings, never the
+    // corpus. This is how a positional inverted index answers phrase
+    // queries at scale; the oracle replays the same positional logic
+    // over DuckDB lists.
+    "q199_phrase_search" -> ((s, dir) => {
+      val Phrase = Seq("slow", "hash", "batch")
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+        posexplode(Text.tokens(col("text"))).as(Seq("pos", "token")))
+      val legs = Phrase.zipWithIndex.map { case (w, i) =>
+        toks.filter(col("token") === w)
+          .select(col("doc_id"), (col("pos") - i).as("p0"))
+      }
+      legs.reduce((a, b) => a.join(b, Seq("doc_id", "p0")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+        .orderBy("doc_id")
+    }),
+
     // Quality-ranked duplicate-cluster RESOLUTION — real pipelines keep
     // the BEST member of each near-dup cluster (longest, highest
     // quality), not the smallest id: the perturbed/truncated copies are
@@ -1793,6 +1815,23 @@ object LlmQueries extends QueryPack {
         |FROM e2 a JOIN e2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q199: same positional join over unnested (pos, token) pairs.
+    "q199_phrase_search" ->
+      """WITH tl AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(ts) AS token,
+        |    CAST(unnest(generate_series(1, len(ts))) - 1 AS BIGINT) AS pos
+        |  FROM tl),
+        |w0 AS (SELECT doc_id, pos AS p0 FROM toks WHERE token = 'slow'),
+        |w1 AS (SELECT doc_id, pos - 1 AS p0 FROM toks WHERE token = 'hash'),
+        |w2 AS (SELECT doc_id, pos - 2 AS p0 FROM toks WHERE token = 'batch')
+        |SELECT doc_id, count(*) AS n_matches
+        |FROM w0 JOIN w1 USING (doc_id, p0) JOIN w2 USING (doc_id, p0)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q121: brute-force pair set (all-pairs exists ONLY oracle-side) →
     // recursive-CTE transitive closure → identical
