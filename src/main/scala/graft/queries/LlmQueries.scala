@@ -762,6 +762,81 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // PREP PIPELINE v3 — the round's new operators composed end to end
+    // (q118's v2 successor): winnowing near-dup removal (drop the
+    // higher id of every ≥5-shared-fingerprint pair) → bigram-LM
+    // quality cut (drop docs scoring above the corpus-mean NLL — the
+    // comparison is INTEGER: per-doc avg = nq div nb in 1e-9 units vs
+    // the corpus mean Σnq div Σnb, no cross-multiplication overflow,
+    // no float) → deterministic 50 % md5 sample → per-source
+    // accounting of every stage's survivors and the final token mass.
+    // Every stage keys on unbounded columns (doc_id, fingerprint,
+    // bigram); stage fan-in tables are lazily cut once each.
+    "q200_pipeline_v3" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+      val hashes = transform(
+        Text.shingles(Text.tokens(col("text")), 3),
+        x => conv(substring(md5(x), 1, 15), 16, 10).cast("long"))
+      val e = docs.select(col("doc_id"),
+          explode(Text.winnow(hashes, 4)).as("fp"))
+        .localCheckpoint(false)
+      val rare = e.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 20).select("fp")
+      val e2 = e.join(rare, "fp")
+      val pairs = e2.as("a").join(e2.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("shared")).filter(col("shared") >= 5)
+      val dropDup = pairs.select(col("id_b").as("doc_id")).distinct()
+      val surv1 = docs.join(dropDup, Seq("doc_id"), "left_anti")
+        .localCheckpoint(false)
+      val toksCol = Text.tokens(col("text"))
+      val uni = surv1.select(explode(toksCol).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+        .localCheckpoint(false)
+      val vocab = broadcast(uni.agg(count(lit(1)).as("v")))
+      val bg = surv1.select(col("doc_id"),
+          explode(Text.shingles(toksCol, 2)).as("bg"))
+        .localCheckpoint(false)
+      val lm = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .join(uni, "w1")
+        .crossJoin(vocab)
+        .select(col("bg"),
+          floor(-log((col("c12") + 1).cast("double") /
+            (col("c1") + col("v")).cast("double")) * 1e9 + lit(0.5))
+            .cast("long").as("nll_q"))
+      val scored = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+        .join(lm, "bg")
+        .groupBy("doc_id")
+        .agg(sum("tf").as("nb"), sum(col("tf") * col("nll_q")).as("nq"))
+        .withColumn("avg_q", expr("nq div nb"))
+        .localCheckpoint(false)
+      val meanQ = broadcast(
+        scored.agg(expr("sum(nq) div sum(nb)").as("mean_q")))
+      val surv2 = surv1.join(scored.select("doc_id", "avg_q"), "doc_id")
+        .crossJoin(meanQ)
+        .filter(col("avg_q") <= col("mean_q"))
+        .localCheckpoint(false)
+      val sampled = surv2.filter(
+        conv(substring(md5(concat(lit("p3:"), col("doc_id").cast("string"))),
+          1, 1), 16, 10).cast("int") < 8)
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(surv1.groupBy("source").agg(count(lit(1)).as("n_dedup")),
+          Seq("source"), "left")
+        .join(surv2.groupBy("source").agg(count(lit(1)).as("n_quality")),
+          Seq("source"), "left")
+        .join(sampled.groupBy("source").agg(count(lit(1)).as("n_sampled"),
+          sum(size(Text.tokens(col("text")))).as("tokens_sampled")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("tokens_sampled"), lit(0L)).as("tokens_sampled"))
+        .orderBy("source")
+    }),
+
     // Quality-ranked duplicate-cluster RESOLUTION — real pipelines keep
     // the BEST member of each near-dup cluster (longest, highest
     // quality), not the smallest id: the perturbed/truncated copies are
@@ -1832,6 +1907,90 @@ object LlmQueries extends QueryPack {
         |SELECT doc_id, count(*) AS n_matches
         |FROM w0 JOIN w1 USING (doc_id, p0) JOIN w2 USING (doc_id, p0)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q200: every stage replayed — winnow pairs (q194's dag on the
+    // whole corpus), bigram LM (q179's dag on the dedup survivors),
+    // integer mean cut, md5 sample, per-source rollup.
+    "q200_pipeline_v3" ->
+      """WITH docs AS (SELECT doc_id, source, text FROM documents),
+        |tk AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM docs),
+        |h AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+        |      list_transform(generate_series(1, len(toks) - 2),
+        |        i -> CAST(('0x' || substring(md5(
+        |          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+        |          1, 15)) AS BIGINT))
+        |    ELSE CAST([] AS BIGINT[]) END AS hs
+        |  FROM tk),
+        |fp AS (SELECT doc_id,
+        |    CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+        |      WHEN len(hs) < 4 THEN [list_min(hs)]
+        |      ELSE list_distinct(list_transform(
+        |        generate_series(1, len(hs) - 3),
+        |        i -> list_min(hs[i:i+3]))) END AS fps
+        |  FROM h),
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM fp),
+        |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM e GROUP BY 1)
+        |  WHERE df <= 20),
+        |e2 AS (SELECT doc_id, fp FROM e JOIN rare USING (fp)),
+        |dropdup AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM e2 a JOIN e2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5),
+        |surv1 AS (SELECT * FROM docs
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dropdup)),
+        |t1 AS (SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM surv1),
+        |uni AS (SELECT w1, count(*) AS c1 FROM
+        |  (SELECT unnest(toks) AS w1 FROM t1) GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM uni),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM t1 WHERE len(toks) >= 2),
+        |lm AS (SELECT bg, CAST(floor(
+        |      -ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS nll_q
+        |  FROM (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg)
+        |  JOIN uni ON uni.w1 = string_split(bg, ' ')[1]
+        |  CROSS JOIN v),
+        |scored AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS nb,
+        |    CAST(sum(tf * nll_q) AS BIGINT) AS nq,
+        |    CAST(sum(tf * nll_q) AS BIGINT) // CAST(sum(tf) AS BIGINT)
+        |      AS avg_q
+        |  FROM (SELECT doc_id, bg, count(*) AS tf FROM bg GROUP BY 1, 2)
+        |  JOIN lm USING (bg) GROUP BY doc_id),
+        |meanq AS (SELECT CAST(sum(nq) AS BIGINT) // CAST(sum(nb) AS BIGINT)
+        |    AS mean_q FROM scored),
+        |surv2 AS (
+        |  SELECT s.doc_id, s.source, s.text
+        |  FROM surv1 s JOIN scored USING (doc_id) CROSS JOIN meanq
+        |  WHERE avg_q <= mean_q),
+        |sampled AS (
+        |  SELECT * FROM surv2
+        |  WHERE CAST(('0x' || substring(md5(
+        |    'p3:' || CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER) < 8)
+        |SELECT d.source,
+        |  count(*) AS n_docs,
+        |  coalesce(s1.n_dedup, 0) AS n_dedup,
+        |  coalesce(s2.n_quality, 0) AS n_quality,
+        |  coalesce(s3.n_sampled, 0) AS n_sampled,
+        |  coalesce(s3.tokens_sampled, 0) AS tokens_sampled
+        |FROM docs d
+        |LEFT JOIN (SELECT source, count(*) AS n_dedup FROM surv1
+        |  GROUP BY 1) s1 ON s1.source = d.source
+        |LEFT JOIN (SELECT source, count(*) AS n_quality FROM surv2
+        |  GROUP BY 1) s2 ON s2.source = d.source
+        |LEFT JOIN (SELECT source, count(*) AS n_sampled,
+        |    CAST(sum(len(list_filter(string_split(text, ' '),
+        |      x -> x <> ''))) AS BIGINT) AS tokens_sampled
+        |  FROM sampled GROUP BY 1) s3 ON s3.source = d.source
+        |GROUP BY d.source, s1.n_dedup, s2.n_quality, s3.n_sampled,
+        |  s3.tokens_sampled
+        |ORDER BY d.source""".stripMargin,
 
     // q121: brute-force pair set (all-pairs exists ONLY oracle-side) →
     // recursive-CTE transitive closure → identical
