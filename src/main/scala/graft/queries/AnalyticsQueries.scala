@@ -440,10 +440,15 @@ object AnalyticsQueries extends QueryPack {
     // emitting a row per change with [valid_from, valid_to). Change
     // detection and interval close are two windows over the same
     // (user_id; ts, event_id) sort — one shuffle, high-cardinality
-    // partition key. Open (current) intervals carry the conventional
-    // 9999-12-31 high-date sentinel rather than NULL: the engines
-    // stringify NULL timestamps differently, and the sentinel is the
-    // standard warehouse SCD-2 contract anyway.
+    // partition key. Open (current) intervals carry a high-date
+    // sentinel rather than NULL: the engines stringify NULL
+    // timestamps differently. The sentinel is 2200-01-01, NOT the
+    // classic 9999-12-31: values past 2262-04-11 overflow pandas
+    // datetime64[ns] and render as NaT in the driver's stringified
+    // hash path (round-8 hash_match=false despite bit-exact values
+    // under --exact local compare). Any sentinel beyond max(ts)
+    // preserves the half-open-interval contract; 2200-01-01 is
+    // portable across every ns-precision engine.
     "q131_scd2" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .filter(col("user_id") < 30)
@@ -455,7 +460,7 @@ object AnalyticsQueries extends QueryPack {
         .filter(col("prev_k").isNull || !(col("prev_k") <=> col("k_val")))
       changes
         .withColumn("valid_to", coalesce(lead("ts", 1).over(byUser),
-          lit("9999-12-31 00:00:00").cast("timestamp")))
+          lit("2200-01-01 00:00:00").cast("timestamp")))
         .select(col("user_id"), col("ts").as("valid_from"),
           col("valid_to"), col("k_val"))
         .orderBy("user_id", "valid_from")
@@ -600,7 +605,7 @@ object AnalyticsQueries extends QueryPack {
         .withColumn("prev_k", lag("k_val", 1).over(byUser))
         .filter(col("prev_k").isNull || !(col("prev_k") <=> col("k_val")))
         .withColumn("valid_to", coalesce(lead("ts", 1).over(byUser),
-          lit("9999-12-31 00:00:00").cast("timestamp")))
+          lit("2200-01-01 00:00:00").cast("timestamp")))
         .select(col("user_id").as("d_user"), col("ts").as("valid_from"),
           col("valid_to"), col("k_val"))
       ev.select(col("user_id"), col("ts"))
@@ -1255,7 +1260,7 @@ object AnalyticsQueries extends QueryPack {
         |  WHERE prev_ts IS NULL OR k_val IS DISTINCT FROM prev_k)
         |SELECT user_id, ts AS valid_from,
         |  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-        |    TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+        |    TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
         |  k_val
         |FROM changes ORDER BY user_id, valid_from""".stripMargin,
 
@@ -1364,7 +1369,7 @@ object AnalyticsQueries extends QueryPack {
         |  WHERE prev_ts IS NULL OR k_val IS DISTINCT FROM prev_k),
         |dim AS (SELECT user_id AS d_user, ts AS valid_from,
         |    coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-        |      TIMESTAMP '9999-12-31 00:00:00') AS valid_to, k_val
+        |      TIMESTAMP '2200-01-01 00:00:00') AS valid_to, k_val
         |  FROM changes)
         |SELECT d.k_val, count(*) AS n_events,
         |  count(DISTINCT e.user_id) AS n_users

@@ -90,12 +90,13 @@ class AnalyticsSpec extends SparkSpec {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("valid_from")
     // Each interval closes exactly where the next opens; the last is
-    // open (9999-12-31 sentinel).
+    // open (2200-01-01 sentinel — within pandas datetime64[ns] range,
+    // unlike 9999-12-31, which the driver's hash path renders as NaT).
     val bad = iv.withColumn("next_from", lead("valid_from", 1).over(w))
       .filter(col("next_from").isNotNull && !(col("valid_to") === col("next_from")))
       .count()
     assert(bad == 0L, s"$bad SCD2 intervals do not close at the next open")
-    val openPerUser = iv.filter(col("valid_to") === lit("9999-12-31 00:00:00").cast("timestamp"))
+    val openPerUser = iv.filter(col("valid_to") === lit("2200-01-01 00:00:00").cast("timestamp"))
       .groupBy("user_id").count().filter(col("count") =!= 1).count()
     assert(openPerUser == 0L, "every user must have exactly one open interval")
   }
