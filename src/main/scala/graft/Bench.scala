@@ -33,8 +33,12 @@ import java.nio.file.{Files, Paths}
   *  - two outputs: the FULL JSON (full query names, full precision,
   *    per-query min AND max, all failures) goes to BENCH_LOCAL.json; stdout
   *    gets an abbreviated final line (bare `qNN` keys, 3-decimal min
-  *    seconds, failures capped at 5 + a count) sized to survive the
-  *    driver's ~2000-char tail window.
+  *    seconds, only the SLOWEST 60 queries, failures capped at 5 + a
+  *    count) sized to survive the driver's truncating capture whole
+  *    (~2400-char line cap then last ~2000 chars — BENCH_r08's full
+  *    200-query map was cut on both ends and parsed to null);
+  *  - a streaming throughput leg (watermarked tumbling-window agg,
+  *    AvailableNow) runs by default and is reported as `streaming_sec`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -120,18 +124,21 @@ object Bench {
       }
       if (ok == 0) (name, -1.0, -1.0) else (name, minT, maxT)
     }
-    // Optional streaming leg (SPARK_GRAFT_BENCH_STREAMING=1): drive the
-    // tumbling-window aggregation end-to-end under Structured Streaming
-    // (readStream → watermark + window agg → noop sink, AvailableNow) so
-    // a perf regression in the streaming path becomes visible — q58–q60
-    // bench only their batch legs. Reported as an extra JSON field; the
-    // headline total stays batch-only for round-over-round
-    // comparability.
+    // Streaming leg (default ON since round 9; opt out with
+    // SPARK_GRAFT_BENCH_STREAMING=0): drive the tumbling-window
+    // aggregation end-to-end under Structured Streaming (readStream →
+    // watermark + window agg → noop sink, AvailableNow) so a perf
+    // regression in the streaming path becomes visible round-over-round
+    // — q58–q60 bench only their batch legs. Reported as an extra JSON
+    // field; the headline total stays batch-only for round-over-round
+    // comparability. Skipped in ONLY-filtered attribution runs unless
+    // explicitly requested — a single-query debug run shouldn't pay it.
     // A streaming failure must not discard the whole batch run's
     // results (the JSON write happens after this): recorded as -1 + a
     // failures entry, same policy as per-query errors.
     val streamingSec: Option[Double] =
-      if (!sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("1")) None
+      if (sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("0") ||
+          (only.isDefined && !sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("1"))) None
       else Some {
         val t0 = System.nanoTime()
         try {
@@ -162,13 +169,21 @@ object Bench {
     Files.writeString(
       Paths.get(if (only.isDefined) "BENCH_DEBUG.json" else "BENCH_LOCAL.json"), line)
 
-    // The driver keeps only the LAST ~2000 chars of stdout and json-parses the
-    // final line; the full-name full-precision line above exceeds that with
-    // 90+ queries, so the printed line uses the bare `qNN` prefix as key and
-    // 3-decimal seconds. Full detail stays in BENCH_LOCAL.json.
+    // The driver's stdout capture truncates long lines (~2400-char line
+    // cap, then keeps the last ~2000 chars) — BENCH_r08.json came back
+    // with `parsed: null` because even the bare-`qNN`-key 3-decimal map
+    // of 200 queries is ~2800 chars and got cut mid-map on BOTH ends.
+    // The printed payload must therefore fit the window WHOLE: cap the
+    // per-query map to the SLOWEST topN queries (the informative subset
+    // for grading — everything below them is sub-second noise floor) and
+    // point to BENCH_LOCAL.json for the full 200-query map, which is
+    // committed to the repo every round. topN=60 × ~13 chars + overhead
+    // ≈ 1k chars, half the window.
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qsShort = results
+    val topN = 60
+    val slowest = results.sortBy { case (_, v, _) => -v }.take(topN)
+    val qsShort = slowest
       .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // Cap the failure list: 92 failures x 60 chars would blow the window on
@@ -176,8 +191,9 @@ object Bench {
     val fShort = failures.take(5).map(f => JsonOut.q(f.take(60))).mkString("[", ",", "]")
     val streamShort = streamingSec.map(v => s""","streaming_sec":${r3(v)}""").getOrElse("")
     val shortLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"n_failures":${failures.size},"queries":$qsShort,"failures":$fShort$streamShort,"sf":${JsonOut.q(sfDir)}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"n_failures":${failures.size},"queries":$qsShort,"queries_note":"slowest ${slowest.size} of ${results.size}; full map in BENCH_LOCAL.json","failures":$fShort$streamShort,"sf":${JsonOut.q(sfDir)}}"""
     println(shortLine)
+    System.out.flush()
     spark.stop()
   }
 }
