@@ -228,7 +228,7 @@ object AggQueries extends QueryPack {
     // task — fine for bounded groups, a single-task memory cliff on a
     // 3-value key at 100×. Kept as the literal built-in surface; the
     // scale paths are q88 (sketch) and q103 (two-pass exact, same bits).
-    "q77_percentile" -> ((s, dir) =>
+    "q77_percentile_demo_bounded" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(
@@ -657,7 +657,7 @@ object AggQueries extends QueryPack {
         |SELECT n_name, 'n_regionkey' AS metric, n_regionkey AS value FROM nation
         |ORDER BY n_name, metric""".stripMargin,
 
-    "q77_percentile" ->
+    "q77_percentile_demo_bounded" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.5) AS p50,
         |  quantile_cont(l_quantity, 0.9) AS p90

@@ -64,7 +64,7 @@ object WindowQueries extends QueryPack {
     // rank/dense_rank over a NON-unique order key (tie semantics are the
     // point); ntile over a unique key (its row split requires total order).
     // Single-task-sort-per-status by construction — scale path is q102.
-    "q21_rank_dense_ntile" -> ((s, dir) => {
+    "q21_rank_dense_ntile_demo_bounded" -> ((s, dir) => {
       val byPrio = Window.partitionBy("o_orderstatus").orderBy(col("o_orderpriority"))
       val byPrice = Window.partitionBy("o_orderstatus")
         .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
@@ -82,7 +82,7 @@ object WindowQueries extends QueryPack {
     // cume_dist = n_preceding_or_peer/n — single int-int divisions of
     // exact counts, so the doubles are bit-identical across engines.
     // Same single-task-sort shape as q21 — scale path is q102.
-    "q71_percent_rank" -> ((s, dir) => {
+    "q71_percent_rank_demo_bounded" -> ((s, dir) => {
       val w = Window.partitionBy("o_orderstatus")
         .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
       Tables.orders(s, dir)
@@ -259,7 +259,7 @@ object WindowQueries extends QueryPack {
         |GROUP BY 1, 2, 3
         |ORDER BY l_returnflag, rnk""".stripMargin,
 
-    "q21_rank_dense_ntile" ->
+    "q21_rank_dense_ntile_demo_bounded" ->
       """SELECT o_orderkey, o_orderstatus,
         |  CAST(rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS INT) AS rnk,
         |  CAST(dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS INT) AS drnk,
@@ -288,7 +288,7 @@ object WindowQueries extends QueryPack {
          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          |ORDER BY event_id""".stripMargin,
 
-    "q71_percent_rank" ->
+    "q71_percent_rank_demo_bounded" ->
       """SELECT o_orderkey, o_orderstatus,
         |  percent_rank() OVER w AS pr,
         |  cume_dist() OVER w AS cd

@@ -344,7 +344,12 @@ class PlanSpec extends SparkSpec {
     // either (a) partition on a key documented high-cardinality /
     // bounded-per-key below, (b) be covered by a WindowGroupLimit
     // (rank-filter pushdown caps per-partition work map-side), or
-    // (c) appear in the explicit bounded-demo allowlist.
+    // (c) declare itself a bounded demo IN ITS REGISTERED NAME via the
+    // `_demo_bounded` suffix (round-9: the old silent allowlist is
+    // gone — a user scanning the registry now sees the scale caveat in
+    // the name itself; the scalable reformulations are q102/q106
+    // two-phase rank for q21/q71 and q103/q104 exact percentile for
+    // q77).
     val highCard = Set(
       // per-entity ids: cardinality grows with the data
       "user_id", "doc_id", "probe_id", "vec_id", "cand_id", "chunk_id",
@@ -353,21 +358,8 @@ class PlanSpec extends SparkSpec {
       // range-bucket keys: cardinality chosen so per-bucket rows are
       // bounded by construction (ops/ScalableRank)
       "__bucket", "__pid", "bucket", "band", "cell")
-    val allowed = Map(
-      // the two deliberate bounded-demo window surfaces: native
-      // rank/ntile semantics on a 3-value key, kept as the literal
-      // operator surface next to their scalable reformulations
-      // (q102/q106 two-phase rank, q103/q104 percentile)
-      "q21_rank_dense_ntile" -> "bounded-demo; scalable path is q102/q106",
-      "q71_percent_rank" -> "bounded-demo; scalable path is q102",
-      // percentile companions partition on (returnflag, linestatus):
-      // the scalable exact path is q103/q104
-      "q77_percentile" -> "agg surface; scalable path is q103/q104",
-      // as-of join: the window partitions by the join key of the
-      // union'd sides — key count grows with the dims, demo-bounded
-      "q38_asof" -> "as-of key cardinality = |sensor set|, data-bounded")
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
-    for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
+    for ((name, fn) <- SparkEntry.queries if !name.contains("_demo_bounded")) {
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan
       val windows = plan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }

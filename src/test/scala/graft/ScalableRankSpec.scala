@@ -140,7 +140,7 @@ class ScalableRankSpec extends SparkSpec {
       // match Percentile.getPercentile ulp-for-ulp.
       val scalable = SparkEntry.queries(q)(spark, sfDir)
         .as[(String, Double, Double)].collect().sortBy(_._1)
-      val builtin = SparkEntry.queries("q77_percentile")(spark, sfDir)
+      val builtin = SparkEntry.queries("q77_percentile_demo_bounded")(spark, sfDir)
         .as[(String, Double, Double)].collect().sortBy(_._1)
       assert(scalable.sameElements(builtin),
         s"$q ${scalable.mkString(",")} != builtin ${builtin.mkString(",")}")
