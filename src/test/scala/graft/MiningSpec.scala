@@ -523,4 +523,53 @@ class MiningSpec extends SparkSpec {
       }
     }
   }
+
+  test("iterative queries keep checkpoint-cut, bounded lineage") {
+    // The iterative family (power iteration, transitive closure, k-core
+    // peel) hand-manages lazy localCheckpoints so each round plans on
+    // top of a LogicalRDD cut instead of re-inlining the previous
+    // round's full lineage (3 references/round -> 3^rounds growth in
+    // q184's shape). This gate makes the discipline load-bearing: if a
+    // future edit drops a cut, the final plan re-acquires the base
+    // scans (file leaves multiply by the round count) and the node
+    // count blows past the bound — both asserted here, so the
+    // regression fails CI instead of surfacing as an sf1 blowup.
+    val iterative = Seq(
+      "q154_markov_stationary", // 8 Markov power steps over cut P
+      "q159_pagerank",          // 4 rank steps over the cut edge list
+      "q168_closure_depth",     // 5 doubling rounds, cut per round
+      "q184_kcore_peel",        // 4 peel rounds, cut per round
+      "q185_pca_power")         // 10 power steps, cut per step
+    for (name <- iterative) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.optimizedPlan
+      val nodes = plan.collect { case n => n }
+      val cuts = nodes.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+      val scans = nodes.count {
+        case _: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          true
+        case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          true
+        case _ => false
+      }
+      info(s"$name: ${nodes.length} nodes, $cuts cuts, $scans scans")
+      assert(cuts >= 1,
+        s"$name: no LogicalRDD in the final plan — the checkpoint cut " +
+        "was removed")
+      // Every base-table scan must sit BEHIND a cut: a file leaf in the
+      // final plan means some round's lineage reaches past its
+      // checkpoint back to the raw tables, and the scan replays once
+      // per downstream reference.
+      assert(scans == 0,
+        s"$name: $scans file-scan leaves in the final plan — lineage " +
+        "reaches past the checkpoint to the base tables")
+      // Linear-in-rounds headroom (measured 4-73 nodes today): an
+      // uncut multiplicative shape (3^4 edge-list references in q184
+      // alone) lands in the thousands.
+      assert(nodes.length <= 350,
+        s"$name: optimized plan has ${nodes.length} nodes — lineage is " +
+        "growing faster than linear in the round count")
+    }
+  }
 }
