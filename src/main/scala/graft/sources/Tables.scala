@@ -1,6 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Readers for the harness parquet tables (TESTDATA.md / FIXTURES.md).
   *
@@ -16,7 +18,29 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Harness testdata generations differ in parquet timestamp encoding:
+    * some write TIMESTAMP with isAdjustedToUTC=true (→ TimestampType),
+    * newer ones write isAdjustedToUTC=false µs (→ TimestampNTZType under
+    * Spark 4's NTZ inference). NTZ breaks `unix_micros`, integer casts
+    * and streaming watermarks, so normalize every NTZ column back to
+    * TimestampType here, at the single scan entry point. The session
+    * time zone is pinned to UTC (Engine.scala), so the cast is a pure
+    * type reinterpretation — identical micros, identical rendering on
+    * both the Spark and DuckDB sides of the oracle compare.
+    */
+  def normalizeNtz(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (ntz.isEmpty) df
+    else {
+      val cols: Array[Column] = df.schema.fields.map { f =>
+        if (f.dataType == TimestampNTZType) col(f.name).cast(TimestampType).as(f.name)
+        else col(f.name)
+      }
+      df.select(cols.toIndexedSeq: _*)
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

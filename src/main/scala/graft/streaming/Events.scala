@@ -45,9 +45,14 @@ object Events {
       }
     val schema = s.read.parquet(src.toString).schema
     val raw = s.readStream.schema(schema).parquet(streamDir.toString)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    val withTs =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    // Newer testdata reads ts as TIMESTAMP_NTZ, which watermarks reject
+    // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — same UTC-safe
+    // normalization as the batch reader.
+    graft.sources.Tables.normalizeNtz(withTs)
   }
 
   /** Tumbling-window counts/sums per event type. */

@@ -86,4 +86,28 @@ class OutputDomainSpec extends SparkSpec {
       s"out-of-domain output values (driver hash would diverge):\n  " +
         failures.mkString("\n  "))
   }
+
+  /** Round-9 driver regression guard: a testdata regeneration switched
+    * the parquet timestamps to isAdjustedToUTC=false, which Spark 4
+    * infers as TIMESTAMP_NTZ — breaking `unix_micros` (q148), integer
+    * casts (q87) and streaming watermarks at the driver while every
+    * local run on the older encoding stayed green. `Tables.load` now
+    * normalizes NTZ → TimestampType at the scan (UTC session zone makes
+    * the cast a pure reinterpretation); these checks pin that contract
+    * so neither a new table nor a new query can reintroduce NTZ.
+    */
+  test("base tables and query outputs never expose TIMESTAMP_NTZ") {
+    for (t <- graft.sources.Tables.names) {
+      val ntz = graft.sources.Tables.load(spark, sfDir, t)
+        .schema.fields.filter(_.dataType == TimestampNTZType).map(_.name)
+      assert(ntz.isEmpty, s"table $t exposes NTZ columns: ${ntz.mkString(",")}")
+    }
+    assert(graft.sources.Tables.events(spark, sfDir).schema("ts").dataType == TimestampType)
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val ntz = fn(spark, sfDir).schema.fields
+        .filter(_.dataType == TimestampNTZType).map(_.name)
+      if (ntz.isEmpty) None else Some(s"$name: ${ntz.mkString(",")}")
+    }
+    assert(bad.isEmpty, s"query outputs expose NTZ columns:\n  ${bad.mkString("\n  ")}")
+  }
 }
