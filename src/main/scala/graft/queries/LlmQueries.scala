@@ -1336,6 +1336,108 @@ object LlmQueries extends QueryPack {
         .orderBy("vec_id")
     }),
 
+    // LEAKAGE-SAFE train/eval split — the contamination-prevention
+    // step of dataset curation: near-duplicate documents must land on
+    // the SAME side of the split, or eval examples leak into training
+    // as paraphrases. Cluster proxy is q44's normalized 5-token prefix
+    // key; the whole cluster is assigned atomically by an md5 threshold
+    // on its representative id (the q112 deterministic-sampling
+    // pattern — rerun/engine-stable, no RNG state). Scale: one
+    // hash-keyed aggregate + one 2-group rollup; cluster atomicity is
+    // structural (the split is a function of the cluster key alone),
+    // so no cross-side pair check is ever needed.
+    "q201_leakage_safe_split" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(Text.tokens(col("text")), 1, 5)).as("ckey"),
+          size(Text.tokens(col("text"))).as("n_tokens"))
+      val clusters = d.groupBy("ckey")
+        .agg(min("doc_id").as("rep"), count(lit(1)).as("cn"),
+          sum("n_tokens").as("ct"))
+      clusters
+        .withColumn("split",
+          when(substring(md5(concat(lit("split:"), col("rep").cast("string"))),
+            1, 2) < "cc", "train").otherwise("eval"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_clusters"), sum("cn").as("n_docs"),
+          sum("ct").as("n_tokens"))
+        .orderBy("split")
+    }),
+
+    // DOMAIN BLOCKLIST INDUCTION — the C4-style source-level quality
+    // gate: aggregate per-document quality signals to the source
+    // (domain) level and flag sources whose short-doc or low-stopword
+    // fraction crosses a threshold. All-integer arithmetic (counts +
+    // cross-multiplied threshold compares), so the result is bit-exact
+    // by construction. Scale: one narrow per-row pass + one aggregate
+    // keyed on source — the blocklist output is |sources| rows and
+    // broadcasts back over any corpus size as a filter.
+    "q202_domain_blocklist" -> ((s, dir) => {
+      val toks = Text.tokens(col("text"))
+      val d = Tables.documents(s, dir).select(
+        col("source"),
+        size(toks).as("nt"),
+        size(filter(toks, t => t.isin("the", "a", "of", "and"))).as("ns"))
+      d.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("nt") < 30, 1L).otherwise(0L)).as("n_short"),
+          sum(when(col("ns") * 10 < col("nt"), 1L).otherwise(0L)).as("n_lowstop"),
+          sum(col("nt").cast("long")).as("total_tokens"))
+        .withColumn("blocked",
+          (col("n_short") * 5 > col("n_docs") ||
+            col("n_lowstop") * 2 > col("n_docs")).cast("int"))
+        .orderBy("source")
+    }),
+
+    // ANN RECALL@K EVAL — the standard index-quality metric: how many
+    // of the exact top-k (q51's brute-force baseline) does the IVF
+    // index (q67's parameters) recover per probe. recall is emitted as
+    // an exact integer percent (n_hits × 100 / k with k=5) so the
+    // compare is float-free. Scale: the truth side is the deliberate
+    // probes×corpus baseline (bounded by the probe-set contract, like
+    // q51); the approx side is cell-bounded; the join is k·|probes|
+    // rows on both sides.
+    "q203_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") < 10)
+      val truth = Similarity.topK(probes, emb, k = 5)
+        .select("probe_id", "cand_id")
+      val approx = Similarity.topKIvf(probes, emb, k = 5, nLists = 4)
+        .select(col("probe_id"), col("cand_id"))
+      val hits = truth.join(approx, Seq("probe_id", "cand_id"), "left_semi")
+        .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
+      truth.select("probe_id").distinct()
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .withColumn("recall_pct", (col("n_hits") * 20).cast("int"))
+        .orderBy("probe_id")
+    }),
+
+    // MATRYOSHKA (MRL) TRUNCATION FIDELITY — the embedding-storage
+    // trade study: how much of each vector's energy survives keeping
+    // only the first 16 of 64 dims (truncate-and-renorm serving, the
+    // MRL deployment pattern). Per-row doubles replayed by identical
+    // arithmetic in the oracle (the q50/q81 pattern); `keep_16` is the
+    // integer gate at 90 % energy. Narrow per-row map — no shuffle
+    // beyond the contract sort, any-scale safe.
+    "q204_matryoshka_fidelity" -> ((s, dir) => {
+      val full = col("embedding")
+      val head = slice(col("embedding"), 1, 16)
+      val d64 = Similarity.dotHof(full, full)
+      val d16 = Similarity.dotHof(head, head)
+      Tables.embeddings(s, dir)
+        .select(
+          col("vec_id"),
+          sqrt(d64).as("norm_full"),
+          sqrt(d16).as("norm_m16"),
+          when(d64 === 0.0, lit(0.0)).otherwise(d16 / d64).as("energy_frac16"))
+        .withColumn("keep_16",
+          (col("energy_frac16") >= 0.9).cast("int"))
+        .orderBy("vec_id")
+    }),
+
     // Multimodal binary column: text encoded as opaque BINARY media,
     // byte-level features extracted scan-side (the codec-free half of
     // ops/Multimodal; the mapPartitions decode-stub path is
@@ -2476,6 +2578,96 @@ object LlmQueries extends QueryPack {
         |  CAST(list_max(q) AS INT) AS q_max,
         |  CAST(list_min(q) AS INT) AS q_min
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q201_leakage_safe_split" ->
+      """WITH d AS (SELECT doc_id,
+        |    array_to_string(list_filter(string_split(text, ' '),
+        |      t -> t <> '')[1:5], ' ') AS ckey,
+        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT ckey, min(doc_id) AS rep, count(*) AS cn,
+        |    CAST(sum(n_tokens) AS BIGINT) AS ct
+        |  FROM d GROUP BY ckey)
+        |SELECT CASE WHEN substring(md5('split:'||CAST(rep AS VARCHAR)), 1, 2) < 'cc'
+        |    THEN 'train' ELSE 'eval' END AS split,
+        |  count(*) AS n_clusters,
+        |  CAST(sum(cn) AS BIGINT) AS n_docs,
+        |  CAST(sum(ct) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q202_domain_blocklist" ->
+      """WITH d AS (SELECT source,
+        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS nt,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','of','and'))) AS ns
+        |  FROM documents),
+        |g AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN nt < 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |    CAST(sum(CASE WHEN ns*10 < nt THEN 1 ELSE 0 END) AS BIGINT) AS n_lowstop,
+        |    CAST(sum(nt) AS BIGINT) AS total_tokens
+        |  FROM d GROUP BY source)
+        |SELECT source, n_docs, n_short, n_lowstop, total_tokens,
+        |  CAST(CASE WHEN n_short*5 > n_docs OR n_lowstop*2 > n_docs
+        |    THEN 1 ELSE 0 END AS INT) AS blocked
+        |FROM g ORDER BY source""".stripMargin,
+
+    // Recall eval: brute-force truth (q51's replay) LEFT JOIN the IVF
+    // top-k (q67's replay at the same parameters) — the oracle
+    // re-derives BOTH sides, so the metric itself is hash-checked.
+    "q203_ann_recall" -> (ivfCellsCte + ",\n" +
+      """ivf_scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    CASE WHEN list_dot_product(ep.v, ep.v) = 0
+        |           OR list_dot_product(ec.v, ec.v) = 0 THEN 0.0
+        |         ELSE list_dot_product(ep.v, ec.v) /
+        |           (sqrt(list_dot_product(ep.v, ep.v)) *
+        |            sqrt(list_dot_product(ec.v, ec.v))) END AS cos
+        |  FROM cells p
+        |  JOIN cells c ON p.cell = c.cell AND c.vec_id <> p.vec_id
+        |  JOIN e ep ON ep.vec_id = p.vec_id
+        |  JOIN e ec ON ec.vec_id = c.vec_id
+        |  WHERE p.vec_id < 10),
+        |ivf AS (
+        |  SELECT probe_id, cand_id FROM (
+        |    SELECT probe_id, cand_id,
+        |      row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY cos DESC, cand_id) AS rnk
+        |    FROM ivf_scored) WHERE rnk <= 5),
+        |brute_scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    CASE WHEN list_dot_product(p.v, p.v) = 0
+        |           OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+        |         ELSE list_dot_product(p.v, c.v) /
+        |           (sqrt(list_dot_product(p.v, p.v)) *
+        |            sqrt(list_dot_product(c.v, c.v))) END AS cos
+        |  FROM e p JOIN e c ON c.vec_id <> p.vec_id
+        |  WHERE p.vec_id < 10),
+        |brute AS (
+        |  SELECT probe_id, cand_id FROM (
+        |    SELECT probe_id, cand_id,
+        |      row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY cos DESC, cand_id) AS rnk
+        |    FROM brute_scored) WHERE rnk <= 5)
+        |SELECT b.probe_id,
+        |  CAST(count(i.cand_id) AS BIGINT) AS n_hits,
+        |  CAST(count(i.cand_id) * 20 AS INT) AS recall_pct
+        |FROM brute b LEFT JOIN ivf i
+        |  ON b.probe_id = i.probe_id AND b.cand_id = i.cand_id
+        |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin),
+
+    "q204_matryoshka_fidelity" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id,
+        |    list_dot_product(v, v) AS d64,
+        |    list_dot_product(v[1:16], v[1:16]) AS d16
+        |  FROM e)
+        |SELECT vec_id, sqrt(d64) AS norm_full, sqrt(d16) AS norm_m16,
+        |  CASE WHEN d64 = 0 THEN 0.0 ELSE d16 / d64 END AS energy_frac16,
+        |  CAST(CASE WHEN (CASE WHEN d64 = 0 THEN 0.0 ELSE d16 / d64 END) >= 0.9
+        |    THEN 1 ELSE 0 END AS INT) AS keep_16
+        |FROM m ORDER BY vec_id""".stripMargin,
 
     // q54/q55: xxhash64-based sketches have no DuckDB equivalent →
     // rows-only + LlmSpec property tests. q56/q67 ARE oracle-checked

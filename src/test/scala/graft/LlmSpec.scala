@@ -455,4 +455,53 @@ class LlmSpec extends SparkSpec {
     assert(planted >= (eligible * 9) / 10,
       s"winnowing found $planted planted pairs of ~$eligible eligible")
   }
+
+  test("q201 leakage safety: no dup cluster ever straddles the split") {
+    // The structural property the query exists for: split is a function
+    // of the cluster key alone. Re-derive the per-DOC assignment and
+    // assert every cluster key maps to exactly one side — then check
+    // both sides are non-empty (the md5 threshold actually splits).
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(Text.tokens(col("text")), 1, 5)).as("ckey"))
+    val rep = d.groupBy("ckey").agg(min("doc_id").as("rep"))
+    val perDoc = d.join(rep, "ckey")
+      .withColumn("split",
+        when(substring(md5(concat(lit("split:"), col("rep").cast("string"))),
+          1, 2) < "cc", "train").otherwise("eval"))
+    val straddling = perDoc.groupBy("ckey")
+      .agg(countDistinct("split").as("sides"))
+      .filter(col("sides") > 1).count()
+    assert(straddling == 0L, s"$straddling clusters straddle the split")
+    val sides = perDoc.select("split").distinct().count()
+    assert(sides == 2L, "expected both train and eval to be non-empty")
+  }
+
+  test("q203 recall eval: per-probe hits bounded by k and ivf recall is nontrivial") {
+    val rows = SparkEntry.queries("q203_ann_recall")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    assert(rows.forall { r =>
+      val h = r.getAs[Long]("n_hits")
+      h >= 0L && h <= 5L && r.getAs[Int]("recall_pct") == h * 20
+    })
+    // IVF with 4 cells must recover a nontrivial share of the exact
+    // top-5 across 10 probes (mirrors the q67 recall property).
+    assert(rows.map(_.getAs[Long]("n_hits")).sum >= 10L)
+  }
+
+  test("q204 matryoshka: energy fraction in [0,1] and consistent with norms") {
+    val rows = SparkEntry.queries("q204_matryoshka_fidelity")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("energy_frac16")
+      val nf = r.getAs[Double]("norm_full")
+      val nm = r.getAs[Double]("norm_m16")
+      assert(f >= 0.0 && f <= 1.0 + 1e-12)
+      assert(nm <= nf + 1e-9, "truncated norm cannot exceed full norm")
+      if (nf > 0)
+        assert(math.abs(f - (nm * nm) / (nf * nf)) < 1e-9)
+      assert(r.getAs[Int]("keep_16") == (if (f >= 0.9) 1 else 0))
+    }
+  }
 }

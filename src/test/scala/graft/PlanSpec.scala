@@ -413,6 +413,9 @@ class PlanSpec extends SparkSpec {
       // by operator contract and broadcasts — the all-pairs-free scale
       // path is q56/q67/q100, not this baseline
       "q51_cosine_topk" -> "exact-scoring baseline, broadcast probe set",
+      // the recall eval's TRUTH side is q51's baseline by definition;
+      // the approx side under evaluation stays cell-bounded
+      "q203_ann_recall" -> "inherits q51's exact-baseline probe broadcast",
       // bounded probe-window pair scans (join key is only id_a < id_b);
       // the full-corpus near-dup path is q54/q94's bucketed equi join
       "q52_ngram_jaccard" -> "probe-window pair scan, bounded window",
