@@ -1438,6 +1438,80 @@ object LlmQueries extends QueryPack {
         .orderBy("vec_id")
     }),
 
+    // BPE MERGE-CANDIDATE INDUCTION — the inner counting step of
+    // tokenizer training: the most frequent adjacent character pair
+    // across the corpus is the next merge rule. Narrow double explode
+    // (token → in-word char pairs) into one hash aggregate + top-20
+    // (TakeOrderedAndProject, never a global sort). The `length >= 2`
+    // guard matters: Spark's `sequence(1, 0)` DESCENDS ([1,0]) instead
+    // of returning empty, so 1-char tokens must be filtered before the
+    // sequence is built.
+    "q205_bpe_merge_candidates" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) >= 2)
+      toks
+        .select(explode(transform(
+          sequence(lit(1), length(col("tok")) - 1),
+          i => col("tok").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    }),
+
+    // LENGTH-CURRICULUM TERTILES — per-source short/mid/long thirds by
+    // token count, the bucket-assignment machinery of a CCNet-style
+    // head/middle/tail split (swap the score column for an LM score
+    // and the shape is CCNet). Exact per-group tertiles at scale via
+    // the q104 value-count pattern: cutoffs come from a cumulative
+    // window over the AGGREGATED (source, length) count table —
+    // bounded by |sources| × |distinct lengths|, never a window over
+    // raw docs — then broadcast-join back. A length value straddling a
+    // boundary goes entirely to the earlier bucket (deterministic,
+    // integer cross-multiplied compares).
+    "q206_length_curriculum" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        size(Text.tokens(col("text"))).as("nt"))
+      val vc = d.groupBy("source", "nt").agg(count(lit(1)).as("c"))
+      val cut = vc
+        .withColumn("cum", sum("c").over(
+          w.partitionBy("source").orderBy("nt")))
+        .withColumn("tot", sum("c").over(w.partitionBy("source")))
+        .withColumn("bucket",
+          when((col("cum") - col("c")) * 3 < col("tot"), "short")
+            .when((col("cum") - col("c")) * 3 < col("tot") * 2, "mid")
+            .otherwise("long"))
+        .select("source", "nt", "bucket")
+      d.join(cut, Seq("source", "nt"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt").cast("long")).as("token_mass"))
+        .orderBy("source", "bucket")
+    }),
+
+    // SOURCE MIRROR MATRIX — which sources duplicate each other's
+    // content (mirror/scrape detection in corpus curation): pairs of
+    // docs sharing q44's normalized prefix key across DIFFERENT
+    // sources, counted per unordered source pair. Equi-join on the
+    // cluster key (candidate volume bounded by dup-cluster sizes, the
+    // q44/q107 justification); the matrix output is at most
+    // |sources|² rows.
+    "q207_source_mirror_matrix" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        concat_ws(" ", slice(Text.tokens(col("text")), 1, 5)).as("ckey"))
+      val a = d.select(col("ckey"), col("doc_id").as("id_a"),
+        col("source").as("src_a"))
+      val b = d.select(col("ckey"), col("doc_id").as("id_b"),
+        col("source").as("src_b"))
+      a.join(b, Seq("ckey"))
+        .filter(col("id_a") < col("id_b") && col("src_a") =!= col("src_b"))
+        .select(least(col("src_a"), col("src_b")).as("source_a"),
+          greatest(col("src_a"), col("src_b")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // Multimodal binary column: text encoded as opaque BINARY media,
     // byte-level features extracted scan-side (the codec-free half of
     // ops/Multimodal; the mapPartitions decode-stub path is
@@ -2654,6 +2728,46 @@ object LlmQueries extends QueryPack {
         |FROM brute b LEFT JOIN ivf i
         |  ON b.probe_id = i.probe_id AND b.cand_id = i.cand_id
         |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin),
+
+    "q205_bpe_merge_candidates" ->
+      """WITH w AS (SELECT unnest(list_filter(string_split(text, ' '),
+        |      t -> t <> '')) AS tok FROM documents),
+        |p AS (SELECT unnest(list_transform(generate_series(1, length(tok)-1),
+        |      i -> substring(tok, CAST(i AS INT), 2))) AS pair
+        |  FROM w WHERE length(tok) >= 2)
+        |SELECT pair, count(*) AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    "q206_length_curriculum" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS nt
+        |  FROM documents),
+        |vc AS (SELECT source, nt, count(*) AS c FROM d GROUP BY 1, 2),
+        |cu AS (SELECT source, nt, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY nt) AS cum,
+        |    sum(c) OVER (PARTITION BY source) AS tot
+        |  FROM vc),
+        |b AS (SELECT source, nt,
+        |    CASE WHEN (cum - c)*3 < tot THEN 'short'
+        |         WHEN (cum - c)*3 < tot*2 THEN 'mid'
+        |         ELSE 'long' END AS bucket
+        |  FROM cu)
+        |SELECT d.source, b.bucket, count(*) AS n_docs,
+        |  CAST(sum(d.nt) AS BIGINT) AS token_mass
+        |FROM d JOIN b ON d.source = b.source AND d.nt = b.nt
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q207_source_mirror_matrix" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    array_to_string(list_filter(string_split(text, ' '),
+        |      t -> t <> '')[1:5], ' ') AS ckey
+        |  FROM documents)
+        |SELECT least(a.source, b.source) AS source_a,
+        |  greatest(a.source, b.source) AS source_b,
+        |  count(*) AS n_pairs
+        |FROM d a JOIN d b
+        |  ON a.ckey = b.ckey AND a.doc_id < b.doc_id AND a.source <> b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q204_matryoshka_fidelity" ->
       """WITH e AS (SELECT vec_id,

@@ -489,6 +489,58 @@ class LlmSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_hits")).sum >= 10L)
   }
 
+  test("q205 BPE merges: pairs are 2 chars, counts non-increasing, top pair dominates") {
+    val rows = SparkEntry.queries("q205_bpe_merge_candidates")(spark, sfDir)
+      .collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[String]("pair").length == 2))
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+      "top-20 must come back in non-increasing count order")
+    assert(ns.head >= ns.last)
+  }
+
+  test("q206 curriculum: buckets partition each source and tertiles are balanced") {
+    val rows = SparkEntry.queries("q206_length_curriculum")(spark, sfDir)
+      .collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    val totals = Tables.documents(spark, sfDir).groupBy("source").count()
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("count"))
+      .toMap
+    for ((src, rs) <- bySource) {
+      assert(rs.map(_.getAs[String]("bucket")).toSet.subsetOf(
+        Set("short", "mid", "long")))
+      assert(rs.map(_.getAs[Long]("n_docs")).sum == totals(src),
+        s"$src: buckets must partition the source's docs")
+      // A boundary-straddling length block is lumped into the earlier
+      // bucket, so a bucket can exceed n/3 by at most the largest
+      // same-length block; with this fixture's length spread each
+      // bucket stays within 2x of the ideal third.
+      rs.foreach { r =>
+        assert(r.getAs[Long]("n_docs") <= (2 * totals(src)) / 3 + 1,
+          s"$src/${r.getAs[String]("bucket")} is implausibly large")
+      }
+    }
+  }
+
+  test("q207 mirror matrix: canonical pair order, counts match a direct recount") {
+    val rows = SparkEntry.queries("q207_source_mirror_matrix")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty, "fixture must contain cross-source prefix collisions")
+    assert(rows.forall(r =>
+      r.getAs[String]("source_a") < r.getAs[String]("source_b")))
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    // direct recount of cross-source pairs, independent of the matrix
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", slice(Text.tokens(col("text")), 1, 5)).as("ckey"))
+    val n = d.as("a").join(d.as("b"), Seq("ckey"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        col("a.source") =!= col("b.source"))
+      .count()
+    assert(total == n)
+  }
+
   test("q204 matryoshka: energy fraction in [0,1] and consistent with norms") {
     val rows = SparkEntry.queries("q204_matryoshka_fidelity")(spark, sfDir)
       .collect()
