@@ -1423,10 +1423,13 @@ object LlmQueries extends QueryPack {
     // integer gate at 90 % energy. Narrow per-row map — no shuffle
     // beyond the contract sort, any-scale safe.
     "q204_matryoshka_fidelity" -> ((s, dir) => {
+      // graft_dot (native, codegen'd) over the float arrays — bit-equal
+      // to the interpreted HOF fold (DotProductSpec) and stays inside
+      // WholeStageCodegen; the slice feeds it a plain array<float>.
       val full = col("embedding")
       val head = slice(col("embedding"), 1, 16)
-      val d64 = Similarity.dotHof(full, full)
-      val d16 = Similarity.dotHof(head, head)
+      val d64 = Similarity.dot(full, full)
+      val d16 = Similarity.dot(head, head)
       Tables.embeddings(s, dir)
         .select(
           col("vec_id"),
