@@ -132,6 +132,41 @@ object LlmQueries extends QueryPack {
       }
     }
 
+  /** The q107/q209 shared fixture: a corpus with PLANTED near-dup
+    * structure (scaled copies of the base embeddings — cosine-1 to
+    * their original, so component membership has an exact ground
+    * truth), LSH-bucketed edge generation, and label-propagation
+    * connected components. Output: (vec_id, component), unordered —
+    * each consumer applies its own contract sort.
+    */
+  private def dedupComponentsFixture(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < 500).select("vec_id", "embedding")
+    def scaled(df: org.apache.spark.sql.DataFrame, factor: Float, shift: Long) =
+      df.select(
+        (col("vec_id") + shift).as("vec_id"),
+        transform(col("embedding"), x => x * lit(factor)).as("embedding"))
+    val even = base.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val odd = base.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val corpus = base
+      .unionAll(scaled(even, 2.0f, 100000L))
+      .unionAll(scaled(even, 4.0f, 200000L))
+      .unionAll(scaled(odd, -2.0f, 100000L))
+    val indexed = corpus.withColumn(
+      "bucket", Similarity.lshBucket(col("embedding"), nPlanes = 16, dim = 64))
+    val a = indexed.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("bucket"))
+    val b = indexed.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("bucket"))
+    val edges = a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("va"), col("vb")) > 0.9)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    Dedup.connectedComponents(corpus.select(col("vec_id").as("id")), edges)
+      .select(col("id").as("vec_id"), col("lbl").as("component"))
+  }
+
   /** The persisted centroid matrix as the driver-side array
     * [[Similarity.topKIvfIndexed]] needs — from the cache when this
     * session built/loaded it already, else one bounded (≤ nLists rows)
@@ -1308,33 +1343,20 @@ object LlmQueries extends QueryPack {
     // singletons). The oracle replays the graph on brute-force
     // all-pairs and resolves components with a recursive CTE —
     // label-propagation and transitive closure must agree exactly.
-    "q107_dedup_components" -> ((s, dir) => {
-      val base = Tables.embeddings(s, dir)
-        .filter(col("vec_id") < 500).select("vec_id", "embedding")
-      def scaled(df: org.apache.spark.sql.DataFrame, factor: Float, shift: Long) =
-        df.select(
-          (col("vec_id") + shift).as("vec_id"),
-          transform(col("embedding"), x => x * lit(factor)).as("embedding"))
-      val even = base.filter(pmod(col("vec_id"), lit(2)) === 0)
-      val odd = base.filter(pmod(col("vec_id"), lit(2)) === 1)
-      val corpus = base
-        .unionAll(scaled(even, 2.0f, 100000L))
-        .unionAll(scaled(even, 4.0f, 200000L))
-        .unionAll(scaled(odd, -2.0f, 100000L))
-      val indexed = corpus.withColumn(
-        "bucket", Similarity.lshBucket(col("embedding"), nPlanes = 16, dim = 64))
-      val a = indexed.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-        col("bucket"))
-      val b = indexed.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-        col("bucket"))
-      val edges = a.join(b, Seq("bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(Similarity.cosine(col("va"), col("vb")) > 0.9)
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-      Dedup.connectedComponents(corpus.select(col("vec_id").as("id")), edges)
-        .select(col("id").as("vec_id"), col("lbl").as("component"))
-        .orderBy("vec_id")
-    }),
+    "q107_dedup_components" -> ((s, dir) =>
+      dedupComponentsFixture(s, dir).orderBy("vec_id")),
+
+    // DUP-CLUSTER SIZE HISTOGRAM — the curation diagnostic read off the
+    // component structure: how many near-dup clusters exist at each
+    // size (size 1 = unique docs; a heavy tail of large clusters means
+    // boilerplate/mirror content dominates the corpus). Two cheap
+    // aggregations over q107's component table — the histogram is at
+    // most |distinct sizes| rows at any corpus scale.
+    "q209_dup_cluster_histogram" -> ((s, dir) =>
+      dedupComponentsFixture(s, dir)
+        .groupBy("component").agg(count(lit(1)).as("csize"))
+        .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("csize")),
 
     // LEAKAGE-SAFE train/eval split — the contamination-prevention
     // step of dataset curation: near-duplicate documents must land on
@@ -1490,6 +1512,33 @@ object LlmQueries extends QueryPack {
         .groupBy("source", "bucket")
         .agg(count(lit(1)).as("n_docs"), sum(col("nt").cast("long")).as("token_mass"))
         .orderBy("source", "bucket")
+    }),
+
+    // IVF INDEX HEALTH REPORT — the ANN-ops diagnostic a production
+    // index needs: per-cell population (balance: a skewed cell is a
+    // slow probe) and cohesion (mean cosine of members to their
+    // centroid — a low-cohesion cell means the coarse quantizer fits
+    // the data badly there). Cosines are floor(x·1e9 + 0.5)-quantized
+    // BEFORE the per-cell sum, so the unordered aggregation is exact
+    // integer arithmetic (the verify-skill rule for cross-row float
+    // sums); the mean divides the exact sum once, identically on both
+    // engines. Assignment + recomputed centroid cosine replay in SQL.
+    "q208_ivf_cell_health" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.seedCentroids(emb, nLists = 4)
+      val centDf = cents.toSeq.toDF("cell", "centroid")
+      Similarity.assignCells(emb, cents)
+        .join(broadcast(centDf), Seq("cell"))
+        .select(col("cell"),
+          floor(Similarity.cosine(col("cv"), col("centroid")) * 1e9 + 0.5)
+            .cast("long").as("qcos"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"), sum("qcos").as("sum_qcos"),
+          min("qcos").as("min_qcos"), max("qcos").as("max_qcos"))
+        .withColumn("mean_cos",
+          (col("sum_qcos").cast("double") / col("n_vecs")) / 1e9)
+        .orderBy("cell")
     }),
 
     // SOURCE MIRROR MATRIX — which sources duplicate each other's
@@ -2638,6 +2687,49 @@ object LlmQueries extends QueryPack {
         |SELECT id AS vec_id, CAST(min(lbl) AS BIGINT) AS component
         |FROM walk GROUP BY id ORDER BY vec_id""".stripMargin,
 
+    // q107's transitive-closure replay wrapped in the two histogram
+    // aggregations.
+    "q209_dup_cluster_histogram" ->
+      """WITH RECURSIVE base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(2.0 AS DOUBLE) AS FLOAT))
+        |  FROM base WHERE vec_id % 2 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 200000,
+        |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(4.0 AS DOUBLE) AS FLOAT))
+        |  FROM base WHERE vec_id % 2 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * CAST(-2.0 AS DOUBLE) AS FLOAT))
+        |  FROM base WHERE vec_id % 2 = 1),
+        |e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM corpus),
+        |edges AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE (CASE WHEN list_dot_product(a.v, a.v) = 0
+        |                OR list_dot_product(b.v, b.v) = 0 THEN 0.0
+        |         ELSE list_dot_product(a.v, b.v) /
+        |           (sqrt(list_dot_product(a.v, a.v)) *
+        |            sqrt(list_dot_product(b.v, b.v))) END) > 0.9),
+        |sym AS (
+        |  SELECT src, dst FROM edges
+        |  UNION SELECT dst AS src, src AS dst FROM edges),
+        |walk(id, lbl) AS (
+        |  SELECT vec_id, vec_id FROM corpus
+        |  UNION
+        |  SELECT s.dst, w.lbl FROM walk w JOIN sym s ON s.src = w.id),
+        |comp AS (
+        |  SELECT id, min(lbl) AS component FROM walk GROUP BY id),
+        |cs AS (
+        |  SELECT component, count(*) AS csize FROM comp GROUP BY component)
+        |SELECT csize, count(*) AS n_clusters
+        |FROM cs GROUP BY csize ORDER BY csize""".stripMargin,
+
     "q99_int8_quant" ->
       """WITH s AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2759,6 +2851,44 @@ object LlmQueries extends QueryPack {
         |  CAST(sum(d.nt) AS BIGINT) AS token_mass
         |FROM d JOIN b ON d.source = b.source AND d.nt = b.nt
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Replays the cell assignment (the ivfCellsCte chain, but keeping
+    // the winning ccos) and the exact-integer cohesion arithmetic.
+    "q208_ivf_cell_health" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |mx AS (SELECT greatest(1, (max(vec_id)+1) // 4) AS stride FROM embeddings),
+        |strided AS (
+        |  SELECT vec_id AS cid, v FROM e, mx
+        |  WHERE vec_id % mx.stride = 0 ORDER BY vec_id LIMIT 4),
+        |fallback AS (SELECT vec_id AS cid, v FROM e ORDER BY vec_id LIMIT 4),
+        |cents AS (
+        |  SELECT * FROM strided
+        |  UNION ALL
+        |  SELECT * FROM fallback
+        |  WHERE NOT EXISTS (SELECT 1 FROM strided)),
+        |assign AS (
+        |  SELECT e.vec_id, c.cid,
+        |    CASE WHEN list_dot_product(e.v, e.v) = 0
+        |           OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+        |         ELSE list_dot_product(e.v, c.v) /
+        |           (sqrt(list_dot_product(e.v, e.v)) *
+        |            sqrt(list_dot_product(c.v, c.v))) END AS ccos
+        |  FROM e CROSS JOIN cents c),
+        |best AS (
+        |  SELECT vec_id, cid AS cell, ccos FROM (
+        |    SELECT vec_id, cid, ccos, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cid DESC) AS rn FROM assign)
+        |  WHERE rn = 1),
+        |q AS (SELECT cell,
+        |    CAST(floor(ccos*1000000000 + 0.5) AS BIGINT) AS qcos
+        |  FROM best)
+        |SELECT cell, count(*) AS n_vecs,
+        |  CAST(sum(qcos) AS BIGINT) AS sum_qcos,
+        |  min(qcos) AS min_qcos, max(qcos) AS max_qcos,
+        |  (CAST(sum(qcos) AS DOUBLE) / count(*)) / 1000000000 AS mean_cos
+        |FROM q GROUP BY cell ORDER BY cell""".stripMargin,
 
     "q207_source_mirror_matrix" ->
       """WITH d AS (SELECT doc_id, source,

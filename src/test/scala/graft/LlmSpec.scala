@@ -541,6 +541,35 @@ class LlmSpec extends SparkSpec {
     assert(total == n)
   }
 
+  test("q208 index health: cells partition the corpus, cohesion within [-1,1]") {
+    val rows = SparkEntry.queries("q208_ivf_cell_health")(spark, sfDir)
+      .collect()
+    assert(rows.length == 4)
+    val corpusN = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == corpusN,
+      "every vector must land in exactly one cell")
+    rows.foreach { r =>
+      val mean = r.getAs[Double]("mean_cos")
+      assert(mean >= -1.0 - 1e-9 && mean <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("min_qcos") <= r.getAs[Long]("max_qcos"))
+    }
+  }
+
+  test("q209 histogram: cluster sizes conserve the planted fixture corpus") {
+    val rows = SparkEntry.queries("q209_dup_cluster_histogram")(spark, sfDir)
+      .collect()
+    // Σ size × clusters = |fixture corpus| = 500 base + 2×(evens) + odds
+    val base = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 500).count()
+    val evens = (0L until base).count(_ % 2 == 0)
+    val expected = base + 2 * evens + (base - evens)
+    val mass = rows.map(r =>
+      r.getAs[Long]("csize") * r.getAs[Long]("n_clusters")).sum
+    assert(mass == expected, s"histogram mass $mass != corpus $expected")
+    // the planted scaled copies guarantee multi-member clusters exist
+    assert(rows.exists(_.getAs[Long]("csize") > 1L))
+  }
+
   test("q204 matryoshka: energy fraction in [0,1] and consistent with norms") {
     val rows = SparkEntry.queries("q204_matryoshka_fidelity")(spark, sfDir)
       .collect()
