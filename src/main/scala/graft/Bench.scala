@@ -88,8 +88,20 @@ object Bench {
       graft.queries.SourceQueries.resetQ89State()
     }
 
-    // Warmup (not timed): flagship join+agg touches scan/join/agg/codegen.
-    try runNoop("q03_join_agg") catch { case _: Throwable => () }
+    // Warmup (not timed), one query per major execution-path family:
+    // scan/join/agg (q03), window + range-partitioned two-phase rank
+    // (q102), explode + higher-order functions (q46), and the native
+    // codegen'd vector expressions (q51). Rationale: the driver's
+    // round-9 artifact showed the EARLY-alphabetical q1xx entries
+    // (q102 5.9 s, q107 5.0, q106 4.4 vs ~1.4 s locally) paying C2
+    // JIT compilation of the window/graph paths in BOTH back-to-back
+    // reps, because the old single q03 warmup only compiled the
+    // scan/join/agg pipeline. Warmup state is reset afterwards so the
+    // first timed query still measures a cold pipeline, not a warm
+    // cache.
+    for (w <- Seq("q03_join_agg", "q102_scalable_rank", "q46_tf", "q51_cosine_topk"))
+      try runNoop(w) catch { case _: Throwable => () }
+    resetMemoizedState("warmup")
 
     val failures = scala.collection.mutable.ListBuffer[String]()
     // (name, minSec, maxSec); -1 on failure.
