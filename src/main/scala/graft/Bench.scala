@@ -37,8 +37,11 @@ import java.nio.file.{Files, Paths}
   *    count) sized to survive the driver's truncating capture whole
   *    (~2400-char line cap then last ~2000 chars — BENCH_r08's full
   *    200-query map was cut on both ends and parsed to null);
-  *  - a streaming throughput leg (watermarked tumbling-window agg,
-  *    AvailableNow) runs by default and is reported as `streaming_sec`.
+  *  - two streaming throughput legs run by default (AvailableNow over
+  *    the file stream): watermarked tumbling-window agg
+  *    (`streaming_sec`, the bounded-state path) and session windows
+  *    under append mode (`streaming_session_sec`, the state-merge
+  *    path).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -148,27 +151,42 @@ object Bench {
     // A streaming failure must not discard the whole batch run's
     // results (the JSON write happens after this): recorded as -1 + a
     // failures entry, same policy as per-query errors.
-    val streamingSec: Option[Double] =
-      if (sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("0") ||
-          (only.isDefined && !sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("1"))) None
-      else Some {
-        val t0 = System.nanoTime()
-        try {
-          val src = graft.streaming.Events.parquetStream(spark, sfDir)
-            .withWatermark("ts", "1 hour")
-          val q = graft.streaming.Events.tumbling(src, "10 minutes")
-            .writeStream.format("noop").outputMode("update")
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .start()
-          q.awaitTermination()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            failures += s"streaming: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
-            -1.0
-        }
+    val streamingOn =
+      !(sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("0") ||
+        (only.isDefined && !sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("1")))
+    def streamLeg(label: String)(build: org.apache.spark.sql.DataFrame
+        => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Double = {
+      val t0 = System.nanoTime()
+      try {
+        val src = graft.streaming.Events.parquetStream(spark, sfDir)
+          .withWatermark("ts", "1 hour")
+        build(src)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          failures += s"$label: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
+          -1.0
       }
-    val streamField = streamingSec.map(v => s""","streaming_sec":$v""").getOrElse("")
+    }
+    // Leg 1: watermarked tumbling-window agg (the bounded-state path).
+    val streamingSec: Option[Double] =
+      if (!streamingOn) None
+      else Some(streamLeg("streaming")(src =>
+        graft.streaming.Events.tumbling(src, "10 minutes")
+          .writeStream.format("noop").outputMode("update")))
+    // Leg 2 (round 10): session windows under append mode — the
+    // STATE-MERGE path (sessions grow/merge per user until the
+    // watermark finalizes them), invisible to leg 1's fixed windows.
+    val streamingSessionSec: Option[Double] =
+      if (!streamingOn) None
+      else Some(streamLeg("streaming_session")(src =>
+        graft.streaming.Events.sessions(src, "30 minutes")
+          .writeStream.format("noop").outputMode("append")))
+    val streamField =
+      streamingSec.map(v => s""","streaming_sec":$v""").getOrElse("") +
+      streamingSessionSec.map(v => s""","streaming_session_sec":$v""").getOrElse("")
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qsMax = results.map { case (k, _, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -201,7 +219,9 @@ object Bench {
     // Cap the failure list: 92 failures x 60 chars would blow the window on
     // their own; n_failures plus BENCH_LOCAL.json carry the full story.
     val fShort = failures.take(5).map(f => JsonOut.q(f.take(60))).mkString("[", ",", "]")
-    val streamShort = streamingSec.map(v => s""","streaming_sec":${r3(v)}""").getOrElse("")
+    val streamShort =
+      streamingSec.map(v => s""","streaming_sec":${r3(v)}""").getOrElse("") +
+      streamingSessionSec.map(v => s""","streaming_session_sec":${r3(v)}""").getOrElse("")
     val shortLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"n_failures":${failures.size},"queries":$qsShort,"queries_note":"slowest ${slowest.size} of ${results.size}; full map in BENCH_LOCAL.json","failures":$fShort$streamShort,"sf":${JsonOut.q(sfDir)}}"""
     println(shortLine)
