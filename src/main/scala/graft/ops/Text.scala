@@ -17,6 +17,25 @@ object Text {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
+  /** Normalized n-token prefix key — the near-duplicate cluster proxy
+    * shared by q44/q201/q207 and their specs. This is a CROSS-ENGINE
+    * contract (oracle form: `array_to_string((tokens)[1:n], ' ')`), so
+    * it is single-sourced here: a tweak to the token count or separator
+    * must change every consumer together or the leakage-safety pairing
+    * silently desynchronizes.
+    */
+  def prefixKey(text: Column, n: Int = 5): Column =
+    concat_ws(" ", slice(tokens(text), 1, n))
+
+  /** The engine's canonical stopword set — shared by
+    * [[qualityMetrics]] and the domain-blocklist induction (q202),
+    * and mirrored literally in their SQL oracles. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and")
+
+  /** Keep only stopwords from a token array (codegen'd filter). */
+  def stopwordFilter(toks: Column): Column =
+    filter(toks, t => t.isin(stopwords: _*))
+
   /** Let-binding for higher-order lambdas: evaluates `c` ONCE per row
     * and hands the bound value to `f` as a lambda variable. A free
     * column subtree referenced k times inside an interpreted HOF lambda
@@ -100,7 +119,7 @@ object Text {
   def qualityMetrics(text: Column): Seq[(String, Column)] = {
     val toks = tokens(text)
     val nTok = size(toks)
-    val stop = filter(toks, t => t.isin("the", "a", "of", "and"))
+    val stop = stopwordFilter(toks)
     Seq(
       "n_tokens" -> nTok,
       "mean_tok_len" -> (length(text) - nTok + 1).cast("double") /

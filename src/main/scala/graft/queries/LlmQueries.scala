@@ -17,6 +17,13 @@ import graft.ops.{Dedup, Similarity, Text}
   */
 object LlmQueries extends QueryPack {
 
+  /** q203's recall@k eval size — referenced by the Spark closure, the
+    * interpolated oracle SQL, and LlmSpec together, so tuning k cannot
+    * desynchronize the `n_hits * (100/k)` percent on any side. Must
+    * divide 100 so recall_pct stays an exact integer. */
+  private[graft] val AnnEvalK = 5
+  require(100 % AnnEvalK == 0, "AnnEvalK must divide 100 for integer recall_pct")
+
   /** One-slot cache for q54's persisted LSH index (see its comment). */
   private val lshIndexCache =
     new java.util.concurrent.atomic.AtomicReference[Option[org.apache.spark.sql.DataFrame]](None)
@@ -183,8 +190,7 @@ object LlmQueries extends QueryPack {
     val docs = Tables.documents(s, dir)
     val baseSig = docs.select(col("doc_id"), col("source"),
       size(Text.tokens(col("text"))).as("n_tokens"),
-      (size(filter(Text.tokens(col("text")),
-        t => t.isin("the", "a", "of", "and"))).cast("double") /
+      (size(Text.stopwordFilter(Text.tokens(col("text")))).cast("double") /
         greatest(size(Text.tokens(col("text"))), lit(1)).cast("double"))
         .as("stopword_ratio"))
     val rep = docs
@@ -249,7 +255,7 @@ object LlmQueries extends QueryPack {
     // exercises real >1 groups and the keep-min + semi-join pattern).
     "q44_normalized_dedup" -> ((s, dir) => {
       val keyed = Tables.documents(s, dir)
-        .withColumn("nkey", concat_ws(" ", slice(Text.tokens(col("text")), 1, 5)))
+        .withColumn("nkey", Text.prefixKey(col("text")))
       keyed.groupBy("nkey")
         .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
         .filter(col("n_copies") > 1)
@@ -1371,7 +1377,7 @@ object LlmQueries extends QueryPack {
     "q201_leakage_safe_split" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"),
-          concat_ws(" ", slice(Text.tokens(col("text")), 1, 5)).as("ckey"),
+          Text.prefixKey(col("text")).as("ckey"),
           size(Text.tokens(col("text"))).as("n_tokens"))
       val clusters = d.groupBy("ckey")
         .agg(min("doc_id").as("rep"), count(lit(1)).as("cn"),
@@ -1399,7 +1405,7 @@ object LlmQueries extends QueryPack {
       val d = Tables.documents(s, dir).select(
         col("source"),
         size(toks).as("nt"),
-        size(filter(toks, t => t.isin("the", "a", "of", "and"))).as("ns"))
+        size(Text.stopwordFilter(toks)).as("ns"))
       d.groupBy("source")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -1415,7 +1421,7 @@ object LlmQueries extends QueryPack {
     // ANN RECALL@K EVAL — the standard index-quality metric: how many
     // of the exact top-k (q51's brute-force baseline) does the IVF
     // index (q67's parameters) recover per probe. recall is emitted as
-    // an exact integer percent (n_hits × 100 / k with k=5) so the
+    // an exact integer percent (n_hits × 100 / k, k = [[AnnEvalK]]) so the
     // compare is float-free. Scale: the truth side is the deliberate
     // probes×corpus baseline (bounded by the probe-set contract, like
     // q51); the approx side is cell-bounded; the join is k·|probes|
@@ -1423,9 +1429,9 @@ object LlmQueries extends QueryPack {
     "q203_ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val probes = emb.filter(col("vec_id") < 10)
-      val truth = Similarity.topK(probes, emb, k = 5)
+      val truth = Similarity.topK(probes, emb, k = AnnEvalK)
         .select("probe_id", "cand_id")
-      val approx = Similarity.topKIvf(probes, emb, k = 5, nLists = 4)
+      val approx = Similarity.topKIvf(probes, emb, k = AnnEvalK, nLists = 4)
         .select(col("probe_id"), col("cand_id"))
       val hits = truth.join(approx, Seq("probe_id", "cand_id"), "left_semi")
         .groupBy("probe_id").agg(count(lit(1)).as("n_hits"))
@@ -1433,7 +1439,7 @@ object LlmQueries extends QueryPack {
         .join(hits, Seq("probe_id"), "left")
         .select(col("probe_id"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-        .withColumn("recall_pct", (col("n_hits") * 20).cast("int"))
+        .withColumn("recall_pct", (col("n_hits") * (100 / AnnEvalK)).cast("int"))
         .orderBy("probe_id")
     }),
 
@@ -1550,7 +1556,7 @@ object LlmQueries extends QueryPack {
     // |sources|² rows.
     "q207_source_mirror_matrix" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
-        concat_ws(" ", slice(Text.tokens(col("text")), 1, 5)).as("ckey"))
+        Text.prefixKey(col("text")).as("ckey"))
       val a = d.select(col("ckey"), col("doc_id").as("id_a"),
         col("source").as("src_a"))
       val b = d.select(col("ckey"), col("doc_id").as("id_b"),
@@ -2784,7 +2790,7 @@ object LlmQueries extends QueryPack {
     // top-k (q67's replay at the same parameters) — the oracle
     // re-derives BOTH sides, so the metric itself is hash-checked.
     "q203_ann_recall" -> (ivfCellsCte + ",\n" +
-      """ivf_scored AS (
+      s"""ivf_scored AS (
         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
         |    CASE WHEN list_dot_product(ep.v, ep.v) = 0
         |           OR list_dot_product(ec.v, ec.v) = 0 THEN 0.0
@@ -2801,7 +2807,7 @@ object LlmQueries extends QueryPack {
         |    SELECT probe_id, cand_id,
         |      row_number() OVER (PARTITION BY probe_id
         |        ORDER BY cos DESC, cand_id) AS rnk
-        |    FROM ivf_scored) WHERE rnk <= 5),
+        |    FROM ivf_scored) WHERE rnk <= $AnnEvalK),
         |brute_scored AS (
         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
         |    CASE WHEN list_dot_product(p.v, p.v) = 0
@@ -2816,10 +2822,10 @@ object LlmQueries extends QueryPack {
         |    SELECT probe_id, cand_id,
         |      row_number() OVER (PARTITION BY probe_id
         |        ORDER BY cos DESC, cand_id) AS rnk
-        |    FROM brute_scored) WHERE rnk <= 5)
+        |    FROM brute_scored) WHERE rnk <= $AnnEvalK)
         |SELECT b.probe_id,
         |  CAST(count(i.cand_id) AS BIGINT) AS n_hits,
-        |  CAST(count(i.cand_id) * 20 AS INT) AS recall_pct
+        |  CAST(count(i.cand_id) * ${100 / AnnEvalK} AS INT) AS recall_pct
         |FROM brute b LEFT JOIN ivf i
         |  ON b.probe_id = i.probe_id AND b.cand_id = i.cand_id
         |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin),

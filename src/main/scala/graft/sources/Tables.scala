@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType, TimestampNTZType, TimestampType}
 
 /** Readers for the harness parquet tables (TESTDATA.md / FIXTURES.md).
   *
@@ -31,15 +31,28 @@ object Tables {
     * both the Spark and DuckDB sides of the oracle compare.
     */
   def normalizeNtz(df: DataFrame): DataFrame = {
-    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
-    if (ntz.isEmpty) df
+    val changed = df.schema.fields.exists(f => replaceNtz(f.dataType) != f.dataType)
+    if (!changed) df
     else {
       val cols: Array[Column] = df.schema.fields.map { f =>
-        if (f.dataType == TimestampNTZType) col(f.name).cast(TimestampType).as(f.name)
-        else col(f.name)
+        val target = replaceNtz(f.dataType)
+        if (target == f.dataType) col(f.name)
+        else col(f.name).cast(target).as(f.name)
       }
       df.select(cols.toIndexedSeq: _*)
     }
+  }
+
+  /** NTZ → TIMESTAMP at any nesting depth (struct / array / map), so a
+    * future testdata generation that tucks a timestamp inside a nested
+    * column gets the same normalization as a top-level one.
+    */
+  def replaceNtz(dt: DataType): DataType = dt match {
+    case TimestampNTZType => TimestampType
+    case s: StructType    => StructType(s.fields.map(f => f.copy(dataType = replaceNtz(f.dataType))))
+    case a: ArrayType     => a.copy(elementType = replaceNtz(a.elementType))
+    case m: MapType       => m.copy(keyType = replaceNtz(m.keyType), valueType = replaceNtz(m.valueType))
+    case other            => other
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

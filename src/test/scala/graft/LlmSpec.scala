@@ -373,7 +373,7 @@ class LlmSpec extends SparkSpec {
     val degen = Seq((1L, Seq.fill(8)("spam").mkString(" "))).toDF("doc_id", "text")
       .select(Text.shingles(Text.tokens(col("text")), 2).as("sh"))
     assert(degen.select(size(col("sh")), size(array_distinct(col("sh"))))
-      .head match { case r => r.getInt(0) == 7 && r.getInt(1) == 1 })
+      .head() match { case r => r.getInt(0) == 7 && r.getInt(1) == 1 })
   }
 
   test("unigram log-prob: positive integer-exact scores; mean reconstructs from the sum") {
@@ -463,7 +463,7 @@ class LlmSpec extends SparkSpec {
     // both sides are non-empty (the md5 threshold actually splits).
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        concat_ws(" ", slice(Text.tokens(col("text")), 1, 5)).as("ckey"))
+        Text.prefixKey(col("text")).as("ckey"))
     val rep = d.groupBy("ckey").agg(min("doc_id").as("rep"))
     val perDoc = d.join(rep, "ckey")
       .withColumn("split",
@@ -480,9 +480,10 @@ class LlmSpec extends SparkSpec {
   test("q203 recall eval: per-probe hits bounded by k and ivf recall is nontrivial") {
     val rows = SparkEntry.queries("q203_ann_recall")(spark, sfDir).collect()
     assert(rows.length == 10)
+    val k = graft.queries.LlmQueries.AnnEvalK
     assert(rows.forall { r =>
       val h = r.getAs[Long]("n_hits")
-      h >= 0L && h <= 5L && r.getAs[Int]("recall_pct") == h * 20
+      h >= 0L && h <= k.toLong && r.getAs[Int]("recall_pct") == h * (100 / k)
     })
     // IVF with 4 cells must recover a nontrivial share of the exact
     // top-5 across 10 probes (mirrors the q67 recall property).
@@ -507,18 +508,25 @@ class LlmSpec extends SparkSpec {
     val totals = Tables.documents(spark, sfDir).groupBy("source").count()
       .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("count"))
       .toMap
+    val maxBlock = Tables.documents(spark, sfDir)
+      .select(col("source"), size(Text.tokens(col("text"))).as("nt"))
+      .groupBy("source", "nt").count()
+      .groupBy("source").agg(max("count").as("mb"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("mb"))
+      .toMap
     for ((src, rs) <- bySource) {
       assert(rs.map(_.getAs[String]("bucket")).toSet.subsetOf(
         Set("short", "mid", "long")))
       assert(rs.map(_.getAs[Long]("n_docs")).sum == totals(src),
         s"$src: buckets must partition the source's docs")
       // A boundary-straddling length block is lumped into the earlier
-      // bucket, so a bucket can exceed n/3 by at most the largest
-      // same-length block; with this fixture's length spread each
-      // bucket stays within 2x of the ideal third.
+      // bucket, so a bucket can exceed the ideal third by at most the
+      // largest same-length block — test THAT invariant, not the
+      // current fixture's length spread (driver testdata regenerates
+      // between rounds and may legitimately concentrate lengths).
       rs.foreach { r =>
-        assert(r.getAs[Long]("n_docs") <= (2 * totals(src)) / 3 + 1,
-          s"$src/${r.getAs[String]("bucket")} is implausibly large")
+        assert(r.getAs[Long]("n_docs") <= totals(src) / 3 + maxBlock(src) + 1,
+          s"$src/${r.getAs[String]("bucket")} exceeds ideal third + largest length block")
       }
     }
   }
@@ -533,7 +541,7 @@ class LlmSpec extends SparkSpec {
     // direct recount of cross-source pairs, independent of the matrix
     val d = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
-        concat_ws(" ", slice(Text.tokens(col("text")), 1, 5)).as("ckey"))
+        Text.prefixKey(col("text")).as("ckey"))
     val n = d.as("a").join(d.as("b"), Seq("ckey"))
       .filter(col("a.doc_id") < col("b.doc_id") &&
         col("a.source") =!= col("b.source"))
@@ -559,9 +567,12 @@ class LlmSpec extends SparkSpec {
     val rows = SparkEntry.queries("q209_dup_cluster_histogram")(spark, sfDir)
       .collect()
     // Σ size × clusters = |fixture corpus| = 500 base + 2×(evens) + odds
+    // count actual parities — a regenerated testdata with offset or
+    // sparse vec_ids would break a contiguous-range assumption
     val base = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") < 500).count()
-    val evens = (0L until base).count(_ % 2 == 0)
+    val evens = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 500 && pmod(col("vec_id"), lit(2)) === 0).count()
     val expected = base + 2 * evens + (base - evens)
     val mass = rows.map(r =>
       r.getAs[Long]("csize") * r.getAs[Long]("n_clusters")).sum

@@ -66,11 +66,22 @@ class OutputDomainSpec extends SparkSpec {
       }
     }
 
+  /** True if the type contains TIMESTAMP_NTZ at any nesting depth —
+    * reuses the scan-layer rewrite so the guard and the normalization
+    * can never disagree on what counts as NTZ. */
+  private def containsNtz(dt: DataType): Boolean =
+    graft.sources.Tables.replaceNtz(dt) != dt
+
   test("every registered query's output stays inside the portable hash domain") {
     val hashed = SparkEntry.oracleSql.keySet
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ntzBad = scala.collection.mutable.ArrayBuffer.empty[String]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val df = fn(spark, sfDir)
+      // NTZ schema gate folded into this same single instantiation pass
+      // (round-9 driver regression class — see the base-table test below).
+      val ntz = df.schema.fields.filter(f => containsNtz(f.dataType)).map(_.name)
+      if (ntz.nonEmpty) ntzBad += s"$name: ${ntz.mkString(",")}"
       val checks = violationCols(df.schema, checkFloats = hashed.contains(name))
       if (checks.nonEmpty) {
         val row = df.agg(checks.head, checks.tail: _*).collect().head
@@ -85,6 +96,8 @@ class OutputDomainSpec extends SparkSpec {
     assert(failures.isEmpty,
       s"out-of-domain output values (driver hash would diverge):\n  " +
         failures.mkString("\n  "))
+    assert(ntzBad.isEmpty,
+      s"query outputs expose NTZ columns:\n  ${ntzBad.mkString("\n  ")}")
   }
 
   /** Round-9 driver regression guard: a testdata regeneration switched
@@ -96,18 +109,14 @@ class OutputDomainSpec extends SparkSpec {
     * the cast a pure reinterpretation); these checks pin that contract
     * so neither a new table nor a new query can reintroduce NTZ.
     */
-  test("base tables and query outputs never expose TIMESTAMP_NTZ") {
+  test("base tables never expose TIMESTAMP_NTZ (any nesting depth)") {
+    // Query outputs are checked in the portable-hash-domain test above,
+    // inside its single instantiation pass over the registry.
     for (t <- graft.sources.Tables.names) {
       val ntz = graft.sources.Tables.load(spark, sfDir, t)
-        .schema.fields.filter(_.dataType == TimestampNTZType).map(_.name)
+        .schema.fields.filter(f => containsNtz(f.dataType)).map(_.name)
       assert(ntz.isEmpty, s"table $t exposes NTZ columns: ${ntz.mkString(",")}")
     }
     assert(graft.sources.Tables.events(spark, sfDir).schema("ts").dataType == TimestampType)
-    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val ntz = fn(spark, sfDir).schema.fields
-        .filter(_.dataType == TimestampNTZType).map(_.name)
-      if (ntz.isEmpty) None else Some(s"$name: ${ntz.mkString(",")}")
-    }
-    assert(bad.isEmpty, s"query outputs expose NTZ columns:\n  ${bad.mkString("\n  ")}")
   }
 }
