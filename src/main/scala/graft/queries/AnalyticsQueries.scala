@@ -213,6 +213,40 @@ object AnalyticsQueries extends QueryPack {
     }),
 
     // ---------------------------------------------------------------
+    // q211: postings DELTA-ENCODING audit — the storage half of the
+    // inverted-index story: per token, gap-encode the sorted doc_id
+    // postings inside fixed 4096-id blocks (block-local deltas with a
+    // raw block head — the layout real indexes use so a block decodes
+    // without its predecessors and skip pointers work) and account the
+    // encoded bit width against raw 64-bit ids. bit width of v is
+    // length(bin(v)) — identical on both engines including bin(0) =
+    // "0" (1 bit) for a doc_id-0 block head. Scale: the gap window
+    // partitions on (token, bucket) with ≤ 4096 rows per partition BY
+    // CONSTRUCTION (bucket = doc_id div 4096) — a bare per-token
+    // window would be a single-task sort of a stopword's corpus-sized
+    // posting list; the block id caps it, which is the same reason the
+    // on-disk format blocks. Output bounded to the 20 highest-df
+    // tokens (TakeOrderedAndProject).
+    "q211_postings_delta" -> ((s, dir) => {
+      val posts = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+        .distinct()
+        .withColumn("bucket", expr("doc_id div 4096"))
+      val w = Window.partitionBy("token", "bucket").orderBy("doc_id")
+      val gaps = posts.withColumn("gap",
+        coalesce(col("doc_id") - lag("doc_id", 1).over(w), col("doc_id")))
+      gaps.groupBy("token")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("bucket").as("n_blocks"),
+          sum(length(bin(col("gap"))).cast("long")).as("delta_bits"))
+        .withColumn("raw_bits", col("n_docs") * 64)
+        .withColumn("pct_saved",
+          expr("((raw_bits - delta_bits) * 100) div raw_bits").cast("int"))
+        .orderBy(col("n_docs").desc, col("token"))
+        .limit(20)
+    }),
+
+    // ---------------------------------------------------------------
     // q134: BM25 probe against the persisted postings index —
     // score-identical to q126 (shared contribution/top-k helpers,
     // same oracle) but physically: NO corpus scan, NO tokenization,
@@ -1079,6 +1113,31 @@ object AnalyticsQueries extends QueryPack {
         |SELECT token, count(DISTINCT doc_id) AS df,
         |  count(*) AS total_tf
         |FROM toks GROUP BY token ORDER BY token""".stripMargin,
+
+    // q211: block-local gap encoding replayed with the same
+    // (token, bucket) window; DuckDB's bin() agrees with Spark's
+    // (including bin(0) = '0') and // is the div twin for these
+    // non-negative operands.
+    "q211_postings_delta" ->
+      """WITH posts AS (
+        |  SELECT DISTINCT doc_id, token, doc_id // 4096 AS bucket FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |      t -> t <> '')) AS token FROM documents)),
+        |gaps AS (
+        |  SELECT token, bucket,
+        |    coalesce(doc_id - lag(doc_id) OVER (
+        |      PARTITION BY token, bucket ORDER BY doc_id), doc_id) AS gap
+        |  FROM posts),
+        |stats AS (
+        |  SELECT token, count(*) AS n_docs,
+        |    count(DISTINCT bucket) AS n_blocks,
+        |    CAST(sum(length(bin(gap))) AS BIGINT) AS delta_bits
+        |  FROM gaps GROUP BY token)
+        |SELECT token, n_docs, n_blocks, delta_bits,
+        |  n_docs * 64 AS raw_bits,
+        |  CAST(((n_docs * 64 - delta_bits) * 100) // (n_docs * 64) AS INT)
+        |    AS pct_saved
+        |FROM stats ORDER BY n_docs DESC, token LIMIT 20""".stripMargin,
 
     // q134: identical result contract to q126 — same oracle replay.
     "q134_bm25_indexed" ->

@@ -24,6 +24,13 @@ object LlmQueries extends QueryPack {
   private[graft] val AnnEvalK = 5
   require(100 % AnnEvalK == 0, "AnnEvalK must divide 100 for integer recall_pct")
 
+  /** q210's MMR parameters: relevance-pool size per probe and how many
+    * of the pool the greedy diversified selection keeps. Shared by the
+    * Spark closure, the generated oracle SQL rounds, and LlmSpec. */
+  private[graft] val MmrPoolK = 10
+  private[graft] val MmrSelectK = 5
+  require(MmrSelectK <= MmrPoolK, "cannot select more than the pool holds")
+
   /** One-slot cache for q54's persisted LSH index (see its comment). */
   private val lshIndexCache =
     new java.util.concurrent.atomic.AtomicReference[Option[org.apache.spark.sql.DataFrame]](None)
@@ -1570,6 +1577,66 @@ object LlmQueries extends QueryPack {
         .orderBy("source_a", "source_b")
     }),
 
+    // MMR DIVERSIFIED RE-RANK — the RAG context-selection operator:
+    // greedy maximal-marginal-relevance top-k over each probe's exact
+    // top-[[MmrPoolK]] relevance pool. Round r picks, per probe, the
+    // unselected candidate maximizing λ·rel − (1−λ)·max-sim-to-selected
+    // with λ = 0.7 as INTEGER weights (7·qrel − 3·maxsim over
+    // 1e-9-quantized cosines), so every round is exact integer
+    // arithmetic and the full greedy trace is hash-replayable. Scale:
+    // the pool is the q51 probe-broadcast baseline (bounded by the
+    // probe-set contract); pairwise redundancy is pool×pool WITHIN a
+    // probe (≤ MmrPoolK² rows per probe, equi-keyed on probe_id); the
+    // greedy loop is a FIXED MmrSelectK rounds of pool-bounded
+    // equi-joins — no data-dependent iteration. pool/sims/selected are
+    // localCheckpointed (≤ |probes|·MmrPoolK² rows) so round r's plan
+    // references materialized rows, not r−1 re-expansions of the
+    // corpus scan — the q159/q184 iterative-lineage discipline.
+    "q210_mmr_rerank" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") < 5)
+      val pool = Similarity.topK(probes, emb, k = MmrPoolK)
+        .select(col("probe_id"), col("cand_id"),
+          floor(col("cos") * 1e9 + 0.5).cast("long").as("qrel"))
+        .localCheckpoint()
+      val cv = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      val poolV = pool.join(cv, Seq("cand_id")).select("probe_id", "cand_id", "cv")
+      val a = poolV.select(col("probe_id"), col("cand_id").as("id_a"), col("cv").as("va"))
+      val b = poolV.select(col("probe_id"), col("cand_id").as("id_b"), col("cv").as("vb"))
+      val sims = a.join(b, Seq("probe_id"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("probe_id"), col("id_a"), col("id_b"),
+          floor(Similarity.cosine(col("va"), col("vb")) * 1e9 + 0.5).cast("long").as("qsim"))
+        .localCheckpoint()
+      val relW = W.partitionBy("probe_id").orderBy(col("qrel").desc, col("cand_id").asc)
+      // round 1: pure relevance (empty selected set ⇒ redundancy term 0)
+      var selected = pool
+        .withColumn("rn", row_number().over(relW)).filter(col("rn") === 1)
+        .select(col("probe_id"), col("cand_id"),
+          lit(1).as("mmr_rank"), (col("qrel") * 7).as("mmr_score"))
+        .localCheckpoint()
+      for (r <- 2 to MmrSelectK) {
+        val scoreW = W.partitionBy("probe_id").orderBy(col("score").desc, col("cand_id").asc)
+        val simToSel = sims
+          .join(selected.select(col("probe_id"), col("cand_id").as("id_b")),
+            Seq("probe_id", "id_b"))
+          .select(col("probe_id"), col("id_a").as("cand_id"), col("qsim"))
+        val pick = pool
+          .join(selected.select("probe_id", "cand_id"),
+            Seq("probe_id", "cand_id"), "left_anti")
+          .join(simToSel, Seq("probe_id", "cand_id"))
+          .groupBy("probe_id", "cand_id", "qrel")
+          .agg(max("qsim").as("mmax"))
+          .withColumn("score", col("qrel") * 7 - col("mmax") * 3)
+          .withColumn("rn", row_number().over(scoreW)).filter(col("rn") === 1)
+          .select(col("probe_id"), col("cand_id"),
+            lit(r).as("mmr_rank"), col("score").as("mmr_score"))
+        selected = selected.unionAll(pick).localCheckpoint()
+      }
+      selected.orderBy("probe_id", "mmr_rank")
+    }),
+
     // Multimodal binary column: text encoded as opaque BINARY media,
     // byte-level features extracted scan-side (the codec-free half of
     // ops/Multimodal; the mapPartitions decode-stub path is
@@ -1584,6 +1651,70 @@ object LlmQueries extends QueryPack {
           (octet_length(col("media")) % 1080).as("height"))
         .orderBy("doc_id"))
   )
+
+  /** q210's oracle: the greedy MMR selection unrolled to
+    * [[MmrSelectK]] rounds of CTEs (generated, so the round count and
+    * pool size track the Spark constants). pool/sims and each
+    * cumulative selection are MATERIALIZED — DuckDB re-inlines
+    * multiply-referenced CTEs otherwise (the q184 lesson), which would
+    * re-score the whole greedy prefix per reference.
+    */
+  private def mmrOracle: String = {
+    def quant(x: String) = s"CAST(floor(($x) * 1e9 + 0.5) AS BIGINT)"
+    def cosSql(l: String, r: String) =
+      s"CASE WHEN list_dot_product($l, $l) = 0 OR list_dot_product($r, $r) = 0 THEN 0.0 " +
+        s"ELSE list_dot_product($l, $r) / (sqrt(list_dot_product($l, $l)) * " +
+        s"sqrt(list_dot_product($r, $r))) END"
+    val header =
+      s"""WITH e AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |pool AS MATERIALIZED (
+         |  SELECT probe_id, cand_id, ${quant("cos")} AS qrel FROM (
+         |    SELECT probe_id, cand_id, cos, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rnk
+         |    FROM (
+         |      SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |        ${cosSql("p.v", "c.v")} AS cos
+         |      FROM e p JOIN e c ON c.vec_id <> p.vec_id
+         |      WHERE p.vec_id < 5))
+         |  WHERE rnk <= $MmrPoolK),
+         |sims AS MATERIALIZED (
+         |  SELECT a.probe_id, a.cand_id AS id_a, b.cand_id AS id_b,
+         |    ${quant(cosSql("ea.v", "eb.v"))} AS qsim
+         |  FROM pool a JOIN pool b
+         |    ON b.probe_id = a.probe_id AND b.cand_id <> a.cand_id
+         |  JOIN e ea ON ea.vec_id = a.cand_id
+         |  JOIN e eb ON eb.vec_id = b.cand_id),
+         |cum1 AS MATERIALIZED (
+         |  SELECT probe_id, cand_id, 1 AS mmr_rank, qrel * 7 AS mmr_score FROM (
+         |    SELECT probe_id, cand_id, qrel, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY qrel DESC, cand_id) AS rn
+         |    FROM pool) WHERE rn = 1)""".stripMargin
+    val rounds = (2 to MmrSelectK).map { r =>
+      s"""cum$r AS MATERIALIZED (
+         |  SELECT * FROM cum${r - 1}
+         |  UNION ALL
+         |  SELECT probe_id, cand_id, $r AS mmr_rank, score AS mmr_score FROM (
+         |    SELECT probe_id, cand_id, score, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn
+         |    FROM (
+         |      SELECT p.probe_id, p.cand_id,
+         |        p.qrel * 7 - 3 * max(si.qsim) AS score
+         |      FROM pool p
+         |      JOIN sims si
+         |        ON si.probe_id = p.probe_id AND si.id_a = p.cand_id
+         |      JOIN cum${r - 1} s
+         |        ON s.probe_id = si.probe_id AND s.cand_id = si.id_b
+         |      WHERE NOT EXISTS (SELECT 1 FROM cum${r - 1} x
+         |        WHERE x.probe_id = p.probe_id AND x.cand_id = p.cand_id)
+         |      GROUP BY p.probe_id, p.cand_id, p.qrel))
+         |  WHERE rn = 1)""".stripMargin
+    }
+    (header +: rounds).mkString(",\n") +
+      s"\nSELECT probe_id, cand_id, mmr_rank, mmr_score FROM cum$MmrSelectK" +
+      "\nORDER BY probe_id, mmr_rank"
+  }
 
   /** Shared oracle fragment: the IVF seed-centroid + cell-assignment
     * replay (centroids are a deterministic strided sample by id, cell
@@ -2829,6 +2960,11 @@ object LlmQueries extends QueryPack {
         |FROM brute b LEFT JOIN ivf i
         |  ON b.probe_id = i.probe_id AND b.cand_id = i.cand_id
         |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin),
+
+    // MMR: the full greedy trace replayed — pool, pairwise sims, and
+    // every selection round are re-derived from raw embeddings, so the
+    // diversified ranking itself is hash-checked round by round.
+    "q210_mmr_rerank" -> mmrOracle,
 
     "q205_bpe_merge_candidates" ->
       """WITH w AS (SELECT unnest(list_filter(string_split(text, ' '),

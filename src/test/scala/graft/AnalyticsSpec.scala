@@ -25,6 +25,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(indexed == scan)
   }
 
+  test("q211 delta postings: top token's encoding reconstructs from a direct recount") {
+    val rows = run("q211_postings_delta").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs"); val blocks = r.getAs[Long]("n_blocks")
+      val delta = r.getAs[Long]("delta_bits"); val raw = r.getAs[Long]("raw_bits")
+      assert(raw == n * 64 && blocks >= 1L && blocks <= n)
+      assert(delta >= n, "every posting costs at least one bit")
+      assert(delta < raw, "gap encoding must beat raw 64-bit ids")
+      val pct = r.getAs[Int]("pct_saved")
+      assert(pct.toLong == (raw - delta) * 100 / raw && pct >= 0 && pct < 100)
+    }
+    // independent scala-side recount of the highest-df token's blocks
+    val top = rows.head
+    val tok = top.getAs[String]("token")
+    val ids = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(graft.ops.Text.tokens(col("text"))).as("t"))
+      .filter(col("t") === tok).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.length.toLong == top.getAs[Long]("n_docs"))
+    val byBlock = ids.groupBy(_ / 4096)
+    val bits = byBlock.values.map { blk =>
+      val b = blk.sorted
+      val gaps = b.head +: b.sliding(2).collect { case Array(x, y) => y - x }.toSeq
+      gaps.map(g => java.lang.Long.toBinaryString(g).length.toLong).sum
+    }.sum
+    assert(top.getAs[Long]("delta_bits") == bits)
+    assert(top.getAs[Long]("n_blocks") == byBlock.size.toLong)
+  }
+
   test("sessionization respects the 30-minute gap invariant") {
     // Within a session, consecutive events gap <= 30 min; the first
     // event of session k+1 comes > 30 min after the LAST event of

@@ -581,6 +581,33 @@ class LlmSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("csize") > 1L))
   }
 
+  test("q210 MMR: ranks 1..k per probe, scores non-increasing, rank 1 is the relevance argmax") {
+    val rows = SparkEntry.queries("q210_mmr_rerank")(spark, sfDir).collect()
+    val k = graft.queries.LlmQueries.MmrSelectK
+    val byProbe = rows.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.size == 5)
+    for ((p, rs) <- byProbe) {
+      assert(rs.map(_.getAs[Int]("mmr_rank")).sorted.toSeq == (1 to k),
+        s"probe $p: ranks must be exactly 1..$k")
+      assert(rs.map(_.getAs[Long]("cand_id")).distinct.length == k,
+        s"probe $p: a candidate was selected twice")
+      // each later pick maximizes over a superset-selected (more
+      // redundancy), so the greedy score sequence cannot increase
+      val scores = rs.sortBy(_.getAs[Int]("mmr_rank")).map(_.getAs[Long]("mmr_score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"probe $p: MMR scores increased along the greedy trace")
+    }
+    // rank 1 (empty selected set) must be the pure-relevance argmax —
+    // independently re-derived via the exact top-1
+    val emb = Tables.embeddings(spark, sfDir)
+    val top1 = Similarity.topK(emb.filter(col("vec_id") < 5), emb, k = 1)
+      .select("probe_id", "cand_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(_.getAs[Int]("mmr_rank") == 1).foreach { r =>
+      assert(top1(r.getAs[Long]("probe_id")) == r.getAs[Long]("cand_id"))
+    }
+  }
+
   test("q204 matryoshka: energy fraction in [0,1] and consistent with norms") {
     val rows = SparkEntry.queries("q204_matryoshka_fidelity")(spark, sfDir)
       .collect()
