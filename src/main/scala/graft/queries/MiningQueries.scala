@@ -740,6 +740,71 @@ object MiningQueries extends QueryPack {
     }),
 
     // ---------------------------------------------------------------
+    // q212: POISSON-BOOTSTRAP confidence interval — the resampling
+    // scheme that survives 100 TB: a classical bootstrap needs dense
+    // row indexing and B shuffles of the corpus, while the Poisson(1)
+    // approximation gives every row an independent md5-derived weight
+    // per resample, so ALL B resamples compute in ONE narrow explode
+    // pass into a B-row aggregate (map-side partial sums; the only
+    // shuffle is B×partitions combiner rows keyed on b). Weights:
+    // compare a 13-hex-char md5 prefix against the Poisson(1) CDF as
+    // fixed-width lowercase hex literals — lexicographic = numeric,
+    // the q112 md5-threshold pattern — deterministic, engine-stable,
+    // no RNG state. The b = -1 sentinel carries weight 1 everywhere,
+    // making the identity sample (the point estimate) one more row of
+    // the same aggregate instead of a scalar join. Values are exact
+    // cents; each resample mean is one BIGINT→DOUBLE division dag
+    // (identical on both engines); CI bounds are exact order
+    // statistics (rank ⌈0.025B⌉ / ⌈0.975B⌉) over the B-row mean table
+    // — a window over AGGREGATED input, never over raw rows.
+    //
+    // HASH-ONCE DESIGN: the digest runs once per ROW ("boot:" + key);
+    // each of the B resample uniforms is then a two-round Lehmer mix
+    // (mod 2³¹−1, the rollingHash modulus — all products < 2⁴⁷, no
+    // ANSI overflow) of that seed with the resample id. The naive
+    // md5-per-(row, resample) variant was measured at 83 s for 10×
+    // data (151M digests); the mix costs integer ops only. All
+    // arithmetic is portable BIGINT, replayed verbatim in the oracle.
+    // ANSI headroom: w ≤ 6, cents ≤ ~5e7, so Σ(w·v) clears 2⁶³ past
+    // 1e10 rows.
+    "q212_bootstrap_ci" -> ((s, dir) => {
+      val B = 100
+      val M = 2147483647L // 2^31 − 1
+      val base = Tables.orders(s, dir).select(col("o_orderkey"),
+        floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long").as("v"),
+        // 28-bit per-row seed: first 7 hex chars of the row digest
+        conv(substring(md5(concat(lit("boot:"),
+          col("o_orderkey").cast("string"))), 1, 7), 16, 10)
+          .cast("long").as("h"))
+      val u1 = (col("h") * 48271L + (col("b") + 1L) * 16807L + 12345L) % M
+      val u2 = (u1 * 48271L) % M
+      // Poisson(1) CDF at k = 0..5 as floor(cdf·(2³¹−1)); weight =
+      // first threshold the mixed uniform falls under, else the cap
+      val w = when(col("b") === -1, 1L)
+        .when(u2 < 790015083L, 0L).when(u2 < 1580030167L, 1L)
+        .when(u2 < 1975037709L, 2L).when(u2 < 2106706890L, 3L)
+        .when(u2 < 2139624185L, 4L).when(u2 < 2146207644L, 5L)
+        .otherwise(6L)
+      val means = base
+        .select(col("h"), col("v"),
+          explode(sequence(lit(-1), lit(B - 1))).as("b"))
+        .select(col("b"), col("v"), w.as("w"))
+        .groupBy("b")
+        .agg(sum(col("w") * col("v")).as("sw"), sum("w").as("nw"))
+        .select(col("b"), (col("b") >= 0).cast("int").as("is_boot"),
+          when(col("nw") > 0,
+            col("sw").cast("double") / col("nw") / lit(100.0)).as("mean_v"))
+      val rkW = org.apache.spark.sql.expressions.Window
+        .partitionBy("is_boot").orderBy(col("mean_v").asc, col("b").asc)
+      means.withColumn("rk", row_number().over(rkW))
+        .agg(
+          sum(col("is_boot").cast("long")).as("n_resamples"),
+          min(when(col("b") === -1, col("mean_v"))).as("point_mean"),
+          min(when(col("is_boot") === 1 && col("rk") === 3, col("mean_v"))).as("ci_lo"),
+          min(when(col("is_boot") === 1 && col("rk") === 98, col("mean_v"))).as("ci_hi"))
+    }),
+
+    // ---------------------------------------------------------------
     // q167: skyline (Pareto frontier) — the orders that are
     // record-breakers under (cheapest price, largest line-quantity):
     // scanning orders by ascending (total_cents, o_orderkey), keep
@@ -1415,6 +1480,47 @@ object MiningQueries extends QueryPack {
         |      + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE)/nb)
         |          /(nb - 1)/nb) AS z
         |FROM w""".stripMargin,
+
+    // q212: the full resample lattice replayed — same per-row seed
+    // digest, same Lehmer mix and integer thresholds, same b = -1
+    // identity-sample sentinel, same order-statistic CI.
+    "q212_bootstrap_ci" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+        |    CAST(('0x' || substring(md5('boot:' ||
+        |      CAST(o_orderkey AS VARCHAR)), 1, 7)) AS BIGINT) AS h
+        |  FROM orders),
+        |weighted AS (
+        |  SELECT g.b, base.v,
+        |    CASE WHEN g.b = -1 THEN 1
+        |         WHEN u2 < 790015083 THEN 0
+        |         WHEN u2 < 1580030167 THEN 1
+        |         WHEN u2 < 1975037709 THEN 2
+        |         WHEN u2 < 2106706890 THEN 3
+        |         WHEN u2 < 2139624185 THEN 4
+        |         WHEN u2 < 2146207644 THEN 5
+        |         ELSE 6 END AS w
+        |  FROM base
+        |  CROSS JOIN generate_series(-1, 99) g(b)
+        |  CROSS JOIN LATERAL (SELECT
+        |    (((h * 48271 + (g.b + 1) * 16807 + 12345) % 2147483647)
+        |      * 48271) % 2147483647 AS u2) m),
+        |means AS (
+        |  SELECT b, CASE WHEN b >= 0 THEN 1 ELSE 0 END AS is_boot,
+        |    CASE WHEN sum(w) > 0
+        |      THEN CAST(sum(w * v) AS DOUBLE) / sum(w) / 100.0 END AS mean_v
+        |  FROM weighted GROUP BY b),
+        |ranked AS (
+        |  SELECT b, is_boot, mean_v,
+        |    row_number() OVER (PARTITION BY is_boot
+        |      ORDER BY mean_v, b) AS rk
+        |  FROM means)
+        |SELECT CAST(sum(is_boot) AS BIGINT) AS n_resamples,
+        |  min(CASE WHEN b = -1 THEN mean_v END) AS point_mean,
+        |  min(CASE WHEN is_boot = 1 AND rk = 3 THEN mean_v END) AS ci_lo,
+        |  min(CASE WHEN is_boot = 1 AND rk = 98 THEN mean_v END) AS ci_hi
+        |FROM ranked""".stripMargin,
 
     // q167: the oracle uses the plain single-partition exclusive
     // running-max window — equality proves the two-phase rewrite.

@@ -12,6 +12,24 @@ class MiningSpec extends SparkSpec {
   private def run(name: String) =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("q212 bootstrap: point mean recounts exactly; CI brackets it with positive width") {
+    val r = run("q212_bootstrap_ci").collect().head
+    assert(r.getAs[Long]("n_resamples") == 100L)
+    val point = r.getAs[Double]("point_mean")
+    val lo = r.getAs[Double]("ci_lo"); val hi = r.getAs[Double]("ci_hi")
+    // the b = -1 identity sample must equal a direct unweighted mean
+    val agg = graft.sources.Tables.orders(spark, sfDir)
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("s"),
+        count(lit(1)).as("n")).collect().head
+    val direct = agg.getAs[Long]("s").toDouble / agg.getAs[Long]("n") / 100.0
+    assert(point == direct, "identity-sample sentinel diverged from the plain mean")
+    // the bootstrap distribution of the mean is centered on the point
+    // estimate; the 95% band must bracket it with nonzero width well
+    // under the estimate itself (SE ≈ sd/√n)
+    assert(lo < point && point < hi, s"CI [$lo, $hi] must bracket $point")
+    assert(hi - lo > 0.0 && hi - lo < point)
+  }
+
   test("q139 basket pair support matches a brute-force recount") {
     // Recompute pair supports by materializing baskets locally —
     // independent of the join-based generator's plan.
