@@ -1450,6 +1450,37 @@ object LlmQueries extends QueryPack {
         .orderBy("probe_id")
     }),
 
+    // PASS@K EVAL AGGREGATION — the eval-harness estimator: per task,
+    // the unbiased pass@k = 1 − C(n−c, k)/C(n, k) over n attempts with
+    // c passes (Codex-paper form). The binomial ratio is computed as
+    // the falling-factorial chain ∏(n−c−i)/(n−i), i = 0..k−1, with a
+    // FIXED left-associated multiply order of individually-parenthesized
+    // factors — the same IEEE dag in the oracle, so the doubles match
+    // bit-for-bit without quantization (the q204 replay pattern;
+    // BIGINT falling factorials would overflow past n ≈ 100).
+    // Attempts/passes are a deterministic md5-threshold fixture over
+    // documents (task = source). Scale: one hash aggregate keyed on
+    // the task id; the estimator is per-group scalar arithmetic.
+    "q213_pass_at_k" -> ((s, dir) => {
+      val k = 5
+      val passed = substring(md5(concat(lit("pass:"),
+        col("doc_id").cast("string"))), 1, 2) < "4d"
+      val stats = Tables.documents(s, dir)
+        .select(col("source"), passed.cast("long").as("p"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_attempts"), sum("p").as("n_passed"))
+      val chain = (0 until k).map(i =>
+        (col("n_attempts") - col("n_passed") - i).cast("double") /
+          (col("n_attempts") - i).cast("double"))
+        .reduceLeft(_ * _)
+      stats
+        .select(col("source"), col("n_attempts"), col("n_passed"),
+          (col("n_passed").cast("double") / col("n_attempts")).as("pass_at_1"),
+          when(col("n_attempts") - col("n_passed") < k, lit(1.0))
+            .otherwise(lit(1.0) - chain).as("pass_at_5"))
+        .orderBy("source")
+    }),
+
     // MATRYOSHKA (MRL) TRUNCATION FIDELITY — the embedding-storage
     // trade study: how much of each vector's energy survives keeping
     // only the first 16 of 64 dims (truncate-and-renorm serving, the
@@ -2965,6 +2996,26 @@ object LlmQueries extends QueryPack {
     // every selection round are re-derived from raw embeddings, so the
     // diversified ranking itself is hash-checked round by round.
     "q210_mmr_rerank" -> mmrOracle,
+
+    // pass@k: same fixture threshold, same individually-parenthesized
+    // left-associated factor chain — bit-identical doubles.
+    "q213_pass_at_k" ->
+      """WITH p AS (
+        |  SELECT source, count(*) AS n,
+        |    sum(CASE WHEN substring(md5('pass:' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 2) < '4d'
+        |      THEN 1 ELSE 0 END) AS c
+        |  FROM documents GROUP BY source)
+        |SELECT source,
+        |  CAST(n AS BIGINT) AS n_attempts,
+        |  CAST(c AS BIGINT) AS n_passed,
+        |  CAST(c AS DOUBLE) / n AS pass_at_1,
+        |  CASE WHEN n - c < 5 THEN 1.0
+        |    ELSE 1.0 -
+        |      (CAST(n-c AS DOUBLE)/n) * (CAST(n-c-1 AS DOUBLE)/(n-1)) *
+        |      (CAST(n-c-2 AS DOUBLE)/(n-2)) * (CAST(n-c-3 AS DOUBLE)/(n-3)) *
+        |      (CAST(n-c-4 AS DOUBLE)/(n-4)) END AS pass_at_5
+        |FROM p ORDER BY source""".stripMargin,
 
     "q205_bpe_merge_candidates" ->
       """WITH w AS (SELECT unnest(list_filter(string_split(text, ' '),

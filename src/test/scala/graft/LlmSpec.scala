@@ -608,6 +608,28 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("q213 pass@k: matches exact BigInt binomials and dominates pass@1") {
+    val rows = SparkEntry.queries("q213_pass_at_k")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def choose(n: Long, k: Long): BigInt =
+      if (k < 0 || k > n) BigInt(0)
+      else (0L until k).foldLeft(BigInt(1))((a, i) => a * BigInt(n - i) / BigInt(i + 1))
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_attempts"); val c = r.getAs[Long]("n_passed")
+      val p1 = r.getAs[Double]("pass_at_1"); val p5 = r.getAs[Double]("pass_at_5")
+      assert(p1 == c.toDouble / n)
+      // exact-rational reference: 1 − C(n−c,5)/C(n,5); a task with
+      // fewer than k attempts is pass@k = 1 by the query's convention
+      val exact =
+        if (n < 5) 1.0
+        else 1.0 - (BigDecimal(choose(n - c, 5)) / BigDecimal(choose(n, 5))).toDouble
+      assert(math.abs(p5 - exact) < 1e-12,
+        s"${r.getAs[String]("source")}: pass@5 $p5 vs exact $exact")
+      assert(p5 >= p1 - 1e-12 && p5 >= 0.0 && p5 <= 1.0,
+        "more attempts can only help: pass@5 must dominate pass@1")
+    }
+  }
+
   test("q204 matryoshka: energy fraction in [0,1] and consistent with norms") {
     val rows = SparkEntry.queries("q204_matryoshka_fidelity")(spark, sfDir)
       .collect()
