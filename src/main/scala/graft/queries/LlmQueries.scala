@@ -1481,6 +1481,54 @@ object LlmQueries extends QueryPack {
         .orderBy("source")
     }),
 
+    // TOKEN-BUDGET WATER-FILLING — the data-mixture allocator: given
+    // per-source token masses and a global budget (60 % of the
+    // corpus), cap every source at the common water level L such that
+    // Σ min(tokens, L) exactly meets the budget — the DoReMi-style
+    // "no source dominates the mixture" cap, solved EXACTLY in
+    // integers. The inverse-cumulative solve is declarative: rank
+    // sources by mass ascending, prefix sums, a source is fully
+    // fundable iff funding it and every heavier source at its mass
+    // fits the budget; the last fundable rank i* fixes the level
+    // L = (B − prefix_{i*}) div (S − i*), with the mod-remainder
+    // distributed one token each to the first uncapped ranks — so
+    // Σ alloc = B exactly (spec-checked). Everything after the one
+    // hash aggregate runs on the ≤ |sources|-row table: the global
+    // window is over AGGREGATED input, and the scalar legs are 1-row
+    // broadcasts (PlanSpec-allowlisted).
+    "q214_token_budget_waterfill" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val perSrc = Tables.documents(s, dir)
+        .select(col("source"), size(Text.tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").as("tokens"))
+      val ordW = W.orderBy(col("tokens").asc, col("source").asc)
+      val ranked = perSrc
+        .withColumn("rk", row_number().over(ordW).cast("long"))
+        .withColumn("prefix", sum("tokens").over(
+          ordW.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      val sc = broadcast(perSrc.agg(
+        count(lit(1)).as("n_sources"), sum("tokens").as("total"))
+        .withColumn("budget", expr("total * 6 div 10")))
+      val feas = ranked.crossJoin(sc)
+        .withColumn("fully",
+          col("prefix") - col("tokens") +
+            (col("n_sources") - col("rk") + 1L) * col("tokens") <= col("budget"))
+      val lvl = broadcast(feas.agg(
+        coalesce(max(when(col("fully"), col("rk"))), lit(0L)).as("istar"),
+        coalesce(max(when(col("fully"), col("prefix"))), lit(0L)).as("pstar")))
+      feas.crossJoin(lvl)
+        .withColumn("uncapped", col("n_sources") - col("istar"))
+        .withColumn("alloc",
+          when(col("rk") <= col("istar"), col("tokens"))
+            .otherwise(
+              expr("(budget - pstar) div uncapped") +
+                when(col("rk") - col("istar") <=
+                  expr("(budget - pstar) % uncapped"), 1L).otherwise(0L)))
+        .withColumn("capped", (col("rk") > col("istar")).cast("int"))
+        .select("source", "tokens", "alloc", "capped")
+        .orderBy("source")
+    }),
+
     // MATRYOSHKA (MRL) TRUNCATION FIDELITY — the embedding-storage
     // trade study: how much of each vector's energy survives keeping
     // only the first 16 of 64 dims (truncate-and-renorm serving, the
@@ -2996,6 +3044,42 @@ object LlmQueries extends QueryPack {
     // every selection round are re-derived from raw embeddings, so the
     // diversified ranking itself is hash-checked round by round.
     "q210_mmr_rerank" -> mmrOracle,
+
+    // water-filling: the same integer inverse-cumulative solve —
+    // rank/prefix windows, feasibility, level + remainder — replayed
+    // over the per-source masses.
+    "q214_token_budget_waterfill" ->
+      """WITH c AS (
+        |  SELECT source, CAST(sum(nt) AS BIGINT) AS tokens FROM (
+        |    SELECT source, len(list_filter(string_split(text, ' '),
+        |      t -> t <> '')) AS nt
+        |    FROM documents) GROUP BY source),
+        |r AS (
+        |  SELECT source, tokens,
+        |    CAST(row_number() OVER (ORDER BY tokens, source) AS BIGINT) AS rk,
+        |    CAST(sum(tokens) OVER (ORDER BY tokens, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS prefix
+        |  FROM c),
+        |sc AS (SELECT count(*) AS n_sources,
+        |    CAST(sum(tokens) AS BIGINT) * 6 // 10 AS budget FROM c),
+        |f AS (
+        |  SELECT r.*, sc.n_sources, sc.budget,
+        |    (prefix - tokens + (sc.n_sources - rk + 1) * tokens)
+        |      <= sc.budget AS fully
+        |  FROM r CROSS JOIN sc),
+        |lvl AS (SELECT
+        |    coalesce(max(CASE WHEN fully THEN rk END), 0) AS istar,
+        |    coalesce(max(CASE WHEN fully THEN prefix END), 0) AS pstar
+        |  FROM f)
+        |SELECT source, tokens,
+        |  CASE WHEN rk <= istar THEN tokens
+        |       ELSE (budget - pstar) // (n_sources - istar)
+        |            + CASE WHEN rk - istar <=
+        |                (budget - pstar) % (n_sources - istar)
+        |              THEN 1 ELSE 0 END END AS alloc,
+        |  CASE WHEN rk > istar THEN 1 ELSE 0 END AS capped
+        |FROM f CROSS JOIN lvl ORDER BY source""".stripMargin,
 
     // pass@k: same fixture threshold, same individually-parenthesized
     // left-associated factor chain — bit-identical doubles.

@@ -630,6 +630,29 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("q214 water-filling: allocation sums exactly to budget and levels are consistent") {
+    val rows = SparkEntry.queries("q214_token_budget_waterfill")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("tokens")).sum
+    val budget = total * 6 / 10
+    assert(rows.map(_.getAs[Long]("alloc")).sum == budget,
+      "water-filling must spend the budget exactly")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc") <= r.getAs[Long]("tokens"))
+      assert((r.getAs[Int]("capped") == 1) ==
+        (r.getAs[Long]("alloc") < r.getAs[Long]("tokens")),
+        "capped flag must mean exactly 'allocation below own mass'")
+    }
+    val (capped, funded) = rows.partition(_.getAs[Int]("capped") == 1)
+    assert(capped.nonEmpty, "a 60% budget must cap at least one source")
+    // the water level: capped allocations differ by at most the 1-token
+    // remainder, and sit at or above every fully-funded source's mass
+    val allocs = capped.map(_.getAs[Long]("alloc"))
+    assert(allocs.max - allocs.min <= 1L)
+    if (funded.nonEmpty)
+      assert(allocs.min >= funded.map(_.getAs[Long]("tokens")).max)
+  }
+
   test("q204 matryoshka: energy fraction in [0,1] and consistent with norms") {
     val rows = SparkEntry.queries("q204_matryoshka_fidelity")(spark, sfDir)
       .collect()

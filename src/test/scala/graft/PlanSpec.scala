@@ -449,7 +449,9 @@ class PlanSpec extends SparkSpec {
       "q180_rrf_fusion" -> "inherits q126/q140 1-row stat broadcasts",
       "q185_pca_power" -> "1-row normalizer/sign broadcasts (per iteration)",
       "q195_shard_rebalance" -> "1-row hash-ring broadcasts (136 vnodes)",
-      "q200_pipeline_v3" -> "1-row vocab-size / corpus-mean broadcasts")
+      "q200_pipeline_v3" -> "1-row vocab-size / corpus-mean broadcasts",
+      "q214_token_budget_waterfill" ->
+        "1-row budget / water-level broadcasts over the |sources|-row table")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
