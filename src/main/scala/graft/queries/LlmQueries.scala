@@ -1524,7 +1524,7 @@ object LlmQueries extends QueryPack {
               expr("(budget - pstar) div uncapped") +
                 when(col("rk") - col("istar") <=
                   expr("(budget - pstar) % uncapped"), 1L).otherwise(0L)))
-        .withColumn("capped", (col("rk") > col("istar")).cast("int"))
+        .withColumn("capped", (col("alloc") < col("tokens")).cast("int"))
         .select("source", "tokens", "alloc", "capped")
         .orderBy("source")
     }),
@@ -3072,14 +3072,17 @@ object LlmQueries extends QueryPack {
         |    coalesce(max(CASE WHEN fully THEN rk END), 0) AS istar,
         |    coalesce(max(CASE WHEN fully THEN prefix END), 0) AS pstar
         |  FROM f)
-        |SELECT source, tokens,
-        |  CASE WHEN rk <= istar THEN tokens
-        |       ELSE (budget - pstar) // (n_sources - istar)
-        |            + CASE WHEN rk - istar <=
-        |                (budget - pstar) % (n_sources - istar)
-        |              THEN 1 ELSE 0 END END AS alloc,
-        |  CASE WHEN rk > istar THEN 1 ELSE 0 END AS capped
-        |FROM f CROSS JOIN lvl ORDER BY source""".stripMargin,
+        |SELECT source, tokens, alloc,
+        |  CASE WHEN alloc < tokens THEN 1 ELSE 0 END AS capped
+        |FROM (
+        |  SELECT source, tokens,
+        |    CASE WHEN rk <= istar THEN tokens
+        |         ELSE (budget - pstar) // (n_sources - istar)
+        |              + CASE WHEN rk - istar <=
+        |                  (budget - pstar) % (n_sources - istar)
+        |                THEN 1 ELSE 0 END END AS alloc
+        |  FROM f CROSS JOIN lvl)
+        |ORDER BY source""".stripMargin,
 
     // pass@k: same fixture threshold, same individually-parenthesized
     // left-associated factor chain — bit-identical doubles.

@@ -591,11 +591,14 @@ class LlmSpec extends SparkSpec {
         s"probe $p: ranks must be exactly 1..$k")
       assert(rs.map(_.getAs[Long]("cand_id")).distinct.length == k,
         s"probe $p: a candidate was selected twice")
-      // each later pick maximizes over a superset-selected (more
-      // redundancy), so the greedy score sequence cannot increase
+      // from rank 2 on, each later pick maximizes over a
+      // superset-selected (more redundancy), so the score sequence
+      // cannot increase. Rank 1 is excluded: it uses the pure-relevance
+      // formula with NO redundancy term, and a negative intra-pool
+      // cosine can legitimately push rank 2's score above it.
       val scores = rs.sortBy(_.getAs[Int]("mmr_rank")).map(_.getAs[Long]("mmr_score"))
-      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
-        s"probe $p: MMR scores increased along the greedy trace")
+      assert(scores.tail.zip(scores.tail.tail).forall { case (a, b) => a >= b },
+        s"probe $p: MMR scores increased along the greedy trace after rank 2")
     }
     // rank 1 (empty selected set) must be the pure-relevance argmax —
     // independently re-derived via the exact top-1
