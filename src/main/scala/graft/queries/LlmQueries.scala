@@ -1529,6 +1529,41 @@ object LlmQueries extends QueryPack {
         .orderBy("source")
     }),
 
+    // CALIBRATION / RELIABILITY BINS — the eval-harness diagnostic
+    // behind a reliability diagram: bin predicted confidences, report
+    // per-bin volume, mean prediction and empirical pass rate. The
+    // fixture is PERFECTLY CALIBRATED BY CONSTRUCTION: the prediction
+    // is one md5 uniform u1, the outcome is a second independent
+    // uniform u2 < u1 — so P(pass | u1) = u1 exactly, and the spec
+    // can assert per-bin |mean_pred − pass_rate| shrinks like a
+    // binomial error instead of hand-waving. Bin = first hex char of
+    // u1 (16 equal-width bins); the prediction mass sums exactly as a
+    // 28-BIT BIGINT before ONE double division per bin — 52 bits
+    // overflowed Σp at sf1 (3k rows/bin × 2⁵² > 2⁶³, the q185 ANSI
+    // class caught by the sf1 gate); 28 bits clears 2⁶³ past 3e10
+    // rows per bin and loses ≤ 2⁻²⁸ of mean precision. The outcome
+    // compare keeps the full 13-hex uniforms (no sum there). Scale:
+    // one narrow pass + a 16-row aggregate.
+    "q215_calibration_bins" -> ((s, dir) => {
+      val u1 = md5(concat(lit("conf:"), col("doc_id").cast("string")))
+      val u2 = md5(concat(lit("out:"), col("doc_id").cast("string")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), u1.as("u1"), u2.as("u2"))
+        .select(
+          substring(col("u1"), 1, 1).as("bin"),
+          conv(substring(col("u1"), 1, 7), 16, 10).cast("long").as("p28"),
+          (substring(col("u2"), 1, 13) < substring(col("u1"), 1, 13))
+            .cast("long").as("passed"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("p28").as("sum_p28"),
+          sum("passed").as("n_passed"))
+        .select(col("bin"), col("n"), col("n_passed"),
+          (col("sum_p28").cast("double") / col("n") /
+            lit(268435456.0)).as("mean_pred"), // 16^7 = 2^28
+          (col("n_passed").cast("double") / col("n")).as("pass_rate"))
+        .orderBy("bin")
+    }),
+
     // MATRYOSHKA (MRL) TRUNCATION FIDELITY — the embedding-storage
     // trade study: how much of each vector's energy survives keeping
     // only the first 16 of 64 dims (truncate-and-renorm serving, the
@@ -3083,6 +3118,28 @@ object LlmQueries extends QueryPack {
         |                THEN 1 ELSE 0 END END AS alloc
         |  FROM f CROSS JOIN lvl)
         |ORDER BY source""".stripMargin,
+
+    // calibration: same two independent md5 uniforms, same 28-bit
+    // integer prediction mass, same one-division-per-bin means.
+    "q215_calibration_bins" ->
+      """WITH d AS (
+        |  SELECT substring(u1, 1, 1) AS bin,
+        |    CAST(('0x' || substring(u1, 1, 7)) AS BIGINT) AS p28,
+        |    CASE WHEN substring(u2, 1, 13) < substring(u1, 1, 13)
+        |      THEN 1 ELSE 0 END AS passed
+        |  FROM (
+        |    SELECT md5('conf:' || CAST(doc_id AS VARCHAR)) AS u1,
+        |      md5('out:' || CAST(doc_id AS VARCHAR)) AS u2
+        |    FROM documents)),
+        |g AS (
+        |  SELECT bin, count(*) AS n,
+        |    CAST(sum(p28) AS BIGINT) AS sum_p28,
+        |    CAST(sum(passed) AS BIGINT) AS n_passed
+        |  FROM d GROUP BY bin)
+        |SELECT bin, CAST(n AS BIGINT) AS n, n_passed,
+        |  CAST(sum_p28 AS DOUBLE) / n / 268435456.0 AS mean_pred,
+        |  CAST(n_passed AS DOUBLE) / n AS pass_rate
+        |FROM g ORDER BY bin""".stripMargin,
 
     // pass@k: same fixture threshold, same individually-parenthesized
     // left-associated factor chain — bit-identical doubles.

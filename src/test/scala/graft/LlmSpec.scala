@@ -656,6 +656,27 @@ class LlmSpec extends SparkSpec {
       assert(allocs.min >= funded.map(_.getAs[Long]("tokens")).max)
   }
 
+  test("q215 calibration: bins partition the corpus and the fixture is calibrated") {
+    val rows = SparkEntry.queries("q215_calibration_bins")(spark, sfDir).collect()
+    assert(rows.length == 16, "all 16 hex bins should be populated")
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val bin = Integer.parseInt(r.getAs[String]("bin"), 16)
+      val mp = r.getAs[Double]("mean_pred")
+      val pr = r.getAs[Double]("pass_rate")
+      val n = r.getAs[Long]("n")
+      // the mean prediction must sit inside its own bin's range
+      assert(mp >= bin / 16.0 && mp < (bin + 1) / 16.0,
+        s"bin $bin: mean_pred $mp outside [${bin / 16.0}, ${(bin + 1) / 16.0})")
+      // the fixture is perfectly calibrated (P(pass|u1) = u1), so the
+      // empirical rate may deviate from the mean prediction only by
+      // binomial noise — 5 sigma with the worst-case p(1-p) = 1/4
+      assert(math.abs(mp - pr) <= 5.0 * math.sqrt(0.25 / n),
+        s"bin $bin: |$mp - $pr| exceeds 5-sigma binomial noise at n=$n")
+    }
+  }
+
   test("q204 matryoshka: energy fraction in [0,1] and consistent with norms") {
     val rows = SparkEntry.queries("q204_matryoshka_fidelity")(spark, sfDir)
       .collect()
