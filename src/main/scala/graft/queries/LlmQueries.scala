@@ -1564,6 +1564,53 @@ object LlmQueries extends QueryPack {
         .orderBy("bin")
     }),
 
+    // SOURCE CENTROID AFFINITY — which sources are semantically
+    // similar (the corpus-composition diagnostic behind mixture and
+    // dedup decisions): cosine between per-source mean embeddings.
+    // The cross-row float sum is made EXACT by quantizing each
+    // element to 1e-9 integers BEFORE the (source, dim) aggregate —
+    // the q208 rule — after a posexplode onto the dimension key, so
+    // the only unordered aggregation is BIGINT. Cosine is
+    // scale-invariant, so the sum vector stands in for the mean (no
+    // per-source division at all); the final pairwise dots run over
+    // the ≤ |sources| aggregated 64-d vectors with an ORDERED
+    // zip_with + left-fold — the same sequential IEEE order as
+    // DuckDB's list_dot_product (the graft_dot parity precedent).
+    // Scale: one narrow ×dim explode into a (source, dim)-keyed
+    // aggregate; the |sources|² output grid is bounded (the q207
+    // justification) and the inequality join is over the tiny
+    // aggregated table (PlanSpec-allowlisted).
+    "q216_source_centroid_affinity" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "source")
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val sums = d.join(e, d("doc_id") === e("vec_id"))
+        .select(col("source"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("source"), col("dim"),
+          floor(col("x").cast("double") * 1e9 + 0.5).cast("long").as("q"))
+        .groupBy("source", "dim")
+        .agg(sum("q").as("sq"))
+      val vecs = sums.groupBy("source")
+        .agg(array_sort(collect_list(struct(col("dim"), col("sq")))).as("pairs"))
+        .select(col("source"),
+          transform(col("pairs"), p => p.getField("sq").cast("double")).as("v"))
+      val a = vecs.select(col("source").as("source_a"), col("v").as("va"))
+      val b = vecs.select(col("source").as("source_b"), col("v").as("vb"))
+      def dot(x: org.apache.spark.sql.Column,
+              y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, t) => acc + t)
+      // broadcast hint: the post-aggregate size estimate is opaque to
+      // the planner, which would otherwise fall back to a
+      // CartesianProduct for this pure-inequality join
+      a.join(broadcast(b), col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          when(dot(col("va"), col("va")) === 0.0 ||
+            dot(col("vb"), col("vb")) === 0.0, lit(0.0))
+            .otherwise(dot(col("va"), col("vb")) /
+              (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb")))))
+            .as("cos"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // MATRYOSHKA (MRL) TRUNCATION FIDELITY — the embedding-storage
     // trade study: how much of each vector's energy survives keeping
     // only the first 16 of 64 dims (truncate-and-renorm serving, the
@@ -3118,6 +3165,32 @@ object LlmQueries extends QueryPack {
         |                THEN 1 ELSE 0 END END AS alloc
         |  FROM f CROSS JOIN lvl)
         |ORDER BY source""".stripMargin,
+
+    // centroid affinity: same 1e-9 element quantization into exact
+    // (source, dim) BIGINT sums, same ordered dots over the per-source
+    // vectors (embedding[i] is 1-based here vs posexplode's 0-based
+    // dim — only the ordering matters, and both ascend).
+    "q216_source_centroid_affinity" ->
+      """WITH j AS (
+        |  SELECT d.source, e.embedding
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |ex AS (
+        |  SELECT source, i AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS q
+        |  FROM j, LATERAL (SELECT unnest(generate_series(1,
+        |    len(embedding))) AS i) s),
+        |g AS (SELECT source, dim, CAST(sum(q) AS BIGINT) AS sq
+        |  FROM ex GROUP BY source, dim),
+        |v AS (SELECT source, list(CAST(sq AS DOUBLE) ORDER BY dim) AS v
+        |  FROM g GROUP BY source)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CASE WHEN list_dot_product(a.v, a.v) = 0
+        |         OR list_dot_product(b.v, b.v) = 0 THEN 0.0
+        |       ELSE list_dot_product(a.v, b.v) /
+        |         (sqrt(list_dot_product(a.v, a.v)) *
+        |          sqrt(list_dot_product(b.v, b.v))) END AS cos
+        |FROM v a JOIN v b ON a.source < b.source
+        |ORDER BY source_a, source_b""".stripMargin,
 
     // calibration: same two independent md5 uniforms, same 28-bit
     // integer prediction mass, same one-division-per-bin means.

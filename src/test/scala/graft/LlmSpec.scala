@@ -677,6 +677,33 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("q216 centroid affinity: full grid, canonical pairs, one pair recounts locally") {
+    val rows = SparkEntry.queries("q216_source_centroid_affinity")(spark, sfDir).collect()
+    val nSrc = Tables.documents(spark, sfDir).select("source").distinct().count()
+    assert(rows.length.toLong == nSrc * (nSrc - 1) / 2, "unordered pair grid")
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+      val c = r.getAs[Double]("cos")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+    }
+    // local recount of the first pair's centroid cosine from raw rows
+    val first = rows.head
+    val (sa, sb) = (first.getAs[String]("source_a"), first.getAs[String]("source_b"))
+    def sumVec(src: String): Array[Double] = {
+      val vs = Tables.documents(spark, sfDir).filter(col("source") === src)
+        .join(Tables.embeddings(spark, sfDir), col("doc_id") === col("vec_id"))
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 1e9 + 0.5)).toArray)
+      vs.reduce((p, q) => p.zip(q).map { case (m, n) => m + n })
+    }
+    val (va, vb) = (sumVec(sa), sumVec(sb))
+    def dd(p: Array[Double], q: Array[Double]) =
+      p.zip(q).map { case (m, n) => m * n }.sum
+    val expect = dd(va, vb) / (math.sqrt(dd(va, va)) * math.sqrt(dd(vb, vb)))
+    assert(math.abs(first.getAs[Double]("cos") - expect) < 1e-9,
+      s"$sa/$sb: ${first.getAs[Double]("cos")} vs local $expect")
+  }
+
   test("q204 matryoshka: energy fraction in [0,1] and consistent with norms") {
     val rows = SparkEntry.queries("q204_matryoshka_fidelity")(spark, sfDir)
       .collect()

@@ -451,7 +451,9 @@ class PlanSpec extends SparkSpec {
       "q195_shard_rebalance" -> "1-row hash-ring broadcasts (136 vnodes)",
       "q200_pipeline_v3" -> "1-row vocab-size / corpus-mean broadcasts",
       "q214_token_budget_waterfill" ->
-        "1-row budget / water-level broadcasts over the |sources|-row table")
+        "1-row budget / water-level broadcasts over the |sources|-row table",
+      "q216_source_centroid_affinity" ->
+        "|sources|² affinity grid: inequality join over the aggregated centroid table")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
