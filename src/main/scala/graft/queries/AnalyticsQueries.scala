@@ -247,6 +247,39 @@ object AnalyticsQueries extends QueryPack {
     }),
 
     // ---------------------------------------------------------------
+    // q217: CDC CHANGELOG FOLD — apply an insert/update/delete event
+    // stream to produce final table state: per key, the highest
+    // (ts, event_id) change wins, a trailing delete tombstones the
+    // key. The op class is a deterministic md5 tag per event (1/8 D,
+    // 5/16 I, rest U). This is the warehouse "apply the CDC feed"
+    // half that q192's two-snapshot MERGE doesn't cover: ordered
+    // replay semantics, not symmetric reconciliation. Output is the
+    // state summary plus an ORDER-INDEPENDENT bit_xor digest of
+    // surviving (key, value) pairs — pure integer arithmetic
+    // (user_id·1e8 + cents < 2⁶³), identical on both engines, so the
+    // whole folded state is hash-checked without materializing it.
+    // Scale: one ranking window keyed on the unbounded user_id with a
+    // WindowGroupLimit rank-1 filter, then a 1-row aggregate.
+    "q217_cdc_fold" -> ((s, dir) => {
+      val opHex = substring(md5(concat(lit("op:"),
+        col("event_id").cast("string"))), 1, 1)
+      val log = Tables.events(s, dir).select(
+        col("user_id"), col("ts"), col("event_id"),
+        when(opHex < "2", "D").when(opHex < "7", "I").otherwise("U").as("op"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val last = log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      last.agg(
+        count(lit(1)).as("n_keys"),
+        sum(when(col("op") =!= "D", 1L).otherwise(0L)).as("n_alive"),
+        sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_tombstoned"),
+        sum(when(col("op") =!= "D", col("cents")).otherwise(0L)).as("alive_cents"),
+        expr("bit_xor(CASE WHEN op <> 'D' " +
+          "THEN user_id * 100000000 + cents ELSE 0 END)").as("state_digest"))
+    }),
+
+    // ---------------------------------------------------------------
     // q134: BM25 probe against the persisted postings index —
     // score-identical to q126 (shared contribution/top-k helpers,
     // same oracle) but physically: NO corpus scan, NO tokenization,
@@ -1138,6 +1171,33 @@ object AnalyticsQueries extends QueryPack {
         |  CAST(((n_docs * 64 - delta_bits) * 100) // (n_docs * 64) AS INT)
         |    AS pct_saved
         |FROM stats ORDER BY n_docs DESC, token LIMIT 20""".stripMargin,
+
+    // q217: the fold replayed — same op tagging, same (ts, event_id)
+    // replay order, same integer digest.
+    "q217_cdc_fold" ->
+      """WITH log AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN substring(md5('op:' || CAST(event_id AS VARCHAR)), 1, 1) < '2'
+        |           THEN 'D'
+        |         WHEN substring(md5('op:' || CAST(event_id AS VARCHAR)), 1, 1) < '7'
+        |           THEN 'I'
+        |         ELSE 'U' END AS op,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |last AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM log) WHERE rn = 1)
+        |SELECT count(*) AS n_keys,
+        |  CAST(sum(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_alive,
+        |  CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_tombstoned,
+        |  CAST(sum(CASE WHEN op <> 'D' THEN cents ELSE 0 END) AS BIGINT)
+        |    AS alive_cents,
+        |  bit_xor(CASE WHEN op <> 'D'
+        |    THEN user_id * 100000000 + cents ELSE 0 END) AS state_digest
+        |FROM last""".stripMargin,
 
     // q134: identical result contract to q126 — same oracle replay.
     "q134_bm25_indexed" ->

@@ -55,6 +55,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(top.getAs[Long]("n_blocks") == byBlock.size.toLong)
   }
 
+  test("q217 CDC fold: counts reconcile with an aggregate-shaped independent replay") {
+    val r = run("q217_cdc_fold").collect().head
+    // re-derive the latest op per key with max(struct(...)) — a
+    // different plan shape (aggregate argmax vs ranking window) over
+    // the same replay order, so a window/tie-break defect can't agree
+    val opHex = substring(md5(concat(lit("op:"),
+      col("event_id").cast("string"))), 1, 1)
+    val last = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(opHex < "2", "D").when(opHex < "7", "I").otherwise("U").as("op"))
+      .groupBy("user_id")
+      .agg(max(struct(col("ts"), col("event_id"), col("op"))).as("m"))
+      .select(col("user_id"), col("m.op").as("op"))
+    assert(r.getAs[Long]("n_keys") == last.count())
+    assert(r.getAs[Long]("n_alive") == last.filter(col("op") =!= "D").count())
+    assert(r.getAs[Long]("n_alive") + r.getAs[Long]("n_tombstoned") ==
+      r.getAs[Long]("n_keys"))
+    assert(r.getAs[Long]("alive_cents") > 0L)
+  }
+
   test("sessionization respects the 30-minute gap invariant") {
     // Within a session, consecutive events gap <= 30 min; the first
     // event of session k+1 comes > 30 min after the LAST event of
