@@ -279,6 +279,101 @@ object AnalyticsQueries extends QueryPack {
           "THEN user_id * 100000000 + cents ELSE 0 END)").as("state_digest"))
     }),
 
+    // q224: INCREMENTAL AGGREGATE MAINTENANCE — the warehouse pattern
+    // that makes 100 TB dashboards affordable: a materialized per-key
+    // aggregate STATE (orders before the watermark date) is folded
+    // with the DELTA's aggregate instead of recomputing from scratch.
+    // Everything kept is algebraic/mergeable (count, cents-sum, max),
+    // so state ⊕ delta is a full-outer equi-join on the key with
+    // coalesce/greatest combine — cost ∝ |delta| + |state|, never
+    // ∝ |history|. The oracle RECOMPUTES from the full table in one
+    // pass — different machinery proving the merge law exact. Scale:
+    // two aggregates + one key-partitioned join; at 100 TB only the
+    // delta is scanned (the base state is the previously-written
+    // aggregate — materialized here from the same table only because
+    // the fixture has a single orders snapshot).
+    "q224_incremental_agg" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), cents.as("cents"),
+          (col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+            .as("is_base"))
+      def st(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), sum("cents").as("tot"), max("cents").as("mx"))
+      val base = st(o.filter(col("is_base")))
+        .select(col("o_custkey"), col("n").as("bn"), col("tot").as("bt"),
+          col("mx").as("bm"))
+      val delta = st(o.filter(!col("is_base")))
+        .select(col("o_custkey"), col("n").as("dn"), col("tot").as("dt"),
+          col("mx").as("dm"))
+      base.join(delta, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("bt"), lit(0L)) + coalesce(col("dt"), lit(0L)))
+            .as("total_cents"),
+          greatest(coalesce(col("bm"), lit(Long.MinValue)),
+            coalesce(col("dm"), lit(Long.MinValue))).as("max_cents"),
+          col("dn").isNotNull.cast("int").as("touched_by_delta"))
+        .orderBy("o_custkey")
+    }),
+
+    // q225: Z-ORDER PRUNING AUDIT — the comparative half of q136's
+    // layout manifest: given the same 64×64 (customer bucket, day
+    // bucket) grid, pack rows into 64 equal-row files under (a) the
+    // Morton-interleaved order and (b) plain (x, y) linear order,
+    // then replay an 8×8 box predicate against each file's min/max
+    // envelope — the decision artifact behind OPTIMIZE ZORDER:
+    // files-scanned and rows-pulled per layout for identical matching
+    // rows. The bit spread is the closed-form shift/mask ladder
+    // (identical integer ops in both engines); the file cut is a
+    // prefix sum OVER THE AGGREGATED GRID (constant size at any
+    // volume) scaled to a FIXED 64-file budget, so the audit geometry
+    // is SF-invariant — the aligned box occupies one contiguous z
+    // block (~1 file) but stripes across 8 linear files, and
+    // AnalyticsSpec pins that dominance. Scale: one scan into the
+    // constant-size grid; everything else is grid-local.
+    "q225_zorder_audit" -> ((s, dir) => {
+      def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val b1 = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(0x0F0FL))
+        val b2 = b1.bitwiseOR(shiftleft(b1, 2)).bitwiseAND(lit(0x3333L))
+        b2.bitwiseOR(shiftleft(b2, 1)).bitwiseAND(lit(0x5555L))
+      }
+      val keyed = Tables.orders(s, dir).select(
+        (col("o_custkey") % 64).cast("long").as("x"),
+        (unix_date(col("o_orderdate").cast("date")) % 64).cast("long").as("y"))
+      val cells = keyed.groupBy("x", "y").agg(count(lit(1)).as("cnt"))
+        .withColumn("zv", spread(col("x"))
+          .bitwiseOR(shiftleft(spread(col("y")), 1)))
+      val total = broadcast(cells.agg(sum("cnt").as("total")))
+      def audit(ord: Seq[org.apache.spark.sql.Column], layout: String) = {
+        val w = Window.orderBy(ord: _*)
+        cells
+          .withColumn("cum0", sum("cnt").over(w) - col("cnt"))
+          .crossJoin(total)
+          .withColumn("file_id", expr("least(cum0 * 64 div total, 63L)"))
+          .groupBy("file_id")
+          .agg(min("x").as("min_x"), max("x").as("max_x"),
+            min("y").as("min_y"), max("y").as("max_y"),
+            sum("cnt").as("rows_in_file"),
+            sum(when(col("x").between(8, 15) && col("y").between(8, 15),
+              col("cnt")).otherwise(0L)).as("rows_matching"))
+          .withColumn("scanned",
+            (col("min_x") <= 15 && col("max_x") >= 8 &&
+              col("min_y") <= 15 && col("max_y") >= 8).cast("long"))
+          .agg(count(lit(1)).as("n_files"),
+            sum("scanned").as("files_scanned"),
+            sum(col("scanned") * col("rows_in_file")).as("rows_scanned"),
+            sum("rows_matching").as("rows_matching"))
+          .select(lit(layout).as("layout"), col("n_files"),
+            col("files_scanned"), col("rows_scanned"), col("rows_matching"))
+      }
+      audit(Seq(col("zv"), col("x"), col("y")), "zorder")
+        .unionAll(audit(Seq(col("x"), col("y")), "linear"))
+        .orderBy("layout")
+    }),
+
     // ---------------------------------------------------------------
     // q134: BM25 probe against the persisted postings index —
     // score-identical to q126 (shared contribution/top-k helpers,
@@ -1111,7 +1206,67 @@ object AnalyticsQueries extends QueryPack {
     })
   )
 
+  /** q225's oracle: the same shift/mask Morton spread, grid, file
+    * packing and envelope audit — one CTE chain per layout, unioned.
+    * The spread ladder is written once and interpolated for x and y. */
+  private val zorderOracleSql: String = {
+    def spread(e: String) = {
+      val s1 = s"(($e | ($e << 4)) & 3855)"
+      val s2 = s"(($s1 | ($s1 << 2)) & 13107)"
+      s"(($s2 | ($s2 << 1)) & 21845)"
+    }
+    def layoutCte(name: String, ord: String) =
+      s"""f_$name AS (
+         |  SELECT sum(cnt) OVER (ORDER BY $ord ROWS UNBOUNDED PRECEDING) - cnt AS cum0,
+         |    x, y, cnt FROM cells),
+         |g_$name AS (
+         |  SELECT least(cum0 * 64 // t.total, 63) AS file_id,
+         |    min(x) AS min_x, max(x) AS max_x,
+         |    min(y) AS min_y, max(y) AS max_y, sum(cnt) AS rows_in_file,
+         |    sum(CASE WHEN x BETWEEN 8 AND 15 AND y BETWEEN 8 AND 15
+         |      THEN cnt ELSE 0 END) AS rows_matching
+         |  FROM f_$name, tot t GROUP BY 1),
+         |a_$name AS (
+         |  SELECT '$name' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+         |    CAST(sum(CASE WHEN min_x <= 15 AND max_x >= 8 AND min_y <= 15
+         |      AND max_y >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+         |    CAST(sum(CASE WHEN min_x <= 15 AND max_x >= 8 AND min_y <= 15
+         |      AND max_y >= 8 THEN rows_in_file ELSE 0 END) AS BIGINT) AS rows_scanned,
+         |    CAST(sum(rows_matching) AS BIGINT) AS rows_matching
+         |  FROM g_$name)""".stripMargin
+    s"""WITH keyed AS (
+       |  SELECT o_custkey % 64 AS x,
+       |    (CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 64 AS y
+       |  FROM orders),
+       |cells AS MATERIALIZED (
+       |  SELECT x, y, count(*) AS cnt,
+       |    ${spread("x")} | (${spread("y")} << 1) AS zv
+       |  FROM keyed GROUP BY x, y),
+       |tot AS (SELECT sum(cnt) AS total FROM cells),
+       |${layoutCte("zorder", "zv, x, y")},
+       |${layoutCte("linear", "x, y")}
+       |SELECT * FROM a_zorder UNION ALL SELECT * FROM a_linear
+       |ORDER BY layout""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
+
+    // incremental-agg: the oracle recomputes the maintained state from
+    // the full table in one pass — the merge law is the thing checked.
+    "q224_incremental_agg" ->
+      """WITH full_agg AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS total_cents,
+        |    CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS max_cents,
+        |    CAST(max(CASE WHEN o_orderdate >= TIMESTAMP '1999-01-01'
+        |      THEN 1 ELSE 0 END) AS INT) AS touched_by_delta
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, n_orders, total_cents, max_cents, touched_by_delta
+        |FROM full_agg ORDER BY o_custkey""".stripMargin,
+
+    "q225_zorder_audit" -> zorderOracleSql,
 
     "q126_bm25" ->
       """WITH toks AS (

@@ -1564,6 +1564,89 @@ object LlmQueries extends QueryPack {
         .orderBy("bin")
     }),
 
+    // EXACT AUC-ROC — the eval-harness ranking metric, computed with
+    // midrank tie handling entirely in integers. The fixture plants a
+    // calibrated score: score = 8-bit md5 uniform, label = (a second
+    // independent 8-bit uniform ≤ score), so P(pos | score) rises
+    // linearly and the 'informative' model's AUC lands well above the
+    // independent-score 'noise' model's ≈ 0.5. AUC = P(score_pos >
+    // score_neg) + ½P(tie) — per the value-count shape: group rows by
+    // (model, score) → (n_pos, n_neg) per level, cumulative negatives
+    // below each level via ONE window over the AGGREGATED ≤ 256-row
+    // table (bounded by the score DOMAIN, not the corpus), and the
+    // doubled numerator Σ n_pos·(2·neg_below + n_neg) sums as exact
+    // BIGINT (safe past 6e9 rows/model: numerator ≤ n²). One double
+    // division per model at the end, identical operand order in the
+    // oracle. Scale: one hash aggregate on (model, score) with
+    // map-side combine; everything after runs on the bounded table.
+    "q218_auc_roc" -> ((s, dir) => {
+      def byte8(tag: String): org.apache.spark.sql.Column =
+        conv(substring(md5(concat(lit(tag + ":"),
+          col("doc_id").cast("string"))), 1, 2), 16, 10).cast("long")
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), byte8("score").as("s_inf"),
+          byte8("nscore").as("s_noise"), byte8("label").as("o"))
+        .withColumn("is_pos", (col("o") <= col("s_inf")).cast("long"))
+      val scored = base.select(explode(array(
+          struct(lit("informative").as("model"), col("s_inf").as("score")),
+          struct(lit("noise").as("model"), col("s_noise").as("score")))).as("ms"),
+          col("is_pos"))
+        .select(col("ms.model").as("model"), col("ms.score").as("score"),
+          col("is_pos"))
+      val vc = scored.groupBy("model", "score")
+        .agg(sum("is_pos").as("np"), sum(lit(1L) - col("is_pos")).as("nn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("model").orderBy("score")
+      val ag = vc.withColumn("cum_nn", sum("nn").over(w))
+        .groupBy("model")
+        .agg(sum(col("np") * (lit(2L) * (col("cum_nn") - col("nn")) + col("nn")))
+            .as("auc_num2"),
+          sum("np").as("n_pos"), sum("nn").as("n_neg"))
+      ag.select(col("model"), col("n_pos"), col("n_neg"), col("auc_num2"),
+          (col("auc_num2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+            .as("auc"))
+        .orderBy("model")
+    }),
+
+    // MAXSIM LATE-INTERACTION SCORING — the ColBERT retrieval shape:
+    // a document is a BAG of token vectors and the score is
+    // Σ_{query tokens} max_{doc tokens} ⟨q, d⟩, not one pooled dot.
+    // Token vectors here are the 4 contiguous 16-d chunks of each
+    // embedding (the fixture stand-in for a real token matrix — the
+    // plumbing, slicing and max-reduce are the operator). Each of the
+    // 16 chunk dots is the codegen'd graft_dot (double, sequential —
+    // the q204 parity precedent) quantized half-up to 1e-9 BIGINT
+    // BEFORE the max/sum reduce, so the score lattice is pure integer
+    // and the oracle (generated 4×4 greatest/sum grid over DuckDB
+    // list slices) replays it exactly. Scale: the q51 exact-baseline
+    // contract — probes broadcast, corpus scanned once, per-probe
+    // top-5 via rank window on the high-card probe_id key (map-side
+    // WindowGroupLimit); the bucketed scale path for the corpus×corpus
+    // version is q56/q67's ANN machinery, not this scorer.
+    "q223_maxsim_late_interaction" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val p = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      val c = emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      def chunk(e: org.apache.spark.sql.Column, i: Int) =
+        slice(e, 1 + 16 * i, 16)
+      def d9(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        floor(Similarity.dot(a, b) * lit(1.0e9) + lit(0.5)).cast("long")
+      val ms9 = (0 until 4).map { qc =>
+        greatest((0 until 4).map(dc =>
+          d9(chunk(col("pv"), qc), chunk(col("cv"), dc))): _*)
+      }.reduceLeft(_ + _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("ms9").desc, col("cand_id").asc)
+      c.join(broadcast(p), col("cand_id") =!= col("probe_id"))
+        .withColumn("ms9", ms9)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("rnk"), col("cand_id"), col("ms9"))
+        .orderBy("probe_id", "rnk")
+    }),
+
     // SOURCE CENTROID AFFINITY — which sources are semantically
     // similar (the corpus-composition diagnostic behind mixture and
     // dedup decisions): cosine between per-source mean embeddings.
@@ -1937,7 +2020,37 @@ object LlmQueries extends QueryPack {
       |  FROM scored)
       |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
 
+  /** q223's oracle: the 4×4 chunk-dot grid generated as DuckDB list
+    * slices (1-based inclusive, 16 elements each), every dot cast to
+    * DOUBLE lists first (the q204 float-parity rule) and quantized
+    * half-up to 1e-9 BIGINT before the greatest/sum reduce — the same
+    * integer score lattice as the Spark side. */
+  private val maxsimOracleSql: String = {
+    def sl(v: String, i: Int) = s"$v[${1 + 16 * i}:${16 * (i + 1)}]"
+    val ms9 = (0 until 4).map { qc =>
+      "greatest(" + (0 until 4).map { dc =>
+        s"CAST(floor(list_dot_product(${sl("pv", qc)}, ${sl("cv", dc)}) * 1e9 + 0.5) AS BIGINT)"
+      }.mkString(", ") + ")"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS cand_id, v AS cv FROM e),
+       |scored AS (
+       |  SELECT probe_id, cand_id, $ms9 AS ms9
+       |  FROM p, c WHERE cand_id <> probe_id),
+       |r AS (SELECT probe_id, cand_id, ms9,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY ms9 DESC, cand_id) AS INT) AS rnk
+       |  FROM scored)
+       |SELECT probe_id, rnk, cand_id, ms9 FROM r WHERE rnk <= 5
+       |ORDER BY probe_id, rnk""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
+
+    "q223_maxsim_late_interaction" -> maxsimOracleSql,
     "q43_exact_dedup" ->
       """SELECT md5(text) AS content_key, min(doc_id) AS keeper_id,
         |  count(*) AS n_copies
@@ -3191,6 +3304,35 @@ object LlmQueries extends QueryPack {
         |          sqrt(list_dot_product(b.v, b.v))) END AS cos
         |FROM v a JOIN v b ON a.source < b.source
         |ORDER BY source_a, source_b""".stripMargin,
+
+    // auc: same 8-bit uniforms, same value-count + cumulative-window
+    // midrank numerator, same single-division operand order.
+    "q218_auc_roc" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5('score:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) AS s_inf,
+        |    CAST(('0x' || substring(md5('nscore:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) AS s_noise,
+        |    CAST(('0x' || substring(md5('label:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) AS o
+        |  FROM documents),
+        |m AS (
+        |  SELECT 'informative' AS model, s_inf AS score,
+        |    CASE WHEN o <= s_inf THEN 1 ELSE 0 END AS is_pos FROM d
+        |  UNION ALL
+        |  SELECT 'noise', s_noise,
+        |    CASE WHEN o <= s_inf THEN 1 ELSE 0 END FROM d),
+        |vc AS (SELECT model, score, sum(is_pos) AS np, sum(1 - is_pos) AS nn
+        |  FROM m GROUP BY 1, 2),
+        |cu AS (SELECT model, np, nn,
+        |    sum(nn) OVER (PARTITION BY model ORDER BY score) AS cum_nn
+        |  FROM vc),
+        |ag AS (SELECT model,
+        |    CAST(sum(np * (2 * (cum_nn - nn) + nn)) AS BIGINT) AS auc_num2,
+        |    CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg
+        |  FROM cu GROUP BY model)
+        |SELECT model, n_pos, n_neg, auc_num2,
+        |  CAST(auc_num2 AS DOUBLE) /
+        |    (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+        |FROM ag ORDER BY model""".stripMargin,
 
     // calibration: same two independent md5 uniforms, same 28-bit
     // integer prediction mass, same one-division-per-bin means.

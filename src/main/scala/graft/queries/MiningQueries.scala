@@ -804,6 +804,210 @@ object MiningQueries extends QueryPack {
           min(when(col("is_boot") === 1 && col("rk") === 98, col("mean_v"))).as("ci_hi"))
     }),
 
+    // q219: TWO-SAMPLE KOLMOGOROV–SMIRNOV — the distribution-drift
+    // test between two event populations (view vs purchase spend),
+    // computed exactly on the cents-quantized variable. The ECDF
+    // difference is kept in integers by cross-multiplying the
+    // cumulative counts (|cum1·n2 − cum2·n1|, denominator n1·n2), so
+    // the max is an exact BIGINT order statistic — one double division
+    // at the end plus the KS λ = D·√(n1·n2/(n1+n2)) dag mirrored in
+    // the oracle. Scale: value-count aggregate on the cents bucket
+    // (bounded by the PRICE DOMAIN, ≤ ~49k buckets, not the corpus),
+    // one window over that aggregated table, 1-row totals broadcast.
+    // BIGINT bound: cum·n ≤ n² — safe past 3e9 rows.
+    "q219_ks_test" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select((col("event_type") === "view").cast("long").as("g1"),
+          floor(col("value") * lit(100) + lit(0.5)).cast("long").as("v"))
+      val vc = ev.groupBy("v")
+        .agg(sum("g1").as("c1"), sum(lit(1L) - col("g1")).as("c2"))
+      val tot = broadcast(vc.agg(sum("c1").as("n1"), sum("c2").as("n2")))
+      val w = Window.orderBy("v")
+      vc.select(col("v"), sum("c1").over(w).as("cum1"),
+          sum("c2").over(w).as("cum2"))
+        .crossJoin(tot)
+        .select(abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("dn"),
+          col("n1"), col("n2"))
+        .groupBy("n1", "n2").agg(max("dn").as("d_num"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          (col("d_num").cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double"))).as("d_stat"))
+        .withColumn("ks_lambda",
+          col("d_stat") * sqrt(col("n1").cast("double") * col("n2").cast("double") /
+            (col("n1") + col("n2")).cast("double")))
+        .orderBy("n1")
+    }),
+
+    // q220: MANN–WHITNEY U — the nonparametric two-sample location
+    // test (quantity distributions of returnflag A vs R), sharing
+    // q218's value-count midrank machinery: U is the doubled
+    // Σ cA·(2·cumB_below + cB) BIGINT, and the tie-corrected normal
+    // approximation needs Σ(t³ − t) — cubes go through DECIMAL(38,0)
+    // (HUGEINT oracle-side) so a value holding up to 1e12 rows cannot
+    // overflow where BIGINT would at t ≈ 2e6 (the q185/q215 ANSI
+    // class, closed by construction instead of by bound). The z-score
+    // is one fixed double dag over exact integer components. Scale:
+    // one (value)-keyed aggregate (50 quantity levels), window over
+    // the aggregated table, single-row final aggregate.
+    "q220_mann_whitney" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select((col("l_returnflag") === "A").cast("long").as("ga"),
+          col("l_quantity").cast("long").as("v"))
+      val vc = li.groupBy("v")
+        .agg(sum("ga").as("ca"), sum(lit(1L) - col("ga")).as("cb"))
+      val w = Window.orderBy("v")
+      val t = col("ca") + col("cb")
+      val tDec = t.cast("decimal(12,0)")
+      val ag = vc.withColumn("cumb", sum("cb").over(w))
+        .agg(
+          sum(col("ca") * (lit(2L) * (col("cumb") - col("cb")) + col("cb")))
+            .as("u2"),
+          sum("ca").as("n_a"), sum("cb").as("n_b"),
+          sum(tDec * tDec * tDec - tDec).as("tie"))
+      val nD = (col("n_a") + col("n_b")).cast("double")
+      val z = (col("u2").cast("double") -
+          col("n_a").cast("double") * col("n_b").cast("double")) /
+        (lit(2.0) * sqrt(
+          (col("n_a").cast("double") * col("n_b").cast("double") / lit(12.0)) *
+            ((nD + lit(1.0)) - col("tie").cast("double") / (nD * (nD - lit(1.0))))))
+      ag.select(col("n_a"), col("n_b"), col("u2"),
+        col("tie").cast("double").as("tie_term"), z.as("z"))
+    }),
+
+    // q221: SPEARMAN RANK CORRELATION — monotone association between
+    // document length in chars and in tokens, as Pearson over midranks
+    // (the tie-correct definition; the Σd² shortcut is wrong under
+    // ties). Doubled midranks 2·below + t + 1 keep everything integer;
+    // Spearman is invariant to the doubling. Rank maps come from
+    // value-count + cumulative windows over tables bounded by the
+    // LENGTH DOMAIN (≤ ~1k distinct), broadcast back onto the rows;
+    // the five moment sums run once over the corpus with the rank
+    // products in DECIMAL(38,0) (HUGEINT oracle-side — BIGINT would
+    // overflow at n ≈ 1.3e6 rows since ΣRxRy ≤ 4n³). ρ is one fixed
+    // double dag from the exact components.
+    "q221_spearman" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars").as("x"),
+          size(Text.tokens(col("text"))).cast("long").as("y"))
+      def rankMap(df: org.apache.spark.sql.DataFrame, k: String) = {
+        val vc = df.groupBy(k).agg(count(lit(1)).as("c"))
+        vc.withColumn("cum", sum("c").over(Window.orderBy(k)))
+          .select(col(k),
+            (lit(2L) * (col("cum") - col("c")) + col("c") + lit(1L)).as(k + "r2"))
+      }
+      val rx = rankMap(d, "x")
+      val ry = rankMap(d, "y")
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+      val ag = d.join(broadcast(rx), "x").join(broadcast(ry), "y")
+        .agg(count(lit(1)).as("n"), sum("xr2").as("sx"), sum("yr2").as("sy"),
+          sum(dec(col("xr2")) * dec(col("xr2"))).as("sxx"),
+          sum(dec(col("yr2")) * dec(col("yr2"))).as("syy"),
+          sum(dec(col("xr2")) * dec(col("yr2"))).as("sxy"))
+      val nD = col("n").cast("double")
+      val rho = (nD * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+        sqrt((nD * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+          (nD * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double")))
+      ag.select(col("n"), col("sx"), col("sy"),
+        col("sxx").cast("double").as("sxx"),
+        col("syy").cast("double").as("syy"),
+        col("sxy").cast("double").as("sxy"), rho.as("rho"))
+    }),
+
+    // q222: BRADLEY–TERRY PREFERENCE FIT — the pairwise-comparison
+    // strength model behind RLHF preference aggregation and eval
+    // arena leaderboards: given "a beat b" records, fit per-player
+    // strengths s with 4 unrolled minorize-maximize rounds
+    // s_i ← W_i / Σ_j n_ij/(s_i+s_j). The fixture derives matches
+    // from events (player = event_type, opponent = md5-ranked pick,
+    // winner by an integer byte threshold that plants a strength
+    // ladder). Determinism: strengths live as 1e-6-unit BIGINTs; each
+    // round's pair term n_ij·1e6/(s_i+s_j) is ONE double division
+    // quantized half-up to 1e-9 units before the (unordered) BIGINT
+    // denominator sum — the q153/q159 integer-damping pattern — and
+    // the update + Σs=5e6 renormalization are fixed double dags
+    // mirrored verbatim in the generated unrolled-CTE oracle. Scale:
+    // ONE corpus aggregate builds the ≤|players|² match table;
+    // every round then runs on constant-size tables (the q159
+    // iteration shape), so 100× data changes only the first
+    // aggregate. MM convergence itself needs a connected comparison
+    // graph — guaranteed by the all-pairs fixture.
+    "q222_bradley_terry" -> ((s, dir) => {
+      val SCALE = 1000000L
+      val ev = Tables.events(s, dir)
+      val types = ev.select(col("event_type").as("player")).distinct()
+      val dim = types.withColumn("rk",
+        row_number().over(Window.orderBy("player")).cast("long"))
+      val matches = ev
+        .select(col("event_id"), col("event_type").as("a"),
+          (conv(substring(md5(concat(lit("opp:"),
+            col("event_id").cast("string"))), 1, 7), 16, 10)
+            .cast("long") % lit(5L) + lit(1L)).as("rb"),
+          conv(substring(md5(concat(lit("win:"),
+            col("event_id").cast("string"))), 1, 2), 16, 10)
+            .cast("long").as("u8"))
+        .join(broadcast(dim.select(col("player").as("a"), col("rk").as("ra"))), "a")
+        .join(broadcast(dim.select(col("player").as("b"), col("rk").as("rb"))), "rb")
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          (col("u8") < lit(128L) + lit(18L) * (col("rb") - col("ra")))
+            .as("win_a"))
+      // ONE corpus aggregate: (a, b, win_a) counts (≤ 2·|players|²
+      // rows) — pairs and win totals both regroup this tiny table, so
+      // the event log is scanned exactly once. Lineage cuts (the
+      // q159/q184 iterative rule): each MM round references the
+      // previous strengths TWICE (both join legs), so an uncut chain
+      // re-derives the corpus aggregate 2^rounds times; gstats/dp/
+      // wTab are cut lazily, and each round's 5-row strength table
+      // too, keeping the final plan linear in the round count.
+      val gstats = matches.groupBy("a", "b", "win_a")
+        .agg(count(lit(1)).as("c")).localCheckpoint(false)
+      val pairs = gstats
+        .groupBy(least(col("a"), col("b")).as("lo"),
+          greatest(col("a"), col("b")).as("hi"))
+        .agg(sum("c").as("n"))
+      val dp = pairs.select(col("lo").as("player"), col("hi").as("opp"), col("n"))
+        .unionAll(pairs.select(col("hi").as("player"), col("lo").as("opp"), col("n")))
+        .localCheckpoint(false)
+      val wins = gstats
+        .select(when(col("win_a"), col("a")).otherwise(col("b")).as("player"),
+          col("c"))
+        .groupBy("player").agg(sum("c").as("w"))
+      val wTab = types.join(wins, Seq("player"), "left")
+        .select(col("player"), coalesce(col("w"), lit(0L)).as("w"))
+        .localCheckpoint(false)
+      var sTab = types.select(col("player"), lit(SCALE).as("s"))
+        .localCheckpoint(false)
+      for (_ <- 1 to 4) {
+        val denom = dp
+          .join(sTab.select(col("player"), col("s").as("sa")), "player")
+          .join(sTab.select(col("player").as("opp"), col("s").as("sb")), "opp")
+          .groupBy("player")
+          .agg(sum(floor((col("n") * lit(SCALE)).cast("double") /
+              (col("sa") + col("sb")).cast("double") * lit(1.0e9) + lit(0.5))
+            .cast("long")).as("denom9"))
+        val raw = wTab.join(denom, "player")
+          .select(col("player"),
+            floor(col("w").cast("double") * lit(1.0e15) /
+              col("denom9").cast("double") + lit(0.5)).cast("long").as("raw"))
+        val total = broadcast(raw.agg(sum("raw").as("total")))
+        sTab = raw.crossJoin(total)
+          .select(col("player"),
+            floor(col("raw").cast("double") * lit(5000000.0) /
+              col("total").cast("double") + lit(0.5)).cast("long").as("s"))
+          .localCheckpoint(false)
+      }
+      wTab.join(dp.groupBy("player").agg(sum("n").as("n_games")), "player")
+        .join(sTab, "player")
+        .select(col("player"), col("n_games"), col("w").as("n_wins"),
+          col("s").as("strength6"))
+        .orderBy("player")
+    }),
+
     // ---------------------------------------------------------------
     // q167: skyline (Pareto frontier) — the orders that are
     // record-breakers under (cheapest price, largest line-quantity):
@@ -1120,7 +1324,139 @@ object MiningQueries extends QueryPack {
     })
   )
 
+  /** q222's oracle: the same 4 MM rounds unrolled as generated CTEs —
+    * every double dag (pair term, update, renormalization) written with
+    * the exact operand order of the Spark side, all integer state
+    * BIGINT. MATERIALIZED everywhere a CTE is referenced twice
+    * (s_{r-1} feeds both join legs) or DuckDB re-inlines the chain per
+    * reference (the q184 lesson). */
+  private val btOracleSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT dp.player,
+         |    CAST(sum(CAST(floor(CAST(dp.n * 1000000 AS DOUBLE) /
+         |      CAST(sa.s + sb.s AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS denom9
+         |  FROM dp JOIN s${r - 1} sa ON dp.player = sa.player
+         |       JOIN s${r - 1} sb ON dp.opp = sb.player
+         |  GROUP BY dp.player),
+         |r$r AS MATERIALIZED (
+         |  SELECT wt.player,
+         |    CAST(floor(CAST(wt.w AS DOUBLE) * 1e15 /
+         |      CAST(d.denom9 AS DOUBLE) + 0.5) AS BIGINT) AS raw
+         |  FROM wt JOIN d$r d ON wt.player = d.player),
+         |s$r AS MATERIALIZED (
+         |  SELECT player,
+         |    CAST(floor(CAST(raw AS DOUBLE) * 5000000.0 /
+         |      CAST(t.total AS DOUBLE) + 0.5) AS BIGINT) AS s
+         |  FROM r$r, (SELECT CAST(sum(raw) AS BIGINT) AS total FROM r$r) t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dim AS MATERIALIZED (
+       |  SELECT player, CAST(row_number() OVER (ORDER BY player) AS BIGINT) AS rk
+       |  FROM (SELECT DISTINCT event_type AS player FROM events)),
+       |m AS MATERIALIZED (
+       |  SELECT da.player AS a, db.player AS b,
+       |    CAST(('0x' || substring(md5('win:' || CAST(e.event_id AS VARCHAR)), 1, 2)) AS BIGINT)
+       |      < 128 + 18 * (db.rk - da.rk) AS win_a
+       |  FROM events e
+       |  JOIN dim da ON e.event_type = da.player
+       |  JOIN dim db ON (CAST(('0x' || substring(md5('opp:' ||
+       |    CAST(e.event_id AS VARCHAR)), 1, 7)) AS BIGINT) % 5) + 1 = db.rk
+       |  WHERE da.player <> db.player),
+       |pairs AS MATERIALIZED (
+       |  SELECT least(a, b) AS lo, greatest(a, b) AS hi, count(*) AS n
+       |  FROM m GROUP BY 1, 2),
+       |dp AS MATERIALIZED (
+       |  SELECT lo AS player, hi AS opp, n FROM pairs
+       |  UNION ALL SELECT hi, lo, n FROM pairs),
+       |wt AS MATERIALIZED (
+       |  SELECT d.player, CAST(coalesce(w.w, 0) AS BIGINT) AS w
+       |  FROM dim d LEFT JOIN (
+       |    SELECT CASE WHEN win_a THEN a ELSE b END AS player, count(*) AS w
+       |    FROM m GROUP BY 1) w ON d.player = w.player),
+       |s0 AS MATERIALIZED (SELECT player, CAST(1000000 AS BIGINT) AS s FROM dim),
+       |$rounds
+       |SELECT wt.player,
+       |  ng.n_games, wt.w AS n_wins, s4.s AS strength6
+       |FROM wt
+       |JOIN (SELECT player, CAST(sum(n) AS BIGINT) AS n_games
+       |  FROM dp GROUP BY 1) ng ON wt.player = ng.player
+       |JOIN s4 ON wt.player = s4.player
+       |ORDER BY wt.player""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
+
+    "q222_bradley_terry" -> btOracleSql,
+
+    // ks: same cents quantization, same cross-multiplied integer ECDF
+    // difference, same D and λ double dags.
+    "q219_ks_test" ->
+      """WITH e AS (SELECT CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |vc AS (SELECT v, sum(g1) AS c1, sum(1 - g1) AS c2 FROM e GROUP BY v),
+        |cu AS (SELECT v, sum(c1) OVER (ORDER BY v) AS cum1,
+        |    sum(c2) OVER (ORDER BY v) AS cum2 FROM vc),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |    CAST(sum(c2) AS BIGINT) AS n2 FROM vc),
+        |d AS (SELECT n1, n2,
+        |    CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num
+        |  FROM cu, t GROUP BY n1, n2)
+        |SELECT n1, n2, d_num,
+        |  CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d_stat,
+        |  (CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) *
+        |    sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) /
+        |      CAST(n1 + n2 AS DOUBLE)) AS ks_lambda
+        |FROM d ORDER BY n1""".stripMargin,
+
+    // mann-whitney: same midrank U2 BIGINT, same HUGEINT tie cubes,
+    // same z dag.
+    "q220_mann_whitney" ->
+      """WITH li AS (SELECT CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS ga,
+        |    CAST(l_quantity AS BIGINT) AS v
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |vc AS (SELECT v, sum(ga) AS ca, sum(1 - ga) AS cb FROM li GROUP BY v),
+        |cu AS (SELECT v, ca, cb, sum(cb) OVER (ORDER BY v) AS cumb FROM vc),
+        |ag AS (SELECT
+        |    CAST(sum(ca * (2 * (cumb - cb) + cb)) AS BIGINT) AS u2,
+        |    CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+        |    sum(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb) - (ca + cb)) AS tie
+        |  FROM cu)
+        |SELECT n_a, n_b, u2, CAST(tie AS DOUBLE) AS tie_term,
+        |  (CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+        |  (2.0 * sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0) *
+        |    ((CAST(n_a + n_b AS DOUBLE) + 1.0) -
+        |      CAST(tie AS DOUBLE) /
+        |        (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0))))) AS z
+        |FROM ag""".stripMargin,
+
+    // spearman: same doubled midranks, same HUGEINT moment sums, same
+    // ρ dag.
+    "q221_spearman" ->
+      """WITH d AS (SELECT doc_id, n_chars AS x,
+        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS y
+        |  FROM documents),
+        |vcx AS (SELECT x, count(*) AS c FROM d GROUP BY x),
+        |rx AS (SELECT x, 2 * (sum(c) OVER (ORDER BY x) - c) + c + 1 AS xr2 FROM vcx),
+        |vcy AS (SELECT y, count(*) AS c FROM d GROUP BY y),
+        |ry AS (SELECT y, 2 * (sum(c) OVER (ORDER BY y) - c) + c + 1 AS yr2 FROM vcy),
+        |j AS (SELECT rx.xr2, ry.yr2 FROM d
+        |  JOIN rx ON d.x = rx.x JOIN ry ON d.y = ry.y),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xr2) AS BIGINT) AS sx, CAST(sum(yr2) AS BIGINT) AS sy,
+        |    sum(CAST(xr2 AS HUGEINT) * xr2) AS sxx,
+        |    sum(CAST(yr2 AS HUGEINT) * yr2) AS syy,
+        |    sum(CAST(xr2 AS HUGEINT) * yr2) AS sxy
+        |  FROM j)
+        |SELECT n, sx, sy, CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+        |  CAST(sxy AS DOUBLE) AS sxy,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |    (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho
+        |FROM ag""".stripMargin,
 
     "q139_basket_pairs" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -55,6 +55,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(top.getAs[Long]("n_blocks") == byBlock.size.toLong)
   }
 
+  test("q224 incremental agg: the merged state equals a direct recompute") {
+    // the oracle proves this against DuckDB; the spec proves it against
+    // Spark's own one-pass aggregate (merge law, same engine)
+    val merged = run("q224_incremental_agg")
+    val direct = graft.sources.Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_orders"))
+    assert(merged.count() == direct.count())
+    val j = merged.join(direct.withColumnRenamed("n_orders", "dn"), "o_custkey")
+    assert(j.filter(col("n_orders") =!= col("dn")).count() == 0,
+      "merged per-key counts diverge from the one-pass recompute")
+  }
+
+  test("q225 z-order: both layouts see every matching row; z prunes at least as well") {
+    val rows = run("q225_zorder_audit").collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    val z = rows("zorder"); val lin = rows("linear")
+    // same predicate, same data: matching rows identical
+    assert(z.getAs[Long]("rows_matching") == lin.getAs[Long]("rows_matching"))
+    // no false negatives: a scanned superset must cover the matches
+    assert(z.getAs[Long]("rows_scanned") >= z.getAs[Long]("rows_matching"))
+    assert(lin.getAs[Long]("rows_scanned") >= lin.getAs[Long]("rows_matching"))
+    assert(z.getAs[Long]("n_files") == lin.getAs[Long]("n_files"))
+    // the point of the layout: the interleaved key prunes no worse
+    // (strictly better on this 2-D box at every tested SF)
+    assert(z.getAs[Long]("files_scanned") <= lin.getAs[Long]("files_scanned"),
+      "z-order scanned more files than the linear layout")
+  }
+
   test("q217 CDC fold: counts reconcile with an aggregate-shaped independent replay") {
     val r = run("q217_cdc_fold").collect().head
     // re-derive the latest op per key with max(struct(...)) — a

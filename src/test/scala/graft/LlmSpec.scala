@@ -20,6 +20,53 @@ class LlmSpec extends SparkSpec {
     d0.unionByName(copies)
   }
 
+  test("q218 AUC: the planted informative model separates; the noise model does not") {
+    val rows = SparkEntry.queries("q218_auc_roc")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("model") -> r).toMap
+    val inf = rows("informative"); val noise = rows("noise")
+    // label = (u2 ≤ score) makes P(pos|score) linear in score: the
+    // theoretical AUC of the informative scorer is ≈ 2/3
+    assert(inf.getAs[Double]("auc") > 0.6,
+      s"informative AUC ${inf.getAs[Double]("auc")} lost its signal")
+    val na = noise.getAs[Double]("auc")
+    assert(na > 0.4 && na < 0.6, s"independent-score AUC $na not near 1/2")
+    // the doubled numerator reconstructs the AUC exactly
+    for (r <- Seq(inf, noise)) {
+      val rebuilt = r.getAs[Long]("auc_num2").toDouble /
+        (2.0 * r.getAs[Long]("n_pos").toDouble * r.getAs[Long]("n_neg").toDouble)
+      assert(rebuilt == r.getAs[Double]("auc"))
+    }
+  }
+
+  test("q223 MaxSim: top-5 per probe, scores monotone, and ≥ the pooled-dot rank floor") {
+    val rows = SparkEntry.queries("q223_maxsim_late_interaction")(spark, sfDir)
+      .collect()
+    val byProbe = rows.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.size == 5)
+    for ((_, hits) <- byProbe) {
+      assert(hits.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to 5))
+      val scores = hits.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("ms9"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        "scores must be non-increasing in rank")
+    }
+    // MaxSim dominates the full-vector dot on the same pair: each
+    // chunk's max is ≥ the aligned-chunk dot, so Σmax ≥ Σaligned = dot
+    val emb = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).toArray).toMap
+    for (r <- rows.take(10)) {
+      val p = emb(r.getAs[Long]("probe_id")); val c = emb(r.getAs[Long]("cand_id"))
+      val aligned = (0 until 4).map { k =>
+        var d = 0.0
+        for (i <- 16 * k until 16 * (k + 1)) d += p(i).toDouble * c(i).toDouble
+        math.floor(d * 1e9 + 0.5).toLong
+      }.sum
+      assert(r.getAs[Long]("ms9") >= aligned,
+        "MaxSim must dominate the aligned-chunk (pooled) dot")
+    }
+  }
+
   test("minhash LSH: exact duplicates always collide in every band") {
     val docs = docsWithDups
       .select(col("doc_id"),

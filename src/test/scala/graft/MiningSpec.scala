@@ -12,6 +12,54 @@ class MiningSpec extends SparkSpec {
   private def run(name: String) =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("q219 KS: D is a valid sup-distance and λ follows from it") {
+    val r = run("q219_ks_test").collect().head
+    val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
+    val d = r.getAs[Double]("d_stat")
+    assert(n1 > 0 && n2 > 0)
+    assert(d >= 0.0 && d <= 1.0, s"D = $d out of [0,1]")
+    assert(r.getAs[Long]("d_num") == math.round(d * n1 * n2))
+    val lam = r.getAs[Double]("ks_lambda")
+    assert(lam >= 0.0 && lam.isFinite)
+  }
+
+  test("q220 Mann-Whitney: U within range, tie term positive, z finite") {
+    val r = run("q220_mann_whitney").collect().head
+    val na = r.getAs[Long]("n_a"); val nb = r.getAs[Long]("n_b")
+    val u2 = r.getAs[Long]("u2")
+    // doubled U ∈ [0, 2·na·nb]
+    assert(u2 >= 0 && u2 <= 2 * na * nb)
+    // 50 quantity levels share ~60k rows: ties are guaranteed
+    assert(r.getAs[Double]("tie_term") > 0.0)
+    assert(r.getAs[Double]("z").isFinite)
+  }
+
+  test("q221 Spearman: chars-vs-tokens correlation is strongly positive and ≤ 1") {
+    val r = run("q221_spearman").collect().head
+    val rho = r.getAs[Double]("rho")
+    // longer documents have more tokens by construction; midrank
+    // Pearson must see it
+    assert(rho > 0.5 && rho <= 1.0, s"rho = $rho")
+  }
+
+  test("q222 Bradley-Terry: strengths renormalized and ordered by the planted ladder") {
+    val rows = run("q222_bradley_terry").collect()
+    assert(rows.length == 5)
+    val s = rows.map(r => r.getAs[String]("player") -> r.getAs[Long]("strength6")).toMap
+    // renormalization: Σs = 5e6 up to per-player half-up rounding
+    val tot = s.values.sum
+    assert(math.abs(tot - 5000000L) <= 5, s"sum of strengths $tot drifted")
+    // the win threshold plants strength DESCENDING in alphabetical
+    // rank (click beats everyone most often)
+    val ladder = rows.sortBy(_.getAs[String]("player")).map(_.getAs[Long]("strength6"))
+    assert(ladder.sameElements(ladder.sortBy(-_)),
+      s"strengths ${ladder.mkString(",")} not monotone in the planted ladder")
+    // every player plays and wins at least once (connected MM)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_games") > 0 && r.getAs[Long]("n_wins") > 0)
+    }
+  }
+
   test("q212 bootstrap: point mean recounts exactly; CI brackets it with positive width") {
     val r = run("q212_bootstrap_ci").collect().head
     assert(r.getAs[Long]("n_resamples") == 100L)

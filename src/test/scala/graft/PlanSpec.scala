@@ -452,6 +452,13 @@ class PlanSpec extends SparkSpec {
       "q200_pipeline_v3" -> "1-row vocab-size / corpus-mean broadcasts",
       "q214_token_budget_waterfill" ->
         "1-row budget / water-level broadcasts over the |sources|-row table",
+      "q219_ks_test" -> "1-row group-totals broadcast over the bucket table",
+      "q222_bradley_terry" ->
+        "1-row strength-normalizer broadcast (per MM round)",
+      "q223_maxsim_late_interaction" ->
+        "inherits q51's exact-baseline probe broadcast",
+      "q225_zorder_audit" ->
+        "1-row row-total broadcast over the constant 64x64 grid",
       "q216_source_centroid_affinity" ->
         "|sources|² affinity grid: inequality join over the aggregated centroid table")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
