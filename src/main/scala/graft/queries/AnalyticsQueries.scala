@@ -374,6 +374,44 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("layout")
     }),
 
+    // q227: BENFORD LEADING-DIGIT AUDIT — the forensic data-quality
+    // screen (fabricated or re-scaled monetary columns drift from the
+    // log10(1+1/d) law): observed leading-digit counts of the order
+    // totals vs Benford expectation, with a χ² statistic. Everything
+    // is integer-exact: leading digit as the first character
+    // of the BIGINT cents rendered as a string (no float log10),
+    // Benford probabilities as nine hard-coded 1e-9-unit constants,
+    // expected mass e9 = n·p9 as BIGINT, and each digit's χ² term is
+    // one double dag quantized half-up to 1e-9 before anything sums
+    // it (the q153 chi-square pattern — a 9-row double sum would be
+    // engine-order dependent). Scale: one hash aggregate on the
+    // 9-value digit key with map-side combine; the audit table is
+    // constant-size.
+    "q227_benford_audit" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val obs = Tables.orders(s, dir)
+        .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("observed"))
+      val benford = Seq(
+        (1L, 301029996L), (2L, 176091259L), (3L, 124938737L),
+        (4L, 96910013L), (5L, 79181246L), (6L, 66946790L),
+        (7L, 57991947L), (8L, 51152522L), (9L, 45757491L))
+      val probs = s.createDataFrame(benford).toDF("digit", "p9")
+      val n = broadcast(obs.agg(sum("observed").as("n")))
+      val t1 = col("diff9").cast("double") / lit(1.0e9)
+      broadcast(probs).join(obs, Seq("digit"), "left")
+        .select(col("digit"), coalesce(col("observed"), lit(0L)).as("observed"),
+          col("p9"))
+        .crossJoin(n)
+        .withColumn("e9", col("n") * col("p9"))
+        .withColumn("diff9", col("observed") * lit(1000000000L) - col("e9"))
+        .withColumn("term9",
+          floor(t1 * t1 / (col("e9").cast("double") / lit(1.0e9)) * lit(1.0e9) +
+            lit(0.5)).cast("long"))
+        .select(col("digit"), col("observed"), col("e9"), col("term9"))
+        .orderBy("digit")
+    }),
+
     // ---------------------------------------------------------------
     // q134: BM25 probe against the persisted postings index —
     // score-identical to q126 (shared contribution/top-k helpers,
@@ -1250,6 +1288,27 @@ object AnalyticsQueries extends QueryPack {
   }
 
   override val oracles: Map[String, String] = Map(
+
+    // benford: same string-first-char digit, same 1e-9 constants, same
+    // quantized per-digit χ² terms.
+    "q227_benford_audit" ->
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |obs AS (SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    count(*) AS observed FROM c GROUP BY 1),
+        |p AS (SELECT CAST(digit AS BIGINT) AS digit, CAST(p9 AS BIGINT) AS p9
+        |  FROM (VALUES (1, 301029996), (2, 176091259), (3, 124938737),
+        |    (4, 96910013), (5, 79181246), (6, 66946790), (7, 57991947),
+        |    (8, 51152522), (9, 45757491)) AS t(digit, p9)),
+        |n AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM obs),
+        |g AS (SELECT p.digit, CAST(coalesce(obs.observed, 0) AS BIGINT) AS observed,
+        |    p.p9 FROM p LEFT JOIN obs ON p.digit = obs.digit),
+        |f AS (SELECT digit, observed, n.n * p9 AS e9,
+        |    observed * 1000000000 - n.n * p9 AS diff9 FROM g, n)
+        |SELECT digit, observed, e9,
+        |  CAST(floor((CAST(diff9 AS DOUBLE) / 1e9) * (CAST(diff9 AS DOUBLE) / 1e9) /
+        |    (CAST(e9 AS DOUBLE) / 1e9) * 1e9 + 0.5) AS BIGINT) AS term9
+        |FROM f ORDER BY digit""".stripMargin,
 
     // incremental-agg: the oracle recomputes the maintained state from
     // the full table in one pass — the merge law is the thing checked.

@@ -1564,6 +1564,83 @@ object LlmQueries extends QueryPack {
         .orderBy("bin")
     }),
 
+    // FIXED-SIZE DETERMINISTIC SAMPLE — the k-EXACT complement of
+    // q112's rate-based md5-threshold sampling: "give me exactly 100
+    // rows, uniformly, rerun-stable" = the 100 smallest md5 digests.
+    // No RNG state, no reservoir: at scale this is a TakeOrdered
+    // (per-partition top-k, then a k-row merge on the driver — never
+    // a global sort), and adding rows only ever displaces the sample
+    // boundary, so the sample is also STABLE under corpus growth in
+    // expectation k·(old/new). The digest doubles as the output key,
+    // making the sample self-verifying.
+    "q229_fixed_size_sample" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(md5(concat(lit("smp:"), col("o_orderkey").cast("string")))
+          .as("h"), col("o_orderkey"))
+        .orderBy("h")
+        .limit(100)),
+
+    // STRATIFIED FIXED-k SAMPLE — exactly 5 docs per source (the
+    // per-stratum quota variant q135's proportional temperature
+    // sampler doesn't give): smallest md5 per stratum via a ranking
+    // window on source with a rank ≤ 5 FILTER, which Spark plans as a
+    // map-side WindowGroupLimit — each task keeps ≤ 5 rows per
+    // stratum before the shuffle, so the low-cardinality partition
+    // key never buffers a stratum's full contents (the q137 serving
+    // pattern).
+    "q230_stratified_fixed_k" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(col("h").asc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          md5(concat(lit("strat:"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("source"), col("rnk"), col("doc_id"), col("h"))
+        .orderBy("source", "rnk")
+    }),
+
+    // ZIPF SLOPE FIT — the quantitative half of q122's head-coverage
+    // profile: log-log OLS over the rank-frequency head of the vocab
+    // (slope ≈ −1 is the Zipf signature; the fitted exponent sizes
+    // tokenizers and predicts head/tail splits). Ranks come from ONE
+    // window over the aggregated vocab (bounded by vocab size, not
+    // corpus); ln(rank)/ln(freq) are quantized half-up to 1e-9 BIGINTs
+    // (the q101 ln-quantization pattern — the 3-SF sweep is the proof
+    // it absorbs JVM-vs-DuckDB last-ulp libm divergence), the five
+    // OLS moments accumulate in DECIMAL(38,0)/HUGEINT (Σxy ≤
+    // (21·1e9)² per row — BIGINT dies at ~20 rows), and slope/
+    // intercept are fixed double dags over the exact moments. Head
+    // bound k=200 keeps the fit in the power-law regime and the
+    // moment table constant-size.
+    "q226_zipf_slope" -> ((s, dir) => {
+      val vocab = Tables.documents(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("freq").desc, col("token").asc)
+      val head = vocab.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 200)
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(19,0)")
+      val x = floor(log(col("rank").cast("double")) * lit(1.0e9) + lit(0.5))
+        .cast("long")
+      val y = floor(log(col("freq").cast("double")) * lit(1.0e9) + lit(0.5))
+        .cast("long")
+      val ag = head.select(x.as("x"), y.as("y"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+          sum(dec(col("x")) * dec(col("x"))).as("sxx"))
+      val nD = col("n").cast("double")
+      val den = nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val slope = (nD * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) / den
+      ag.select(col("n").as("n_tokens"), slope.as("slope"),
+        ((col("sy").cast("double") - slope * col("sx").cast("double")) / nD)
+          .as("intercept9"))
+    }),
+
     // EXACT AUC-ROC — the eval-harness ranking metric, computed with
     // midrank tie handling entirely in integers. The fixture plants a
     // calibrated score: score = 8-bit md5 uniform, label = (a second
@@ -3304,6 +3381,52 @@ object LlmQueries extends QueryPack {
         |          sqrt(list_dot_product(b.v, b.v))) END AS cos
         |FROM v a JOIN v b ON a.source < b.source
         |ORDER BY source_a, source_b""".stripMargin,
+
+    "q229_fixed_size_sample" ->
+      """SELECT md5('smp:' || CAST(o_orderkey AS VARCHAR)) AS h, o_orderkey
+        |FROM orders ORDER BY h LIMIT 100""".stripMargin,
+
+    "q230_stratified_fixed_k" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    md5('strat:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |r AS (SELECT source, doc_id, h,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+        |      AS INT) AS rnk
+        |  FROM d)
+        |SELECT source, rnk, doc_id, h FROM r WHERE rnk <= 5
+        |ORDER BY source, rnk""".stripMargin,
+
+    // zipf: same head cut, same 1e-9 ln quantization, same HUGEINT
+    // moments, same slope/intercept dags (slope inlined in intercept).
+    "q226_zipf_slope" -> {
+      val slopeSql =
+        """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+          |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          |  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+          |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))""".stripMargin
+      s"""WITH vocab AS (
+         |  SELECT t AS token, count(*) AS freq FROM (
+         |    SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+         |    FROM documents) GROUP BY 1),
+         |head AS (
+         |  SELECT freq,
+         |    row_number() OVER (ORDER BY freq DESC, token) AS rank
+         |  FROM vocab QUALIFY rank <= 200),
+         |q AS (SELECT
+         |    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS x,
+         |    CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS y
+         |  FROM head),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |    sum(CAST(x AS HUGEINT) * x) AS sxx
+         |  FROM q)
+         |SELECT n AS n_tokens,
+         |  $slopeSql AS slope,
+         |  (CAST(sy AS DOUBLE) - ($slopeSql) * CAST(sx AS DOUBLE)) /
+         |    CAST(n AS DOUBLE) AS intercept9
+         |FROM ag""".stripMargin
+    },
 
     // auc: same 8-bit uniforms, same value-count + cumulative-window
     // midrank numerator, same single-division operand order.

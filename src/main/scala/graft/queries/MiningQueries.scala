@@ -1008,6 +1008,41 @@ object MiningQueries extends QueryPack {
         .orderBy("player")
     }),
 
+    // q228: MEDIAN-OF-MEANS — the robust mean estimator that scales
+    // where a trimmed mean cannot: hash rows into 32 deterministic
+    // buckets (one md5 per row, the q112 pattern), take each bucket's
+    // exact-cents mean, and report the median of the 32 means — a
+    // single adversarial outlier can corrupt at most one bucket, so
+    // the estimate moves by O(1/32) of its influence instead of all
+    // of it. One hash aggregate with map-side combine on the 32-value
+    // key; the rank-and-pick runs on the 32-row aggregate (the only
+    // divisions are the 32 bucket means and the final blend, each a
+    // fixed dag). Reported next to the plain mean so the spec can
+    // assert agreement on this clean fixture.
+    "q228_median_of_means" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"),
+        (conv(substring(md5(concat(lit("mom:"),
+          col("o_orderkey").cast("string"))), 1, 7), 16, 10)
+          .cast("long") % 32).as("g"))
+      val grp = base.groupBy("g").agg(sum("v").as("sv"), count(lit(1)).as("cv"))
+      val ranked = grp
+        .withColumn("mean_d", col("sv").cast("double") / col("cv").cast("double"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("mean_d").asc, col("g").asc)))
+      val tot = broadcast(grp.agg(sum("sv").as("ts"), sum("cv").as("tc")))
+      ranked.agg(
+          count(lit(1)).as("n_groups"),
+          min(when(col("rk") === 16, col("mean_d"))).as("m_lo"),
+          min(when(col("rk") === 17, col("mean_d"))).as("m_hi"))
+        .crossJoin(tot)
+        .select(col("n_groups"),
+          ((col("m_lo") + col("m_hi")) / lit(2.0) / lit(100.0))
+            .as("median_of_means"),
+          (col("ts").cast("double") / col("tc").cast("double") / lit(100.0))
+            .as("overall_mean"))
+    }),
+
     // ---------------------------------------------------------------
     // q167: skyline (Pareto frontier) — the orders that are
     // record-breakers under (cheapest price, largest line-quantity):
@@ -1387,6 +1422,29 @@ object MiningQueries extends QueryPack {
   override val oracles: Map[String, String] = Map(
 
     "q222_bradley_terry" -> btOracleSql,
+
+    // median-of-means: same md5 bucketing, same 32-row rank-and-pick,
+    // same blend dags.
+    "q228_median_of_means" ->
+      """WITH b AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+        |    CAST(('0x' || substring(md5('mom:' || CAST(o_orderkey AS VARCHAR)),
+        |      1, 7)) AS BIGINT) % 32 AS g
+        |  FROM orders),
+        |grp AS (SELECT g, CAST(sum(v) AS BIGINT) AS sv, count(*) AS cv
+        |  FROM b GROUP BY g),
+        |r AS (SELECT CAST(sv AS DOUBLE) / CAST(cv AS DOUBLE) AS mean_d,
+        |    row_number() OVER (ORDER BY CAST(sv AS DOUBLE) / CAST(cv AS DOUBLE), g)
+        |      AS rk
+        |  FROM grp),
+        |t AS (SELECT CAST(sum(sv) AS BIGINT) AS ts, CAST(sum(cv) AS BIGINT) AS tc
+        |  FROM grp),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |    min(CASE WHEN rk = 16 THEN mean_d END) AS m_lo,
+        |    min(CASE WHEN rk = 17 THEN mean_d END) AS m_hi
+        |  FROM r)
+        |SELECT n_groups, (m_lo + m_hi) / 2.0 / 100.0 AS median_of_means,
+        |  CAST(ts AS DOUBLE) / CAST(tc AS DOUBLE) / 100.0 AS overall_mean
+        |FROM m, t""".stripMargin,
 
     // ks: same cents quantization, same cross-multiplied integer ECDF
     // difference, same D and λ double dags.

@@ -55,6 +55,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(top.getAs[Long]("n_blocks") == byBlock.size.toLong)
   }
 
+  test("q227 Benford: digit table partitions the orders count with nonnegative terms") {
+    val rows = run("q227_benford_audit").collect()
+    assert(rows.map(_.getAs[Long]("digit")).sorted.sameElements(1L to 9L))
+    val nOrders = graft.sources.Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("observed")).sum == nOrders,
+      "observed digit counts must partition the table")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("term9") >= 0L)
+      assert(r.getAs[Long]("e9") > 0L)
+    }
+  }
+
   test("q224 incremental agg: the merged state equals a direct recompute") {
     // the oracle proves this against DuckDB; the spec proves it against
     // Spark's own one-pass aggregate (merge law, same engine)

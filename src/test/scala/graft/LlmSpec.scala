@@ -20,6 +20,26 @@ class LlmSpec extends SparkSpec {
     d0.unionByName(copies)
   }
 
+  test("q226 Zipf: fitted slope is negative (monotone rank-frequency) with a positive level") {
+    val r = SparkEntry.queries("q226_zipf_slope")(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_tokens") > 0 && r.getAs[Long]("n_tokens") <= 200)
+    assert(r.getAs[Double]("slope") < 0.0, "rank-frequency OLS slope must be negative")
+    assert(r.getAs[Double]("intercept9") > 0.0)
+  }
+
+  test("q229/q230 deterministic samples: exact sizes, ordered digests, per-stratum quota") {
+    val g = SparkEntry.queries("q229_fixed_size_sample")(spark, sfDir).collect()
+    assert(g.length == 100)
+    val hs = g.map(_.getAs[String]("h"))
+    assert(hs.sorted.sameElements(hs), "global sample must come out digest-ordered")
+    assert(g.map(_.getAs[Long]("o_orderkey")).distinct.length == 100)
+    val st = SparkEntry.queries("q230_stratified_fixed_k")(spark, sfDir).collect()
+    val bySrc = st.groupBy(_.getAs[String]("source"))
+    assert(bySrc.size == 20)
+    for ((_, rows) <- bySrc)
+      assert(rows.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to 5))
+  }
+
   test("q218 AUC: the planted informative model separates; the noise model does not") {
     val rows = SparkEntry.queries("q218_auc_roc")(spark, sfDir).collect()
       .map(r => r.getAs[String]("model") -> r).toMap

@@ -60,6 +60,18 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("q228 median-of-means: 32 buckets, estimate brackets the plain mean on a clean fixture") {
+    val r = run("q228_median_of_means").collect().head
+    assert(r.getAs[Long]("n_groups") == 32L)
+    val mom = r.getAs[Double]("median_of_means")
+    val mean = r.getAs[Double]("overall_mean")
+    assert(mom > 0 && mean > 0)
+    // outlier-free fixture: the two robust/plain centers agree within
+    // a few percent (bucket SE, not a fixed constant)
+    assert(math.abs(mom - mean) / mean < 0.05,
+      s"median-of-means $mom far from plain mean $mean on clean data")
+  }
+
   test("q212 bootstrap: point mean recounts exactly; CI brackets it with positive width") {
     val r = run("q212_bootstrap_ci").collect().head
     assert(r.getAs[Long]("n_resamples") == 100L)

@@ -459,6 +459,8 @@ class PlanSpec extends SparkSpec {
         "inherits q51's exact-baseline probe broadcast",
       "q225_zorder_audit" ->
         "1-row row-total broadcast over the constant 64x64 grid",
+      "q227_benford_audit" -> "1-row row-count broadcast over the 9-digit grid",
+      "q228_median_of_means" -> "1-row grand-total broadcast over the 32 buckets",
       "q216_source_centroid_affinity" ->
         "|sources|² affinity grid: inequality join over the aggregated centroid table")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
