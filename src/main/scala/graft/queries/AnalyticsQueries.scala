@@ -374,6 +374,44 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("layout")
     }),
 
+    // q231: POPULATION STABILITY INDEX — the ML-monitoring drift
+    // metric between a baseline and a current window of the event
+    // stream: PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i). Bins are FIXED
+    // equal-width cents buckets (domain-derived, not quantile-fit, so
+    // the binning is rerun- and engine-stable), counts are exact
+    // integers with +1 Laplace smoothing making empty bins
+    // well-defined, and each bin's term is ONE division → ln → product
+    // dag quantized half-up to 1e-9 BEFORE the sum (the q153/q227
+    // per-cell pattern — the 10-row double sum would be
+    // engine-order-dependent; the ln quantization is the q101
+    // 3-SF-sweep-proven class). Scale: one hash aggregate on the
+    // (bin, period) key with map-side combine; the PSI table is
+    // constant-size.
+    "q231_psi_drift" -> ((s, dir) => {
+      val cell = Tables.events(s, dir)
+        .select(expr("least(cast(floor(value * 100 + 0.5) as bigint) div 5000, 9L)")
+            .as("bin"),
+          (col("ts") >= lit("2024-01-16").cast("timestamp")).cast("int")
+            .as("is_curr"))
+        .groupBy("bin")
+        .agg(sum(lit(1) - col("is_curr")).as("cb"),
+          sum("is_curr").as("cc"))
+      val tot = broadcast(cell.agg(sum("cb").as("nb"), sum("cc").as("nc")))
+      val bins = s.range(0, 10).select(col("id").as("bin"))
+      val g = broadcast(bins).join(cell, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("cb"), lit(0L)).as("cb"),
+          coalesce(col("cc"), lit(0L)).as("cc"))
+        .crossJoin(tot)
+      val p = (col("cb") + 1L).cast("double") / (col("nb") + 10L).cast("double")
+      val q = (col("cc") + 1L).cast("double") / (col("nc") + 10L).cast("double")
+      val ratio = ((col("cb") + 1L) * (col("nc") + 10L)).cast("double") /
+        ((col("cc") + 1L) * (col("nb") + 10L)).cast("double")
+      g.select(col("bin"), col("cb").as("c_base"), col("cc").as("c_curr"),
+          floor((p - q) * log(ratio) * lit(1.0e9) + lit(0.5)).cast("long")
+            .as("term9"))
+        .orderBy("bin")
+    }),
+
     // q227: BENFORD LEADING-DIGIT AUDIT — the forensic data-quality
     // screen (fabricated or re-scaled monetary columns drift from the
     // log10(1+1/d) law): observed leading-digit counts of the order
@@ -1288,6 +1326,30 @@ object AnalyticsQueries extends QueryPack {
   }
 
   override val oracles: Map[String, String] = Map(
+
+    // psi: same fixed cents bins, same Laplace smoothing, same
+    // division→ln→product dag quantized per bin.
+    "q231_psi_drift" ->
+      """WITH e AS (SELECT
+        |    least(CAST(floor(value * 100 + 0.5) AS BIGINT) // 5000, 9) AS bin,
+        |    CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_curr
+        |  FROM events),
+        |cell AS (SELECT bin, CAST(sum(1 - is_curr) AS BIGINT) AS cb,
+        |    CAST(sum(is_curr) AS BIGINT) AS cc FROM e GROUP BY bin),
+        |tot AS (SELECT CAST(sum(cb) AS BIGINT) AS nb,
+        |    CAST(sum(cc) AS BIGINT) AS nc FROM cell),
+        |g AS (SELECT b.bin, CAST(coalesce(cell.cb, 0) AS BIGINT) AS cb,
+        |    CAST(coalesce(cell.cc, 0) AS BIGINT) AS cc
+        |  FROM (SELECT unnest(generate_series(0, 9)) AS bin) b
+        |  LEFT JOIN cell ON b.bin = cell.bin)
+        |SELECT CAST(g.bin AS BIGINT) AS bin, cb AS c_base, cc AS c_curr,
+        |  CAST(floor(
+        |    (CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE) -
+        |     CAST(cc + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE)) *
+        |    ln(CAST((cb + 1) * (nc + 10) AS DOUBLE) /
+        |       CAST((cc + 1) * (nb + 10) AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+        |    AS term9
+        |FROM g, tot ORDER BY bin""".stripMargin,
 
     // benford: same string-first-char digit, same 1e-9 constants, same
     // quantized per-digit χ² terms.

@@ -1564,6 +1564,44 @@ object LlmQueries extends QueryPack {
         .orderBy("bin")
     }),
 
+    // COHEN'S KAPPA — chance-corrected inter-annotator agreement, the
+    // label-quality gate every human-annotation pipeline runs before
+    // training on the labels. The fixture plants ~70 % true agreement
+    // between two md5-derived 4-class annotators (annotator 2 copies
+    // annotator 1 when an agreement byte < 179, else labels
+    // independently), so the spec can pin κ ≈ 0.7 analytically.
+    // κ = (p_o − p_e)/(1 − p_e) entirely from exact integers: the
+    // 4×4 confusion matrix is ONE hash aggregate, the diagonal and
+    // the Σ row_k·col_k chance mass are BIGINTs (row·col ≤ n², safe
+    // past 3e9 rows), and κ = (diag·n − pe_num)/(n·n − pe_num) is a
+    // single double dag. Scale: everything after the 16-cell
+    // aggregate is constant-size.
+    "q232_cohens_kappa" -> ((s, dir) => {
+      def byte8(tag: String) = conv(substring(md5(concat(lit(tag + ":"),
+        col("event_id").cast("string"))), 1, 2), 16, 10).cast("long")
+      val labeled = Tables.events(s, dir)
+        .select(col("event_id"), (byte8("a1") % 4).as("a1"),
+          byte8("agree").as("u"), (byte8("a2") % 4).as("alt"))
+        .select(col("a1"),
+          when(col("u") < 179L, col("a1")).otherwise(col("alt")).as("a2"))
+      val cells = labeled.groupBy("a1", "a2").agg(count(lit(1)).as("c"))
+      val rows = cells.groupBy("a1").agg(sum("c").as("rc"))
+      val cols = cells.groupBy("a2").agg(sum("c").as("cc"))
+      val stats = broadcast(cells.agg(
+        sum("c").as("n"),
+        sum(when(col("a1") === col("a2"), col("c")).otherwise(0L)).as("diag")))
+      val peNum = broadcast(rows
+        .join(cols, col("a1") === col("a2"))
+        .agg(sum(col("rc") * col("cc")).as("pe_num")))
+      stats.crossJoin(peNum)
+        .select(col("n"), col("diag"), col("pe_num"),
+          (col("diag").cast("double") / col("n").cast("double")).as("p_o"),
+          (col("pe_num").cast("double") /
+            (col("n").cast("double") * col("n").cast("double"))).as("p_e"),
+          ((col("diag") * col("n") - col("pe_num")).cast("double") /
+            (col("n") * col("n") - col("pe_num")).cast("double")).as("kappa"))
+    }),
+
     // FIXED-SIZE DETERMINISTIC SAMPLE — the k-EXACT complement of
     // q112's rate-based md5-threshold sampling: "give me exactly 100
     // rows, uniformly, rerun-stable" = the 100 smallest md5 digests.
@@ -3385,6 +3423,31 @@ object LlmQueries extends QueryPack {
     "q229_fixed_size_sample" ->
       """SELECT md5('smp:' || CAST(o_orderkey AS VARCHAR)) AS h, o_orderkey
         |FROM orders ORDER BY h LIMIT 100""".stripMargin,
+
+    // kappa: same md5 annotators, same integer confusion-matrix
+    // margins, same three double dags.
+    "q232_cohens_kappa" ->
+      """WITH l AS (
+        |  SELECT a1, CASE WHEN u < 179 THEN a1 ELSE alt END AS a2 FROM (
+        |    SELECT
+        |      CAST(('0x' || substring(md5('a1:' || CAST(event_id AS VARCHAR)), 1, 2)) AS BIGINT) % 4 AS a1,
+        |      CAST(('0x' || substring(md5('agree:' || CAST(event_id AS VARCHAR)), 1, 2)) AS BIGINT) AS u,
+        |      CAST(('0x' || substring(md5('a2:' || CAST(event_id AS VARCHAR)), 1, 2)) AS BIGINT) % 4 AS alt
+        |    FROM events)),
+        |cells AS (SELECT a1, a2, count(*) AS c FROM l GROUP BY a1, a2),
+        |st AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a1 = a2 THEN c ELSE 0 END) AS BIGINT) AS diag
+        |  FROM cells),
+        |pe AS (SELECT CAST(sum(r.rc * co.cc) AS BIGINT) AS pe_num FROM
+        |  (SELECT a1, sum(c) AS rc FROM cells GROUP BY a1) r
+        |  JOIN (SELECT a2, sum(c) AS cc FROM cells GROUP BY a2) co
+        |    ON r.a1 = co.a2)
+        |SELECT n, diag, pe_num,
+        |  CAST(diag AS DOUBLE) / CAST(n AS DOUBLE) AS p_o,
+        |  CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS p_e,
+        |  CAST(diag * n - pe_num AS DOUBLE) /
+        |    CAST(n * n - pe_num AS DOUBLE) AS kappa
+        |FROM st, pe""".stripMargin,
 
     "q230_stratified_fixed_k" ->
       """WITH d AS (SELECT source, doc_id,

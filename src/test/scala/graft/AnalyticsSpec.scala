@@ -55,6 +55,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(top.getAs[Long]("n_blocks") == byBlock.size.toLong)
   }
 
+  test("q231 PSI: bins partition the stream, terms nonnegative, no false drift alarm") {
+    val rows = run("q231_psi_drift").collect()
+    assert(rows.map(_.getAs[Long]("bin")).sorted.sameElements(0L to 9L))
+    val nEvents = graft.sources.Tables.events(spark, sfDir).count()
+    assert(rows.map(r => r.getAs[Long]("c_base") + r.getAs[Long]("c_curr")).sum
+      == nEvents)
+    // every PSI term is (p-q)·ln(p/q) ≥ 0 by construction
+    rows.foreach(r => assert(r.getAs[Long]("term9") >= 0L))
+    // the stream is stationary: total PSI must sit far below the 0.1
+    // "investigate" threshold — a false alarm here means the binning
+    // or smoothing is broken
+    assert(rows.map(_.getAs[Long]("term9")).sum < 100000000L)
+  }
+
   test("q227 Benford: digit table partitions the orders count with nonnegative terms") {
     val rows = run("q227_benford_audit").collect()
     assert(rows.map(_.getAs[Long]("digit")).sorted.sameElements(1L to 9L))

@@ -40,6 +40,19 @@ class LlmSpec extends SparkSpec {
       assert(rows.map(_.getAs[Int]("rnk")).sorted.sameElements(1 to 5))
   }
 
+  test("q232 kappa: recovers the planted 70% chance-corrected agreement") {
+    val r = SparkEntry.queries("q232_cohens_kappa")(spark, sfDir).collect().head
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(r.getAs[Long]("n") == nEvents)
+    // planted: copy prob 179/256, uniform 4-class labels →
+    // κ* = (179/256·3/4)/(3/4) = 179/256 ≈ 0.6992
+    val kappa = r.getAs[Double]("kappa")
+    assert(math.abs(kappa - 179.0 / 256.0) < 0.03,
+      s"kappa $kappa drifted from the planted 0.6992")
+    assert(r.getAs[Double]("p_o") > r.getAs[Double]("p_e"),
+      "observed agreement must exceed chance")
+  }
+
   test("q218 AUC: the planted informative model separates; the noise model does not") {
     val rows = SparkEntry.queries("q218_auc_roc")(spark, sfDir).collect()
       .map(r => r.getAs[String]("model") -> r).toMap

@@ -461,6 +461,9 @@ class PlanSpec extends SparkSpec {
         "1-row row-total broadcast over the constant 64x64 grid",
       "q227_benford_audit" -> "1-row row-count broadcast over the 9-digit grid",
       "q228_median_of_means" -> "1-row grand-total broadcast over the 32 buckets",
+      "q231_psi_drift" -> "1-row period-totals broadcast over the 10-bin grid",
+      "q232_cohens_kappa" ->
+        "1-row confusion-margin broadcasts over the 16-cell matrix",
       "q216_source_centroid_affinity" ->
         "|sources|² affinity grid: inequality join over the aggregated centroid table")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
