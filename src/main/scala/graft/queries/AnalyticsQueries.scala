@@ -167,6 +167,80 @@ object AnalyticsQueries extends QueryPack {
 
   override val queries: Map[String, Q] = Map(
 
+    // q235: TWO-PROPORTION Z-TEST — the A/B-experiment readout:
+    // deterministic arm assignment (user_id parity — rerun-stable, no
+    // RNG state), unit of analysis = USER-DAY with conversion = any
+    // purchase that day (per-user lifetime conversion saturates to
+    // p̂ = 1 on an active event log, and ANSI mode correctly faults
+    // the z dag's se = 0), pooled-variance z over the four exact
+    // BIGINT counts. The z-score is ONE fixed dag of IEEE double ops
+    // mirrored operand-for-operand in the oracle (each op exactly
+    // rounded → bit-identical). Scale: one (user_id, day)-keyed
+    // aggregate over the corpus (unbounded key, map-side combinable
+    // max), then conditional sums fold the 2-arm table into a single
+    // row — no windows, no broadcast at all.
+    "q235_ab_ztest" -> ((s, dir) => {
+      val perUser = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day"),
+          (col("event_type") === "purchase").cast("long").as("pc"))
+        .groupBy("user_id", "day")
+        .agg(max("pc").as("converted"))
+        .select(pmod(col("user_id"), lit(2)).as("arm"), col("converted"))
+      val ag = perUser.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("c_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("c_b"))
+      val pA = col("c_a").cast("double") / col("n_a").cast("double")
+      val pB = col("c_b").cast("double") / col("n_b").cast("double")
+      val pP = (col("c_a") + col("c_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double")
+      val se = sqrt(pP * (lit(1.0) - pP) *
+        (lit(1.0) / col("n_a").cast("double") +
+          lit(1.0) / col("n_b").cast("double")))
+      ag.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        ((pA - pB) / se).as("z"))
+    }),
+
+    // q236: LOG-BUCKETED HISTOGRAM QUANTILES (HdrHistogram shape) —
+    // the latency/price-percentile operator that scales where an exact
+    // percentile can't: each cents value is truncated to its top 5
+    // significant bits (v >> max(bitlen−5, 0) << same), giving ≤ 16
+    // sub-buckets per octave with ≤ 3.2 % relative bound — and unlike
+    // a sketch, the bucketing is a pure deterministic function, so the
+    // whole histogram is oracle-replayable (the q88 approx-percentile
+    // family upgraded to an exact-contract check). Bit length comes
+    // from the BINARY STRING length (no float log2 — ln-ratio log2 is
+    // off-by-ulp at exact powers of two). Scale: one map-side-
+    // combinable aggregate on the value-DOMAIN-bounded bucket key
+    // (≤ 16·64 buckets regardless of corpus size), a cumulative window
+    // over that bounded table, and a 4-row quantile grid joined
+    // against it.
+    "q236_hdr_histogram" -> ((s, dir) => {
+      val v = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val buckets = Tables.orders(s, dir)
+        .select(v.as("v"))
+        .select(expr("shiftleft(shiftright(v, int(greatest(length(bin(v)) - 5, 0))), " +
+          "int(greatest(length(bin(v)) - 5, 0)))").as("lb"),
+          expr("shiftleft(1L, int(greatest(length(bin(v)) - 5, 0)))").as("w"))
+        .groupBy("lb", "w").agg(count(lit(1)).as("cnt"))
+      val tot = broadcast(buckets.agg(sum("cnt").as("n")))
+      val cum = buckets
+        .withColumn("cum", sum("cnt").over(Window.orderBy("lb")))
+        .crossJoin(tot)
+      val qs = s.range(0, 4).select(
+        element_at(typedLit(Seq(50L, 90L, 95L, 99L)), (col("id") + 1).cast("int"))
+          .as("pct"))
+      broadcast(qs).join(cum,
+          col("cum") * lit(100L) >= col("pct") * col("n"))
+        .groupBy("pct")
+        .agg(min(struct(col("lb"), col("w"), col("cum"), col("n"))).as("m"))
+        .select(col("pct"), col("m.lb").as("lo_bound"),
+          (col("m.lb") + col("m.w") - 1L).as("hi_bound"),
+          col("m.cum").as("cum_count"), col("m.n").as("n"))
+        .orderBy("pct")
+    }),
+
     // ---------------------------------------------------------------
     // q126: BM25 retrieval — score every document against a term set,
     // return the top 20. idf = ln(1 + (N − df + ½)/(df + ½)) (the
@@ -1326,6 +1400,48 @@ object AnalyticsQueries extends QueryPack {
   }
 
   override val oracles: Map[String, String] = Map(
+
+    // ab-ztest: same parity arms, same per-user max-conversion
+    // aggregate, same pooled-variance double dag.
+    "q235_ab_ztest" ->
+      """WITH pu AS (SELECT user_id % 2 AS arm,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+        |ag AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS c_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS c_b
+        |  FROM pu)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+        |   CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+        |  sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+        |    (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+        |    (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) AS z
+        |FROM ag""".stripMargin,
+
+    // hdr-histogram: same top-5-bit truncation via binary-string
+    // length, same integer cum·100 ≥ pct·n rank rule.
+    "q236_hdr_histogram" ->
+      """WITH vals AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM orders),
+        |b AS (SELECT
+        |    (v >> greatest(length(printf('%b', v)) - 5, 0))
+        |      << greatest(length(printf('%b', v)) - 5, 0) AS lb,
+        |    CAST(1 AS BIGINT) << greatest(length(printf('%b', v)) - 5, 0) AS w
+        |  FROM vals),
+        |buckets AS (SELECT lb, w, count(*) AS cnt FROM b GROUP BY lb, w),
+        |cum AS (SELECT lb, w, cnt,
+        |    sum(cnt) OVER (ORDER BY lb) AS cum FROM buckets),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM buckets),
+        |qs AS (SELECT unnest([50, 90, 95, 99]) AS pct),
+        |hit AS (SELECT qs.pct, cum.lb, cum.w, cum.cum, tot.n,
+        |    row_number() OVER (PARTITION BY qs.pct ORDER BY cum.lb) AS rk
+        |  FROM qs, cum, tot WHERE cum.cum * 100 >= qs.pct * tot.n)
+        |SELECT CAST(pct AS BIGINT) AS pct, lb AS lo_bound,
+        |  lb + w - 1 AS hi_bound, CAST(cum AS BIGINT) AS cum_count, n
+        |FROM hit WHERE rk = 1 ORDER BY pct""".stripMargin,
 
     // psi: same fixed cents bins, same Laplace smoothing, same
     // division→ln→product dag quantized per bin.

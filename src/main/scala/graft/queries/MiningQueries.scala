@@ -1306,6 +1306,81 @@ object MiningQueries extends QueryPack {
     // has |cos| ≥ 0.97 with the planted one. d=8 keeps the moment
     // table readable; the same shape carries any d with the co-moment
     // explode bounded at d² per row.
+    // q233: AUTOCORRELATION FUNCTION (lags 1–7) — the time-series
+    // seasonality diagnostic over the daily event-revenue series.
+    // Exactness: the daily totals are BIGINT cents; centering is done
+    // WITHOUT the (double) mean by working on y_d = n·x_d − S (every
+    // n²-scaled deviation is an exact integer, and the n² factors
+    // cancel in the ratio), so r_k = Σ y_d·y_{d+k} / Σ y_d² is ONE
+    // double division over two exact sums. The products y·y go through
+    // DECIMAL(38,0) (HUGEINT oracle-side): |y| ≤ n·max_daily ≈ 4e17 at
+    // 100 TB, so y² ≈ 1.6e35 overflows BIGINT but not DECIMAL(38,0) —
+    // the q220/q221 ANSI-overflow class closed by construction. Scale:
+    // one map-side-combinable daily aggregate over the corpus; all
+    // later joins/windows run on the CALENDAR-bounded daily table
+    // (365 rows/year), with the lag alignment an equi-join on
+    // day + k over that table.
+    "q233_acf" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            .as("d"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy("d").agg(sum("cents").as("x"))
+      val tot = broadcast(daily.agg(count(lit(1)).as("n"), sum("x").as("sx")))
+      val y = daily.crossJoin(tot)
+        .select(col("d"), (col("n") * col("x") - col("sx")).as("y"))
+        .localCheckpoint(false) // feeds denom + both lag-join legs
+      val yDec = col("y").cast("decimal(38,0)")
+      val denom = broadcast(y.agg(sum(yDec * yDec).as("den")))
+      val lags = s.range(1, 8).select(col("id").as("lag"))
+      broadcast(lags)
+        .join(y.select(col("d"), col("y").as("ya")), lit(true))
+        .join(y.select(col("d").as("d2"), col("y").as("yb")),
+          col("d2") === col("d") + col("lag"))
+        .groupBy("lag")
+        .agg(sum(col("ya").cast("decimal(38,0)") *
+          col("yb").cast("decimal(38,0)")).as("num"))
+        .crossJoin(denom)
+        .select(col("lag"),
+          (col("num").cast("double") / col("den").cast("double")).as("acf"))
+        .orderBy("lag")
+    }),
+
+    // q234: CUSUM CHANGEPOINT SCAN — the level-shift detector over the
+    // same daily revenue series: S_t = Σ_{i≤t}(x_i − x̄), peak |S_t| is
+    // the changepoint estimate. Mean-free integers again: n·S_t =
+    // n·cum_t − t·S is exact, with the two products in DECIMAL(38,0)
+    // (n·cum ≤ n·S ≈ 1.3e20 at 100 TB — past BIGINT). The peak flag is
+    // decided on the exact decimal (ties → earliest day, a
+    // deterministic struct-max), and only the reported magnitude is one
+    // double cast. Scale: corpus work is one daily aggregate;
+    // the cumulative window and peak scan run on the calendar-bounded
+    // table.
+    "q234_cusum_changepoint" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            .as("d"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy("d").agg(sum("cents").as("x"))
+      val tot = broadcast(daily.agg(count(lit(1)).as("n"), sum("x").as("sx")))
+      val w = Window.orderBy("d")
+      val cus = daily.crossJoin(tot)
+        .select(col("d"), col("x"),
+          (col("n").cast("decimal(38,0)") *
+            sum("x").over(w).cast("decimal(38,0)") -
+            (row_number().over(w)).cast("decimal(38,0)") *
+              col("sx").cast("decimal(38,0)")).as("ns"))
+        .localCheckpoint(false) // feeds the peak aggregate + the output
+      val peak = broadcast(cus.agg(
+        max(struct(abs(col("ns")).as("a"), (-col("d")).as("nd"))).as("m"))
+        .select(col("m.a").as("peak_abs"), (-col("m.nd")).as("peak_d")))
+      cus.crossJoin(peak)
+        .select(col("d"), col("x").as("day_cents"),
+          col("ns").cast("double").as("cusum"),
+          (col("d") === col("peak_d")).cast("long").as("is_peak"))
+        .orderBy("d")
+    }),
+
     "q185_pca_power" -> ((s, dir) => {
       val coords = Tables.embeddings(s, dir).select(col("vec_id"),
           posexplode(slice(col("embedding"), 1, 8)).as(Seq("j0", "x")))
@@ -1422,6 +1497,48 @@ object MiningQueries extends QueryPack {
   override val oracles: Map[String, String] = Map(
 
     "q222_bradley_terry" -> btOracleSql,
+
+    // acf: same mean-free n-scaled deviations, HUGEINT products
+    // mirroring Spark's DECIMAL(38,0), one double division per lag.
+    "q233_acf" ->
+      """WITH daily AS (SELECT
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx FROM daily),
+        |y AS (SELECT d, n * x - sx AS y FROM daily, tot),
+        |den AS (SELECT sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS den
+        |  FROM y),
+        |num AS (SELECT l.lag AS lag,
+        |    sum(CAST(a.y AS HUGEINT) * CAST(b.y AS HUGEINT)) AS num
+        |  FROM (SELECT unnest(generate_series(1, 7)) AS lag) l
+        |  CROSS JOIN y a JOIN y b ON b.d = a.d + l.lag
+        |  GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag,
+        |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+        |FROM num, den ORDER BY lag""".stripMargin,
+
+    // cusum: same n·cum − t·S integer scan, peak decided on the exact
+    // integers with the earliest-day tie-break, one double cast out.
+    "q234_cusum_changepoint" ->
+      """WITH daily AS (SELECT
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx FROM daily),
+        |cus AS (SELECT d, x,
+        |    CAST(n AS HUGEINT) *
+        |      CAST(sum(x) OVER (ORDER BY d) AS HUGEINT) -
+        |    CAST(row_number() OVER (ORDER BY d) AS HUGEINT) *
+        |      CAST(sx AS HUGEINT) AS ns
+        |  FROM daily, tot),
+        |peak AS (SELECT d AS peak_d FROM cus
+        |  ORDER BY abs(ns) DESC, d ASC LIMIT 1)
+        |SELECT d, x AS day_cents, CAST(ns AS DOUBLE) AS cusum,
+        |  CAST(CASE WHEN d = peak_d THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+        |FROM cus, peak ORDER BY d""".stripMargin,
 
     // median-of-means: same md5 bucketing, same 32-row rank-and-pick,
     // same blend dags.

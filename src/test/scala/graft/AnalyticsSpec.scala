@@ -14,6 +14,47 @@ class AnalyticsSpec extends SparkSpec {
   private def run(name: String) =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("q235 z-test counts partition the user-days and z matches a local recount") {
+    val r = run("q235_ab_ztest").collect().head
+    val na = r.getAs[Long]("n_a"); val ca = r.getAs[Long]("c_a")
+    val nb = r.getAs[Long]("n_b"); val cb = r.getAs[Long]("c_b")
+    val userDays = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct().count()
+    assert(na + nb == userDays, s"arms ${na + nb} != user-days $userDays")
+    assert(ca <= na && cb <= nb && ca > 0 && cb > 0)
+    // Conversion must not saturate — the fixture property that keeps
+    // the pooled se nonzero at every SF (ANSI faults se = 0 loudly).
+    assert(ca < na || cb < nb, "conversion saturated: se would be 0")
+    val pa = ca.toDouble / na; val pb = cb.toDouble / nb
+    val pp = (ca + cb).toDouble / (na + nb)
+    val z = (pa - pb) / math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    assert(r.getAs[Double]("z") == z, s"z ${r.getAs[Double]("z")} != local $z")
+  }
+
+  test("q236 HDR buckets bracket the true exact percentiles within the 5-bit bound") {
+    val rows = run("q236_hdr_histogram").collect()
+    assert(rows.map(_.getAs[Long]("pct")).toSeq == Seq(50L, 90L, 95L, 99L))
+    val cents = graft.sources.Tables.orders(spark, sfDir)
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length.toLong
+    var prevLo = -1L
+    rows.foreach { r =>
+      val pct = r.getAs[Long]("pct")
+      val lo = r.getAs[Long]("lo_bound"); val hi = r.getAs[Long]("hi_bound")
+      assert(lo >= prevLo, "bucket lower bounds must be monotone in pct")
+      prevLo = lo
+      // True order statistic at the same integer rank rule cum·100 ≥ pct·n.
+      val rank = ((pct * n + 99) / 100).toInt // ceil(pct·n/100)
+      val truth = cents(rank - 1)
+      assert(truth >= lo && truth <= hi,
+        s"p$pct: true order stat $truth outside bucket [$lo, $hi]")
+      // ≤ 16 sub-buckets per octave ⇒ ≤ 2^(e-5) wide ⇒ ≤ ~3.2% of lo.
+      assert(hi - lo + 1 <= math.max(lo / 16, 1),
+        s"p$pct: bucket width ${hi - lo + 1} exceeds the 5-bit bound")
+    }
+  }
+
   test("q134 indexed BM25 returns exactly q126's scan-side result") {
     // Same scores by construction (shared contribution helper) — but
     // this asserts the INDEX path end-to-end: build, bucket-pruned

@@ -34,6 +34,45 @@ class MiningSpec extends SparkSpec {
     assert(r.getAs[Double]("z").isFinite)
   }
 
+  test("q233 ACF matches a local brute-force recount and is Cauchy-Schwarz bounded") {
+    val rows = run("q233_acf").collect()
+    assert(rows.length == 7)
+    // Local recount from the raw events.
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .select(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .as("d"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .groupBy("d").agg(sum("c").as("x"))
+      .collect().map(r => r.getAs[Int]("d") -> r.getAs[Long]("x"))
+      .sortBy(_._1)
+    val n = daily.length
+    val sx = daily.map(_._2).sum
+    val y = daily.map { case (d, x) => d -> (BigInt(n) * x - sx) }.toMap
+    val den = y.values.map(v => v * v).sum
+    rows.foreach { r =>
+      val k = r.getAs[Long]("lag").toInt
+      val num = y.collect { case (d, v) if y.contains(d + k) => v * y(d + k) }.sum
+      val expected = num.toDouble / den.toDouble
+      val got = r.getAs[Double]("acf")
+      assert(got == expected, s"lag $k: $got != local $expected")
+      assert(math.abs(got) <= 1.0, s"lag $k: |acf| > 1")
+    }
+  }
+
+  test("q234 CUSUM telescopes to zero at the last day and flags exactly one peak") {
+    val rows = run("q234_cusum_changepoint").collect()
+    assert(rows.nonEmpty)
+    // S_n = Σ(x_i − x̄) over the whole series is identically zero.
+    assert(rows.last.getAs[Double]("cusum") == 0.0,
+      s"final CUSUM ${rows.last.getAs[Double]("cusum")} != 0")
+    assert(rows.map(_.getAs[Long]("is_peak")).sum == 1L,
+      "peak flag must mark exactly one day")
+    val peakAbs = rows.filter(_.getAs[Long]("is_peak") == 1L)
+      .head.getAs[Double]("cusum").abs
+    assert(rows.forall(r => r.getAs[Double]("cusum").abs <= peakAbs),
+      "flagged peak is not the max |CUSUM|")
+  }
+
   test("q221 Spearman: chars-vs-tokens correlation is strongly positive and ≤ 1") {
     val r = run("q221_spearman").collect().head
     val rho = r.getAs[Double]("rho")

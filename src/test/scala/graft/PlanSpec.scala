@@ -465,7 +465,13 @@ class PlanSpec extends SparkSpec {
       "q232_cohens_kappa" ->
         "1-row confusion-margin broadcasts over the 16-cell matrix",
       "q216_source_centroid_affinity" ->
-        "|sources|² affinity grid: inequality join over the aggregated centroid table")
+        "|sources|² affinity grid: inequality join over the aggregated centroid table",
+      "q233_acf" ->
+        "7-row lag grid × calendar-bounded daily table; 1-row total broadcasts",
+      "q234_cusum_changepoint" ->
+        "1-row total/peak broadcasts over the calendar-bounded daily table",
+      "q236_hdr_histogram" ->
+        "4-row quantile grid × domain-bounded bucket table; 1-row total broadcast")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
