@@ -150,6 +150,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         BoundedLevenshtein(children.head, children(1), k)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_jaro_winkler takes (a, b)")
+        JaroWinkler(children.head, children(1))
+      }))
     // ANN assignment expressions (IvfCells.scala): the centroid/plane
     // matrix arrives as ONE foldable array-of-array literal and is
     // folded into the expression at analysis time — the plan holds a

@@ -702,6 +702,42 @@ object LlmQueries extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // q237: PMI COLLOCATION MINING — the phrase-extraction operator a
+    // tokenizer/vocab pipeline runs before merging multiword units:
+    // pointwise mutual information ln(N·c(w₁w₂)/(c(w₁)·c(w₂))) over
+    // corpus bigrams with support ≥ 5, top 20 by PMI. Exactness: the
+    // PMI argument is a ratio of exact integer PRODUCTS (c12·N and
+    // c1·c2 through DECIMAL(38,0)/HUGEINT — c12·N ≈ 1e26 at 100 TB,
+    // past BIGINT), one division → ln → half-up 1e-9 quantization (the
+    // q101 ln class — 3-SF sweep proven). Scale: unigram and bigram
+    // count tables are vocab-bounded aggregates of one corpus pass
+    // each (the count tables are lazily cut, not the token stream);
+    // the final top-k is TakeOrderedAndProject (per-partition top-20,
+    // no global sort), tie-broken on the bigram text.
+    "q237_pmi_collocations" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toksCol = Text.tokens(col("text"))
+      val uni = docs.select(explode(toksCol).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // joined twice (w1 and w2 legs)
+      val bgc = docs.select(explode(Text.shingles(toksCol, 2)).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c12"))
+        .localCheckpoint(false) // feeds N and the PMI table
+      val nTot = broadcast(bgc.agg(sum("c12").as("nb")))
+      bgc.filter(col("c12") >= 5)
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .withColumn("w2", substring_index(col("bg"), " ", -1))
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+        .crossJoin(nTot)
+        .select(col("bg"), col("c12"),
+          floor(log((col("c12").cast("decimal(38,0)") * col("nb")).cast("double") /
+            (col("c1").cast("decimal(38,0)") * col("c2")).cast("double"))
+            * 1e9 + 0.5).cast("long").as("pmi9"))
+        .orderBy(col("pmi9").desc, col("bg"))
+        .limit(20)
+    }),
+
     // BIGRAM LM with add-one smoothing — q120's perplexity proxy with
     // one token of context: P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V), scored
     // as each doc's mean negative log-likelihood over its bigram
@@ -2581,6 +2617,32 @@ object LlmQueries extends QueryPack {
     // q179: identical add-one bigram probability, quantized corpus-side
     // once; doc aggregation is BIGINT, final division IEEE — mirrors
     // the Spark dag operand-for-operand.
+    // pmi: same support-5 cut, same HUGEINT cross-products, same
+    // division→ln→1e-9 quantization, same (pmi desc, bigram) top-20.
+    "q237_pmi_collocations" ->
+      """WITH t AS (SELECT
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |uni AS (SELECT unnest(toks) AS w FROM t),
+        |c1 AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        |bg AS (SELECT
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM t WHERE len(toks) >= 2),
+        |bgc AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+        |nb AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM bgc),
+        |p AS (SELECT f.bg, f.c12,
+        |    CAST(floor(ln(
+        |      CAST(CAST(f.c12 AS HUGEINT) * nb.nb AS DOUBLE) /
+        |      CAST(CAST(a.c AS HUGEINT) * b.c AS DOUBLE))
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS pmi9
+        |  FROM (SELECT bg, c12 FROM bgc WHERE c12 >= 5) f
+        |  CROSS JOIN nb
+        |  JOIN c1 a ON a.w = string_split(f.bg, ' ')[1]
+        |  JOIN c1 b ON b.w = string_split(f.bg, ' ')[2])
+        |SELECT bg, CAST(c12 AS BIGINT) AS c12, pmi9
+        |FROM p ORDER BY pmi9 DESC, bg LIMIT 20""".stripMargin,
+
     "q179_bigram_lm" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks

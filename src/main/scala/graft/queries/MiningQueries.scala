@@ -1381,6 +1381,95 @@ object MiningQueries extends QueryPack {
         .orderBy("d")
     }),
 
+    // q238: JARO-WINKLER RECORD LINKAGE — the name-matcher half of the
+    // fuzzy-join family (q142's banded Levenshtein is the edit-
+    // distance half; Jaro-Winkler is the prefix-weighted,
+    // transposition-tolerant score record linkage actually uses).
+    // Fixture: a clean registry (first-3-token name + a stable id
+    // token) against a deterministically corrupted feed (2nd character
+    // dropped — a pure function, rerun/engine-stable), BLOCKED on the
+    // stable id token the corruption cannot touch — the realistic
+    // shape (block on zip/ssn, fuzzy-match the dirty name). Scoring is
+    // the native codegen'd `graft_jaro_winkler` (functions/
+    // JaroWinkler.scala): the standard published double dag quantized
+    // half-up to 1e-6 — validated pairwise-identical to DuckDB's
+    // jaro_winkler_similarity, which the oracle replays. Scale: pair
+    // volume is Σ block², bounded by the ≤ 200-member block guard
+    // (ubiquitous blocks dropped — the q94/q194 df-guard pattern);
+    // top-50 is TakeOrderedAndProject, no global sort.
+    "q238_jw_linkage" -> ((s, dir) => {
+      val toks = Text.tokens(col("text"))
+      val clean = Tables.documents(s, dir)
+        .select(col("doc_id").as("id_clean"),
+          concat(array_join(slice(toks, 1, 3), " "), lit(" id"),
+            pmod(col("doc_id"), lit(997))).as("name"),
+          pmod(col("doc_id"), lit(997)).as("blk"))
+        .localCheckpoint(false) // feeds the guard + both join sides
+      val dirty = clean.select(col("id_clean").as("id_dirty"),
+        expr("concat(substring(name, 1, 1), substring(name, 3))").as("dname"),
+        col("blk"))
+      val ok = clean.groupBy("blk").agg(count(lit(1)).as("bs"))
+        .filter(col("bs") <= 200).select("blk")
+      clean.join(ok, "blk").join(dirty.join(ok, "blk"), Seq("blk"))
+        .select(col("id_clean"), col("id_dirty"),
+          call_function("graft_jaro_winkler", col("name"), col("dname"))
+            .as("jw6"))
+        .filter(col("jw6") >= 860000)
+        .orderBy(col("jw6").desc, col("id_clean"), col("id_dirty"))
+        .limit(50)
+    }),
+
+    // q239: QUANTILE NORMALIZATION — the batch-effect correction that
+    // maps every per-group value distribution onto the pooled
+    // reference distribution (each value → the pooled order statistic
+    // at its within-group quantile). Exactness: the quantile match is
+    // decided WITHOUT division by cross-multiplying the cumulative
+    // counts — input rank key cum_t·N_pool vs pooled boundary key
+    // pcum·n_t, products in DECIMAL(38,0)/HUGEINT (≈ 5e26 at 100 TB) —
+    // and the inverse-CDF lookup ("smallest pooled value whose
+    // boundary key ≥ my rank key") is a SORT-MERGE FILL, not a range
+    // join: union both keyed tables, one descending window per group
+    // carries the last-seen pooled value backward (IGNORE NULLS), so
+    // the lookup costs one window pass instead of a bounded×bounded
+    // nested-loop scan. Scale: the corpus collapses in ONE (group,
+    // value) aggregate; every window/join after that runs on
+    // domain-bounded tables (|groups|·|value domain|).
+    "q239_quantile_normalize" -> ((s, dir) => {
+      val vc = Tables.events(s, dir)
+        .select(col("event_type").as("t"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+        .groupBy("t", "v").agg(count(lit(1)).as("cnt"))
+      val cumT = vc
+        .withColumn("cum", sum("cnt").over(Window.partitionBy("t").orderBy("v")))
+        // The ONE corpus collapse, cut here AFTER the cum window (so
+        // the plan shows the window running over the (t, v) aggregate,
+        // and pooled/per-type totals below re-aggregate this bounded
+        // table instead of rescanning the corpus).
+        .localCheckpoint(false)
+      val nT = cumT.groupBy("t").agg(sum("cnt").as("nt"))
+      val pooled = cumT.groupBy("v").agg(sum("cnt").as("pcnt"))
+      val nP = broadcast(pooled.agg(sum("pcnt").as("np")))
+      val cumP = pooled
+        .withColumn("pcum", sum("pcnt").over(Window.orderBy("v")))
+      val inputs = cumT.crossJoin(nP)
+        .select(col("t"), col("v"), col("cnt"),
+          (col("cum").cast("decimal(38,0)") * col("np")).as("key"),
+          lit(0).as("tag"), lit(null).cast("long").as("pw"))
+      val bounds = cumP.join(broadcast(nT), lit(true))
+        .select(col("t"), lit(null).cast("long").as("v"),
+          lit(null).cast("long").as("cnt"),
+          (col("pcum").cast("decimal(38,0)") * col("nt")).as("key"),
+          lit(1).as("tag"), col("v").as("pw"))
+      val fillW = Window.partitionBy("t")
+        .orderBy(col("key").desc, col("tag").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      inputs.unionAll(bounds)
+        .withColumn("norm_v", last("pw", ignoreNulls = true).over(fillW))
+        .filter(col("tag") === 0)
+        .select(col("t").as("event_type"), col("v"), col("cnt"), col("norm_v"))
+        .orderBy("event_type", "v")
+    }),
+
     "q185_pca_power" -> ((s, dir) => {
       val coords = Tables.embeddings(s, dir).select(col("vec_id"),
           posexplode(slice(col("embedding"), 1, 8)).as(Seq("j0", "x")))
@@ -1539,6 +1628,58 @@ object MiningQueries extends QueryPack {
         |SELECT d, x AS day_cents, CAST(ns AS DOUBLE) AS cusum,
         |  CAST(CASE WHEN d = peak_d THEN 1 ELSE 0 END AS BIGINT) AS is_peak
         |FROM cus, peak ORDER BY d""".stripMargin,
+
+    // jw-linkage: same name construction/corruption, same block guard,
+    // DuckDB's own jaro_winkler_similarity quantized identically.
+    "q238_jw_linkage" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |clean AS (SELECT doc_id AS id_clean,
+        |    array_to_string(toks[1:3], ' ') || ' id' ||
+        |      CAST(doc_id % 997 AS VARCHAR) AS name,
+        |    doc_id % 997 AS blk FROM t),
+        |dirty AS (SELECT id_clean AS id_dirty,
+        |    substring(name, 1, 1) || substring(name, 3) AS dname, blk
+        |  FROM clean),
+        |ok AS (SELECT blk FROM clean GROUP BY blk HAVING count(*) <= 200),
+        |pr AS (SELECT c.id_clean, d.id_dirty,
+        |    CAST(floor(jaro_winkler_similarity(c.name, d.dname) * 1000000.0
+        |      + 0.5) AS BIGINT) AS jw6
+        |  FROM clean c JOIN ok USING (blk) JOIN dirty d ON c.blk = d.blk)
+        |SELECT id_clean, id_dirty, jw6 FROM pr WHERE jw6 >= 860000
+        |ORDER BY jw6 DESC, id_clean, id_dirty LIMIT 50""".stripMargin,
+
+    // quantile-normalize: same cross-multiplied rank keys, same
+    // union + descending IGNORE-NULLS backward fill.
+    "q239_quantile_normalize" ->
+      """WITH e AS (SELECT event_type AS t,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events),
+        |vc AS (SELECT t, v, count(*) AS cnt FROM e GROUP BY t, v),
+        |nt AS (SELECT t, CAST(sum(cnt) AS BIGINT) AS nt FROM vc GROUP BY t),
+        |ct AS (SELECT t, v, cnt,
+        |    sum(cnt) OVER (PARTITION BY t ORDER BY v) AS cum FROM vc),
+        |pooled AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS pcnt
+        |  FROM vc GROUP BY v),
+        |np AS (SELECT CAST(sum(pcnt) AS BIGINT) AS np FROM pooled),
+        |cp AS (SELECT v, sum(pcnt) OVER (ORDER BY v) AS pcum FROM pooled),
+        |u AS (
+        |  SELECT ct.t, ct.v, ct.cnt,
+        |    CAST(ct.cum AS HUGEINT) * np.np AS key, 0 AS tag,
+        |    CAST(NULL AS BIGINT) AS pw
+        |  FROM ct CROSS JOIN np
+        |  UNION ALL
+        |  SELECT nt.t, NULL, NULL,
+        |    CAST(cp.pcum AS HUGEINT) * nt.nt AS key, 1 AS tag, cp.v AS pw
+        |  FROM cp CROSS JOIN nt),
+        |f AS (SELECT t, v, cnt, tag,
+        |    last_value(pw IGNORE NULLS) OVER (PARTITION BY t
+        |      ORDER BY key DESC, tag DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS norm_v
+        |  FROM u)
+        |SELECT t AS event_type, v, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(norm_v AS BIGINT) AS norm_v
+        |FROM f WHERE tag = 0 ORDER BY event_type, v""".stripMargin,
 
     // median-of-means: same md5 bucketing, same 32-row rank-and-pick,
     // same blend dags.

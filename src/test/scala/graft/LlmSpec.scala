@@ -20,6 +20,30 @@ class LlmSpec extends SparkSpec {
     d0.unionByName(copies)
   }
 
+  test("q237 PMI collocations match a local recount of the full ranking") {
+    val out = SparkEntry.queries("q237_pmi_collocations")(spark, sfDir)
+      .collect().map(r => (r.getAs[String]("bg"), r.getAs[Long]("c12"),
+        r.getAs[Long]("pmi9"))).toSeq
+    assert(out.length == 20)
+    // Local recount from the raw text with the same tokenizer contract.
+    val texts = Tables.documents(spark, sfDir).select("text")
+      .collect().map(_.getString(0))
+    val toks = texts.map(_.split(" ").filter(_.nonEmpty))
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bgs = toks.flatMap(t => t.sliding(2).filter(_.length == 2)
+      .map(p => p(0) + " " + p(1)))
+    val bgc = bgs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = bgs.length.toLong
+    val expected = bgc.toSeq.filter(_._2 >= 5).map { case (bg, c12) =>
+      val Array(w1, w2) = bg.split(" ")
+      val pmi9 = math.floor(math.log(
+        (BigInt(c12) * n).toDouble / (BigInt(uni(w1)) * uni(w2)).toDouble)
+        * 1e9 + 0.5).toLong
+      (bg, c12, pmi9)
+    }.sortBy { case (bg, _, p) => (-p, bg) }.take(20)
+    assert(out == expected, s"top-20 PMI drifted from the local recount")
+  }
+
   test("q226 Zipf: fitted slope is negative (monotone rank-frequency) with a positive level") {
     val r = SparkEntry.queries("q226_zipf_slope")(spark, sfDir).collect().head
     assert(r.getAs[Long]("n_tokens") > 0 && r.getAs[Long]("n_tokens") <= 200)

@@ -34,6 +34,39 @@ class MiningSpec extends SparkSpec {
     assert(r.getAs[Double]("z").isFinite)
   }
 
+  test("q239 quantile normalization: monotone, support-preserving, ECDF-matching") {
+    val rows = run("q239_quantile_normalize").collect()
+    assert(rows.nonEmpty)
+    val pooled = graft.sources.Tables.events(spark, sfDir)
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      .collect().map(_.getLong(0)).sorted
+    val support = pooled.toSet
+    val np = pooled.length.toLong
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    byType.foreach { case (t, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("v"))
+      // Monotone map into the pooled support, topping out at the max.
+      var prev = Long.MinValue
+      var cum = 0L
+      val nt = rs.map(_.getAs[Long]("cnt")).sum
+      sorted.foreach { r =>
+        val nv = r.getAs[Long]("norm_v")
+        assert(nv >= prev, s"$t: normalization not monotone")
+        prev = nv
+        assert(support.contains(nv), s"$t: $nv not in pooled support")
+        // The defining property: norm_v is the pooled order statistic
+        // at this row's within-type quantile — smallest pooled w with
+        // pcum·nt ≥ cum·np, recounted from the raw pooled sample.
+        cum += r.getAs[Long]("cnt")
+        val rank = ((BigInt(cum) * np + nt - 1) / nt).toInt // ceil
+        assert(nv == pooled(rank - 1),
+          s"$t v=${r.getAs[Long]("v")}: norm $nv != pooled stat ${pooled(rank - 1)}")
+      }
+      assert(sorted.last.getAs[Long]("norm_v") == pooled.last,
+        s"$t: max value must map to the pooled max")
+    }
+  }
+
   test("q233 ACF matches a local brute-force recount and is Cauchy-Schwarz bounded") {
     val rows = run("q233_acf").collect()
     assert(rows.length == 7)

@@ -471,7 +471,10 @@ class PlanSpec extends SparkSpec {
       "q234_cusum_changepoint" ->
         "1-row total/peak broadcasts over the calendar-bounded daily table",
       "q236_hdr_histogram" ->
-        "4-row quantile grid × domain-bounded bucket table; 1-row total broadcast")
+        "4-row quantile grid × domain-bounded bucket table; 1-row total broadcast",
+      "q237_pmi_collocations" -> "1-row bigram-total broadcast",
+      "q239_quantile_normalize" ->
+        "1-row pooled-total + |groups|-row group-total broadcasts over domain-bounded tables")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
