@@ -162,6 +162,54 @@ object AggQueries extends QueryPack {
         .na.fill(0.0, Seq("qty_f", "qty_o"))
         .orderBy("l_returnflag")),
 
+    // q242: ORACLE-REPLAYABLE HYPERLOGLOG — the from-scratch register
+    // HLL that closes the q34/q96 rows-only gap: md5-derived 60-bit
+    // hashes, bucket = low 8 bits (m = 256), rho = leading-zero rank
+    // of the 52-bit substream via BINARY-STRING length (the q236
+    // no-float-log2 trick), registers max-merged in one map-side-
+    // combinable aggregate. The harmonic sum Σ 2^{−rho} is kept EXACT
+    // as the BIGINT Σ 2^{53−rho} (≤ 2^61), the small-range linear-
+    // counting branch (raw ≤ 2.5 m with empty registers — active at
+    // every harness SF) uses m·ln(m/zeros), and the final estimate is
+    // half-up 1e-9 quantized (q101 ln class). Unlike q34/q96, every
+    // bit replays in DuckDB — the estimator itself is under the hash
+    // gate, not just property-tested. Scale: one corpus pass into 256
+    // registers; n_exact rides along as the accuracy reference (its
+    // count-distinct is the expensive half — the sketch is the cheap
+    // one).
+    "q242_hll_replayable" -> ((s, dir) => {
+      val alpha = 0.7213 / (1 + 1.079 / 256)
+      val h = conv(substring(md5(concat(lit("hll:"),
+        col("l_partkey").cast("string"))), 1, 15), 16, 10).cast("long")
+      // Two deliberate scans (registers; exact reference) — cheaper at
+      // scale than checkpointing a corpus-sized hash stream, and the
+      // md5 is only computed on the register pass.
+      val li = Tables.lineitem(s, dir).select(col("l_partkey"))
+      val rho = li.select(h.as("h"))
+        .select(pmod(col("h"), lit(256L)).as("bucket"),
+          expr("shiftright(h, 8)").as("v"))
+        .select(col("bucket"),
+          when(col("v") === 0L, lit(53L))
+            .otherwise(lit(53L) - length(bin(col("v")))).as("rho"))
+        .groupBy("bucket").agg(max("rho").as("rho"))
+      val regs = broadcast(s.range(0, 256).select(col("id").as("bucket")))
+        .join(rho, Seq("bucket"), "left")
+        .select(coalesce(col("rho"), lit(0L)).as("rho"))
+      val agg = regs.agg(
+        sum(expr("shiftleft(1L, cast(53 - rho as int))")).as("s53"),
+        sum(when(col("rho") === 0L, 1L).otherwise(0L)).as("zeros"))
+      val nExact = broadcast(li.agg(
+        countDistinct(col("l_partkey")).as("n_exact")))
+      val raw = lit(alpha) * lit(65536.0) * lit(9007199254740992.0) /
+        col("s53").cast("double")
+      val est = when(raw <= lit(640.0) && col("zeros") > 0L,
+        lit(256.0) * log(lit(256.0) / col("zeros").cast("double")))
+        .otherwise(raw)
+      agg.crossJoin(nExact)
+        .select(lit(256L).as("m"), col("s53"), col("zeros"),
+          floor(est * 1e9 + 0.5).cast("long").as("est9"), col("n_exact"))
+    }),
+
     // approx_count_distinct (HLL++): no SQL oracle — sketches are
     // engine-specific (driver records rows-only; accuracy is property-
     // tested in AggSpec against exact counts).
@@ -576,6 +624,44 @@ object AggQueries extends QueryPack {
       |FROM interp GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+
+    // hll: same md5 hash/bucket/rho dag, same exact BIGINT harmonic
+    // sum, same linear-counting branch, alpha embedded as the
+    // identical %.17g double literal.
+    "q242_hll_replayable" -> {
+      val alpha = "%.17g".format(0.7213 / (1 + 1.079 / 256))
+      s"""WITH li AS (SELECT l_partkey,
+         |    CAST(('0x' || substring(md5('hll:' ||
+         |      CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM lineitem),
+         |rh AS (SELECT h % 256 AS bucket,
+         |    CASE WHEN (h >> 8) = 0 THEN 53
+         |      ELSE 53 - length(printf('%b', h >> 8)) END AS rho
+         |  FROM li),
+         |rg AS (SELECT bucket, max(rho) AS rho FROM rh GROUP BY bucket),
+         |regs AS (SELECT coalesce(rg.rho, 0) AS rho
+         |  FROM (SELECT unnest(generate_series(0, 255)) AS bucket) b
+         |  LEFT JOIN rg USING (bucket)),
+         |ag AS (SELECT
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST(53 - rho AS INTEGER))
+         |      AS BIGINT) AS s53,
+         |    CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS zeros
+         |  FROM regs),
+         |ne AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact
+         |  FROM li),
+         |raw AS (SELECT s53, zeros,
+         |    CAST($alpha AS DOUBLE) * CAST(65536 AS DOUBLE) *
+         |      CAST(9007199254740992 AS DOUBLE) / CAST(s53 AS DOUBLE)
+         |      AS raw
+         |  FROM ag)
+         |SELECT CAST(256 AS BIGINT) AS m, s53, zeros,
+         |  CAST(floor((CASE WHEN raw <= 640.0 AND zeros > 0
+         |    THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE)) ELSE raw END)
+         |    * 1e9 + 0.5) AS BIGINT) AS est9,
+         |  n_exact
+         |FROM raw, ne""".stripMargin
+    },
     // q117: the md5-nibble cell hash replays exactly — both engines
     // md5 identically, and instr-over-hexdigits is plain arithmetic.
     "q117_countmin_freq" ->

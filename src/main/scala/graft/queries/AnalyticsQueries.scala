@@ -167,6 +167,74 @@ object AnalyticsQueries extends QueryPack {
 
   override val queries: Map[String, Q] = Map(
 
+    // q240: COMPACTION BIN-PACKING PLANNER — the small-files
+    // maintenance pass every parquet warehouse runs: given per-file
+    // metadata (here one "file" per ship-date day, bytes ∝ rows),
+    // assign date-ordered files to output groups by CUMULATIVE-SUM
+    // START OFFSET div target (a pure deterministic rule — no greedy
+    // driver loop, no order-dependent state), so each output group is
+    // a contiguous date range totalling ≈ the 256 KiB target (bounded
+    // by target + one file). Scale: the corpus collapses in one
+    // (day)-keyed aggregate; the planning window runs over the
+    // CALENDAR-bounded file-metadata table, which is the actual shape
+    // of a table-maintenance planner (file manifests, not data, flow
+    // through it).
+    "q240_compaction_plan" -> ((s, dir) => {
+      val files = Tables.lineitem(s, dir)
+        .groupBy(col("l_shipdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("nrows"))
+        .withColumn("bytes", col("nrows") * 100L)
+      files
+        .withColumn("cum", sum("bytes").over(Window.orderBy("day")))
+        .withColumn("grp", expr("(cum - bytes) div 262144"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n_files"), sum("bytes").as("total_bytes"),
+          sum("nrows").as("total_rows"),
+          min("day").as("first_day"), max("day").as("last_day"))
+        .orderBy("grp")
+    }),
+
+    // q241: RENDEZVOUS (HRW) HASHING REBALANCE AUDIT — the sibling of
+    // q195's consistent-hash ring: every key goes to the node with the
+    // highest md5(node:key) score, and adding node 16 to a 16-node
+    // fleet must move ONLY the keys whose new top score is node 16
+    // (moved_in = 0 for every old node — the minimal-disruption
+    // contract, proven exactly over the whole key population, not
+    // sampled). Scale: the 17-node grid fans each key ×17 map-side
+    // (bounded constant), one shuffle on the key for the two arg-max
+    // aggregates, then node-level summaries over the 17-row frame;
+    // the per-key assignment table is cut once and feeds the three
+    // load/movement aggregates.
+    "q241_rendezvous_hash" -> ((s, dir) => {
+      val nodes = s.range(0, 17).select(col("id").as("node"))
+      val assign = Tables.customer(s, dir).select(col("c_custkey").as("k"))
+        .join(broadcast(nodes), lit(true))
+        .select(col("k"), col("node"),
+          conv(substring(md5(concat(lit("hrw:"), col("node"), lit(":"),
+            col("k"))), 1, 15), 16, 10).cast("long").as("score"))
+        .groupBy("k")
+        .agg(
+          max(when(col("node") < 16, struct(col("score"), col("node"))))
+            .as("m16"),
+          max(struct(col("score"), col("node"))).as("m17"))
+        .select(col("k"), col("m16.node").as("a16"), col("m17.node").as("a17"))
+        .localCheckpoint(false) // feeds the three node summaries
+      val l16 = assign.groupBy(col("a16").as("node"))
+        .agg(count(lit(1)).as("load16"))
+      val l17 = assign.groupBy(col("a17").as("node"))
+        .agg(count(lit(1)).as("load17"))
+      val mv = assign.filter(col("a16") =!= col("a17"))
+        .groupBy(col("a17").as("node")).agg(count(lit(1)).as("moved_in"))
+      broadcast(nodes)
+        .join(l16, Seq("node"), "left")
+        .join(l17, Seq("node"), "left")
+        .join(mv, Seq("node"), "left")
+        .select(col("node"), coalesce(col("load16"), lit(0L)).as("load16"),
+          coalesce(col("load17"), lit(0L)).as("load17"),
+          coalesce(col("moved_in"), lit(0L)).as("moved_in"))
+        .orderBy("node")
+    }),
+
     // q235: TWO-PROPORTION Z-TEST — the A/B-experiment readout:
     // deterministic arm assignment (user_id parity — rerun-stable, no
     // RNG state), unit of analysis = USER-DAY with conversion = any
@@ -1400,6 +1468,45 @@ object AnalyticsQueries extends QueryPack {
   }
 
   override val oracles: Map[String, String] = Map(
+
+    // compaction: same per-day file synthesis, same start-offset
+    // integer-div grouping rule.
+    "q240_compaction_plan" ->
+      """WITH files AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        |    count(*) AS nrows, count(*) * 100 AS bytes
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT day, nrows, bytes,
+        |    sum(bytes) OVER (ORDER BY day) AS cum FROM files),
+        |g AS (SELECT (cum - bytes) // 262144 AS grp, nrows, bytes, day FROM c)
+        |SELECT CAST(grp AS BIGINT) AS grp, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |  CAST(sum(nrows) AS BIGINT) AS total_rows,
+        |  min(day) AS first_day, max(day) AS last_day
+        |FROM g GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // rendezvous: same md5 scores, arg-max per key (scores are 60-bit
+    // md5 prefixes — distinct by construction), same node summaries.
+    "q241_rendezvous_hash" ->
+      """WITH k AS (SELECT c_custkey AS k FROM customer),
+        |n AS (SELECT unnest(generate_series(0, 16)) AS node),
+        |sc AS (SELECT k.k, n.node,
+        |    CAST(('0x' || substring(md5('hrw:' || CAST(n.node AS VARCHAR) ||
+        |      ':' || CAST(k.k AS VARCHAR)), 1, 15)) AS BIGINT) AS score
+        |  FROM k CROSS JOIN n),
+        |a AS (SELECT k,
+        |    arg_max(node, score) FILTER (WHERE node < 16) AS a16,
+        |    arg_max(node, score) AS a17
+        |  FROM sc GROUP BY k),
+        |l16 AS (SELECT a16 AS node, count(*) AS load16 FROM a GROUP BY 1),
+        |l17 AS (SELECT a17 AS node, count(*) AS load17 FROM a GROUP BY 1),
+        |mv AS (SELECT a17 AS node, count(*) AS moved_in FROM a
+        |  WHERE a16 <> a17 GROUP BY 1)
+        |SELECT CAST(n.node AS BIGINT) AS node,
+        |  CAST(coalesce(load16, 0) AS BIGINT) AS load16,
+        |  CAST(coalesce(load17, 0) AS BIGINT) AS load17,
+        |  CAST(coalesce(moved_in, 0) AS BIGINT) AS moved_in
+        |FROM n LEFT JOIN l16 USING (node) LEFT JOIN l17 USING (node)
+        |LEFT JOIN mv USING (node) ORDER BY node""".stripMargin,
 
     // ab-ztest: same parity arms, same per-user max-conversion
     // aggregate, same pooled-variance double dag.

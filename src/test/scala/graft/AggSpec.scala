@@ -23,6 +23,36 @@ class AggSpec extends SparkSpec {
     }
   }
 
+  test("q242 replayable HLL: estimate within the m=256 error envelope, registers max-mergeable") {
+    val r = SparkEntry.queries("q242_hll_replayable")(spark, sfDir)
+      .collect().head
+    val est = r.getAs[Long]("est9").toDouble / 1e9
+    val exact = r.getAs[Long]("n_exact").toDouble
+    // σ ≈ 1.04/√256 = 6.5%; allow ~4σ.
+    assert(math.abs(est - exact) / exact <= 0.25,
+      s"HLL estimate $est vs exact $exact outside envelope")
+    // Merge law: registers built on two disjoint halves and MAX-merged
+    // must equal the global registers exactly — the property that makes
+    // HLL a one-pass mergeable rollup at 100 TB.
+    def registers(f: org.apache.spark.sql.Column) = {
+      val h = conv(substring(md5(concat(lit("hll:"),
+        col("l_partkey").cast("string"))), 1, 15), 16, 10).cast("long")
+      Tables.lineitem(spark, sfDir).filter(f)
+        .select(h.as("h"))
+        .select(pmod(col("h"), lit(256L)).as("bucket"),
+          expr("shiftright(h, 8)").as("v"))
+        .select(col("bucket"), when(col("v") === 0L, lit(53L))
+          .otherwise(lit(53L) - length(bin(col("v")))).as("rho"))
+        .groupBy("bucket").agg(max("rho").as("rho"))
+    }
+    val merged = registers(col("l_orderkey") % 2 === 0)
+      .unionByName(registers(col("l_orderkey") % 2 =!= 0))
+      .groupBy("bucket").agg(max("rho").as("rho"))
+    val global = registers(lit(true))
+    assert(merged.except(global).isEmpty && global.except(merged).isEmpty,
+      "max-merge of half-corpus registers differs from the global registers")
+  }
+
   test("count-min: disjoint-corpus sketches merge by cell-wise sum to the global sketch") {
     import graft.ops.{Sketch, Text}
     val toks = Tables.documents(spark, sfDir)

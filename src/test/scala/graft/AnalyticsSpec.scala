@@ -14,6 +14,51 @@ class AnalyticsSpec extends SparkSpec {
   private def run(name: String) =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("q240 compaction groups conserve bytes, stay near-target, and tile the calendar") {
+    val rows = run("q240_compaction_plan").collect()
+    assert(rows.length > 1, "fixture must produce multiple output groups")
+    val files = graft.sources.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    val totalBytes = files.map(_.getAs[Long]("n") * 100L).sum
+    val maxFile = files.map(_.getAs[Long]("n") * 100L).max
+    assert(rows.map(_.getAs[Long]("total_bytes")).sum == totalBytes,
+      "planner must conserve total bytes")
+    // Start-offset rule bound: a group closes within one file of target.
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_bytes") <= 262144L + maxFile,
+        s"group ${r.getAs[Long]("grp")} exceeds target + one file")
+    }
+    // Contiguous, ordered date ranges.
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[java.sql.Date]("last_day").before(
+          b.getAs[java.sql.Date]("first_day")),
+          "group date ranges must not interleave")
+      case _ =>
+    }
+  }
+
+  test("q241 rendezvous: loads partition the keys and only the new node gains") {
+    val rows = run("q241_rendezvous_hash").collect()
+    assert(rows.length == 17)
+    val nKeys = graft.sources.Tables.customer(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("load16")).sum == nKeys)
+    assert(rows.map(_.getAs[Long]("load17")).sum == nKeys)
+    rows.foreach { r =>
+      val node = r.getAs[Long]("node")
+      if (node < 16)
+        assert(r.getAs[Long]("moved_in") == 0L,
+          s"HRW minimal disruption violated: node $node gained keys")
+      else {
+        assert(r.getAs[Long]("load16") == 0L)
+        assert(r.getAs[Long]("moved_in") == r.getAs[Long]("load17"),
+          "every key on the new node must be a moved key")
+      }
+    }
+  }
+
   test("q235 z-test counts partition the user-days and z matches a local recount") {
     val r = run("q235_ab_ztest").collect().head
     val na = r.getAs[Long]("n_a"); val ca = r.getAs[Long]("c_a")

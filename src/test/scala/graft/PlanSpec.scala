@@ -474,7 +474,9 @@ class PlanSpec extends SparkSpec {
         "4-row quantile grid × domain-bounded bucket table; 1-row total broadcast",
       "q237_pmi_collocations" -> "1-row bigram-total broadcast",
       "q239_quantile_normalize" ->
-        "1-row pooled-total + |groups|-row group-total broadcasts over domain-bounded tables")
+        "1-row pooled-total + |groups|-row group-total broadcasts over domain-bounded tables",
+      "q241_rendezvous_hash" -> "17-row node-grid fanout (bounded constant)",
+      "q242_hll_replayable" -> "1-row exact-reference broadcast over the 256-register table")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
