@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.Exact._
@@ -208,6 +209,62 @@ object AggQueries extends QueryPack {
       agg.crossJoin(nExact)
         .select(lit(256L).as("m"), col("s53"), col("zeros"),
           floor(est * 1e9 + 0.5).cast("long").as("est9"), col("n_exact"))
+    }),
+
+    // q244: SLIDING-WINDOW DISTINCT USERS VIA HLL REGISTER ROLLUP —
+    // the operator that makes 7-day rolling DAU affordable at 100 TB:
+    // per-(day, bucket) q242-style registers (one corpus pass), then
+    // the sliding union is a RANGE-window max over the calendar×256
+    // register grid — max-merge is lossless, so day d's estimate
+    // equals a from-scratch sketch of the union (the q96 property,
+    // here fully oracle-replayed). The exact 7-day distinct (q138's
+    // shape — a 7× explode + distinct per window) rides along as the
+    // accuracy reference and is the expensive path this query exists
+    // to replace. Same est dag as q242 (exact BIGINT harmonic mass,
+    // linear-counting branch, 1e-9 quantized).
+    "q244_hll_sliding_dau" -> ((s, dir) => {
+      val alpha = 0.7213 / (1 + 1.079 / 256)
+      val ev = Tables.events(s, dir).select(
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .as("day"),
+        col("user_id"))
+      val h = conv(substring(md5(concat(lit("hll:"),
+        col("user_id").cast("string"))), 1, 15), 16, 10).cast("long")
+      val dayReg = ev.select(col("day"), h.as("h"))
+        .select(col("day"), pmod(col("h"), lit(256L)).as("bucket"),
+          expr("shiftright(h, 8)").as("v"))
+        .select(col("day"), col("bucket"),
+          when(col("v") === 0L, lit(53L))
+            .otherwise(lit(53L) - length(bin(col("v")))).as("rho"))
+        .groupBy("day", "bucket").agg(max("rho").as("rho"))
+      val days = ev.select("day").distinct()
+      val grid = broadcast(days)
+        .join(broadcast(s.range(0, 256).select(col("id").as("bucket"))),
+          lit(true))
+        .join(dayReg, Seq("day", "bucket"), "left")
+        .select(col("day"), col("bucket"),
+          coalesce(col("rho"), lit(0L)).as("rho"))
+      val slid = grid
+        .withColumn("rho7", max("rho").over(Window.partitionBy("bucket")
+          .orderBy("day").rangeBetween(-6, 0)))
+      val perDay = slid.groupBy("day").agg(
+        sum(expr("shiftleft(1L, cast(53 - rho7 as int))")).as("s53"),
+        sum(when(col("rho7") === 0L, 1L).otherwise(0L)).as("zeros"))
+      // Each active (day, user) contributes to windows day..day+6;
+      // phantom wdays past the calendar drop in the inner join below.
+      val exact7 = ev.distinct()
+        .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+          col("user_id"))
+        .groupBy("day").agg(countDistinct("user_id").as("n_exact7"))
+      val raw = lit(alpha) * lit(65536.0) * lit(9007199254740992.0) /
+        col("s53").cast("double")
+      val est = when(raw <= lit(640.0) && col("zeros") > 0L,
+        lit(256.0) * log(lit(256.0) / col("zeros").cast("double")))
+        .otherwise(raw)
+      perDay.join(exact7, "day")
+        .select(col("day"), col("s53"), col("zeros"),
+          floor(est * 1e9 + 0.5).cast("long").as("est9"), col("n_exact7"))
+        .orderBy("day")
     }),
 
     // approx_count_distinct (HLL++): no SQL oracle — sketches are
@@ -624,6 +681,53 @@ object AggQueries extends QueryPack {
       |FROM interp GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+
+    // sliding hll: same per-day registers, RANGE-window max-merge over
+    // the calendar grid, same est dag, explode-based exact reference.
+    "q244_hll_sliding_dau" -> {
+      val alpha = "%.17g".format(0.7213 / (1 + 1.079 / 256))
+      s"""WITH ev AS (SELECT
+         |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         |    user_id FROM events),
+         |h AS (SELECT day,
+         |    CAST(('0x' || substring(md5('hll:' ||
+         |      CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM ev),
+         |dr AS (SELECT day, h % 256 AS bucket,
+         |    max(CASE WHEN (h >> 8) = 0 THEN 53
+         |      ELSE 53 - length(printf('%b', h >> 8)) END) AS rho
+         |  FROM h GROUP BY day, h % 256),
+         |grid AS (SELECT d.day, b.bucket, coalesce(dr.rho, 0) AS rho
+         |  FROM (SELECT DISTINCT day FROM ev) d
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS bucket) b
+         |  LEFT JOIN dr ON d.day = dr.day AND b.bucket = dr.bucket),
+         |slid AS (SELECT day, bucket,
+         |    max(rho) OVER (PARTITION BY bucket ORDER BY day
+         |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rho7
+         |  FROM grid),
+         |pd AS (SELECT day,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST(53 - rho7 AS INTEGER))
+         |      AS BIGINT) AS s53,
+         |    CAST(sum(CASE WHEN rho7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS zeros
+         |  FROM slid GROUP BY day),
+         |e7 AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT)
+         |      AS n_exact7
+         |  FROM (SELECT unnest(generate_series(day, day + 6)) AS day,
+         |      user_id FROM (SELECT DISTINCT day, user_id FROM ev))
+         |  GROUP BY day),
+         |r AS (SELECT pd.day, s53, zeros,
+         |    CAST($alpha AS DOUBLE) * CAST(65536 AS DOUBLE) *
+         |      CAST(9007199254740992 AS DOUBLE) / CAST(s53 AS DOUBLE)
+         |      AS raw, n_exact7
+         |  FROM pd JOIN e7 ON pd.day = e7.day)
+         |SELECT CAST(day AS BIGINT) AS day, s53, zeros,
+         |  CAST(floor((CASE WHEN raw <= 640.0 AND zeros > 0
+         |    THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE)) ELSE raw END)
+         |    * 1e9 + 0.5) AS BIGINT) AS est9,
+         |  n_exact7
+         |FROM r ORDER BY day""".stripMargin
+    },
 
     // hll: same md5 hash/bucket/rho dag, same exact BIGINT harmonic
     // sum, same linear-counting branch, alpha embedded as the

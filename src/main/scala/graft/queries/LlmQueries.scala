@@ -400,6 +400,55 @@ object LlmQueries extends QueryPack {
         .select(col("doc_id"), Dedup.simHash(Text.tokens(col("text"))).as("sig"))
         .orderBy("doc_id")),
 
+    // q243: ORACLE-REPLAYABLE SIMHASH NEAR-DUP — closes q55's
+    // rows-only gap the way q242 closes q34's: the ENTIRE simhash
+    // pipeline (per-token 60-bit md5 hash → 60 bit-vote sums → sign →
+    // signature → 4×15-bit band blocking → hamming-≤6 verify) runs
+    // under the DuckDB hash gate, because every step is md5/integer
+    // arithmetic both engines compute identically (q55's native
+    // simhash64 rides xxhash64, which DuckDB lacks — hence its
+    // rows-only status; this is the portable sibling, not a
+    // replacement: same vote rule Σ(2bit−1) > 0, same banding shape).
+    // Scale: the vote pass is ONE doc_id-keyed aggregate with 60
+    // map-side-combinable sums (no 64× row fanout); candidates come
+    // from the band equi-join with the df ≤ 20 ubiquitous-bucket
+    // guard (candidate volume Σ bucket², never |docs|²); planted
+    // drop-first-token copies make recall measurable (LlmSpec).
+    "q243_simhash_replayable" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select("doc_id", "text")
+      val toksOf = Text.tokens(col("text"))
+      val perturbed = base.filter(col("doc_id") < 200).select(
+        (col("doc_id") + 200000).as("doc_id"),
+        array_join(slice(toksOf, lit(2), greatest(size(toksOf) - 1, lit(0))), " ")
+          .as("text"))
+      val tok = base.unionAll(perturbed)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tk"))
+        .select(col("doc_id"),
+          conv(substring(md5(concat(lit("sh:"), col("tk"))), 1, 15), 16, 10)
+            .cast("long").as("h"))
+      val votes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"),
+        (0 until 60).map(j => sum(expr(s"(h >> $j) & 1")).as(s"b$j")): _*)
+      val sig = votes.select(col("doc_id"),
+        (0 until 60).map(j =>
+          when(col(s"b$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
+      val banded = sig.select(col("doc_id"), col("sim"),
+          posexplode(array((0 until 4).map(b =>
+            expr(s"(sim >> ${15 * b}) & 32767")): _*)).as(Seq("band", "bv")))
+        .localCheckpoint(false) // feeds the guard + both pair-join legs
+      val rare = banded.groupBy("band", "bv").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 20).select("band", "bv")
+      val e = banded.join(rare, Seq("band", "bv"))
+      e.as("a").join(e.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          bit_count(expr("a.sim ^ b.sim")).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Hyperplane-LSH bucketed ANN (approximate scale path of q51;
     // rows-only, recall property-tested).
     "q56_ann_lsh" -> ((s, dir) => {
@@ -2199,7 +2248,52 @@ object LlmQueries extends QueryPack {
        |ORDER BY probe_id, rnk""".stripMargin
   }
 
+  /** q243's oracle: the same 60 bit-vote sums, sign rule, band split
+    * and hamming verify, generated term-by-term so both engines run
+    * the identical integer dag (the btOracleSql generation pattern).
+    */
+  private val simhashOracleSql: String = {
+    val voteTerms = (0 until 60)
+      .map(j => s"CAST(sum((h >> $j) & 1) AS BIGINT) AS b$j").mkString(",\n    ")
+    val sigTerms = (0 until 60)
+      .map(j => s"CASE WHEN b$j * 2 > n THEN ${1L << j} ELSE 0 END")
+      .mkString(" +\n    ")
+    val bandSelects = (0 until 4)
+      .map(b => s"SELECT doc_id, sim, $b AS band, (sim >> ${15 * b}) & 32767 AS bv FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH base AS (SELECT doc_id, text FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, text FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 200000,
+       |    array_to_string(
+       |      (list_filter(string_split(text, ' '), x -> x <> ''))[2:], ' ')
+       |  FROM base WHERE doc_id < 200),
+       |tok AS (SELECT doc_id,
+       |    CAST(('0x' || substring(md5('sh:' || tk), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id,
+       |      unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tk
+       |    FROM corpus)),
+       |votes AS (SELECT doc_id, count(*) AS n,
+       |    $voteTerms
+       |  FROM tok GROUP BY doc_id),
+       |sig AS MATERIALIZED (SELECT doc_id, $sigTerms AS sim FROM votes),
+       |banded AS (
+       |  $bandSelects),
+       |rare AS (SELECT band, bv FROM banded GROUP BY band, bv
+       |  HAVING count(*) <= 20),
+       |e AS (SELECT banded.* FROM banded JOIN rare USING (band, bv)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+       |  FROM e a JOIN e b ON a.band = b.band AND a.bv = b.bv
+       |    AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
+
+    "q243_simhash_replayable" -> simhashOracleSql,
 
     "q223_maxsim_late_interaction" -> maxsimOracleSql,
     "q43_exact_dedup" ->

@@ -1419,6 +1419,41 @@ object MiningQueries extends QueryPack {
         .limit(50)
     }),
 
+    // q245: GROUPED OLS TREND — per-group linear regression (daily
+    // revenue vs day index per event type), the monitoring primitive
+    // behind "which segment is growing". q226's Zipf fit is a single
+    // global OLS over a fixed head; this is the GROUPED form: all five
+    // moment sums (n, Σx, Σy, Σxy, Σx²) accumulate as exact integers
+    // in ONE map-side-combinable aggregate per group, with Σxy/Σx·Σy
+    // through DECIMAL(38,0)/HUGEINT (day·cents products ≈ 1e20 at
+    // 100 TB — past BIGINT); slope and intercept are fixed double dags
+    // over the exact moments, mirrored operand-for-operand. Scale: the
+    // corpus collapses in one (group, day) aggregate; moments reduce
+    // the calendar-bounded table to |groups| rows.
+    "q245_grouped_trend" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(col("event_type").as("t"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            .cast("long").as("x"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy("t", "x").agg(sum("cents").as("y"))
+      val xD = col("x").cast("decimal(38,0)")
+      val yD = col("y").cast("decimal(38,0)")
+      val m = daily.groupBy("t").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(xD * yD).as("sxy"), sum(xD * xD).as("sxx"))
+      val num = (col("n").cast("decimal(38,0)") * col("sxy") -
+        col("sx").cast("decimal(38,0)") * col("sy").cast("decimal(38,0)"))
+      val den = (col("n").cast("decimal(38,0)") * col("sxx") -
+        col("sx").cast("decimal(38,0)") * col("sx").cast("decimal(38,0)"))
+      val slope = num.cast("double") / den.cast("double")
+      val intercept = (col("sy").cast("double") -
+        slope * col("sx").cast("double")) / col("n").cast("double")
+      m.select(col("t").as("event_type"), col("n").as("n_days"),
+          slope.as("slope"), intercept.as("intercept"))
+        .orderBy("event_type")
+    }),
+
     // q239: QUANTILE NORMALIZATION — the batch-effect correction that
     // maps every per-group value distribution onto the pooled
     // reference distribution (each value → the pooled order statistic
@@ -1628,6 +1663,31 @@ object MiningQueries extends QueryPack {
         |SELECT d, x AS day_cents, CAST(ns AS DOUBLE) AS cusum,
         |  CAST(CASE WHEN d = peak_d THEN 1 ELSE 0 END AS BIGINT) AS is_peak
         |FROM cus, peak ORDER BY d""".stripMargin,
+
+    // grouped-trend: same integer moment sums (HUGEINT products), same
+    // slope/intercept double dags.
+    "q245_grouped_trend" ->
+      """WITH daily AS (SELECT event_type AS t,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT t, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+        |  FROM daily GROUP BY t),
+        |f AS (SELECT t, n,
+        |    CAST(CAST(n AS HUGEINT) * sxy -
+        |      CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) /
+        |    CAST(CAST(n AS HUGEINT) * sxx -
+        |      CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) AS slope,
+        |    sx, sy FROM m)
+        |SELECT t AS event_type, n AS n_days, slope,
+        |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) /
+        |    CAST(n AS DOUBLE) AS intercept
+        |FROM f ORDER BY event_type""".stripMargin,
 
     // jw-linkage: same name construction/corruption, same block guard,
     // DuckDB's own jaro_winkler_similarity quantized identically.

@@ -53,6 +53,26 @@ class AggSpec extends SparkSpec {
       "max-merge of half-corpus registers differs from the global registers")
   }
 
+  test("q244 sliding HLL: every day's estimate within envelope of its exact window") {
+    val rows = SparkEntry.queries("q244_hll_sliding_dau")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est9").toDouble / 1e9
+      val exact = r.getAs[Long]("n_exact7").toDouble
+      assert(r.getAs[Long]("zeros") <= 256L && r.getAs[Long]("s53") > 0L)
+      assert(math.abs(est - exact) / exact <= 0.25,
+        s"day ${r.getAs[Int]("day")}: HLL $est vs exact $exact outside envelope")
+    }
+    // Window growth: once 7 full days accumulate, the windowed count
+    // can never be below the busiest single day inside it.
+    val daily = Tables.events(spark, sfDir)
+      .select(col("ts").cast("date").as("d"), col("user_id")).distinct()
+      .groupBy("d").agg(count(lit(1)).as("n")).collect()
+      .map(_.getAs[Long]("n"))
+    assert(rows.drop(6).forall(_.getAs[Long]("n_exact7") >= daily.min))
+  }
+
   test("count-min: disjoint-corpus sketches merge by cell-wise sum to the global sketch") {
     import graft.ops.{Sketch, Text}
     val toks = Tables.documents(spark, sfDir)

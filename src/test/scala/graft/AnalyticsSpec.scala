@@ -14,6 +14,29 @@ class AnalyticsSpec extends SparkSpec {
   private def run(name: String) =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("q246 integrity audit: harness schema is referentially clean with true totals") {
+    val rows = run("q246_fk_integrity").collect()
+    assert(rows.length == 4)
+    val li = graft.sources.Tables.lineitem(spark, sfDir).count()
+    val ord = graft.sources.Tables.orders(spark, sfDir).count()
+    rows.foreach { r =>
+      val rel = r.getAs[String]("relation")
+      val expTotal = if (rel.startsWith("lineitem")) li else ord
+      assert(r.getAs[Long]("n_rows") == expTotal, s"$rel total drifted")
+      // True FK edges are clean in the harness data; the reverse
+      // (childless orders) is an inventory stat, recounted below.
+      if (rel != "orders-without-lineitem")
+        assert(r.getAs[Long]("n_orphans") == 0L,
+          s"$rel: harness data must be referentially clean")
+    }
+    val childless = graft.sources.Tables.orders(spark, sfDir)
+      .join(graft.sources.Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("o_orderkey")).distinct(),
+        Seq("o_orderkey"), "left_anti").count()
+    assert(rows.find(_.getAs[String]("relation") == "orders-without-lineitem")
+      .get.getAs[Long]("n_orphans") == childless)
+  }
+
   test("q240 compaction groups conserve bytes, stay near-target, and tile the calendar") {
     val rows = run("q240_compaction_plan").collect()
     assert(rows.length > 1, "fixture must produce multiple output groups")

@@ -20,6 +20,21 @@ class LlmSpec extends SparkSpec {
     d0.unionByName(copies)
   }
 
+  test("q243 replayable simhash: planted shifted copies recalled, pairs hamming-verified") {
+    val out = SparkEntry.queries("q243_simhash_replayable")(spark, sfDir)
+      .collect()
+    assert(out.forall(_.getAs[Long]("hamming") <= 6L))
+    // Recall of the planted drop-first-token copies (id, id + 200000):
+    // near-identical token multisets keep most vote signs, so banding
+    // plus the hamming gate should recover the bulk of them.
+    val planted = out.count(r =>
+      r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + 200000L)
+    val nDocs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 200).count()
+    assert(planted >= (nDocs * 3) / 4,
+      s"recalled only $planted of $nDocs planted simhash near-dups")
+  }
+
   test("q237 PMI collocations match a local recount of the full ranking") {
     val out = SparkEntry.queries("q237_pmi_collocations")(spark, sfDir)
       .collect().map(r => (r.getAs[String]("bg"), r.getAs[Long]("c12"),

@@ -34,6 +34,33 @@ class MiningSpec extends SparkSpec {
     assert(r.getAs[Double]("z").isFinite)
   }
 
+  test("q245 grouped OLS matches a local exact-moment recount per group") {
+    val rows = run("q245_grouped_trend").collect()
+    assert(rows.length >= 2)
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type").as("t"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .groupBy("t", "x").agg(sum("c").as("y"))
+      .collect().map(r => (r.getAs[String]("t"), r.getAs[Long]("x"),
+        r.getAs[Long]("y")))
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val pts = daily.filter(_._1 == t)
+      val n = pts.length.toLong
+      val sx = pts.map(_._2).sum; val sy = pts.map(_._3).sum
+      val sxy = pts.map(p => BigInt(p._2) * p._3).sum
+      val sxx = pts.map(p => BigInt(p._2) * p._2).sum
+      val slope = (BigInt(n) * sxy - BigInt(sx) * BigInt(sy)).toDouble /
+        (BigInt(n) * sxx - BigInt(sx) * BigInt(sx)).toDouble
+      val intercept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+      assert(r.getAs[Long]("n_days") == n)
+      assert(r.getAs[Double]("slope") == slope, s"$t slope drifted")
+      assert(r.getAs[Double]("intercept") == intercept, s"$t intercept drifted")
+    }
+  }
+
   test("q239 quantile normalization: monotone, support-preserving, ECDF-matching") {
     val rows = run("q239_quantile_normalize").collect()
     assert(rows.nonEmpty)

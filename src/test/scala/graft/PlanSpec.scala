@@ -476,7 +476,10 @@ class PlanSpec extends SparkSpec {
       "q239_quantile_normalize" ->
         "1-row pooled-total + |groups|-row group-total broadcasts over domain-bounded tables",
       "q241_rendezvous_hash" -> "17-row node-grid fanout (bounded constant)",
-      "q242_hll_replayable" -> "1-row exact-reference broadcast over the 256-register table")
+      "q242_hll_replayable" -> "1-row exact-reference broadcast over the 256-register table",
+      "q244_hll_sliding_dau" ->
+        "calendar-days × 256-bucket register grid (both sides bounded broadcasts)",
+      "q246_fk_integrity" -> "1-row × 1-row audit-struct cross join")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
