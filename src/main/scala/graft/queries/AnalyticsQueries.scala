@@ -167,6 +167,55 @@ object AnalyticsQueries extends QueryPack {
 
   override val queries: Map[String, Q] = Map(
 
+    // q247: KAPLAN-MEIER SURVIVAL — time from signup to first
+    // subsequent purchase with right-censoring at the observation
+    // horizon: the estimator behind every retention/conversion curve
+    // that can't just drop non-converters. Per-day factors
+    // (1 − d_i/n_i) are kept in LOG space: each day's
+    // ln((n_risk − d)/n_risk) is ONE exact-integer ratio → division →
+    // ln → half-up 1e-9 quantization (q101 class), and the survival
+    // curve is the BIGINT cumulative sum of those terms — no ordered
+    // product of doubles anywhere. Scale: two user_id-keyed aggregates
+    // (signup, first post-signup purchase) collapse the corpus; the
+    // risk-set arithmetic and cumulative window run on the
+    // calendar-bounded day table. The d = n_risk "curve hits zero"
+    // edge gets a documented −50e9 sentinel term (ln 0 is −∞),
+    // mirrored in the oracle — and genuinely reached at sf0.001,
+    // where every signed-up user converts by the horizon.
+    "q247_kaplan_meier" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("s0"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts")
+        .join(su, "user_id").filter(col("ts") >= col("s0"))
+        .groupBy("user_id").agg(min("ts").as("p0"))
+      val maxD = broadcast(ev.agg(max(col("ts").cast("date")).as("dmax")))
+      val subjects = su.join(conv, Seq("user_id"), "left").crossJoin(maxD)
+        .select(
+          when(col("p0").isNotNull,
+            datediff(col("p0").cast("date"), col("s0").cast("date")))
+            .otherwise(datediff(col("dmax"), col("s0").cast("date")))
+            .cast("long").as("t"),
+          col("p0").isNotNull.cast("long").as("ev"))
+      val byT = subjects.groupBy("t").agg(sum("ev").as("d"),
+        sum(lit(1L) - col("ev")).as("c"))
+      val nTot = broadcast(byT.agg(sum(col("d") + col("c")).as("n")))
+      val w = Window.orderBy("t")
+      byT.crossJoin(nTot)
+        .withColumn("n_risk",
+          col("n") - (sum(col("d") + col("c")).over(w) - (col("d") + col("c"))))
+        .withColumn("term9",
+          when(col("d") === 0L, lit(0L))
+            .when(col("d") < col("n_risk"),
+              floor(log((col("n_risk") - col("d")).cast("double") /
+                col("n_risk").cast("double")) * 1e9 + 0.5).cast("long"))
+            .otherwise(lit(-50000000000L)))
+        .withColumn("log_s9", sum("term9").over(w))
+        .select(col("t"), col("n_risk"), col("d"), col("c"), col("log_s9"))
+        .orderBy("t")
+    }),
+
     // q246: REFERENTIAL-INTEGRITY AUDIT — the warehouse data-quality
     // sweep: orphan counts across the schema's foreign keys
     // (lineitem→orders, lineitem→supplier, orders→customer) plus the
@@ -1516,6 +1565,41 @@ object AnalyticsQueries extends QueryPack {
   }
 
   override val oracles: Map[String, String] = Map(
+
+    // kaplan-meier: same subject derivation, risk-set recurrence,
+    // quantized log factors and cumulative survival sum.
+    "q247_kaplan_meier" ->
+      """WITH su AS (SELECT user_id, min(ts) AS s0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (SELECT e.user_id, min(e.ts) AS p0
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= su.s0
+        |  GROUP BY e.user_id),
+        |dmax AS (SELECT max(CAST(ts AS DATE)) AS dmax FROM events),
+        |subj AS (SELECT
+        |    CAST(CASE WHEN p0 IS NOT NULL
+        |      THEN datediff('day', CAST(s0 AS DATE), CAST(p0 AS DATE))
+        |      ELSE datediff('day', CAST(s0 AS DATE), dmax) END AS BIGINT)
+        |      AS t,
+        |    CASE WHEN p0 IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM su LEFT JOIN conv USING (user_id) CROSS JOIN dmax),
+        |byt AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+        |    CAST(sum(1 - ev) AS BIGINT) AS c
+        |  FROM subj GROUP BY t),
+        |n AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM byt),
+        |r AS (SELECT t, d, c,
+        |    n.n - (sum(d + c) OVER (ORDER BY t) - (d + c)) AS n_risk
+        |  FROM byt, n),
+        |f AS (SELECT t, n_risk, d, c,
+        |    CASE WHEN d = 0 THEN 0
+        |      WHEN d < n_risk THEN CAST(floor(
+        |        ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |        * 1e9 + 0.5) AS BIGINT)
+        |      ELSE -50000000000 END AS term9
+        |  FROM r)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+        |  CAST(sum(term9) OVER (ORDER BY t) AS BIGINT) AS log_s9
+        |FROM f ORDER BY t""".stripMargin,
 
     // fk-integrity: NOT EXISTS mirrors of the four anti joins.
     "q246_fk_integrity" ->

@@ -68,6 +68,11 @@ object MiningQueries extends QueryPack {
       .localCheckpoint(false)
   }
 
+  /** Spec access to the shared edge set (q248's non-edge assertion). */
+  private[graft] def copurchaseEdgesForSpec(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = copurchaseEdges(s, dir)
+
   /** Oracle-side twin of [[copurchaseEdges]]: a CTE fragment
     * producing `edges(u, v)`. */
   private val CopurchaseEdgesSql: String =
@@ -1419,6 +1424,39 @@ object MiningQueries extends QueryPack {
         .limit(50)
     }),
 
+    // q248: LINK PREDICTION (common neighbors + Adamic-Adar) — the
+    // graph-mining recommender primitive over the shared co-purchase
+    // graph (q139/q178/q184's edge set): score NON-adjacent part pairs
+    // by shared-neighbor evidence, AA = Σ_w 1/ln(deg w) down-weighting
+    // hub middles. Exactness: each middle's AA term quantizes half-up
+    // to 1e-9 ONCE (per middle, q101 ln class), pair scores are BIGINT
+    // sums. Scale: wedge volume is Σ deg(w)² bounded by the 2 ≤ deg ≤ 50
+    // middle guard (deg-1 nodes cannot anchor a wedge, and ln(1) = 0
+    // would fault the AA term under ANSI) (standard in LP at scale — a hub middle's term
+    // 1/ln(deg) carries negligible evidence anyway, and the guard is
+    // part of the operator contract, mirrored in the oracle); existing
+    // edges anti-join AFTER pair aggregation (fewer rows); top-20 is
+    // TakeOrderedAndProject.
+    "q248_link_prediction" -> ((s, dir) => {
+      val edges = copurchaseEdges(s, dir)
+      val adj = edges.select(col("u").as("node"), col("v").as("nb"))
+        .unionAll(edges.select(col("v").as("node"), col("u").as("nb")))
+        .localCheckpoint(false) // feeds deg + both wedge legs
+      val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+      val mid = adj.join(deg.filter(col("deg").between(2, 50)), "node")
+        .select(col("node"), col("nb"),
+          floor(lit(1e9) / log(col("deg").cast("double")) + lit(0.5))
+            .cast("long").as("aa_term9"))
+      val pairs = mid.as("a").join(mid.as("b"),
+          col("a.node") === col("b.node") && col("a.nb") < col("b.nb"))
+        .groupBy(col("a.nb").as("x"), col("b.nb").as("y"))
+        .agg(count(lit(1)).as("cn"), sum(col("a.aa_term9")).as("aa9"))
+      pairs.join(edges.select(col("u").as("x"), col("v").as("y")),
+          Seq("x", "y"), "left_anti")
+        .orderBy(col("aa9").desc, col("x"), col("y"))
+        .limit(20)
+    }),
+
     // q245: GROUPED OLS TREND — per-group linear regression (daily
     // revenue vs day index per event type), the monitoring primitive
     // behind "which segment is growing". q226's Zipf fit is a single
@@ -1663,6 +1701,28 @@ object MiningQueries extends QueryPack {
         |SELECT d, x AS day_cents, CAST(ns AS DOUBLE) AS cusum,
         |  CAST(CASE WHEN d = peak_d THEN 1 ELSE 0 END AS BIGINT) AS is_peak
         |FROM cus, peak ORDER BY d""".stripMargin,
+
+    // link-prediction: same edge derivation, deg guard, per-middle
+    // quantized AA terms, post-aggregate edge exclusion, same top-20.
+    "q248_link_prediction" ->
+      s"""WITH $CopurchaseEdgesSql,
+        |adj AS (SELECT u AS node, v AS nb FROM edges
+        |  UNION ALL SELECT v, u FROM edges),
+        |deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+        |mid AS (SELECT adj.node, adj.nb,
+        |    CAST(floor(1e9 / ln(CAST(deg AS DOUBLE)) + 0.5) AS BIGINT)
+        |      AS aa_term9
+        |  FROM adj JOIN deg ON adj.node = deg.node
+        |    AND deg.deg BETWEEN 2 AND 50),
+        |pairs AS (SELECT a.nb AS x, b.nb AS y,
+        |    CAST(count(*) AS BIGINT) AS cn,
+        |    CAST(sum(a.aa_term9) AS BIGINT) AS aa9
+        |  FROM mid a JOIN mid b ON a.node = b.node AND a.nb < b.nb
+        |  GROUP BY 1, 2)
+        |SELECT x, y, cn, aa9 FROM pairs p
+        |WHERE NOT EXISTS (SELECT 1 FROM edges e
+        |  WHERE e.u = p.x AND e.v = p.y)
+        |ORDER BY aa9 DESC, x, y LIMIT 20""".stripMargin,
 
     // grouped-trend: same integer moment sums (HUGEINT products), same
     // slope/intercept double dags.

@@ -14,6 +14,50 @@ class AnalyticsSpec extends SparkSpec {
   private def run(name: String) =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("q247 Kaplan-Meier matches a local brute-force survival recount") {
+    val rows = run("q247_kaplan_meier").collect()
+    assert(rows.nonEmpty)
+    // Local subject table from raw events.
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    val dayMs = 86400000L
+    def day(t: java.sql.Timestamp) = t.getTime / dayMs
+    val maxDay = ev.map(e => day(e._3)).max
+    val subjects = ev.filter(_._2 == "signup").groupBy(_._1).toSeq.map {
+      case (u, ss) =>
+        val s0 = ss.map(_._3).minBy(_.getTime)
+        val p = ev.filter(e => e._1 == u && e._2 == "purchase" &&
+          !e._3.before(s0)).map(_._3)
+        if (p.nonEmpty) (day(p.minBy(_.getTime)) - day(s0), 1L)
+        else (maxDay - day(s0), 0L)
+    }
+    val n = subjects.size.toLong
+    val byT = subjects.groupBy(_._1).view
+      .mapValues(v => (v.count(_._2 == 1L).toLong, v.count(_._2 == 0L).toLong))
+      .toMap
+    var exited = 0L
+    var logS = 0L
+    val ts = byT.keys.toSeq.sorted
+    val expected = ts.map { t =>
+      val (d, c) = byT(t)
+      val risk = n - exited
+      exited += d + c
+      if (d > 0 && d < risk)
+        logS += math.floor(math.log((risk - d).toDouble / risk) * 1e9 + 0.5)
+          .toLong
+      else if (d > 0)
+        logS += -50000000000L // the query's documented S=0 sentinel
+      (t, risk, d, c, logS)
+    }
+    val got = rows.map(r => (r.getAs[Long]("t"), r.getAs[Long]("n_risk"),
+      r.getAs[Long]("d"), r.getAs[Long]("c"), r.getAs[Long]("log_s9"))).toSeq
+    assert(got == expected, "KM table drifted from the local recount")
+    // Survival is monotone nonincreasing.
+    assert(rows.map(_.getAs[Long]("log_s9")).sliding(2)
+      .forall(p => p.length < 2 || p(1) <= p(0)))
+  }
+
   test("q246 integrity audit: harness schema is referentially clean with true totals") {
     val rows = run("q246_fk_integrity").collect()
     assert(rows.length == 4)

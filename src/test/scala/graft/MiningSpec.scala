@@ -34,6 +34,27 @@ class MiningSpec extends SparkSpec {
     assert(r.getAs[Double]("z").isFinite)
   }
 
+  test("q248 link prediction: pairs are non-edges with bounded AA evidence") {
+    val rows = run("q248_link_prediction").collect()
+    assert(rows.length == 20)
+    val edges = graft.queries.MiningQueries.copurchaseEdgesForSpec(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"))).toSet
+    val termMin = math.floor(1e9 / math.log(50.0) + 0.5).toLong
+    val termMax = math.floor(1e9 / math.log(2.0) + 0.5).toLong
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      val x = r.getAs[Long]("x"); val y = r.getAs[Long]("y")
+      val cn = r.getAs[Long]("cn"); val aa = r.getAs[Long]("aa9")
+      assert(x < y, "pair ordering contract")
+      assert(!edges.contains((x, y)), s"($x,$y) is an existing edge")
+      assert(cn >= 1L)
+      assert(aa >= cn * termMin && aa <= cn * termMax,
+        s"($x,$y): aa9 $aa outside [$cn*$termMin, $cn*$termMax]")
+      assert(aa <= prev, "output must be ranked by aa9 desc")
+      prev = aa
+    }
+  }
+
   test("q245 grouped OLS matches a local exact-moment recount per group") {
     val rows = run("q245_grouped_trend").collect()
     assert(rows.length >= 2)

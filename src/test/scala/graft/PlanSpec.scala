@@ -479,7 +479,9 @@ class PlanSpec extends SparkSpec {
       "q242_hll_replayable" -> "1-row exact-reference broadcast over the 256-register table",
       "q244_hll_sliding_dau" ->
         "calendar-days × 256-bucket register grid (both sides bounded broadcasts)",
-      "q246_fk_integrity" -> "1-row × 1-row audit-struct cross join")
+      "q246_fk_integrity" -> "1-row × 1-row audit-struct cross join",
+      "q247_kaplan_meier" ->
+        "1-row horizon/total broadcasts over the calendar-bounded day table")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
