@@ -167,6 +167,41 @@ object AnalyticsQueries extends QueryPack {
 
   override val queries: Map[String, Q] = Map(
 
+    // q252: COLUMN PROFILE (ANALYZE TABLE report) — the per-column
+    // statistics sweep a warehouse runs before planning/migrations:
+    // null count, EXACT distinct count, min/max per column, one
+    // column-pruned branch per column (on columnar storage each
+    // branch reads exactly its one column — same bytes as a single
+    // pass, and each exact-distinct aggregate shuffles only that
+    // narrow column; the single-aggregate multi-distinct alternative
+    // expands every row ×|columns| and measured 10× slower at sf1).
+    // Every min/max renders through a deterministic type (integers,
+    // strings, DATE, cents BIGINT for the double column) so the
+    // stringified report hash-matches cross-engine. Output is the
+    // |columns|-row report.
+    "q252_column_profile" -> ((s, dir) => {
+      val cols: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+        ("o_orderkey", col("o_orderkey")),
+        ("o_custkey", col("o_custkey")),
+        ("o_orderstatus", col("o_orderstatus")),
+        ("o_totalprice_cents",
+          floor(col("o_totalprice") * 100 + 0.5).cast("long")),
+        ("o_orderdate", col("o_orderdate").cast("date")),
+        ("o_orderpriority", col("o_orderpriority")))
+      val o = Tables.orders(s, dir)
+      cols.map { case (n, c) =>
+        o.select(c.as("c")).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("c").isNull.cast("long")).as("n_nulls"),
+          countDistinct(col("c")).as("n_distinct"),
+          min(col("c")).cast("string").as("min_str"),
+          max(col("c")).cast("string").as("max_str"))
+          .select(lit(n).as("column_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_str"), col("max_str"))
+      }.reduce(_ unionAll _)
+        .orderBy("column_name")
+    }),
+
     // q247: KAPLAN-MEIER SURVIVAL — time from signup to first
     // subsequent purchase with right-censoring at the observation
     // horizon: the estimator behind every retention/conversion curve
@@ -1565,6 +1600,28 @@ object AnalyticsQueries extends QueryPack {
   }
 
   override val oracles: Map[String, String] = Map(
+
+    // column-profile: one UNION ALL branch per column, same
+    // deterministic renderings.
+    "q252_column_profile" -> {
+      val branches = Seq(
+        ("o_orderkey", "o_orderkey"),
+        ("o_custkey", "o_custkey"),
+        ("o_orderstatus", "o_orderstatus"),
+        ("o_totalprice_cents", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"),
+        ("o_orderdate", "CAST(o_orderdate AS DATE)"),
+        ("o_orderpriority", "o_orderpriority"))
+        .map { case (n, e) =>
+          s"""SELECT '$n' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN ($e) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_nulls,
+             |  CAST(count(DISTINCT ($e)) AS BIGINT) AS n_distinct,
+             |  CAST(min($e) AS VARCHAR) AS min_str,
+             |  CAST(max($e) AS VARCHAR) AS max_str
+             |FROM orders""".stripMargin }
+        .mkString("\nUNION ALL\n")
+      s"""SELECT * FROM (\n$branches\n) ORDER BY column_name"""
+    },
 
     // kaplan-meier: same subject derivation, risk-set recurrence,
     // quantized log factors and cumulative survival sum.

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Text}
+import graft.ops.{Dedup, ScalableRank, Text}
 import graft.sources.Tables
 
 /** Data-mining and statistics composites (round 8, batch 2): market-basket
@@ -1424,6 +1424,106 @@ object MiningQueries extends QueryPack {
         .limit(50)
     }),
 
+    // q251: ABC (PARETO) CLASSIFICATION — the inventory-analysis
+    // operator: parts bucketed A/B/C by cumulative revenue share
+    // (≤ 80 % / ≤ 95 % / rest) in descending-revenue order. The
+    // cumulative sum over an UNBOUNDED part population is the q21
+    // single-task defect class — so it runs on ScalableRank's
+    // two-phase range-bucketed running sum (no global window, no
+    // single-task sort; the q114/q167 primitive reused). Share
+    // thresholds compare cross-multiplied integers (cum·100 vs
+    // total·80 — cum·100 ≈ 1e19 at 100 TB, through DECIMAL(38,0)/
+    // HUGEINT), no division anywhere. Output is the 3-row class
+    // summary.
+    "q251_abc_classification" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .select(col("l_partkey"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"))
+        .groupBy("l_partkey").agg(sum("c").as("rev"))
+      val tot = broadcast(rev.agg(sum("rev").as("total")))
+      val run = ScalableRank.runningSummed(
+        rev, Seq.empty, Seq(col("rev").desc, col("l_partkey")), "rev",
+        buckets = 32)
+      val cumD = col("run").cast("decimal(38,0)")
+      val totD = col("total").cast("decimal(38,0)")
+      run.crossJoin(tot)
+        .select(
+          when(cumD * 100 <= totD * 80, "A")
+            .when(cumD * 100 <= totD * 95, "B")
+            .otherwise("C").as("abc_class"),
+          col("rev"))
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_parts"), sum("rev").as("class_rev"))
+        .orderBy("abc_class")
+    }),
+
+    // q249: THEIL-SEN ROBUST SLOPE — the median-of-pairwise-slopes
+    // estimator (breakdown point 29 %) complementing q245's OLS: all
+    // C(n,2) pairwise slopes of the daily revenue series, median by
+    // rank. The pair enumeration is over the CALENDAR-bounded daily
+    // table (C(365,2) ≈ 66k pairs/year — constant in corpus size), so
+    // "all pairs" is safe HERE and only here; each slope is one double
+    // division of exact integers, the median picks by (slope, i, j)
+    // deterministic rank, and the even-count middle average is a
+    // 2-term IEEE sum (commutative — order-free). One corpus pass,
+    // everything after runs on bounded tables.
+    "q249_theil_sen" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            .cast("long").as("x"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy("x").agg(sum("c").as("y"))
+      // Both self-join legs are the SAME aggregate subtree — Spark's
+      // exchange reuse runs the corpus pass once; no checkpoint needed
+      // (and a checkpoint would hide the aggregate lineage from the
+      // window-cardinality gate, the q239 lesson).
+      val pairs = daily.as("a").join(daily.as("b"), col("a.x") < col("b.x"))
+        .select(col("a.x").as("i"), col("b.x").as("j"),
+          ((col("b.y") - col("a.y")).cast("double") /
+            (col("b.x") - col("a.x")).cast("double")).as("slope"))
+      val ranked = pairs.withColumn("rk",
+        row_number().over(Window.orderBy(col("slope"), col("i"), col("j"))))
+      val n = broadcast(pairs.agg(count(lit(1)).as("n_pairs")))
+      ranked.crossJoin(n)
+        .filter(col("rk") === expr("(n_pairs + 1) div 2") ||
+          col("rk") === expr("(n_pairs + 2) div 2"))
+        .groupBy("n_pairs")
+        .agg((sum("slope") / count(lit(1)).cast("double")).as("ts_slope"))
+        .select(col("n_pairs"), col("ts_slope"))
+    }),
+
+    // q250: STL-LITE SEASONAL DECOMPOSITION — daily revenue split into
+    // trend (7-day centered moving average), day-of-week seasonal
+    // component, and residual. Units: integer MILLICENTS (y·10³) so
+    // y·unit stays ≤ 1e18 at 100 TB daily totals (1e9 units would
+    // overflow BIGINT — the q185 class, closed by unit choice); the
+    // trend MA and the seasonal day-of-week mean are each ONE exact
+    // integer ratio → division → half-up quantization, and the
+    // residual is pure integer subtraction. Edge days use the
+    // truncated ROWS frame (identical semantics both engines). All
+    // windows/aggregates over the calendar-bounded daily table.
+    "q250_stl_lite" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            .cast("long").as("x"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy("x").agg(sum("c").as("y"))
+      val ma = Window.orderBy("x").rowsBetween(-3, 3)
+      val t = daily
+        .withColumn("t3",
+          floor(sum("y").over(ma).cast("double") * lit(1000.0) /
+            count(lit(1)).over(ma).cast("double") + lit(0.5)).cast("long"))
+        .withColumn("d3", col("y") * 1000L - col("t3"))
+      val season = t.groupBy(pmod(col("x"), lit(7L)).as("dow"))
+        .agg(floor(sum("d3").cast("double") /
+          count(lit(1)).cast("double") + lit(0.5)).cast("long").as("s3"))
+      t.withColumn("dow", pmod(col("x"), lit(7L)))
+        .join(broadcast(season), "dow")
+        .select(col("x"), col("t3"), col("s3"),
+          (col("y") * 1000L - col("t3") - col("s3")).as("resid3"))
+        .orderBy("x")
+    }),
+
     // q248: LINK PREDICTION (common neighbors + Adamic-Adar) — the
     // graph-mining recommender primitive over the shared co-purchase
     // graph (q139/q178/q184's edge set): score NON-adjacent part pairs
@@ -1701,6 +1801,69 @@ object MiningQueries extends QueryPack {
         |SELECT d, x AS day_cents, CAST(ns AS DOUBLE) AS cusum,
         |  CAST(CASE WHEN d = peak_d THEN 1 ELSE 0 END AS BIGINT) AS is_peak
         |FROM cus, peak ORDER BY d""".stripMargin,
+
+    // abc: plain window running sum oracle-side (DuckDB sorts fine at
+    // oracle scale), same cross-multiplied share thresholds.
+    "q251_abc_classification" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY l_partkey),
+        |tot AS (SELECT CAST(sum(rev) AS BIGINT) AS total FROM rev),
+        |run AS (SELECT rev,
+        |    sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS run FROM rev),
+        |cls AS (SELECT
+        |    CASE WHEN CAST(run AS HUGEINT) * 100 <= CAST(total AS HUGEINT) * 80
+        |      THEN 'A'
+        |      WHEN CAST(run AS HUGEINT) * 100 <= CAST(total AS HUGEINT) * 95
+        |      THEN 'B' ELSE 'C' END AS abc_class, rev
+        |  FROM run, tot)
+        |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(rev) AS BIGINT) AS class_rev
+        |FROM cls GROUP BY abc_class ORDER BY abc_class""".stripMargin,
+
+    // theil-sen: same bounded pair grid, deterministic median rank,
+    // 2-term middle average.
+    "q249_theil_sen" ->
+      """WITH daily AS (SELECT
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS y
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT a.x AS i, b.x AS j,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b ON a.x < b.x),
+        |r AS (SELECT slope,
+        |    row_number() OVER (ORDER BY slope, i, j) AS rk FROM p),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM p)
+        |SELECT n_pairs,
+        |  sum(slope) / CAST(count(*) AS DOUBLE) AS ts_slope
+        |FROM r, n
+        |WHERE rk = (n_pairs + 1) // 2 OR rk = (n_pairs + 2) // 2
+        |GROUP BY n_pairs""".stripMargin,
+
+    // stl-lite: same millicent units, truncated ROWS frames, one
+    // quantized ratio per component.
+    "q250_stl_lite" ->
+      """WITH daily AS (SELECT
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS y
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT x, y,
+        |    CAST(floor(CAST(sum(y) OVER w AS DOUBLE) * 1000.0 /
+        |      CAST(count(*) OVER w AS DOUBLE) + 0.5) AS BIGINT) AS t3
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY x ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |d AS (SELECT x, y, t3, y * 1000 - t3 AS d3, x % 7 AS dow FROM t),
+        |season AS (SELECT dow,
+        |    CAST(floor(CAST(sum(d3) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |      + 0.5) AS BIGINT) AS s3
+        |  FROM d GROUP BY dow)
+        |SELECT x, t3, s3, y * 1000 - t3 - s3 AS resid3
+        |FROM d JOIN season USING (dow) ORDER BY x""".stripMargin,
 
     // link-prediction: same edge derivation, deg guard, per-middle
     // quantized AA terms, post-aggregate edge exclusion, same top-20.

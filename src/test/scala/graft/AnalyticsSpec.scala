@@ -14,6 +14,29 @@ class AnalyticsSpec extends SparkSpec {
   private def run(name: String) =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("q252 column profile matches independent per-column recounts") {
+    val rows = run("q252_column_profile").collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    assert(rows.size == 6)
+    val o = graft.sources.Tables.orders(spark, sfDir)
+    val n = o.count()
+    val checks: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      ("o_orderkey", col("o_orderkey")),
+      ("o_totalprice_cents", floor(col("o_totalprice") * 100 + 0.5)
+        .cast("long")),
+      ("o_orderpriority", col("o_orderpriority")))
+    checks.foreach { case (name, c) =>
+      val r = rows(name)
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("n_nulls") == o.filter(c.isNull).count())
+      assert(r.getAs[Long]("n_distinct") == o.select(c).distinct().count())
+      val mm = o.agg(min(c).cast("string"), max(c).cast("string"))
+        .collect().head
+      assert(r.getAs[String]("min_str") == mm.getString(0))
+      assert(r.getAs[String]("max_str") == mm.getString(1))
+    }
+  }
+
   test("q247 Kaplan-Meier matches a local brute-force survival recount") {
     val rows = run("q247_kaplan_meier").collect()
     assert(rows.nonEmpty)

@@ -34,6 +34,70 @@ class MiningSpec extends SparkSpec {
     assert(r.getAs[Double]("z").isFinite)
   }
 
+  test("q249 Theil-Sen slope matches a local all-pairs median recount") {
+    val r = run("q249_theil_sen").collect().head
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .select(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .groupBy("x").agg(sum("c").as("y"))
+      .collect().map(row => (row.getAs[Long]("x"), row.getAs[Long]("y")))
+      .sortBy(_._1)
+    val slopes = (for {
+      (a, ia) <- daily.zipWithIndex; (b, ib) <- daily.zipWithIndex
+      if a._1 < b._1
+    } yield ((b._2 - a._2).toDouble / (b._1 - a._1), a._1, b._1))
+      .sortBy(s => (s._1, s._2, s._3)).map(_._1)
+    val n = slopes.length
+    assert(r.getAs[Long]("n_pairs") == n.toLong)
+    val mids = Seq(slopes((n + 1) / 2 - 1), slopes((n + 2) / 2 - 1))
+    val expected = mids.sum / mids.length.toDouble
+    assert(r.getAs[Double]("ts_slope") == expected,
+      s"slope ${r.getAs[Double]("ts_slope")} != local $expected")
+  }
+
+  test("q250 STL-lite components reconstruct the series exactly") {
+    val rows = run("q250_stl_lite").collect()
+    assert(rows.nonEmpty)
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .select(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .groupBy("x").agg(sum("c").as("y"))
+      .collect().map(row => row.getAs[Long]("x") -> row.getAs[Long]("y")).toMap
+    rows.foreach { r =>
+      val x = r.getAs[Long]("x")
+      // The decomposition identity: y·1000 = trend + seasonal + residual.
+      assert(r.getAs[Long]("t3") + r.getAs[Long]("s3") +
+        r.getAs[Long]("resid3") == daily(x) * 1000L,
+        s"day $x: components do not reconstruct the series")
+      // Trend stays inside the series envelope (it is a mean).
+      assert(r.getAs[Long]("t3") >= daily.values.min * 1000L &&
+        r.getAs[Long]("t3") <= daily.values.max * 1000L)
+    }
+  }
+
+  test("q251 ABC classes conserve revenue and respect the share thresholds") {
+    val rows = run("q251_abc_classification").collect()
+    assert(rows.map(_.getAs[String]("abc_class")).toSeq == Seq("A", "B", "C"))
+    val rev = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("c"))
+      .groupBy("l_partkey").agg(sum("c").as("rev"))
+      .collect().map(_.getAs[Long]("rev"))
+    val total = rev.sum
+    val maxPart = rev.max
+    assert(rows.map(_.getAs[Long]("class_rev")).sum == total,
+      "classes must conserve total revenue")
+    assert(rows.map(_.getAs[Long]("n_parts")).sum == rev.length.toLong)
+    val aRev = rows(0).getAs[Long]("class_rev")
+    // A closes within one part of the 80 % boundary (inclusive rule).
+    assert(BigInt(aRev) * 100 <= BigInt(total) * 80 + BigInt(maxPart) * 100,
+      "A exceeds the 80 % boundary by more than one part")
+    assert(BigInt(aRev + rows(1).getAs[Long]("class_rev")) * 100 <=
+      BigInt(total) * 95 + BigInt(maxPart) * 100)
+  }
+
   test("q248 link prediction: pairs are non-edges with bounded AA evidence") {
     val rows = run("q248_link_prediction").collect()
     assert(rows.length == 20)

@@ -481,7 +481,10 @@ class PlanSpec extends SparkSpec {
         "calendar-days × 256-bucket register grid (both sides bounded broadcasts)",
       "q246_fk_integrity" -> "1-row × 1-row audit-struct cross join",
       "q247_kaplan_meier" ->
-        "1-row horizon/total broadcasts over the calendar-bounded day table")
+        "1-row horizon/total broadcasts over the calendar-bounded day table",
+      "q249_theil_sen" ->
+        "calendar-bounded daily pair grid; 1-row pair-count broadcast",
+      "q251_abc_classification" -> "1-row revenue-total broadcast")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
