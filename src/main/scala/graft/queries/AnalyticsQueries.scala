@@ -165,7 +165,63 @@ object AnalyticsQueries extends QueryPack {
       .orderBy(col("score9").desc, col("doc_id"))
       .limit(20)
 
+  /** q253's ten NDCG position weights 1/log2(i+1), half-up 1e-9
+    * quantized ONCE Scala-side and embedded as the same integer
+    * literals in both engines. */
+  private val NdcgW9: Seq[Long] = (1 to 10)
+    .map(i => math.floor(1e9 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+
   override val queries: Map[String, Q] = Map(
+
+    // q253: NDCG@10 OF THE BM25 RANKING — the retrieval-eval closer
+    // for the q126/q134/q137/q180/q210 family: graded relevance =
+    // number of distinct query terms a document contains (0–3, derived
+    // from the data, no side labels), DCG@10 of q126's ranking vs the
+    // ideal ordering, with gains 2^rel − 1 and the ten 1/log2(i+1)
+    // position weights as shared 1e-9 integer literals — dcg/idcg are
+    // exact BIGINTs, NDCG one double division. Ranks are assigned by a
+    // 10×10 self-join peer count on the LIMITED tables (window-free:
+    // a global rank window here would be the q21 class; the limit
+    // makes the join constant-size). Corpus work is q126's scoring
+    // shape; both rank joins and the gain lattice are constant-size.
+    "q253_ndcg" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("token"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = broadcast(dl.agg(count(lit(1)).as("n"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl")))
+      val qtoks = toks.filter(col("token").isin(Bm25Terms: _*))
+      val df = broadcast(qtoks.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df")))
+      val tf = qtoks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val scored = tf.join(df, "token").join(dl, "doc_id").crossJoin(stats)
+        .select(col("doc_id"), bm25C9.as("c9"))
+        .groupBy("doc_id").agg(sum("c9").as("score9"))
+      val rel = qtoks.select("doc_id", "token").distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("rel"))
+      def rank10(t: org.apache.spark.sql.DataFrame, ord: String)
+          : org.apache.spark.sql.DataFrame = {
+        val top = t.orderBy(col(ord).desc, col("doc_id")).limit(10)
+          .localCheckpoint(false) // 10 rows, feeds both rank-join legs
+        top.as("a").join(top.as("b"),
+            col("b." + ord) > col("a." + ord) ||
+              (col("b." + ord) === col("a." + ord) &&
+                col("b.doc_id") <= col("a.doc_id")))
+          .groupBy(col("a.doc_id").as("doc_id"))
+          .agg(count(lit(1)).as("rk"))
+      }
+      val gain = expr("shiftleft(1L, cast(rel as int)) - 1")
+      val w = element_at(typedLit(NdcgW9), col("rk").cast("int"))
+      val dcg = rank10(scored, "score9").join(rel, "doc_id")
+        .agg(sum(gain * w).as("dcg9"))
+      val idcg = rank10(rel, "rel").join(rel, "doc_id")
+        .agg(sum(gain * w).as("idcg9"))
+      dcg.crossJoin(broadcast(idcg))
+        .select(col("dcg9"), col("idcg9"),
+          (col("dcg9").cast("double") / col("idcg9").cast("double"))
+            .as("ndcg"))
+    }),
 
     // q252: COLUMN PROFILE (ANALYZE TABLE report) — the per-column
     // statistics sweep a warehouse runs before planning/migrations:
@@ -1600,6 +1656,58 @@ object AnalyticsQueries extends QueryPack {
   }
 
   override val oracles: Map[String, String] = Map(
+
+    // ndcg: q126's contrib dag, same self-join peer-count ranks,
+    // same embedded weight literals and gain lattice.
+    "q253_ndcg" -> {
+      val wvals = NdcgW9.zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+         |    t -> t <> '')) AS token FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |stats AS (SELECT count(*) AS n,
+         |  CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl),
+         |qt AS (SELECT * FROM (VALUES ('join'),('hash'),('vector')) q(token)),
+         |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks
+         |  WHERE token IN (SELECT token FROM qt) GROUP BY 1),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+         |  WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
+         |contrib AS (
+         |  SELECT tf.doc_id, CAST(floor(
+         |    (floor(ln(1.0 + (stats.n - df.df + 0.5)/(df.df + 0.5))*1e9 + 0.5)/1e9)
+         |    * (CAST(tf.tf AS DOUBLE)*2.2
+         |       / (CAST(tf.tf AS DOUBLE) + 1.2*(0.25 + 0.75*dl.dl/stats.avgdl)))
+         |    * 1e9 + 0.5) AS BIGINT) AS c9
+         |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats),
+         |scored AS (SELECT doc_id, CAST(sum(c9) AS BIGINT) AS score9
+         |  FROM contrib GROUP BY doc_id),
+         |rel AS (SELECT doc_id, CAST(count(DISTINCT token) AS BIGINT) AS rel
+         |  FROM toks WHERE token IN (SELECT token FROM qt) GROUP BY doc_id),
+         |tops AS MATERIALIZED (SELECT doc_id, score9 FROM scored
+         |  ORDER BY score9 DESC, doc_id LIMIT 10),
+         |rks AS (SELECT a.doc_id, count(*) AS rk FROM tops a JOIN tops b
+         |  ON b.score9 > a.score9
+         |    OR (b.score9 = a.score9 AND b.doc_id <= a.doc_id)
+         |  GROUP BY a.doc_id),
+         |topr AS MATERIALIZED (SELECT doc_id, rel FROM rel
+         |  ORDER BY rel DESC, doc_id LIMIT 10),
+         |rkr AS (SELECT a.doc_id, count(*) AS rk FROM topr a JOIN topr b
+         |  ON b.rel > a.rel OR (b.rel = a.rel AND b.doc_id <= a.doc_id)
+         |  GROUP BY a.doc_id),
+         |w(rk, w9) AS (SELECT * FROM (VALUES $wvals)),
+         |dcg AS (SELECT CAST(sum(
+         |    ((CAST(1 AS BIGINT) << CAST(rel AS INTEGER)) - 1) * w9)
+         |    AS BIGINT) AS dcg9
+         |  FROM rks JOIN rel USING (doc_id) JOIN w USING (rk)),
+         |idcg AS (SELECT CAST(sum(
+         |    ((CAST(1 AS BIGINT) << CAST(rel AS INTEGER)) - 1) * w9)
+         |    AS BIGINT) AS idcg9
+         |  FROM rkr JOIN rel USING (doc_id) JOIN w USING (rk))
+         |SELECT dcg9, idcg9,
+         |  CAST(dcg9 AS DOUBLE) / CAST(idcg9 AS DOUBLE) AS ndcg
+         |FROM dcg, idcg""".stripMargin
+    },
 
     // column-profile: one UNION ALL branch per column, same
     // deterministic renderings.

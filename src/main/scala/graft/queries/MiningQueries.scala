@@ -1424,6 +1424,76 @@ object MiningQueries extends QueryPack {
         .limit(50)
     }),
 
+    // q255: RFM SEGMENTATION — the marketing-analytics classic:
+    // customers scored 1–5 on Recency (days since last order),
+    // Frequency (order count) and Monetary (total cents), then
+    // aggregated into segment cells. Quintiles over an UNBOUNDED
+    // customer population are ntile's q21 single-task class — so each
+    // dimension ranks via ScalableRank's two-phase global row number
+    // and converts rank → quintile with the integer rule
+    // (5·(rn−1)) div n + 1 (no doubles, no ntile window). Recency
+    // orders DESC (most recent = highest score via the shared
+    // ascending-quintile rule on the negated key). Output is the
+    // ≤ 125-row (r, f, m) segment distribution.
+    "q255_rfm_segments" -> ((s, dir) => {
+      val maxD = broadcast(Tables.orders(s, dir)
+        .agg(max(col("o_orderdate").cast("date")).as("dmax")))
+      val rfm = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderdate"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .groupBy("o_custkey")
+        .agg(max(col("o_orderdate").cast("date")).as("last_d"),
+          count(lit(1)).as("freq"), sum("cents").as("monet"))
+        .crossJoin(maxD)
+        .select(col("o_custkey"),
+          datediff(col("dmax"), col("last_d")).cast("long").as("rec"),
+          col("freq"), col("monet"))
+        .localCheckpoint(false) // feeds the three rank passes
+      def quintile(valCol: String, asc: Boolean): org.apache.spark.sql.DataFrame = {
+        val ord = if (asc) col(valCol).asc else col(valCol).desc
+        val df = rfm.select(col("o_custkey"), col(valCol))
+        val (ranked, stats) = ScalableRank.rowNumbered(
+          df, Seq.empty, Seq(ord, col("o_custkey")), buckets = 32)
+        ranked.crossJoin(broadcast(stats))
+          .select(col("o_custkey"),
+            (expr("(5 * (rn - 1)) div n") + 1).as(valCol + "_q"))
+      }
+      quintile("rec", asc = false) // oldest first → newest gets 5
+        .join(quintile("freq", asc = true), "o_custkey")
+        .join(quintile("monet", asc = true), "o_custkey")
+        .groupBy(col("rec_q").as("r"), col("freq_q").as("f"),
+          col("monet_q").as("m"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("r", "f", "m")
+    }),
+
+    // q256: SEASONAL-NAIVE FORECAST BACKTEST — the baseline every
+    // forecasting pipeline is judged against: ŷ_d = y_{d−7}, scored
+    // with MAE (exact integer error sum, one division) and MAPE
+    // (per-day |e|/y quantized half-up 1e-9 BEFORE the BIGINT sum —
+    // an unquantized double mean would be fold-order dependent).
+    // One corpus pass to the daily table; the lag and the error
+    // aggregate run on the calendar-bounded series.
+    "q256_snaive_backtest" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            .cast("long").as("x"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy("x").agg(sum("c").as("y"))
+      val w = Window.orderBy("x")
+      daily.withColumn("yhat", lag("y", 7).over(w))
+        .filter(col("yhat").isNotNull)
+        .select(abs(col("y") - col("yhat")).as("ae"), col("y"))
+        .agg(count(lit(1)).as("n_eval"), sum("ae").as("ae_sum"),
+          sum(floor(col("ae").cast("double") / col("y").cast("double")
+            * 1e9 + 0.5).cast("long")).as("ape9_sum"))
+        .select(col("n_eval"), col("ae_sum"),
+          (col("ae_sum").cast("double") / col("n_eval").cast("double"))
+            .as("mae"),
+          (col("ape9_sum").cast("double") / col("n_eval").cast("double"))
+            .as("mape9"))
+    }),
+
     // q251: ABC (PARETO) CLASSIFICATION — the inventory-analysis
     // operator: parts bucketed A/B/C by cumulative revenue share
     // (≤ 80 % / ≤ 95 % / rest) in descending-revenue order. The
@@ -1801,6 +1871,49 @@ object MiningQueries extends QueryPack {
         |SELECT d, x AS day_cents, CAST(ns AS DOUBLE) AS cusum,
         |  CAST(CASE WHEN d = peak_d THEN 1 ELSE 0 END AS BIGINT) AS is_peak
         |FROM cus, peak ORDER BY d""".stripMargin,
+
+    // rfm: plain row_number windows oracle-side, same integer
+    // quintile rule and tie-break keys.
+    "q255_rfm_segments" ->
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS dmax
+        |  FROM orders),
+        |rfm AS (SELECT o_custkey,
+        |    CAST(datediff('day', max(CAST(o_orderdate AS DATE)),
+        |      (SELECT dmax FROM mx)) AS BIGINT) AS rec,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS monet
+        |  FROM orders GROUP BY o_custkey),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rfm),
+        |q AS (SELECT o_custkey,
+        |    (5 * (row_number() OVER (ORDER BY rec DESC, o_custkey) - 1))
+        |      // n.n + 1 AS r,
+        |    (5 * (row_number() OVER (ORDER BY freq ASC, o_custkey) - 1))
+        |      // n.n + 1 AS f,
+        |    (5 * (row_number() OVER (ORDER BY monet ASC, o_custkey) - 1))
+        |      // n.n + 1 AS m
+        |  FROM rfm, n)
+        |SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+        |  CAST(m AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM q GROUP BY r, f, m ORDER BY r, f, m""".stripMargin,
+
+    // snaive: same 7-day lag, per-day quantized APE terms.
+    "q256_snaive_backtest" ->
+      """WITH daily AS (SELECT
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS y
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT x, y, lag(y, 7) OVER (ORDER BY x) AS yhat FROM daily),
+        |e AS (SELECT abs(y - yhat) AS ae, y FROM l WHERE yhat IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_eval,
+        |  CAST(sum(ae) AS BIGINT) AS ae_sum,
+        |  CAST(sum(ae) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mae,
+        |  CAST(sum(CAST(floor(CAST(ae AS DOUBLE) / CAST(y AS DOUBLE) * 1e9
+        |    + 0.5) AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS mape9
+        |FROM e""".stripMargin,
 
     // abc: plain window running sum oracle-side (DuckDB sorts fine at
     // oracle scale), same cross-multiplied share thresholds.

@@ -14,6 +14,45 @@ class AnalyticsSpec extends SparkSpec {
   private def run(name: String) =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("q253 NDCG: ideal dominates the BM25 ranking and both are positive") {
+    val r = run("q253_ndcg").collect().head
+    val dcg = r.getAs[Long]("dcg9"); val idcg = r.getAs[Long]("idcg9")
+    assert(dcg > 0L && idcg > 0L)
+    assert(idcg >= dcg, "ideal ranking must dominate any other ranking")
+    val ndcg = r.getAs[Double]("ndcg")
+    assert(ndcg > 0.0 && ndcg <= 1.0)
+    assert(ndcg == dcg.toDouble / idcg.toDouble)
+  }
+
+  test("q254 business-day formula agrees with a brute-force weekday count") {
+    // Independent check of the closed form over a span of date pairs.
+    // Convention: B(b) − B(a) counts business days in [a, b) — the
+    // order day counts if it is a weekday, the ship day does not.
+    val anchor = java.time.LocalDate.of(1990, 1, 1) // a Monday
+    def bruteBdays(a: java.time.LocalDate, b: java.time.LocalDate): Long =
+      Iterator.iterate(a)(_.plusDays(1))
+        .takeWhile(_.isBefore(b))
+        .count(d => d.getDayOfWeek.getValue <= 5).toLong
+    def closed(d: java.time.LocalDate): Long = {
+      val n = java.time.temporal.ChronoUnit.DAYS.between(anchor, d)
+      5 * (n / 7) + math.min(n % 7, 5)
+    }
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val a = anchor.plusDays(rng.nextInt(4000).toLong)
+      val b = a.plusDays(rng.nextInt(400).toLong)
+      assert(closed(b) - closed(a) == bruteBdays(a, b),
+        s"closed form drifted for $a -> $b")
+    }
+    val rows = run("q254_business_days").collect()
+    val li = graft.sources.Tables.lineitem(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_items")).sum == li)
+    // The synthetic generator does not enforce ship ≥ order, so
+    // negative leads are legitimate data; the anchor keeps BOTH n's
+    // non-negative, which is all the div/mod portability needs.
+    assert(rows.map(_.getAs[Long]("bdays")).distinct.length == rows.length)
+  }
+
   test("q252 column profile matches independent per-column recounts") {
     val rows = run("q252_column_profile").collect()
       .map(r => r.getAs[String]("column_name") -> r).toMap

@@ -34,6 +34,41 @@ class MiningSpec extends SparkSpec {
     assert(r.getAs[Double]("z").isFinite)
   }
 
+  test("q255 RFM: quintiles partition customers into near-equal fifths") {
+    val rows = run("q255_rfm_segments").collect()
+    val n = graft.sources.Tables.orders(spark, sfDir)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == n,
+      "segments must partition the customer population")
+    for (dim <- Seq("r", "f", "m")) {
+      val marg = rows.groupBy(_.getAs[Long](dim)).view
+        .mapValues(_.map(_.getAs[Long]("n_customers")).sum).toMap
+      assert(marg.keySet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)))
+      // The integer rule yields fifths of size floor/ceil(n/5).
+      marg.values.foreach(sz =>
+        assert(sz == n / 5 || sz == n / 5 + 1,
+          s"$dim quintile size $sz not a fifth of $n"))
+    }
+  }
+
+  test("q256 seasonal-naive backtest matches a local error recount") {
+    val r = run("q256_snaive_backtest").collect().head
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .select(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .groupBy("x").agg(sum("c").as("y"))
+      .collect().map(row => row.getAs[Long]("x") -> row.getAs[Long]("y"))
+      .sortBy(_._1)
+    val series = daily.toMap
+    val evals = daily.filter { case (x, _) => series.contains(x - 7) }
+      .map { case (x, y) => (math.abs(y - series(x - 7)), y) }
+    assert(r.getAs[Long]("n_eval") == evals.length.toLong)
+    assert(r.getAs[Long]("ae_sum") == evals.map(_._1).sum)
+    assert(r.getAs[Double]("mae") ==
+      evals.map(_._1).sum.toDouble / evals.length)
+  }
+
   test("q249 Theil-Sen slope matches a local all-pairs median recount") {
     val r = run("q249_theil_sen").collect().head
     val daily = graft.sources.Tables.events(spark, sfDir)

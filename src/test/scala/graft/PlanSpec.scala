@@ -484,7 +484,11 @@ class PlanSpec extends SparkSpec {
         "1-row horizon/total broadcasts over the calendar-bounded day table",
       "q249_theil_sen" ->
         "calendar-bounded daily pair grid; 1-row pair-count broadcast",
-      "q251_abc_classification" -> "1-row revenue-total broadcast")
+      "q251_abc_classification" -> "1-row revenue-total broadcast",
+      "q253_ndcg" ->
+        "10×10 limited rank self-joins; 1-row dcg/idcg broadcasts",
+      "q255_rfm_segments" ->
+        "1-row horizon/population-count broadcasts (three rank passes)")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
