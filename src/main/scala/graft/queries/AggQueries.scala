@@ -211,6 +211,49 @@ object AggQueries extends QueryPack {
           floor(est * 1e9 + 0.5).cast("long").as("est9"), col("n_exact"))
     }),
 
+    // q257: KMV (THETA-SKETCH) SET INTERSECTION — the sketch-family
+    // member HLL cannot provide: |A ∩ B| without exact distinct, via
+    // the k-minimum-values estimator (k = 256 smallest md5 hashes of
+    // the union define θ; members below θ present in BOTH sets scale
+    // by 1/θ). Every ingredient replays in DuckDB: md5 60-bit hashes,
+    // the k-th order statistic via TakeOrdered (per-partition top-k,
+    // no global sort), one double dag for the estimate, 1e-9
+    // quantized. The exact intersection rides along as the accuracy
+    // reference (the expensive path the sketch replaces — at 100 TB
+    // the sketch needs one pass + a 256-row exchange per set). Sets:
+    // view-active vs purchase-active user-days.
+    "q257_kmv_intersection" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("event_type").as("t"),
+          (col("user_id") * 100L +
+            datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")))
+            .as("key"))
+        .distinct()
+        .select(col("t"),
+          conv(substring(md5(concat(lit("kmv:"), col("key").cast("string"))),
+            1, 15), 16, 10).cast("long").as("h"))
+        .localCheckpoint(false) // feeds union top-k, both-sets, exact
+      val hk = broadcast(ev.select("h").distinct()
+        .orderBy("h").limit(256)
+        .agg(max("h").as("hk"), count(lit(1)).as("k")))
+      val nBoth = ev.groupBy("h")
+        .agg(countDistinct("t").as("nt"))
+        .crossJoin(hk)
+        .filter(col("h") <= col("hk") && col("nt") === 2)
+        .agg(count(lit(1)).as("n_both"))
+      val exact = ev.groupBy("h").agg(countDistinct("t").as("nt"))
+        .filter(col("nt") === 2).agg(count(lit(1)).as("n_exact_inter"))
+      // est = n_both / θ with θ = hk/2^60 (uniform-hash inclusion
+      // probability), rounded half-up to a count.
+      val est = col("n_both").cast("double") *
+        lit(1152921504606846976.0) / col("hk").cast("double")
+      nBoth.crossJoin(hk).crossJoin(broadcast(exact))
+        .select(col("k"), col("hk"), col("n_both"),
+          floor(est + 0.5).cast("long").as("est_inter"),
+          col("n_exact_inter"))
+    }),
+
     // q244: SLIDING-WINDOW DISTINCT USERS VIA HLL REGISTER ROLLUP —
     // the operator that makes 7-day rolling DAU affordable at 100 TB:
     // per-(day, bucket) q242-style registers (one corpus pass), then
@@ -681,6 +724,32 @@ object AggQueries extends QueryPack {
       |FROM interp GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+
+    // kmv: same hash/top-k/θ dag, 2^60 as an exact double literal.
+    "q257_kmv_intersection" ->
+      """WITH ev AS (SELECT DISTINCT event_type AS t,
+        |    user_id * 100 +
+        |      datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS key
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |h AS (SELECT t,
+        |    CAST(('0x' || substring(md5('kmv:' || CAST(key AS VARCHAR)),
+        |      1, 15)) AS BIGINT) AS h
+        |  FROM ev),
+        |hk AS (SELECT CAST(max(h) AS BIGINT) AS hk,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM (SELECT DISTINCT h FROM h ORDER BY h LIMIT 256)),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_both
+        |  FROM (SELECT h, count(DISTINCT t) AS nt FROM h GROUP BY h) g, hk
+        |  WHERE g.h <= hk.hk AND g.nt = 2),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_inter
+        |  FROM (SELECT h, count(DISTINCT t) AS nt FROM h GROUP BY h) g
+        |  WHERE g.nt = 2)
+        |SELECT k, hk, n_both,
+        |  CAST(floor(CAST(n_both AS DOUBLE) *
+        |    CAST(1152921504606846976 AS DOUBLE) / CAST(hk AS DOUBLE)
+        |    + 0.5) AS BIGINT) AS est_inter,
+        |  n_exact_inter
+        |FROM nb, hk, ex""".stripMargin,
 
     // sliding hll: same per-day registers, RANGE-window max-merge over
     // the calendar grid, same est dag, explode-based exact reference.

@@ -307,6 +307,48 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("t")
     }),
 
+    // q258: WINBACK / RESURRECTION ANALYSIS — the retention-team
+    // question q129's cohort matrix doesn't answer: who went SILENT
+    // for ≥ 48 h and then came back, counted by return day. One lag
+    // over the user_id-keyed event stream (unbounded partition key,
+    // per-user state bounded by activity), gap tested in exact epoch
+    // seconds, then a day-keyed aggregate of resurrection events and
+    // distinct resurrected users. No windows over low-card keys, no
+    // per-user buffering beyond the single lag row.
+    "q258_winback" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev", lag("ts", 1).over(w))
+        .filter(col("prev").isNotNull &&
+          col("ts").cast("long") - col("prev").cast("long") >= 172800L)
+        .groupBy(col("ts").cast("date").as("return_day"))
+        .agg(count(lit(1)).as("n_winbacks"),
+          countDistinct("user_id").as("n_users"))
+        .orderBy("return_day")
+    }),
+
+    // q259: K-ANONYMITY AUDIT — the privacy/governance screen run
+    // before sharing a table: group sizes over the quasi-identifier
+    // pair (nation, market segment), reporting how many equivalence
+    // classes and how many ROWS fall below k = 5 (the re-identifiable
+    // population a suppression pass would have to handle). One hash
+    // aggregate on the quasi-identifier key, then a constant-size
+    // summary — the group table is bounded by the QI domain, not the
+    // corpus.
+    "q259_k_anonymity" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("sz") < 5, 1L).otherwise(0L)).as("n_violating_groups"),
+          sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("n_risk_rows"),
+          min("sz").as("min_group_size"),
+          sum("sz").as("n_rows"))
+        .select(lit(5L).as("k"), col("n_groups"), col("n_violating_groups"),
+          col("n_risk_rows"), col("min_group_size"), col("n_rows"))
+    }),
+
     // q246: REFERENTIAL-INTEGRITY AUDIT — the warehouse data-quality
     // sweep: orphan counts across the schema's foreign keys
     // (lineitem→orders, lineitem→supplier, orders→customer) plus the
@@ -1765,6 +1807,35 @@ object AnalyticsQueries extends QueryPack {
         |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
         |  CAST(sum(term9) OVER (ORDER BY t) AS BIGINT) AS log_s9
         |FROM f ORDER BY t""".stripMargin,
+
+    // winback: same per-user lag, epoch-second gap test, day rollup.
+    "q258_winback" ->
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |r AS (SELECT user_id, ts FROM l
+        |  WHERE prev IS NOT NULL
+        |    AND CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev) AS BIGINT)
+        |      >= 172800)
+        |SELECT CAST(ts AS DATE) AS return_day,
+        |  CAST(count(*) AS BIGINT) AS n_winbacks,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM r GROUP BY 1 ORDER BY return_day""".stripMargin,
+
+    // k-anonymity: same QI grouping and sub-k accounting.
+    "q259_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS sz
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(5 AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating_groups,
+        |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS n_risk_rows,
+        |  CAST(min(sz) AS BIGINT) AS min_group_size,
+        |  CAST(sum(sz) AS BIGINT) AS n_rows
+        |FROM g""".stripMargin,
 
     // fk-integrity: NOT EXISTS mirrors of the four anti joins.
     "q246_fk_integrity" ->

@@ -53,6 +53,22 @@ class AggSpec extends SparkSpec {
       "max-merge of half-corpus registers differs from the global registers")
   }
 
+  test("q257 KMV intersection: consistent sketch state and a sane estimate") {
+    val r = SparkEntry.queries("q257_kmv_intersection")(spark, sfDir)
+      .collect().head
+    val k = r.getAs[Long]("k"); val hk = r.getAs[Long]("hk")
+    val nBoth = r.getAs[Long]("n_both")
+    val est = r.getAs[Long]("est_inter")
+    val exact = r.getAs[Long]("n_exact_inter")
+    assert(k <= 256L && hk > 0L)
+    assert(nBoth <= k, "below-θ members cannot exceed the sketch size")
+    assert(est >= nBoth, "scaling by 1/θ can only grow the count")
+    // RSE ≈ 1/√n_both; allow ~3σ.
+    val rse = 1.0 / math.sqrt(math.max(nBoth, 1L).toDouble)
+    assert(math.abs(est - exact).toDouble / exact <= 3 * rse + 0.05,
+      s"KMV estimate $est vs exact $exact outside 3σ (rse=$rse)")
+  }
+
   test("q244 sliding HLL: every day's estimate within envelope of its exact window") {
     val rows = SparkEntry.queries("q244_hll_sliding_dau")(spark, sfDir)
       .collect()

@@ -14,6 +14,41 @@ class AnalyticsSpec extends SparkSpec {
   private def run(name: String) =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("q258 winback counts match a local per-user gap scan") {
+    val rows = run("q258_winback").collect()
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._2.getTime, e._3))
+      sorted.sliding(2).collect {
+        case Array(a, b)
+          if (b._2.getTime - a._2.getTime) / 1000 >= 172800 => b
+      }
+    }
+    assert(rows.map(_.getAs[Long]("n_winbacks")).sum == expected.size.toLong,
+      "total winbacks drifted from the local gap scan")
+    val perDay = expected.groupBy(e => e._2.getTime / 86400000L).view
+      .mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      val day = r.getAs[java.sql.Date]("return_day").toLocalDate.toEpochDay
+      assert(r.getAs[Long]("n_winbacks") == perDay(day),
+        s"day $day winback count drifted")
+    }
+  }
+
+  test("q259 k-anonymity audit matches a local group-size recount") {
+    val r = run("q259_k_anonymity").collect().head
+    val sizes = graft.sources.Tables.customer(spark, sfDir)
+      .groupBy("c_nationkey", "c_mktsegment").count()
+      .collect().map(_.getAs[Long]("count"))
+    assert(r.getAs[Long]("n_groups") == sizes.length.toLong)
+    assert(r.getAs[Long]("n_violating_groups") == sizes.count(_ < 5).toLong)
+    assert(r.getAs[Long]("n_risk_rows") == sizes.filter(_ < 5).sum)
+    assert(r.getAs[Long]("min_group_size") == sizes.min)
+    assert(r.getAs[Long]("n_rows") == sizes.sum)
+  }
+
   test("q253 NDCG: ideal dominates the BM25 ranking and both are positive") {
     val r = run("q253_ndcg").collect().head
     val dcg = r.getAs[Long]("dcg9"); val idcg = r.getAs[Long]("idcg9")

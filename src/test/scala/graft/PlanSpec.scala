@@ -488,7 +488,9 @@ class PlanSpec extends SparkSpec {
       "q253_ndcg" ->
         "10×10 limited rank self-joins; 1-row dcg/idcg broadcasts",
       "q255_rfm_segments" ->
-        "1-row horizon/population-count broadcasts (three rank passes)")
+        "1-row horizon/population-count broadcasts (three rank passes)",
+      "q257_kmv_intersection" ->
+        "1-row θ-threshold / exact-reference broadcasts")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
