@@ -211,6 +211,58 @@ object AggQueries extends QueryPack {
           floor(est * 1e9 + 0.5).cast("long").as("est9"), col("n_exact"))
     }),
 
+    // q261: BLOOM FILTER BUILD + FPR AUDIT — the membership sketch
+    // built FROM SCRATCH under the hash gate (q116 uses Spark's
+    // runtime bloom inside a join; this one materializes the filter
+    // as 265 OR-aggregated 62-bit words (bit index pos mod 62 keeps
+    // every shift <= 61 — BIGINT << 63 faults under checked math) and measures it): m = 16384
+    // bits, k = 7 md5-derived positions per key, inserted set = even
+    // part keys, probe set = odd part keys (disjoint by construction,
+    // so every probe hit is a false positive). The observed FPR is
+    // exact integer counting; the theoretical (1 − e^{−kn/m})^k is
+    // one double dag with the power as an explicit 7-fold product and
+    // the result 1e-9 quantized (exp is the q101 ln class — the 3-SF
+    // sweep is the proof). Scale: k× constant fanout map-side, one
+    // 256-word OR aggregate, probes join the broadcast word table.
+    "q261_bloom_fpr" -> ((s, dir) => {
+      val keys = Tables.part(s, dir).select(col("p_partkey"))
+      def positions(tag: String) = (0 until 7).map(j =>
+        pmod(conv(substring(md5(concat(lit(s"bf$j:"),
+          col("p_partkey").cast("string"))), 1, 15), 16, 10).cast("long"),
+          lit(16384L)).as(s"pos$j"))
+      val ins = keys.filter(col("p_partkey") % 2 === 0)
+      val nIns = broadcast(ins.agg(count(lit(1)).as("n_ins")))
+      val words = ins.select(positions("i"): _*)
+        .select(explode(array((0 until 7).map(j => col(s"pos$j")): _*))
+          .as("pos"))
+        .select(expr("pos div 62").as("word"),
+          expr("shiftleft(1L, cast(pos % 62 as int))").as("mask"))
+        .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
+      val probes = keys.filter(col("p_partkey") % 2 === 1)
+        .select(col("p_partkey"), posexplode(array(
+          (0 until 7).map(j => positions("p")(j)): _*)).as(Seq("j", "pos")))
+        .select(col("p_partkey"), expr("pos div 62").as("word"),
+          expr("cast(pos % 62 as int)").as("bit"))
+        .join(broadcast(words), Seq("word"), "left")
+        .select(col("p_partkey"),
+          coalesce(expr("(bits >> bit) & 1"), lit(0L)).as("hit"))
+        .groupBy("p_partkey").agg(min("hit").as("all_set"))
+        .agg(count(lit(1)).as("n_probes"), sum("all_set").as("n_false_pos"))
+      val kD = lit(7.0)
+      val mD = lit(16384.0)
+      val pTheory = {
+        val x = lit(1.0) - exp(lit(-1.0) * kD * col("n_ins").cast("double") / mD)
+        x * x * x * x * x * x * x
+      }
+      probes.crossJoin(nIns)
+        .select(lit(16384L).as("m"), lit(7L).as("k"), col("n_ins"),
+          col("n_probes"), col("n_false_pos"),
+          floor(col("n_false_pos").cast("double") /
+            col("n_probes").cast("double") * 1e9 + 0.5).cast("long")
+            .as("fpr_obs9"),
+          floor(pTheory * 1e9 + 0.5).cast("long").as("fpr_theory9"))
+    }),
+
     // q257: KMV (THETA-SKETCH) SET INTERSECTION — the sketch-family
     // member HLL cannot provide: |A ∩ B| without exact distinct, via
     // the k-minimum-values estimator (k = 256 smallest md5 hashes of
@@ -724,6 +776,39 @@ object AggQueries extends QueryPack {
       |FROM interp GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   override val oracles: Map[String, String] = Map(
+
+    // bloom: same md5 positions, OR-word build, probe AND, and
+    // 7-fold-product theory dag.
+    "q261_bloom_fpr" -> {
+      val posList = (0 until 7).map(j =>
+        s"CAST(('0x' || substring(md5('bf$j:' || CAST(p_partkey AS VARCHAR)), " +
+          s"1, 15)) AS BIGINT) % 16384").mkString("[", ", ", "]")
+      s"""WITH ins AS (SELECT p_partkey FROM part WHERE p_partkey % 2 = 0),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_ins FROM ins),
+         |ipos AS (SELECT unnest($posList) AS pos FROM ins),
+         |words AS (SELECT pos // 62 AS word,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 62 AS INTEGER)) AS bits
+         |  FROM ipos GROUP BY 1),
+         |pr AS (SELECT p_partkey, unnest($posList) AS pos FROM part
+         |  WHERE p_partkey % 2 = 1),
+         |hits AS (SELECT pr.p_partkey,
+         |    coalesce((bits >> CAST(pos % 62 AS INTEGER)) & 1, 0) AS hit
+         |  FROM pr LEFT JOIN words ON pos // 62 = words.word),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_probes,
+         |    CAST(sum(all_set) AS BIGINT) AS n_false_pos
+         |  FROM (SELECT p_partkey, min(hit) AS all_set FROM hits
+         |    GROUP BY p_partkey)),
+         |t AS (SELECT n_ins, n_probes, n_false_pos,
+         |    1.0 - exp(-1.0 * 7.0 * CAST(n_ins AS DOUBLE) / 16384.0) AS x
+         |  FROM ag, n)
+         |SELECT CAST(16384 AS BIGINT) AS m, CAST(7 AS BIGINT) AS k,
+         |  n_ins, n_probes, n_false_pos,
+         |  CAST(floor(CAST(n_false_pos AS DOUBLE) /
+         |    CAST(n_probes AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS fpr_obs9,
+         |  CAST(floor(x * x * x * x * x * x * x * 1e9 + 0.5) AS BIGINT)
+         |    AS fpr_theory9
+         |FROM t""".stripMargin
+    },
 
     // kmv: same hash/top-k/θ dag, 2^60 as an exact double literal.
     "q257_kmv_intersection" ->

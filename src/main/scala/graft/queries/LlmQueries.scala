@@ -449,6 +449,57 @@ object LlmQueries extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // q260: ORACLE-REPLAYABLE MINHASH — the last member of the
+    // replayable-sketch set (q242 HLL, q243 SimHash, q257 KMV): 32
+    // md5-derived permutation minima per document computed as 32
+    // map-side-combinable MIN aggregates in ONE doc_id-keyed pass
+    // (h_i(x) = md5(i || shingle) prefix — no row fanout, the q243
+    // vote pattern), then the Jaccard ESTIMATE (matching-component
+    // fraction) is validated against the exact Jaccard on the q194
+    // planted near-dup pairs — estimate and truth both under the
+    // DuckDB hash gate. q54's xxhash64 signatures stay as the faster
+    // engine-specific surface. Pairing is the planted (d, d+300000)
+    // twin join — no candidate blow-up; the sketch pass is linear.
+    "q260_minhash_replayable" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") < 100).select("doc_id", "text")
+      val toksOf = Text.tokens(col("text"))
+      val perturbed = base.select((col("doc_id") + 300000).as("doc_id"),
+        array_join(slice(toksOf, lit(2), greatest(size(toksOf) - 1, lit(0))), " ")
+          .as("text"))
+      val sh = base.unionAll(perturbed)
+        .select(col("doc_id"),
+          explode(array_distinct(Text.shingles(Text.tokens(col("text")), 3)))
+            .as("s"))
+        .localCheckpoint(false) // feeds the signature AND exact-Jaccard legs
+      val sigs = sh.groupBy("doc_id").agg(
+        countDistinct("s").as("n_sh"),
+        (0 until 32).map(i =>
+          min(conv(substring(md5(concat(lit(s"mh$i:"), col("s"))), 1, 15),
+            16, 10).cast("long")).as(s"m$i")): _*)
+      val pairs = sigs.as("a").join(sigs.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 300000)
+      val matches = (0 until 32)
+        .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val inter = sh.as("x").join(sh.as("y"),
+          col("y.doc_id") === col("x.doc_id") + 300000 &&
+            col("x.s") === col("y.s"))
+        .groupBy(col("x.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_inter"))
+      pairs.select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.n_sh").as("na"), col("b.n_sh").as("nb"),
+          matches.as("sig_matches"))
+        .join(inter.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left")
+        .select(col("id_a"), col("id_b"), col("sig_matches"),
+          floor(col("sig_matches").cast("double") / lit(32.0) * 1e9 + 0.5)
+            .cast("long").as("est_j9"),
+          floor(coalesce(col("n_inter"), lit(0L)).cast("double") /
+            (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L)))
+              .cast("double") * 1e9 + 0.5).cast("long").as("exact_j9"))
+        .orderBy("id_a")
+    }),
+
     // Hyperplane-LSH bucketed ANN (approximate scale path of q51;
     // rows-only, recall property-tested).
     "q56_ann_lsh" -> ((s, dir) => {
@@ -2291,9 +2342,55 @@ object LlmQueries extends QueryPack {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** q260's oracle: the same 32 md5-permutation minima, match count
+    * and exact-Jaccard legs, generated term-by-term (the q243
+    * pattern).
+    */
+  private val minhashOracleSql: String = {
+    val minTerms = (0 until 32).map(i =>
+      s"CAST(min(CAST(('0x' || substring(md5('mh$i:' || s), 1, 15)) " +
+        s"AS BIGINT)) AS BIGINT) AS m$i").mkString(",\n    ")
+    val matchTerms = (0 until 32)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+      .mkString(" +\n      ")
+    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+       |corpus AS (SELECT doc_id, text FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 300000, array_to_string(
+       |    (list_filter(string_split(text, ' '), x -> x <> ''))[2:], ' ')
+       |  FROM base),
+       |tk AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM corpus),
+       |sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(toks) - 2),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS s
+       |  FROM tk WHERE len(toks) >= 3)),
+       |sigs AS (SELECT doc_id, CAST(count(DISTINCT s) AS BIGINT) AS n_sh,
+       |    $minTerms
+       |  FROM sh GROUP BY doc_id),
+       |inter AS (SELECT x.doc_id AS id_a, CAST(count(*) AS BIGINT) AS n_inter
+       |  FROM sh x JOIN sh y ON y.doc_id = x.doc_id + 300000 AND x.s = y.s
+       |  GROUP BY 1),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    a.n_sh AS na, b.n_sh AS nb,
+       |    ($matchTerms) AS sig_matches
+       |  FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 300000)
+       |SELECT p.id_a, p.id_b, CAST(sig_matches AS BIGINT) AS sig_matches,
+       |  CAST(floor(CAST(sig_matches AS DOUBLE) / 32.0 * 1e9 + 0.5)
+       |    AS BIGINT) AS est_j9,
+       |  CAST(floor(CAST(coalesce(n_inter, 0) AS DOUBLE) /
+       |    CAST(na + nb - coalesce(n_inter, 0) AS DOUBLE) * 1e9 + 0.5)
+       |    AS BIGINT) AS exact_j9
+       |FROM p LEFT JOIN inter ON p.id_a = inter.id_a
+       |ORDER BY p.id_a""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
 
     "q243_simhash_replayable" -> simhashOracleSql,
+
+    "q260_minhash_replayable" -> minhashOracleSql,
 
     "q223_maxsim_late_interaction" -> maxsimOracleSql,
     "q43_exact_dedup" ->

@@ -53,6 +53,20 @@ class AggSpec extends SparkSpec {
       "max-merge of half-corpus registers differs from the global registers")
   }
 
+  test("q261 bloom FPR: disjoint probes, observed rate inside the binomial envelope") {
+    val r = SparkEntry.queries("q261_bloom_fpr")(spark, sfDir)
+      .collect().head
+    val nParts = Tables.part(spark, sfDir).count()
+    assert(r.getAs[Long]("n_ins") + r.getAs[Long]("n_probes") == nParts)
+    val p = r.getAs[Long]("fpr_theory9").toDouble / 1e9
+    val n = r.getAs[Long]("n_probes")
+    val obs = r.getAs[Long]("n_false_pos")
+    // Binomial(n, p) 5σ envelope around the theoretical rate.
+    val sigma = math.sqrt(n * p * (1 - p))
+    assert(math.abs(obs - n * p) <= 5 * sigma + 3,
+      s"observed $obs false positives vs expected ${n * p} ± $sigma")
+  }
+
   test("q257 KMV intersection: consistent sketch state and a sane estimate") {
     val r = SparkEntry.queries("q257_kmv_intersection")(spark, sfDir)
       .collect().head

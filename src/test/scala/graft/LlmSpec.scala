@@ -20,6 +20,26 @@ class LlmSpec extends SparkSpec {
     d0.unionByName(copies)
   }
 
+  test("q260 replayable minhash: estimates track exact Jaccard within binomial noise") {
+    val rows = SparkEntry.queries("q260_minhash_replayable")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    // Planted drop-first-token twins share most shingles.
+    assert(rows.count(_.getAs[Long]("exact_j9") >= 500000000L) >=
+      rows.length * 3 / 4, "planted twins should be Jaccard-similar")
+    val errs = rows.map(r => math.abs(r.getAs[Long]("est_j9") -
+      r.getAs[Long]("exact_j9")).toDouble / 1e9)
+    // Per-pair σ = √(j(1−j)/32) ≤ 0.089; the mean error over the pair
+    // population must be well inside one σ.
+    assert(errs.sum / errs.length <= 0.09,
+      s"mean |est − exact| = ${errs.sum / errs.length} too large for k=32")
+    rows.foreach { r =>
+      val m = r.getAs[Long]("sig_matches")
+      assert(m >= 0L && m <= 32L)
+      assert(r.getAs[Long]("est_j9") == math.floor(m.toDouble / 32 * 1e9 + 0.5).toLong)
+    }
+  }
+
   test("q243 replayable simhash: planted shifted copies recalled, pairs hamming-verified") {
     val out = SparkEntry.queries("q243_simhash_replayable")(spark, sfDir)
       .collect()

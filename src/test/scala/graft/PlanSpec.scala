@@ -490,7 +490,8 @@ class PlanSpec extends SparkSpec {
       "q255_rfm_segments" ->
         "1-row horizon/population-count broadcasts (three rank passes)",
       "q257_kmv_intersection" ->
-        "1-row θ-threshold / exact-reference broadcasts")
+        "1-row θ-threshold / exact-reference broadcasts",
+      "q261_bloom_fpr" -> "1-row insert-count × probe-summary cross join")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
