@@ -1562,6 +1562,37 @@ object MiningQueries extends QueryPack {
         .select(col("n_pairs"), col("ts_slope"))
     }),
 
+    // q262: MANN-KENDALL TREND TEST — the nonparametric significance
+    // companion to q249's Theil-Sen slope (the pair practitioners run
+    // together: MK says WHETHER a monotone trend exists, Theil-Sen
+    // says how steep): S = Σ_{i<j} sign(y_j − y_i) over the same
+    // calendar-bounded pair grid, tie-corrected variance
+    // (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18 in exact integers, and the
+    // continuity-corrected z = (S∓1)/√Var as one double dag. All
+    // integers until the final σ; the pair grid is C(365,2)/year —
+    // constant in corpus size.
+    "q262_mann_kendall" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            .cast("long").as("x"),
+          floor(col("value") * 100 + 0.5).cast("long").as("c"))
+        .groupBy("x").agg(sum("c").as("y"))
+      val sAgg = daily.as("a").join(daily.as("b"), col("a.x") < col("b.x"))
+        .agg(sum(signum(col("b.y") - col("a.y")).cast("long")).as("s"),
+          count(lit(1)).as("n_pairs"))
+      val ties = daily.groupBy("y").agg(count(lit(1)).as("t"))
+        .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie_term"),
+          sum("t").as("n"))
+      val varS = (col("n") * (col("n") - 1) * (col("n") * 2 + 5) -
+        col("tie_term")).cast("double") / lit(18.0)
+      val z = when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(varS))
+        .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(varS))
+        .otherwise(lit(0.0))
+      sAgg.crossJoin(broadcast(ties))
+        .select(col("n"), col("n_pairs"), col("s"), col("tie_term"),
+          z.as("z"))
+    }),
+
     // q250: STL-LITE SEASONAL DECOMPOSITION — daily revenue split into
     // trend (7-day centered moving average), day-of-week seasonal
     // component, and residual. Units: integer MILLICENTS (y·10³) so
@@ -1955,6 +1986,34 @@ object MiningQueries extends QueryPack {
         |FROM r, n
         |WHERE rk = (n_pairs + 1) // 2 OR rk = (n_pairs + 2) // 2
         |GROUP BY n_pairs""".stripMargin,
+
+    // mann-kendall: same pair grid, tie-corrected variance, same
+    // continuity-corrected z dag.
+    "q262_mann_kendall" ->
+      """WITH daily AS (SELECT
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS y
+        |  FROM events GROUP BY 1),
+        |sg AS (SELECT
+        |    CAST(sum(CASE WHEN b.y > a.y THEN 1
+        |      WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM daily a JOIN daily b ON a.x < b.x),
+        |t AS (SELECT
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+        |    CAST(sum(t) AS BIGINT) AS n
+        |  FROM (SELECT y, count(*) AS t FROM daily GROUP BY y)),
+        |v AS (SELECT s, n_pairs, tie_term, n,
+        |    CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0
+        |      AS var_s
+        |  FROM sg, t)
+        |SELECT n, n_pairs, s, tie_term,
+        |  CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+        |    WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+        |    ELSE 0.0 END AS z
+        |FROM v""".stripMargin,
 
     // stl-lite: same millicent units, truncated ROWS frames, one
     // quantized ratio per component.

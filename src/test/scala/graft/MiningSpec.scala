@@ -69,6 +69,36 @@ class MiningSpec extends SparkSpec {
       evals.map(_._1).sum.toDouble / evals.length)
   }
 
+  test("q262 Mann-Kendall matches a local recount and agrees in sign with Theil-Sen") {
+    val r = run("q262_mann_kendall").collect().head
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .select(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("x"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .groupBy("x").agg(sum("c").as("y"))
+      .collect().map(row => (row.getAs[Long]("x"), row.getAs[Long]("y")))
+      .sortBy(_._1)
+    val sLocal = (for {
+      (a, ia) <- daily.zipWithIndex; b <- daily.drop(ia + 1)
+    } yield math.signum((b._2 - a._2).toDouble).toLong).sum
+    assert(r.getAs[Long]("s") == sLocal)
+    val n = daily.length.toLong
+    val ties = daily.groupBy(_._2).map(_._2.size.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    assert(r.getAs[Long]("n") == n && r.getAs[Long]("tie_term") == ties)
+    val varS = (n * (n - 1) * (2 * n + 5) - ties).toDouble / 18.0
+    val zLocal =
+      if (sLocal > 0) (sLocal - 1).toDouble / math.sqrt(varS)
+      else if (sLocal < 0) (sLocal + 1).toDouble / math.sqrt(varS)
+      else 0.0
+    assert(r.getAs[Double]("z") == zLocal)
+    // MK direction must agree with the Theil-Sen slope sign when the
+    // trend is nonzero.
+    val ts = run("q249_theil_sen").collect().head.getAs[Double]("ts_slope")
+    if (sLocal != 0) assert(math.signum(ts) == math.signum(sLocal.toDouble)
+      || ts == 0.0)
+  }
+
   test("q249 Theil-Sen slope matches a local all-pairs median recount") {
     val r = run("q249_theil_sen").collect().head
     val daily = graft.sources.Tables.events(spark, sfDir)

@@ -491,7 +491,9 @@ class PlanSpec extends SparkSpec {
         "1-row horizon/population-count broadcasts (three rank passes)",
       "q257_kmv_intersection" ->
         "1-row θ-threshold / exact-reference broadcasts",
-      "q261_bloom_fpr" -> "1-row insert-count × probe-summary cross join")
+      "q261_bloom_fpr" -> "1-row insert-count × probe-summary cross join",
+      "q262_mann_kendall" ->
+        "calendar-bounded daily pair grid; 1-row tie-stats broadcast")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
