@@ -307,6 +307,110 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("t")
     }),
 
+    // q263: FREQUENT EVENT TRIGRAMS — the order-3 sequential-pattern
+    // rollup q143's Markov transitions (order 1) don't capture: each
+    // user's time-ordered event stream yields consecutive type
+    // triples via two lags over the user_id-keyed window (unbounded
+    // partition key, two rows of state), counted globally and
+    // top-20'd with support share. The share divides two exact
+    // BIGINTs once per output row. No per-user buffering, no
+    // low-card windows; TakeOrderedAndProject for the top-k.
+    "q263_event_trigrams" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val tri = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("e3"))
+        .withColumn("e2", lag("e3", 1).over(w))
+        .withColumn("e1", lag("e3", 2).over(w))
+        .filter(col("e1").isNotNull)
+        .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("support"))
+        .localCheckpoint(false) // feeds total + top-k
+      val tot = broadcast(tri.agg(sum("support").as("n_tri")))
+      tri.crossJoin(tot)
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3"))
+            .as("pattern"),
+          col("support"),
+          (col("support").cast("double") / col("n_tri").cast("double"))
+            .as("share"))
+        .orderBy(col("support").desc, col("pattern"))
+        .limit(20)
+    }),
+
+    // q264: MAD ROBUST OUTLIERS — median absolute deviation, the
+    // robust scale the z-score family (q144) lacks: med and
+    // MAD = median(|x − med|) both computed EXACTLY on the
+    // cents-DOMAIN-bounded value-count table (the q219 shape — two
+    // bounded cumulative windows, no sort of the corpus), and the
+    // outlier rule |x − med|·10000 > 3·1.4826·10⁴·MAD compares
+    // CROSS-MULTIPLIED integers (44478 = ⌊3·1.4826·10⁴⌋ — no double
+    // anywhere in the flag). Output: med, mad, outlier count and
+    // rate.
+    "q264_mad_outliers" -> ((s, dir) => {
+      val cents = Tables.orders(s, dir)
+        .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"))
+      def medianOf(vc: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        // Lower median: smallest v with cum·2 ≥ n.
+        val tot = broadcast(vc.agg(sum("cnt").as("n")))
+        vc.withColumn("cum", sum("cnt").over(Window.orderBy("v")))
+          .crossJoin(tot)
+          .filter(col("cum") * 2 >= col("n"))
+          .agg(min("v").as("med"))
+      }
+      // No checkpoint: both consumers re-aggregate the scan (a
+      // checkpoint here would hide the aggregate lineage from the
+      // window gate — the q239 class).
+      val vc = cents.groupBy("v").agg(count(lit(1)).as("cnt"))
+      val med = broadcast(medianOf(vc))
+      val dev = vc.crossJoin(med)
+        .select(abs(col("v") - col("med")).as("v"), col("cnt"))
+        .groupBy("v").agg(sum("cnt").as("cnt"))
+      val mad = broadcast(medianOf(dev).withColumnRenamed("med", "mad"))
+      cents.crossJoin(med).crossJoin(mad)
+        .select(col("med"), col("mad"),
+          (abs(col("v") - col("med")) * 10000L >
+            lit(44478L) * col("mad")).cast("long").as("is_out"))
+        .agg(min("med").as("med"), min("mad").as("mad"),
+          count(lit(1)).as("n_rows"), sum("is_out").as("n_outliers"))
+        .select(col("med"), col("mad"), col("n_rows"), col("n_outliers"),
+          (col("n_outliers").cast("double") / col("n_rows").cast("double"))
+            .as("outlier_rate"))
+    }),
+
+    // q265: COHORT LTV CURVE — cumulative revenue per signup cohort
+    // over weeks-since-signup: the monetized half of q129's retention
+    // matrix. Users keyed by signup week, their purchase values
+    // rolled into (cohort, week-offset) cents cells, then ONE
+    // cumulative window per cohort over the CALENDAR-bounded cohort ×
+    // offset grid. Per-user-normalized LTV divides two exact BIGINTs
+    // once per cell. Corpus work: one user aggregate + one
+    // (cohort, offset) aggregate.
+    "q265_cohort_ltv" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(date_trunc("week", min("ts")).cast("date").as("cw"))
+      val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("n_users"))
+      val cells = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        .join(cohort, "user_id")
+        .filter(col("ts") >= col("cw"))
+        .groupBy(col("cw"),
+          floor(datediff(col("ts").cast("date"), col("cw")) / 7)
+            .cast("long").as("wk"))
+        .agg(sum("cents").as("rev"))
+      cells
+        .withColumn("cum_rev",
+          sum("rev").over(Window.partitionBy("cw").orderBy("wk")))
+        .join(broadcast(sizes), "cw")
+        .select(col("cw").as("cohort_week"), col("wk"), col("rev"),
+          col("cum_rev"),
+          (col("cum_rev").cast("double") / col("n_users").cast("double"))
+            .as("ltv_per_user"))
+        .orderBy("cohort_week", "wk")
+    }),
+
     // q258: WINBACK / RESURRECTION ANALYSIS — the retention-team
     // question q129's cohort matrix doesn't answer: who went SILENT
     // for ≥ 48 h and then came back, counted by return day. One lag
@@ -1807,6 +1911,75 @@ object AnalyticsQueries extends QueryPack {
         |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
         |  CAST(sum(term9) OVER (ORDER BY t) AS BIGINT) AS log_s9
         |FROM f ORDER BY t""".stripMargin,
+
+    // trigrams: same two lags, global counts, (support desc, pattern)
+    // top-20.
+    "q263_event_trigrams" ->
+      """WITH l AS (SELECT event_type AS e3,
+        |    lag(event_type, 1) OVER w AS e2,
+        |    lag(event_type, 2) OVER w AS e1
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |tri AS (SELECT e1, e2, e3, count(*) AS support FROM l
+        |  WHERE e1 IS NOT NULL GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(sum(support) AS BIGINT) AS n_tri FROM tri)
+        |SELECT e1 || '>' || e2 || '>' || e3 AS pattern,
+        |  CAST(support AS BIGINT) AS support,
+        |  CAST(support AS DOUBLE) / CAST(n_tri AS DOUBLE) AS share
+        |FROM tri, tot
+        |ORDER BY support DESC, pattern LIMIT 20""".stripMargin,
+
+    // mad: same value-count lower medians, cross-multiplied 3σ rule.
+    "q264_mad_outliers" ->
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |    AS v FROM orders),
+        |vc AS (SELECT v, count(*) AS cnt FROM c GROUP BY v),
+        |n1 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vc),
+        |med AS (SELECT min(v) AS med FROM
+        |  (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM vc), n1
+        |  WHERE cum * 2 >= n),
+        |dev AS (SELECT abs(v - med) AS v, CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM vc, med GROUP BY 1),
+        |n2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM dev),
+        |mad AS (SELECT min(v) AS mad FROM
+        |  (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM dev), n2
+        |  WHERE cum * 2 >= n),
+        |f AS (SELECT med, mad,
+        |    CASE WHEN abs(v - med) * 10000 > 44478 * mad THEN 1 ELSE 0 END
+        |      AS is_out
+        |  FROM c, med, mad)
+        |SELECT CAST(min(med) AS BIGINT) AS med,
+        |  CAST(min(mad) AS BIGINT) AS mad,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(is_out) AS BIGINT) AS n_outliers,
+        |  CAST(sum(is_out) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS outlier_rate
+        |FROM f""".stripMargin,
+
+    // cohort-ltv: same signup-week cohorts, week-offset cells,
+    // per-cohort cumulative window.
+    "q265_cohort_ltv" ->
+      """WITH cohort AS (SELECT user_id,
+        |    CAST(date_trunc('week', min(ts)) AS DATE) AS cw
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |sizes AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM cohort GROUP BY cw),
+        |cells AS (SELECT c.cw,
+        |    CAST(floor(datediff('day', c.cw, CAST(e.ts AS DATE)) / 7)
+        |      AS BIGINT) AS wk,
+        |    CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS rev
+        |  FROM events e JOIN cohort c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.cw
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT cw, wk, rev,
+        |    sum(rev) OVER (PARTITION BY cw ORDER BY wk) AS cum_rev
+        |  FROM cells)
+        |SELECT cum.cw AS cohort_week, wk, rev,
+        |  CAST(cum_rev AS BIGINT) AS cum_rev,
+        |  CAST(cum_rev AS DOUBLE) / CAST(n_users AS DOUBLE) AS ltv_per_user
+        |FROM cum JOIN sizes ON cum.cw = sizes.cw
+        |ORDER BY cohort_week, wk""".stripMargin,
 
     // winback: same per-user lag, epoch-second gap test, day rollup.
     "q258_winback" ->

@@ -14,6 +14,70 @@ class AnalyticsSpec extends SparkSpec {
   private def run(name: String) =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("q263 trigram supports match a local sequence scan") {
+    val rows = run("q263_event_trigrams").collect()
+    assert(rows.length == 20)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3)))
+    val counts = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._2, e._3)).map(_._4).sliding(3)
+        .filter(_.length == 3).map(_.mkString(">"))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      assert(counts(r.getAs[String]("pattern")) == r.getAs[Long]("support"),
+        s"${r.getAs[String]("pattern")} support drifted")
+    }
+    // Top-20 really is the top: no unlisted pattern beats the listed min.
+    val minListed = rows.map(_.getAs[Long]("support")).min
+    val listed = rows.map(_.getAs[String]("pattern")).toSet
+    assert(counts.filterNot(p => listed(p._1)).values
+      .forall(_ <= minListed))
+  }
+
+  test("q264 MAD medians and outlier count match a local recount") {
+    val r = run("q264_mad_outliers").collect().head
+    val cents = graft.sources.Tables.orders(spark, sfDir)
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"))
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length
+    def lowerMedian(xs: Array[Long]): Long = {
+      // smallest value whose cumulative count doubles to ≥ n.
+      xs((xs.length - 1) / 2)
+    }
+    val med = lowerMedian(cents)
+    assert(r.getAs[Long]("med") == med)
+    val mad = lowerMedian(cents.map(v => math.abs(v - med)).sorted)
+    assert(r.getAs[Long]("mad") == mad)
+    val out = cents.count(v => math.abs(v - med) * 10000L > 44478L * mad)
+    assert(r.getAs[Long]("n_outliers") == out.toLong)
+    assert(r.getAs[Long]("n_rows") == n.toLong)
+  }
+
+  test("q265 LTV curves accumulate correctly and normalize by cohort size") {
+    val rows = run("q265_cohort_ltv").collect()
+    assert(rows.nonEmpty)
+    val sizes = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(date_trunc("week", min("ts")).cast("date").as("cw"))
+      .groupBy("cw").count().collect()
+      .map(r => r.getAs[java.sql.Date]("cw").toString -> r.getAs[Long]("count"))
+      .toMap
+    rows.groupBy(_.getAs[java.sql.Date]("cohort_week").toString)
+      .foreach { case (cw, rs) =>
+        val sorted = rs.sortBy(_.getAs[Long]("wk"))
+        var cum = 0L
+        sorted.foreach { r =>
+          cum += r.getAs[Long]("rev")
+          assert(r.getAs[Long]("cum_rev") == cum, s"$cw: cum drifted")
+          assert(r.getAs[Double]("ltv_per_user") ==
+            cum.toDouble / sizes(cw), s"$cw: normalization drifted")
+        }
+      }
+  }
+
   test("q258 winback counts match a local per-user gap scan") {
     val rows = run("q258_winback").collect()
     val ev = graft.sources.Tables.events(spark, sfDir)

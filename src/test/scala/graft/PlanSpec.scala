@@ -493,7 +493,9 @@ class PlanSpec extends SparkSpec {
         "1-row θ-threshold / exact-reference broadcasts",
       "q261_bloom_fpr" -> "1-row insert-count × probe-summary cross join",
       "q262_mann_kendall" ->
-        "calendar-bounded daily pair grid; 1-row tie-stats broadcast")
+        "calendar-bounded daily pair grid; 1-row tie-stats broadcast",
+      "q263_event_trigrams" -> "1-row trigram-total broadcast",
+      "q264_mad_outliers" -> "1-row median/MAD broadcasts")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
