@@ -307,6 +307,26 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("t")
     }),
 
+    // q266: KWIC SNIPPET EXTRACTION — the retrieval-UX operator the
+    // BM25 stack needs after ranking: a keyword-in-context window
+    // around the first hit of the query term, entirely in codegen'd
+    // string built-ins (instr is 1-based and 0-on-miss on BOTH
+    // engines; the left clamp keeps the window in range). Narrow
+    // per-row work, TakeOrderedAndProject; snippet boundaries are
+    // deterministic character arithmetic, so the strings hash-match.
+    "q266_kwic_snippets" -> ((s, dir) => {
+      val pos = instr(col("text"), "vector")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), pos.as("pos"), col("text"))
+        .filter(col("pos") > 0)
+        .select(col("doc_id"), col("pos"),
+          substring(col("text"),
+            greatest(col("pos") - 20, lit(1)).cast("int"), lit(50))
+            .as("snippet"))
+        .orderBy("doc_id")
+        .limit(25)
+    }),
+
     // q263: FREQUENT EVENT TRIGRAMS — the order-3 sequential-pattern
     // rollup q143's Markov transitions (order 1) don't capture: each
     // user's time-ordered event stream yields consecutive type
@@ -1911,6 +1931,14 @@ object AnalyticsQueries extends QueryPack {
         |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
         |  CAST(sum(term9) OVER (ORDER BY t) AS BIGINT) AS log_s9
         |FROM f ORDER BY t""".stripMargin,
+
+    // kwic: same 1-based instr, clamp and width.
+    "q266_kwic_snippets" ->
+      """SELECT doc_id, CAST(strpos(text, 'vector') AS INTEGER) AS pos,
+        |  substring(text, CAST(greatest(strpos(text, 'vector') - 20, 1)
+        |    AS INTEGER), 50) AS snippet
+        |FROM documents WHERE strpos(text, 'vector') > 0
+        |ORDER BY doc_id LIMIT 25""".stripMargin,
 
     // trigrams: same two lags, global counts, (support desc, pattern)
     // top-20.

@@ -449,6 +449,28 @@ object LlmQueries extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // q267: LANGUAGE-ID CONFUSION MATRIX — the classifier-eval closer
+    // for the text family: the q47 n-gram heuristic scored against
+    // the documents table's ground-truth lang column, as the full
+    // (actual, predicted) confusion matrix with per-cell share and a
+    // correct flag. The matrix is |langs|²-bounded after one corpus
+    // aggregate; shares divide exact BIGINTs once per cell. This is
+    // the eval loop q232's kappa assumes exists — here the classifier
+    // under test is the engine's own heuristic.
+    "q267_langid_confusion" -> ((s, dir) => {
+      val m = Tables.documents(s, dir)
+        .select(col("lang").as("actual"),
+          Text.langIdHeuristic(col("text")).as("predicted"))
+        .groupBy("actual", "predicted").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // feeds the total + the output
+      val tot = broadcast(m.agg(sum("n").as("total")))
+      m.crossJoin(tot)
+        .select(col("actual"), col("predicted"), col("n"),
+          (col("actual") === col("predicted")).cast("long").as("correct"),
+          (col("n").cast("double") / col("total").cast("double")).as("share"))
+        .orderBy("actual", "predicted")
+    }),
+
     // q260: ORACLE-REPLAYABLE MINHASH — the last member of the
     // replayable-sketch set (q242 HLL, q243 SimHash, q257 KMV): 32
     // md5-derived permutation minima per document computed as 32
@@ -2391,6 +2413,24 @@ object LlmQueries extends QueryPack {
     "q243_simhash_replayable" -> simhashOracleSql,
 
     "q260_minhash_replayable" -> minhashOracleSql,
+
+    // langid-confusion: same padded-contains CASE heuristic.
+    "q267_langid_confusion" ->
+      """WITH p AS (SELECT lang AS actual,
+        |    CASE WHEN (' ' || text || ' ') LIKE '% der %'
+        |        OR (' ' || text || ' ') LIKE '% und %' THEN 'de'
+        |      WHEN (' ' || text || ' ') LIKE '% el %'
+        |        OR (' ' || text || ' ') LIKE '% los %' THEN 'es'
+        |      WHEN (' ' || text || ' ') LIKE '% the %' THEN 'en'
+        |      ELSE 'other' END AS predicted
+        |  FROM documents),
+        |m AS (SELECT actual, predicted, count(*) AS n FROM p GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM m)
+        |SELECT actual, predicted, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN actual = predicted THEN 1 ELSE 0 END AS BIGINT)
+        |    AS correct,
+        |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |FROM m, t ORDER BY actual, predicted""".stripMargin,
 
     "q223_maxsim_late_interaction" -> maxsimOracleSql,
     "q43_exact_dedup" ->

@@ -14,6 +14,25 @@ class AnalyticsSpec extends SparkSpec {
   private def run(name: String) =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("q266 KWIC snippets are true windows around the first term hit") {
+    val rows = run("q266_kwic_snippets").collect()
+    assert(rows.nonEmpty)
+    val texts = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val text = texts(r.getAs[Long]("doc_id"))
+      val pos = r.getAs[Int]("pos")
+      assert(pos == text.indexOf("vector") + 1, "pos must be first hit, 1-based")
+      val start = math.max(pos - 20, 1) - 1
+      val expected = text.substring(start,
+        math.min(start + 50, text.length))
+      assert(r.getAs[String]("snippet") == expected)
+      assert(r.getAs[String]("snippet").contains("vector") ||
+        text.length < start + 6, "window must show the term")
+    }
+  }
+
   test("q263 trigram supports match a local sequence scan") {
     val rows = run("q263_event_trigrams").collect()
     assert(rows.length == 20)

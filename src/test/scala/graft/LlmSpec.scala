@@ -20,6 +20,30 @@ class LlmSpec extends SparkSpec {
     d0.unionByName(copies)
   }
 
+  test("q267 confusion matrix partitions the corpus and matches a local scoring") {
+    val rows = SparkEntry.queries("q267_langid_confusion")(spark, sfDir)
+      .collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.map(_.getAs[Long]("n")).sum == docs.length.toLong)
+    def heuristic(t: String): String = {
+      val p = " " + t + " "
+      if (p.contains(" der ") || p.contains(" und ")) "de"
+      else if (p.contains(" el ") || p.contains(" los ")) "es"
+      else if (p.contains(" the ")) "en"
+      else "other"
+    }
+    val local = docs.groupBy(d => (d._1, heuristic(d._2))).view
+      .mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      val key = (r.getAs[String]("actual"), r.getAs[String]("predicted"))
+      assert(local(key) == r.getAs[Long]("n"), s"cell $key drifted")
+      assert((r.getAs[Long]("correct") == 1L) == (key._1 == key._2))
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+  }
+
   test("q260 replayable minhash: estimates track exact Jaccard within binomial noise") {
     val rows = SparkEntry.queries("q260_minhash_replayable")(spark, sfDir)
       .collect()

@@ -495,7 +495,8 @@ class PlanSpec extends SparkSpec {
       "q262_mann_kendall" ->
         "calendar-bounded daily pair grid; 1-row tie-stats broadcast",
       "q263_event_trigrams" -> "1-row trigram-total broadcast",
-      "q264_mad_outliers" -> "1-row median/MAD broadcasts")
+      "q264_mad_outliers" -> "1-row median/MAD broadcasts",
+      "q267_langid_confusion" -> "1-row corpus-total broadcast")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
