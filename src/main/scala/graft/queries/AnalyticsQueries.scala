@@ -307,6 +307,98 @@ object AnalyticsQueries extends QueryPack {
         .orderBy("t")
     }),
 
+    // q268: WEEK-OVER-WEEK GROWTH — the BI staple: weekly revenue per
+    // event type with lag-1 growth, the zero-denominator case
+    // null-guarded (nullif — ANSI faults a bare division). One
+    // (type, week) aggregate; the lag runs per type over the
+    // calendar-bounded weekly table (aggregated input). Growth is one
+    // double division per cell.
+    "q268_wow_growth" -> ((s, dir) => {
+      val weekly = Tables.events(s, dir)
+        .groupBy(col("event_type").as("t"),
+          date_trunc("week", col("ts")).cast("date").as("wk"))
+        .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      val w = Window.partitionBy("t").orderBy("wk")
+      weekly.withColumn("prev", lag("cents", 1).over(w))
+        .select(col("t").as("event_type"), col("wk"), col("cents"),
+          col("prev"),
+          ((col("cents") - col("prev")).cast("double") /
+            nullif(col("prev"), lit(0L)).cast("double")).as("wow_growth"))
+        .orderBy("event_type", "wk")
+    }),
+
+    // q269: FRESHNESS / STALENESS AUDIT — pipeline observability: per
+    // fact table, the watermark (max event time), its lag behind the
+    // corpus-wide horizon in whole seconds, and the row count inside
+    // the trailing 24 h — the dashboard every ingestion pipeline
+    // watches. One aggregate per table plus a filtered count; the
+    // horizon is a 1-row broadcast.
+    "q269_freshness_audit" -> ((s, dir) => {
+      def leg(name: String, df: org.apache.spark.sql.DataFrame,
+              tsCol: String) = {
+        val ag = df.agg(max(col(tsCol)).as("watermark"),
+          count(lit(1)).as("n_rows"))
+        val recent = df.select(col(tsCol).as("ts2")).crossJoin(ag)
+          .filter(col("ts2").cast("long") >= col("watermark").cast("long") - 86400L)
+          .agg(count(lit(1)).as("n_last_24h"))
+        ag.crossJoin(recent)
+          .select(lit(name).as("table_name"), col("watermark"),
+            col("n_rows"), col("n_last_24h"))
+      }
+      leg("events", Tables.events(s, dir), "ts")
+        .unionAll(leg("orders", Tables.orders(s, dir), "o_orderdate"))
+        .unionAll(leg("lineitem", Tables.lineitem(s, dir), "l_shipdate"))
+        .orderBy("table_name")
+    }),
+
+    // q270: JAIN'S FAIRNESS INDEX — the load-balance metric for the
+    // q195/q241 placement family: J = (Σx)²/(n·Σx²) over the HRW node
+    // loads (1 = perfectly even, 1/n = one hot node). Loads are q241's
+    // 17-node assignment recomputed in-plan; the index is one double
+    // dag over three exact BIGINTs (Σx, Σx², n — x² ≤ (keys/node)²,
+    // DECIMAL(38,0) for headroom). Constant-size after the per-key
+    // arg-max aggregate.
+    "q270_jain_fairness" -> ((s, dir) => {
+      val nodes = s.range(0, 16).select(col("id").as("node"))
+      val loads = Tables.customer(s, dir).select(col("c_custkey").as("k"))
+        .join(broadcast(nodes), lit(true))
+        .select(col("k"), col("node"),
+          conv(substring(md5(concat(lit("hrw:"), col("node"), lit(":"),
+            col("k"))), 1, 15), 16, 10).cast("long").as("score"))
+        .groupBy("k")
+        .agg(max(struct(col("score"), col("node"))).as("m"))
+        .groupBy(col("m.node").as("node")).agg(count(lit(1)).as("x"))
+      val xD = col("x").cast("decimal(38,0)")
+      loads.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(xD * xD).as("sxx"))
+        .select(col("n"), col("sx"), col("sxx").cast("long").as("sxx"),
+          (col("sx").cast("double") * col("sx").cast("double") /
+            (col("n").cast("double") * col("sxx").cast("double")))
+            .as("jain"))
+    }),
+
+    // q271: ACTIVITY STREAKS — longest run of consecutive active days
+    // per user (gaps-and-islands at day granularity — the engagement
+    // metric sessionization's minute-scale gaps don't give): island id
+    // = day − dense day-rank per user (constant within a run), max run
+    // length per user, then the corpus-wide streak distribution. Both
+    // windows key on user_id (unbounded); output is bounded by the
+    // calendar span.
+    "q271_activity_streaks" -> ((s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            .cast("long").as("d"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("d")
+      val streaks = days
+        .withColumn("island", col("d") - row_number().over(w))
+        .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+        .groupBy("user_id").agg(max("len").as("best_streak"))
+      streaks.groupBy("best_streak").agg(count(lit(1)).as("n_users"))
+        .orderBy("best_streak")
+    }),
+
     // q266: KWIC SNIPPET EXTRACTION — the retrieval-UX operator the
     // BM25 stack needs after ranking: a keyword-in-context window
     // around the first hit of the query term, entirely in codegen'd
@@ -1931,6 +2023,85 @@ object AnalyticsQueries extends QueryPack {
         |SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
         |  CAST(sum(term9) OVER (ORDER BY t) AS BIGINT) AS log_s9
         |FROM f ORDER BY t""".stripMargin,
+
+    // wow: same weekly cells, lag, nullif-guarded division.
+    "q268_wow_growth" ->
+      """WITH w AS (SELECT event_type AS t,
+        |    CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT t, wk, cents,
+        |    lag(cents) OVER (PARTITION BY t ORDER BY wk) AS prev FROM w)
+        |SELECT t AS event_type, wk, cents, prev,
+        |  CAST(cents - prev AS DOUBLE) /
+        |    CAST(nullif(prev, 0) AS DOUBLE) AS wow_growth
+        |FROM l ORDER BY event_type, wk""".stripMargin,
+
+    // freshness: same per-table watermark + trailing-24h count.
+    "q269_freshness_audit" ->
+      """WITH e AS (SELECT 'events' AS table_name, max(ts) AS watermark,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM events
+        |     WHERE CAST(epoch(ts) AS BIGINT) >=
+        |       (SELECT CAST(epoch(max(ts)) AS BIGINT) - 86400 FROM events))
+        |      AS n_last_24h
+        |  FROM events),
+        |o AS (SELECT 'orders', max(o_orderdate),
+        |    CAST(count(*) AS BIGINT),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE CAST(epoch(o_orderdate) AS BIGINT) >=
+        |       (SELECT CAST(epoch(max(o_orderdate)) AS BIGINT) - 86400
+        |        FROM orders))
+        |  FROM orders),
+        |l AS (SELECT 'lineitem', max(l_shipdate),
+        |    CAST(count(*) AS BIGINT),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |     WHERE CAST(epoch(l_shipdate) AS BIGINT) >=
+        |       (SELECT CAST(epoch(max(l_shipdate)) AS BIGINT) - 86400
+        |        FROM lineitem))
+        |  FROM lineitem)
+        |SELECT * FROM (SELECT * FROM e UNION ALL SELECT * FROM o
+        |  UNION ALL SELECT * FROM l)
+        |ORDER BY table_name""".stripMargin,
+
+    // jain: same HRW loads, exact moment sums, one double dag.
+    "q270_jain_fairness" ->
+      """WITH k AS (SELECT c_custkey AS k FROM customer),
+        |n AS (SELECT unnest(generate_series(0, 15)) AS node),
+        |sc AS (SELECT k.k, n.node,
+        |    CAST(('0x' || substring(md5('hrw:' || CAST(n.node AS VARCHAR) ||
+        |      ':' || CAST(k.k AS VARCHAR)), 1, 15)) AS BIGINT) AS score
+        |  FROM k CROSS JOIN n),
+        |a AS (SELECT k, arg_max(node, score) AS node FROM sc GROUP BY k),
+        |loads AS (SELECT node, CAST(count(*) AS BIGINT) AS x
+        |  FROM a GROUP BY node)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx,
+        |  CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS BIGINT)
+        |    AS sxx,
+        |  CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE) /
+        |    (CAST(count(*) AS DOUBLE) *
+        |     CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE))
+        |    AS jain
+        |FROM loads""".stripMargin,
+
+    // streaks: same day-rank island id, per-user max, distribution.
+    "q271_activity_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS d
+        |  FROM events),
+        |isl AS (SELECT user_id,
+        |    d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+        |      AS island
+        |  FROM days),
+        |runs AS (SELECT user_id, island, count(*) AS len
+        |  FROM isl GROUP BY 1, 2),
+        |best AS (SELECT user_id, CAST(max(len) AS BIGINT) AS best_streak
+        |  FROM runs GROUP BY user_id)
+        |SELECT best_streak, CAST(count(*) AS BIGINT) AS n_users
+        |FROM best GROUP BY best_streak ORDER BY best_streak""".stripMargin,
 
     // kwic: same 1-based instr, clamp and width.
     "q266_kwic_snippets" ->

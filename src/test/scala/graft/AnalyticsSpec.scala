@@ -14,6 +14,77 @@ class AnalyticsSpec extends SparkSpec {
   private def run(name: String) =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("q268 WoW growth recomputes from the weekly cells") {
+    val rows = run("q268_wow_growth").collect()
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Date]("wk").getTime)
+      assert(sorted.head.isNullAt(sorted.head.fieldIndex("prev")),
+        s"$t: first week must have no prior")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("prev") == a.getAs[Long]("cents"),
+            s"$t: prev chain broken")
+          if (a.getAs[Long]("cents") != 0L)
+            assert(b.getAs[Double]("wow_growth") ==
+              (b.getAs[Long]("cents") - a.getAs[Long]("cents")).toDouble /
+                a.getAs[Long]("cents"))
+        case _ =>
+      }
+    }
+  }
+
+  test("q269 freshness audit matches per-table recounts") {
+    val rows = run("q269_freshness_audit").collect()
+      .map(r => r.getAs[String]("table_name") -> r).toMap
+    assert(rows.keySet == Set("events", "orders", "lineitem"))
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("ts")).collect().map(_.getTimestamp(0).getTime)
+    val wm = ev.max
+    assert(rows("events").getAs[java.sql.Timestamp]("watermark").getTime == wm)
+    assert(rows("events").getAs[Long]("n_rows") == ev.length.toLong)
+    assert(rows("events").getAs[Long]("n_last_24h") ==
+      ev.count(t => t / 1000 >= wm / 1000 - 86400).toLong)
+  }
+
+  test("q270 Jain index agrees with q241's 16-node loads and its bounds") {
+    val r = run("q270_jain_fairness").collect().head
+    val loads = run("q241_rendezvous_hash").collect()
+      .map(_.getAs[Long]("load16")).filter(_ > 0)
+    val sx = loads.sum; val sxx = loads.map(x => x * x).sum
+    assert(r.getAs[Long]("sx") == sx && r.getAs[Long]("sxx") == sxx)
+    val jain = r.getAs[Double]("jain")
+    assert(jain == sx.toDouble * sx / (loads.length * sxx.toDouble))
+    assert(jain > 1.0 / loads.length && jain <= 1.0)
+    // Hash placement over >> n keys should be reasonably even.
+    assert(jain > 0.8, s"HRW placement unexpectedly skewed: $jain")
+  }
+
+  test("q271 streak distribution matches a brute-force per-user scan") {
+    val rows = run("q271_activity_streaks").collect()
+    val days = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val best = days.groupBy(_._1).toSeq.map { case (_, ds) =>
+      val sorted = ds.map(_._2).sorted
+      var run = 1L; var bst = 1L
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          if (b == a + 1) { run += 1; bst = math.max(bst, run) }
+          else run = 1L
+        case _ =>
+      }
+      bst
+    }
+    val dist = best.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(_.getAs[Long]("n_users")).sum == best.size.toLong)
+    rows.foreach { r =>
+      assert(dist(r.getAs[Long]("best_streak")) == r.getAs[Long]("n_users"),
+        s"streak ${r.getAs[Long]("best_streak")} count drifted")
+    }
+  }
+
   test("q266 KWIC snippets are true windows around the first term hit") {
     val rows = run("q266_kwic_snippets").collect()
     assert(rows.nonEmpty)

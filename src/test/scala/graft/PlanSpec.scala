@@ -496,7 +496,10 @@ class PlanSpec extends SparkSpec {
         "calendar-bounded daily pair grid; 1-row tie-stats broadcast",
       "q263_event_trigrams" -> "1-row trigram-total broadcast",
       "q264_mad_outliers" -> "1-row median/MAD broadcasts",
-      "q267_langid_confusion" -> "1-row corpus-total broadcast")
+      "q267_langid_confusion" -> "1-row corpus-total broadcast",
+      "q269_freshness_audit" ->
+        "1-row watermark broadcasts (per-table trailing-window count)",
+      "q270_jain_fairness" -> "16-row node-grid fanout (bounded constant)")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
