@@ -226,13 +226,16 @@ object AggQueries extends QueryPack {
     // 256-word OR aggregate, probes join the broadcast word table.
     "q261_bloom_fpr" -> ((s, dir) => {
       val keys = Tables.part(s, dir).select(col("p_partkey"))
-      def positions(tag: String) = (0 until 7).map(j =>
+      // One shared hash family for insert AND probe — sharing the salt
+      // is load-bearing for the membership test (a per-side salt would
+      // silently break it), so the helper takes no side parameter.
+      def positions = (0 until 7).map(j =>
         pmod(conv(substring(md5(concat(lit(s"bf$j:"),
           col("p_partkey").cast("string"))), 1, 15), 16, 10).cast("long"),
           lit(16384L)).as(s"pos$j"))
       val ins = keys.filter(col("p_partkey") % 2 === 0)
       val nIns = broadcast(ins.agg(count(lit(1)).as("n_ins")))
-      val words = ins.select(positions("i"): _*)
+      val words = ins.select(positions: _*)
         .select(explode(array((0 until 7).map(j => col(s"pos$j")): _*))
           .as("pos"))
         .select(expr("pos div 62").as("word"),
@@ -240,7 +243,7 @@ object AggQueries extends QueryPack {
         .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
       val probes = keys.filter(col("p_partkey") % 2 === 1)
         .select(col("p_partkey"), posexplode(array(
-          (0 until 7).map(j => positions("p")(j)): _*)).as(Seq("j", "pos")))
+          (0 until 7).map(j => positions(j)): _*)).as(Seq("j", "pos")))
         .select(col("p_partkey"), expr("pos div 62").as("word"),
           expr("cast(pos % 62 as int)").as("bit"))
         .join(broadcast(words), Seq("word"), "left")
@@ -277,8 +280,12 @@ object AggQueries extends QueryPack {
     "q257_kmv_intersection" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .filter(col("event_type").isin("view", "purchase"))
+        // 100000L multiplier: day index fits 0..99999 (~273 years past
+        // the 2024-01-01 fixture epoch), so (user_id, day) pairs can't
+        // alias; the old *100 packing would collide for calendars >100
+        // days (round-10 advice). Oracle mirrors the same literal.
         .select(col("event_type").as("t"),
-          (col("user_id") * 100L +
+          (col("user_id") * 100000L +
             datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")))
             .as("key"))
         .distinct()
@@ -813,7 +820,7 @@ object AggQueries extends QueryPack {
     // kmv: same hash/top-k/θ dag, 2^60 as an exact double literal.
     "q257_kmv_intersection" ->
       """WITH ev AS (SELECT DISTINCT event_type AS t,
-        |    user_id * 100 +
+        |    user_id * 100000 +
         |      datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS key
         |  FROM events WHERE event_type IN ('view', 'purchase')),
         |h AS (SELECT t,

@@ -353,8 +353,10 @@ object AnalyticsQueries extends QueryPack {
 
     // q270: JAIN'S FAIRNESS INDEX — the load-balance metric for the
     // q195/q241 placement family: J = (Σx)²/(n·Σx²) over the HRW node
-    // loads (1 = perfectly even, 1/n = one hot node). Loads are q241's
-    // 17-node assignment recomputed in-plan; the index is one double
+    // loads (1 = perfectly even, 1/n = one hot node). Loads are the
+    // 16-node HRW assignment (q241's PRE-expansion fleet — q241 itself
+    // measures the move set when a 17th node joins) recomputed
+    // in-plan; the index is one double
     // dag over three exact BIGINTs (Σx, Σx², n — x² ≤ (keys/node)²,
     // DECIMAL(38,0) for headroom). Constant-size after the per-key
     // arg-max aggregate.
