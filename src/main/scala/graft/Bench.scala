@@ -88,6 +88,12 @@ object Bench {
       // COLD index build, q134 prices a probe against the built index.
       if (forQuery.startsWith("q133"))
         graft.queries.AnalyticsQueries.resetPostingsState()
+      // And for the dedup component table: q107 prices the COLD
+      // LSH→verify→label-propagation build; q209's histogram reads the
+      // table q107 built (two aggregates — re-running propagation for
+      // it would price the pipeline twice per pass).
+      if (forQuery.startsWith("q107"))
+        graft.queries.LlmQueries.resetDedupComponentsState()
       graft.queries.SourceQueries.resetQ89State()
     }
 
