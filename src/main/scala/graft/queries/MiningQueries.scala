@@ -1794,6 +1794,120 @@ object MiningQueries extends QueryPack {
         .select(col("k").cast("long").as("dim"),
           (col("v9") * col("sg")).as("pc1_9"))
         .orderBy("dim")
+    }),
+
+    // ---------------------------------------------------------------
+    // q272: min-cost supplier per part (the TPC-H Q2 shape, the third
+    // canonical decorrelation pattern after q151/q155) — a correlated
+    // scalar MIN subquery whose result RE-ENTERS the join: for each
+    // ECONOMY part under size 15, the EUROPE suppliers whose best
+    // offer equals that part's minimum EUROPE offer. Decorrelated the
+    // canonical way: BOTH restrictions (part filter, EUROPE supplier
+    // keys) push BELOW the offer aggregate as broadcast joins — they
+    // constrain only group keys, so min-per-(part,supplier) commutes
+    // with them — and the per-part minimum is a second aggregate over
+    // the same restricted offers, equality-joined back. Supplier
+    // attributes attach AFTER the aggregates (broadcast onto the
+    // small offer table, never riding through the fact shuffle). No
+    // per-row re-scan: the fact is scanned at most twice, both scans
+    // pruned to the restricted slice (runtime filter from the
+    // broadcast part side), and each aggregates map-side first. The
+    // oracle keeps the textbook correlated form so the compare proves
+    // the rewrite semantically equivalent.
+    "q272_min_cost_supplier" -> ((s, dir) => {
+      val euroSupp =
+        Tables.supplier(s, dir)
+          .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+          .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+            col("n_name"))
+      val pk = broadcast(Tables.part(s, dir)
+        .filter(col("p_type") === "ECONOMY" && col("p_size") < 15)
+        .select(col("p_partkey")))
+      val offers = Tables.lineitem(s, dir)
+        .join(pk, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(euroSupp.select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_partkey"), col("l_suppkey"))
+        .agg(min(graft.functions.Exact.cents(col("l_extendedprice")))
+          .as("cost2"))
+      val minPer = offers.groupBy(col("p_partkey").as("mk"))
+        .agg(min("cost2").as("min_cost2"))
+      offers.join(minPer,
+          col("p_partkey") === col("mk") && col("cost2") === col("min_cost2"))
+        .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+          col("n_name"), col("s_acctbal"), col("cost2"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"), col("s_suppkey"))
+        .limit(100)
+    }),
+
+    // q273: small-quantity revenue (the TPC-H Q17 shape) — the
+    // correlated-AVG filter: lineitems of one brand's ECONOMY parts
+    // whose quantity is under 20% of that part's average quantity.
+    // Decorrelated to per-part sufficient statistics (Σq, n — exact
+    // integer centiquantities) joined back onto the pruned fact rows
+    // (two broadcast-pruned columnar scans — the per-row side is too
+    // wide to materialize at scale, and a per-part window would have
+    // |brand parts|-cardinality partitions);
+    // the threshold compares in EXACT integer form (5·q·n < Σq ⇔
+    // q < 0.2·avg for n > 0), so no float boundary can make the
+    // engines disagree on a qualifying row. avg_yearly = Σprice/7 with
+    // the two divisions as the only float ops, applied to the exact
+    // cents sum in the same order on both sides.
+    "q273_small_qty_revenue" -> ((s, dir) => {
+      val pk = broadcast(Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#3" && col("p_type") === "ECONOMY")
+        .select(col("p_partkey")))
+      val li = Tables.lineitem(s, dir)
+        .join(pk, col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"),
+          graft.functions.Exact.cents(col("l_quantity")).as("q2"),
+          graft.functions.Exact.cents(col("l_extendedprice")).as("price2"))
+      val stats = li.groupBy(col("p_partkey").as("sk"))
+        .agg(sum("q2").as("sq"), count(lit(1)).as("n"))
+      li.join(stats, col("p_partkey") === col("sk"))
+        .filter(col("q2") * lit(5L) * col("n") < col("sq"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum("price2") / lit(100.0) / lit(7.0)).as("avg_yearly"))
+    }),
+
+    // q274: excess-share suppliers (the TPC-H Q20 shape) — nested IN
+    // with aggregation: suppliers who in 1996 shipped MORE THAN HALF
+    // of some red part's total 1996 volume. Decorrelated: ONE
+    // date+part-pruned fact scan aggregates to (part, supplier)
+    // centiquantity volumes, materialized once (localCheckpoint — the
+    // q159 edge-list pattern: both the per-part total and the >50%
+    // filter re-read it, and it is bounded by |red parts × suppliers|
+    // at any fact volume); the per-part total is an aggregate OVER
+    // that aggregate (never a second fact scan, which is what the
+    // naive correlated HAVING would do per group); the >50% test is
+    // exact integers (2·s > total); suppliers attach by left-semi so
+    // multiplicity can't leak into the output. The oracle keeps the
+    // textbook nested-IN + correlated-HAVING form.
+    "q274_excess_share_supplier" -> ((s, dir) => {
+      val redParts = broadcast(Tables.part(s, dir)
+        .filter(col("p_name").like("red%")).select(col("p_partkey")))
+      val vol = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(redParts, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(graft.functions.Exact.cents(col("l_quantity"))).as("sq"))
+        .localCheckpoint(false)
+      val tot = vol.groupBy(col("l_partkey").as("tk"))
+        .agg(sum("sq").as("tq"))
+      val excess = vol.join(tot, col("l_partkey") === col("tk"))
+        .filter(col("sq") * lit(2L) > col("tq"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, dir)
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+        .orderBy("s_suppkey")
     })
   )
 
@@ -2823,6 +2937,65 @@ object MiningQueries extends QueryPack {
           |SELECT k AS dim, v9 * sg AS pc1_9
           |FROM v10 CROSS JOIN sg ORDER BY dim""".stripMargin
       base + steps + fin
-    }
+    },
+
+    // q272: textbook Q2 correlated form — the scalar MIN subquery
+    // re-evaluated per row over the region-restricted offer set
+    // (MATERIALIZED: offers is referenced from both the outer join
+    // and the correlated subquery).
+    "q272_min_cost_supplier" ->
+      """WITH offers AS MATERIALIZED (SELECT l_partkey AS pk,
+        |    l_suppkey AS sk,
+        |    min(CAST(round(l_extendedprice*100) AS BIGINT)) AS cost2
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT p_partkey, s_suppkey, s_name, n_name, s_acctbal, cost2
+        |FROM offers
+        |JOIN part ON pk = p_partkey AND p_type = 'ECONOMY' AND p_size < 15
+        |JOIN supplier ON sk = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |WHERE cost2 = (SELECT min(o2.cost2)
+        |  FROM offers o2 JOIN supplier s2 ON o2.sk = s2.s_suppkey
+        |  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    AND r2.r_name = 'EUROPE'
+        |  WHERE o2.pk = p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
+        |LIMIT 100""".stripMargin,
+
+    // q273: textbook Q17 correlated form, exact-integer threshold
+    // (5·q·n < Σq replaces q < 0.2·avg — identical set, no float
+    // boundary).
+    "q273_small_qty_revenue" ->
+      """WITH li AS MATERIALIZED (SELECT l_partkey AS pk,
+        |    CAST(round(l_quantity*100) AS BIGINT) AS q2,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS price2
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#3' AND p_type = 'ECONOMY')
+        |SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  sum(price2)/100.0/7.0 AS avg_yearly
+        |FROM li l
+        |WHERE 5 * l.q2 * (SELECT count(*) FROM li x WHERE x.pk = l.pk)
+        |      < (SELECT sum(x.q2) FROM li x WHERE x.pk = l.pk)""".stripMargin,
+
+    // q274: textbook Q20 nested-IN + correlated-HAVING form.
+    "q274_excess_share_supplier" ->
+      """SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN
+        |      (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING 2 * sum(CAST(round(l_quantity*100) AS BIGINT)) >
+        |    (SELECT sum(CAST(round(l2.l_quantity*100) AS BIGINT))
+        |     FROM lineitem l2
+        |     WHERE l2.l_partkey = lineitem.l_partkey
+        |       AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+        |       AND l2.l_shipdate < TIMESTAMP '1997-01-01')
+        |)
+        |ORDER BY s_suppkey""".stripMargin
   )
 }

@@ -336,6 +336,30 @@ class PlanSpec extends SparkSpec {
       s"token-IN filter did not prune postings buckets (selected=$selected):\n$plan")
   }
 
+  test("q272/q273/q274: correlated TPC-H shapes plan decorrelated — bounded fact scans, no per-row subquery") {
+    // The three canonical decorrelation patterns (Q2 min-per-group
+    // re-entering the join, Q17 correlated-avg filter, Q20 nested IN
+    // with aggregation). The engine expresses them as join+aggregate;
+    // this gate pins that shape: a future edit reintroducing a
+    // correlated scalar subquery would show up as per-row subquery
+    // execution or an unbounded fact-scan count.
+    for ((q, maxScans) <- Seq(
+        ("q272_min_cost_supplier", 2),   // offers branch + min-per-part branch
+        ("q273_small_qty_revenue", 2),   // per-row branch + stats branch
+        ("q274_excess_share_supplier", 1))) { // vol materializes once
+      val plan = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val factScans = plan.split("\n")
+        .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+      assert(factScans <= maxScans,
+        s"$q: expected <= $maxScans lineitem scans, got $factScans:\n$plan")
+      assert(!plan.contains("InSubqueryExec") && !plan.contains("ScalarSubquery"),
+        s"$q: per-row subquery execution in decorrelated plan:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: dim restrictions should broadcast:\n$plan")
+    }
+  }
+
   test("every window partition key is high-cardinality or map-side rank-limited") {
     // The round-6 verdict's last scale-shape defect class: a ranking
     // window partitioned on a low-cardinality key with full output is
