@@ -153,4 +153,66 @@ object Text {
       lit(7L),
       (acc, c) => pmod(acc * 131 + c, p))
   }
+
+  /** Iterated BPE training (the Sennrich algorithm) over a
+    * word-frequency table — `rounds` actual merge rounds, not just one
+    * round's pair counts (q205).
+    *
+    * Words are held in BOUNDARY-MARKED form `|a|b|c|` (one `|`-wrapped
+    * segment per current symbol): pair counting splits on the marker,
+    * and applying merge (a, b) is the literal string replace
+    * `|a|b| → |ab|` — `replace()` consumes matches left-to-right
+    * without overlap in both Spark and DuckDB, which is exactly BPE's
+    * single-pass merge semantics (`aaa` + rule (a,a) → `aa a`), so
+    * every round replays verbatim in the SQL oracle. Symbols must not
+    * contain `|` (callers restrict the corpus alphabet). Pair counts
+    * follow the reference algorithm: ALL adjacent positions count,
+    * overlapping included (`aaa` contributes (a,a) twice).
+    *
+    * Scale shape: the iterate is the VOCAB-bounded (word, freq) table
+    * — the corpus is touched once to build it; each round is one
+    * explode+aggregate over the vocab, a 1-row top-1
+    * (TakeOrderedAndProject), and a broadcast-crossJoin replace.
+    * Lineage is cut per round (the q159/q168 pattern), so plan depth
+    * stays linear in rounds. Ties break (n desc, a asc, b asc) —
+    * deterministic across engines.
+    *
+    * @param words (tok, freq) — distinct words with corpus frequencies
+    * @return one row per round: (round, left_sym, right_sym, n_occ)
+    */
+  def bpeMerges(words: org.apache.spark.sql.DataFrame,
+                rounds: Int): org.apache.spark.sql.DataFrame = {
+    var wt = words.select(
+      concat(lit("|"), regexp_replace(col("tok"), "(.)", "$1|")).as("w"),
+      col("freq"))
+      .localCheckpoint(false)
+    var merges: Option[org.apache.spark.sql.DataFrame] = None
+    for (r <- 1 to rounds) {
+      val pairs = wt
+        .select(col("freq"),
+          filter(split(col("w"), "\\|"), x => x =!= "").as("s"))
+        .filter(size(col("s")) >= 2) // sequence(1,0) DESCENDS (q205 note)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("s")) - 1),
+          i => struct(element_at(col("s"), i).as("a"),
+            element_at(col("s"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("n"))
+      // 1-row top-1; checkpointed because it feeds BOTH the result row
+      // and the merge application.
+      val best = pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .localCheckpoint(false)
+      val row = best.select(lit(r).as("round"), col("a").as("left_sym"),
+        col("b").as("right_sym"), col("n").as("n_occ"))
+      merges = Some(merges.map(_.unionAll(row)).getOrElse(row))
+      if (r < rounds)
+        wt = wt.crossJoin(broadcast(best.select(col("a"), col("b"))))
+          .select(
+            expr("replace(w, concat('|', a, '|', b, '|'), concat('|', a, b, '|'))")
+              .as("w"),
+            col("freq"))
+          .localCheckpoint(false)
+    }
+    merges.get.orderBy("round")
+  }
 }

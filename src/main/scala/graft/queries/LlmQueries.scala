@@ -2047,6 +2047,27 @@ object LlmQueries extends QueryPack {
         .limit(20)
     }),
 
+    // ITERATED BPE TRAINING — q205 run END-TO-END: six actual merge
+    // rounds (count pairs → take the argmax rule → APPLY it → recount),
+    // not one round's candidate list. The iterate is the vocab-bounded
+    // word-frequency table in boundary-marked form (|a|b|c|), so each
+    // round is one explode+aggregate over the vocab + a broadcast
+    // 1-row replace — the corpus is scanned ONCE to build the table
+    // (see ops/Text.bpeMerges for the replace()-semantics argument and
+    // the lineage-cut-per-round scale shape). Round 6 of this corpus
+    // produces a COMPOUND rule (m + er → "mer"), proving merges feed
+    // later rounds. Oracle: the six rounds unrolled as MATERIALIZED
+    // CTEs replaying the identical marked-string arithmetic; LlmSpec
+    // additionally holds bpeMerges to a hand-computed Sennrich trace
+    // on a crafted fixture (overlap handling, tie-breaks, compounding).
+    "q275_bpe_train_iterated" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .filter(col("tok").rlike("^[a-z]+$"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      Text.bpeMerges(words, rounds = 6)
+    }),
+
     // LENGTH-CURRICULUM TERTILES — per-source short/mid/long thirds by
     // token count, the bucket-assignment machinery of a CCNet-style
     // head/middle/tail split (swap the score column for an LM score
@@ -3896,6 +3917,47 @@ object LlmQueries extends QueryPack {
         |  FROM w WHERE length(tok) >= 2)
         |SELECT pair, count(*) AS n FROM p GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    // q275: the six merge rounds unrolled — per round, pair counts
+    // from the |-marked word table, the (n desc, a, b) top-1, and the
+    // literal |a|b| → |ab| replace carried into the next round's
+    // table. MATERIALIZED throughout: every wN/bN is referenced twice
+    // (verify-skill gotcha — DuckDB re-inlines CTE chains otherwise).
+    "q275_bpe_train_iterated" -> {
+      val rounds = 6
+      val head =
+        """WITH toks AS MATERIALIZED (SELECT tok,
+          |    CAST(count(*) AS BIGINT) AS freq
+          |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+          |      t -> t <> '')) AS tok FROM documents)
+          |  WHERE regexp_full_match(tok, '[a-z]+') GROUP BY tok),
+          |w0 AS MATERIALIZED (SELECT
+          |    '|' || regexp_replace(tok, '(.)', '\1|', 'g') AS w,
+          |  freq FROM toks)""".stripMargin
+      val steps = (1 to rounds).map { r =>
+        s""",
+           |p$r AS (SELECT u.a AS a, u.b AS b, CAST(sum(freq) AS BIGINT) AS n
+           |  FROM (SELECT freq,
+           |      unnest(list_transform(generate_series(1, len(s)-1),
+           |        i -> {'a': s[i], 'b': s[i+1]})) AS u
+           |    FROM (SELECT list_filter(string_split(w, '|'),
+           |        x -> x <> '') AS s, freq FROM w${r - 1}) t
+           |    WHERE len(s) >= 2)
+           |  GROUP BY 1, 2),
+           |b$r AS MATERIALIZED (SELECT a, b, n FROM p$r
+           |  ORDER BY n DESC, a, b LIMIT 1)""".stripMargin +
+          (if (r < rounds)
+            s""",
+               |w$r AS MATERIALIZED (SELECT
+               |    replace(w, '|'||a||'|'||b||'|', '|'||a||b||'|') AS w,
+               |  freq FROM w${r - 1}, b$r)""".stripMargin
+          else "")
+      }.mkString
+      val fin = (1 to rounds).map(r =>
+        s"SELECT $r AS round, a AS left_sym, b AS right_sym, n AS n_occ FROM b$r")
+        .mkString("\n", "\nUNION ALL ", "\nORDER BY round")
+      head + steps + fin
+    },
 
     "q206_length_curriculum" ->
       """WITH d AS (SELECT doc_id, source,

@@ -20,6 +20,41 @@ class LlmSpec extends SparkSpec {
     d0.unionByName(copies)
   }
 
+  test("q275 bpeMerges follows the hand-computed Sennrich trace (overlap, ties, compounding)") {
+    // Fixture trace, computed by hand from the reference algorithm
+    // (count ALL adjacent positions including overlaps; apply greedily
+    // left-to-right; ties break (n desc, a asc, b asc)):
+    //   words: aaab ×2, aab ×1, xy ×3
+    //   r1: (a,a) 5   [aaab contributes (a,a) TWICE — overlap counting]
+    //       apply → [aa,a,b]×2  [aa,b]×1   [greedy: aaa → aa+a]
+    //   r2: (x,y) 3   [(aa,a) 2 and (a,b) 2 lose]
+    //   r3: (a,b) 2   [TIE with (aa,a) 2 → lexicographic a < aa]
+    //       apply → [aa,ab]×2; [aa,b] untouched (its pair is (aa,b),
+    //       and the boundary-marked replace must NOT match a inside aa)
+    //   r4: (aa,ab) 2 [COMPOUND rule — both sides are earlier merges]
+    import spark.implicits._
+    val words = Seq(("aaab", 2L), ("aab", 1L), ("xy", 3L)).toDF("tok", "freq")
+    val got = Text.bpeMerges(words, rounds = 4)
+      .collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("n_occ")))
+    assert(got.toSeq == Seq(
+      (1, "a", "a", 5L), (2, "x", "y", 3L),
+      (3, "a", "b", 2L), (4, "aa", "ab", 2L)))
+  }
+
+  test("q275 plan depth stays bounded (lineage cut per merge round)") {
+    // Six rounds of merge application must NOT compound into a plan
+    // whose depth is exponential (or even deeply multiplicative) in
+    // rounds: each round's word table is localCheckpointed, so the
+    // final plan sees only the last round's slice. A regression that
+    // drops the cuts shows up as hundreds of plan lines here.
+    val plan = SparkEntry.queries("q275_bpe_train_iterated")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.size
+    assert(lines < 120, s"q275 plan grew to $lines lines:\n$plan")
+  }
+
   test("q267 confusion matrix partitions the corpus and matches a local scoring") {
     val rows = SparkEntry.queries("q267_langid_confusion")(spark, sfDir)
       .collect()
