@@ -114,11 +114,21 @@ object Bench {
 
     val failures = scala.collection.mutable.ListBuffer[String]()
     // (name, minSec, maxSec); -1 on failure.
-    val selected = SparkEntry.queries.keys.toSeq.sorted
+    val allSelected = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(f => f.contains(n.takeWhile(_ != '_')) || f.contains(n)))
-    require(selected.nonEmpty,
+    require(allSelected.nonEmpty,
       s"SPARK_GRAFT_BENCH_ONLY=${only.getOrElse(Set())} matched no registered query")
-    val results = selected.map { name =>
+    // COMPAT ANNEX (round-10 verdict #6): the `_demo_bounded` trio
+    // (q21/q71/q77 — deliberately single-task-window §2.2 literal
+    // surfaces, each with a measured-faster scale-safe companion:
+    // q102/q106, q103/q104) still runs and is still reported, but
+    // under its own labeled field — the HEADLINE total contains only
+    // scale-safe shapes. Membership is the registered name's
+    // `_demo_bounded` suffix, the same marker PlanSpec's
+    // window-cardinality gate keys on; CoverageMapSpec pins the set
+    // to exactly the declared trio.
+    val (annexSel, selected) = allSelected.partition(_.contains("_demo_bounded"))
+    def timeAll(names: Seq[String]) = names.map { name =>
       var minT = Double.MaxValue
       var maxT = -1.0
       var ok = 0
@@ -145,6 +155,8 @@ object Bench {
       }
       if (ok == 0) (name, -1.0, -1.0) else (name, minT, maxT)
     }
+    val results = timeAll(selected)
+    val annexResults = timeAll(annexSel)
     // Streaming leg (default ON since round 9; opt out with
     // SPARK_GRAFT_BENCH_STREAMING=0): drive the tumbling-window
     // aggregation end-to-end under Structured Streaming (readStream →
@@ -160,12 +172,15 @@ object Bench {
     val streamingOn =
       !(sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("0") ||
         (only.isDefined && !sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("1")))
+    // Each leg receives the RAW stream and applies its own watermark:
+    // intervalJoin watermarks both sides itself, and re-defining a
+    // watermark already set on the source is disallowed once multiple
+    // stateful operators are allowed (Spark 4 default).
     def streamLeg(label: String)(build: org.apache.spark.sql.DataFrame
         => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Double = {
       val t0 = System.nanoTime()
       try {
         val src = graft.streaming.Events.parquetStream(spark, sfDir)
-          .withWatermark("ts", "1 hour")
         build(src)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start().awaitTermination()
@@ -180,7 +195,7 @@ object Bench {
     val streamingSec: Option[Double] =
       if (!streamingOn) None
       else Some(streamLeg("streaming")(src =>
-        graft.streaming.Events.tumbling(src, "10 minutes")
+        graft.streaming.Events.tumbling(src.withWatermark("ts", "1 hour"), "10 minutes")
           .writeStream.format("noop").outputMode("update")))
     // Leg 2 (round 10): session windows under append mode — the
     // STATE-MERGE path (sessions grow/merge per user until the
@@ -188,20 +203,43 @@ object Bench {
     val streamingSessionSec: Option[Double] =
       if (!streamingOn) None
       else Some(streamLeg("streaming_session")(src =>
-        graft.streaming.Events.sessions(src, "30 minutes")
+        graft.streaming.Events.sessions(src.withWatermark("ts", "1 hour"), "30 minutes")
+          .writeStream.format("noop").outputMode("append")))
+    // Leg 3 (round 11): stream-stream interval self-join — the
+    // two-sided JOIN-STATE path (each side buffers horizon+window of
+    // rows per key until the watermark expires them), invisible to
+    // the single-input aggregation legs 1/2. views ⋈ purchases within
+    // 30 min, the StreamingSpec batch-equivalence fixture's shape.
+    val streamingJoinSec: Option[Double] =
+      if (!streamingOn) None
+      else Some(streamLeg("streaming_interval_join")(src =>
+        graft.streaming.Events.intervalJoin(
+            src.filter(org.apache.spark.sql.functions.col("event_type") === "view"),
+            src.filter(org.apache.spark.sql.functions.col("event_type") === "purchase"),
+            "1 hour", "30 minutes")
           .writeStream.format("noop").outputMode("append")))
     val streamField =
       streamingSec.map(v => s""","streaming_sec":$v""").getOrElse("") +
-      streamingSessionSec.map(v => s""","streaming_session_sec":$v""").getOrElse("")
+      streamingSessionSec.map(v => s""","streaming_session_sec":$v""").getOrElse("") +
+      streamingJoinSec.map(v => s""","streaming_interval_join_sec":$v""").getOrElse("")
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qsMax = results.map { case (k, _, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // The annex total is reported SEPARATELY from the headline value:
+    // the headline is 100% scale-safe shapes (round-11 change — r10 and
+    // earlier totals include the trio, ~1.5 s at sf0.1).
+    val annexQs = annexResults.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val annexTotal = annexResults.map(_._2).filter(_ >= 0).sum
+    val annexField =
+      if (annexResults.isEmpty) ""
+      else s""","compat_annex":$annexQs,"compat_annex_sec":$annexTotal"""
     // Full control-char escaping (JsonOut): Spark error messages are
     // multi-line, and a raw newline would invalidate the whole file.
     val fstr = failures.map(JsonOut.q).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_max":$qsMax,"failures":$fstr$streamField,"sf":${JsonOut.q(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_max":$qsMax,"failures":$fstr$streamField$annexField,"sf":${JsonOut.q(sfDir)}}"""
     Files.writeString(
       Paths.get(if (only.isDefined) "BENCH_DEBUG.json" else "BENCH_LOCAL.json"), line)
 
@@ -227,9 +265,15 @@ object Bench {
     val fShort = failures.take(5).map(f => JsonOut.q(f.take(60))).mkString("[", ",", "]")
     val streamShort =
       streamingSec.map(v => s""","streaming_sec":${r3(v)}""").getOrElse("") +
-      streamingSessionSec.map(v => s""","streaming_session_sec":${r3(v)}""").getOrElse("")
+      streamingSessionSec.map(v => s""","streaming_session_sec":${r3(v)}""").getOrElse("") +
+      streamingJoinSec.map(v => s""","streaming_interval_join_sec":${r3(v)}""").getOrElse("")
+    val annexShort =
+      if (annexResults.isEmpty) ""
+      else annexResults
+        .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+        .mkString(""","compat_annex":{""", ",", "}")
     val shortLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"n_failures":${failures.size},"queries":$qsShort,"queries_note":"slowest ${slowest.size} of ${results.size}; full map in BENCH_LOCAL.json","failures":$fShort$streamShort,"sf":${JsonOut.q(sfDir)}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"n_failures":${failures.size},"queries":$qsShort,"queries_note":"slowest ${slowest.size} of ${results.size}; headline excludes the ${annexResults.size}-query _demo_bounded compat annex; full map in BENCH_LOCAL.json","failures":$fShort$streamShort$annexShort,"sf":${JsonOut.q(sfDir)}}"""
     println(shortLine)
     System.out.flush()
     spark.stop()

@@ -46,6 +46,20 @@ class CoverageMapSpec extends AnyFunSuite {
       s"cited in §2.3 but not registered: ${missing.toSeq.sorted.mkString(", ")}")
   }
 
+  test("the _demo_bounded compat annex is exactly the declared trio") {
+    // Bench excludes `_demo_bounded` names from the headline total and
+    // reports them in a labeled compat_annex field; PlanSpec's
+    // window-cardinality gate exempts the same names. This pin keeps
+    // the suffix honest: a NEW query can't quietly opt out of either
+    // gate by adopting the suffix without showing up here.
+    val annex = SparkEntry.queries.keySet.filter(_.contains("_demo_bounded"))
+    assert(annex == Set(
+      "q21_rank_dense_ntile_demo_bounded",
+      "q71_percent_rank_demo_bounded",
+      "q77_percentile_demo_bounded"),
+      s"unexpected _demo_bounded set: ${annex.toSeq.sorted.mkString(", ")}")
+  }
+
   test("query prefixes are unambiguous (one registry key per cited prefix)") {
     val byPrefix = SparkEntry.queries.keySet.groupBy(_.takeWhile(_ != '_'))
     val dup = byPrefix.filter(_._2.size > 1)
