@@ -171,6 +171,48 @@ object ScalableRank {
       .drop("__pid", "__off")
   }
 
+  /** Multi-column sibling of [[runningSummed]]: all `valCols` running
+    * sums in ONE two-phase pass over ONE range exchange.
+    *
+    * This is not just a convenience: CHAINING two single-column calls
+    * is measurably NONDETERMINISTIC (q277 found it) — the second
+    * call's offsets branch and window branch each embed the first
+    * call's whole subtree, the duplicated range exchanges can sample
+    * DIFFERENT boundaries once the subtrees stop canonicalizing
+    * identically, and the bucket-local windows then disagree between
+    * branches. One pass has exactly the [[runningSummed]] structure
+    * (offsets + local window over the SAME bucketed frame), for which
+    * the exchange-reuse contract is gate-proven.
+    */
+  def runningSummedAll(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCols: Seq[Column],
+      valCols: Seq[String],
+      buckets: Int,
+      runs: Seq[String]): DataFrame = {
+    require(valCols.nonEmpty && valCols.size == runs.size,
+      s"valCols (${valCols.size}) and runs (${runs.size}) must pair up")
+    val (bucketed, grpPid, byPart) = rangeBucketed(df, partCols, orderCols, buckets)
+    val aggs = valCols.map(v => sum(col(v).cast("long")).as(s"__bsum_$v"))
+    val offsets0 = bucketed
+      .groupBy(grpPid: _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val offsets = valCols.foldLeft(offsets0) { (acc, v) =>
+      acc.withColumn(s"__off_$v",
+        coalesce(
+          sum(s"__bsum_$v").over(
+            byPart.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+    }.drop(valCols.map(v => s"__bsum_$v"): _*)
+    val wLocal = Window.partitionBy(grpPid: _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = bucketed.join(broadcast(offsets), partCols :+ "__pid")
+    valCols.zip(runs).foldLeft(joined) { case (acc, (v, run)) =>
+      acc.withColumn(run, col(s"__off_$v") + sum(col(v).cast("long")).over(wLocal))
+    }.drop("__pid").drop(valCols.map(v => s"__off_$v"): _*)
+  }
+
   /** Two-phase scalable EXCLUSIVE RUNNING MAX of `valCol` within
     * `partCols` under `orderCols` — the prefix-extremum sibling of
     * [[runningSummed]] (same range-bucket shape, max instead of sum;

@@ -1874,6 +1874,48 @@ object MiningQueries extends QueryPack {
           (sum("price2") / lit(100.0) / lit(7.0)).as("avg_yearly"))
     }),
 
+    // q277: TWO-SAMPLE KOLMOGOROV–SMIRNOV TEST — the distribution-
+    // comparison member of the stats family (chi² tests counts, the
+    // z-test proportions; KS tests the whole CDF): D = sup|F_R − F_N|
+    // over returned vs delivered lineitem prices. Scale shape: the
+    // corpus collapses into ONE value-count aggregate (|distinct
+    // prices| rows), then BOTH cumulative counts ride the two-phase
+    // range-bucketed running sum (ScalableRank — a bare ORDER BY
+    // window here would be the q21 single-task class since the value
+    // table grows with the data). The sup-distance compares EXACT
+    // cross-multiplied integers |c1·n2 − c2·n1| in DECIMAL(38,0)/
+    // HUGEINT (≈1e24 at 100 TB — far past BIGINT, well inside 38
+    // digits); only the final KS statistic and the α=0.05 critical
+    // value (1.358·√((n1+n2)/(n1·n2))) are single double dags, 1e-9
+    // half-up quantized on both engines (q101 class — the three-SF
+    // sweep is the boundary proof), and the reject decision compares
+    // the two QUANTIZED integers.
+    "q277_ks_two_sample" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag").isin("R", "N"))
+        .select(col("l_returnflag").as("f"), col("l_extendedprice").as("v"))
+      val vc = li.groupBy("v").agg(
+        sum(when(col("f") === "R", 1L).otherwise(0L)).as("d1"),
+        sum(when(col("f") === "N", 1L).otherwise(0L)).as("d2"))
+      val cum = ScalableRank.runningSummedAll(vc, Seq(), Seq(col("v")),
+        Seq("d1", "d2"), 32, runs = Seq("c1", "c2"))
+      val n = broadcast(vc.agg(sum("d1").as("n1"), sum("d2").as("n2")))
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val d = cum.crossJoin(n)
+        .select(col("n1"), col("n2"),
+          abs(dec(col("c1")) * dec(col("n2")) -
+            dec(col("c2")) * dec(col("n1"))).as("dn"))
+        .groupBy("n1", "n2").agg(max("dn").as("d_num"))
+      d.select(col("n1"), col("n2"),
+          floor(col("d_num").cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double")) * 1e9
+            + 0.5).cast("long").as("ks9"),
+          floor(lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double"))) * 1e9
+            + 0.5).cast("long").as("crit9"))
+        .withColumn("reject", (col("ks9") > col("crit9")).cast("int"))
+    }),
+
     // q274: excess-share suppliers (the TPC-H Q20 shape) — nested IN
     // with aggregation: suppliers who in 1996 shipped MORE THAN HALF
     // of some red part's total 1996 volume. Decorrelated: ONE
@@ -2977,6 +3019,39 @@ object MiningQueries extends QueryPack {
         |FROM li l
         |WHERE 5 * l.q2 * (SELECT count(*) FROM li x WHERE x.pk = l.pk)
         |      < (SELECT sum(x.q2) FROM li x WHERE x.pk = l.pk)""".stripMargin,
+
+    // q277: plain ORDER BY windows stand in for the engine's two-phase
+    // running sums (same totals); HUGEINT carries the cross-products;
+    // the decimal literal is cast to DOUBLE up front (the verify-skill
+    // decimal-chain gotcha).
+    "q277_ks_two_sample" ->
+      """WITH li AS (SELECT l_returnflag AS f, l_extendedprice AS v
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |vc AS (SELECT v,
+        |    CAST(sum(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |    CAST(sum(CASE WHEN f = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS d2
+        |  FROM li GROUP BY v),
+        |cu AS (SELECT v,
+        |    sum(d1) OVER (ORDER BY v) AS c1,
+        |    sum(d2) OVER (ORDER BY v) AS c2
+        |  FROM vc),
+        |n AS (SELECT CAST(sum(d1) AS BIGINT) AS n1,
+        |    CAST(sum(d2) AS BIGINT) AS n2 FROM vc),
+        |d AS (SELECT n1, n2,
+        |    max(abs(CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1))
+        |      AS d_num
+        |  FROM cu, n GROUP BY 1, 2),
+        |t AS (SELECT n1, n2,
+        |    CAST(floor(CAST(d_num AS DOUBLE) /
+        |      (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) * 1e9 + 0.5)
+        |      AS BIGINT) AS ks9,
+        |    CAST(floor(CAST(1.358 AS DOUBLE) *
+        |      sqrt(CAST(n1 + n2 AS DOUBLE) /
+        |        (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) * 1e9 + 0.5)
+        |      AS BIGINT) AS crit9
+        |  FROM d)
+        |SELECT n1, n2, ks9, crit9,
+        |  CAST(ks9 > crit9 AS INT) AS reject FROM t""".stripMargin,
 
     // q274: textbook Q20 nested-IN + correlated-HAVING form.
     "q274_excess_share_supplier" ->

@@ -91,6 +91,33 @@ class ScalableRankSpec extends SparkSpec {
     }
   }
 
+  for (buckets <- Seq(1, 5, 64)) {
+    test(s"multi-column two-phase running sum at buckets=$buckets equals the one-shuffle windows") {
+      // q277's shape: BOTH cum columns from ONE pass over ONE range
+      // exchange. The chained alternative (runningSummed twice) is
+      // nondeterministic — the duplicated range exchanges of the
+      // second call's two branches can sample different boundaries
+      // and disagree (found when q277's KS statistic changed between
+      // two actions on the same plan) — so this variant exists and
+      // must stay value-identical to the reference windows.
+      val vals = df.withColumn("t", (col("id") % 37).cast("int"))
+        .withColumn("u", (col("id") % 11).cast("int"))
+        .select("k", "id", "t", "u")
+      val twoPhase = ScalableRank.runningSummedAll(
+          vals, Seq("k"), Seq(col("id").asc), Seq("t", "u"), buckets,
+          runs = Seq("ct", "cu"))
+        .select("k", "id", "ct", "cu")
+      val w = Window.partitionBy("k").orderBy(col("id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val oneShuffle = vals.select(col("k"), col("id"),
+        sum(col("t").cast("long")).over(w).as("ct"),
+        sum(col("u").cast("long")).over(w).as("cu"))
+      assert(twoPhase.except(oneShuffle).isEmpty &&
+        oneShuffle.except(twoPhase).isEmpty,
+        s"multi running sum mismatch at buckets=$buckets")
+    }
+  }
+
   for (buckets <- Seq(1, 4, 32)) {
     test(s"two-phase exclusive running max at buckets=$buckets equals the one-shuffle window") {
       // Same fixture: hot key, tie runs straddling boundaries, n=1 key.
