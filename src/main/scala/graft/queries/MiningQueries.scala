@@ -1916,6 +1916,89 @@ object MiningQueries extends QueryPack {
         .withColumn("reject", (col("ks9") > col("crit9")).cast("int"))
     }),
 
+    // q278: GROUPED WEIGHTED MEDIAN — the order statistic the exact
+    // percentile family (q103/q104 count-weighted ranks) doesn't
+    // cover: the price point splitting each return flag's QUANTITY
+    // mass in half (every unit shipped votes, not every row). Exact
+    // and scale-safe: the fact collapses to a (flag, price) value-
+    // count table with integer centiquantity weights, the cumulative
+    // weight rides the two-phase range-bucketed running sum
+    // (partitioned by flag — a 3-value key whose bare window would be
+    // the q21 single-task class), and the lower weighted median is
+    // min price with 2·cum ≥ total — all-integer compares, no
+    // interpolation float. Output: per flag, the median price (cents)
+    // and the total/cum masses that prove the pick.
+    "q278_weighted_median" -> ((s, dir) => {
+      val vc = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("flag"),
+          graft.functions.Exact.cents(col("l_extendedprice")).as("p2"),
+          graft.functions.Exact.cents(col("l_quantity")).as("w"))
+        .groupBy("flag", "p2").agg(sum("w").as("wt"))
+      val cum = ScalableRank.runningSummed(vc, Seq("flag"),
+        Seq(col("p2")), "wt", 32, run = "cw")
+      val tot = vc.groupBy(col("flag").as("tf")).agg(sum("wt").as("tw"))
+      cum.join(broadcast(tot), col("flag") === col("tf"))
+        .filter(col("cw") * lit(2L) >= col("tw"))
+        .groupBy("flag")
+        .agg(min(struct(col("p2"), col("cw"), col("tw"))).as("m"))
+        .select(col("flag"), col("m.p2").as("median_p2"),
+          col("m.cw").as("cum_w"), col("m.tw").as("total_w"))
+        .orderBy("flag")
+    }),
+
+    // q279: GOLDEN-RECORD SURVIVORSHIP — the master-data step AFTER
+    // q238's fuzzy matching and q107's clustering: fuse each entity
+    // cluster's conflicting attribute values into one canonical
+    // record, with a DIFFERENT survivorship rule per attribute (the
+    // real MDM semantics): name → majority vote (mode, ties to the
+    // lexicographically smallest via one packed min-struct — no
+    // window), segment → source precedence (lowest source rank with a
+    // non-null), balance → max. Fixture: three deterministic source
+    // feeds of the customer registry with md5-carved conflicts
+    // (upper-cased names on odd keys — a real 1-vs-1 mode tie
+    // whenever source 3's name is carved away — null segments,
+    // +500-cent balance drift). The feed materializes once (four
+    // consumers, dim-sized); every fusion is one hash aggregate keyed
+    // on the entity — no windows, no self-joins, any-scale safe.
+    "q279_golden_record" -> ((s, dir) => {
+      val base = Tables.customer(s, dir).select(col("c_custkey").as("k"),
+        col("c_name").as("name"), col("c_mktsegment").as("seg"),
+        graft.functions.Exact.cents(col("c_acctbal")).as("bal2"))
+      def carve(tag: String, chars: Seq[String]) =
+        substring(md5(concat(lit(tag), col("k").cast("string"))), 1, 1)
+          .isin(chars: _*)
+      val s1 = base.select(col("k"), lit(1).as("src"), col("name"),
+        col("seg"), col("bal2"))
+      val s2 = base.select(col("k"), lit(2).as("src"),
+        when(col("k") % 2 === 1, upper(col("name"))).otherwise(col("name"))
+          .as("name"),
+        when(carve("seg:", Seq("0", "1", "2", "3")), lit(null).cast("string"))
+          .otherwise(col("seg")).as("seg"),
+        col("bal2"))
+      val s3 = base.select(col("k"), lit(3).as("src"),
+        when(carve("nm:", Seq("0", "1")), lit(null).cast("string"))
+          .otherwise(col("name")).as("name"),
+        col("seg"),
+        (col("bal2") + when(carve("bal:", Seq("0", "1", "2")), lit(500L))
+          .otherwise(lit(0L))).as("bal2"))
+      val feed = s1.unionAll(s2).unionAll(s3).localCheckpoint(false)
+      val gname = feed.filter(col("name").isNotNull)
+        .groupBy("k", "name").agg(count(lit(1)).as("c"))
+        .groupBy("k")
+        .agg(min(struct((-col("c")).as("nc"), col("name"))).as("m"))
+        .select(col("k"), col("m.name").as("g_name"))
+      val gseg = feed.filter(col("seg").isNotNull)
+        .groupBy("k").agg(min(struct(col("src"), col("seg"))).as("m"))
+        .select(col("k"), col("m.seg").as("g_segment"))
+      val gbal = feed.groupBy("k").agg(max("bal2").as("g_bal2"))
+      val gvar = feed.filter(col("name").isNotNull)
+        .groupBy("k").agg(countDistinct("name").as("n_name_variants"))
+      gname.join(gseg, "k").join(gbal, "k").join(gvar, "k")
+        .select(col("k").as("c_custkey"), col("g_name"), col("g_segment"),
+          col("g_bal2"), col("n_name_variants"))
+        .orderBy("c_custkey")
+    }),
+
     // q274: excess-share suppliers (the TPC-H Q20 shape) — nested IN
     // with aggregation: suppliers who in 1996 shipped MORE THAN HALF
     // of some red part's total 1996 volume. Decorrelated: ONE
@@ -3052,6 +3135,72 @@ object MiningQueries extends QueryPack {
         |  FROM d)
         |SELECT n1, n2, ks9, crit9,
         |  CAST(ks9 > crit9 AS INT) AS reject FROM t""".stripMargin,
+
+    // q278: plain per-flag cum window stands in for the two-phase sum.
+    "q278_weighted_median" ->
+      """WITH vc AS (SELECT l_returnflag AS flag,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS p2,
+        |    CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) AS wt
+        |  FROM lineitem GROUP BY 1, 2),
+        |cu AS (SELECT flag, p2, wt,
+        |    CAST(sum(wt) OVER (PARTITION BY flag ORDER BY p2) AS BIGINT)
+        |      AS cw
+        |  FROM vc),
+        |t AS (SELECT flag AS tf, CAST(sum(wt) AS BIGINT) AS tw
+        |  FROM vc GROUP BY 1)
+        |SELECT flag, min(p2) AS median_p2,
+        |  min(cw) AS cum_w, min(tw) AS total_w
+        |FROM (SELECT cu.flag, p2, cw, tw,
+        |    row_number() OVER (PARTITION BY cu.flag ORDER BY p2) AS rn
+        |  FROM cu JOIN t ON cu.flag = tf WHERE 2*cw >= tw)
+        |WHERE rn = 1
+        |GROUP BY flag ORDER BY flag""".stripMargin,
+
+    // q279: same three carved feeds; mode/precedence picks replay as
+    // row_number-1 windows, balance as max.
+    "q279_golden_record" ->
+      """WITH feed AS MATERIALIZED (
+        |  SELECT c_custkey AS k, 1 AS src, c_name AS name,
+        |      c_mktsegment AS seg,
+        |      CAST(round(c_acctbal*100) AS BIGINT) AS bal2
+        |    FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 2,
+        |      CASE WHEN c_custkey % 2 = 1 THEN upper(c_name)
+        |           ELSE c_name END,
+        |      CASE WHEN substring(md5('seg:' || CAST(c_custkey AS VARCHAR)),
+        |          1, 1) IN ('0','1','2','3') THEN NULL
+        |        ELSE c_mktsegment END,
+        |      CAST(round(c_acctbal*100) AS BIGINT)
+        |    FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 3,
+        |      CASE WHEN substring(md5('nm:' || CAST(c_custkey AS VARCHAR)),
+        |          1, 1) IN ('0','1') THEN NULL ELSE c_name END,
+        |      c_mktsegment,
+        |      CAST(round(c_acctbal*100) AS BIGINT) +
+        |        CASE WHEN substring(md5('bal:' || CAST(c_custkey AS VARCHAR)),
+        |            1, 1) IN ('0','1','2') THEN 500 ELSE 0 END
+        |    FROM customer),
+        |nm AS (SELECT k, name, count(*) AS c FROM feed
+        |  WHERE name IS NOT NULL GROUP BY 1, 2),
+        |gname AS (SELECT k, name AS g_name FROM
+        |  (SELECT k, name, row_number() OVER
+        |      (PARTITION BY k ORDER BY c DESC, name) AS rn FROM nm)
+        |  WHERE rn = 1),
+        |gseg AS (SELECT k, seg AS g_segment FROM
+        |  (SELECT k, seg, row_number() OVER
+        |      (PARTITION BY k ORDER BY src) AS rn
+        |    FROM feed WHERE seg IS NOT NULL)
+        |  WHERE rn = 1),
+        |gbal AS (SELECT k, max(bal2) AS g_bal2 FROM feed GROUP BY 1),
+        |gvar AS (SELECT k, CAST(count(DISTINCT name) AS BIGINT)
+        |    AS n_name_variants
+        |  FROM feed WHERE name IS NOT NULL GROUP BY 1)
+        |SELECT k AS c_custkey, g_name, g_segment, g_bal2, n_name_variants
+        |FROM gname JOIN gseg USING (k) JOIN gbal USING (k)
+        |  JOIN gvar USING (k)
+        |ORDER BY c_custkey""".stripMargin,
 
     // q274: textbook Q20 nested-IN + correlated-HAVING form.
     "q274_excess_share_supplier" ->
