@@ -173,6 +173,45 @@ object AnalyticsQueries extends QueryPack {
 
   override val queries: Map[String, Q] = Map(
 
+    // q280: APPROXIMATE FUNCTIONAL-DEPENDENCY DISCOVERY — the
+    // data-profiling operator (Metanome/Deequ class) behind schema
+    // inference and key detection: for each declared candidate X → Y,
+    // the g3 error = n − Σ_x max_y count(x, y) (the minimum number of
+    // rows to delete for the FD to hold exactly). ONE pass per pair:
+    // a column-pruned (x, y) count aggregate, a per-x max+sum, and a
+    // 1-row rollup — keep AND n come from the same aggregate chain so
+    // the ratio can't desync. All-integer until the final quantized
+    // error ratio; `holds` is an exact violations = 0 test. Candidate
+    // pairs span a trivially-exact key FD (doc_id → source), a
+    // near-FD (source → lang, 56% violated at sf0.01), and two
+    // clearly-violated fact-table pairs. Per-pair branches union (the
+    // q252 lesson: one pruned scan per column pair beats a single
+    // multi-distinct expand).
+    "q280_fd_discovery" -> ((s, dir) => {
+      def g3(tab: org.apache.spark.sql.DataFrame, xc: String, yc: String,
+             label: String) = {
+        val c = tab.select(col(xc).as("x"), col(yc).as("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("c"))
+        c.groupBy("x").agg(max("c").as("mc"), sum("c").as("nx"))
+          .agg(sum("mc").as("keep"), sum("nx").as("n"),
+            count(lit(1)).as("n_x"))
+          .select(lit(label).as("fd"), col("n"), col("n_x"),
+            (col("n") - col("keep")).as("violations"),
+            floor((col("n") - col("keep")).cast("double") /
+              col("n").cast("double") * 1e9 + 0.5).cast("long")
+              .as("g3_err9"),
+            (col("n") === col("keep")).cast("int").as("holds"))
+      }
+      val d = Tables.documents(s, dir)
+      val li = Tables.lineitem(s, dir)
+      g3(d, "doc_id", "source", "doc_id->source")
+        .unionAll(g3(d, "source", "lang", "source->lang"))
+        .unionAll(g3(d, "lang", "source", "lang->source"))
+        .unionAll(g3(li, "l_orderkey", "l_linestatus", "l_orderkey->l_linestatus"))
+        .unionAll(g3(li, "l_suppkey", "l_returnflag", "l_suppkey->l_returnflag"))
+        .orderBy("fd")
+    }),
+
     // q253: NDCG@10 OF THE BM25 RANKING — the retrieval-eval closer
     // for the q126/q134/q137/q180/q210 family: graded relevance =
     // number of distinct query terms a document contains (0–3, derived
@@ -1916,6 +1955,28 @@ object AnalyticsQueries extends QueryPack {
   }
 
   override val oracles: Map[String, String] = Map(
+
+    // q280: one generated g3 branch per candidate pair.
+    "q280_fd_discovery" -> {
+      def g3(tab: String, x: String, y: String): String =
+        s"""SELECT '$x->$y' AS fd, n, n_x, n - keep AS violations,
+           |  CAST(floor(CAST(n - keep AS DOUBLE) / CAST(n AS DOUBLE)
+           |    * 1e9 + 0.5) AS BIGINT) AS g3_err9,
+           |  CAST(n = keep AS INT) AS holds
+           |FROM (SELECT CAST(sum(mc) AS BIGINT) AS keep,
+           |    CAST(sum(nx) AS BIGINT) AS n,
+           |    CAST(count(*) AS BIGINT) AS n_x
+           |  FROM (SELECT x, max(c) AS mc, sum(c) AS nx
+           |    FROM (SELECT $x AS x, $y AS y, count(*) AS c
+           |      FROM $tab GROUP BY 1, 2) GROUP BY x))""".stripMargin
+      Seq(
+        g3("documents", "doc_id", "source"),
+        g3("documents", "source", "lang"),
+        g3("documents", "lang", "source"),
+        g3("lineitem", "l_orderkey", "l_linestatus"),
+        g3("lineitem", "l_suppkey", "l_returnflag"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+    },
 
     // ndcg: q126's contrib dag, same self-join peer-count ranks,
     // same embedded weight literals and gain lattice.

@@ -1874,15 +1874,18 @@ object MiningQueries extends QueryPack {
           (sum("price2") / lit(100.0) / lit(7.0)).as("avg_yearly"))
     }),
 
-    // q277: TWO-SAMPLE KOLMOGOROV–SMIRNOV TEST — the distribution-
-    // comparison member of the stats family (chi² tests counts, the
-    // z-test proportions; KS tests the whole CDF): D = sup|F_R − F_N|
-    // over returned vs delivered lineitem prices. Scale shape: the
-    // corpus collapses into ONE value-count aggregate (|distinct
-    // prices| rows), then BOTH cumulative counts ride the two-phase
-    // range-bucketed running sum (ScalableRank — a bare ORDER BY
-    // window here would be the q21 single-task class since the value
-    // table grows with the data). The sup-distance compares EXACT
+    // q277: TWO-SAMPLE KS TEST, UNBOUNDED-VALUE-DOMAIN SCALE PATH —
+    // q219 computes the same statistic over a value table bounded by
+    // the cents PRICE DOMAIN (≤ ~49k buckets), where its bare ORDER BY
+    // window is fine; this is the companion for variables whose
+    // distinct-value count GROWS with the data (raw l_extendedprice
+    // here — the q104-vs-q77 pairing applied to KS): D = sup|F_R−F_N|
+    // over returned vs delivered lineitem prices. The corpus collapses
+    // into ONE value-count aggregate, then BOTH cumulative counts ride
+    // the two-phase range-bucketed running sum (ScalableRank — a bare
+    // window here WOULD be the q21 single-task class). Also adds the
+    // quantized α=0.05 DECISION q219 stops short of. The sup-distance
+    // compares EXACT
     // cross-multiplied integers |c1·n2 − c2·n1| in DECIMAL(38,0)/
     // HUGEINT (≈1e24 at 100 TB — far past BIGINT, well inside 38
     // digits); only the final KS statistic and the α=0.05 critical

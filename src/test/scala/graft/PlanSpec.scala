@@ -477,6 +477,10 @@ class PlanSpec extends SparkSpec {
       "q214_token_budget_waterfill" ->
         "1-row budget / water-level broadcasts over the |sources|-row table",
       "q219_ks_test" -> "1-row group-totals broadcast over the bucket table",
+      "q276_greedy_set_cover" ->
+        "1-row covered-vocab-count broadcast (per greedy round)",
+      "q277_ks_two_sample" ->
+        "1-row sample-totals broadcast over the value-count table",
       "q222_bradley_terry" ->
         "1-row strength-normalizer broadcast (per MM round)",
       "q223_maxsim_late_interaction" ->
