@@ -2068,6 +2068,99 @@ object LlmQueries extends QueryPack {
       Text.bpeMerges(words, rounds = 6)
     }),
 
+    // NEAR-DUP THRESHOLD CALIBRATION — the missing eval leg of the
+    // dedup family (q203 does this for ANN): a precision/recall curve
+    // over cosine thresholds AGAINST PLANTED GROUND TRUTH, so the 0.9
+    // the q105/q107 pipeline uses is a MEASURED choice, not folklore.
+    // Truth = 250 jittered copies (per-dim multiplicative noise with
+    // md5-derived sign and id-dependent amplitude 20–100%, every
+    // float op mirrored in SQL — copies span cosines ~0.80–0.999, so
+    // the curve actually bends). Candidates come from axis-sign
+    // blocking (bucket = 4 sign bits of dims 1–4 — a crude but REAL
+    // axis-aligned LSH that, unlike the hyperplane hash, replays
+    // verbatim in SQL, so the candidate set itself is under the hash
+    // gate); a heavily-jittered copy can flip a sign and escape the
+    // block, and recall's denominator is ALL 250 planted pairs, so
+    // the metric prices blocking misses AND threshold misses — the
+    // honest end-to-end dedup recall. Calibration runs on a fixed
+    // 500-vector sample BY DESIGN (the statistic needs no more).
+    // Integer counts; precision/recall/F1 are quantized double dags.
+    "q281_dedup_threshold_calibration" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir).filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding"))
+      // The jitter MUST hash the BASE id: the copy id is aliased to
+      // `vec_id` in the same projection, and BOTH engines resolve a
+      // bare vec_id reference to that lateral alias (Spark LCA and
+      // DuckDB lateral aliasing alike — found the hard way when each
+      // engine silently hashed `vec_id + 10000`). Renaming the base id
+      // to `bid` first removes the collision on both sides.
+      val amp = (lit(1.0) + pmod(col("bid"), lit(5)).cast("double")) *
+        lit(0.2)
+      def jit(i: org.apache.spark.sql.Column) =
+        (conv(substring(md5(concat(lit("jit:"),
+          col("bid").cast("string"), lit(":"), i.cast("string"))),
+          1, 4), 16, 10).cast("long") % 1000L - 500L).cast("double") /
+          lit(1000.0)
+      val copies = base.filter(col("vec_id") < 250)
+        .select(col("vec_id").as("bid"), col("embedding"))
+        .select((col("bid") + 10000L).as("vec_id"),
+          transform(sequence(lit(1), lit(64)), i =>
+            (element_at(col("embedding"), i).cast("double") *
+              (lit(1.0) + amp * jit(i))).cast("float")).as("embedding"))
+      val corpus = base.unionAll(copies)
+      // int8-quantize (the q99 pattern) so the threshold test is EXACT
+      // integer arithmetic: cos ≥ t ⟺ dot > 0 ∧ dot²·10¹⁸ ≥
+      // t9²·naa·nbb — raw float cosines sit arbitrarily close to the
+      // thresholds and a last-ulp dot-accumulation divergence between
+      // the engines flips the compare (it did, at every SF). Bounds:
+      // |q| ≤ 254 ⇒ dot ≤ 4.2e6, dot²·1e18 ≤ 1.8e31 — inside
+      // DECIMAL(38,0)/HUGEINT.
+      val q8 = transform(col("embedding"),
+        x => floor(x.cast("double") * lit(127.0) + lit(0.5)).cast("long"))
+      val bit = (i: Int, w: Int) => (col("q").getItem(i) > 0L).cast("int") * w
+      val e = corpus.select(col("vec_id"), q8.as("q"))
+        .select(col("vec_id"), col("q"),
+          (bit(0, 8) + bit(1, 4) + bit(2, 2) + bit(3, 1)).as("bkt"))
+      val a = e.select(col("bkt"), col("vec_id").as("ida"), col("q").as("qa"))
+      val b = e.select(col("bkt"), col("vec_id").as("idb"), col("q").as("qb"))
+      def idot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, y, (p, r) => p * r), lit(0L), (acc, v) => acc + v)
+      val pairs = a.join(b, Seq("bkt")).filter(col("ida") < col("idb"))
+        .select(idot(col("qa"), col("qb")).as("dab"),
+          idot(col("qa"), col("qa")).as("naa"),
+          idot(col("qb"), col("qb")).as("nbb"),
+          (col("idb") === col("ida") + 10000L && col("ida") < 250L)
+            .cast("int").as("truth"))
+      val nTruth = broadcast(
+        base.filter(col("vec_id") < 250).agg(count(lit(1)).as("n_truth")))
+      val thrs = Seq(800000000L, 900000000L, 950000000L, 980000000L,
+        995000000L)
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val e18 = lit("1000000000000000000").cast("decimal(38,0)")
+      val pred = col("dab") > 0L && col("naa") > 0L && col("nbb") > 0L &&
+        dec(col("dab")) * dec(col("dab")) * e18 >=
+          dec(col("thr")) * dec(col("thr")) * dec(col("naa")) * dec(col("nbb"))
+      val agg = pairs
+        .select(col("dab"), col("naa"), col("nbb"), col("truth"),
+          explode(array(thrs.map(lit): _*)).as("thr"))
+        .groupBy("thr").agg(
+          sum(when(pred && col("truth") === 1, 1L).otherwise(0L)).as("tp"),
+          sum(when(pred && col("truth") === 0, 1L).otherwise(0L)).as("fp"))
+        .crossJoin(nTruth)
+        .withColumn("fn", col("n_truth") - col("tp"))
+      def ratio9(num: org.apache.spark.sql.Column,
+                 den: org.apache.spark.sql.Column) =
+        when(den === 0L, lit(0L)).otherwise(
+          floor(num.cast("double") / den.cast("double") * 1e9 + 0.5)
+            .cast("long"))
+      agg.select(col("thr"), col("tp"), col("fp"), col("fn"),
+          ratio9(col("tp"), col("tp") + col("fp")).as("prec9"),
+          ratio9(col("tp"), col("tp") + col("fn")).as("rec9"),
+          ratio9(col("tp") * 2L,
+            col("tp") * 2L + col("fp") + col("fn")).as("f1_9"))
+        .orderBy("thr")
+    }),
+
     // GREEDY VOCABULARY SET COVER — submodular data selection, the
     // coreset shape of corpus curation (pick the K documents that
     // together cover the most vocabulary; the 1−1/e greedy is the
@@ -3967,6 +4060,75 @@ object LlmQueries extends QueryPack {
         |  FROM w WHERE length(tok) >= 2)
         |SELECT pair, count(*) AS n FROM p GROUP BY pair
         |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    // q281: the jittered-copy plant, axis-sign blocking, q105's cosine
+    // dag, and the threshold grid replayed verbatim; 1-based list
+    // indexing here = Spark's 0-based getItem(0..3) / 1-based
+    // element_at(1..64).
+    "q281_dedup_threshold_calibration" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id < 500),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM base
+        |  UNION ALL
+        |-- base.vec_id qualifications are load-bearing: DuckDB resolves a
+        |  -- bare vec_id here to the SELECT's own `vec_id + 10000` lateral
+        |  -- alias, silently changing every md5 jitter input.
+        |  SELECT base.vec_id + 10000 AS vec_id,
+        |    list_transform(generate_series(1, 64), i ->
+        |      CAST(CAST(embedding[i] AS DOUBLE) *
+        |        (CAST(1.0 AS DOUBLE) +
+        |         CAST(1 + base.vec_id % 5 AS DOUBLE) * CAST(0.2 AS DOUBLE) *
+        |         (CAST((CAST(('0x' || substring(md5('jit:' ||
+        |            CAST(base.vec_id AS VARCHAR) || ':' ||
+        |            CAST(i AS VARCHAR)),
+        |            1, 4)) AS BIGINT) % 1000 - 500) AS DOUBLE) /
+        |          CAST(1000.0 AS DOUBLE))) AS FLOAT))
+        |  FROM base WHERE base.vec_id < 250),
+        |qe AS (SELECT vec_id,
+        |    list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * CAST(127.0 AS DOUBLE) +
+        |        CAST(0.5 AS DOUBLE)) AS BIGINT)) AS q
+        |  FROM corpus),
+        |e AS (SELECT vec_id, q,
+        |    8*CAST(q[1] > 0 AS INT) + 4*CAST(q[2] > 0 AS INT) +
+        |    2*CAST(q[3] > 0 AS INT) +   CAST(q[4] > 0 AS INT) AS bkt
+        |  FROM qe),
+        |pairs AS (SELECT
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      i -> a.q[i] * b.q[i])) AS HUGEINT) AS dab,
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      i -> a.q[i] * a.q[i])) AS HUGEINT) AS naa,
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      i -> b.q[i] * b.q[i])) AS HUGEINT) AS nbb,
+        |    CAST(b.vec_id = a.vec_id + 10000 AND a.vec_id < 250 AS INT)
+        |      AS truth
+        |  FROM e a JOIN e b ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM base
+        |  WHERE vec_id < 250),
+        |g AS (SELECT thr,
+        |    CAST(sum(CASE WHEN dab > 0 AND naa > 0 AND nbb > 0
+        |        AND dab*dab*CAST(1000000000000000000 AS HUGEINT) >=
+        |          CAST(thr AS HUGEINT)*thr*naa*nbb
+        |        AND truth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN dab > 0 AND naa > 0 AND nbb > 0
+        |        AND dab*dab*CAST(1000000000000000000 AS HUGEINT) >=
+        |          CAST(thr AS HUGEINT)*thr*naa*nbb
+        |        AND truth = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp
+        |  FROM pairs, (SELECT unnest([CAST(800000000 AS BIGINT),
+        |      900000000, 950000000, 980000000, 995000000]) AS thr)
+        |  GROUP BY thr),
+        |h AS (SELECT thr, tp, fp, n_truth - tp AS fn FROM g, nt)
+        |SELECT thr, tp, fp, fn,
+        |  CASE WHEN tp + fp = 0 THEN 0 ELSE CAST(floor(CAST(tp AS DOUBLE) /
+        |    CAST(tp + fp AS DOUBLE) * 1e9 + 0.5) AS BIGINT) END AS prec9,
+        |  CASE WHEN tp + fn = 0 THEN 0 ELSE CAST(floor(CAST(tp AS DOUBLE) /
+        |    CAST(tp + fn AS DOUBLE) * 1e9 + 0.5) AS BIGINT) END AS rec9,
+        |  CASE WHEN 2*tp + fp + fn = 0 THEN 0
+        |    ELSE CAST(floor(CAST(2*tp AS DOUBLE) /
+        |      CAST(2*tp + fp + fn AS DOUBLE) * 1e9 + 0.5) AS BIGINT) END
+        |    AS f1_9
+        |FROM h ORDER BY thr""".stripMargin,
 
     // q276: the five greedy rounds unrolled; cN accumulates covered
     // vocabulary, NOT IN is the anti-join. MATERIALIZED throughout

@@ -481,6 +481,8 @@ class PlanSpec extends SparkSpec {
         "1-row covered-vocab-count broadcast (per greedy round)",
       "q277_ks_two_sample" ->
         "1-row sample-totals broadcast over the value-count table",
+      "q281_dedup_threshold_calibration" ->
+        "1-row planted-pair-count broadcast over the 5-row threshold grid",
       "q222_bradley_terry" ->
         "1-row strength-normalizer broadcast (per MM round)",
       "q223_maxsim_late_interaction" ->
