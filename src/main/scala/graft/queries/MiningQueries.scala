@@ -2036,6 +2036,94 @@ object MiningQueries extends QueryPack {
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"), col("n_name"))
         .orderBy("s_suppkey")
+    }),
+
+    // ---------------------------------------------------------------
+    // q282: KRUSKAL–WALLIS H — the k-sample generalization of q220's
+    // Mann–Whitney (3 return-flag populations over quantity), the
+    // nonparametric one-way ANOVA. Same value-count machinery: the
+    // fact collapses to the ≤50-level quantity domain, doubled
+    // midranks 2·below + t + 1 stay integer, and the three per-group
+    // doubled rank sums pivot into ONE row via conditional sums, so
+    // the Σ R_j²/n_j combination is a FIXED double dag (A, N, R in
+    // written order — never a float reduce over group rows). With
+    // doubled ranks H = 3/(N(N+1))·Σ(R2_j²/n_j) − 3(N+1); R2_j² rides
+    // DECIMAL(38,0) (R2 ≤ 2N² — BIGINT dies at N ≈ 2e9), the tie term
+    // Σ(t³−t) reuses q220's DECIMAL(12,0) per-level cube (t bounded by
+    // the 50-level domain, not N... per level t ≤ N/1 — the 12-digit
+    // headroom holds to N ≈ 1e12 per level, documented like q220), and
+    // the tie-corrected H_c = H/C is one more double op. Reject
+    // compares 1e-9-quantized integers against χ²₀.₀₅,df=2 = 5.991.
+    "q282_kruskal_wallis" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag").as("f"), col("l_quantity").cast("long").as("v"))
+      val vc = li.groupBy("v").agg(
+        sum(when(col("f") === "A", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("f") === "N", 1L).otherwise(0L)).as("cn"),
+        sum(when(col("f") === "R", 1L).otherwise(0L)).as("cr"))
+      val t = col("ca") + col("cn") + col("cr")
+      val m = vc
+        .withColumn("cum", sum(t).over(Window.orderBy("v")))
+        .withColumn("mid2", lit(2L) * (col("cum") - t) + t + lit(1L))
+      val dec = (c: C) => c.cast("decimal(38,0)")
+      val t12 = t.cast("decimal(12,0)")
+      val ag = m.agg(
+        sum("ca").as("n_a"), sum("cn").as("n_n"), sum("cr").as("n_r"),
+        sum(dec(col("ca")) * dec(col("mid2"))).as("r2a"),
+        sum(dec(col("cn")) * dec(col("mid2"))).as("r2n"),
+        sum(dec(col("cr")) * dec(col("mid2"))).as("r2c"),
+        sum(t12 * t12 * t12 - t12).as("tie"))
+      val nD = (col("n_a") + col("n_n") + col("n_r")).cast("double")
+      val sumTerm =
+        col("r2a").cast("double") * col("r2a").cast("double") / col("n_a").cast("double") +
+        col("r2n").cast("double") * col("r2n").cast("double") / col("n_n").cast("double") +
+        col("r2c").cast("double") * col("r2c").cast("double") / col("n_r").cast("double")
+      val h = lit(3.0) / (nD * (nD + lit(1.0))) * sumTerm - lit(3.0) * (nD + lit(1.0))
+      val cCorr = lit(1.0) - col("tie").cast("double") / (nD * nD * nD - nD)
+      ag.select(col("n_a"), col("n_n"), col("n_r"),
+          q9(h).as("h9"), q9(h / cCorr).as("hc9"))
+        .withColumn("reject", (col("hc9") > lit(5991000000L)).cast("int"))
+    }),
+
+    // ---------------------------------------------------------------
+    // q283: ONE-WAY ANOVA F — the parametric counterpart (the FIXED
+    // 5-value order-priority domain over total price in cents; the
+    // domain is part of the schema contract, so the per-group moments
+    // pivot into ONE row of conditional sums — the q220/q282 pattern —
+    // and every float combination is a fixed double dag in written
+    // 1-URGENT..5-LOW order, never a reduce over group rows). Exact
+    // components: n_j BIGINT, S_j BIGINT cents (≈7.5e15 at 100 TB —
+    // inside BIGINT), Σx² DECIMAL(38,0) (cents² ≈ 1e15 per row kills
+    // BIGINT at ~1e4 rows). SSB = Σ S_j²/n_j − S²/N and SSW = SST −
+    // SSB happen in doubles over those exact inputs; F = (SSB/(k−1))/
+    // (SSW/(N−k)), 1e-9-quantized. One scan, one 5-conditional
+    // aggregate to a single row — any-scale safe by construction.
+    "q283_anova_f" -> ((s, dir) => {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("g"),
+          graft.functions.Exact.cents(col("o_totalprice")).as("x"))
+      val dec = (c: C) => c.cast("decimal(38,0)")
+      val aggs =
+        prios.zipWithIndex.flatMap { case (p, i) =>
+          Seq(sum(when(col("g") === p, 1L).otherwise(0L)).as(s"n$i"),
+            sum(when(col("g") === p, col("x")).otherwise(0L)).as(s"s$i"))
+        } :+ sum(dec(col("x")) * dec(col("x"))).as("sxx")
+      val ag = o.agg(aggs.head, aggs.tail: _*)
+      def d(n: String) = col(n).cast("double")
+      val sumTerm = prios.indices
+        .map(i => d(s"s$i") * d(s"s$i") / d(s"n$i"))
+        .reduceLeft(_ + _)
+      val n = prios.indices.map(i => col(s"n$i")).reduceLeft(_ + _)
+      val stot = prios.indices.map(i => col(s"s$i")).reduceLeft(_ + _)
+      val nD = n.cast("double")
+      val corr = stot.cast("double") * stot.cast("double") / nD
+      val ssb = sumTerm - corr
+      val sst = col("sxx").cast("double") - corr
+      // Only F itself is 1e-9-quantized (O(1..1e3) — q9 on the raw
+      // mean squares would overflow the BIGINT at ~1e10 cents²).
+      val f = (ssb / lit(4.0)) / ((sst - ssb) / (nD - lit(5.0)))
+      ag.select(n.as("n"), q9(f).as("f9"))
     })
   )
 
@@ -3223,6 +3311,86 @@ object MiningQueries extends QueryPack {
         |       AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
         |       AND l2.l_shipdate < TIMESTAMP '1997-01-01')
         |)
-        |ORDER BY s_suppkey""".stripMargin
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // q282: plain ORDER BY window stands in for the cumulative count
+    // (50-level quantity domain); HUGEINT rank sums; every double op
+    // written with the Spark side's exact parenthesization.
+    "q282_kruskal_wallis" ->
+      """WITH li AS (SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS v
+        |  FROM lineitem),
+        |vc AS (SELECT v,
+        |    CAST(sum(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN f = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cn,
+        |    CAST(sum(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+        |  FROM li GROUP BY v),
+        |m AS (SELECT ca, cn, cr, ca + cn + cr AS t,
+        |    CAST(sum(ca + cn + cr) OVER (ORDER BY v) AS BIGINT) AS cum
+        |  FROM vc),
+        |m2 AS (SELECT ca, cn, cr, t, 2*(cum - t) + t + 1 AS mid2 FROM m),
+        |ag AS (SELECT
+        |    CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cn) AS BIGINT) AS n_n,
+        |    CAST(sum(cr) AS BIGINT) AS n_r,
+        |    sum(CAST(ca AS HUGEINT) * mid2) AS r2a,
+        |    sum(CAST(cn AS HUGEINT) * mid2) AS r2n,
+        |    sum(CAST(cr AS HUGEINT) * mid2) AS r2c,
+        |    sum(CAST(t AS HUGEINT)*CAST(t AS HUGEINT)*CAST(t AS HUGEINT)
+        |      - CAST(t AS HUGEINT)) AS tie
+        |  FROM m2),
+        |h AS (SELECT n_a, n_n, n_r,
+        |    CAST(n_a + n_n + n_r AS DOUBLE) AS nd,
+        |    CAST(r2a AS DOUBLE)*CAST(r2a AS DOUBLE)/CAST(n_a AS DOUBLE)
+        |      + CAST(r2n AS DOUBLE)*CAST(r2n AS DOUBLE)/CAST(n_n AS DOUBLE)
+        |      + CAST(r2c AS DOUBLE)*CAST(r2c AS DOUBLE)/CAST(n_r AS DOUBLE)
+        |      AS st,
+        |    CAST(tie AS DOUBLE) AS tied
+        |  FROM ag),
+        |t2 AS (SELECT n_a, n_n, n_r,
+        |    3.0/(nd*(nd + 1.0))*st - 3.0*(nd + 1.0) AS hstat,
+        |    1.0 - tied/(nd*nd*nd - nd) AS corr
+        |  FROM h)
+        |SELECT n_a, n_n, n_r,
+        |  CAST(floor(hstat*1e9 + 0.5) AS BIGINT) AS h9,
+        |  CAST(floor(hstat/corr*1e9 + 0.5) AS BIGINT) AS hc9,
+        |  CAST(CAST(floor(hstat/corr*1e9 + 0.5) AS BIGINT) > 5991000000
+        |    AS INT) AS reject
+        |FROM t2""".stripMargin,
+
+    // q283: the 5-priority pivot replayed with the identical written
+    // term order; Σx² in HUGEINT; one fixed double dag to F.
+    "q283_anova_f" ->
+      """WITH o AS (SELECT o_orderpriority AS g,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS x FROM orders),
+        |ag AS (SELECT
+        |    CAST(sum(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN g = '1-URGENT' THEN x ELSE 0 END) AS BIGINT) AS s0,
+        |    CAST(sum(CASE WHEN g = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN g = '2-HIGH' THEN x ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN g = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN g = '3-MEDIUM' THEN x ELSE 0 END) AS BIGINT) AS s2,
+        |    CAST(sum(CASE WHEN g = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |    CAST(sum(CASE WHEN g = '4-NOT SPECIFIED' THEN x ELSE 0 END) AS BIGINT) AS s3,
+        |    CAST(sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+        |    CAST(sum(CASE WHEN g = '5-LOW' THEN x ELSE 0 END) AS BIGINT) AS s4,
+        |    sum(CAST(x AS HUGEINT)*CAST(x AS HUGEINT)) AS sxx
+        |  FROM o),
+        |d AS (SELECT n0 + n1 + n2 + n3 + n4 AS n,
+        |    CAST(s0 AS DOUBLE)*CAST(s0 AS DOUBLE)/CAST(n0 AS DOUBLE)
+        |      + CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)
+        |      + CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE)
+        |      + CAST(s3 AS DOUBLE)*CAST(s3 AS DOUBLE)/CAST(n3 AS DOUBLE)
+        |      + CAST(s4 AS DOUBLE)*CAST(s4 AS DOUBLE)/CAST(n4 AS DOUBLE)
+        |      AS st,
+        |    CAST(s0 + s1 + s2 + s3 + s4 AS DOUBLE)
+        |      * CAST(s0 + s1 + s2 + s3 + s4 AS DOUBLE)
+        |      / CAST(n0 + n1 + n2 + n3 + n4 AS DOUBLE) AS corr,
+        |    CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(n0 + n1 + n2 + n3 + n4 AS DOUBLE) AS nd
+        |  FROM ag),
+        |e AS (SELECT n, st - corr AS ssb, sxxd - corr AS sst, nd FROM d)
+        |SELECT n, CAST(floor((ssb/4.0)/((sst - ssb)/(nd - 5.0))*1e9 + 0.5)
+        |    AS BIGINT) AS f9
+        |FROM e""".stripMargin
   )
 }

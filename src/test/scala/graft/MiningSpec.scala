@@ -34,6 +34,35 @@ class MiningSpec extends SparkSpec {
     assert(r.getAs[Double]("z").isFinite)
   }
 
+  test("q282 Kruskal-Wallis: totals partition the fact, H >= 0, ties raise H") {
+    val r = run("q282_kruskal_wallis").collect().head
+    val n = graft.sources.Tables.lineitem(spark, sfDir).count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_n") + r.getAs[Long]("n_r") == n)
+    val h9 = r.getAs[Long]("h9"); val hc9 = r.getAs[Long]("hc9")
+    assert(h9 >= 0L, s"H = $h9 negative")
+    // C = 1 − Σ(t³−t)/(N³−N) < 1 with 50 levels over ~n rows, so the
+    // tie-corrected statistic strictly dominates the raw one.
+    assert(hc9 >= h9, s"tie correction lowered H: $hc9 < $h9")
+  }
+
+  test("q283 ANOVA F: matches a brute-force per-group recomputation") {
+    val r = run("q283_anova_f").collect().head
+    val o = graft.sources.Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("g"),
+        graft.functions.Exact.cents(col("o_totalprice")).as("x"))
+      .collect().map(row => (row.getString(0), row.getLong(1)))
+    val groups = o.groupBy(_._1).map { case (_, xs) => xs.map(_._2.toDouble) }
+    val n = o.length.toDouble
+    val mean = o.map(_._2.toDouble).sum / n
+    val ssb = groups.map(g => g.length * math.pow(g.sum / g.length - mean, 2)).sum
+    val ssw = groups.map(g => { val m = g.sum / g.length; g.map(x => math.pow(x - m, 2)).sum }).sum
+    val f = (ssb / 4.0) / (ssw / (n - 5.0))
+    assert(r.getAs[Long]("n") == o.length)
+    val fQ = r.getAs[Long]("f9") / 1e9
+    assert(math.abs(fQ - f) <= 1e-4 * math.max(1.0, math.abs(f)),
+      s"engine F $fQ vs brute-force $f")
+  }
+
   test("q255 RFM: quintiles partition customers into near-equal fifths") {
     val rows = run("q255_rfm_segments").collect()
     val n = graft.sources.Tables.orders(spark, sfDir)
