@@ -1908,6 +1908,53 @@ object AnalyticsQueries extends QueryPack {
             .as("n_unrepairable"),
           sum(when(col("v").isNull, q9(col("rv")))).as("repaired_mass9"))
         .orderBy("event_type")
+    }),
+
+    // ---------------------------------------------------------------
+    // q284: LARGEST-REMAINDER PRORATION — the billing/finance
+    // allocation shape: distribute each order's 10% rebate pool
+    // (integer cents) across its lineitems proportionally to extended
+    // price, with the fractional cents assigned by the largest-
+    // remainder method (Hamilton apportionment) so every order's
+    // allocations sum EXACTLY to its pool — the invariant float
+    // proration can't give. All integer: base_i = pool·w_i div W,
+    // remainder rank per order (ties broken by linenumber), the first
+    // (pool − Σbase) lines get +1 cent. Σrem is divisible by W, so
+    // extra < #lines by construction. Windows partition on
+    // l_orderkey — per-entity high-cardinality, bounded lines/order
+    // (the schema contract) — and pool·w ≤ 5e14 sits far inside
+    // BIGINT at any scale (prices don't grow with the corpus). The
+    // output audits the invariant: per priority class, orders/lines/
+    // bumped-line counts, total allocated cents, and resid_total ≡ 0
+    // (Σalloc − Σpool) — the oracle recomputes all of it, so a
+    // rounding defect in either engine breaks the hash.
+    "q284_proration" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("ok"),
+        col("o_orderpriority").as("prio"),
+        expr("cast(round(o_totalprice * 100, 0) as long) div 10").as("pool"))
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey").as("ok"),
+        col("l_linenumber").as("ln"),
+        graft.functions.Exact.cents(col("l_extendedprice")).as("w"))
+      val j = li.join(o, "ok")
+      val byOrder = Window.partitionBy("ok")
+      val a = j.withColumn("wsum", sum("w").over(byOrder))
+        .withColumn("base", expr("(pool * w) div wsum"))
+        .withColumn("rem", expr("(pool * w) % wsum"))
+      val ranked = a
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("ok").orderBy(col("rem").desc, col("ln"))))
+        .withColumn("extra", (col("pool") - sum("base").over(byOrder)))
+        .withColumn("alloc",
+          col("base") + when(col("rn") <= col("extra"), 1L).otherwise(0L))
+      val perOrder = ranked.groupBy("ok", "prio", "pool").agg(
+        count(lit(1)).as("nl"),
+        sum(when(col("rn") <= col("extra"), 1L).otherwise(0L)).as("bumped"),
+        sum("alloc").as("alloc_sum"))
+      perOrder.groupBy("prio").agg(
+          count(lit(1)).as("n_orders"), sum("nl").as("n_lines"),
+          sum("bumped").as("n_bumped"), sum("alloc_sum").as("alloc_total"),
+          sum(col("alloc_sum") - col("pool")).as("resid_total"))
+        .orderBy("prio")
     })
   )
 
@@ -3176,6 +3223,39 @@ object AnalyticsQueries extends QueryPack {
         |  CAST(sum(CASE WHEN v IS NULL THEN
         |    CAST(floor(rv*1e9 + 0.5) AS BIGINT) END) AS BIGINT)
         |    AS repaired_mass9
-        |FROM rep GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM rep GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q284: the same integer Hamilton apportionment with window
+    // functions; // and % are DuckDB's truncating div/mod (positives —
+    // identical to Spark's div/%).
+    "q284_proration" ->
+      """WITH o AS (SELECT o_orderkey AS ok, o_orderpriority AS prio,
+        |    CAST(round(o_totalprice*100) AS BIGINT)//10 AS pool
+        |  FROM orders),
+        |li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS w
+        |  FROM lineitem),
+        |a AS (SELECT li.ok, ln, w, prio, pool,
+        |    CAST(sum(w) OVER (PARTITION BY li.ok) AS BIGINT) AS wsum
+        |  FROM li JOIN o ON li.ok = o.ok),
+        |r AS (SELECT ok, prio, pool,
+        |    (pool*w)//wsum AS base, (pool*w)%wsum AS rem, ln,
+        |    row_number() OVER (PARTITION BY ok
+        |      ORDER BY (pool*w)%wsum DESC, ln) AS rn,
+        |    pool - CAST(sum((pool*w)//wsum) OVER (PARTITION BY ok)
+        |      AS BIGINT) AS extra
+        |  FROM a),
+        |po AS (SELECT ok, prio, pool, count(*) AS nl,
+        |    CAST(sum(CASE WHEN rn <= extra THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS bumped,
+        |    CAST(sum(base + CASE WHEN rn <= extra THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS alloc_sum
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT prio, count(*) AS n_orders,
+        |  CAST(sum(nl) AS BIGINT) AS n_lines,
+        |  CAST(sum(bumped) AS BIGINT) AS n_bumped,
+        |  CAST(sum(alloc_sum) AS BIGINT) AS alloc_total,
+        |  CAST(sum(alloc_sum - pool) AS BIGINT) AS resid_total
+        |FROM po GROUP BY prio ORDER BY prio""".stripMargin
   )
 }

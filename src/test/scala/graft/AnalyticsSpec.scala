@@ -14,6 +14,26 @@ class AnalyticsSpec extends SparkSpec {
   private def run(name: String) =
     SparkEntry.queries(name)(spark, sfDir)
 
+  test("q284 proration: allocations sum exactly to each pool, bumps bounded") {
+    val rows = run("q284_proration").collect()
+    assert(rows.length == 5)
+    // The Hamilton invariant: no priority class carries any residual.
+    rows.foreach { r =>
+      assert(r.getAs[Long]("resid_total") == 0L,
+        s"${r.getAs[String]("prio")}: resid ${r.getAs[Long]("resid_total")}")
+      assert(r.getAs[Long]("n_bumped") <= r.getAs[Long]("n_lines"))
+    }
+    // Cross-check the grand total against an independent pool recount
+    // over orders that have at least one lineitem.
+    val o = graft.sources.Tables.orders(spark, sfDir)
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey")).distinct()
+    val pools = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(expr("cast(round(o_totalprice * 100, 0) as long) div 10").as("p"))
+      .agg(sum("p")).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("alloc_total")).sum == pools)
+  }
+
   test("q268 WoW growth recomputes from the weekly cells") {
     val rows = run("q268_wow_growth").collect()
     rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
