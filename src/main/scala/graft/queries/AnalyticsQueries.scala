@@ -1929,24 +1929,24 @@ object AnalyticsQueries extends QueryPack {
     // (Σalloc − Σpool) — the oracle recomputes all of it, so a
     // rounding defect in either engine breaks the hash.
     "q284_proration" -> ((s, dir) => {
-      val o = Tables.orders(s, dir).select(col("o_orderkey").as("ok"),
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("l_orderkey"),
         col("o_orderpriority").as("prio"),
         expr("cast(round(o_totalprice * 100, 0) as long) div 10").as("pool"))
-      val li = Tables.lineitem(s, dir).select(col("l_orderkey").as("ok"),
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
         col("l_linenumber").as("ln"),
         graft.functions.Exact.cents(col("l_extendedprice")).as("w"))
-      val j = li.join(o, "ok")
-      val byOrder = Window.partitionBy("ok")
+      val j = li.join(o, "l_orderkey")
+      val byOrder = Window.partitionBy("l_orderkey")
       val a = j.withColumn("wsum", sum("w").over(byOrder))
         .withColumn("base", expr("(pool * w) div wsum"))
         .withColumn("rem", expr("(pool * w) % wsum"))
       val ranked = a
         .withColumn("rn", row_number().over(
-          Window.partitionBy("ok").orderBy(col("rem").desc, col("ln"))))
+          Window.partitionBy("l_orderkey").orderBy(col("rem").desc, col("ln"))))
         .withColumn("extra", (col("pool") - sum("base").over(byOrder)))
         .withColumn("alloc",
           col("base") + when(col("rn") <= col("extra"), 1L).otherwise(0L))
-      val perOrder = ranked.groupBy("ok", "prio", "pool").agg(
+      val perOrder = ranked.groupBy("l_orderkey", "prio", "pool").agg(
         count(lit(1)).as("nl"),
         sum(when(col("rn") <= col("extra"), 1L).otherwise(0L)).as("bumped"),
         sum("alloc").as("alloc_sum"))

@@ -2124,6 +2124,113 @@ object MiningQueries extends QueryPack {
       // mean squares would overflow the BIGINT at ~1e10 cents²).
       val f = (ssb / lit(4.0)) / ((sst - ssb) / (nD - lit(5.0)))
       ag.select(n.as("n"), q9(f).as("f9"))
+    }),
+
+    // ---------------------------------------------------------------
+    // q285: HITS HUBS & AUTHORITIES — the other classic link-analysis
+    // fixpoint next to q159's PageRank, on the BIPARTITE customer→part
+    // purchase graph (hub = broad buyer, authority = widely-bought
+    // part). Three unrolled rounds of a ← Σ h, h ← Σ a with L1
+    // normalization back to 1e9 integer units each half-step: raw sums
+    // ride DECIMAL(38,0) (Σ over a 1e13-edge graph of 1e9-unit scores
+    // ≈ 1e22 — BIGINT dies at ~1e9 edges), the normalizer is a 1-row
+    // broadcast, and (raw·1e9) div total is EXACT integer division in
+    // both engines (// on positives), so every round replays
+    // bit-identically — the q159 integer-damping discipline. Likewise
+    // its lineage rule: the edge list (the only expensive join)
+    // localCheckpoints ONCE; each round is then one |edges| equi-join
+    // + aggregate per side — never a re-run of the base join. Integer
+    // truncation floors sub-unit scores to 0 at extreme node counts —
+    // the same documented 1e-9-unit granularity bound as q159; the
+    // top-15-per-side output (TakeOrdered, ties by key) is exactly the
+    // regime the units resolve.
+    "q285_hits" -> ((s, dir) => {
+      val eBase = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      // The base join+distinct materializes ONCE; the rounds alternate
+      // join keys (c, p), so two pre-partitioned views hang off the
+      // checkpoint — each is ONE exchange that ReusedExchange dedupes
+      // across its consuming rounds, so the edge list shuffles exactly
+      // twice total instead of once per round.
+      val eCk = eBase.localCheckpoint(false)
+      val edgesC = eCk.repartition(col("c"))
+      val edgesP = eCk.repartition(col("p"))
+      val dec = (c: C) => c.cast("decimal(38,0)")
+      var a: org.apache.spark.sql.DataFrame = null
+      var h: org.apache.spark.sql.DataFrame = null
+      // Each half-round's raw-score table is lineage-cut (|parts|- /
+      // |customers|-bounded): its normalizer aggregate AND the next
+      // join both read it, and without the cut every round's broadcast
+      // subtree re-embeds the whole history — plan size doubles per
+      // round (measured 13.7 → 5.6 s at sf0.1 from the cuts + the
+      // single-materialization edge views + the algebraic round-1
+      // shortcut Σ_c h0 = 1e9·indeg — h0 is constant, same integers,
+      // the oracle keeps the textbook h0 join).
+      for (r <- 1 to 3) {
+        val araw = (if (r == 1)
+            edgesP.groupBy("p").agg((dec(count(lit(1))) * lit(1000000000L)).as("ar"))
+          else
+            edgesC.join(h, "c").groupBy("p").agg(sum(dec(col("h9"))).as("ar")))
+          .localCheckpoint(false)
+        val atot = broadcast(araw.agg(sum("ar").as("at")))
+        a = araw.crossJoin(atot)
+          .select(col("p"), expr("(ar * 1000000000) div at").as("a9"))
+        val hraw = edgesP.join(a, "p").groupBy("c")
+          .agg(sum(dec(col("a9"))).as("hr")).localCheckpoint(false)
+        val htot = broadcast(hraw.agg(sum("hr").as("ht")))
+        h = hraw.crossJoin(htot)
+          .select(col("c"), expr("(hr * 1000000000) div ht").as("h9"))
+      }
+      a.select(lit("auth").as("side"), col("p").as("k"), col("a9").as("s9"))
+        .orderBy(col("s9").desc, col("k")).limit(15)
+        .unionAll(
+          h.select(lit("hub").as("side"), col("c").as("k"), col("h9").as("s9"))
+            .orderBy(col("s9").desc, col("k")).limit(15))
+        .orderBy(col("side"), col("s9").desc, col("k"))
+    }),
+
+    // ---------------------------------------------------------------
+    // q286: BOM ROLLUP (quantity-multiplying transitive closure) — the
+    // bill-of-materials shape q168's pointer jumping doesn't cover:
+    // closure with an ACCUMULATED PRODUCT along the path, not just
+    // depth. Hierarchy from the part table's own keyspace (parent =
+    // key div 10, per-edge multiplicity (key % 5) + 1 — deterministic,
+    // rerun-stable), so chain depth is log₁₀(maxKey). FOUR doubling
+    // rounds compose the state map with itself (anc ← anc∘anc, qty ←
+    // qty·qty_anc, depth additive), covering depth 2⁴ = 16 — keyspaces
+    // to 10¹⁶, documented headroom far past any real partkey domain —
+    // in log rounds of |parts|-row self equi-joins (left join keeps
+    // root-reached rows fixed), lineage-cut per round. Path products
+    // are bounded 5^16 ≈ 1.5e11 — inside BIGINT by construction.
+    // Output: the 9 root assemblies with descendant counts, total
+    // extended usage, and max depth; oracle = DuckDB recursive CTE —
+    // the compare proves the doubling composition equals the textbook
+    // one-step recursion.
+    "q286_bom_rollup" -> ((s, dir) => {
+      var st = Tables.part(s, dir).filter(col("p_partkey") >= 10L)
+        .select(col("p_partkey").as("node"),
+          expr("p_partkey div 10").as("anc"),
+          (col("p_partkey") % 5 + 1).cast("long").as("q"),
+          lit(1L).as("d"))
+      for (_ <- 1 to 4) {
+        val t = st.select(col("node").as("t_node"), col("anc").as("t_anc"),
+          col("q").as("t_q"), col("d").as("t_d"))
+        st = st.join(t, st("anc") === t("t_node"), "left")
+          .select(col("node"),
+            coalesce(col("t_anc"), col("anc")).as("anc"),
+            when(col("t_anc").isNotNull, col("q") * col("t_q"))
+              .otherwise(col("q")).as("q"),
+            when(col("t_anc").isNotNull, col("d") + col("t_d"))
+              .otherwise(col("d")).as("d"))
+          .localCheckpoint(false)
+      }
+      st.groupBy(col("anc").as("root"))
+        .agg(count(lit(1)).as("n_desc"), sum("q").as("total_usage"),
+          max("d").as("max_depth"))
+        .orderBy("root")
     })
   )
 
@@ -3391,6 +3498,57 @@ object MiningQueries extends QueryPack {
         |e AS (SELECT n, st - corr AS ssb, sxxd - corr AS sst, nd FROM d)
         |SELECT n, CAST(floor((ssb/4.0)/((sst - ssb)/(nd - 5.0))*1e9 + 0.5)
         |    AS BIGINT) AS f9
-        |FROM e""".stripMargin
+        |FROM e""".stripMargin,
+
+    // q285: the three HITS rounds unrolled as generated CTEs with the
+    // identical HUGEINT sums and exact (raw·1e9)//total normalization;
+    // MATERIALIZED per the q184 re-inlining lesson (each round's state
+    // feeds both the next join and its own normalizer).
+    "q285_hits" -> {
+      val head =
+        """WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS c,
+          |    l_partkey AS p
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |h0 AS MATERIALIZED (SELECT c, CAST(1000000000 AS BIGINT) AS h9
+          |  FROM (SELECT DISTINCT c FROM e))""".stripMargin
+      val rounds = (1 to 3).map { i =>
+        s""",
+           |a${i}r AS MATERIALIZED (SELECT p, sum(CAST(h9 AS HUGEINT)) AS ar
+           |  FROM e JOIN h${i - 1} USING (c) GROUP BY p),
+           |a${i}t AS (SELECT sum(ar) AS at FROM a${i}r),
+           |a$i AS MATERIALIZED (SELECT p,
+           |    CAST((ar * 1000000000) // at AS BIGINT) AS a9
+           |  FROM a${i}r, a${i}t),
+           |h${i}r AS MATERIALIZED (SELECT c, sum(CAST(a9 AS HUGEINT)) AS hr
+           |  FROM e JOIN a$i USING (p) GROUP BY c),
+           |h${i}t AS (SELECT sum(hr) AS ht FROM h${i}r),
+           |h$i AS MATERIALIZED (SELECT c,
+           |    CAST((hr * 1000000000) // ht AS BIGINT) AS h9
+           |  FROM h${i}r, h${i}t)""".stripMargin
+      }.mkString
+      head + rounds + "\n" +
+        """SELECT * FROM (
+          |  (SELECT 'auth' AS side, p AS k, a9 AS s9 FROM a3
+          |   ORDER BY s9 DESC, k LIMIT 15)
+          |  UNION ALL
+          |  (SELECT 'hub' AS side, c AS k, h9 AS s9 FROM h3
+          |   ORDER BY s9 DESC, k LIMIT 15))
+          |ORDER BY side, s9 DESC, k""".stripMargin
+    },
+
+    // q286: the textbook one-step recursion — the compare proves the
+    // engine's log-round doubling composes to the same closure.
+    "q286_bom_rollup" ->
+      """WITH RECURSIVE up AS (
+        |  SELECT p_partkey AS node, p_partkey//10 AS cur,
+        |    (p_partkey%5)+1 AS q, CAST(1 AS BIGINT) AS d
+        |  FROM part WHERE p_partkey >= 10
+        |  UNION ALL
+        |  SELECT node, cur//10, q*((cur%5)+1), d+1
+        |  FROM up WHERE cur >= 10)
+        |SELECT cur AS root, count(*) AS n_desc,
+        |  CAST(sum(q) AS BIGINT) AS total_usage,
+        |  CAST(max(d) AS BIGINT) AS max_depth
+        |FROM up WHERE cur <= 9 GROUP BY cur ORDER BY root""".stripMargin
   )
 }

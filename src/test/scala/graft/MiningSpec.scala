@@ -63,6 +63,42 @@ class MiningSpec extends SparkSpec {
       s"engine F $fQ vs brute-force $f")
   }
 
+  test("q285 HITS: 15 per side, normalized units, descending within side") {
+    val rows = run("q285_hits").collect()
+    val bySide = rows.groupBy(_.getAs[String]("side"))
+    assert(bySide.keySet == Set("auth", "hub"))
+    bySide.foreach { case (side, rs) =>
+      assert(rs.length == 15, s"$side has ${rs.length} rows")
+      val scores = rs.map(_.getAs[Long]("s9"))
+      assert(scores.forall(v => v > 0L && v <= 1000000000L),
+        s"$side scores outside (0, 1e9]: ${scores.mkString(",")}")
+      // L1 normalization: the top-15 slice can't exceed the whole mass.
+      assert(scores.sum <= 1000000000L)
+    }
+  }
+
+  test("q286 BOM rollup matches a local recursive climb") {
+    val parts = graft.sources.Tables.part(spark, sfDir)
+      .select("p_partkey").collect().map(_.getLong(0))
+    // Local one-step recursion: (root, qtyProduct, depth) per part.
+    val climbed = parts.filter(_ >= 10L).map { p =>
+      var cur = p; var q = 1L; var d = 0L
+      while (cur >= 10L) { q *= (cur % 5) + 1; cur /= 10; d += 1 }
+      (cur, q, d)
+    }
+    val expect = climbed.groupBy(_._1).map { case (root, xs) =>
+      root -> (xs.length.toLong, xs.map(_._2).sum, xs.map(_._3).max)
+    }
+    val rows = run("q286_bom_rollup").collect()
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (n, usage, depth) = expect(r.getAs[Long]("root"))
+      assert(r.getAs[Long]("n_desc") == n)
+      assert(r.getAs[Long]("total_usage") == usage)
+      assert(r.getAs[Long]("max_depth") == depth)
+    }
+  }
+
   test("q255 RFM: quintiles partition customers into near-equal fifths") {
     val rows = run("q255_rfm_segments").collect()
     val n = graft.sources.Tables.orders(spark, sfDir)

@@ -529,7 +529,8 @@ class PlanSpec extends SparkSpec {
       "q267_langid_confusion" -> "1-row corpus-total broadcast",
       "q269_freshness_audit" ->
         "1-row watermark broadcasts (per-table trailing-window count)",
-      "q270_jain_fairness" -> "16-row node-grid fanout (bounded constant)")
+      "q270_jain_fairness" -> "16-row node-grid fanout (bounded constant)",
+      "q285_hits" -> "1-row L1-normalizer broadcast (per half-round)")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
