@@ -1955,6 +1955,77 @@ object AnalyticsQueries extends QueryPack {
           sum("bumped").as("n_bumped"), sum("alloc_sum").as("alloc_total"),
           sum(col("alloc_sum") - col("pool")).as("resid_total"))
         .orderBy("prio")
+    }),
+
+    // ---------------------------------------------------------------
+    // q287: INCLUSION-DEPENDENCY DISCOVERY — the cross-table
+    // complement of q280's (intra-table) FD discovery and q246's
+    // (declared-FK) integrity audit: over a candidate grid of
+    // type-compatible column pairs, test A ⊆ B and report the
+    // violation count + g3-style error (min deletions / |distinct A|)
+    // for the pairs that fail — the Metanome/SPIDER-class schema
+    // inference step that DISCOVERS the FK graph q246 assumes. One
+    // branch per pair (the q252/q280 lesson: per-pair column-pruned
+    // scans + narrow distinct shuffles beat any single wide plan);
+    // each branch is distinct(A) left-join distinct(B) → one 2-sum
+    // aggregate — no row explosion, any-scale safe. The grid spans
+    // the 7 true FK INDs, the 2 reverse candidates the data genuinely
+    // decides (customers without orders, parts never sold — hold or
+    // fail per the generator), and the 25-value nation reverse.
+    "q287_ind_discovery" -> ((s, dir) => {
+      def branch(name: String, lhs: org.apache.spark.sql.DataFrame,
+          lcol: String, rhs: org.apache.spark.sql.DataFrame,
+          rcol: String) = {
+        val l = lhs.select(col(lcol).cast("long").as("v")).distinct()
+        val r = rhs.select(col(rcol).cast("long").as("rv")).distinct()
+        l.join(r, col("v") === col("rv"), "left")
+          .agg(count(lit(1)).as("n_lhs"),
+            sum(when(col("rv").isNull, 1L).otherwise(0L)).as("n_missing"))
+          .select(lit(name).as("pair"), col("n_lhs"), col("n_missing"),
+            (col("n_missing") === 0L).cast("int").as("holds"),
+            q9(col("n_missing").cast("double") / col("n_lhs").cast("double"))
+              .as("err9"))
+      }
+      val c = Tables.customer(s, dir); val n = Tables.nation(s, dir)
+      val o = Tables.orders(s, dir); val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir); val su = Tables.supplier(s, dir)
+      val r = Tables.region(s, dir)
+      Seq(
+        branch("c_nationkey<n_nationkey", c, "c_nationkey", n, "n_nationkey"),
+        branch("s_nationkey<n_nationkey", su, "s_nationkey", n, "n_nationkey"),
+        branch("n_regionkey<r_regionkey", n, "n_regionkey", r, "r_regionkey"),
+        branch("o_custkey<c_custkey", o, "o_custkey", c, "c_custkey"),
+        branch("l_orderkey<o_orderkey", li, "l_orderkey", o, "o_orderkey"),
+        branch("l_partkey<p_partkey", li, "l_partkey", p, "p_partkey"),
+        branch("l_suppkey<s_suppkey", li, "l_suppkey", su, "s_suppkey"),
+        branch("c_custkey<o_custkey", c, "c_custkey", o, "o_custkey"),
+        branch("p_partkey<l_partkey", p, "p_partkey", li, "l_partkey"),
+        branch("n_nationkey<c_nationkey", n, "n_nationkey", c, "c_nationkey"))
+        .reduce(_ unionAll _)
+        .orderBy("pair")
+    }),
+
+    // ---------------------------------------------------------------
+    // q288: l-DIVERSITY AUDIT — the privacy metric k-anonymity (q259)
+    // famously fails to capture: a QI group can be large (k-anonymous)
+    // yet expose everyone when all its members share one sensitive
+    // value. QI = (nation, market segment), sensitive = the
+    // 1000-currency-unit balance band. Output: the distribution of
+    // distinct-l over QI groups (groups + members per l) plus each
+    // l's failure flag against l ≥ 3 — two hash aggregates over the
+    // QI key space, exact distinct via the (QI, band) pre-aggregate,
+    // no windows, any-scale safe.
+    "q288_l_diversity" -> ((s, dir) => {
+      val qi = Tables.customer(s, dir)
+        .select(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+          expr("cast(floor(c_acctbal / 1000.0) as long)").as("band"))
+      val grp = qi.groupBy("nk", "seg", "band").agg(count(lit(1)).as("c"))
+        .groupBy("nk", "seg")
+        .agg(count(lit(1)).as("l"), sum("c").as("members"))
+      grp.groupBy("l")
+        .agg(count(lit(1)).as("n_groups"), sum("members").as("n_members"))
+        .withColumn("violates", (col("l") < 3L).cast("int"))
+        .orderBy("l")
     })
   )
 
@@ -3256,6 +3327,50 @@ object AnalyticsQueries extends QueryPack {
         |  CAST(sum(bumped) AS BIGINT) AS n_bumped,
         |  CAST(sum(alloc_sum) AS BIGINT) AS alloc_total,
         |  CAST(sum(alloc_sum - pool) AS BIGINT) AS resid_total
-        |FROM po GROUP BY prio ORDER BY prio""".stripMargin
+        |FROM po GROUP BY prio ORDER BY prio""".stripMargin,
+
+    // q287: one generated UNION ALL branch per candidate pair — the
+    // anti-join count via NOT IN over non-null integer keys.
+    "q287_ind_discovery" -> {
+      val pairs = Seq(
+        ("c_nationkey<n_nationkey", "c_nationkey", "customer", "n_nationkey", "nation"),
+        ("s_nationkey<n_nationkey", "s_nationkey", "supplier", "n_nationkey", "nation"),
+        ("n_regionkey<r_regionkey", "n_regionkey", "nation", "r_regionkey", "region"),
+        ("o_custkey<c_custkey", "o_custkey", "orders", "c_custkey", "customer"),
+        ("l_orderkey<o_orderkey", "l_orderkey", "lineitem", "o_orderkey", "orders"),
+        ("l_partkey<p_partkey", "l_partkey", "lineitem", "p_partkey", "part"),
+        ("l_suppkey<s_suppkey", "l_suppkey", "lineitem", "s_suppkey", "supplier"),
+        ("c_custkey<o_custkey", "c_custkey", "customer", "o_custkey", "orders"),
+        ("p_partkey<l_partkey", "p_partkey", "part", "l_partkey", "lineitem"),
+        ("n_nationkey<c_nationkey", "n_nationkey", "nation", "c_nationkey", "customer"))
+      pairs.map { case (name, lc, lt, rc, rt) =>
+        s"""SELECT '$name' AS pair, n_lhs, n_missing,
+           |  CAST(n_missing = 0 AS INT) AS holds,
+           |  CAST(floor(CAST(n_missing AS DOUBLE)/CAST(n_lhs AS DOUBLE)*1e9
+           |    + 0.5) AS BIGINT) AS err9
+           |FROM (SELECT
+           |  (SELECT count(*) FROM (SELECT DISTINCT CAST($lc AS BIGINT) AS v
+           |     FROM $lt)) AS n_lhs,
+           |  (SELECT count(*) FROM (SELECT DISTINCT CAST($lc AS BIGINT) AS v
+           |     FROM $lt)
+           |   WHERE v NOT IN (SELECT CAST($rc AS BIGINT) FROM $rt))
+           |    AS n_missing)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY pair")
+    },
+
+    // q288: the same two-level aggregate; band via floor-division.
+    "q288_l_diversity" ->
+      """WITH qi AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
+        |  FROM customer),
+        |g1 AS (SELECT nk, seg, band, count(*) AS c
+        |  FROM qi GROUP BY 1, 2, 3),
+        |g2 AS (SELECT nk, seg, count(*) AS l, CAST(sum(c) AS BIGINT)
+        |    AS members
+        |  FROM g1 GROUP BY 1, 2)
+        |SELECT l, count(*) AS n_groups,
+        |  CAST(sum(members) AS BIGINT) AS n_members,
+        |  CAST(l < 3 AS INT) AS violates
+        |FROM g2 GROUP BY l ORDER BY l""".stripMargin
   )
 }

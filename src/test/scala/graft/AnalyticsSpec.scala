@@ -34,6 +34,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("alloc_total")).sum == pools)
   }
 
+  test("q287 IND discovery: declared FKs hold, err consistent with missing") {
+    val rows = run("q287_ind_discovery").collect()
+    assert(rows.length == 10)
+    val byPair = rows.map(r => r.getAs[String]("pair") -> r).toMap
+    // The generator's real FK edges must be discovered as holding INDs.
+    Seq("c_nationkey<n_nationkey", "s_nationkey<n_nationkey",
+      "n_regionkey<r_regionkey", "o_custkey<c_custkey",
+      "l_orderkey<o_orderkey", "l_partkey<p_partkey",
+      "l_suppkey<s_suppkey").foreach { p =>
+      assert(byPair(p).getAs[Int]("holds") == 1, s"$p should hold")
+      assert(byPair(p).getAs[Long]("n_missing") == 0L)
+    }
+    rows.foreach { r =>
+      assert((r.getAs[Int]("holds") == 1) == (r.getAs[Long]("n_missing") == 0L))
+      assert(r.getAs[Long]("n_missing") <= r.getAs[Long]("n_lhs"))
+    }
+  }
+
+  test("q288 l-diversity: members partition the customer table") {
+    val rows = run("q288_l_diversity").collect()
+    val total = rows.map(_.getAs[Long]("n_members")).sum
+    assert(total == graft.sources.Tables.customer(spark, sfDir).count())
+    rows.foreach { r =>
+      assert((r.getAs[Long]("l") < 3L) == (r.getAs[Int]("violates") == 1))
+    }
+  }
+
   test("q268 WoW growth recomputes from the weekly cells") {
     val rows = run("q268_wow_growth").collect()
     rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
