@@ -2363,7 +2363,126 @@ object LlmQueries extends QueryPack {
           octet_length(col("media")).as("n_bytes"),
           (octet_length(col("media")) % 1920).as("width"),
           (octet_length(col("media")) % 1080).as("height"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---------------------------------------------------------------
+    // q289: DSIR-CLASS IMPORTANCE WEIGHTS — Data Selection via
+    // Importance Resampling (Xie et al. 2023) re-expressed on the
+    // unigram feature space: score every non-English doc by the
+    // log-likelihood ratio of its tokens under the English (target)
+    // vs rest (raw) unigram LMs with add-one smoothing over the
+    // shared vocab. Determinism is the q101 house pattern taken one
+    // step further: each TOKEN's log-ratio is ONE fixed double dag
+    // quantized half-up to 1e-9 integer units, and the per-doc score
+    // is then an ORDER-INDEPENDENT BIGINT sum (|lr| ≤ ~3e10 units ×
+    // 1e4 tokens/doc ≪ 2⁶³) — a float Σ log would be partitioning-
+    // dependent. Scale: the token stream materializes once
+    // (four consumers), count tables are vocab-bounded, the scoring
+    // join shuffles on the token key, top-20 is a TakeOrdered.
+    "q289_dsir_weights" -> ((s, dir) => {
+      val tk = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(Text.tokens(col("text"))).as("tok"))
+        .localCheckpoint(false)
+      val tgt = tk.filter(col("lang") === "en").groupBy("tok")
+        .agg(count(lit(1)).as("ct"))
+      val raw = tk.filter(col("lang") =!= "en").groupBy("tok")
+        .agg(count(lit(1)).as("cr"))
+      val stats = broadcast(tk.agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("nr"),
+        count_distinct(col("tok")).as("v")))
+      val ratio = tgt.join(raw, Seq("tok"), "full")
+        .select(col("tok"), coalesce(col("ct"), lit(0L)).as("ct"),
+          coalesce(col("cr"), lit(0L)).as("cr"))
+        .crossJoin(stats)
+        .select(col("tok"),
+          floor((log((col("ct") + 1).cast("double") /
+              (col("nt") + col("v")).cast("double")) -
+            log((col("cr") + 1).cast("double") /
+              (col("nr") + col("v")).cast("double"))) * lit(1e9) + lit(0.5))
+            .cast("long").as("lr9"))
+      tk.filter(col("lang") =!= "en")
+        .join(ratio, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tok"), sum("lr9").as("w9"))
+        .orderBy(col("w9").desc, col("doc_id")).limit(20)
+    }),
+
+    // ---------------------------------------------------------------
+    // q290: MISRA–GRIES HEAVY HITTERS WITH AN EXACTNESS GUARANTEE —
+    // the streaming-sketch counterpart of q117's count-min: find every
+    // token with frequency > N/64 WITHOUT a vocab-wide shuffle. Pass 1
+    // runs the mergeable 64-counter MG summary (functions/Aggregators
+    // .scala — map-side partial summaries are ≤64 entries, the shuffle
+    // moves k counters per partition, not the vocab); its candidate
+    // set provably contains every true heavy hitter under any merge
+    // tree (undercount ≤ N/65 < the N/64 threshold). Pass 2 exact-
+    // counts ONLY the ≤64 broadcast candidates and applies the
+    // threshold — so the OUTPUT is exact and partitioning-independent
+    // even though the intermediate sketch isn't, and the oracle is the
+    // plain GROUP BY ... HAVING the sketch exists to avoid.
+    "q290_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val tk = Tables.documents(s, dir)
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .localCheckpoint(false)
+      val cands = tk.as[String]
+        .select(new graft.functions.Aggregators.MisraGriesAgg(64).toColumn
+          .name("cands"))
+        .select(explode(col("cands")).as("tok"))
+      val nTot = broadcast(tk.agg(count(lit(1)).as("n")))
+      tk.join(broadcast(cands), "tok")
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .crossJoin(nTot)
+        .filter(col("cnt") * lit(64L) > col("n"))
+        .select(col("tok"), col("cnt"),
+          floor(col("cnt").cast("double") / col("n").cast("double") * lit(1e9)
+            + lit(0.5)).cast("long").as("share9"))
+        .orderBy(col("cnt").desc, col("tok"))
+    }),
+
+    // ---------------------------------------------------------------
+    // q291: AMS F₂ SKETCH — the second-frequency-moment estimator
+    // (Alon–Matias–Szegedy) over the part-key frequency vector, the
+    // self-join-size/skew statistic next to q117 (point frequencies)
+    // and q242 (distinct count). 16 sketch rows; sign_r(key) = ±1 from
+    // one md5 hex digit (rerun/engine-stable, replayed verbatim in
+    // SQL); row sums Σ f·sign and their squares ride DECIMAL(38,0) —
+    // |S| ≤ N total rows, so S² fits to N = 1e19, a documented bound
+    // far past any real corpus. Estimate = lower median (8th
+    // of 16 ordered squares — exact integer pick, no float averaging),
+    // compared in-query against the EXACT F₂ from the same value-count
+    // table (one fixed double dag → 1e-9-quantized relative error).
+    // Scale: one fact aggregate to the vocab-bounded count table
+    // (materialized once), a 16× bounded fanout, two constant-size
+    // finals.
+    "q291_ams_f2" -> ((s, dir) => {
+      val vc = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("f"))
+        .localCheckpoint(false)
+      val dec38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val sgn = (conv(substring(md5(concat(col("r").cast("string"), lit(":"),
+        col("k").cast("string"))), 1, 1), 16, 10).cast("int") % 2 * 2 - 1)
+      val est = vc
+        .select(col("k"), col("f"),
+          explode(array((0 until 16).map(lit(_)): _*)).as("r"))
+        .groupBy("r").agg(sum(dec38(col("f")) * sgn).as("sr"))
+        .select(col("r"), (col("sr") * col("sr")).as("e"))
+      val med = est
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("e"), col("r"))))
+        .filter(col("rn") === 8).select(col("e"))
+      val ex = vc.agg(sum(dec38(col("f")) * dec38(col("f"))).as("f2"),
+        count(lit(1)).as("n_items"), sum("f").as("n_rows"))
+      ex.crossJoin(med)
+        .select(col("n_items"), col("n_rows"),
+          col("f2").cast("double").as("f2_exact"),
+          col("e").cast("double").as("f2_est"),
+          floor(abs(col("e").cast("double") - col("f2").cast("double")) /
+            col("f2").cast("double") * lit(1e9) + lit(0.5)).cast("long")
+            .as("relerr9"))
+    })
   )
 
   /** q210's oracle: the greedy MMR selection unrolled to
@@ -4288,6 +4407,74 @@ object LlmQueries extends QueryPack {
         |  CAST(CASE WHEN (CASE WHEN d64 = 0 THEN 0.0 ELSE d16 / d64 END) >= 0.9
         |    THEN 1 ELSE 0 END AS INT) AS keep_16
         |FROM m ORDER BY vec_id""".stripMargin,
+
+    // q289: the same smoothed unigram LLR with the identical ln dag
+    // and 1e-9 pre-sum quantization; FULL JOIN + coalesce mirrors the
+    // engine's vocab union.
+    "q289_dsir_weights" ->
+      """WITH tk AS MATERIALIZED (SELECT doc_id, lang,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS tok
+        |  FROM documents),
+        |tgt AS (SELECT tok, CAST(count(*) AS BIGINT) AS ct FROM tk
+        |  WHERE lang = 'en' GROUP BY 1),
+        |raw AS (SELECT tok, CAST(count(*) AS BIGINT) AS cr FROM tk
+        |  WHERE lang <> 'en' GROUP BY 1),
+        |st AS (SELECT
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nt,
+        |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nr,
+        |    CAST(count(DISTINCT tok) AS BIGINT) AS v
+        |  FROM tk),
+        |ratio AS MATERIALIZED (SELECT tok,
+        |    CAST(floor((ln(CAST(coalesce(ct, 0) + 1 AS DOUBLE)
+        |        / CAST(nt + v AS DOUBLE))
+        |      - ln(CAST(coalesce(cr, 0) + 1 AS DOUBLE)
+        |        / CAST(nr + v AS DOUBLE))) * 1e9 + 0.5) AS BIGINT) AS lr9
+        |  FROM tgt FULL JOIN raw USING (tok), st)
+        |SELECT doc_id, lang, count(*) AS n_tok,
+        |  CAST(sum(lr9) AS BIGINT) AS w9
+        |FROM tk JOIN ratio USING (tok)
+        |WHERE lang <> 'en'
+        |GROUP BY 1, 2 ORDER BY w9 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q290: the sketch exists to avoid this plan — the oracle IS the
+    // exact GROUP BY ... HAVING the MG guarantee reduces to.
+    "q290_heavy_hitters" ->
+      """WITH tk AS MATERIALIZED (SELECT
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM tk)
+        |SELECT tok, cnt,
+        |  CAST(floor(CAST(cnt AS DOUBLE)/CAST(n AS DOUBLE)*1e9 + 0.5)
+        |    AS BIGINT) AS share9
+        |FROM c, n WHERE cnt*64 > n ORDER BY cnt DESC, tok""".stripMargin,
+
+    // q291: identical md5-digit signs, HUGEINT row sums, lower-median
+    // pick, and relative-error dag.
+    "q291_ams_f2" ->
+      """WITH vc AS MATERIALIZED (SELECT l_partkey AS k, count(*) AS f
+        |  FROM lineitem GROUP BY 1),
+        |s AS (SELECT r.range AS r,
+        |    sum(CAST(f AS HUGEINT) *
+        |      (('0x' || substring(md5(CAST(r.range AS VARCHAR) || ':'
+        |        || CAST(k AS VARCHAR)), 1, 1))::INT % 2 * 2 - 1)) AS sr
+        |  FROM vc, range(0, 16) r GROUP BY 1),
+        |est AS (SELECT r, sr*sr AS e FROM s),
+        |med AS (SELECT e FROM (SELECT e,
+        |    row_number() OVER (ORDER BY e, r) AS rn FROM est)
+        |  WHERE rn = 8),
+        |ex AS (SELECT sum(CAST(f AS HUGEINT)*CAST(f AS HUGEINT)) AS f2,
+        |    count(*) AS n_items, CAST(sum(f) AS BIGINT) AS n_rows
+        |  FROM vc)
+        |SELECT n_items, n_rows, CAST(f2 AS DOUBLE) AS f2_exact,
+        |  CAST(e AS DOUBLE) AS f2_est,
+        |  CAST(floor(abs(CAST(e AS DOUBLE) - CAST(f2 AS DOUBLE))
+        |    / CAST(f2 AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS relerr9
+        |FROM ex, med""".stripMargin,
 
     // q54/q55: xxhash64-based sketches have no DuckDB equivalent →
     // rows-only + LlmSpec property tests. q56/q67 ARE oracle-checked

@@ -917,4 +917,58 @@ class LlmSpec extends SparkSpec {
       assert(r.getAs[Int]("keep_16") == (if (f >= 0.9) 1 else 0))
     }
   }
+
+  test("MisraGriesAgg: no true heavy hitter is lost under any merge split") {
+    // Adversarial stream: one item at 3% of a 10k-element stream over a
+    // 64-counter summary (threshold 1/65 ≈ 1.5%), drowned in 2000
+    // near-uniform distractors. Exercise single-fold and several
+    // unbalanced merge trees; the guarantee is one-sided — the heavy
+    // item must survive every time.
+    val agg = new graft.functions.Aggregators.MisraGriesAgg(64)
+    val stream = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0 until 300).foreach(_ => stream += "HEAVY")
+    (0 until 9700).foreach(i => stream += s"d${i % 2000}")
+    // Deterministic interleave so HEAVY isn't front-loaded.
+    val mixed = stream.zipWithIndex
+      .sortBy { case (_, i) => (i * 2654435761L) % 10000 }.map(_._1)
+    def fold(xs: Seq[String]) = xs.foldLeft(agg.zero)(agg.reduce)
+    val whole = agg.finish(fold(mixed.toSeq))
+    assert(whole.contains("HEAVY"), "single-fold lost the heavy hitter")
+    for (parts <- Seq(2, 7, 32)) {
+      val merged = mixed.toSeq.grouped((mixed.size + parts - 1) / parts)
+        .map(fold).reduce(agg.merge)
+      assert(agg.finish(merged).contains("HEAVY"),
+        s"$parts-way merge lost the heavy hitter")
+      assert(merged.size <= 64, s"summary exceeded k: ${merged.size}")
+    }
+  }
+
+  test("q290 heavy hitters equals the exact brute-force threshold set") {
+    val got = SparkEntry.queries("q290_heavy_hitters")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("tok") -> r.getAs[Long]("cnt")).toMap
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(graft.ops.Text.tokens(col("text"))).as("tok"))
+      .collect().map(_.getString(0))
+    val counts = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = toks.length.toLong
+    val expect = counts.filter { case (_, c) => c * 64 > n }
+    assert(got == expect, s"got ${got.size} vs exact ${expect.size}")
+  }
+
+  test("q289 DSIR: scores are non-English, ordered, and token-consistent") {
+    val rows = SparkEntry.queries("q289_dsir_weights")(spark, sfDir).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getAs[String]("lang") != "en"))
+    val w = rows.map(_.getAs[Long]("w9"))
+    assert(w.zip(w.tail).forall { case (a, b) => a >= b }, "not descending")
+    assert(rows.forall(_.getAs[Long]("n_tok") > 0L))
+  }
+
+  test("q291 AMS F2: estimate positive and within 3x of exact") {
+    val r = SparkEntry.queries("q291_ams_f2")(spark, sfDir).collect().head
+    assert(r.getAs[Double]("f2_exact") > 0.0)
+    assert(r.getAs[Double]("f2_est") >= 0.0)
+    assert(r.getAs[Long]("relerr9") < 3000000000L,
+      s"relative error ${r.getAs[Long]("relerr9")} exceeds 3x")
+  }
 }

@@ -530,7 +530,10 @@ class PlanSpec extends SparkSpec {
       "q269_freshness_audit" ->
         "1-row watermark broadcasts (per-table trailing-window count)",
       "q270_jain_fairness" -> "16-row node-grid fanout (bounded constant)",
-      "q285_hits" -> "1-row L1-normalizer broadcast (per half-round)")
+      "q285_hits" -> "1-row L1-normalizer broadcast (per half-round)",
+      "q289_dsir_weights" -> "1-row corpus-stats broadcast onto the vocab table",
+      "q290_heavy_hitters" -> "1-row token-total broadcast over <=64 candidates",
+      "q291_ams_f2" -> "1-row exact-moment x 1-row median cross join")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
