@@ -181,6 +181,64 @@ object JoinQueries extends QueryPack {
         .agg(count(lit(1)).as("n_sessions"),
           countDistinct("user_id").as("n_users"))
         .orderBy("p_id")
+    }),
+
+    // ---------------------------------------------------------------
+    // q292: EXACT SPATIAL NEAREST-NEIGHBOR JOIN — the grid-bucketed
+    // all-nearest shape (every customer → its closest supplier in a
+    // deterministic md5-planted 1e6×1e6 integer plane, squared-
+    // Euclidean metric so everything stays BIGINT-exact, ties by min
+    // supplier key via the packed min-struct). The 100 TB plan:
+    // suppliers (the dim side) replicate to their 3×3 neighbor cells
+    // (9× a dim table) and customers equi-join their OWN cell — never
+    // a cross join. The EXACTNESS argument: if the global nearest has
+    // d² ≤ g² (g = the 1e5 cell width) its Chebyshev distance ≤ g, so
+    // it lies in the ring and ring-best = global-best; otherwise the
+    // customer falls back to a broadcast probe of the full (dim-sized)
+    // supplier table. So `via` ('ring'/'full') is itself a pure
+    // function of the data — the oracle replays it from the brute-
+    // force minimum alone, proving the two-phase plan exact, the same
+    // compare-against-the-plan-it-avoids discipline as q290.
+    "q292_grid_nn_join" -> ((s, dir) => {
+      def coord(tag: String, k: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit(tag), k.cast("string"))), 1, 5), 16, 10)
+          .cast("long") % 1000000L
+      val g = 100000L
+      val cust = Tables.customer(s, dir).select(col("c_custkey").as("ck"),
+          coord("cx:", col("c_custkey")).as("cx"),
+          coord("cy:", col("c_custkey")).as("cy"))
+        .withColumn("gx", expr(s"cx div $g"))
+        .withColumn("gy", expr(s"cy div $g"))
+        .localCheckpoint(false)
+      val supp = Tables.supplier(s, dir).select(col("s_suppkey").as("sk"),
+          coord("sx:", col("s_suppkey")).as("sx"),
+          coord("sy:", col("s_suppkey")).as("sy"))
+        .localCheckpoint(false)
+      val offs = array((-1 to 1).map(lit(_)): _*)
+      val reps = supp
+        .select(col("sk"), col("sx"), col("sy"), explode(offs).as("dx"))
+        .select(col("sk"), col("sx"), col("sy"),
+          (expr(s"sx div $g") + col("dx")).as("gx"), explode(offs).as("dy"))
+        .select(col("sk"), col("sx"), col("sy"), col("gx"),
+          (expr(s"sy div $g") + col("dy")).as("gy"))
+      val d2 = (col("cx") - col("sx")) * (col("cx") - col("sx")) +
+        (col("cy") - col("sy")) * (col("cy") - col("sy"))
+      val ring = cust.join(reps, Seq("gx", "gy"))
+        .groupBy("ck")
+        .agg(min(struct(d2.as("d2"), col("sk"))).as("m"))
+        .select(col("ck"), col("m.d2").as("d2"), col("m.sk").as("sk"))
+      val ringOk = ring.filter(col("d2") <= lit(g * g))
+      val misses = cust
+        .join(ringOk.select(col("ck").as("rk")), col("ck") === col("rk"),
+          "left_anti")
+      val full = misses.crossJoin(broadcast(supp))
+        .groupBy("ck")
+        .agg(min(struct(d2.as("d2"), col("sk"))).as("m"))
+        .select(col("ck"), col("m.d2").as("d2"), col("m.sk").as("sk"))
+      ringOk.withColumn("via", lit("ring"))
+        .unionAll(full.withColumn("via", lit("full")))
+        .select(col("ck"), col("sk").as("nearest_sk"), col("d2"), col("via"))
+        .orderBy("ck")
     })
   )
 
@@ -266,6 +324,32 @@ object JoinQueries extends QueryPack {
         |  count(DISTINCT user_id) AS n_users
         |FROM intervals JOIN promos
         |  ON s_start < pe AND ps <= s_end
-        |GROUP BY p_id ORDER BY p_id""".stripMargin
+        |GROUP BY p_id ORDER BY p_id""".stripMargin,
+
+    // q292: the oracle is the BRUTE-FORCE all-pairs minimum the grid
+    // plan exists to avoid; `via` replays from the global minimum
+    // alone (global d² ≤ g² ⟺ the nearest lies in the 3×3 ring).
+    "q292_grid_nn_join" ->
+      """WITH c AS (SELECT c_custkey AS ck,
+        |    ('0x' || substring(md5('cx:' || CAST(c_custkey AS VARCHAR)),
+        |      1, 5))::BIGINT % 1000000 AS cx,
+        |    ('0x' || substring(md5('cy:' || CAST(c_custkey AS VARCHAR)),
+        |      1, 5))::BIGINT % 1000000 AS cy
+        |  FROM customer),
+        |s AS (SELECT s_suppkey AS sk,
+        |    ('0x' || substring(md5('sx:' || CAST(s_suppkey AS VARCHAR)),
+        |      1, 5))::BIGINT % 1000000 AS sx,
+        |    ('0x' || substring(md5('sy:' || CAST(s_suppkey AS VARCHAR)),
+        |      1, 5))::BIGINT % 1000000 AS sy
+        |  FROM supplier),
+        |pairs AS (SELECT ck,
+        |    (cx-sx)*(cx-sx) + (cy-sy)*(cy-sy) AS d2, sk
+        |  FROM c, s),
+        |best AS (SELECT ck, d2, sk FROM (SELECT ck, d2, sk,
+        |    row_number() OVER (PARTITION BY ck ORDER BY d2, sk) AS rn
+        |  FROM pairs) WHERE rn = 1)
+        |SELECT ck, sk AS nearest_sk, d2,
+        |  CASE WHEN d2 <= 10000000000 THEN 'ring' ELSE 'full' END AS via
+        |FROM best ORDER BY ck""".stripMargin
   )
 }

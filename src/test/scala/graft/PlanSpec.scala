@@ -533,7 +533,9 @@ class PlanSpec extends SparkSpec {
       "q285_hits" -> "1-row L1-normalizer broadcast (per half-round)",
       "q289_dsir_weights" -> "1-row corpus-stats broadcast onto the vocab table",
       "q290_heavy_hitters" -> "1-row token-total broadcast over <=64 candidates",
-      "q291_ams_f2" -> "1-row exact-moment x 1-row median cross join")
+      "q291_ams_f2" -> "1-row exact-moment x 1-row median cross join",
+      "q292_grid_nn_join" ->
+        "dim-table fallback probe for the provably-rare ring misses")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),

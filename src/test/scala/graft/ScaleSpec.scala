@@ -133,4 +133,19 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("__fsalt") && plan.contains("__dsalt"),
       s"expected the salt in the join keys:\n$plan")
   }
+
+  test("q292 grid NN: one row per customer, via consistent with the g2 bound") {
+    val rows = SparkEntry.queries("q292_grid_nn_join")(spark, sfDir).collect()
+    val nCust = graft.sources.Tables.customer(spark, sfDir).count()
+    assert(rows.length.toLong == nCust, "must resolve every customer exactly once")
+    assert(rows.map(_.getAs[Long]("ck")).distinct.length == rows.length)
+    val g2 = 100000L * 100000L
+    rows.foreach { r =>
+      val d2 = r.getAs[Long]("d2")
+      assert(d2 >= 0L)
+      // ring-resolved iff the global minimum clears the cell-width bound
+      assert((r.getAs[String]("via") == "ring") == (d2 <= g2),
+        s"ck=${r.getAs[Long]("ck")} via=${r.getAs[String]("via")} d2=$d2")
+    }
+  }
 }
