@@ -2482,6 +2482,58 @@ object LlmQueries extends QueryPack {
           floor(abs(col("e").cast("double") - col("f2").cast("double")) /
             col("f2").cast("double") * lit(1e9) + lit(0.5)).cast("long")
             .as("relerr9"))
+    }),
+
+    // ---------------------------------------------------------------
+    // q296: AMS JOIN-SIZE ESTIMATE — the inner-product generalization
+    // of q291's F₂: |events ⋈ orders on user = cust| = Σ_k f_E(k)·
+    // f_O(k), the cardinality statistic a cost-based planner needs
+    // BEFORE running the join. Both sides sketch with the SAME 16
+    // md5-digit sign rows (sharing the hash family is load-bearing —
+    // E[S_E·S_O] = Σ f_E·f_O only under identical signs; the q261
+    // lesson made explicit), est = lower median of the 16 signed
+    // products (can be negative — the median, not |median|, is the
+    // estimator); the exact inner product computes from the SAME two
+    // value-count tables so sketch and truth can't desync. Products
+    // bounded |S_E·S_O| ≤ N_E·N_O < 10³⁸ — documented DECIMAL bound.
+    // The surfaced relerr is the HONEST story: near-uniform
+    // independent key frequencies are the estimator's worst case
+    // (noise √(F₂(E)·F₂(O)) dominates the true inner product — 116%
+    // here), which is exactly why planners combine sketches; the spec
+    // pins the deterministic error inside the 6·√(F₂·F₂) envelope.
+    // Scale: one aggregate per side, 16× bounded fanouts, constant
+    // finals.
+    "q296_joinsize_sketch" -> ((s, dir) => {
+      val dec38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val fe = Tables.events(s, dir).groupBy(col("user_id").as("k"))
+        .agg(count(lit(1)).as("f")).localCheckpoint(false)
+      val fo = Tables.orders(s, dir).groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("f")).localCheckpoint(false)
+      val exact = fe.select(col("k"), col("f").as("f1"))
+        .join(fo.select(col("k"), col("f").as("f2")), "k")
+        .agg(sum(dec38(col("f1")) * dec38(col("f2"))).as("js"))
+      val sgn = (conv(substring(md5(concat(lit("js:"), col("r").cast("string"),
+        lit(":"), col("k").cast("string"))), 1, 1), 16, 10).cast("int")
+        % 2 * 2 - 1)
+      def rows16(df: org.apache.spark.sql.DataFrame, out: String) = df
+        .select(col("k"), col("f"),
+          explode(array((0 until 16).map(lit(_)): _*)).as("r"))
+        .groupBy("r").agg(sum(dec38(col("f")) * sgn).as(out))
+      val est = rows16(fe, "se").join(rows16(fo, "so"), "r")
+        .select(col("r"), (col("se") * col("so")).as("e"))
+      val med = est
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("e"), col("r"))))
+        .filter(col("rn") === 8).select(col("e"))
+      val stats = broadcast(fe.agg(count(lit(1)).as("n_keys_e")))
+        .crossJoin(broadcast(fo.agg(count(lit(1)).as("n_keys_o"))))
+      exact.crossJoin(med).crossJoin(stats)
+        .select(col("n_keys_e"), col("n_keys_o"),
+          col("js").cast("double").as("js_exact"),
+          col("e").cast("double").as("js_est"),
+          floor(abs(col("e").cast("double") - col("js").cast("double")) /
+            col("js").cast("double") * lit(1e9) + lit(0.5)).cast("long")
+            .as("relerr9"))
     })
   )
 
@@ -4475,6 +4527,41 @@ object LlmQueries extends QueryPack {
         |  CAST(floor(abs(CAST(e AS DOUBLE) - CAST(f2 AS DOUBLE))
         |    / CAST(f2 AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS relerr9
         |FROM ex, med""".stripMargin,
+
+    // q296: identical shared-salt signs on both sides, HUGEINT row
+    // sums, signed lower-median product, exact inner product from the
+    // same value-count tables.
+    "q296_joinsize_sketch" ->
+      """WITH fe AS MATERIALIZED (SELECT user_id AS k, count(*) AS f
+        |  FROM events GROUP BY 1),
+        |fo AS MATERIALIZED (SELECT o_custkey AS k, count(*) AS f
+        |  FROM orders GROUP BY 1),
+        |ex AS (SELECT sum(CAST(fe.f AS HUGEINT)*CAST(fo.f AS HUGEINT))
+        |    AS js
+        |  FROM fe JOIN fo USING (k)),
+        |se AS (SELECT r.range AS r,
+        |    sum(CAST(f AS HUGEINT) *
+        |      (('0x' || substring(md5('js:' || CAST(r.range AS VARCHAR)
+        |        || ':' || CAST(k AS VARCHAR)), 1, 1))::INT % 2 * 2 - 1))
+        |      AS se
+        |  FROM fe, range(0, 16) r GROUP BY 1),
+        |so AS (SELECT r.range AS r,
+        |    sum(CAST(f AS HUGEINT) *
+        |      (('0x' || substring(md5('js:' || CAST(r.range AS VARCHAR)
+        |        || ':' || CAST(k AS VARCHAR)), 1, 1))::INT % 2 * 2 - 1))
+        |      AS so
+        |  FROM fo, range(0, 16) r GROUP BY 1),
+        |est AS (SELECT se.r, se*so AS e FROM se JOIN so USING (r)),
+        |med AS (SELECT e FROM (SELECT e,
+        |    row_number() OVER (ORDER BY e, r) AS rn FROM est)
+        |  WHERE rn = 8),
+        |st AS (SELECT (SELECT count(*) FROM fe) AS n_keys_e,
+        |    (SELECT count(*) FROM fo) AS n_keys_o)
+        |SELECT n_keys_e, n_keys_o, CAST(js AS DOUBLE) AS js_exact,
+        |  CAST(e AS DOUBLE) AS js_est,
+        |  CAST(floor(abs(CAST(e AS DOUBLE) - CAST(js AS DOUBLE))
+        |    / CAST(js AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS relerr9
+        |FROM ex, med, st""".stripMargin,
 
     // q54/q55: xxhash64-based sketches have no DuckDB equivalent →
     // rows-only + LlmSpec property tests. q56/q67 ARE oracle-checked

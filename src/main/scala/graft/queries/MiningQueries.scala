@@ -2231,6 +2231,141 @@ object MiningQueries extends QueryPack {
         .agg(count(lit(1)).as("n_desc"), sum("q").as("total_usage"),
           max("d").as("max_depth"))
         .orderBy("root")
+    }),
+
+    // ---------------------------------------------------------------
+    // q293: LAGGED CROSS-CORRELATION — the lead/lag-discovery
+    // companion to q233's autocorrelation: Pearson between the daily
+    // 'view' mass and the 'purchase' mass shifted by each lag in
+    // −7..+7 (does viewing LEAD purchasing?). The corpus collapses to
+    // the calendar-bounded daily table ONCE; the 15-lag grid is a
+    // bounded explode + equi-join on the shifted day; per-lag moment
+    // sums are exact (1e-4-unit BIGINT masses, cross-products in
+    // DECIMAL(38,0) — daily masses ≈ 3e12 at 100 TB square past
+    // BIGINT), and each lag's ρ is q221's fixed five-moment double
+    // dag, 1e-9-quantized.
+    "q293_lagged_xcorr" -> ((s, dir) => {
+      val v4 = floor(col("value") * lit(1e4) + lit(0.5)).cast("long")
+      val daily = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(when(col("event_type") === "view", v4).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", v4).otherwise(0L)).as("y"))
+        .localCheckpoint(false)
+      val dec = (c: C) => c.cast("decimal(38,0)")
+      val xl = daily
+        .select(col("x"), explode(array((-7 to 7).map(lit(_)): _*)).as("lag"),
+          col("d"))
+        .select(col("x"), col("lag"),
+          date_add(col("d"), col("lag")).as("dy"))
+      val ag = xl.join(daily.select(col("d").as("dy"), col("y")), "dy")
+        .groupBy("lag").agg(count(lit(1)).as("n_days"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+          sum(dec(col("y")) * dec(col("y"))).as("syy"),
+          sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+      val nD = col("n_days").cast("double")
+      val rho = (nD * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+        sqrt((nD * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+          (nD * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double")))
+      ag.select(col("lag"), col("n_days"), q9(rho).as("corr9"))
+        .orderBy("lag")
+    }),
+
+    // ---------------------------------------------------------------
+    // q294: KENDALL τ-b — the third rank-correlation after Spearman
+    // (q221) and the trend S-statistic (q262), here between quantity
+    // and discount whose BOUNDED domains (50 × 11 at any scale) make
+    // the O(n²) pair statistic exactly computable from the ~550-cell
+    // contingency grid: each unordered CELL pair is visited once
+    // (lexicographic guard), concordant/discordant mass is c₁·c₂ in
+    // DECIMAL(38,0), and tie corrections come from the marginal
+    // tables. Halving is avoided ALGEBRAICALLY (τ_b = 2(C−D)/
+    // √((n(n−1)−Σtₓ(tₓ−1))(n(n−1)−Σt_y(t_y−1))) — the ×2 variant
+    // keeps every component a pure decimal product; Spark's `div`
+    // would truncate to BIGINT and overflow at n ≈ 3e9). One fact
+    // aggregate; the cell-pair grid is a broadcast inequality join
+    // over the domain-bounded table (the q216 lesson).
+    "q294_kendall_tau" -> ((s, dir) => {
+      val cells = Tables.lineitem(s, dir)
+        .groupBy(col("l_quantity").cast("long").as("qv"),
+          graft.functions.Exact.cents(col("l_discount")).as("dv"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val dec = (c: C) => c.cast("decimal(38,0)")
+      val a = cells.select(col("qv").as("q1"), col("dv").as("d1"),
+        col("c").as("c1"))
+      val b = cells.select(col("qv").as("q2"), col("dv").as("d2"),
+        col("c").as("c2"))
+      val pairs = a.join(broadcast(b),
+        col("q1") < col("q2") ||
+          (col("q1") === col("q2") && col("d1") < col("d2")))
+      val cd = pairs.agg(
+        sum(when(col("q1") < col("q2") && col("d1") < col("d2"),
+          dec(col("c1")) * dec(col("c2"))).otherwise(lit(0).cast("decimal(38,0)")))
+          .as("conc"),
+        sum(when(col("q1") < col("q2") && col("d1") > col("d2"),
+          dec(col("c1")) * dec(col("c2"))).otherwise(lit(0).cast("decimal(38,0)")))
+          .as("disc"))
+      val n = broadcast(cells.agg(sum("c").as("n")))
+      val tx = broadcast(cells.groupBy("qv").agg(sum("c").as("t"))
+        .agg(sum(dec(col("t")) * dec(col("t") - 1)).as("n1x2")))
+      val ty = broadcast(cells.groupBy("dv").agg(sum("c").as("t"))
+        .agg(sum(dec(col("t")) * dec(col("t") - 1)).as("n2x2")))
+      val all = cd.crossJoin(n).crossJoin(tx).crossJoin(ty)
+      val n0x2 = dec(col("n")) * dec(col("n") - 1)
+      val tau = lit(2.0) * (col("conc").cast("double") - col("disc").cast("double")) /
+        sqrt((n0x2 - col("n1x2")).cast("double") *
+          (n0x2 - col("n2x2")).cast("double"))
+      all.select(col("n"), col("conc").cast("double").as("conc"),
+        col("disc").cast("double").as("disc"), q9(tau).as("tau9"))
+    }),
+
+    // ---------------------------------------------------------------
+    // q295: PETTITT CHANGEPOINT TEST — the rank-based changepoint
+    // LOCATOR next to q234's CUSUM (drift alarm) and q262's
+    // Mann-Kendall (monotone trend): U_t = Σ_{i≤t<j} sgn(x_j − x_i)
+    // over the daily revenue series, K = max|U_t|, with the standard
+    // significance p ≈ 2·exp(−6K²/(D³+D²)). The D² pair grid over the
+    // calendar-bounded daily table is visited ONCE; U_t comes from the
+    // telescoping identity U_t − U_{t−1} = A_t − B_t (A = row sums of
+    // the grid by left day, B = by right day) + one cumulative window
+    // over the D-row table — all integer until the final p dag. The
+    // argmax picks the earliest day on |U| ties via one packed
+    // min-struct.
+    "q295_pettitt" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(floor(col("value") * lit(1e4) + lit(0.5)).cast("long")).as("x"))
+        .localCheckpoint(false)
+      val pr = daily.select(col("d").as("di"), col("x").as("xi"))
+        .join(broadcast(daily.select(col("d").as("dj"), col("x").as("xj"))),
+          col("di") < col("dj"))
+        .select(col("di"), col("dj"),
+          when(col("xj") > col("xi"), 1L)
+            .when(col("xj") < col("xi"), -1L).otherwise(0L).as("s"))
+      val aT = pr.groupBy(col("di").as("d")).agg(sum("s").as("asum"))
+      val bT = pr.groupBy(col("dj").as("d")).agg(sum("s").as("bsum"))
+      val u = daily.select("d")
+        .join(aT, Seq("d"), "left").join(bT, Seq("d"), "left")
+        .select(col("d"), (coalesce(col("asum"), lit(0L)) -
+          coalesce(col("bsum"), lit(0L))).as("du"))
+        .withColumn("u", sum("du").over(Window.orderBy("d")))
+      val stats = broadcast(daily.agg(count(lit(1)).as("nd"),
+        max("d").as("maxd")))
+      val best = u.crossJoin(stats)
+        .filter(col("d") < col("maxd"))
+        .agg(min(struct((-abs(col("u"))).as("negk"), col("d"),
+          col("u").as("uv"))).as("m"), first(col("nd")).as("n_days"))
+      val kD = abs(col("m.uv")).cast("double")
+      val dD = col("n_days").cast("double")
+      val p = lit(2.0) * exp(lit(-6.0) * kD * kD / (dD * dD * dD + dD * dD))
+      best.select(col("n_days"), col("m.d").as("cp_day"),
+          abs(col("m.uv")).as("k"), q9(p).as("p9"))
+        .withColumn("reject", (col("p9") <= lit(50000000L)).cast("int"))
     })
   )
 
@@ -3549,6 +3684,102 @@ object MiningQueries extends QueryPack {
         |SELECT cur AS root, count(*) AS n_desc,
         |  CAST(sum(q) AS BIGINT) AS total_usage,
         |  CAST(max(d) AS BIGINT) AS max_depth
-        |FROM up WHERE cur <= 9 GROUP BY cur ORDER BY root""".stripMargin
+        |FROM up WHERE cur <= 9 GROUP BY cur ORDER BY root""".stripMargin,
+
+    // q293: DATE + lag days is DuckDB date arithmetic; HUGEINT moment
+    // sums; ρ written with q221's exact dag parenthesization.
+    "q293_lagged_xcorr" ->
+      """WITH daily AS MATERIALIZED (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(sum(CASE WHEN event_type = 'view'
+        |      THEN CAST(floor(value*1e4 + 0.5) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value*1e4 + 0.5) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |ag AS (SELECT CAST(l.range AS INTEGER) AS lag, count(*) AS n_days,
+        |    CAST(sum(a.x) AS BIGINT) AS sx, CAST(sum(b.y) AS BIGINT) AS sy,
+        |    sum(CAST(a.x AS HUGEINT)*CAST(a.x AS HUGEINT)) AS sxx,
+        |    sum(CAST(b.y AS HUGEINT)*CAST(b.y AS HUGEINT)) AS syy,
+        |    sum(CAST(a.x AS HUGEINT)*CAST(b.y AS HUGEINT)) AS sxy
+        |  FROM daily a CROSS JOIN range(-7, 8) l
+        |  JOIN daily b ON b.d = a.d + CAST(l.range AS INTEGER)
+        |  GROUP BY 1)
+        |SELECT lag, n_days,
+        |  CAST(floor((CAST(n_days AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n_days AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |      * (CAST(n_days AS DOUBLE)*CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) * 1e9 + 0.5)
+        |    AS BIGINT) AS corr9
+        |FROM ag ORDER BY lag""".stripMargin,
+
+    // q294: the same once-visited cell-pair grid and ×2 tie algebra.
+    "q294_kendall_tau" ->
+      """WITH cells AS MATERIALIZED (SELECT
+        |    CAST(l_quantity AS BIGINT) AS qv,
+        |    CAST(round(l_discount*100) AS BIGINT) AS dv,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cd AS (SELECT
+        |    sum(CASE WHEN a.qv < b.qv AND a.dv < b.dv
+        |      THEN CAST(a.c AS HUGEINT)*CAST(b.c AS HUGEINT)
+        |      ELSE CAST(0 AS HUGEINT) END) AS conc,
+        |    sum(CASE WHEN a.qv < b.qv AND a.dv > b.dv
+        |      THEN CAST(a.c AS HUGEINT)*CAST(b.c AS HUGEINT)
+        |      ELSE CAST(0 AS HUGEINT) END) AS disc
+        |  FROM cells a JOIN cells b
+        |    ON a.qv < b.qv OR (a.qv = b.qv AND a.dv < b.dv)),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        |tx AS (SELECT sum(CAST(t AS HUGEINT)*(t - 1)) AS n1x2
+        |  FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY qv)),
+        |ty AS (SELECT sum(CAST(t AS HUGEINT)*(t - 1)) AS n2x2
+        |  FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY dv))
+        |SELECT n, CAST(conc AS DOUBLE) AS conc, CAST(disc AS DOUBLE) AS disc,
+        |  CAST(floor(CAST(2.0 AS DOUBLE)
+        |      * (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+        |    / sqrt(CAST(CAST(n AS HUGEINT)*(n - 1) - n1x2 AS DOUBLE)
+        |      * CAST(CAST(n AS HUGEINT)*(n - 1) - n2x2 AS DOUBLE))
+        |    * 1e9 + 0.5) AS BIGINT) AS tau9
+        |FROM cd, n, tx, ty""".stripMargin,
+
+    // q295: the same telescoped U_t (A − B row sums + one cumulative
+    // window), argmax replayed as ORDER BY |U| DESC, day LIMIT 1.
+    "q295_pettitt" ->
+      """WITH daily AS MATERIALIZED (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(floor(value*1e4 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM events GROUP BY 1),
+        |pr AS MATERIALIZED (SELECT a.d AS di, b.d AS dj,
+        |    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END
+        |      AS s
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |at2 AS (SELECT di AS d, CAST(sum(s) AS BIGINT) AS asum
+        |  FROM pr GROUP BY 1),
+        |bt2 AS (SELECT dj AS d, CAST(sum(s) AS BIGINT) AS bsum
+        |  FROM pr GROUP BY 1),
+        |u AS (SELECT daily.d,
+        |    CAST(sum(coalesce(asum, 0) - coalesce(bsum, 0))
+        |      OVER (ORDER BY daily.d) AS BIGINT) AS u
+        |  FROM daily LEFT JOIN at2 ON daily.d = at2.d
+        |  LEFT JOIN bt2 ON daily.d = bt2.d),
+        |st AS (SELECT count(*) AS nd, max(d) AS maxd FROM daily),
+        |best AS (SELECT nd, d AS cp_day, abs(u) AS k
+        |  FROM u, st WHERE d < maxd
+        |  ORDER BY abs(u) DESC, d LIMIT 1)
+        |SELECT nd AS n_days, cp_day, k,
+        |  CAST(floor(CAST(2.0 AS DOUBLE)
+        |    * exp(CAST(-6.0 AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+        |      / (CAST(nd AS DOUBLE)*CAST(nd AS DOUBLE)*CAST(nd AS DOUBLE)
+        |        + CAST(nd AS DOUBLE)*CAST(nd AS DOUBLE))) * 1e9 + 0.5)
+        |    AS BIGINT) AS p9,
+        |  CAST(CAST(floor(CAST(2.0 AS DOUBLE)
+        |    * exp(CAST(-6.0 AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+        |      / (CAST(nd AS DOUBLE)*CAST(nd AS DOUBLE)*CAST(nd AS DOUBLE)
+        |        + CAST(nd AS DOUBLE)*CAST(nd AS DOUBLE))) * 1e9 + 0.5)
+        |    AS BIGINT) <= 50000000 AS INT) AS reject
+        |FROM best""".stripMargin
   )
 }

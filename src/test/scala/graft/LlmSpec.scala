@@ -964,6 +964,24 @@ class LlmSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("n_tok") > 0L))
   }
 
+  test("q296 join-size sketch: exact side correct, error inside the variance envelope") {
+    val r = SparkEntry.queries("q296_joinsize_sketch")(spark, sfDir).collect().head
+    // Exact inner product recount.
+    val fe = Tables.events(spark, sfDir).groupBy("user_id").count()
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val fo = Tables.orders(spark, sfDir).groupBy("o_custkey").count()
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val js = fe.map { case (k, f) => f * fo.getOrElse(k, 0L) }.sum
+    assert(r.getAs[Double]("js_exact") == js.toDouble)
+    // Deterministic error envelope: |median-of-16 products − truth|
+    // within 6·√(F2(E)·F2(O)) — the AMS variance scale.
+    val bound = 6.0 * math.sqrt(
+      fe.values.map(v => v.toDouble * v).sum *
+        fo.values.map(v => v.toDouble * v).sum)
+    assert(math.abs(r.getAs[Double]("js_est") - js.toDouble) <= bound,
+      s"est ${r.getAs[Double]("js_est")} vs exact $js exceeds envelope $bound")
+  }
+
   test("q291 AMS F2: estimate positive and within 3x of exact") {
     val r = SparkEntry.queries("q291_ams_f2")(spark, sfDir).collect().head
     assert(r.getAs[Double]("f2_exact") > 0.0)

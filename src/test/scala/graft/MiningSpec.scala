@@ -99,6 +99,57 @@ class MiningSpec extends SparkSpec {
     }
   }
 
+  test("q293 lagged xcorr: 15 lags, overlap shrinks with |lag|, corr bounded") {
+    val rows = run("q293_lagged_xcorr").collect()
+      .map(r => (r.getAs[Int]("lag"), r.getAs[Long]("n_days"),
+        r.getAs[Long]("corr9"))).sortBy(_._1)
+    assert(rows.length == 15)
+    val n0 = rows.find(_._1 == 0).get._2
+    rows.foreach { case (lag, n, c9) =>
+      assert(n == n0 - math.abs(lag), s"lag $lag overlap $n != ${n0 - math.abs(lag)}")
+      assert(math.abs(c9) <= 1000000000L, s"lag $lag corr out of [-1,1]")
+    }
+  }
+
+  test("q294 Kendall tau-b matches a local contingency recount") {
+    val r = run("q294_kendall_tau").collect().head
+    val cells = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_quantity").cast("long"),
+        graft.functions.Exact.cents(col("l_discount")))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    var conc = BigInt(0); var disc = BigInt(0)
+    for (((q1, d1), c1) <- cells; ((q2, d2), c2) <- cells
+         if q1 < q2 || (q1 == q2 && d1 < d2)) {
+      if (q1 < q2 && d1 < d2) conc += BigInt(c1) * c2
+      else if (q1 < q2 && d1 > d2) disc += BigInt(c1) * c2
+    }
+    assert(BigInt(r.getAs[Double]("conc").toLong) == conc)
+    assert(BigInt(r.getAs[Double]("disc").toLong) == disc)
+    assert(math.abs(r.getAs[Long]("tau9")) <= 1000000000L)
+  }
+
+  test("q295 Pettitt: K matches a local U-statistic scan, reject consistent") {
+    val r = run("q295_pettitt").collect().head
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(floor(col("value") * lit(1e4) + lit(0.5)).cast("long")).as("x"))
+      .collect().map(x => (x.getDate(0).toLocalDate, x.getLong(1)))
+      .sortBy(_._1.toEpochDay)
+    val xs = daily.map(_._2)
+    val us = (1 until xs.length).map { t =>
+      var u = 0L
+      for (i <- 0 until t; j <- t until xs.length)
+        u += java.lang.Long.signum(xs(j) - xs(i))
+      (daily(t - 1)._1, math.abs(u))
+    }
+    val k = us.map(_._2).max
+    assert(r.getAs[Long]("k") == k, s"engine K ${r.getAs[Long]("k")} vs local $k")
+    val cp = us.filter(_._2 == k).minBy(_._1.toEpochDay)._1
+    assert(r.getAs[java.sql.Date]("cp_day").toLocalDate == cp)
+    assert((r.getAs[Long]("p9") <= 50000000L) == (r.getAs[Int]("reject") == 1))
+  }
+
   test("q255 RFM: quintiles partition customers into near-equal fifths") {
     val rows = run("q255_rfm_segments").collect()
     val n = graft.sources.Tables.orders(spark, sfDir)

@@ -535,7 +535,13 @@ class PlanSpec extends SparkSpec {
       "q290_heavy_hitters" -> "1-row token-total broadcast over <=64 candidates",
       "q291_ams_f2" -> "1-row exact-moment x 1-row median cross join",
       "q292_grid_nn_join" ->
-        "dim-table fallback probe for the provably-rare ring misses")
+        "dim-table fallback probe for the provably-rare ring misses",
+      "q294_kendall_tau" ->
+        "domain-bounded (~550-cell) contingency pair grid + 1-row stats",
+      "q295_pettitt" ->
+        "calendar-bounded daily pair grid; 1-row count/watermark broadcast",
+      "q296_joinsize_sketch" ->
+        "1-row exact x median x key-count cross joins")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
