@@ -2026,6 +2026,123 @@ object AnalyticsQueries extends QueryPack {
         .agg(count(lit(1)).as("n_groups"), sum("members").as("n_members"))
         .withColumn("violates", (col("l") < 3L).cast("int"))
         .orderBy("l")
+    }),
+
+    // ---------------------------------------------------------------
+    // q297: INCREMENTAL VIEW MAINTENANCE, JOIN DELTA — the join-view
+    // counterpart of q224's aggregate IVM: maintain V = O ⋈ L under
+    // batch inserts with the textbook delta algebra ΔV = ΔO⋈L₀ ∪
+    // O₀⋈ΔL ∪ ΔO⋈ΔL (each term |Δ|-proportional on the probe side; in
+    // a stored deployment O₀/L₀ are key-partitioned so the probes are
+    // co-located, never a view recompute). The delta batch is an
+    // md5-carved ~1/8 of each table — deterministic, rerun-stable —
+    // and the output is the MAINTAINED view's per-priority audit
+    // aggregate, while the ORACLE is the plain full join+aggregate
+    // that never sees the carve: the hash compare proves the delta
+    // algebra exactly, the q286/q290/q292 compare-against-what-it-
+    // avoids discipline.
+    "q297_ivm_join_delta" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("ok"),
+        col("o_orderpriority").as("prio"),
+        substring(md5(concat(lit("ivmo:"), col("o_orderkey").cast("string"))),
+          1, 1).isin("0", "1").as("is_new"))
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey").as("ok"),
+        graft.functions.Exact.cents(col("l_extendedprice")).as("p2"),
+        substring(md5(concat(lit("ivml:"), col("l_orderkey").cast("string"),
+          lit(":"), col("l_linenumber").cast("string"))), 1, 1)
+          .isin("0", "1").as("is_new"))
+      val o0 = o.filter(!col("is_new")).select("ok", "prio")
+      val dO = o.filter(col("is_new")).select("ok", "prio")
+      val l0 = l.filter(!col("is_new")).select("ok", "p2")
+      val dL = l.filter(col("is_new")).select("ok", "p2")
+      val base = o0.join(l0, "ok")
+      val delta = dO.join(l0, "ok")
+        .unionAll(o0.join(dL, "ok"))
+        .unionAll(dO.join(dL, "ok"))
+      base.unionAll(delta)
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n_rows"), sum("p2").as("rev2"))
+        .orderBy("prio")
+    }),
+
+    // ---------------------------------------------------------------
+    // q298: MARKOV REMOVAL-EFFECT ATTRIBUTION — the data-driven
+    // upgrade of q165's first-touch: credit each channel by how much
+    // the journey-graph conversion probability DROPS when the channel
+    // is removed (transitions into it absorb to NULL). The corpus
+    // work is ONE distributed pass: per-user journeys (row_number +
+    // lead over the high-cardinality user key), truncated at the
+    // first purchase, folded to (src, dst) transition counts. The
+    // chain math then runs on a BOUNDED COLLECT — ≤(|event types|+2)²
+    // transition rows, a schema-contract constant, the
+    // Similarity-centroid precedent — as 12 exact integer-damped
+    // rounds p(s) ← (Σ c·p(dst)) div total(s) in 1e-9 units (BigInt
+    // products; CONV/NULL pinned; truncating div on positives =
+    // DuckDB //), one base chain + one per removed channel. Removal
+    // effects clamp at 0 BEFORE dividing (floor-vs-truncate parity on
+    // negatives), shares renormalize in integer units. The oracle
+    // replays journeys, counts, and all five 12-round chains as
+    // generated CTEs — bit-identical by construction.
+    "q298_markov_attribution" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val r = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+      val pp = r.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("rn").as("pp"))
+      val path = r.join(pp, Seq("user_id"), "left")
+        .filter(col("pp").isNull || col("rn") < col("pp"))
+      val nx = path.withColumn("nt", lead("event_type", 1).over(w))
+      val tr = nx.filter(col("nt").isNotNull)
+          .select(col("event_type").as("src"), col("nt").as("dst"))
+        .unionAll(path.filter(col("rn") === 1)
+          .select(lit("START").as("src"), col("event_type").as("dst")))
+        .unionAll(pp.filter(col("pp") === 1)
+          .select(lit("START").as("src"), lit("CONV").as("dst")))
+        .unionAll(nx.filter(col("nt").isNull)
+          .select(col("event_type").as("src"),
+            when(col("pp").isNotNull, lit("CONV")).otherwise(lit("NULL"))
+              .as("dst")))
+        .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+      // Bounded by the event-type domain — the documented constant.
+      val trRows = tr.collect()
+        .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+      def convProb(trs: Seq[(String, String, Long)]): Long = {
+        val tot = trs.groupBy(_._1).map { case (st, xs) =>
+          st -> xs.map(x => BigInt(x._3)).sum }
+        val bySrc = trs.groupBy(_._1)
+        val abs0 = Map("CONV" -> 1000000000L, "NULL" -> 0L)
+        var p = Map.empty[String, Long].withDefaultValue(0L)
+        for (_ <- 1 to 12) {
+          p = bySrc.map { case (st, xs) =>
+            val num = xs.map { case (_, d, c) =>
+              BigInt(c) * BigInt(abs0.getOrElse(d, p(d))) }.sum
+            st -> (num / tot(st)).toLong
+          }.withDefaultValue(0L)
+        }
+        p("START")
+      }
+      val channels = Seq("click", "error", "signup", "view")
+      val pBase = convProb(trRows)
+      val res = channels.map { ch =>
+        val trs2 = trRows.filter(_._1 != ch)
+          .map { case (s2, d, c) => (s2, if (d == ch) "NULL" else d, c) }
+          .groupBy(t => (t._1, t._2))
+          .map { case ((a, b), xs) => (a, b, xs.map(_._3).sum) }.toSeq
+        val pc = convProb(trs2)
+        val re9 = if (pBase == 0L) 0L
+          else ((BigInt(pBase) - BigInt(pc)).max(BigInt(0)) *
+            BigInt(1000000000L) / BigInt(pBase)).toLong
+        (ch, pc, re9)
+      }
+      val sumRe = res.map(_._3).sum
+      res.map { case (ch, pc, re9) =>
+        val share9 = if (sumRe == 0L) 0L
+          else (BigInt(re9) * BigInt(1000000000L) / BigInt(sumRe)).toLong
+        (ch, pBase, pc, re9, share9)
+      }.toDF("channel", "conv_base9", "conv_removed9", "re9", "share9")
+        .orderBy("channel")
     })
   )
 
@@ -3371,6 +3488,100 @@ object AnalyticsQueries extends QueryPack {
         |SELECT l, count(*) AS n_groups,
         |  CAST(sum(members) AS BIGINT) AS n_members,
         |  CAST(l < 3 AS INT) AS violates
-        |FROM g2 GROUP BY l ORDER BY l""".stripMargin
+        |FROM g2 GROUP BY l ORDER BY l""".stripMargin,
+
+    // q298: journeys, transition counts, and all five 12-round chains
+    // replayed as generated CTEs with the identical integer-damped
+    // arithmetic (HUGEINT products, // on positives, clamp-before-
+    // divide); MATERIALIZED per the q184 re-inlining lesson.
+    "q298_markov_attribution" -> {
+      val head =
+        """WITH r AS (SELECT user_id, event_type,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          |      AS rn
+          |  FROM events),
+          |pp AS MATERIALIZED (SELECT user_id, min(rn) AS pp FROM r
+          |  WHERE event_type = 'purchase' GROUP BY 1),
+          |path AS MATERIALIZED (SELECT r.user_id, r.event_type, r.rn, pp.pp
+          |  FROM r LEFT JOIN pp ON r.user_id = pp.user_id
+          |  WHERE pp.pp IS NULL OR r.rn < pp.pp),
+          |nx AS MATERIALIZED (SELECT user_id, event_type, rn, pp,
+          |    lead(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS nt
+          |  FROM path),
+          |tr0 AS (SELECT event_type AS src, nt AS dst FROM nx
+          |    WHERE nt IS NOT NULL
+          |  UNION ALL SELECT 'START', event_type FROM path WHERE rn = 1
+          |  UNION ALL SELECT 'START', 'CONV' FROM pp WHERE pp = 1
+          |  UNION ALL SELECT event_type,
+          |    CASE WHEN pp IS NOT NULL THEN 'CONV' ELSE 'NULL' END
+          |  FROM nx WHERE nt IS NULL),
+          |tr AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+          |  FROM tr0 GROUP BY 1, 2)""".stripMargin
+      val channels = Seq("click", "error", "signup", "view")
+      def chain(tag: String, rm: Option[String]): String = {
+        val trv = rm match {
+          case None =>
+            s",\ntr_$tag AS MATERIALIZED (SELECT src, dst, c FROM tr)"
+          case Some(ch) =>
+            s""",
+               |tr_$tag AS MATERIALIZED (SELECT src,
+               |    CASE WHEN dst = '$ch' THEN 'NULL' ELSE dst END AS dst,
+               |    CAST(sum(c) AS BIGINT) AS c
+               |  FROM tr WHERE src <> '$ch' GROUP BY 1, 2)""".stripMargin
+        }
+        val tot =
+          s""",
+             |tot_$tag AS MATERIALIZED (SELECT src, CAST(sum(c) AS BIGINT)
+             |    AS t FROM tr_$tag GROUP BY 1)""".stripMargin
+        val p0 =
+          s""",
+             |p_${tag}_0 AS (SELECT src AS st, CAST(0 AS BIGINT) AS p
+             |  FROM tot_$tag
+             |  UNION ALL SELECT 'CONV', CAST(1000000000 AS BIGINT)
+             |  UNION ALL SELECT 'NULL', CAST(0 AS BIGINT))""".stripMargin
+        val rounds = (1 to 12).map { k =>
+          s""",
+             |p_${tag}_$k AS MATERIALIZED (SELECT tr_$tag.src AS st,
+             |    CAST(sum(CAST(tr_$tag.c AS HUGEINT) * pv.p)
+             |      // tot_$tag.t AS BIGINT) AS p
+             |  FROM tr_$tag JOIN p_${tag}_${k - 1} pv ON tr_$tag.dst = pv.st
+             |  JOIN tot_$tag ON tr_$tag.src = tot_$tag.src
+             |  GROUP BY tr_$tag.src, tot_$tag.t
+             |  UNION ALL SELECT 'CONV', CAST(1000000000 AS BIGINT)
+             |  UNION ALL SELECT 'NULL', CAST(0 AS BIGINT))""".stripMargin
+        }.mkString
+        trv + tot + p0 + rounds
+      }
+      val chains = chain("b", None) +
+        channels.map(ch => chain(ch, Some(ch))).mkString
+      val remUnion = channels
+        .map(ch => s"SELECT '$ch' AS channel, p FROM p_${ch}_12 WHERE st = 'START'")
+        .mkString("\n  UNION ALL ")
+      head + chains +
+        s""",
+           |base AS (SELECT p FROM p_b_12 WHERE st = 'START'),
+           |rem AS ($remUnion),
+           |re AS (SELECT channel, rem.p AS conv_removed9,
+           |    CASE WHEN base.p = 0 THEN CAST(0 AS BIGINT)
+           |      ELSE CAST(greatest(CAST(base.p AS HUGEINT) - rem.p, 0)
+           |        * 1000000000 // base.p AS BIGINT) END AS re9,
+           |    base.p AS conv_base9
+           |  FROM rem, base),
+           |sre AS (SELECT CAST(sum(re9) AS BIGINT) AS sre FROM re)
+           |SELECT channel, conv_base9, conv_removed9, re9,
+           |  CASE WHEN sre = 0 THEN CAST(0 AS BIGINT)
+           |    ELSE CAST(CAST(re9 AS HUGEINT) * 1000000000 // sre AS BIGINT)
+           |    END AS share9
+           |FROM re, sre ORDER BY channel""".stripMargin
+    },
+
+    // q297: the oracle is the plain full recompute — it never sees the
+    // carve, so a defect anywhere in the delta algebra breaks the hash.
+    "q297_ivm_join_delta" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |    AS rev2
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

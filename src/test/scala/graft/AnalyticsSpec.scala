@@ -61,6 +61,38 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q297 IVM: carve is a real split and the maintained view covers the join") {
+    val o = graft.sources.Tables.orders(spark, sfDir)
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val full = o.join(li, col("o_orderkey") === col("l_orderkey")).count()
+    val rows = run("q297_ivm_join_delta").collect()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == full,
+      "maintained view row count != full join")
+    // The md5 carve must produce a genuine two-sided split (~1/8).
+    val frac = o.filter(substring(md5(concat(lit("ivmo:"),
+        col("o_orderkey").cast("string"))), 1, 1).isin("0", "1")).count()
+      .toDouble / o.count()
+    assert(frac > 0.05 && frac < 0.25, s"delta fraction $frac out of range")
+  }
+
+  test("q298 Markov attribution: removal only hurts, shares normalize") {
+    val rows = run("q298_markov_attribution").collect()
+    assert(rows.map(_.getAs[String]("channel")).toSeq.sorted ==
+      Seq("click", "error", "signup", "view"))
+    val base = rows.head.getAs[Long]("conv_base9")
+    assert(base > 0L && base <= 1000000000L)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("conv_base9") == base)
+      // absorbing a channel to NULL cannot raise conversion (up to the
+      // 1-unit truncation wobble the clamp absorbs)
+      assert(r.getAs[Long]("conv_removed9") <= base + 1L)
+      assert(r.getAs[Long]("re9") >= 0L)
+    }
+    val shares = rows.map(_.getAs[Long]("share9")).sum
+    assert(shares >= 1000000000L - 4L && shares <= 1000000000L,
+      s"shares sum $shares not within rounding of 1e9")
+  }
+
   test("q268 WoW growth recomputes from the weekly cells") {
     val rows = run("q268_wow_growth").collect()
     rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
