@@ -2534,6 +2534,41 @@ object LlmQueries extends QueryPack {
           floor(abs(col("e").cast("double") - col("js").cast("double")) /
             col("js").cast("double") * lit(1e9) + lit(0.5)).cast("long")
             .as("relerr9"))
+    }),
+
+    // ---------------------------------------------------------------
+    // q302: GOOD–TURING UNSEEN MASS + CHAO1 RICHNESS — the corpus-
+    // coverage planners' pair of estimators q122's vocab coverage
+    // stops short of: per language, P(next BIGRAM is unseen) ≈ N₁/N
+    // (Good–Turing) and the total-richness estimate Chao1 = V +
+    // N₁²/(2N₂) (bias-corrected N₁(N₁−1)/2 when no doubletons exist —
+    // the standard guard, branch mirrored in SQL). The unit is token
+    // BIGRAMS (native graft_shingles) because the harness's unigram
+    // vocabulary is a closed ~31-word set with zero singletons at
+    // sf0.01 — a degenerate frequency-of-frequencies; the bigram space
+    // is combinatorial, so N₁/N₂ are real at every SF. Everything
+    // derives from ONE (lang, bigram) count table: V, N, and N₁/N₂ in
+    // a single hash aggregate — no second corpus pass; the two
+    // estimates are fixed double dags, 1e-9-quantized.
+    "q302_unseen_mass" -> ((s, dir) => {
+      val st = Tables.documents(s, dir)
+        .select(col("lang"),
+          explode(Text.shingles(Text.tokens(col("text")), 2)).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("lang").agg(count(lit(1)).as("vocab"),
+          sum("c").as("n_tokens"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"))
+      def d(n: String) = col(n).cast("double")
+      val chao1 = d("vocab") + when(col("n2") > 0L,
+        d("n1") * d("n1") / (lit(2.0) * d("n2")))
+        .otherwise(d("n1") * (d("n1") - lit(1.0)) / lit(2.0))
+      st.select(col("lang"), col("vocab"), col("n_tokens"), col("n1"),
+          col("n2"),
+          floor(d("n1") / d("n_tokens") * lit(1e9) + lit(0.5)).cast("long")
+            .as("unseen9"),
+          floor(chao1 * lit(1e9) + lit(0.5)).cast("long").as("chao1_9"))
+        .orderBy("lang")
     })
   )
 
@@ -4562,6 +4597,33 @@ object LlmQueries extends QueryPack {
         |  CAST(floor(abs(CAST(e AS DOUBLE) - CAST(js AS DOUBLE))
         |    / CAST(js AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS relerr9
         |FROM ex, med, st""".stripMargin,
+
+    // q302: the same single count table and mirrored estimator branch;
+    // bigrams via the list-slice join the shingle oracles use.
+    "q302_unseen_mass" ->
+      """WITH t AS (SELECT lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |vc AS (SELECT lang, toks[i] || ' ' || toks[i + 1] AS tok
+        |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+        |ct AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM vc GROUP BY 1, 2),
+        |st AS (SELECT lang, CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM ct GROUP BY 1)
+        |SELECT lang, vocab, n_tokens, n1, n2,
+        |  CAST(floor(CAST(n1 AS DOUBLE)/CAST(n_tokens AS DOUBLE)*1e9 + 0.5)
+        |    AS BIGINT) AS unseen9,
+        |  CAST(floor((CAST(vocab AS DOUBLE)
+        |    + CASE WHEN n2 > 0
+        |      THEN CAST(n1 AS DOUBLE)*CAST(n1 AS DOUBLE)
+        |        /(CAST(2.0 AS DOUBLE)*CAST(n2 AS DOUBLE))
+        |      ELSE CAST(n1 AS DOUBLE)*(CAST(n1 AS DOUBLE)
+        |        - CAST(1.0 AS DOUBLE))/CAST(2.0 AS DOUBLE) END)
+        |    * 1e9 + 0.5) AS BIGINT) AS chao1_9
+        |FROM st ORDER BY lang""".stripMargin,
 
     // q54/q55: xxhash64-based sketches have no DuckDB equivalent →
     // rows-only + LlmSpec property tests. q56/q67 ARE oracle-checked

@@ -2366,6 +2366,161 @@ object MiningQueries extends QueryPack {
       best.select(col("n_days"), col("m.d").as("cp_day"),
           abs(col("m.uv")).as("k"), q9(p).as("p9"))
         .withColumn("reject", (col("p9") <= lit(50000000L)).cast("int"))
+    }),
+
+    // ---------------------------------------------------------------
+    // q299: BENJAMINI–HOCHBERG FDR — the multiple-testing correction
+    // the registry's test battery (q153/q219/q220/q235/q277/q282…)
+    // needs the moment it runs per-group: 25 per-nation one-sample
+    // z-tests of mean balance against the population (exact moment
+    // sums → one fixed dag per nation), normal tails via the
+    // Abramowitz–Stegun 7.1.26 polynomial — an ELEMENTARY-OP dag both
+    // engines evaluate bit-identically (no erf builtin on the Spark
+    // side, and a library erf would diverge from DuckDB's anyway) —
+    // then the BH step-up on the 1e-9-quantized p's: rank ascending
+    // over the 25-row aggregated table, k* = max rank with
+    // p9·m ≤ rank·α9 (α = 0.05 — all-BIGINT compares), discoveries =
+    // ranks ≤ k*. One fact aggregate; everything after is
+    // nation-bounded.
+    "q299_bh_fdr" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_nationkey").as("nk"),
+          graft.functions.Exact.cents(col("c_acctbal")).as("x"))
+      val dec = (cc: C) => cc.cast("decimal(38,0)")
+      val grp = c.groupBy("nk").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum(dec(col("x")) * dec(col("x"))).as("sxx"))
+      val glob = broadcast(grp.agg(sum("n").as("gn"), sum("sx").as("gsx"),
+        sum("sxx").as("gsxx"), count(lit(1)).as("m")))
+      val g = grp.crossJoin(glob)
+      val gnD = col("gn").cast("double")
+      val mu = col("gsx").cast("double") / gnD
+      val sig = sqrt((gnD * col("gsxx").cast("double") -
+        col("gsx").cast("double") * col("gsx").cast("double")) / (gnD * gnD))
+      val z = (col("sx").cast("double") / col("n").cast("double") - mu) /
+        (sig / sqrt(col("n").cast("double")))
+      val az = abs(z)
+      val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+      val phi = exp(lit(-0.5) * az * az) * lit(0.3989422804014327)
+      val tail = phi * (t * (lit(0.319381530) + t * (lit(-0.356563782) +
+        t * (lit(1.781477937) + t * (lit(-1.821255978) +
+          t * lit(1.330274429))))))
+      val scored = g.select(col("nk"), col("n"), col("m"),
+        q9(z).as("z9"), q9(lit(2.0) * tail).as("p9"))
+      val ranked = scored.withColumn("rank",
+        row_number().over(Window.orderBy(col("p9"), col("nk"))).cast("long"))
+      val kStar = broadcast(ranked
+        .agg(coalesce(max(when(col("p9") * col("m") <= col("rank") * lit(50000000L),
+          col("rank"))), lit(0L)).as("k_star")))
+      ranked.crossJoin(kStar)
+        .select(col("nk"), col("n"), col("z9"), col("p9"), col("rank"),
+          (col("rank") <= col("k_star")).cast("int").as("discovered"))
+        .orderBy("rank")
+    }),
+
+    // ---------------------------------------------------------------
+    // q300: SPLIT-CONFORMAL PREDICTION INTERVAL — distribution-free
+    // uncertainty for q174's regression family: md5-carve orders into
+    // train/calibration/test (8/4/4 hex), fit y = a + b·x (x = line
+    // count, y = total price cents) from exact train moments, take
+    // q̂ = the ⌈(n_cal+1)·0.9⌉-th smallest calibration residual —
+    // residuals half-up-quantized to WHOLE CENTS first, so the order
+    // statistic is an exact integer selection via the value-count +
+    // two-phase running-count machinery (q103/q277 class, never a
+    // bare global sort) — and report empirical test coverage against
+    // the 90% target. The conformal guarantee (coverage ≥ 0.9 in
+    // expectation) is what the spec asserts; a,b are fixed double
+    // dags over exact sums, identical in the oracle.
+    "q300_conformal" -> ((s, dir) => {
+      val xy = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("ok"),
+          graft.functions.Exact.cents(col("o_totalprice")).as("y"),
+          substring(md5(concat(lit("cp:"), col("o_orderkey").cast("string"))),
+            1, 1).as("h"))
+        .join(Tables.lineitem(s, dir).groupBy(col("l_orderkey").as("ok"))
+          .agg(count(lit(1)).as("x")), "ok")
+        .localCheckpoint(false)
+      val dec = (cc: C) => cc.cast("decimal(38,0)")
+      val train = xy.filter(col("h") < "8")
+      val fit = broadcast(train.agg(count(lit(1)).as("tn"),
+        sum("x").as("tsx"), sum("y").as("tsy"),
+        sum(dec(col("x")) * dec(col("x"))).as("tsxx"),
+        sum(dec(col("x")) * dec(col("y"))).as("tsxy")))
+      val tnD = col("tn").cast("double")
+      val bHat = (tnD * col("tsxy").cast("double") -
+          col("tsx").cast("double") * col("tsy").cast("double")) /
+        (tnD * col("tsxx").cast("double") -
+          col("tsx").cast("double") * col("tsx").cast("double"))
+      val aHat = (col("tsy").cast("double") - bHat * col("tsx").cast("double")) / tnD
+      val rq = floor(abs(col("y").cast("double") -
+        (col("a") + col("b") * col("x").cast("double"))) + lit(0.5))
+        .cast("long")
+      val withFit = (df: org.apache.spark.sql.DataFrame) => df.crossJoin(fit)
+        .withColumn("a", aHat).withColumn("b", bHat)
+      val cal = withFit(xy.filter(col("h") >= "8" && col("h") < "c"))
+        .select(rq.as("r"))
+      val vc = cal.groupBy("r").agg(count(lit(1)).as("c"))
+      val cum = ScalableRank.runningSummed(vc, Seq(), Seq(col("r")), "c", 32,
+        run = "cum")
+      val nCal = broadcast(vc.agg(sum("c").as("ncal")))
+      val qhat = broadcast(cum.crossJoin(nCal)
+        .filter(col("cum") * lit(10L) >= (col("ncal") + 1L) * lit(9L))
+        .agg(min("r").as("qhat")))
+      val test = withFit(xy.filter(col("h") >= "c"))
+        .select(rq.as("r")).crossJoin(qhat)
+      test.agg(count(lit(1)).as("n_test"),
+          sum(when(col("r") <= col("qhat"), 1L).otherwise(0L)).as("covered"),
+          first(col("qhat")).as("qhat_cents"))
+        .crossJoin(fit.select(col("tn").as("n_train")))
+        .crossJoin(nCal.select(col("ncal").as("n_cal")))
+        .select(col("n_train"), col("n_cal"), col("n_test"),
+          col("qhat_cents"),
+          q9(col("covered").cast("double") / col("n_test").cast("double"))
+            .as("cov9"))
+    }),
+
+    // ---------------------------------------------------------------
+    // q301: INFORMATION-GAIN FEATURE RANKING — the feature-selection
+    // sibling of q181 (entropy) and q132 (KL): rank four candidate
+    // features by IG = H(label) − H(label|feature) for the return-flag
+    // label, each from its own column-pruned contingency pass (the
+    // q252/q287 branch rule). Every entropy cell term −(c/n)·ln(c/·)
+    // is quantized 1e-9 BEFORE its sum (q153/q181 pattern), so
+    // IG9 = HL9 − HLF9 is an exact integer subtraction of two
+    // deterministic sums; the 4-row ranking window rides the
+    // aggregated table. Bounded feature domains (status 2, month 12,
+    // quantity band 5, discount band 6) keep every cell table
+    // constant-size at any corpus.
+    "q301_info_gain" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      def branch(name: String, f: C) = {
+        val cells = li.select(f.as("f"), col("l_returnflag").as("l"))
+          .groupBy("f", "l").agg(count(lit(1)).as("c"))
+          .localCheckpoint(false)
+        val nf = cells.groupBy("f").agg(sum("c").as("nf"))
+        val tot = broadcast(cells.agg(sum("c").as("n")))
+        val lbl = cells.groupBy("l").agg(sum("c").as("cl"))
+        val hl = broadcast(lbl.crossJoin(tot)
+          .select(q9(-(col("cl").cast("double") / col("n").cast("double")) *
+            log(col("cl").cast("double") / col("n").cast("double"))).as("t"))
+          .agg(sum("t").as("hl9")))
+        cells.join(nf, "f").crossJoin(tot)
+          .select(q9(-(col("c").cast("double") / col("n").cast("double")) *
+            log(col("c").cast("double") / col("nf").cast("double"))).as("t"))
+          .agg(sum("t").as("hlf9"))
+          .crossJoin(hl)
+          .select(lit(name).as("feature"), col("hl9"), col("hlf9"),
+            (col("hl9") - col("hlf9")).as("ig9"))
+      }
+      val out = Seq(
+        branch("linestatus", col("l_linestatus")),
+        branch("shipmonth", month(col("l_shipdate"))),
+        branch("qty_band", expr("cast(l_quantity as long) div 10")),
+        branch("disc_band", expr("cast(round(l_discount*100) as long) div 2")))
+        .reduce(_ unionAll _)
+      out.withColumn("rank",
+          row_number().over(Window.orderBy(col("ig9").desc, col("feature")))
+            .cast("long"))
+        .orderBy("rank")
     })
   )
 
@@ -3780,6 +3935,137 @@ object MiningQueries extends QueryPack {
         |      / (CAST(nd AS DOUBLE)*CAST(nd AS DOUBLE)*CAST(nd AS DOUBLE)
         |        + CAST(nd AS DOUBLE)*CAST(nd AS DOUBLE))) * 1e9 + 0.5)
         |    AS BIGINT) <= 50000000 AS INT) AS reject
-        |FROM best""".stripMargin
+        |FROM best""".stripMargin,
+
+    // q299: the identical z and Abramowitz–Stegun 7.1.26 tail dags
+    // (every literal CAST to DOUBLE up front — the decimal-chain
+    // gotcha), then the same all-BIGINT BH step-up.
+    "q299_bh_fdr" ->
+      """WITH c AS (SELECT c_nationkey AS nk,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS x FROM customer),
+        |grp AS (SELECT nk, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    sum(CAST(x AS HUGEINT)*CAST(x AS HUGEINT)) AS sxx
+        |  FROM c GROUP BY 1),
+        |gstats AS (SELECT CAST(sum(n) AS BIGINT) AS gn,
+        |    CAST(sum(sx) AS BIGINT) AS gsx, sum(sxx) AS gsxx,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM grp),
+        |zt AS (SELECT nk, n, m,
+        |    (CAST(sx AS DOUBLE)/CAST(n AS DOUBLE)
+        |      - CAST(gsx AS DOUBLE)/CAST(gn AS DOUBLE))
+        |    / (sqrt((CAST(gn AS DOUBLE)*CAST(gsxx AS DOUBLE)
+        |        - CAST(gsx AS DOUBLE)*CAST(gsx AS DOUBLE))
+        |      / (CAST(gn AS DOUBLE)*CAST(gn AS DOUBLE)))
+        |      / sqrt(CAST(n AS DOUBLE))) AS z
+        |  FROM grp, gstats),
+        |pt AS (SELECT nk, n, m, z, abs(z) AS az,
+        |    CAST(1.0 AS DOUBLE)/(CAST(1.0 AS DOUBLE)
+        |      + CAST(0.2316419 AS DOUBLE)*abs(z)) AS t
+        |  FROM zt),
+        |sc AS (SELECT nk, n, m,
+        |    CAST(floor(z*1e9 + 0.5) AS BIGINT) AS z9,
+        |    CAST(floor(CAST(2.0 AS DOUBLE)
+        |      * (exp(CAST(-0.5 AS DOUBLE)*az*az)
+        |          * CAST(0.3989422804014327 AS DOUBLE)
+        |        * (t*(CAST(0.319381530 AS DOUBLE)
+        |          + t*(CAST(-0.356563782 AS DOUBLE)
+        |          + t*(CAST(1.781477937 AS DOUBLE)
+        |          + t*(CAST(-1.821255978 AS DOUBLE)
+        |          + t*CAST(1.330274429 AS DOUBLE)))))))
+        |      * 1e9 + 0.5) AS BIGINT) AS p9
+        |  FROM pt),
+        |rk AS (SELECT nk, n, m, z9, p9,
+        |    CAST(row_number() OVER (ORDER BY p9, nk) AS BIGINT) AS rank
+        |  FROM sc),
+        |ks AS (SELECT coalesce(max(CASE WHEN p9*m <= rank*50000000
+        |    THEN rank END), 0) AS k_star FROM rk)
+        |SELECT nk, n, z9, p9, rank,
+        |  CAST(rank <= k_star AS INT) AS discovered
+        |FROM rk, ks ORDER BY rank""".stripMargin,
+
+    // q300: identical carve, fit dag, cents-quantized residuals, and
+    // the plain cumulative window standing in for the two-phase sum.
+    "q300_conformal" ->
+      """WITH xy AS MATERIALIZED (SELECT o_orderkey AS ok,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS y,
+        |    substring(md5('cp:' || CAST(o_orderkey AS VARCHAR)), 1, 1) AS h,
+        |    lc.x
+        |  FROM orders JOIN (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS x
+        |    FROM lineitem GROUP BY 1) lc ON o_orderkey = lc.l_orderkey),
+        |fit AS (SELECT CAST(count(*) AS BIGINT) AS tn,
+        |    CAST(sum(x) AS BIGINT) AS tsx, CAST(sum(y) AS BIGINT) AS tsy,
+        |    sum(CAST(x AS HUGEINT)*CAST(x AS HUGEINT)) AS tsxx,
+        |    sum(CAST(x AS HUGEINT)*CAST(y AS HUGEINT)) AS tsxy
+        |  FROM xy WHERE h < '8'),
+        |ab AS (SELECT tn,
+        |    (CAST(tn AS DOUBLE)*CAST(tsxy AS DOUBLE)
+        |      - CAST(tsx AS DOUBLE)*CAST(tsy AS DOUBLE))
+        |    / (CAST(tn AS DOUBLE)*CAST(tsxx AS DOUBLE)
+        |      - CAST(tsx AS DOUBLE)*CAST(tsx AS DOUBLE)) AS b
+        |  FROM fit),
+        |ab2 AS (SELECT tn, b,
+        |    (CAST((SELECT tsy FROM fit) AS DOUBLE)
+        |      - b*CAST((SELECT tsx FROM fit) AS DOUBLE))
+        |      / CAST(tn AS DOUBLE) AS a
+        |  FROM ab),
+        |cal AS (SELECT CAST(floor(abs(CAST(y AS DOUBLE)
+        |      - (a + b*CAST(x AS DOUBLE))) + 0.5) AS BIGINT) AS r
+        |  FROM xy, ab2 WHERE h >= '8' AND h < 'c'),
+        |vc AS (SELECT r, CAST(count(*) AS BIGINT) AS c FROM cal GROUP BY 1),
+        |cum AS (SELECT r, CAST(sum(c) OVER (ORDER BY r) AS BIGINT) AS cum
+        |  FROM vc),
+        |nc AS (SELECT CAST(sum(c) AS BIGINT) AS ncal FROM vc),
+        |qh AS (SELECT min(r) AS qhat FROM cum, nc
+        |  WHERE cum*10 >= (ncal + 1)*9),
+        |test AS (SELECT CAST(floor(abs(CAST(y AS DOUBLE)
+        |      - (a + b*CAST(x AS DOUBLE))) + 0.5) AS BIGINT) AS r
+        |  FROM xy, ab2 WHERE h >= 'c')
+        |SELECT (SELECT tn FROM fit) AS n_train,
+        |  (SELECT ncal FROM nc) AS n_cal,
+        |  count(*) AS n_test,
+        |  (SELECT qhat FROM qh) AS qhat_cents,
+        |  CAST(floor(CAST(sum(CASE WHEN r <= (SELECT qhat FROM qh)
+        |      THEN 1 ELSE 0 END) AS DOUBLE)/CAST(count(*) AS DOUBLE)
+        |    * 1e9 + 0.5) AS BIGINT) AS cov9
+        |FROM test""".stripMargin,
+
+    // q301: four generated contingency branches with the identical
+    // per-cell quantized entropy terms.
+    "q301_info_gain" -> {
+      val feats = Seq(
+        ("linestatus", "l_linestatus"),
+        ("shipmonth", "month(l_shipdate)"),
+        ("qty_band", "CAST(l_quantity AS BIGINT)//10"),
+        ("disc_band", "CAST(round(l_discount*100) AS BIGINT)//2"))
+      val branches = feats.map { case (name, fx) =>
+        s"""SELECT '$name' AS feature, hl9, hlf9, hl9 - hlf9 AS ig9
+           |FROM
+           |  (SELECT CAST(sum(CAST(floor(-(CAST(c AS DOUBLE)
+           |      /CAST(n AS DOUBLE))
+           |      * ln(CAST(c AS DOUBLE)/CAST(nf AS DOUBLE)) * 1e9 + 0.5)
+           |      AS BIGINT)) AS BIGINT) AS hlf9
+           |   FROM (SELECT f, l, c,
+           |       CAST(sum(c) OVER (PARTITION BY f) AS BIGINT) AS nf,
+           |       CAST(sum(c) OVER () AS BIGINT) AS n
+           |     FROM (SELECT $fx AS f, l_returnflag AS l,
+           |         CAST(count(*) AS BIGINT) AS c
+           |       FROM lineitem GROUP BY 1, 2))),
+           |  (SELECT CAST(sum(CAST(floor(-(CAST(cl AS DOUBLE)
+           |      /CAST(n AS DOUBLE))
+           |      * ln(CAST(cl AS DOUBLE)/CAST(n AS DOUBLE)) * 1e9 + 0.5)
+           |      AS BIGINT)) AS BIGINT) AS hl9
+           |   FROM (SELECT l, cl, CAST(sum(cl) OVER () AS BIGINT) AS n
+           |     FROM (SELECT l_returnflag AS l, CAST(count(*) AS BIGINT)
+           |         AS cl
+           |       FROM lineitem GROUP BY 1)))""".stripMargin
+      }
+      s"""WITH allb AS (
+         |${branches.mkString("\nUNION ALL\n")})
+         |SELECT feature, hl9, hlf9, ig9,
+         |  CAST(row_number() OVER (ORDER BY ig9 DESC, feature) AS BIGINT)
+         |    AS rank
+         |FROM allb ORDER BY rank""".stripMargin
+    }
   )
 }

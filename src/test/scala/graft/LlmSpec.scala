@@ -982,6 +982,22 @@ class LlmSpec extends SparkSpec {
       s"est ${r.getAs[Double]("js_est")} vs exact $js exceeds envelope $bound")
   }
 
+  test("q302 unseen mass: frequency-of-frequencies consistent, estimators sane") {
+    val rows = SparkEntry.queries("q302_unseen_mass")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[Long]("vocab"); val n = r.getAs[Long]("n_tokens")
+      val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
+      assert(n1 + n2 <= v && v <= n)
+      assert(r.getAs[Long]("unseen9") <= 1000000000L)
+      // Chao1 can only add to the observed richness.
+      assert(r.getAs[Long]("chao1_9") >= v * 1000000000L)
+    }
+    // The bigram space must produce a non-degenerate profile somewhere.
+    assert(rows.map(_.getAs[Long]("n1")).sum > 0L,
+      "no singletons anywhere — degenerate fixture")
+  }
+
   test("q291 AMS F2: estimate positive and within 3x of exact") {
     val r = SparkEntry.queries("q291_ams_f2")(spark, sfDir).collect().head
     assert(r.getAs[Double]("f2_exact") > 0.0)

@@ -150,6 +150,52 @@ class MiningSpec extends SparkSpec {
     assert((r.getAs[Long]("p9") <= 50000000L) == (r.getAs[Int]("reject") == 1))
   }
 
+  test("q299 BH-FDR: p-values valid, step-up set is a prefix of the ranking") {
+    val rows = run("q299_bh_fdr").collect().sortBy(_.getAs[Long]("rank"))
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val p9 = r.getAs[Long]("p9")
+      assert(p9 >= 0L && p9 <= 2000000000L, s"p out of [0,2]: $p9")
+    }
+    val ps = rows.map(_.getAs[Long]("p9"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b }, "rank not by p")
+    // Discoveries must be exactly ranks 1..k* — a prefix.
+    val disc = rows.map(_.getAs[Int]("discovered"))
+    assert(disc.zip(disc.tail).forall { case (a, b) => a >= b },
+      "discovered set is not a rank prefix")
+    // Every discovery satisfies its own BH bound.
+    rows.filter(_.getAs[Int]("discovered") == 1).foreach { r =>
+      assert(r.getAs[Long]("p9") * 25 <= r.getAs[Long]("rank") * 50000000L)
+    }
+  }
+
+  test("q300 conformal: splits partition orders, coverage near target") {
+    val r = run("q300_conformal").collect().head
+    val nOrders = graft.sources.Tables.orders(spark, sfDir)
+      .join(graft.sources.Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey")).count()
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_cal") +
+      r.getAs[Long]("n_test") == nOrders)
+    // The conformal guarantee: coverage ≥ 1−α in expectation; allow the
+    // finite-sample wobble band.
+    val cov = r.getAs[Long]("cov9") / 1e9
+    assert(cov >= 0.87 && cov <= 0.95, s"coverage $cov far from 0.9")
+    assert(r.getAs[Long]("qhat_cents") > 0L)
+  }
+
+  test("q301 info gain: IG non-negative and rank consistent") {
+    val rows = run("q301_info_gain").collect().sortBy(_.getAs[Long]("rank"))
+    assert(rows.length == 4)
+    val igs = rows.map(_.getAs[Long]("ig9"))
+    assert(igs.zip(igs.tail).forall { case (a, b) => a >= b }, "not ranked by IG")
+    // H(L) − H(L|F) ≥ 0 up to the per-cell quantization (±1 unit/cell,
+    // ≤ 36 cells + 3 label cells).
+    igs.foreach(ig => assert(ig >= -64L, s"IG meaningfully negative: $ig"))
+    // All branches share the same label entropy.
+    assert(rows.map(_.getAs[Long]("hl9")).distinct.length == 1)
+  }
+
   test("q255 RFM: quintiles partition customers into near-equal fifths") {
     val rows = run("q255_rfm_segments").collect()
     val n = graft.sources.Tables.orders(spark, sfDir)

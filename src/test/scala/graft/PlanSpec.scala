@@ -541,7 +541,10 @@ class PlanSpec extends SparkSpec {
       "q295_pettitt" ->
         "calendar-bounded daily pair grid; 1-row count/watermark broadcast",
       "q296_joinsize_sketch" ->
-        "1-row exact x median x key-count cross joins")
+        "1-row exact x median x key-count cross joins",
+      "q299_bh_fdr" -> "1-row population-stats / k-star broadcasts",
+      "q300_conformal" -> "1-row fit / quantile / split-count broadcasts",
+      "q301_info_gain" -> "1-row total / label-entropy broadcasts per branch")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
