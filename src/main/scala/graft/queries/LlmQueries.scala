@@ -2569,6 +2569,101 @@ object LlmQueries extends QueryPack {
             .as("unseen9"),
           floor(chao1 * lit(1e9) + lit(0.5)).cast("long").as("chao1_9"))
         .orderBy("lang")
+    }),
+
+    // ---------------------------------------------------------------
+    // q303: MMD EMBEDDING-DRIFT TEST — the kernel two-sample statistic
+    // ML-ops runs to detect embedding-population drift, computed
+    // EXACTLY via the kernel-mean-embedding moment identity instead of
+    // the O(n²) pair sums: for the linear kernel MMD² = ‖μ_A − μ_B‖²
+    // (per-dim mean sums), and for the quadratic kernel k(x,y)=(x·y)²
+    // MMD² = ‖M_A − M_B‖²_F over the second-moment matrices M =
+    // E[xxᵀ] — so the corpus cost is ONE narrow 16×16 pair fanout per
+    // vector (two chained posexplodes — generators can't nest — over
+    // the Matryoshka-16 head slice, the q204 precedent), never a
+    // vector-pair join. All sums exact (1e-4-unit BIGINT coords,
+    // DECIMAL pair products); each dim/cell term converts to natural
+    // units inside ONE fixed double dag and quantizes 1e-9 BEFORE the
+    // order-free integer total. Populations: labels 0–4 vs 5–9.
+    "q303_mmd_drift" -> ((s, dir) => {
+      val dec38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val base = Tables.embeddings(s, dir)
+        .select((col("label") < 5).cast("int").as("pa"),
+          slice(col("embedding"), 1, 16).as("v"))
+      val d1 = base
+        .select(col("pa"), col("v"), posexplode(col("v")).as(Seq("d", "xd")))
+        .select(col("pa"), col("v"), col("d"),
+          floor(col("xd") * lit(1e4) + lit(0.5)).cast("long").as("x4"))
+        .localCheckpoint(false)
+      val n = broadcast(base.agg(
+        sum(when(col("pa") === 1, 1L).otherwise(0L)).as("na"),
+        sum(when(col("pa") === 0, 1L).otherwise(0L)).as("nb")))
+      def dd(c: String) = col(c).cast("double")
+      val mean = d1.groupBy("d").agg(
+        sum(when(col("pa") === 1, col("x4")).otherwise(0L)).as("sa"),
+        sum(when(col("pa") === 0, col("x4")).otherwise(0L)).as("sb"))
+      val mdiff = dd("sa") / dd("na") / lit(1e4) -
+        dd("sb") / dd("nb") / lit(1e4)
+      val lin = mean.crossJoin(n)
+        .select(floor(mdiff * mdiff * lit(1e9) + lit(0.5)).cast("long").as("t"))
+        .agg(sum("t").as("mmd_lin9"))
+      val pairs = d1
+        .select(col("pa"), col("d"), col("x4"),
+          posexplode(col("v")).as(Seq("e", "xe")))
+        .select(col("pa"), col("d"), col("e"),
+          (dec38(col("x4")) *
+            dec38(floor(col("xe") * lit(1e4) + lit(0.5)).cast("long"))).as("p"))
+      val mom = pairs.groupBy("d", "e").agg(
+        sum(when(col("pa") === 1, col("p"))).as("spa"),
+        sum(when(col("pa") === 0, col("p"))).as("spb"))
+      val cdiff = dd("spa") / dd("na") / lit(1e8) -
+        dd("spb") / dd("nb") / lit(1e8)
+      val quad = mom.crossJoin(n)
+        .select(floor(cdiff * cdiff * lit(1e9) + lit(0.5)).cast("long").as("t"))
+        .agg(sum("t").as("mmd_quad9"))
+      lin.crossJoin(quad).crossJoin(n)
+        .select(col("na"), col("nb"), col("mmd_lin9"), col("mmd_quad9"))
+    }),
+
+    // ---------------------------------------------------------------
+    // q304: FEATURE-HASHING COLLISION AUDIT — the sizing study behind
+    // the hashing trick (Weinberger et al. 2009): hash the BIGRAM
+    // vocabulary (the q302 rationale — the closed ~31-word unigram
+    // set collides nowhere at any D, a degenerate audit) into D ∈
+    // {1024, 4096, 16384} buckets (md5-derived, rerun/engine-stable)
+    // and report, per D, the used-bucket count, the vocab
+    // fraction sharing a bucket, and the MASS-weighted collision rate
+    // (the fraction of token occurrences whose bucket also holds a
+    // different token — the quantity that actually degrades a hashed
+    // model). One vocab-bounded count table materialized once, a 3×
+    // bounded fanout, two hash aggregates — no corpus rescan per D.
+    "q304_hash_collisions" -> ((s, dir) => {
+      val vc = Tables.documents(s, dir)
+        .select(explode(Text.shingles(Text.tokens(col("text")), 2)).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val hashed = vc
+        .select(col("tok"), col("c"),
+          explode(array(lit(1024), lit(4096), lit(16384))).as("dsize"))
+        .withColumn("b",
+          conv(substring(md5(col("tok")), 1, 7), 16, 10).cast("long")
+            % col("dsize"))
+      val bu = hashed.groupBy("dsize", "b")
+        .agg(count(lit(1)).as("nt"), sum("c").as("mass"))
+      bu.groupBy("dsize").agg(
+          count(lit(1)).as("buckets_used"),
+          sum("nt").as("vocab"),
+          sum(when(col("nt") > 1L, col("nt")).otherwise(0L))
+            .as("collided_vocab"),
+          sum("mass").as("total_mass"),
+          sum(when(col("nt") > 1L, col("mass")).otherwise(0L))
+            .as("collided_mass"))
+        .select(col("dsize"), col("buckets_used"), col("vocab"),
+          col("collided_vocab"),
+          floor(col("collided_mass").cast("double") /
+            col("total_mass").cast("double") * lit(1e9) + lit(0.5))
+            .cast("long").as("coll_rate9"))
+        .orderBy("dsize")
     })
   )
 
@@ -4624,6 +4719,70 @@ object LlmQueries extends QueryPack {
         |        - CAST(1.0 AS DOUBLE))/CAST(2.0 AS DOUBLE) END)
         |    * 1e9 + 0.5) AS BIGINT) AS chao1_9
         |FROM st ORDER BY lang""".stripMargin,
+
+    // q303: the same moment identity with generate_series standing in
+    // for the chained posexplodes; per-term dags written with the
+    // identical /1e4 // /1e8 natural-unit conversions.
+    "q303_mmd_drift" ->
+      """WITH base AS MATERIALIZED (SELECT CAST(label < 5 AS INT) AS pa,
+        |    embedding[1:16] AS v
+        |  FROM embeddings),
+        |d1 AS MATERIALIZED (SELECT pa, v, u.i - 1 AS d,
+        |    CAST(floor(v[u.i]*1e4 + 0.5) AS BIGINT) AS x4
+        |  FROM base, (SELECT unnest(generate_series(1, 16)) AS i) u),
+        |n AS (SELECT
+        |    CAST(sum(CASE WHEN pa = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN pa = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM base),
+        |mn AS (SELECT d,
+        |    CAST(sum(CASE WHEN pa = 1 THEN x4 ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(sum(CASE WHEN pa = 0 THEN x4 ELSE 0 END) AS BIGINT) AS sb
+        |  FROM d1 GROUP BY 1),
+        |lm AS (SELECT CAST(sa AS DOUBLE)/CAST(na AS DOUBLE)/1e4
+        |    - CAST(sb AS DOUBLE)/CAST(nb AS DOUBLE)/1e4 AS md
+        |  FROM mn, n),
+        |lin AS (SELECT CAST(sum(CAST(floor(md*md*1e9 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS mmd_lin9 FROM lm),
+        |pr AS (SELECT pa, d, x4, w.j - 1 AS e,
+        |    CAST(x4 AS HUGEINT)
+        |      * CAST(floor(v[w.j]*1e4 + 0.5) AS BIGINT) AS p
+        |  FROM d1, (SELECT unnest(generate_series(1, 16)) AS j) w),
+        |mom AS (SELECT d, e,
+        |    sum(CASE WHEN pa = 1 THEN p END) AS spa,
+        |    sum(CASE WHEN pa = 0 THEN p END) AS spb
+        |  FROM pr GROUP BY 1, 2),
+        |qm AS (SELECT CAST(spa AS DOUBLE)/CAST(na AS DOUBLE)/1e8
+        |    - CAST(spb AS DOUBLE)/CAST(nb AS DOUBLE)/1e8 AS cd
+        |  FROM mom, n),
+        |quad AS (SELECT CAST(sum(CAST(floor(cd*cd*1e9 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS mmd_quad9 FROM qm)
+        |SELECT na, nb, mmd_lin9, mmd_quad9 FROM n, lin, quad""".stripMargin,
+
+    // q304: identical md5-7-hex buckets and mass algebra over the
+    // same bigram unit.
+    "q304_hash_collisions" ->
+      """WITH t AS (SELECT
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |tk AS (SELECT toks[i] || ' ' || toks[i + 1] AS tok
+        |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+        |vc AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk GROUP BY 1),
+        |h AS (SELECT tok, c, CAST(ds.d AS INT) AS dsize,
+        |    ('0x' || substring(md5(tok), 1, 7))::BIGINT % ds.d AS b
+        |  FROM vc, (SELECT unnest([1024, 4096, 16384]) AS d) ds),
+        |bu AS (SELECT dsize, b, CAST(count(*) AS BIGINT) AS nt,
+        |    CAST(sum(c) AS BIGINT) AS mass
+        |  FROM h GROUP BY 1, 2)
+        |SELECT dsize, count(*) AS buckets_used,
+        |  CAST(sum(nt) AS BIGINT) AS vocab,
+        |  CAST(sum(CASE WHEN nt > 1 THEN nt ELSE 0 END) AS BIGINT)
+        |    AS collided_vocab,
+        |  CAST(floor(CAST(sum(CASE WHEN nt > 1 THEN mass ELSE 0 END)
+        |      AS DOUBLE)
+        |    / CAST(sum(mass) AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
+        |    AS coll_rate9
+        |FROM bu GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q54/q55: xxhash64-based sketches have no DuckDB equivalent →
     // rows-only + LlmSpec property tests. q56/q67 ARE oracle-checked

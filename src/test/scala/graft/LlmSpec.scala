@@ -998,6 +998,41 @@ class LlmSpec extends SparkSpec {
       "no singletons anywhere — degenerate fixture")
   }
 
+  test("q303 MMD: moment identity matches a brute-force mean recount") {
+    val r = SparkEntry.queries("q303_mmd_drift")(spark, sfDir).collect().head
+    val rows = Tables.embeddings(spark, sfDir)
+      .select((col("label") < 5).cast("int").as("pa"),
+        slice(col("embedding"), 1, 16).as("v")).collect()
+      .map(x => (x.getInt(0), x.getSeq[Float](1).toArray))
+    val (a, b) = rows.partition(_._1 == 1)
+    assert(r.getAs[Long]("na") == a.length && r.getAs[Long]("nb") == b.length)
+    // Linear MMD² recount in the same quantized units.
+    def q4(f: Float): Long = math.floor(f * 1e4 + 0.5).toLong
+    val lin = (0 until 16).map { d =>
+      val md = a.map(x => q4(x._2(d))).sum.toDouble / a.length / 1e4 -
+        b.map(x => q4(x._2(d))).sum.toDouble / b.length / 1e4
+      math.floor(md * md * 1e9 + 0.5).toLong
+    }.sum
+    assert(r.getAs[Long]("mmd_lin9") == lin)
+    assert(r.getAs[Long]("mmd_quad9") >= 0L)
+  }
+
+  test("q304 hashing audit: collisions shrink as D grows, counts consistent") {
+    val rows = SparkEntry.queries("q304_hash_collisions")(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("dsize"))
+    assert(rows.map(_.getAs[Int]("dsize")).toSeq == Seq(1024, 4096, 16384))
+    // The same vocabulary hashes at every D.
+    assert(rows.map(_.getAs[Long]("vocab")).distinct.length == 1)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("buckets_used") <= r.getAs[Long]("vocab"))
+      assert(r.getAs[Long]("collided_vocab") <= r.getAs[Long]("vocab"))
+    }
+    val rates = rows.map(_.getAs[Long]("coll_rate9"))
+    assert(rates.zip(rates.tail).forall { case (x, y) => x >= y },
+      "collision rate must not grow with table size")
+    assert(rates.head > 0L, "no collisions at D=1024 — degenerate fixture")
+  }
+
   test("q291 AMS F2: estimate positive and within 3x of exact") {
     val r = SparkEntry.queries("q291_ams_f2")(spark, sfDir).collect().head
     assert(r.getAs[Double]("f2_exact") > 0.0)

@@ -544,7 +544,8 @@ class PlanSpec extends SparkSpec {
         "1-row exact x median x key-count cross joins",
       "q299_bh_fdr" -> "1-row population-stats / k-star broadcasts",
       "q300_conformal" -> "1-row fit / quantile / split-count broadcasts",
-      "q301_info_gain" -> "1-row total / label-entropy broadcasts per branch")
+      "q301_info_gain" -> "1-row total / label-entropy broadcasts per branch",
+      "q303_mmd_drift" -> "1-row population-count / moment-total broadcasts")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
