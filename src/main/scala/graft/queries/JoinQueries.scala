@@ -194,11 +194,17 @@ object JoinQueries extends QueryPack {
     // a cross join. The EXACTNESS argument: if the global nearest has
     // d² ≤ g² (g = the 1e5 cell width) its Chebyshev distance ≤ g, so
     // it lies in the ring and ring-best = global-best; otherwise the
-    // customer falls back to a broadcast probe of the full (dim-sized)
-    // supplier table. So `via` ('ring'/'full') is itself a pure
-    // function of the data — the oracle replays it from the brute-
-    // force minimum alone, proving the two-phase plan exact, the same
-    // compare-against-the-plan-it-avoids discipline as q290.
+    // customer falls back to a COARSE-grid pass: at cell width 5e5 the
+    // 3×3 ring covers the whole 1e6 domain from any cell, so the
+    // fallback is a shuffled equi-join on the coarse key that provably
+    // sees every supplier — exact, and it moves ≤9× the dim rows
+    // through an exchange instead of broadcasting a table that grows
+    // with SF (a review catch: the broadcast version dies at Spark's
+    // 8 GB limit exactly at the scale the query claims to serve). So
+    // `via` ('ring'/'full') is itself a pure function of the data —
+    // the oracle replays it from the brute-force minimum alone,
+    // proving the two-phase plan exact, the same compare-against-the-
+    // plan-it-avoids discipline as q290.
     "q292_grid_nn_join" -> ((s, dir) => {
       def coord(tag: String, k: org.apache.spark.sql.Column) =
         conv(substring(md5(concat(lit(tag), k.cast("string"))), 1, 5), 16, 10)
@@ -231,7 +237,17 @@ object JoinQueries extends QueryPack {
       val misses = cust
         .join(ringOk.select(col("ck").as("rk")), col("ck") === col("rk"),
           "left_anti")
-      val full = misses.crossJoin(broadcast(supp))
+      val cg = 500000L
+      val coarseReps = supp
+        .select(col("sk"), col("sx"), col("sy"), explode(offs).as("dx"))
+        .select(col("sk"), col("sx"), col("sy"),
+          (expr(s"sx div $cg") + col("dx")).as("cgx"), explode(offs).as("dy"))
+        .select(col("sk"), col("sx"), col("sy"), col("cgx"),
+          (expr(s"sy div $cg") + col("dy")).as("cgy"))
+      val full = misses
+        .withColumn("cgx", expr(s"cx div $cg"))
+        .withColumn("cgy", expr(s"cy div $cg"))
+        .join(coarseReps, Seq("cgx", "cgy"))
         .groupBy("ck")
         .agg(min(struct(d2.as("d2"), col("sk"))).as("m"))
         .select(col("ck"), col("m.d2").as("d2"), col("m.sk").as("sk"))

@@ -2388,13 +2388,19 @@ object LlmQueries extends QueryPack {
         .agg(count(lit(1)).as("ct"))
       val raw = tk.filter(col("lang") =!= "en").groupBy("tok")
         .agg(count(lit(1)).as("cr"))
-      val stats = broadcast(tk.agg(
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
-        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("nr"),
-        count_distinct(col("tok")).as("v")))
-      val ratio = tgt.join(raw, Seq("tok"), "full")
+      val voc = tgt.join(raw, Seq("tok"), "full")
         .select(col("tok"), coalesce(col("ct"), lit(0L)).as("ct"),
           coalesce(col("cr"), lit(0L)).as("cr"))
+        .localCheckpoint(false)
+      // Vocab size = |voc| (the union the full join already built) —
+      // a count_distinct in the corpus aggregate would force an
+      // Expand doubling the exploded token stream (the q252 lesson;
+      // review catch).
+      val stats = broadcast(tk.agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("nr"))
+        .crossJoin(broadcast(voc.agg(count(lit(1)).as("v")))))
+      val ratio = voc
         .crossJoin(stats)
         .select(col("tok"),
           floor((log((col("ct") + 1).cast("double") /
@@ -2458,21 +2464,14 @@ object LlmQueries extends QueryPack {
     // (materialized once), a 16× bounded fanout, two constant-size
     // finals.
     "q291_ams_f2" -> ((s, dir) => {
+      import graft.ops.AmsSketch
       val vc = Tables.lineitem(s, dir)
         .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("f"))
         .localCheckpoint(false)
       val dec38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-      val sgn = (conv(substring(md5(concat(col("r").cast("string"), lit(":"),
-        col("k").cast("string"))), 1, 1), 16, 10).cast("int") % 2 * 2 - 1)
-      val est = vc
-        .select(col("k"), col("f"),
-          explode(array((0 until 16).map(lit(_)): _*)).as("r"))
-        .groupBy("r").agg(sum(dec38(col("f")) * sgn).as("sr"))
+      val est = AmsSketch.rowSums(vc, "", "sr")
         .select(col("r"), (col("sr") * col("sr")).as("e"))
-      val med = est
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("e"), col("r"))))
-        .filter(col("rn") === 8).select(col("e"))
+      val med = AmsSketch.lowerMedian(est)
       val ex = vc.agg(sum(dec38(col("f")) * dec38(col("f"))).as("f2"),
         count(lit(1)).as("n_items"), sum("f").as("n_rows"))
       ex.crossJoin(med)
@@ -2504,6 +2503,7 @@ object LlmQueries extends QueryPack {
     // Scale: one aggregate per side, 16× bounded fanouts, constant
     // finals.
     "q296_joinsize_sketch" -> ((s, dir) => {
+      import graft.ops.AmsSketch
       val dec38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       val fe = Tables.events(s, dir).groupBy(col("user_id").as("k"))
         .agg(count(lit(1)).as("f")).localCheckpoint(false)
@@ -2512,19 +2512,10 @@ object LlmQueries extends QueryPack {
       val exact = fe.select(col("k"), col("f").as("f1"))
         .join(fo.select(col("k"), col("f").as("f2")), "k")
         .agg(sum(dec38(col("f1")) * dec38(col("f2"))).as("js"))
-      val sgn = (conv(substring(md5(concat(lit("js:"), col("r").cast("string"),
-        lit(":"), col("k").cast("string"))), 1, 1), 16, 10).cast("int")
-        % 2 * 2 - 1)
-      def rows16(df: org.apache.spark.sql.DataFrame, out: String) = df
-        .select(col("k"), col("f"),
-          explode(array((0 until 16).map(lit(_)): _*)).as("r"))
-        .groupBy("r").agg(sum(dec38(col("f")) * sgn).as(out))
-      val est = rows16(fe, "se").join(rows16(fo, "so"), "r")
+      val est = AmsSketch.rowSums(fe, "js:", "se")
+        .join(AmsSketch.rowSums(fo, "js:", "so"), "r")
         .select(col("r"), (col("se") * col("so")).as("e"))
-      val med = est
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("e"), col("r"))))
-        .filter(col("rn") === 8).select(col("e"))
+      val med = AmsSketch.lowerMedian(est)
       val stats = broadcast(fe.agg(count(lit(1)).as("n_keys_e")))
         .crossJoin(broadcast(fo.agg(count(lit(1)).as("n_keys_o"))))
       exact.crossJoin(med).crossJoin(stats)

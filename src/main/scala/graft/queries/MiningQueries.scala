@@ -2203,8 +2203,15 @@ object MiningQueries extends QueryPack {
     // qty·qty_anc, depth additive), covering depth 2⁴ = 16 — keyspaces
     // to 10¹⁶, documented headroom far past any real partkey domain —
     // in log rounds of |parts|-row self equi-joins (left join keeps
-    // root-reached rows fixed), lineage-cut per round. Path products
-    // are bounded 5^16 ≈ 1.5e11 — inside BIGINT by construction.
+    // root-reached rows fixed), lineage-cut per round. ROOT SEMANTICS
+    // (review-pinned): the climb proceeds only through ancestors that
+    // EXIST as parts — a missing ancestor key IS a root (the nearest
+    // existing assembly ends the chain), which is what the left-join
+    // composition computes naturally; the oracle's recursion joins
+    // part existence per step to state the same rule, so the pair
+    // stays equivalent on gapped keyspaces, not just the contiguous
+    // fixture. Path products are bounded 5^16 ≈ 1.5e11 — inside
+    // BIGINT by construction.
     // Output: the 9 root assemblies with descendant counts, total
     // extended usage, and max depth; oracle = DuckDB recursive CTE —
     // the compare proves the doubling composition equals the textbook
@@ -3827,7 +3834,10 @@ object MiningQueries extends QueryPack {
     },
 
     // q286: the textbook one-step recursion — the compare proves the
-    // engine's log-round doubling composes to the same closure.
+    // engine's log-round doubling composes to the same closure. The
+    // step JOINS part existence (climb only through PRESENT
+    // assemblies — the engine's semantics: a missing ancestor key IS a
+    // root), so the pair stays equivalent on gapped keyspaces too.
     "q286_bom_rollup" ->
       """WITH RECURSIVE up AS (
         |  SELECT p_partkey AS node, p_partkey//10 AS cur,
@@ -3835,11 +3845,14 @@ object MiningQueries extends QueryPack {
         |  FROM part WHERE p_partkey >= 10
         |  UNION ALL
         |  SELECT node, cur//10, q*((cur%5)+1), d+1
-        |  FROM up WHERE cur >= 10)
+        |  FROM up JOIN part ON up.cur = p_partkey WHERE cur >= 10)
         |SELECT cur AS root, count(*) AS n_desc,
         |  CAST(sum(q) AS BIGINT) AS total_usage,
         |  CAST(max(d) AS BIGINT) AS max_depth
-        |FROM up WHERE cur <= 9 GROUP BY cur ORDER BY root""".stripMargin,
+        |FROM up
+        |WHERE cur <= 9 OR cur NOT IN
+        |  (SELECT p_partkey FROM part WHERE p_partkey >= 10)
+        |GROUP BY cur ORDER BY root""".stripMargin,
 
     // q293: DATE + lag days is DuckDB date arithmetic; HUGEINT moment
     // sums; ρ written with q221's exact dag parenthesization.

@@ -80,10 +80,17 @@ class MiningSpec extends SparkSpec {
   test("q286 BOM rollup matches a local recursive climb") {
     val parts = graft.sources.Tables.part(spark, sfDir)
       .select("p_partkey").collect().map(_.getLong(0))
-    // Local one-step recursion: (root, qtyProduct, depth) per part.
+    val present = parts.toSet
+    // Local one-step recursion with the engine's root semantics: the
+    // climb only continues through ancestors that EXIST as parts — a
+    // gap in the keyspace is a root (review-pinned contract).
     val climbed = parts.filter(_ >= 10L).map { p =>
       var cur = p; var q = 1L; var d = 0L
-      while (cur >= 10L) { q *= (cur % 5) + 1; cur /= 10; d += 1 }
+      var continue = true
+      while (continue) {
+        q *= (cur % 5) + 1; cur /= 10; d += 1
+        continue = cur >= 10L && present.contains(cur)
+      }
       (cur, q, d)
     }
     val expect = climbed.groupBy(_._1).map { case (root, xs) =>

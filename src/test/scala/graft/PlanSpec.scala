@@ -534,8 +534,6 @@ class PlanSpec extends SparkSpec {
       "q289_dsir_weights" -> "1-row corpus-stats broadcast onto the vocab table",
       "q290_heavy_hitters" -> "1-row token-total broadcast over <=64 candidates",
       "q291_ams_f2" -> "1-row exact-moment x 1-row median cross join",
-      "q292_grid_nn_join" ->
-        "dim-table fallback probe for the provably-rare ring misses",
       "q294_kendall_tau" ->
         "domain-bounded (~550-cell) contingency pair grid + 1-row stats",
       "q295_pettitt" ->
