@@ -182,12 +182,15 @@ object Text {
     */
   def bpeMerges(words: org.apache.spark.sql.DataFrame,
                 rounds: Int): org.apache.spark.sql.DataFrame = {
+    require(rounds >= 1, s"bpeMerges needs rounds >= 1, got $rounds")
     var wt = words.select(
       concat(lit("|"), regexp_replace(col("tok"), "(.)", "$1|")).as("w"),
       col("freq"))
       .localCheckpoint(false)
     var merges: Option[org.apache.spark.sql.DataFrame] = None
-    for (r <- 1 to rounds) {
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       val pairs = wt
         .select(col("freq"),
           filter(split(col("w"), "\\|"), x => x =!= "").as("s"))
@@ -202,17 +205,31 @@ object Text {
       // and the merge application.
       val best = pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1)
         .localCheckpoint(false)
-      val row = best.select(lit(r).as("round"), col("a").as("left_sym"),
-        col("b").as("right_sym"), col("n").as("n_occ"))
-      merges = Some(merges.map(_.unionAll(row)).getOrElse(row))
-      if (r < rounds)
-        wt = wt.crossJoin(broadcast(best.select(col("a"), col("b"))))
-          .select(
-            expr("replace(w, concat('|', a, '|', b, '|'), concat('|', a, b, '|'))")
-              .as("w"),
-            col("freq"))
-          .localCheckpoint(false)
+      // Degenerate-corpus stop: when every word has collapsed to one
+      // symbol, `pairs` is empty and cross-joining the empty `best`
+      // into `wt` would silently empty the word table for all later
+      // rounds. Emit the rounds that exist and stop — the output
+      // contract is "up to `rounds` merges" (isEmpty on a 1-row
+      // checkpointed frame is a cheap bounded action).
+      if (best.isEmpty) { exhausted = true }
+      else {
+        val row = best.select(lit(r).as("round"), col("a").as("left_sym"),
+          col("b").as("right_sym"), col("n").as("n_occ"))
+        merges = Some(merges.map(_.unionAll(row)).getOrElse(row))
+        if (r < rounds)
+          wt = wt.crossJoin(broadcast(best.select(col("a"), col("b"))))
+            .select(
+              expr("replace(w, concat('|', a, '|', b, '|'), concat('|', a, b, '|'))")
+                .as("w"),
+              col("freq"))
+            .localCheckpoint(false)
+        r += 1
+      }
     }
-    merges.get.orderBy("round")
+    merges.map(_.orderBy("round")).getOrElse(
+      words.sparkSession.emptyDataFrame
+        .select(lit(0).as("round"), lit("").as("left_sym"),
+          lit("").as("right_sym"), lit(0L).as("n_occ"))
+        .limit(0))
   }
 }

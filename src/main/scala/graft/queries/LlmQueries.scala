@@ -2189,24 +2189,37 @@ object LlmQueries extends QueryPack {
         .localCheckpoint(false)
       var covered: org.apache.spark.sql.DataFrame = null
       var picks: org.apache.spark.sql.DataFrame = null
-      for (r <- 1 to rounds) {
+      var r = 1
+      var saturated = false
+      while (r <= rounds && !saturated) {
         val uncov =
           if (covered == null) dt
           else dt.join(broadcast(covered), Seq("token"), "left_anti")
         val best = uncov.groupBy("doc_id").agg(count(lit(1)).as("gain"))
           .orderBy(col("gain").desc, col("doc_id")).limit(1)
           .localCheckpoint(false)
-        val newTok = dt
-          .join(broadcast(best.select("doc_id")), Seq("doc_id"))
-          .select("token")
-        covered =
-          (if (covered == null) newTok else covered.unionAll(newTok))
-            .distinct().localCheckpoint(false)
-        val row = best
-          .crossJoin(broadcast(covered.agg(count(lit(1)).as("n_covered"))))
-          .select(lit(r).as("round"), col("doc_id"), col("gain"),
-            col("n_covered"))
-        picks = if (picks == null) row else picks.unionAll(row)
+        // Saturation stop: once the universe is fully covered, `uncov`
+        // is empty, `best` is empty, and every later round would
+        // silently repeat the same empty computation (the output
+        // contract is "up to `rounds` picks"; cheap isEmpty on a
+        // 1-row checkpoint). On the harness corpus all 5 rounds have
+        // positive gain (LlmSpec pins it) — this guards degenerate
+        // corpora only.
+        if (best.isEmpty) { saturated = true }
+        else {
+          val newTok = dt
+            .join(broadcast(best.select("doc_id")), Seq("doc_id"))
+            .select("token")
+          covered =
+            (if (covered == null) newTok else covered.unionAll(newTok))
+              .distinct().localCheckpoint(false)
+          val row = best
+            .crossJoin(broadcast(covered.agg(count(lit(1)).as("n_covered"))))
+            .select(lit(r).as("round"), col("doc_id"), col("gain"),
+              col("n_covered"))
+          picks = if (picks == null) row else picks.unionAll(row)
+          r += 1
+        }
       }
       picks.orderBy("round")
     }),

@@ -2272,13 +2272,21 @@ object MiningQueries extends QueryPack {
           sum(dec(col("y")) * dec(col("y"))).as("syy"),
           sum(dec(col("x")) * dec(col("y"))).as("sxy"))
       val nD = col("n_days").cast("double")
+      val varx = nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val vary = nD * col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double")
       val rho = (nD * col("sxy").cast("double") -
           col("sx").cast("double") * col("sy").cast("double")) /
-        sqrt((nD * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double")) *
-          (nD * col("syy").cast("double") -
-            col("sy").cast("double") * col("sy").cast("double")))
-      ag.select(col("lag"), col("n_days"), q9(rho).as("corr9"))
+        sqrt(varx * vary)
+      // Zero-variance guard (constant daily mass in the overlap
+      // window): the Pearson denominator is 0, Spark's floor(NaN)
+      // casts to NULL while DuckDB's CAST(floor('nan')) ERRORS — pin
+      // NULL explicitly on both sides (bounded-domain corr-family
+      // convention).
+      ag.select(col("lag"), col("n_days"),
+          when(varx === 0d || vary === 0d, lit(null).cast("long"))
+            .otherwise(q9(rho)).as("corr9"))
         .orderBy("lag")
     }),
 
@@ -3875,13 +3883,18 @@ object MiningQueries extends QueryPack {
         |  JOIN daily b ON b.d = a.d + CAST(l.range AS INTEGER)
         |  GROUP BY 1)
         |SELECT lag, n_days,
-        |  CAST(floor((CAST(n_days AS DOUBLE)*CAST(sxy AS DOUBLE)
-        |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
-        |    / sqrt((CAST(n_days AS DOUBLE)*CAST(sxx AS DOUBLE)
-        |        - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
-        |      * (CAST(n_days AS DOUBLE)*CAST(syy AS DOUBLE)
-        |        - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) * 1e9 + 0.5)
-        |    AS BIGINT) AS corr9
+        |  CASE WHEN CAST(n_days AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) = 0
+        |      OR CAST(n_days AS DOUBLE)*CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) = 0
+        |    THEN NULL
+        |    ELSE CAST(floor((CAST(n_days AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |      / sqrt((CAST(n_days AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |        * (CAST(n_days AS DOUBLE)*CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) * 1e9 + 0.5)
+        |      AS BIGINT) END AS corr9
         |FROM ag ORDER BY lag""".stripMargin,
 
     // q294: the same once-visited cell-pair grid and ×2 tie algebra.

@@ -1040,4 +1040,38 @@ class LlmSpec extends SparkSpec {
     assert(r.getAs[Long]("relerr9") < 3000000000L,
       s"relative error ${r.getAs[Long]("relerr9")} exceeds 3x")
   }
+
+  test("q276 set cover: all 5 greedy rounds fire with positive gain (fixture non-degeneracy)") {
+    // The output contract is "up to `rounds` picks": the loop stops
+    // early if coverage saturates (empty `best`). The oracle unrolls
+    // exactly 5 rounds, so the harness corpus MUST keep all 5 rounds'
+    // marginal gains positive — this pins that fixture property so a
+    // testdata change that saturates early fails HERE with a clear
+    // message instead of as an oracle row-count mismatch.
+    val rows = SparkEntry.queries("q276_greedy_set_cover")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5,
+      s"set cover saturated after ${rows.length} rounds — oracle unrolls 5")
+    assert(rows.forall(_.getAs[Long]("gain") > 0L))
+    val cov = rows.sortBy(_.getAs[Int]("round")).map(_.getAs[Long]("n_covered"))
+    assert(cov.zip(cov.tail).forall { case (a, b) => b > a },
+      "covered-vocab count must strictly grow per round")
+  }
+
+  test("bpeMerges stops at vocabulary exhaustion instead of emptying the word table") {
+    // Degenerate corpus: one two-symbol word ("ab" x3) admits exactly
+    // ONE merge; asking for 4 rounds must return 1 row, not empty the
+    // word table via a crossJoin with an empty `best` (the silent-
+    // truncation class the round-11 advice flagged).
+    import spark.implicits._
+    val words = Seq(("ab", 3L)).toDF("tok", "freq")
+    val got = Text.bpeMerges(words, rounds = 4).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[String]("left_sym") == "a" &&
+      got.head.getAs[String]("right_sym") == "b" &&
+      got.head.getAs[Long]("n_occ") == 3L)
+    intercept[IllegalArgumentException] {
+      Text.bpeMerges(words, rounds = 0)
+    }
+  }
 }

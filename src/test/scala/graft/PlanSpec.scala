@@ -252,6 +252,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  for (q <- Seq("q277_ks_two_sample", "q278_weighted_median")) {
+    test(s"$q: running-sum range exchange is computed once and reused for the offsets branch") {
+      // Same contract as the rowNumbered gate above, extended to the
+      // runningSummed/runningSummedAll family (round-11 advice): these
+      // consumers carry payload value columns (d1/d2, wt) NOT in
+      // partCols++orderCols — exactly the configuration that could
+      // split the canonical subtrees and re-sample different range
+      // boundaries between the offsets branch and the window branch.
+      // Value-equality specs within one action cannot catch that
+      // cross-branch divergence; only an executed-plan ReusedExchange
+      // proves both branches share ONE boundary sample.
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        s"running-sum range exchange not reused:\n$plan")
+    }
+  }
+
   test("q103: percentile plan has no per-group value buffering aggregate") {
     val plan = planOf("q103_percentile_2pass")
     // The built-in percentile() is a sort-based ObjectHashAggregate that
