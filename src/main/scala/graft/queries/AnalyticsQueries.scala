@@ -1317,14 +1317,21 @@ object AnalyticsQueries extends QueryPack {
     // preserves the half-open-interval contract; 2200-01-01 is
     // portable across every ns-precision engine.
     "q131_scd2" -> ((s, dir) => {
+      // Full population (round-12 widening of the old 30-user fixture
+      // subset): both windows partition on high-cardinality user_id,
+      // so per-task state is one user's history regardless of user
+      // count. First-row detection uses lag(ts) — NEVER lag(k_val),
+      // whose NULL is ambiguous when the attribute itself can be NULL
+      // (two consecutive NULL k_vals must NOT open a new version;
+      // `prev_k IS NULL` would).
       val ev = Tables.events(s, dir)
-        .filter(col("user_id") < 30)
         .select(col("user_id"), col("ts"), col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k_val"))
       val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val changes = ev
         .withColumn("prev_k", lag("k_val", 1).over(byUser))
-        .filter(col("prev_k").isNull || !(col("prev_k") <=> col("k_val")))
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .filter(col("prev_ts").isNull || !(col("prev_k") <=> col("k_val")))
       changes
         .withColumn("valid_to", coalesce(lead("ts", 1).over(byUser),
           lit("2200-01-01 00:00:00").cast("timestamp")))
@@ -1463,14 +1470,16 @@ object AnalyticsQueries extends QueryPack {
     // so every event matches exactly ONE version — asserted by the
     // count-preservation oracle column.
     "q169_scd2_lookup" -> ((s, dir) => {
+      // Full population + lag(ts) first-row detection — q131's
+      // round-12 widening, same rationale.
       val ev = Tables.events(s, dir)
-        .filter(col("user_id") < 30)
         .select(col("user_id"), col("ts"), col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k_val"))
       val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val dim = ev
         .withColumn("prev_k", lag("k_val", 1).over(byUser))
-        .filter(col("prev_k").isNull || !(col("prev_k") <=> col("k_val")))
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .filter(col("prev_ts").isNull || !(col("prev_k") <=> col("k_val")))
         .withColumn("valid_to", coalesce(lead("ts", 1).over(byUser),
           lit("2200-01-01 00:00:00").cast("timestamp")))
         .select(col("user_id").as("d_user"), col("ts").as("valid_from"),
@@ -2934,7 +2943,7 @@ object AnalyticsQueries extends QueryPack {
       """WITH ev AS (
         |  SELECT user_id, ts, event_id,
         |    CAST(props->>'$.k' AS INT) AS k_val
-        |  FROM events WHERE user_id < 30),
+        |  FROM events),
         |changes AS (
         |  SELECT user_id, ts, event_id, k_val
         |  FROM (SELECT *, lag(k_val) OVER
@@ -3041,9 +3050,9 @@ object AnalyticsQueries extends QueryPack {
     // q169: the dim CTE replays q131's oracle verbatim (same change
     // predicate), then the point-in-time join.
     "q169_scd2_lookup" ->
-      """WITH ev AS (SELECT user_id, ts, event_id,
+      """WITH ev AS MATERIALIZED (SELECT user_id, ts, event_id,
         |    CAST(props->>'$.k' AS INT) AS k_val
-        |  FROM events WHERE user_id < 30),
+        |  FROM events),
         |changes AS (
         |  SELECT user_id, ts, event_id, k_val
         |  FROM (SELECT *, lag(k_val) OVER

@@ -678,12 +678,14 @@ object MiningQueries extends QueryPack {
     // window over high-cardinality user_id (collect_list state ≤ 20
     // values by construction); a general-α EWMA is an order-dependent
     // float recursion no engine replays bit-stably — this is the
-    // portable formulation. Oracle replays via a rn-band self-join.
+    // portable formulation. Full population (the window state is ≤ 20
+    // rows per task regardless of user count — round-12 widening of
+    // the old 1-in-50 fixture subset). Oracle replays via a rn-band
+    // self-join.
     "q163_ewma" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(-19, Window.currentRow)
       Tables.events(s, dir)
-        .filter(col("user_id") % 50 === 0)
         .select(col("user_id"), col("event_id"), col("ts"),
           floor(col("value") * lit(1e4) + lit(0.5)).cast("long").as("v4"))
         .withColumn("vals", collect_list("v4").over(w))
@@ -3285,7 +3287,7 @@ object MiningQueries extends QueryPack {
     "q163_ewma" ->
       """WITH e AS (SELECT user_id, event_id, ts,
         |    CAST(floor(value*1e4 + 0.5) AS BIGINT) AS v4
-        |  FROM events WHERE user_id % 50 = 0),
+        |  FROM events),
         |r AS (SELECT user_id, event_id, ts, v4, row_number() OVER
         |    (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |  FROM e),

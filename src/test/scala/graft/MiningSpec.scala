@@ -792,7 +792,6 @@ class MiningSpec extends SparkSpec {
     val rows = run("q163_ewma").collect()
     assert(rows.nonEmpty)
     val vals = graft.sources.Tables.events(spark, sfDir)
-      .filter(col("user_id") % 50 === 0)
       .groupBy("user_id")
       .agg(min("value").as("lo"), max("value").as("hi"))
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
