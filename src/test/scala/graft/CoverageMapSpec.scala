@@ -66,4 +66,18 @@ class CoverageMapSpec extends AnyFunSuite {
     assert(dup.isEmpty,
       s"ambiguous qNN prefixes: ${dup.map { case (p, ks) => s"$p -> ${ks.mkString("/")}" }.mkString("; ")}")
   }
+
+  test("README's 'N of M queries' verification count matches the registry") {
+    // Stale README counts recurred in rounds 9–11 (round-11 verdict #7):
+    // the summary is hand-written prose, so pin the one load-bearing
+    // number — "<oracleSql.size> of <queries.size> queries" — to the
+    // live registry. Fails on registry growth until README is updated.
+    val readme = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val expected = s"${SparkEntry.oracleSql.size} of ${SparkEntry.queries.size} queries"
+    assert(readme.contains(expected),
+      s"README.md does not contain the current count '$expected' — " +
+        "update the Verification section to match the registry")
+  }
 }

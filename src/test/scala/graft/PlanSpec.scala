@@ -252,6 +252,35 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q308: disjunctive join keeps the equi key and pushes the envelope filters") {
+    // TPC-H Q19's OR-of-conjuncts mixes part and lineitem attributes, so
+    // the disjunction itself can only be a join residual — the scale
+    // guarantee is (a) the join still hashes on the p_partkey equi key
+    // (never nested-loop over the fact table) and (b) the per-side
+    // ENVELOPE predicates reach the parquet readers so only candidate
+    // rows are ever materialized.
+    val plan = SparkEntry.queries("q308_disjunctive_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(p_brand, [Brand#1,Brand#2,Brand#3])"),
+      s"brand envelope not pushed to the part scan:\n$plan")
+    assert(plan.contains("LessThanOrEqual(l_quantity,30.0)"),
+      s"quantity envelope not pushed to the lineitem scan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin")
+      && !plan.contains("CartesianProduct"),
+      s"disjunctive join lost its equi key:\n$plan")
+  }
+
+  test("q305: the nation-pair restriction reaches both nation dim scans") {
+    // The bidirectional pair predicate references both sides, but its
+    // per-dim implication (n_name IN (pair)) must prune supplier's and
+    // customer's nation joins at the scan — the reason q305 never
+    // carries out-of-pair fact rows past the first join.
+    val plan = SparkEntry.queries("q305_volume_shipping")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(n_name, [NATION_12,NATION_19])"),
+      s"nation-pair IN not pushed to the nation scans:\n$plan")
+  }
+
   for (q <- Seq("q277_ks_two_sample", "q278_weighted_median")) {
     test(s"$q: running-sum range exchange is computed once and reused for the offsets branch") {
       // Same contract as the rowNumbered gate above, extended to the
@@ -562,7 +591,10 @@ class PlanSpec extends SparkSpec {
       "q299_bh_fdr" -> "1-row population-stats / k-star broadcasts",
       "q300_conformal" -> "1-row fit / quantile / split-count broadcasts",
       "q301_info_gain" -> "1-row total / label-entropy broadcasts per branch",
-      "q303_mmd_drift" -> "1-row population-count / moment-total broadcasts")
+      "q303_mmd_drift" -> "1-row population-count / moment-total broadcasts",
+      "q314_top_supplier" -> "1-row global-max-revenue broadcast (q151 pattern)",
+      "q316_important_stock" ->
+        "1-row (total, count) threshold broadcast (q151 pattern)")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"),
