@@ -2541,6 +2541,56 @@ object LlmQueries extends QueryPack {
     }),
 
     // ---------------------------------------------------------------
+    // q318: SKETCH-PLANNED JOIN — q296's AMS join-size estimate used
+    // as a PLANNING input (ops/SketchPlanner.scala): the estimate is
+    // collected driver-side (the runtime-stats pattern AQE uses
+    // between stages), and the join-pair count is then computed by the
+    // strategy the estimate selects — materialize-and-count when the
+    // output stays ≤ 32× the probe side, Σ f_a·f_b over the per-key
+    // value-count tables when the sketch reveals a fanout explosion.
+    // Two legs exercise BOTH branches on this data at every SF:
+    // events⋈orders on user = cust (output ≈ 10·|events| → direct)
+    // and lineitem⋈lineitem on l_suppkey (a 100-key self-join whose
+    // output is |fact|²/|keys| ≈ 600·|fact| → preagg; at 100 TB this
+    // output is ~10¹⁷ rows — the sketch's one aggregate pass per side
+    // is what keeps that plan from ever existing). The decision
+    // magnitudes are ≥ 7× from the threshold on every SF, the regime
+    // sketch planning is for (q296 documents the near-uniform
+    // small-ratio regime where it is not). Estimate, decision, and
+    // both counts replay exactly in the oracle (md5 signs, HUGEINT
+    // sums, CASE on the same 32·n_probe rule) — so the driver gate
+    // checks the PLANNER, not just the result. PlanSpec asserts the
+    // branch plans structurally: direct's join has no aggregate below
+    // it, preagg's join has aggregates on both sides.
+    "q318_sketch_planned_join" -> ((s, dir) => {
+      import graft.ops.SketchPlanner
+      val ev = Tables.events(s, dir)
+      val or = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      // Value-count tables, lineage-cut: each feeds the sketch pass,
+      // the probe-count action, and (on the preagg branch) the count.
+      val feU = ev.groupBy(col("user_id").as("k"))
+        .agg(count(lit(1)).as("f")).localCheckpoint(false)
+      val foU = or.groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("f")).localCheckpoint(false)
+      val fl = li.groupBy(col("l_suppkey").as("k"))
+        .agg(count(lit(1)).as("f")).localCheckpoint(false)
+      def leg(name: String, probe: org.apache.spark.sql.DataFrame,
+          pk: String, build: org.apache.spark.sql.DataFrame, bk: String,
+          fa: org.apache.spark.sql.DataFrame,
+          fb: org.apache.spark.sql.DataFrame) = {
+        val (pairs, chosen, est, nProbe) =
+          SketchPlanner.plannedPairCount(probe, pk, build, bk, fa, fb, "jp:")
+        pairs.select(lit(name).as("leg"), lit(nProbe).as("n_probe"),
+          lit(est.doubleValue).as("js_est"), lit(chosen).as("chosen"),
+          col("pairs"))
+      }
+      leg("uniform", ev, "user_id", or, "o_custkey", feU, foU)
+        .unionByName(leg("skewed", li, "l_suppkey", li, "l_suppkey", fl, fl))
+        .orderBy("leg")
+    }),
+
+    // ---------------------------------------------------------------
     // q302: GOOD–TURING UNSEEN MASS + CHAO1 RICHNESS — the corpus-
     // coverage planners' pair of estimators q122's vocab coverage
     // stops short of: per language, P(next BIGRAM is unseen) ≈ N₁/N
@@ -4696,6 +4746,59 @@ object LlmQueries extends QueryPack {
         |  CAST(floor(abs(CAST(e AS DOUBLE) - CAST(js AS DOUBLE))
         |    / CAST(js AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS relerr9
         |FROM ex, med, st""".stripMargin,
+
+    // q318: the full planner replay — same 'jp:' md5 signs, HUGEINT
+    // row sums, lower-median estimates, the identical 32·n_probe CASE
+    // decision, and the exact pair counts (which both strategies
+    // produce identically, so one Σ f_a·f_b per leg suffices).
+    "q318_sketch_planned_join" ->
+      """WITH fe AS MATERIALIZED (SELECT user_id AS k, count(*) AS f
+        |  FROM events GROUP BY 1),
+        |fo AS MATERIALIZED (SELECT o_custkey AS k, count(*) AS f
+        |  FROM orders GROUP BY 1),
+        |fl AS MATERIALIZED (SELECT l_suppkey AS k, count(*) AS f
+        |  FROM lineitem GROUP BY 1),
+        |se_u AS (SELECT r.range AS r,
+        |    sum(CAST(f AS HUGEINT) *
+        |      (('0x' || substring(md5('jp:' || CAST(r.range AS VARCHAR)
+        |        || ':' || CAST(k AS VARCHAR)), 1, 1))::INT % 2 * 2 - 1))
+        |      AS se
+        |  FROM fe, range(0, 16) r GROUP BY 1),
+        |so_u AS (SELECT r.range AS r,
+        |    sum(CAST(f AS HUGEINT) *
+        |      (('0x' || substring(md5('jp:' || CAST(r.range AS VARCHAR)
+        |        || ':' || CAST(k AS VARCHAR)), 1, 1))::INT % 2 * 2 - 1))
+        |      AS so
+        |  FROM fo, range(0, 16) r GROUP BY 1),
+        |se_s AS (SELECT r.range AS r,
+        |    sum(CAST(f AS HUGEINT) *
+        |      (('0x' || substring(md5('jp:' || CAST(r.range AS VARCHAR)
+        |        || ':' || CAST(k AS VARCHAR)), 1, 1))::INT % 2 * 2 - 1))
+        |      AS se
+        |  FROM fl, range(0, 16) r GROUP BY 1),
+        |med_u AS (SELECT e FROM (SELECT se*so AS e,
+        |    row_number() OVER (ORDER BY se*so, se_u.r) AS rn
+        |  FROM se_u JOIN so_u USING (r)) WHERE rn = 8),
+        |med_s AS (SELECT e FROM (SELECT se*se AS e,
+        |    row_number() OVER (ORDER BY se*se, r) AS rn
+        |  FROM se_s) WHERE rn = 8),
+        |legs AS (
+        |  SELECT 'uniform' AS leg,
+        |    (SELECT CAST(sum(f) AS BIGINT) FROM fe) AS n_probe,
+        |    (SELECT e FROM med_u) AS e,
+        |    (SELECT CAST(sum(CAST(fe.f AS HUGEINT)*CAST(fo.f AS HUGEINT))
+        |      AS BIGINT) FROM fe JOIN fo USING (k)) AS pairs
+        |  UNION ALL
+        |  SELECT 'skewed' AS leg,
+        |    (SELECT CAST(sum(f) AS BIGINT) FROM fl) AS n_probe,
+        |    (SELECT e FROM med_s) AS e,
+        |    (SELECT CAST(sum(CAST(f AS HUGEINT)*CAST(f AS HUGEINT))
+        |      AS BIGINT) FROM fl) AS pairs)
+        |SELECT leg, n_probe, CAST(e AS DOUBLE) AS js_est,
+        |  CASE WHEN e <= 32 * n_probe THEN 'direct' ELSE 'preagg' END
+        |    AS chosen,
+        |  pairs
+        |FROM legs ORDER BY leg""".stripMargin,
 
     // q302: the same single count table and mirrored estimator branch;
     // bigrams via the list-slice join the shingle oracles use.

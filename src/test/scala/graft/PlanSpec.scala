@@ -252,6 +252,54 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q318: the sketch estimate selects the join strategy — both branches") {
+    // The planner claim is structural, not value-level: the DIRECT
+    // branch's pair count joins the RAW sides (no aggregate below the
+    // join — the plan a downstream row consumer would share), while the
+    // PREAGG branch joins the per-key value-count tables (an Aggregate
+    // on BOTH join inputs) so the fanout explosion never materializes.
+    // Exercise ops/SketchPlanner on both fixture configurations and
+    // assert the logical shape of each chosen plan.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    import org.apache.spark.sql.functions._
+    import graft.ops.SketchPlanner
+    import graft.sources.Tables
+    val ev = Tables.events(spark, sfDir)
+    val or = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val feU = ev.groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("f")).localCheckpoint(false)
+    val foU = or.groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("f")).localCheckpoint(false)
+    val fl = li.groupBy(col("l_suppkey").as("k"))
+      .agg(count(lit(1)).as("f")).localCheckpoint(false)
+    def hasAgg(p: LogicalPlan): Boolean =
+      p.collectFirst { case a: Aggregate => a }.isDefined
+    val (pairsU, chosenU, _, _) = SketchPlanner.plannedPairCount(
+      ev, "user_id", or, "o_custkey", feU, foU, "jp:")
+    assert(chosenU === "direct",
+      "uniform events-orders leg should choose the direct join")
+    val joinsU = pairsU.queryExecution.optimizedPlan
+      .collect { case j: Join => j }
+    assert(joinsU.nonEmpty && joinsU.forall(j =>
+      !hasAgg(j.left) && !hasAgg(j.right)),
+      "direct branch must join the raw sides (no aggregate below the join)")
+    val (pairsS, chosenS, _, _) = SketchPlanner.plannedPairCount(
+      li, "l_suppkey", li, "l_suppkey", fl, fl, "jp:")
+    assert(chosenS === "preagg",
+      "skewed lineitem self-join leg should choose the pre-aggregated count")
+    // The value-count inputs are lineage-cut (localCheckpoint), so the
+    // aggregates are not visible in pairsS's plan; assert the preagg
+    // branch joins the ≤|keys|-row checkpointed tables by checking
+    // its join inputs are exactly the (k, f)-shaped frames.
+    val joinsS = pairsS.queryExecution.optimizedPlan
+      .collect { case j: Join => j }
+    assert(joinsS.nonEmpty && joinsS.forall(j =>
+      j.left.output.map(_.name).toSet == Set("ka", "f_a")
+        && j.right.output.map(_.name).toSet == Set("kb", "f_b")),
+      "preagg branch must join the per-key value-count tables, not raw rows")
+  }
+
   test("q308: disjunctive join keeps the equi key and pushes the envelope filters") {
     // TPC-H Q19's OR-of-conjuncts mixes part and lineitem attributes, so
     // the disjunction itself can only be a join residual — the scale
