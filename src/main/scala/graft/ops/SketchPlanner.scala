@@ -41,7 +41,12 @@ object SketchPlanner {
     val est = AmsSketch.rowSums(fa, salt, "se")
       .join(AmsSketch.rowSums(fb, salt, "so"), "r")
       .select(col("r"), (col("se") * col("so")).as("e"))
-    AmsSketch.lowerMedian(est).head().getDecimal(0)
+    // An EMPTY side yields an empty row-sum table (groupBy on zero
+    // rows), so the median table is empty too — the estimate of a join
+    // against nothing is exactly 0, not a NoSuchElementException (the
+    // q276/bpeMerges degenerate-input class).
+    AmsSketch.lowerMedian(est).collect().headOption
+      .map(_.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
   }
 
   /** Join-pair count of probe ⋈ build on probeKey = buildKey, computed
@@ -68,7 +73,9 @@ object SketchPlanner {
       fa: DataFrame, fb: DataFrame,
       salt: String): (DataFrame, String, java.math.BigDecimal, Long) = {
     val est = estimateJoinSize(fa, fb, salt)
-    val nProbe = fa.agg(sum("f")).head().getLong(0)
+    // coalesce: sum over an empty value-count table is NULL; an empty
+    // probe side means est = 0 ≤ 0 → direct → an empty join → pairs 0.
+    val nProbe = fa.agg(coalesce(sum("f"), lit(0L))).head().getLong(0)
     val direct =
       est.compareTo(java.math.BigDecimal.valueOf(32L * nProbe)) <= 0
     val pairs =

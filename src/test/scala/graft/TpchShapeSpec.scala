@@ -185,4 +185,22 @@ class TpchShapeSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(4)).toMap
     assert(out("skewed") === preagg)
   }
+
+  test("SketchPlanner: an empty side estimates 0 and plans an empty direct join") {
+    import graft.ops.SketchPlanner
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    val empty = li.filter(lit(false))
+    val fEmpty = empty.groupBy(col("l_suppkey").as("k"))
+      .agg(count(lit(1)).as("f"))
+    val fFull = li.groupBy(col("l_suppkey").as("k"))
+      .agg(count(lit(1)).as("f"))
+    assert(SketchPlanner.estimateJoinSize(fEmpty, fFull, "jp:")
+      .compareTo(java.math.BigDecimal.ZERO) == 0)
+    val (pairs, chosen, est, nProbe) = SketchPlanner.plannedPairCount(
+      empty, "l_suppkey", li, "l_suppkey", fEmpty, fFull, "jp:")
+    assert(chosen === "direct" && nProbe === 0L
+      && est.compareTo(java.math.BigDecimal.ZERO) == 0)
+    assert(pairs.head().getLong(0) === 0L)
+  }
 }
