@@ -31,8 +31,13 @@ def main():
     sf_dir, out_dir = args[0], args[1]
     only = set(args[2:])
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # Driver testdata is one file per table; Spark-written scale-up
+        # dirs (HeadroomGen output) are directories of part files.
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(oracle) if not only else sorted(only & set(oracle))
     fails = 0
