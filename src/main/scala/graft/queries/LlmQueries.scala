@@ -2591,6 +2591,83 @@ object LlmQueries extends QueryPack {
     }),
 
     // ---------------------------------------------------------------
+    // q319: PRODUCT-QUANTIZATION ANN (the compression half of IVF-PQ —
+    // the FAISS-style billion-vector path q67/q95/q109 stop short of).
+    // 64-dim vectors → 8 subspaces × 8 dims, a 16-centroid codebook
+    // per subspace (q95's stride-seed rule, one Lloyd round), every
+    // vector encoded as 8 small codes (64 floats → 8 bytes: the 32×
+    // compression that lets 10¹¹ vectors live in RAM), probes scored
+    // by ASYMMETRIC DISTANCE COMPUTATION: a constant (probe ×
+    // subspace × centroid) lookup table, est-distance = Σ_s
+    // table[code_s] via an equi join on (s, code) — per probe the
+    // compressed-domain scan is linear in |codes| and never touches a
+    // float coordinate (in production this sweep runs only inside the
+    // probed IVF cells; the corpus here plays one cell's role, the
+    // q51-baseline contract). EVERYTHING is integer: coordinates
+    // quantize to 1e-4 units once, distances are BIGINT Σ(Δq)² (≤
+    // 2.6e10 per pair at any corpus size), Lloyd means floor(S/n+0.5)
+    // — so seeding, Lloyd, encoding, ADC and ranking all replay
+    // bit-exactly in the oracle, with no float-cosine last-ulp risk
+    // anywhere. Recall vs the exact integer-L2 ranking is
+    // property-tested in LlmSpec.
+    "q319_ann_pq_adc" -> ((s, dir) => {
+      import graft.ops.Similarity
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("vec_id", col("vec_id").cast("long"))
+      // (vec, subspace, dim, q): one narrow 64-row fanout per vector;
+      // feeds seeding, both assignment passes, Lloyd, and the probe
+      // tables — cut once.
+      val qc = emb.select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), expr("pos div 8").as("s"),
+          (col("pos") % 8).as("d"),
+          floor(col("col").cast("double") * 1e4 + lit(0.5)).cast("long").as("q"))
+        .localCheckpoint(false)
+      val seedIds = Similarity.seedCentroids(emb, 16).map(_._1)
+      val cb0 = qc.filter(col("vec_id").isin(seedIds: _*))
+        .select(col("vec_id").as("cid"), col("s"), col("d"), col("q").as("qc"))
+      // Nearest codebook entry per (vector, subspace): exact integer
+      // L2, ties to the smaller centroid id. The ≤16× join fanout
+      // aggregates straight back down; rn=1 plans as WindowGroupLimit.
+      def assign(cb: org.apache.spark.sql.DataFrame) = {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id", "s")
+          .orderBy(col("dist"), col("cid"))
+        qc.join(cb, Seq("s", "d"))
+          .groupBy("vec_id", "s", "cid")
+          .agg(sum((col("q") - col("qc")) * (col("q") - col("qc"))).as("dist"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select("vec_id", "s", "cid")
+      }
+      // One integer-exact Lloyd round; empty cells keep their seed.
+      val means = assign(cb0)
+        .join(qc, Seq("vec_id", "s"))
+        .groupBy("s", "cid", "d")
+        .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+        .select(col("s"), col("cid"), col("d"),
+          floor(col("sq").cast("double") / col("n") + lit(0.5)).cast("long")
+            .as("qn"))
+      val cb1 = cb0.join(means, Seq("s", "cid", "d"), "left")
+        .select(col("cid"), col("s"), col("d"),
+          coalesce(col("qn"), col("qc")).as("qc"))
+        .localCheckpoint(false)
+      val codes = assign(cb1)
+        .select(col("vec_id").as("cand_id"), col("s"), col("cid"))
+      // ADC lookup tables: 10 probes × 8 subspaces × 16 centroids.
+      val dt = qc.filter(col("vec_id") < 10)
+        .join(cb1, Seq("s", "d"))
+        .groupBy(col("vec_id").as("probe_id"), col("s"), col("cid"))
+        .agg(sum((col("q") - col("qc")) * (col("q") - col("qc"))).as("pd"))
+      val wTop = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+        .orderBy(col("est_d"), col("cand_id"))
+      codes.join(dt, Seq("s", "cid"))
+        .filter(col("cand_id") =!= col("probe_id"))
+        .groupBy("probe_id", "cand_id").agg(sum("pd").as("est_d"))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 10)
+        .select(col("probe_id"), col("rnk"), col("cand_id"), col("est_d"))
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // ---------------------------------------------------------------
     // q302: GOOD–TURING UNSEEN MASS + CHAO1 RICHNESS — the corpus-
     // coverage planners' pair of estimators q122's vocab coverage
     // stops short of: per language, P(next BIGRAM is unseen) ≈ N₁/N
@@ -4746,6 +4823,73 @@ object LlmQueries extends QueryPack {
         |  CAST(floor(abs(CAST(e AS DOUBLE) - CAST(js AS DOUBLE))
         |    / CAST(js AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS relerr9
         |FROM ex, med, st""".stripMargin,
+
+    // q319: the full PQ pipeline replayed in integer SQL — same stride
+    // seeds (with q95's fallback branch), integer-L2 assignments with
+    // ties to the smaller cid, the floor(S/n + 0.5) Lloyd means, the
+    // ADC lookup join, and the (est_d, cand_id) ranking.
+    "q319_ann_pq_adc" ->
+      """WITH qc AS MATERIALIZED (
+        |  SELECT vec_id, (u.i-1)//8 AS s, (u.i-1)%8 AS d,
+        |    CAST(floor(CAST(embedding[u.i] AS DOUBLE)*1e4 + 0.5) AS BIGINT)
+        |      AS q
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u),
+        |mx AS (SELECT greatest(1, (max(vec_id)+1) // 16) AS stride
+        |  FROM embeddings),
+        |strided AS (SELECT vec_id FROM embeddings, mx
+        |  WHERE vec_id % mx.stride = 0 ORDER BY vec_id LIMIT 16),
+        |fallback AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16),
+        |sids AS (SELECT vec_id FROM strided
+        |  UNION ALL
+        |  SELECT vec_id FROM fallback
+        |  WHERE NOT EXISTS (SELECT 1 FROM strided)),
+        |cb0 AS MATERIALIZED (
+        |  SELECT qc.vec_id AS cid, s, d, q AS qcv FROM qc
+        |  WHERE qc.vec_id IN (SELECT vec_id FROM sids)),
+        |a0 AS (
+        |  SELECT vec_id, s, cid FROM (
+        |    SELECT qc.vec_id, qc.s, cb0.cid,
+        |      row_number() OVER (PARTITION BY qc.vec_id, qc.s
+        |        ORDER BY sum((q-qcv)*(q-qcv)), cb0.cid) AS rn
+        |    FROM qc JOIN cb0 ON qc.s = cb0.s AND qc.d = cb0.d
+        |    GROUP BY qc.vec_id, qc.s, cb0.cid)
+        |  WHERE rn = 1),
+        |means AS (
+        |  SELECT qc.s, a0.cid, qc.d,
+        |    CAST(floor(CAST(sum(q) AS DOUBLE)/count(*) + 0.5) AS BIGINT)
+        |      AS qn
+        |  FROM a0 JOIN qc ON qc.vec_id = a0.vec_id AND qc.s = a0.s
+        |  GROUP BY qc.s, a0.cid, qc.d),
+        |cb1 AS MATERIALIZED (
+        |  SELECT cb0.cid, cb0.s, cb0.d, coalesce(m.qn, cb0.qcv) AS qcv
+        |  FROM cb0 LEFT JOIN means m
+        |    ON m.s = cb0.s AND m.cid = cb0.cid AND m.d = cb0.d),
+        |codes AS MATERIALIZED (
+        |  SELECT vec_id AS cand_id, s, cid FROM (
+        |    SELECT qc.vec_id, qc.s, cb1.cid,
+        |      row_number() OVER (PARTITION BY qc.vec_id, qc.s
+        |        ORDER BY sum((q-qcv)*(q-qcv)), cb1.cid) AS rn
+        |    FROM qc JOIN cb1 ON qc.s = cb1.s AND qc.d = cb1.d
+        |    GROUP BY qc.vec_id, qc.s, cb1.cid)
+        |  WHERE rn = 1),
+        |dt AS MATERIALIZED (
+        |  SELECT qc.vec_id AS probe_id, qc.s, cb1.cid,
+        |    sum((q-qcv)*(q-qcv)) AS pd
+        |  FROM qc JOIN cb1 ON qc.s = cb1.s AND qc.d = cb1.d
+        |  WHERE qc.vec_id < 10
+        |  GROUP BY qc.vec_id, qc.s, cb1.cid),
+        |est AS (
+        |  SELECT probe_id, cand_id, CAST(sum(pd) AS BIGINT) AS est_d
+        |  FROM codes JOIN dt ON codes.s = dt.s AND codes.cid = dt.cid
+        |  WHERE cand_id <> probe_id
+        |  GROUP BY probe_id, cand_id)
+        |SELECT probe_id, rnk, cand_id, est_d FROM (
+        |  SELECT probe_id, cand_id, est_d,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY est_d, cand_id) AS INT) AS rnk
+        |  FROM est)
+        |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin,
 
     // q318: the full planner replay — same 'jp:' md5 signs, HUGEINT
     // row sums, lower-median estimates, the identical 32·n_probe CASE
