@@ -119,8 +119,21 @@ object Events {
     * DataFrames the same function is the plain interval equi+range
     * join (the DuckDB-checkable leg).
     */
+  /** @param joinType "inner" (default) or "left_outer". LEFT OUTER is
+    * the stream-stream shape with real operational teeth: a left event
+    * with no right partner inside its window emits NULL-padded — but
+    * only once the right-side WATERMARK has passed the window's end,
+    * because until then a partner could still arrive. That
+    * emit-on-expiry semantics is exactly what the time-bound condition
+    * + watermarks buy; on batch DataFrames the same function is the
+    * plain outer interval join (the DuckDB-checkable leg), and
+    * StreamingSpec proves the two agree.
+    */
   def intervalJoin(left: DataFrame, right: DataFrame,
-                   horizon: String, window: String): DataFrame = {
+                   horizon: String, window: String,
+                   joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"intervalJoin supports inner | left_outer, got: '$joinType'")
     // Both strings are interpolated into interval expressions below;
     // validate up front so misuse fails here with a clear message, not
     // deep inside the join condition with an opaque parse error. Validate
@@ -158,7 +171,8 @@ object Events {
     l.join(r,
         col("l_user") === col("r_user")
           && col("r_ts") >= col("l_ts")
-          && col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+          && col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"),
+        joinType)
       .select(col("l_id"), col("r_id"), col("l_user"))
   }
 }

@@ -245,6 +245,45 @@ class StreamingSpec extends SparkSpec {
     assert(batch === Set((1L, 101L), (2L, 102L), (3L, 104L), (4L, 103L)))
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched lefts emit on watermark expiry; equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // view 1 (:01) matches buy 101 (:04); view 2 (:10) has NO buy in
+    // [:10, :20] — its NULL-padded row may only emit once the right
+    // watermark passes :20, which the flush events force. view 99
+    // (:50, the left flush) is excluded from the comparison: its own
+    // window never expires.
+    val views = Seq(ev(1, 1), ev(2, 10))
+    val buys = Seq(ev(101, 4, typ = "purchase"))
+    val flushL = ev(99, 50)
+    val flushR = ev(199, 55, typ = "purchase")
+
+    val ls = MemoryStream[Ev]; val rs = MemoryStream[Ev]
+    val q = Events.intervalJoin(ls.toDF(), rs.toDF(),
+        "5 minutes", "10 minutes", "left_outer")
+      .writeStream.format("memory").queryName("t_ssj_lo")
+      .outputMode(OutputMode.Append()).start()
+    ls.addData(views); rs.addData(buys); q.processAllAvailable()
+    // Before any watermark movement past :20, the unmatched view 2 must
+    // NOT have emitted a NULL row (a partner could still arrive).
+    val early = spark.table("t_ssj_lo")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(!early.contains((2L, -1L)),
+      "unmatched left emitted before its window could be closed by the watermark")
+    ls.addData(flushL); rs.addData(flushR); q.processAllAvailable()
+    val streamed = spark.table("t_ssj_lo")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet.filter(_._1 != 99L)
+    q.stop()
+
+    val batch = Events.intervalJoin(views.toDF(), buys.toDF(),
+        "5 minutes", "10 minutes", "left_outer")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(streamed === batch)
+    assert(batch === Set((1L, 101L), (2L, -1L)))
+  }
+
   test("stream-static join: streaming events enrich against a static dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
