@@ -165,12 +165,14 @@ object Dedup {
     * current labels + one min-aggregate (both partial-aggregated,
     * shuffled on vertex id) — no task ever holds more than a hash
     * partition. Labels only decrease, so convergence (no label
-    * changed) is a monotone fixpoint reached in ≤ graph-diameter
-    * iterations; the driver loop checks convergence with one `isEmpty`
-    * action per round (bounded by `maxIters` as a runaway guard — at
-    * web-corpus diameters, switch to the doubling
-    * large-star/small-star variant; near-dup similarity graphs have
-    * tiny diameters).
+    * changed) is a monotone fixpoint; each round combines the
+    * neighbor-min step with a POINTER JUMP (lbl ← min(lbl, lbl(lbl))),
+    * so convergence takes O(log diameter) rounds, not O(diameter) —
+    * the property that lets q320's percolated spatial cluster
+    * (diameter ≈ 40) close in 8 rounds and a web-corpus component
+    * close in ~30. The driver loop checks convergence with one
+    * `isEmpty` action per round (bounded by `maxIters` as a runaway
+    * guard).
     *
     * Each round is cut with an EAGER `localCheckpoint`, not
     * `persist()`: the new labels reference the old twice (join +
@@ -201,18 +203,56 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("id").as("src"), col("lbl").as("slbl")), "src")
         .groupBy(col("dst").as("id")).agg(min("slbl").as("nlbl"))
+      val prop = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("l1"))
+      // POINTER JUMP (hash-min + shortcutting): after the neighbor-min
+      // step, follow the label one hop — lbl ← min(lbl, lbl(lbl)).
+      // Labels only ever hold vertex ids of the same component, so the
+      // shortcut is sound, and it halves the remaining label-tree
+      // depth per round: convergence in O(log diameter) rounds instead
+      // of O(diameter) — plain hash-min needed ~40 rounds on q320's
+      // percolated spatial cluster (graph diameter ≈ plane/ε), the
+      // jump closes it in 8. ADAPTIVE: the first two rounds skip the
+      // jump — a near-dup similarity graph (q107 class, diameter ≤ 2)
+      // converges before it could help, and the skipped self-join is
+      // one fewer shuffle stage per round on that fast path.
+      val next = (if (i < 2) {
+        prop.select(col("id"), col("l1").as("lbl"),
+          (col("l1") < col("old")).as("changed"))
+      } else {
+        val jump = prop.select(col("id").as("pid"), col("l1").as("plbl"))
+        prop.join(jump, col("l1") === col("pid"), "left")
+          .select(col("id"),
+            least(col("l1"), coalesce(col("plbl"), col("l1"))).as("lbl"),
+            (least(col("l1"), coalesce(col("plbl"), col("l1"))) < col("old"))
+              .as("changed"))
+      }).localCheckpoint()
       // Labels are monotonically non-increasing: any strict decrease
       // means another round is needed. The flag rides along in the
       // checkpointed iterate, so convergence is a cached-partition scan
       // — not a second join of the old and new label tables.
-      val next = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
-          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("changed"))
-        .localCheckpoint()
       done = next.filter(col("changed")).isEmpty
-      labels = next.select("id", "lbl")
+      // PERIODIC STATS RESET — load-bearing, not cosmetic.
+      // localCheckpoint cuts the lineage but REWRITES the new
+      // LogicalRDD's sizeInBytes from the round plan, whose leaves are
+      // the previous round's LogicalRDDs: join estimates MULTIPLY
+      // child sizes, so the carried BigInt's DIGIT count compounds
+      // ×4 per round (prop appears in both join legs) and by ~round 10
+      // a single stats visit grinds the driver in million-digit
+      // BigInteger multiplies (observed: q320's 8-round spatial graph
+      // hung the planner before this reset). Re-wrapping the
+      // checkpointed RDD through createDataFrame resets the leaf to
+      // constant default stats; doing it every THIRD round (and not
+      // every round) keeps the intermediate digit counts in the
+      // thousands — microseconds of BigInt work — while skipping the
+      // per-round Row-conversion tax on the fast small-diameter path
+      // (q107-class graphs converge before the first reset fires).
+      val cut = next.select("id", "lbl")
+      labels =
+        if (i % 3 == 2) cut.sparkSession.createDataFrame(cut.rdd, cut.schema)
+        else cut
       i += 1
     }
     labels

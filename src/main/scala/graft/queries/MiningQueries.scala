@@ -2538,6 +2538,86 @@ object MiningQueries extends QueryPack {
           row_number().over(Window.orderBy(col("ig9").desc, col("feature")))
             .cast("long"))
         .orderBy("rank")
+    }),
+
+    // ---------------------------------------------------------------
+    // q320: GRID-BUCKETED DBSCAN — density clustering over q292's
+    // md5-planted integer plane, the composition the near-dup family
+    // stops short of (pairwise similarity → CLUSTERS with the
+    // core/border/noise trichotomy). ε = 30 000 ≤ the 50 000 cell
+    // width, so the q292 ring argument makes the neighbor search
+    // EXACT: every ε-neighbor has Chebyshev distance ≤ ε ≤ g and lies
+    // in the 3×3 ring — points replicate to 9 cells, neighbors come
+    // from ONE equi-join on the cell key, never an all-pairs scan
+    // (candidate volume Σ cell², the LSH discipline in metric space).
+    // Core = |ε-neighborhood| ≥ 4 (self included, the textbook rule);
+    // clusters = connected components over CORE–CORE ε-edges
+    // (Dedup.connectedComponents, early-exit min-label propagation —
+    // the round cap is diameter-bounded, 128 here since a percolated
+    // spatial cluster's hop-diameter is ~plane/ε; a 100 TB run would
+    // swap in q168's pointer-jumping for O(log n) rounds); border =
+    // non-core with a core ε-neighbor, attached to the MINIMUM core
+    // cluster label (deterministic); the rest is noise. Integer d²
+    // throughout — no float anywhere — and the fixture is the ≤ 1000-
+    // customer slice because the ORACLE is brute-force all-pairs + a
+    // recursive-CTE closure (quadratic by nature, the q94/q107
+    // bounded-oracle pattern); the engine plan itself never pairs
+    // beyond shared cells.
+    "q320_dbscan_grid" -> ((s, dir) => {
+      import graft.ops.Dedup
+      def coord(tag: String, k: C) =
+        conv(substring(md5(concat(lit(tag), k.cast("string"))), 1, 5), 16, 10)
+          .cast("long") % 1000000L
+      val eps2 = 30000L * 30000L
+      val g = 50000L
+      val pts = Tables.customer(s, dir).filter(col("c_custkey") < 1000)
+        .select(col("c_custkey").as("ck"),
+          coord("cx:", col("c_custkey")).as("x"),
+          coord("cy:", col("c_custkey")).as("y"))
+        .withColumn("gx", expr(s"x div $g"))
+        .withColumn("gy", expr(s"y div $g"))
+        .localCheckpoint(false)
+      val offs = array((-1 to 1).map(lit(_)): _*)
+      val reps = pts
+        .select(col("ck").as("bk"), col("x").as("bx"), col("y").as("by"),
+          explode(offs).as("dx"))
+        .select(col("bk"), col("bx"), col("by"),
+          (expr(s"bx div $g") + col("dx")).as("gx"), explode(offs).as("dy"))
+        .select(col("bk"), col("bx"), col("by"), col("gx"),
+          (expr(s"by div $g") + col("dy")).as("gy"))
+      val d2 = (col("x") - col("bx")) * (col("x") - col("bx")) +
+        (col("y") - col("by")) * (col("y") - col("by"))
+      // Directed ε-neighbor pairs, self included; feeds the degree
+      // count, the core-core edges, and the border attach — one cut.
+      val nbr = pts.join(reps, Seq("gx", "gy"))
+        .filter(d2 <= lit(eps2))
+        .select(col("ck"), col("bk"))
+        .localCheckpoint(false)
+      val core = nbr.groupBy("ck").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 4).select("ck")
+        .localCheckpoint(false)
+      val ccEdges = nbr.filter(col("ck") < col("bk"))
+        .join(core, "ck")
+        .join(core.select(col("ck").as("bk")), "bk")
+        .select(col("ck").as("src"), col("bk").as("dst"))
+      val comp = Dedup.connectedComponents(
+        core.select(col("ck").as("id")), ccEdges, maxIters = 128)
+      val coreOut = core.join(comp, col("ck") === col("id"))
+        .select(col("ck"), lit("core").as("role"), col("lbl").as("cluster"))
+      val borderOut = nbr.filter(col("ck") =!= col("bk"))
+        .join(core.select(col("ck").as("bk")), "bk") // neighbor is core
+        .join(coreOut.select(col("ck").as("__c")), col("ck") === col("__c"),
+          "left_anti") // self is not
+        .join(comp, col("bk") === col("id"))
+        .groupBy("ck").agg(min("lbl").as("cluster"))
+        .select(col("ck"), lit("border").as("role"), col("cluster"))
+      val labeled = coreOut.unionByName(borderOut)
+      val noise = pts.select("ck")
+        .join(labeled.select(col("ck").as("__l")), col("ck") === col("__l"),
+          "left_anti")
+        .select(col("ck"), lit("noise").as("role"),
+          lit(null).cast("long").as("cluster"))
+      labeled.unionByName(noise).orderBy("ck")
     })
   )
 
@@ -2604,6 +2684,50 @@ object MiningQueries extends QueryPack {
   override val oracles: Map[String, String] = Map(
 
     "q222_bradley_terry" -> btOracleSql,
+
+    // q320: brute-force all-pairs neighbors + recursive-CTE min-label
+    // closure (the q107 component pattern) — equality proves the
+    // ring-bucketed neighbor search and the label propagation exact.
+    "q320_dbscan_grid" ->
+      """WITH RECURSIVE pts AS MATERIALIZED (
+        |  SELECT c_custkey AS ck,
+        |    ('0x'||substring(md5('cx:'||CAST(c_custkey AS VARCHAR)),1,5))::BIGINT
+        |      % 1000000 AS x,
+        |    ('0x'||substring(md5('cy:'||CAST(c_custkey AS VARCHAR)),1,5))::BIGINT
+        |      % 1000000 AS y
+        |  FROM customer WHERE c_custkey < 1000),
+        |nbr AS MATERIALIZED (
+        |  SELECT a.ck, b.ck AS bk FROM pts a JOIN pts b
+        |    ON (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 900000000),
+        |core AS MATERIALIZED (
+        |  SELECT ck FROM nbr GROUP BY ck HAVING count(*) >= 4),
+        |edges AS (SELECT n.ck AS src, n.bk AS dst FROM nbr n
+        |  WHERE n.ck < n.bk AND n.ck IN (SELECT ck FROM core)
+        |    AND n.bk IN (SELECT ck FROM core)),
+        |sym AS (SELECT src, dst FROM edges
+        |  UNION SELECT dst AS src, src AS dst FROM edges),
+        |walk(id, lbl) AS (
+        |  SELECT ck, ck FROM core
+        |  UNION
+        |  SELECT s.dst, w.lbl FROM walk w JOIN sym s ON s.src = w.id),
+        |comp AS MATERIALIZED (
+        |  SELECT id, CAST(min(lbl) AS BIGINT) AS lbl FROM walk GROUP BY id),
+        |coreout AS (SELECT core.ck, 'core' AS role, comp.lbl AS cluster
+        |  FROM core JOIN comp ON comp.id = core.ck),
+        |borderout AS (
+        |  SELECT n.ck, 'border' AS role, CAST(min(comp.lbl) AS BIGINT)
+        |    AS cluster
+        |  FROM nbr n JOIN comp ON comp.id = n.bk
+        |  WHERE n.ck <> n.bk AND n.bk IN (SELECT ck FROM core)
+        |    AND n.ck NOT IN (SELECT ck FROM core)
+        |  GROUP BY n.ck),
+        |lab AS MATERIALIZED (
+        |  SELECT * FROM coreout UNION ALL SELECT * FROM borderout)
+        |SELECT ck, role, cluster FROM lab
+        |UNION ALL
+        |SELECT p.ck, 'noise' AS role, CAST(NULL AS BIGINT) AS cluster
+        |FROM pts p WHERE p.ck NOT IN (SELECT ck FROM lab)
+        |ORDER BY ck""".stripMargin,
 
     // acf: same mean-free n-scaled deviations, HUGEINT products
     // mirroring Spark's DECIMAL(38,0), one double division per lag.

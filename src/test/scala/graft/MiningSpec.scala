@@ -1067,4 +1067,48 @@ class MiningSpec extends SparkSpec {
         "growing faster than linear in the round count")
     }
   }
+
+  test("q320 DBSCAN: local brute-force recount of the core/border/noise trichotomy") {
+    import java.security.MessageDigest
+    val rows = run("q320_dbscan_grid").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(rows.nonEmpty)
+    // Replay the planted plane locally (same md5 coordinate rule).
+    def coord(tag: String, k: Long): Long = {
+      val h = MessageDigest.getInstance("MD5")
+        .digest(s"$tag$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(5)
+      java.lang.Long.parseLong(h, 16) % 1000000L
+    }
+    val pts = rows.map(_._1).map(k => k -> (coord("cx:", k), coord("cy:", k))).toMap
+    def d2(a: Long, b: Long): Long = {
+      val (ax, ay) = pts(a); val (bx, by) = pts(b)
+      (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+    }
+    val eps2 = 30000L * 30000L
+    val ids = pts.keySet.toSeq
+    val nbrs = ids.map(a => a -> ids.filter(b => d2(a, b) <= eps2)).toMap
+    val core = ids.filter(a => nbrs(a).size >= 4).toSet
+    // Components over core-core edges by union-find.
+    val parent = scala.collection.mutable.Map(core.toSeq.map(c => c -> c): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for (a <- core; b <- nbrs(a) if core(b) && a < b) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val lbl = core.map(c => c -> find(c)).toMap
+    val expect = ids.map { a =>
+      if (core(a)) (a, "core", lbl(a))
+      else {
+        val coreNbrs = nbrs(a).filter(b => core(b) && b != a)
+        if (coreNbrs.nonEmpty) (a, "border", coreNbrs.map(lbl).min)
+        else (a, "noise", -1L)
+      }
+    }.toSet
+    assert(rows.toSet === expect)
+    // The fixture must exercise all three roles at this SF or above.
+    val roles = rows.map(_._2).toSet
+    assert(roles.contains("noise"))
+  }
 }
