@@ -2591,6 +2591,57 @@ object LlmQueries extends QueryPack {
     }),
 
     // ---------------------------------------------------------------
+    // q321: KNESER-NEY bigram LM — the production smoothing q179's
+    // add-one deliberately stops short of (absolute discounting +
+    // CONTINUATION probability: a word's backoff mass scales with how
+    // many distinct contexts it follows, not how often it occurs —
+    // the insight that made KN the standard n-gram smoother).
+    // Interpolated bigram form, discount D = 3/4 kept EXACT in
+    // integers: P(w₂|w₁) = max(4·c₁₂−3, 0)/(4·c₁) +
+    // (3/(4·c₁))·N₁₊(w₁·)·(N₁₊(·w₂)/N₁₊(··)). ALL five statistics
+    // come from ONE bigram-type table (c₁₂ per type; c₁ and the
+    // fan-out N₁₊(w₁·) from a w₁ group; the context count N₁₊(·w₂)
+    // from a w₂ group; N₁₊(··) a 1-row broadcast) — no second corpus
+    // pass. Per-type −ln P quantizes half-up 1e-9 ONCE corpus-side
+    // (q179's exactness contract: doc sums are then BIGINT, one final
+    // IEEE division), and the LM joins docs on the unbounded bigram
+    // key — shuffle both sides, vocab² is never broadcastable (the
+    // q179 scale note). Same output shape as q179 so the two
+    // smoothers are directly comparable per doc.
+    "q321_bigram_kn" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toksCol = Text.tokens(col("text"))
+      val bg = docs.select(col("doc_id"),
+          explode(Text.shingles(toksCol, 2)).as("bg"))
+        .localCheckpoint(false)
+      val types = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .withColumn("w2", substring_index(col("bg"), " ", -1))
+        .localCheckpoint(false)
+      val leftS = types.groupBy("w1")
+        .agg(sum("c12").as("c1"), count(lit(1)).as("n1fw"))
+      val rightS = types.groupBy("w2").agg(count(lit(1)).as("ncw"))
+      val nbb = broadcast(types.agg(count(lit(1)).as("nbb")))
+      val c14 = (lit(4L) * col("c1")).cast("double")
+      val p =
+        greatest(lit(4L) * col("c12") - lit(3L), lit(0L)).cast("double") / c14 +
+        (lit(3.0) / c14) * col("n1fw").cast("double") *
+          (col("ncw").cast("double") / col("nbb").cast("double"))
+      val lm = types.join(leftS, "w1").join(rightS, "w2").crossJoin(nbb)
+        .select(col("bg"),
+          floor(-log(p) * lit(1e9) + lit(0.5)).cast("long").as("nll_q"))
+      bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+        .join(lm, "bg")
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_bigrams"),
+          sum(col("tf") * col("nll_q")).as("nll_q_sum"))
+        .select(col("doc_id"), col("n_bigrams"), col("nll_q_sum"),
+          (col("nll_q_sum").cast("double") /
+            (col("n_bigrams").cast("double") * lit(1e9))).as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------------------------------------------------------
     // q319: PRODUCT-QUANTIZATION ANN (the compression half of IVF-PQ —
     // the FAISS-style billion-vector path q67/q95/q109 stop short of).
     // 64-dim vectors → 8 subspaces × 8 dims, a 16-centroid codebook
@@ -4823,6 +4874,42 @@ object LlmQueries extends QueryPack {
         |  CAST(floor(abs(CAST(e AS DOUBLE) - CAST(js AS DOUBLE))
         |    / CAST(js AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS relerr9
         |FROM ex, med, st""".stripMargin,
+
+    // q321: the same five statistics from the same single type table,
+    // the P dag written in the identical operation order, ln quantized
+    // half-up 1e-9 before any sum (q179's contract).
+    "q321_bigram_kn" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |bg AS MATERIALIZED (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM t WHERE len(toks) >= 2),
+        |types AS MATERIALIZED (
+        |  SELECT bg, count(*) AS c12,
+        |    string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+        |  FROM bg GROUP BY bg),
+        |lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |    count(*) AS n1fw FROM types GROUP BY w1),
+        |rgt AS (SELECT w2, count(*) AS ncw FROM types GROUP BY w2),
+        |nbb AS (SELECT count(*) AS nbb FROM types),
+        |lm AS (SELECT bg, CAST(floor(-ln(
+        |      CAST(greatest(4*c12 - 3, 0) AS DOUBLE) / CAST(4*c1 AS DOUBLE)
+        |      + (CAST(3.0 AS DOUBLE) / CAST(4*c1 AS DOUBLE))
+        |        * CAST(n1fw AS DOUBLE)
+        |        * (CAST(ncw AS DOUBLE) / CAST(nbb AS DOUBLE)))
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS nll_q
+        |  FROM types JOIN lft USING (w1) JOIN rgt USING (w2)
+        |  CROSS JOIN nbb),
+        |tf AS (SELECT doc_id, bg, count(*) AS tf
+        |  FROM bg GROUP BY doc_id, bg)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(tf * nll_q) AS BIGINT) AS nll_q_sum,
+        |  CAST(sum(tf * nll_q) AS DOUBLE)
+        |    / (CAST(sum(tf) AS DOUBLE) * 1000000000.0) AS avg_nll
+        |FROM tf JOIN lm USING (bg)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q319: the full PQ pipeline replayed in integer SQL — same stride
     // seeds (with q95's fallback branch), integer-L2 assignments with

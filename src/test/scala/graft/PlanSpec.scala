@@ -641,6 +641,7 @@ class PlanSpec extends SparkSpec {
       "q301_info_gain" -> "1-row total / label-entropy broadcasts per branch",
       "q303_mmd_drift" -> "1-row population-count / moment-total broadcasts",
       "q314_top_supplier" -> "1-row global-max-revenue broadcast (q151 pattern)",
+      "q321_bigram_kn" -> "1-row bigram-type-total broadcast (q179 pattern)",
       "q316_important_stock" ->
         "1-row (total, count) threshold broadcast (q151 pattern)")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
