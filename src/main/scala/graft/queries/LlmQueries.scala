@@ -2642,6 +2642,88 @@ object LlmQueries extends QueryPack {
     }),
 
     // ---------------------------------------------------------------
+    // q322: JOHNSON–LINDENSTRAUSS RANDOM PROJECTION — the embedding-
+    // compression step a 100 TB pipeline runs BEFORE the ANN family
+    // (q51/q67/q95/q319 all scan 64-dim vectors; JL maps them to
+    // k = 16 dims with pairwise distances preserved to ~1/√k,
+    // shrinking every downstream shuffle/index 4×). The projection
+    // matrix R ∈ {±1}^{16×64} is the database-friendly Achlioptas
+    // construction with entries from the AmsSketch md5 sign family —
+    // no Gaussian sampling, no RNG state, any executor regenerates any
+    // entry — materialized as a CONSTANT 1,024-row broadcast,
+    // size-invariant in the corpus (built from one range, never a
+    // range×range cartesian). y_j = Σ_d sgn(j,d)·x4_d over 1e-4-unit
+    // integer coords: the kd fanout join is the projection's honest
+    // linear cost, aggregated straight back to 16 BIGINTs per vector
+    // (|yj| ≤ 64·max|x4| — no overflow anywhere near 2⁶³). For ±1
+    // entries E‖y‖² = k‖x‖², so the distortion ratio r9 =
+    // ‖y‖²/(k‖x‖²), 1e9-quantized through one fixed double dag,
+    // concentrates at 1e9. Output audits the guarantee at corpus
+    // scale: per-label n/min/max/Σ of r9 over EVERY vector (the
+    // full-corpus leg — JL's norm preservation on difference vectors
+    // IS distance preservation, by linearity), plus a label −1 row
+    // auditing PAIRWISE distance ratios directly over the bounded
+    // 16-probe set (120 pairs, the q319 bounded-probe pattern).
+    // All-integer inputs: signs, projection, norms and ratios replay
+    // bit-exactly in DuckDB.
+    "q322_jl_projection" -> ((s, dir) => {
+      import graft.ops.AmsSketch
+      val emb = Tables.embeddings(s, dir)
+      val d1 = emb.select(col("vec_id"), col("label"),
+          posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), col("pos").cast("long").as("d"),
+          floor(col("col").cast("double") * lit(1e4) + lit(0.5)).cast("long")
+            .as("x4"))
+        .localCheckpoint(false)
+      val rmat = broadcast(s.range(1024)
+        .select(expr("id div 64").as("j"), (col("id") % 64).as("d"))
+        .select(col("j"), col("d"),
+          AmsSketch.sign("jl:", col("j"), col("d")).cast("long").as("sgn")))
+      val y = d1.join(rmat, "d")
+        .groupBy("vec_id", "label", "j")
+        .agg(sum(col("sgn") * col("x4")).as("yj"))
+        .localCheckpoint(false)
+      val x2t = d1.groupBy("vec_id", "label")
+        .agg(sum(col("x4") * col("x4")).as("x2"))
+      val y2t = y.groupBy("vec_id", "label")
+        .agg(sum(col("yj") * col("yj")).as("y2"))
+      def ratio9(num: org.apache.spark.sql.Column,
+          den: org.apache.spark.sql.Column) =
+        when(den === 0L, lit(null)).otherwise(
+          floor(num.cast("double") / (lit(16.0) * den.cast("double")) *
+            lit(1e9) + lit(0.5)).cast("long"))
+      val norms = x2t.join(y2t, Seq("vec_id", "label"))
+        .select(col("label"), ratio9(col("y2"), col("x2")).as("r9"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), min("r9").as("min_r9"),
+          max("r9").as("max_r9"), sum("r9").as("sum_r9"))
+      val px = d1.filter(col("vec_id") < 16)
+      val o2t = px.select(col("vec_id").as("ia"), col("d"), col("x4").as("xa"))
+        .join(px.select(col("vec_id").as("ib"), col("d"), col("x4").as("xb")),
+          "d")
+        .filter(col("ia") < col("ib"))
+        .groupBy("ia", "ib")
+        .agg(sum((col("xa") - col("xb")) * (col("xa") - col("xb"))).as("o2"))
+      val py = y.filter(col("vec_id") < 16)
+      val p2t = py.select(col("vec_id").as("ia"), col("j"), col("yj").as("ya"))
+        .join(py.select(col("vec_id").as("ib"), col("j"), col("yj").as("yb")),
+          "j")
+        .filter(col("ia") < col("ib"))
+        .groupBy("ia", "ib")
+        .agg(sum((col("ya") - col("yb")) * (col("ya") - col("yb"))).as("p2"))
+      val pairs = o2t.join(p2t, Seq("ia", "ib"))
+        .select(ratio9(col("p2"), col("o2")).as("r9"))
+        .agg(count(lit(1)).as("n"), min("r9").as("min_r9"),
+          max("r9").as("max_r9"), sum("r9").as("sum_r9"))
+        .select(lit(-1).cast("int").as("label"), col("n"), col("min_r9"),
+          col("max_r9"), col("sum_r9"))
+      norms.select(col("label"), col("n"), col("min_r9"), col("max_r9"),
+          col("sum_r9"))
+        .unionByName(pairs)
+        .orderBy("label")
+    }),
+
+    // ---------------------------------------------------------------
     // q319: PRODUCT-QUANTIZATION ANN (the compression half of IVF-PQ —
     // the FAISS-style billion-vector path q67/q95/q109 stop short of).
     // 64-dim vectors → 8 subspaces × 8 dims, a 16-centroid codebook
@@ -4910,6 +4992,63 @@ object LlmQueries extends QueryPack {
         |    / (CAST(sum(tf) AS DOUBLE) * 1000000000.0) AS avg_nll
         |FROM tf JOIN lm USING (bg)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q322: the same ±1 md5 signs ('jl:<j>:<d>', AmsSketch's digit
+    // rule), the same single-range matrix, integer projection sums,
+    // and the identical ((y2/(16*x2))*1e9+0.5) double dag — the whole
+    // JL pipeline replays bit-exactly.
+    "q322_jl_projection" ->
+      """WITH d1 AS MATERIALIZED (
+        |  SELECT vec_id, label, u.i - 1 AS d,
+        |    CAST(floor(CAST(embedding[u.i] AS DOUBLE)*1e4 + 0.5) AS BIGINT)
+        |      AS x4
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u),
+        |rmat AS MATERIALIZED (
+        |  SELECT r.range // 64 AS j, r.range % 64 AS d,
+        |    (('0x' || substring(md5('jl:' || CAST(r.range // 64 AS VARCHAR)
+        |      || ':' || CAST(r.range % 64 AS VARCHAR)), 1, 1))::INT
+        |      % 2 * 2 - 1) AS sgn
+        |  FROM range(0, 1024) r),
+        |y AS MATERIALIZED (
+        |  SELECT vec_id, label, j, CAST(sum(sgn * x4) AS BIGINT) AS yj
+        |  FROM d1 JOIN rmat USING (d) GROUP BY 1, 2, 3),
+        |x2t AS (SELECT vec_id, label, CAST(sum(x4*x4) AS BIGINT) AS x2
+        |  FROM d1 GROUP BY 1, 2),
+        |y2t AS (SELECT vec_id, label, CAST(sum(yj*yj) AS BIGINT) AS y2
+        |  FROM y GROUP BY 1, 2),
+        |norms AS (
+        |  SELECT label, count(*) AS n, min(r9) AS min_r9, max(r9) AS max_r9,
+        |    CAST(sum(r9) AS BIGINT) AS sum_r9
+        |  FROM (SELECT label,
+        |      CASE WHEN x2 = 0 THEN NULL ELSE
+        |        CAST(floor(CAST(y2 AS DOUBLE)
+        |          / (CAST(16 AS DOUBLE) * CAST(x2 AS DOUBLE))
+        |          * 1e9 + 0.5) AS BIGINT) END AS r9
+        |    FROM x2t JOIN y2t USING (vec_id, label))
+        |  GROUP BY label),
+        |o2t AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    CAST(sum((a.x4 - b.x4)*(a.x4 - b.x4)) AS BIGINT) AS o2
+        |  FROM d1 a JOIN d1 b USING (d)
+        |  WHERE a.vec_id < 16 AND b.vec_id < 16 AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |p2t AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    CAST(sum((a.yj - b.yj)*(a.yj - b.yj)) AS BIGINT) AS p2
+        |  FROM y a JOIN y b USING (j)
+        |  WHERE a.vec_id < 16 AND b.vec_id < 16 AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT CAST(-1 AS INT) AS label, count(*) AS n, min(r9) AS min_r9,
+        |    max(r9) AS max_r9, CAST(sum(r9) AS BIGINT) AS sum_r9
+        |  FROM (SELECT CASE WHEN o2 = 0 THEN NULL ELSE
+        |      CAST(floor(CAST(p2 AS DOUBLE)
+        |        / (CAST(16 AS DOUBLE) * CAST(o2 AS DOUBLE))
+        |        * 1e9 + 0.5) AS BIGINT) END AS r9
+        |    FROM o2t JOIN p2t USING (ia, ib)))
+        |SELECT label, n, min_r9, max_r9, sum_r9 FROM norms
+        |UNION ALL
+        |SELECT label, n, min_r9, max_r9, sum_r9 FROM pairs
+        |ORDER BY label""".stripMargin,
 
     // q319: the full PQ pipeline replayed in integer SQL — same stride
     // seeds (with q95's fallback branch), integer-L2 assignments with

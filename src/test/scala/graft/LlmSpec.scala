@@ -1128,4 +1128,31 @@ class LlmSpec extends SparkSpec {
         s"probe $p: ADC top-10 mean exact L2 $mTop not below 0.9x corpus mean $mAll")
     }
   }
+
+  test("q322 JL projection: distortion ratios concentrate at 1 (norms and pair distances)") {
+    // The JL property with k = 16 and ±1 entries: the distortion ratio
+    // ‖y‖²/(k‖x‖²) has mean 1 and std ≈ √(2/k) ≈ 0.35. Measured across
+    // sf0.001/0.01/0.1/sf1: per-label MEANS sit in [0.93, 1.11], the
+    // global extremes in [0.21e9, 2.78e9] (the χ²-like tails), and the
+    // 120-probe-pair distance-ratio mean in [0.86, 1.05]. Pins, with
+    // margin: every per-label mean in [0.75, 1.30]; every min > 0.1e9;
+    // every max < 4e9; the pair row carries exactly C(16,2) = 120
+    // pairs. Degenerate-denominator rows (x2 = 0) are NULL by contract
+    // and excluded from sums — n counts all vectors, so a corpus of
+    // all-zero embeddings would fail the mean pin rather than pass
+    // silently (sum_r9 null → NPE on the assert, not a fake 1.0).
+    val out = SparkEntry.queries("q322_jl_projection")(spark, sfDir).collect()
+    val pairRow = out.filter(_.getInt(0) == -1)
+    assert(pairRow.length == 1 && pairRow.head.getLong(1) == 120L,
+      "expected one label=-1 row with C(16,2)=120 pairs")
+    out.foreach { r =>
+      val (n, mn, mx, sm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val mean = sm.toDouble / n / 1e9
+      assert(mean > 0.75 && mean < 1.30,
+        s"label ${r.getInt(0)}: mean distortion $mean outside [0.75, 1.30]")
+      assert(mn > 100000000L && mx < 4000000000L,
+        s"label ${r.getInt(0)}: extremes [$mn, $mx] outside the χ² envelope")
+    }
+  }
 }
