@@ -270,6 +270,43 @@ object LlmQueries extends QueryPack {
           .otherwise("ok"))
   }
 
+  /** Per-doc Kneser–Ney bigram LM scores (q321's exact pipeline; q323
+    * ranks them): (doc_id, n_bigrams, nll_q_sum). All five KN
+    * statistics derive from ONE bigram-type table; per-type −ln P
+    * quantizes half-up 1e-9 corpus-side so the doc sums are BIGINT
+    * (q179's exactness contract). See q321's comment for the full
+    * derivation; both callers' oracles replay this dag verbatim.
+    */
+  private def knDocScores(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toksCol = Text.tokens(col("text"))
+    val bg = docs.select(col("doc_id"),
+        explode(Text.shingles(toksCol, 2)).as("bg"))
+      .localCheckpoint(false)
+    val types = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .localCheckpoint(false)
+    val leftS = types.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1fw"))
+    val rightS = types.groupBy("w2").agg(count(lit(1)).as("ncw"))
+    val nbb = broadcast(types.agg(count(lit(1)).as("nbb")))
+    val c14 = (lit(4L) * col("c1")).cast("double")
+    val p =
+      greatest(lit(4L) * col("c12") - lit(3L), lit(0L)).cast("double") / c14 +
+      (lit(3.0) / c14) * col("n1fw").cast("double") *
+        (col("ncw").cast("double") / col("nbb").cast("double"))
+    val lm = types.join(leftS, "w1").join(rightS, "w2").crossJoin(nbb)
+      .select(col("bg"),
+        floor(-log(p) * lit(1e9) + lit(0.5)).cast("long").as("nll_q"))
+    bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+      .join(lm, "bg")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+        sum(col("tf") * col("nll_q")).as("nll_q_sum"))
+  }
+
   private def loadCentroids(s: org.apache.spark.sql.SparkSession,
                             dir: String): Array[(Long, Array[Float])] = {
     val key = (s.sparkContext.applicationId + "/" + System.identityHashCode(s), dir)
@@ -2608,37 +2645,53 @@ object LlmQueries extends QueryPack {
     // key — shuffle both sides, vocab² is never broadcastable (the
     // q179 scale note). Same output shape as q179 so the two
     // smoothers are directly comparable per doc.
-    "q321_bigram_kn" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val toksCol = Text.tokens(col("text"))
-      val bg = docs.select(col("doc_id"),
-          explode(Text.shingles(toksCol, 2)).as("bg"))
-        .localCheckpoint(false)
-      val types = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
-        .withColumn("w1", substring_index(col("bg"), " ", 1))
-        .withColumn("w2", substring_index(col("bg"), " ", -1))
-        .localCheckpoint(false)
-      val leftS = types.groupBy("w1")
-        .agg(sum("c12").as("c1"), count(lit(1)).as("n1fw"))
-      val rightS = types.groupBy("w2").agg(count(lit(1)).as("ncw"))
-      val nbb = broadcast(types.agg(count(lit(1)).as("nbb")))
-      val c14 = (lit(4L) * col("c1")).cast("double")
-      val p =
-        greatest(lit(4L) * col("c12") - lit(3L), lit(0L)).cast("double") / c14 +
-        (lit(3.0) / c14) * col("n1fw").cast("double") *
-          (col("ncw").cast("double") / col("nbb").cast("double"))
-      val lm = types.join(leftS, "w1").join(rightS, "w2").crossJoin(nbb)
-        .select(col("bg"),
-          floor(-log(p) * lit(1e9) + lit(0.5)).cast("long").as("nll_q"))
-      bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
-        .join(lm, "bg")
-        .groupBy("doc_id")
-        .agg(sum("tf").as("n_bigrams"),
-          sum(col("tf") * col("nll_q")).as("nll_q_sum"))
+    "q321_bigram_kn" -> ((s, dir) =>
+      knDocScores(s, dir)
         .select(col("doc_id"), col("n_bigrams"), col("nll_q_sum"),
           (col("nll_q_sum").cast("double") /
             (col("n_bigrams").cast("double") * lit(1e9))).as("avg_nll"))
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // ---------------------------------------------------------------
+    // q323: PERPLEXITY-BUCKET CORPUS PARTITION — the CCNet move: score
+    // every document with the KN bigram LM (q321's exact pipeline) and
+    // cut the corpus into per-language HEAD / MIDDLE / TAIL thirds by
+    // LM score rank. head = the most-fluent third a high-quality run
+    // trains on; tail = the bucket that gets dropped or down-weighted.
+    // The cut is RANK-based (CCNet's actual rule), not a fixed
+    // threshold — so it needs a full-output per-language ranking, the
+    // exact q21/q71/q77 defect class: lang has ~5 values, and a plain
+    // window would sort |corpus|/5 rows in one task. ScalableRank's
+    // two-phase rowNumbered does it with every sort bounded by a range
+    // bucket, following its exchange-reuse contract (the ranked frame
+    // carries ONLY lang + order cols; the n_bigrams payload joins back
+    // on doc_id afterwards). Doc order key is the integer
+    // nll_q_sum div n_bigrams (exact floor division of the
+    // 1e9-quantized sums — no float compare anywhere), ties by doc_id.
+    // Tertile membership is the cross-multiplied rn*3 ≤ n / rn*3 ≤ 2n
+    // — scale-free and integer-exact at any corpus size. Output is the
+    // |langs|×3 audit table: doc count, bigram-token mass, and the
+    // score envelope per bucket.
+    "q323_ppl_buckets" -> ((s, dir) => {
+      import graft.ops.ScalableRank
+      val scored = knDocScores(s, dir)
+        .join(Tables.documents(s, dir).select("doc_id", "lang"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          expr("nll_q_sum div n_bigrams").as("avg_q"))
+        .localCheckpoint(false)
+      val (ranked, stats) = ScalableRank.rowNumbered(
+        scored.select("lang", "avg_q", "doc_id"),
+        Seq("lang"), Seq(col("avg_q"), col("doc_id")), buckets = 32)
+      ranked.join(broadcast(stats), "lang")
+        .select(col("lang"), col("doc_id"), col("avg_q"),
+          when(col("rn") * 3 <= col("n"), "head")
+            .when(col("rn") * 3 <= col("n") * 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .join(scored.select("doc_id", "n_bigrams"), "doc_id")
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_bigrams").as("tokens"),
+          min("avg_q").as("min_avg_q"), max("avg_q").as("max_avg_q"))
+        .orderBy("lang", "bucket")
     }),
 
     // ---------------------------------------------------------------
@@ -4992,6 +5045,55 @@ object LlmQueries extends QueryPack {
         |    / (CAST(sum(tf) AS DOUBLE) * 1000000000.0) AS avg_nll
         |FROM tf JOIN lm USING (bg)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q323: q321's KN dag verbatim through the doc sums, then the same
+    // integer floor-division order key, the same (avg_q, doc_id)
+    // ranking per language, and the identical rn*3 cross-multiplied
+    // tertile rule.
+    "q323_ppl_buckets" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |bg AS MATERIALIZED (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM t WHERE len(toks) >= 2),
+        |types AS MATERIALIZED (
+        |  SELECT bg, count(*) AS c12,
+        |    string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+        |  FROM bg GROUP BY bg),
+        |lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |    count(*) AS n1fw FROM types GROUP BY w1),
+        |rgt AS (SELECT w2, count(*) AS ncw FROM types GROUP BY w2),
+        |nbb AS (SELECT count(*) AS nbb FROM types),
+        |lm AS (SELECT bg, CAST(floor(-ln(
+        |      CAST(greatest(4*c12 - 3, 0) AS DOUBLE) / CAST(4*c1 AS DOUBLE)
+        |      + (CAST(3.0 AS DOUBLE) / CAST(4*c1 AS DOUBLE))
+        |        * CAST(n1fw AS DOUBLE)
+        |        * (CAST(ncw AS DOUBLE) / CAST(nbb AS DOUBLE)))
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS nll_q
+        |  FROM types JOIN lft USING (w1) JOIN rgt USING (w2)
+        |  CROSS JOIN nbb),
+        |tf AS (SELECT doc_id, bg, count(*) AS tf
+        |  FROM bg GROUP BY doc_id, bg),
+        |ds AS MATERIALIZED (SELECT doc_id,
+        |    CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(tf * nll_q) AS BIGINT) AS nll_q_sum
+        |  FROM tf JOIN lm USING (bg) GROUP BY doc_id),
+        |scored AS MATERIALIZED (SELECT doc_id, lang, n_bigrams,
+        |    nll_q_sum // n_bigrams AS avg_q
+        |  FROM ds JOIN documents USING (doc_id)),
+        |ranked AS (SELECT lang, doc_id, n_bigrams, avg_q,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY avg_q, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM scored)
+        |SELECT lang,
+        |  CASE WHEN rn*3 <= n THEN 'head'
+        |       WHEN rn*3 <= n*2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  count(*) AS n_docs, CAST(sum(n_bigrams) AS BIGINT) AS tokens,
+        |  min(avg_q) AS min_avg_q, max(avg_q) AS max_avg_q
+        |FROM ranked GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
 
     // q322: the same ±1 md5 signs ('jl:<j>:<d>', AmsSketch's digit
     // rule), the same single-range matrix, integer projection sums,

@@ -1155,4 +1155,33 @@ class LlmSpec extends SparkSpec {
         s"label ${r.getInt(0)}: extremes [$mn, $mx] outside the χ² envelope")
     }
   }
+
+  test("q323 perplexity buckets: exact tertiles per lang, score envelopes ordered") {
+    // The rank-based cut's two structural invariants, checked from the
+    // output alone: (1) per lang the three bucket sizes partition n
+    // into exact tertiles — sizes n/3 (floor) or +1, differing by at
+    // most 1 (the rn*3 ≤ n rule's arithmetic); (2) the score envelopes
+    // are totally ordered: head.max ≤ middle.min AND middle.max ≤
+    // tail.min (equality allowed — ties on avg_q can straddle a cut,
+    // rank order within a tie is doc_id). A plain-window
+    // implementation would pass these too; the SCALE claim (bounded
+    // sorts) is PlanSpec's ReusedExchange/no-single-task-window
+    // machinery on the shared ScalableRank path.
+    val out = SparkEntry.queries("q323_ppl_buckets")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("bucket"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("min_avg_q"),
+        r.getAs[Long]("max_avg_q")))
+    val byLang = out.groupBy(_._1)
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rows) =>
+      val m = rows.map(r => r._2 -> r).toMap
+      assert(m.keySet == Set("head", "middle", "tail"),
+        s"$lang: buckets ${m.keySet}")
+      val sizes = Seq(m("head")._3, m("middle")._3, m("tail")._3)
+      assert(sizes.max - sizes.min <= 1L,
+        s"$lang: tertile sizes $sizes differ by more than 1")
+      assert(m("head")._5 <= m("middle")._4 && m("middle")._5 <= m("tail")._4,
+        s"$lang: score envelopes out of order: $rows")
+    }
+  }
 }
