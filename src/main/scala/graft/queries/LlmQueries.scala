@@ -2777,6 +2777,52 @@ object LlmQueries extends QueryPack {
     }),
 
     // ---------------------------------------------------------------
+    // q324: INT8 SYMMETRIC QUANTIZATION AUDIT — the third embedding
+    // compression next to PQ codebooks (q319) and JL projection
+    // (q322): the calibrate-then-quantize scheme embedding stores and
+    // weight quantizers actually ship (absmax symmetric int8, 4×
+    // smaller, dot products stay in integer SIMD). Two linear corpus
+    // passes, the canonical shape: pass 1 computes the per-dim
+    // calibration statistic absmax (a 64-row aggregate broadcast
+    // back — the constant-size "model" this family keeps producing);
+    // pass 2 quantizes code = round(x·127/absmax) clipped to ±127 and
+    // measures reconstruction error against dequant(code) — both
+    // roundings as fixed double dags over 1e-4-unit integer coords
+    // (|x4·127| ≤ 1.3e7, exact in double), so codes, reconstructions
+    // and error sums replay bit-exactly in DuckDB. Output is the
+    // 64-row per-dim audit: absmax4, error mass/max, and the
+    // saturation count (|code| = 127) — the metric that tells an
+    // operator when a dim needs per-vector scales instead. LlmSpec
+    // pins the scheme's guarantee: max error ≤ half a quantization
+    // step (+2 units rounding slack) and ≥ 1 saturated code per dim
+    // (the absmax element itself).
+    "q324_int8_quant" -> ((s, dir) => {
+      val d1 = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("long").as("d"),
+          floor(col("col").cast("double") * lit(1e4) + lit(0.5)).cast("long")
+            .as("x4"))
+        .localCheckpoint(false)
+      val cal = broadcast(d1.groupBy("d")
+        .agg(max(abs(col("x4"))).as("absmax4")))
+      val code = when(col("absmax4") === 0L, lit(0L)).otherwise(
+        greatest(lit(-127L), least(lit(127L),
+          floor(col("x4").cast("double") * lit(127.0) /
+            col("absmax4").cast("double") + lit(0.5)).cast("long"))))
+      val qd = d1.join(cal, "d")
+        .select(col("d"), col("absmax4"), col("x4"), code.as("code"))
+      val recon4 = floor(col("code").cast("double") *
+        col("absmax4").cast("double") / lit(127.0) + lit(0.5)).cast("long")
+      qd.select(col("d"), col("absmax4"), col("code"),
+          abs(col("x4") - recon4).as("err4"))
+        .groupBy("d")
+        .agg(max("absmax4").as("absmax4"), count(lit(1)).as("n"),
+          sum("err4").as("sum_err4"), max("err4").as("max_err4"),
+          sum(when(abs(col("code")) === 127L, 1L).otherwise(0L)).as("n_sat"))
+        .orderBy("d")
+    }),
+
+    // ---------------------------------------------------------------
     // q319: PRODUCT-QUANTIZATION ANN (the compression half of IVF-PQ —
     // the FAISS-style billion-vector path q67/q95/q109 stop short of).
     // 64-dim vectors → 8 subspaces × 8 dims, a 16-centroid codebook
@@ -5094,6 +5140,35 @@ object LlmQueries extends QueryPack {
         |  count(*) AS n_docs, CAST(sum(n_bigrams) AS BIGINT) AS tokens,
         |  min(avg_q) AS min_avg_q, max(avg_q) AS max_avg_q
         |FROM ranked GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+
+    // q324: the same 1e-4 coord units, the same absmax calibration,
+    // and the identical round-clip / dequant double dags.
+    "q324_int8_quant" ->
+      """WITH d1 AS MATERIALIZED (
+        |  SELECT vec_id, u.i - 1 AS d,
+        |    CAST(floor(CAST(embedding[u.i] AS DOUBLE)*1e4 + 0.5) AS BIGINT)
+        |      AS x4
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u),
+        |cal AS (SELECT d, CAST(max(abs(x4)) AS BIGINT) AS absmax4
+        |  FROM d1 GROUP BY d),
+        |qd AS (SELECT d, absmax4, x4,
+        |    CASE WHEN absmax4 = 0 THEN 0 ELSE
+        |      greatest(-127, least(127,
+        |        CAST(floor(CAST(x4 AS DOUBLE) * 127.0
+        |          / CAST(absmax4 AS DOUBLE) + 0.5) AS BIGINT))) END AS code
+        |  FROM d1 JOIN cal USING (d))
+        |SELECT d, CAST(max(absmax4) AS BIGINT) AS absmax4,
+        |  count(*) AS n,
+        |  CAST(sum(abs(x4 - CAST(floor(CAST(code AS DOUBLE)
+        |    * CAST(absmax4 AS DOUBLE) / 127.0 + 0.5) AS BIGINT)))
+        |    AS BIGINT) AS sum_err4,
+        |  CAST(max(abs(x4 - CAST(floor(CAST(code AS DOUBLE)
+        |    * CAST(absmax4 AS DOUBLE) / 127.0 + 0.5) AS BIGINT)))
+        |    AS BIGINT) AS max_err4,
+        |  CAST(sum(CASE WHEN abs(code) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sat
+        |FROM qd GROUP BY d ORDER BY d""".stripMargin,
 
     // q322: the same ±1 md5 signs ('jl:<j>:<d>', AmsSketch's digit
     // rule), the same single-range matrix, integer projection sums,

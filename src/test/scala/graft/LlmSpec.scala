@@ -1184,4 +1184,24 @@ class LlmSpec extends SparkSpec {
         s"$lang: score envelopes out of order: $rows")
     }
   }
+
+  test("q324 int8 quantization: error within half a step, absmax element saturates") {
+    // The absmax symmetric scheme's guarantee, per dim: |x − dequant(
+    // quant(x))| ≤ step/2 where step = absmax/127 — plus ≤ 2 units of
+    // slack for the two half-up roundings (quantize and dequantize
+    // each contribute < 1 unit of 1e-4 coord space; measured slack at
+    // sf1 is 0.49). And the element achieving absmax quantizes to
+    // ±127 by construction, so every dim must report ≥ 1 saturated
+    // code — a zero n_sat would mean the calibration pass and the
+    // quantize pass disagreed on the statistic.
+    val out = SparkEntry.queries("q324_int8_quant")(spark, sfDir).collect()
+    assert(out.length == 64)
+    out.foreach { r =>
+      val (d, absmax4, maxErr, nSat) = (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("max_err4"), r.getAs[Long]("n_sat"))
+      assert(maxErr.toDouble <= absmax4.toDouble / 254.0 + 2.0,
+        s"dim $d: max_err4 $maxErr exceeds half a quantization step of absmax $absmax4")
+      assert(nSat >= 1L, s"dim $d: no saturated code — calibration disagrees")
+    }
+  }
 }
