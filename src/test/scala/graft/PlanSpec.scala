@@ -236,7 +236,8 @@ class PlanSpec extends SparkSpec {
 
   for (q <- Seq("q102_scalable_rank", "q103_percentile_2pass",
                 "q80_pack_sequences", "q114_corpus_shuffle",
-                "q167_skyline", "q170_nucleus_select")) {
+                "q167_skyline", "q170_nucleus_select",
+                "q323_ppl_buckets")) {
     test(s"$q: the range exchange is computed once and reused for the counts branch") {
       // CORRECTNESS, not just perf (ScalableRank.bucketize contract):
       // range boundaries are sampled per exchange execution, so the
