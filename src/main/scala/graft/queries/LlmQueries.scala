@@ -2777,12 +2777,16 @@ object LlmQueries extends QueryPack {
     }),
 
     // ---------------------------------------------------------------
-    // q324: INT8 SYMMETRIC QUANTIZATION AUDIT — the third embedding
-    // compression next to PQ codebooks (q319) and JL projection
-    // (q322): the calibrate-then-quantize scheme embedding stores and
-    // weight quantizers actually ship (absmax symmetric int8, 4×
-    // smaller, dot products stay in integer SIMD). Two linear corpus
-    // passes, the canonical shape: pass 1 computes the per-dim
+    // q324: PER-CHANNEL INT8 QUANTIZATION AUDIT — the calibrated
+    // counterpart of q99's per-VECTOR absmax quantizer (q99 scales
+    // each vector by its own max — a row-local map, no corpus
+    // statistic; this is the per-CHANNEL scheme weight quantizers
+    // ship, where the scale is a per-dim CORPUS statistic and the
+    // question is whether the shared scale loses accuracy — hence the
+    // reconstruction-error audit q99 doesn't need). Completes the
+    // compression trio with PQ codebooks (q319) and JL projection
+    // (q322). Two linear corpus passes, the canonical
+    // calibrate-then-quantize shape: pass 1 computes the per-dim
     // calibration statistic absmax (a 64-row aggregate broadcast
     // back — the constant-size "model" this family keeps producing);
     // pass 2 quantizes code = round(x·127/absmax) clipped to ±127 and
