@@ -2777,6 +2777,47 @@ object LlmQueries extends QueryPack {
     }),
 
     // ---------------------------------------------------------------
+    // q325: NEGATIVE-SAMPLING TABLE (word2vec/NCE's unigram^α table,
+    // α = 0.75 — the sampling artifact embedding trainers build once
+    // per corpus; the same smoothed-frequency proration drives
+    // temperature-mixed data loading). Unit is token BIGRAMS (q302's
+    // rationale: the harness unigram vocab is a closed ~31-word set;
+    // the bigram space is combinatorial yet still vocab²-BOUNDED, so
+    // the OUTPUT is constant-size across SFs while the counts grow).
+    // Three stages, each scale-safe: (1) one corpus pass → the bigram
+    // count table; (2) smoothed weight w6 = floor(c^0.75·1e6 + 0.5)
+    // via exp(ln(c)·0.75) — the q101/q179 quantized-libm contract,
+    // empirically validated at every SF; (3) cumulative weights by a
+    // GLOBAL running sum ordered (w6 desc, bg) — ScalableRank's
+    // two-phase runningSummed under its projection contract (the c
+    // payload joins back on bg), because a plain global window is the
+    // single-task scan this repo gates against — then the 1024-slot
+    // table by exact integer proration: n_slots = (cum·1024) div
+    // total − ((cum−w6)·1024) div total, which TELESCOPES to exactly
+    // 1024 total slots (LlmSpec pins it). All integers after the one
+    // quantized libm dag; everything replays in DuckDB.
+    "q325_neg_sample_table" -> ((s, dir) => {
+      import graft.ops.ScalableRank
+      val vc = Tables.documents(s, dir)
+        .select(explode(Text.shingles(Text.tokens(col("text")), 2)).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c"))
+      val w = vc.select(col("bg"), col("c"),
+          floor(exp(log(col("c").cast("double")) * lit(0.75)) * lit(1e6) +
+            lit(0.5)).cast("long").as("w6"))
+        .localCheckpoint(false)
+      val cum = ScalableRank.runningSummed(
+        w.select("bg", "w6"), Seq(),
+        Seq(col("w6").desc, col("bg")), "w6", buckets = 32, run = "cum")
+      val tot = broadcast(w.agg(sum("w6").as("total")))
+      cum.join(w.select("bg", "c"), "bg")
+        .crossJoin(tot)
+        .select(col("bg"), col("c"), col("w6"), col("cum"),
+          (expr("(cum * 1024) div total") -
+            expr("((cum - w6) * 1024) div total")).as("n_slots"))
+        .orderBy("cum", "bg")
+    }),
+
+    // ---------------------------------------------------------------
     // q324: PER-CHANNEL INT8 QUANTIZATION AUDIT — the calibrated
     // counterpart of q99's per-VECTOR absmax quantizer (q99 scales
     // each vector by its own max — a row-local map, no corpus
@@ -5144,6 +5185,33 @@ object LlmQueries extends QueryPack {
         |  count(*) AS n_docs, CAST(sum(n_bigrams) AS BIGINT) AS tokens,
         |  min(avg_q) AS min_avg_q, max(avg_q) AS max_avg_q
         |FROM ranked GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+
+    // q325: the same exp(ln(c)·0.75) quantized weight dag, the same
+    // (w6 desc, bg) cumulative order, and the identical telescoping
+    // integer proration.
+    "q325_neg_sample_table" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |bgt AS (SELECT
+        |    unnest(list_transform(generate_series(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM t WHERE len(toks) >= 2),
+        |vc AS MATERIALIZED (SELECT bg, count(*) AS c FROM bgt GROUP BY bg),
+        |w AS MATERIALIZED (SELECT bg, c,
+        |    CAST(floor(exp(ln(CAST(c AS DOUBLE)) * 0.75) * 1e6 + 0.5)
+        |      AS BIGINT) AS w6
+        |  FROM vc),
+        |cum AS (SELECT bg, c, w6,
+        |    CAST(sum(w6) OVER (ORDER BY w6 DESC, bg
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM w),
+        |tot AS (SELECT CAST(sum(w6) AS BIGINT) AS total FROM w)
+        |SELECT bg, c, w6, cum,
+        |  CAST((cum * 1024) // total - ((cum - w6) * 1024) // total
+        |    AS BIGINT) AS n_slots
+        |FROM cum CROSS JOIN tot ORDER BY cum, bg""".stripMargin,
 
     // q324: the same 1e-4 coord units, the same absmax calibration,
     // and the identical round-clip / dequant double dags.

@@ -1204,4 +1204,22 @@ class LlmSpec extends SparkSpec {
       assert(nSat >= 1L, s"dim $d: no saturated code — calibration disagrees")
     }
   }
+
+  test("q325 negative-sampling table: slots telescope to exactly 1024, cum strictly increases") {
+    // The proration identity: n_slots = (cum·1024) div total −
+    // ((cum−w6)·1024) div total telescopes over the (w6 desc, bg)
+    // order to (total·1024) div total = 1024 — EXACTLY, at any corpus
+    // size, with no remainder distribution step needed. And cum must
+    // be strictly increasing in output order (w6 ≥ 1e6 > 0 for every
+    // count ≥ 1), which is also what makes the orderBy deterministic.
+    val out = SparkEntry.queries("q325_neg_sample_table")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n_slots")).sum == 1024L,
+      "slot counts must telescope to exactly 1024")
+    val cums = out.map(_.getAs[Long]("cum"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b },
+      "cumulative weights must strictly increase in output order")
+    assert(out.forall(_.getAs[Long]("n_slots") >= 0L))
+  }
 }

@@ -330,7 +330,8 @@ class PlanSpec extends SparkSpec {
       s"nation-pair IN not pushed to the nation scans:\n$plan")
   }
 
-  for (q <- Seq("q277_ks_two_sample", "q278_weighted_median")) {
+  for (q <- Seq("q277_ks_two_sample", "q278_weighted_median",
+                "q325_neg_sample_table")) {
     test(s"$q: running-sum range exchange is computed once and reused for the offsets branch") {
       // Same contract as the rowNumbered gate above, extended to the
       // runningSummed/runningSummedAll family (round-11 advice): these
@@ -643,6 +644,8 @@ class PlanSpec extends SparkSpec {
       "q303_mmd_drift" -> "1-row population-count / moment-total broadcasts",
       "q314_top_supplier" -> "1-row global-max-revenue broadcast (q151 pattern)",
       "q321_bigram_kn" -> "1-row bigram-type-total broadcast (q179 pattern)",
+      "q325_neg_sample_table" ->
+        "1-row weight-total broadcast over the vocab-bounded table",
       "q316_important_stock" ->
         "1-row (total, count) threshold broadcast (q151 pattern)")
     for ((name, fn) <- SparkEntry.queries if !allowed.contains(name)) {
