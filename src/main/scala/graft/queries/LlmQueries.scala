@@ -2258,7 +2258,16 @@ object LlmQueries extends QueryPack {
           r += 1
         }
       }
-      picks.orderBy("round")
+      // Degenerate-corpus guard (mirrors ops/Text.bpeMerges): if
+      // saturation fires on round 1 (empty doc-bigram table), `picks`
+      // never materialized — return the empty frame with the declared
+      // schema instead of NPE-ing on the orderBy.
+      if (picks == null)
+        s.emptyDataFrame
+          .select(lit(0).as("round"), lit(0L).as("doc_id"),
+            lit(0L).as("gain"), lit(0L).as("n_covered"))
+          .limit(0)
+      else picks.orderBy("round")
     }),
 
     // LENGTH-CURRICULUM TERTILES — per-source short/mid/long thirds by
@@ -2812,8 +2821,13 @@ object LlmQueries extends QueryPack {
       cum.join(w.select("bg", "c"), "bg")
         .crossJoin(tot)
         .select(col("bg"), col("c"), col("w6"), col("cum"),
-          (expr("(cum * 1024) div total") -
-            expr("((cum - w6) * 1024) div total")).as("n_slots"))
+          // decimal(38,0) proration (the q318 f_a*f_b pattern): cum*1024
+          // in BIGINT would silently wrap once total w6 exceeds 2^63/1024
+          // (~9e15, reachable on a genuinely large corpus); decimal keeps
+          // the telescoping identity integer-exact at any corpus size.
+          (expr("(CAST(cum AS DECIMAL(38,0)) * 1024) div CAST(total AS DECIMAL(38,0))") -
+            expr("(CAST(cum - w6 AS DECIMAL(38,0)) * 1024) div CAST(total AS DECIMAL(38,0))"))
+            .cast("long").as("n_slots"))
         .orderBy("cum", "bg")
     }),
 
@@ -5209,7 +5223,8 @@ object LlmQueries extends QueryPack {
         |  FROM w),
         |tot AS (SELECT CAST(sum(w6) AS BIGINT) AS total FROM w)
         |SELECT bg, c, w6, cum,
-        |  CAST((cum * 1024) // total - ((cum - w6) * 1024) // total
+        |  CAST((CAST(cum AS HUGEINT) * 1024) // total
+        |    - (CAST(cum - w6 AS HUGEINT) * 1024) // total
         |    AS BIGINT) AS n_slots
         |FROM cum CROSS JOIN tot ORDER BY cum, bg""".stripMargin,
 
@@ -5402,17 +5417,20 @@ object LlmQueries extends QueryPack {
         |    row_number() OVER (ORDER BY se*se, r) AS rn
         |  FROM se_s) WHERE rn = 8),
         |legs AS (
+        |  -- coalesce(...,0): on an empty side SparkEntry's SketchPlanner
+        |  -- documents estimate 0 -> 'direct' -> pairs 0; the bare scalar
+        |  -- subqueries would be NULL here and silently flip the branch.
         |  SELECT 'uniform' AS leg,
-        |    (SELECT CAST(sum(f) AS BIGINT) FROM fe) AS n_probe,
-        |    (SELECT e FROM med_u) AS e,
-        |    (SELECT CAST(sum(CAST(fe.f AS HUGEINT)*CAST(fo.f AS HUGEINT))
-        |      AS BIGINT) FROM fe JOIN fo USING (k)) AS pairs
+        |    coalesce((SELECT CAST(sum(f) AS BIGINT) FROM fe), 0) AS n_probe,
+        |    coalesce((SELECT e FROM med_u), 0) AS e,
+        |    coalesce((SELECT CAST(sum(CAST(fe.f AS HUGEINT)*CAST(fo.f AS HUGEINT))
+        |      AS BIGINT) FROM fe JOIN fo USING (k)), 0) AS pairs
         |  UNION ALL
         |  SELECT 'skewed' AS leg,
-        |    (SELECT CAST(sum(f) AS BIGINT) FROM fl) AS n_probe,
-        |    (SELECT e FROM med_s) AS e,
-        |    (SELECT CAST(sum(CAST(f AS HUGEINT)*CAST(f AS HUGEINT))
-        |      AS BIGINT) FROM fl) AS pairs)
+        |    coalesce((SELECT CAST(sum(f) AS BIGINT) FROM fl), 0) AS n_probe,
+        |    coalesce((SELECT e FROM med_s), 0) AS e,
+        |    coalesce((SELECT CAST(sum(CAST(f AS HUGEINT)*CAST(f AS HUGEINT))
+        |      AS BIGINT) FROM fl), 0) AS pairs)
         |SELECT leg, n_probe, CAST(e AS DOUBLE) AS js_est,
         |  CASE WHEN e <= 32 * n_probe THEN 'direct' ELSE 'preagg' END
         |    AS chosen,

@@ -1119,7 +1119,9 @@ class MiningSpec extends SparkSpec {
     // included), compute all probe×candidate distances, and compare
     // the complete top-10 lists. (On this fixture every user pair
     // shares a day, so the inverted-index pruning contract drops
-    // nothing — asserted via the candidate count below.)
+    // nothing — the full top-10 SET EQUALITY below subsumes the
+    // pruning check: a single dropped candidate would perturb some
+    // probe's ranked list and fail the assert.)
     import org.apache.spark.sql.functions._
     val daily = graft.sources.Tables.events(spark, sfDir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
