@@ -37,6 +37,11 @@ import java.nio.file.{Files, Paths}
   *    count) sized to survive the driver's truncating capture whole
   *    (~2400-char line cap then last ~2000 chars — BENCH_r08's full
   *    200-query map was cut on both ends and parsed to null);
+  *  - **isolated re-runs**: after the suite, the slowest 10 queries run
+  *    again back-to-back (best-of-3, cold resets) and the artifact carries
+  *    both readings — in-suite numbers inherit up to 6× load skew from
+  *    heavy neighbors, so regression attribution reads `isolated` while
+  *    the gate total stays the in-suite sum;
   *  - two streaming throughput legs run by default (AvailableNow over
   *    the file stream): watermarked tumbling-window agg
   *    (`streaming_sec`, the bounded-state path) and session windows
@@ -157,6 +162,32 @@ object Bench {
     }
     val results = timeAll(selected)
     val annexResults = timeAll(annexSel)
+    // ISOLATED RE-RUN PASS (round-12 verdict #1): the in-suite per-query
+    // readings carry up to 6× scheduler-load skew (r12: q192 read 4.78 s
+    // in-suite vs 0.79 s isolated best-of-3; q117/q125 burned round-11
+    // review the same way), because a query timed right after a heavy
+    // neighbor inherits its GC debt and executor-thread contention. The
+    // suite TOTAL amortizes that noise; individual readings don't. So
+    // after the suite completes, the slowest 10 queries re-run
+    // back-to-back (nothing else interleaved, same JVM, cold resets,
+    // best-of-3) and BOTH readings go into the artifact — regression
+    // attribution reads `isolated`, the gate total stays the in-suite
+    // sum for round-over-round comparability. Skipped in ONLY-filtered
+    // attribution runs (they already time in isolation).
+    val isolated: Seq[(String, Double)] =
+      if (only.isDefined) Seq.empty
+      else results.filter(_._2 >= 0).sortBy(-_._2).take(10).map { case (name, _, _) =>
+        var minT = Double.MaxValue
+        for (_ <- 1 to 3) {
+          if (!noReset) resetMemoizedState(name)
+          val t0 = System.nanoTime()
+          try {
+            runNoop(name)
+            minT = math.min(minT, (System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => () } // in-suite rep already succeeded; keep what we have
+        }
+        (name, if (minT == Double.MaxValue) -1.0 else minT)
+      }
     // Streaming leg (default ON since round 9; opt out with
     // SPARK_GRAFT_BENCH_STREAMING=0): drive the tumbling-window
     // aggregation end-to-end under Structured Streaming (readStream →
@@ -235,11 +266,15 @@ object Bench {
     val annexField =
       if (annexResults.isEmpty) ""
       else s""","compat_annex":$annexQs,"compat_annex_sec":$annexTotal"""
+    val isoField =
+      if (isolated.isEmpty) ""
+      else isolated.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","isolated":{""", ",", "}")
     // Full control-char escaping (JsonOut): Spark error messages are
     // multi-line, and a raw newline would invalidate the whole file.
     val fstr = failures.map(JsonOut.q).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_max":$qsMax,"failures":$fstr$streamField$annexField,"sf":${JsonOut.q(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_max":$qsMax,"failures":$fstr$streamField$annexField$isoField,"sf":${JsonOut.q(sfDir)}}"""
     Files.writeString(
       Paths.get(if (only.isDefined) "BENCH_DEBUG.json" else "BENCH_LOCAL.json"), line)
 
@@ -272,8 +307,16 @@ object Bench {
       else annexResults
         .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
         .mkString(""","compat_annex":{""", ",", "}")
+    // The isolated best-of-3 map rides in the short line too (10 bare-qNN
+    // entries ≈ 140 chars): per-query regression attribution must be
+    // possible from the driver artifact alone, without BENCH_LOCAL.json.
+    val isoShort =
+      if (isolated.isEmpty) ""
+      else isolated
+        .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+        .mkString(""","isolated":{""", ",", "}")
     val shortLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"n_failures":${failures.size},"queries":$qsShort,"queries_note":"slowest ${slowest.size} of ${results.size}; headline excludes the ${annexResults.size}-query _demo_bounded compat annex; full map in BENCH_LOCAL.json","failures":$fShort$streamShort$annexShort,"sf":${JsonOut.q(sfDir)}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"n_failures":${failures.size},"queries":$qsShort,"queries_note":"slowest ${slowest.size} of ${results.size}; headline excludes the ${annexResults.size}-query _demo_bounded compat annex; isolated = post-suite best-of-3 of the slowest 10; full map in BENCH_LOCAL.json","failures":$fShort$streamShort$annexShort$isoShort,"sf":${JsonOut.q(sfDir)}}"""
     println(shortLine)
     System.out.flush()
     spark.stop()
