@@ -218,4 +218,30 @@ class EdgeSpec extends SparkSpec {
     assert(u2.getAs[java.sql.Timestamp]("s_start") ==
       u2.getAs[java.sql.Timestamp]("s_end"))
   }
+
+  test("window gate rejects a global window over an unbounded-key aggregate") {
+    // Round-12 verdict #2: the old gate exempted any window whose input
+    // was an Aggregate — sound for domain-bounded group keys, but a
+    // per-user aggregate feeding a GLOBAL window is one row per user:
+    // exactly as unbounded as the raw table at 100 TB, and the gate
+    // could not prove a future addition wouldn't do it. This pins the
+    // rejection (and the acceptance of the two legitimate shapes).
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    // Defect shape: per-user counts -> global rank over ALL users.
+    val bad = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("n").desc)))
+    assert(WindowCardGate.violations(bad.queryExecution.optimizedPlan).nonEmpty,
+      "a global window over a per-user aggregate must violate the gate")
+    // Legit shape 1: the same aggregate under a rank FILTER plans a
+    // WindowGroupLimit (map-side top-k cap) and passes.
+    val limited = bad.filter(col("rk") <= 10)
+    assert(WindowCardGate.violations(limited.queryExecution.optimizedPlan).isEmpty,
+      "a rank-limited global window must pass via WindowGroupLimit")
+    // Legit shape 2: a global window over a BOUNDED-domain aggregate
+    // (per-event-type counts: fixed label set) passes.
+    val boundedAgg = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("n").desc)))
+    assert(WindowCardGate.violations(boundedAgg.queryExecution.optimizedPlan).isEmpty,
+      "a global window over a bounded-domain aggregate must pass")
+  }
 }
