@@ -2424,6 +2424,36 @@ object LlmQueries extends QueryPack {
           (octet_length(col("media")) % 1080).as("height"))
         .orderBy("doc_id")),
 
+    // REAL MEDIA DECODE (round-13: replaces the declared stub) — each
+    // document's UTF-8 bytes are written as a spec-conformant binary
+    // PPM (P6) image (8×8 RGB, pixels tiled from the text bytes — the
+    // deterministic media fixture both oracle sides can derive), then
+    // DECODED BACK by ops/Multimodal.decodePpm: a real parser reading
+    // magic, dimensions, maxval, and the raw raster from actual bytes.
+    // The reported width/height/maxval/channel sums come from the
+    // parse, not the blob length; the DuckDB oracle computes the same
+    // channel sums independently from hex(encode(text)) — so a parser
+    // that misreads the header or mistiles the raster hash-fails.
+    // Plan shape: encode and decode are both narrow per-partition
+    // passes (mapPartitions — the mapInPandas analog); no shuffle
+    // until the final presentation sort. At 100 TB the decode
+    // parallelism is the scan partition count, exactly like a real
+    // image-corpus featurization job.
+    "q327_ppm_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, p) =>
+          (id, graft.ops.Multimodal.encodePpm(p, 8, 8)) })
+        .toDF("doc_id", "media")
+      graft.ops.Multimodal.extractFeatures(media, frameCount = 4)
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("maxval"),
+          col("n_bytes"), col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------------------------------------------------------
     // q289: DSIR-CLASS IMPORTANCE WEIGHTS — Data Selection via
     // Importance Resampling (Xie et al. 2023) re-expressed on the
@@ -3511,6 +3541,28 @@ object LlmQueries extends QueryPack {
         |  CAST(octet_length(encode(text)) % 1920 AS INT) AS width,
         |  CAST(octet_length(encode(text)) % 1080 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q327: the oracle replays the ENCODER's tiling contract straight
+    // from the text bytes (pixel i = byte (i mod n), via the hex trick
+    // the sketch oracles use), never touching the PPM container — so
+    // agreement proves the Spark-side parser correctly inverted the
+    // writer. n_bytes = 11-byte "P6\n8 8\n255\n" header + 192 raster.
+    "q327_ppm_decode" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |px AS (SELECT doc_id,
+        |    u.i AS i,
+        |    CASE WHEN n = 0 THEN 0
+        |         ELSE ('0x' || substr(hx, (CAST(u.i % n AS INT) * 2) + 1, 2))::INT
+        |    END AS v
+        |  FROM b, unnest(generate_series(0, 191)) AS u(i))
+        |SELECT doc_id,
+        |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(255 AS INT) AS maxval, CAST(203 AS INT) AS n_bytes,
+        |  CAST(sum(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+        |  CAST(sum(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        |  CAST(sum(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q76_hash_split" ->
       """SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'

@@ -521,29 +521,63 @@ class LlmSpec extends SparkSpec {
     assert(df === Map(1L -> 0, 2L -> 0, 3L -> 2))
   }
 
-  test("multimodal decode stub: deterministic features with requested frame count") {
+  test("multimodal PPM decode: real parse of dims, channel sums, frames") {
     import spark.implicits._
+    // Round-trip through the real codec: encode each doc's bytes as a
+    // 32x16 P6 PPM, decode with the real parser, check the parse reads
+    // the HEADER (not blob length) and the channel sums match a local
+    // recount of the tiled payload.
     val media = Tables.documents(spark, sfDir).limit(10)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) => (id, p, Multimodal.encodePpm(p, 32, 16)) }
+      .toDF("doc_id", "payload", "media")
+    val payloads = media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .collect().toMap
     val feats = Multimodal.extractFeatures(media, frameCount = 4).collect()
     assert(feats.length === 10)
     feats.foreach { f =>
+      assert(f.width === 32 && f.height === 16 && f.maxval === 255)
       assert(f.frames.length === 4)
-      assert(f.n_bytes > 0)
+      // Local recount: pixel i = payload(i mod n), channel = i mod 3.
+      val p = payloads(f.doc_id)
+      val sums = Array(0L, 0L, 0L)
+      for (i <- 0 until 32 * 16 * 3) sums(i % 3) += (p(i % p.length) & 0xff)
+      assert((f.sum_r, f.sum_g, f.sum_b) === ((sums(0), sums(1), sums(2))))
     }
     // Determinism across runs.
     val again = Multimodal.extractFeatures(media, frameCount = 4).collect()
     assert(feats.map(f => (f.doc_id, f.n_bytes, f.frames.toSeq)).toSet ===
       again.map(f => (f.doc_id, f.n_bytes, f.frames.toSeq)).toSet)
-    // Resize stub: fits the box, preserves ratio direction, never 0.
-    feats.map(Multimodal.resizeStub(_, 64, 48)).foreach { r =>
-      assert(r.width <= 64 && r.height <= 48 && r.width >= 1 && r.height >= 1)
+    // Resize: fits the box, preserves ratio direction, never 0.
+    feats.map(Multimodal.resize(_, 64, 8)).foreach { r =>
+      assert(r.width <= 64 && r.height <= 8 && r.width >= 1 && r.height >= 1)
     }
     // Frame sampling: every 2nd of 4 frames, preserving order.
     feats.foreach { f =>
       val sampled = Multimodal.sampleFrames(f, 2)
       assert(sampled.frames.toSeq === Seq(f.frames(0), f.frames(2)))
     }
+  }
+
+  test("PPM parser: comments honored, malformed input throws, no silent dims") {
+    // Comment between header fields is legal PPM and must parse.
+    val withComment =
+      ("P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII") ++
+        Array[Byte](1, 2, 3, 4, 5, 6))
+    val f = Multimodal.decodePpm(1L, withComment, frameCount = 2)
+    assert(f.width === 2 && f.height === 1)
+    assert((f.sum_r, f.sum_g, f.sum_b) === ((1L + 4, 2L + 5, 3L + 6)))
+    // Malformed inputs throw rather than inventing dimensions (the
+    // defining difference from the stub this parser replaced).
+    for (bad <- Seq(
+        "P5\n2 1\n255\n??????",            // wrong magic (P5 is grayscale)
+        "P6\n2 1\n255\n!",                 // truncated raster
+        "P6\n2 1\n70000\n??????",          // maxval > 255 (2-byte samples)
+        "P6\nx 1\n255\n??????"))           // non-numeric width
+      intercept[IllegalArgumentException] {
+        Multimodal.decodePpm(2L, bad.getBytes("US-ASCII"), frameCount = 1)
+      }
   }
 
   test("repetition metrics: fractions bounded, consistent, and exact on a known doc") {
