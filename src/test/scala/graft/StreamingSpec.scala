@@ -425,4 +425,47 @@ class StreamingSpec extends SparkSpec {
       w == Timestamp.valueOf("2024-01-01 10:10:00") && n == 2L },
       "the restart-spanning 10:10 window must combine pre- and post-restart events")
   }
+
+  test("file-directory source (AvailableNow): dedup+watermark+window pipeline equals batch") {
+    // The ingestion shape a real deployment runs (round-12 verdict #5):
+    // `readStream` over a parquet DIRECTORY on disk — not MemoryStream —
+    // through the stateful dedup-within-watermark THEN tumbling-window
+    // chain, drained with Trigger.AvailableNow. The bench drives
+    // Events.parquetStream for throughput; this pins its SEMANTICS with
+    // the same batch-equivalence contract as the MemoryStream legs.
+    //
+    // Append mode emits a window only once the watermark passes its
+    // end, and the watermark-vs-end boundary comparison is an internal
+    // detail we don't pin — so the oracle brackets: every emitted row
+    // must equal its batch-computed window exactly, and every window
+    // STRICTLY closed by the final watermark (end < max ts − horizon)
+    // must have been emitted.
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_filesrc_").toString
+    val piped = Events.tumbling(
+      Events.dedupWithinWatermark(Events.parquetStream(spark, sfDir), "1 hour"),
+      "10 minutes")
+    val q = piped.writeStream.format("memory").queryName("t_filesrc")
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("t_filesrc")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val batchAll = Events.tumbling(
+        Events.dedupWithinWatermark(ev, "1 hour"), "10 minutes")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val wmMs = ev.agg(max("ts")).collect()(0).getTimestamp(0).getTime -
+      3600L * 1000
+    val strictlyClosed = batchAll.filter { case (w, _, _) =>
+      w.getTime + 10 * 60 * 1000 < wmMs }
+    assert(streamed.nonEmpty, "file-source stream produced no windows")
+    assert(streamed.subsetOf(batchAll),
+      s"streamed rows diverge from batch: ${streamed -- batchAll}")
+    assert(strictlyClosed.subsetOf(streamed),
+      s"watermark-closed windows missing from the stream: ${strictlyClosed -- streamed}")
+  }
 }
