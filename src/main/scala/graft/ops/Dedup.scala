@@ -234,25 +234,15 @@ object Dedup {
       // checkpointed iterate, so convergence is a cached-partition scan
       // — not a second join of the old and new label tables.
       done = next.filter(col("changed")).isEmpty
-      // PERIODIC STATS RESET — load-bearing, not cosmetic.
-      // localCheckpoint cuts the lineage but REWRITES the new
-      // LogicalRDD's sizeInBytes from the round plan, whose leaves are
-      // the previous round's LogicalRDDs: join estimates MULTIPLY
-      // child sizes, so the carried BigInt's DIGIT count compounds
-      // ×4 per round (prop appears in both join legs) and by ~round 10
-      // a single stats visit grinds the driver in million-digit
-      // BigInteger multiplies (observed: q320's 8-round spatial graph
-      // hung the planner before this reset). Re-wrapping the
-      // checkpointed RDD through createDataFrame resets the leaf to
-      // constant default stats; doing it every THIRD round (and not
-      // every round) keeps the intermediate digit counts in the
-      // thousands — microseconds of BigInt work — while skipping the
-      // per-round Row-conversion tax on the fast small-diameter path
-      // (q107-class graphs converge before the first reset fires).
+      // PERIODIC STATS RESET (ops/Iterate rule 2; the full argument —
+      // compounding sizeInBytes BigInts grinding the planner by ~round
+      // 10, observed on q320's 8-round spatial graph — lives on
+      // [[Iterate]]). Every THIRD round, not every round: intermediate
+      // digit counts stay in the thousands while the fast
+      // small-diameter path (q107-class graphs converge before the
+      // first reset fires) skips the per-round Row-conversion tax.
       val cut = next.select("id", "lbl")
-      labels =
-        if (i % 3 == 2) cut.sparkSession.createDataFrame(cut.rdd, cut.schema)
-        else cut
+      labels = if (i % 3 == 2) Iterate.statsReset(cut) else cut
       i += 1
     }
     labels

@@ -676,10 +676,13 @@ object MiningQueries extends QueryPack {
       val deg = edges.groupBy("a").agg(count(lit(1)).as("d"))
       val edgesD = edges.join(deg, "a")
       val nb = broadcast(deg.agg(count(lit(1)).as("n")))
-      var r = deg.crossJoin(nb)
+      val r0 = deg.crossJoin(nb)
         .select(col("a"), expr("1000000000 div n").as("r9"))
-      for (_ <- 1 to 4) {
-        r = r.join(edgesD, "a")
+      // cutEvery = 0: the rank vector appears ONCE per round (one join
+      // leg), so the four steps chain linearly in-plan — no cut needed
+      // (ops/Iterate rule 1 applies only to multiply-referenced state).
+      val r = graft.ops.Iterate.rounds(r0, 4, cutEvery = 0) { (st, _) =>
+        st.join(edgesD, "a")
           .groupBy("b").agg(sum(expr("r9 div d")).as("srecv"))
           .crossJoin(nb)
           .select(col("b").as("a"),
@@ -1039,12 +1042,16 @@ object MiningQueries extends QueryPack {
       val wTab = types.join(wins, Seq("player"), "left")
         .select(col("player"), coalesce(col("w"), lit(0L)).as("w"))
         .localCheckpoint(false)
-      var sTab = types.select(col("player"), lit(SCALE).as("s"))
+      val sTab0 = types.select(col("player"), lit(SCALE).as("s"))
         .localCheckpoint(false)
-      for (_ <- 1 to 4) {
+      // cutEvery = 1 (ops/Iterate rule 1): each MM round joins the
+      // strength table on BOTH legs, so an uncut chain re-embeds the
+      // history 2^rounds times; the helper cuts each round's 5-row
+      // output. reset off — 4 rounds never leave thousand-digit stats.
+      val sTab = graft.ops.Iterate.rounds(sTab0, 4) { (st, _) =>
         val denom = dp
-          .join(sTab.select(col("player"), col("s").as("sa")), "player")
-          .join(sTab.select(col("player").as("opp"), col("s").as("sb")), "opp")
+          .join(st.select(col("player"), col("s").as("sa")), "player")
+          .join(st.select(col("player").as("opp"), col("s").as("sb")), "opp")
           .groupBy("player")
           .agg(sum(floor((col("n") * lit(SCALE)).cast("double") /
               (col("sa") + col("sb")).cast("double") * lit(1.0e9) + lit(0.5))
@@ -1054,11 +1061,10 @@ object MiningQueries extends QueryPack {
             floor(col("w").cast("double") * lit(1.0e15) /
               col("denom9").cast("double") + lit(0.5)).cast("long").as("raw"))
         val total = broadcast(raw.agg(sum("raw").as("total")))
-        sTab = raw.crossJoin(total)
+        raw.crossJoin(total)
           .select(col("player"),
             floor(col("raw").cast("double") * lit(5000000.0) /
               col("total").cast("double") + lit(0.5)).cast("long").as("s"))
-          .localCheckpoint(false)
       }
       wTab.join(dp.groupBy("player").agg(sum("n").as("n_games")), "player")
         .join(sTab, "player")
@@ -2223,20 +2229,28 @@ object MiningQueries extends QueryPack {
       // single-materialization edge views + the algebraic round-1
       // shortcut Σ_c h0 = 1e9·indeg — h0 is constant, same integers,
       // the oracle keeps the textbook h0 join).
+      // Each half-round is one ops/Iterate.renorm: the raw score table
+      // is cut (rule 1: its normalizer aggregate AND the next join both
+      // read it), the 1-row L1 total broadcasts over the CUT (rule 3),
+      // and the division reads both. Reset off: 3 rounds stay far from
+      // the compounding-stats regime.
+      import graft.ops.Iterate
       for (r <- 1 to 3) {
-        val araw = (if (r == 1)
+        a = Iterate.renorm(
+          if (r == 1)
             edgesP.groupBy("p").agg((dec(count(lit(1))) * lit(1000000000L)).as("ar"))
           else
-            edgesC.join(h, "c").groupBy("p").agg(sum(dec(col("h9"))).as("ar")))
-          .localCheckpoint(false)
-        val atot = broadcast(araw.agg(sum("ar").as("at")))
-        a = araw.crossJoin(atot)
-          .select(col("p"), expr("(ar * 1000000000) div at").as("a9"))
-        val hraw = edgesP.join(a, "p").groupBy("c")
-          .agg(sum(dec(col("a9"))).as("hr")).localCheckpoint(false)
-        val htot = broadcast(hraw.agg(sum("hr").as("ht")))
-        h = hraw.crossJoin(htot)
-          .select(col("c"), expr("(hr * 1000000000) div ht").as("h9"))
+            edgesC.join(h, "c").groupBy("p").agg(sum(dec(col("h9"))).as("ar")),
+          r)(_.agg(sum("ar").as("at"))) { (raw, tot) =>
+          raw.crossJoin(tot)
+            .select(col("p"), expr("(ar * 1000000000) div at").as("a9"))
+        }
+        h = Iterate.renorm(
+          edgesP.join(a, "p").groupBy("c").agg(sum(dec(col("a9"))).as("hr")),
+          r)(_.agg(sum("hr").as("ht"))) { (raw, tot) =>
+          raw.crossJoin(tot)
+            .select(col("c"), expr("(hr * 1000000000) div ht").as("h9"))
+        }
       }
       a.select(lit("auth").as("side"), col("p").as("k"), col("a9").as("s9"))
         .orderBy(col("s9").desc, col("k")).limit(15)

@@ -1149,4 +1149,50 @@ class MiningSpec extends SparkSpec {
       .toSet
     assert(got === expect)
   }
+
+  test("Iterate: cut keeps multiply-referenced fixpoint plans linear, values exact") {
+    // The shared round-runner behind q159/q222/q285/Dedup (round-12
+    // verdict #7). The step references the state TWICE (a self-join) —
+    // the shape whose uncut plan doubles per round. Six rounds of
+    // v ← v + v must (a) compute 2^6 exactly under the cut discipline,
+    // (b) leave a single-leaf plan (the last checkpoint), while the
+    // uncut composition computes the same values with an exponentially
+    // wider tree — pinning that the cut is the thing doing the work.
+    import spark.implicits._
+    import graft.ops.Iterate
+    val init = Seq((1L, 1L), (2L, 1L)).toDF("k", "v")
+    def step(st: org.apache.spark.sql.DataFrame, @annotation.unused r: Int) =
+      st.join(st.select(col("k"), col("v").as("v2")), "k")
+        .select(col("k"), (col("v") + col("v2")).as("v"))
+    val cutRes = Iterate.rounds(init, 6, cutEvery = 1, resetEvery = 3)(step)
+    assert(cutRes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 64L, 2L -> 64L))
+    assert(cutRes.queryExecution.optimizedPlan.collectLeaves().size === 1,
+      "cut rounds must end in a single materialized leaf")
+    val uncut = Iterate.rounds(init, 6, cutEvery = 0)(step)
+    assert(uncut.queryExecution.optimizedPlan.collectLeaves().size === 64,
+      "the doubling step without cuts re-embeds the history 2^rounds times")
+    assert(uncut.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 64L, 2L -> 64L))
+  }
+
+  test("Iterate.renorm: total reads the cut raw table, division is exact") {
+    import spark.implicits._
+    import graft.ops.Iterate
+    val raw = Seq(("a", 30L), ("b", 70L)).toDF("k", "raw")
+    val out = Iterate.renorm(raw, round = 1)(_.agg(sum("raw").as("t"))) {
+      (rc, tot) => rc.crossJoin(tot)
+        .select(col("k"), expr("(raw * 1000) div t").as("m"))
+    }
+    assert(out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("a" -> 300L, "b" -> 700L))
+    // Both consumers (the 1-row total and the division) read the SAME
+    // checkpointed leaf — the raw plan appears once, materialized.
+    val leaves = out.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size === 2, s"expected cut-raw + its reuse, got:\n$leaves")
+    // statsReset preserves rows and schema.
+    val reset = Iterate.statsReset(raw)
+    assert(reset.schema === raw.schema)
+    assert(reset.collect().toSet === raw.collect().toSet)
+  }
 }
