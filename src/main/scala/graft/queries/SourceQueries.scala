@@ -242,6 +242,53 @@ object SourceQueries extends QueryPack {
         .orderBy("o_orderpriority")
     }),
 
+    // TRANSACTIONAL TABLE FORMAT (round-13, closing the declared gap:
+    // the relational MERGE/SCD/IVM queries q192/q131/q217/q224/q297
+    // had no commit log). sources/TxTable is a minimal Delta-shaped
+    // format: parquet data files + a JSON commit log carrying per-file
+    // key min/max, snapshot = (adds − removes) ≤ V, so TIME TRAVEL is
+    // "stop replaying at V" and MERGE is copy-on-write rewriting only
+    // the files whose key range overlaps the delta (TxTableSpec pins
+    // the pruning and the snapshot-isolation properties; the log is
+    // driver-side KBs, the data reads distributed parquet scans). This
+    // query runs the full lifecycle — create v1 from orders (8
+    // range-bucketed files), MERGE a deterministic delta (status-X
+    // updates on keys ≡ 0 mod 97 plus brand-new negative-key inserts)
+    // as v2 — then reads BOTH versions back through the log and
+    // reports per-version logical stats. The oracle recomputes both
+    // snapshots relationally from the orders table: any commit-replay,
+    // pruning, or upsert bug hash-fails.
+    "q328_tx_merge_time_travel" -> ((s, dir) => {
+      import graft.sources.TxTable
+      val root = tmp(dir, "txtable_q328")
+      // One row per key: upsert-by-key REQUIRES a unique merge key in
+      // base and delta (the 10× HeadroomGen scale-up replicates
+      // orderkeys, so the raw projection would violate it — caught at
+      // the sf1 leg); the aggregate is the replayable uniquifier.
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("c"))
+        .groupBy("k")
+        .agg(min("st").as("st"), sum("c").as("c"))
+      TxTable.create(base, root, nBuckets = 8)
+      val updates = base.filter(col("k") % 97 === 0)
+        .select(col("k"), lit("X").as("st"), (col("c") + 1L).as("c"))
+      // Insert keys are NEGATIVE (-1 - custkey): sign-disjoint from the
+      // orderkey domain at every scale (the 10x scale-up offsets
+      // replica keys past 9e9, so any positive constant base would
+      // eventually collide -- caught at the sf1 leg).
+      val inserts = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+        .select((lit(-1L) - col("o_custkey")).as("k"),
+          lit("N").as("st"), (col("o_custkey") * 100L).as("c"))
+      TxTable.merge(s, root, updates.unionAll(inserts))
+      def stats(v: Int) = TxTable.snapshot(s, root, v)
+        .agg(count(lit(1)).as("n_rows"), sum("c").as("sum_cents"),
+          sum(when(col("st") === "X", 1L).otherwise(0L)).as("n_x"))
+        .select(lit(v.toLong).as("version"), col("n_rows"),
+          col("sum_cents"), col("n_x"))
+      stats(1).unionAll(stats(2)).orderBy("version")
+    }),
+
     // Bucketed co-located join: both sides pre-bucketed on the join
     // key, so the join runs with ZERO exchanges (each bucket pair joins
     // locally). The 100 TB pattern for a fact⋈fact join that recurs —
@@ -364,6 +411,33 @@ object SourceQueries extends QueryPack {
     "q90_partition_pruning" ->
       """SELECT o_orderstatus, count(*) AS n FROM orders
         |WHERE o_orderpriority = '1-URGENT'
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // q328: both snapshots recomputed relationally — v1 is the base
+    // projection, v2 applies the same deterministic upsert (delta wins
+    // on key collision; 3e9+custkey inserts are collision-free by the
+    // orderkey domain).
+    "q328_tx_merge_time_travel" ->
+      """WITH base AS (SELECT o_orderkey AS k, min(o_orderstatus) AS st,
+        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |upd AS (SELECT k, 'X' AS st, c + 1 AS c FROM base WHERE k % 97 = 0),
+        |ins AS (SELECT -1 - o_custkey AS k, 'N' AS st,
+        |    CAST(o_custkey*100 AS BIGINT) AS c
+        |  FROM (SELECT DISTINCT o_custkey FROM orders)),
+        |v2 AS (SELECT * FROM base WHERE k % 97 <> 0
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c) AS BIGINT) AS sum_cents,
+        |  CAST(sum(CASE WHEN st = 'X' THEN 1 ELSE 0 END) AS BIGINT) AS n_x
+        |FROM base
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT),
+        |  CAST(sum(CASE WHEN st = 'X' THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM v2
+        |ORDER BY version""".stripMargin
   )
 }
