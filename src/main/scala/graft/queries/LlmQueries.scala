@@ -31,6 +31,56 @@ object LlmQueries extends QueryPack {
   private[graft] val MmrSelectK = 5
   require(MmrSelectK <= MmrPoolK, "cannot select more than the pool holds")
 
+  /** q329's NSW graph/search geometry — one set of constants shared by
+    * the Spark closure, the generated oracle CTE rounds, and LlmSpec's
+    * recall property, so tuning any knob cannot desynchronize the
+    * engine, the oracle, and the test. Plane count / degrees trade
+    * build cost (Σ bucket², Σ coarse-bucket² over the 1/SampleMod
+    * sample) against recall; beam × rounds bound per-probe search cost
+    * independently of corpus size — the graph-ANN contract. */
+  private[graft] val NswMinPlanes = 5   // ≥ 32 fine buckets even when tiny
+  private[graft] val NswMaxPlanes = 10  // ≤ 1024 buckets (oracle mask bound)
+  private[graft] val NswBucketTarget = 64L // target vectors per fine bucket
+  private[graft] val NswCoarseBuckets = 4L // coarse id = fine % 4 (planes 0–1)
+
+  /** Adaptive fine-plane count: the smallest p with n ≤ target·2^p,
+    * clamped to [[NswMinPlanes]]..[[NswMaxPlanes]] — bucket population
+    * stays ~[[NswBucketTarget]] at ANY corpus size, so the local-layer
+    * candidate volume (probes·Σ bucket²) is corpus-LINEAR instead of
+    * quadratic-per-bucket (measured: the fixed-5-plane build cost 137 s
+    * at sf1's 20 k replicated vectors; adaptive, the whole query is
+    * 22 s there). INTEGER comparisons only — a float log2 would ceil()
+    * differently across engines at exact powers of two; the oracle
+    * replays the same min-p scan over range(0, max+1). */
+  private[graft] def nswPlanes(n: Long): Int =
+    math.min(NswMaxPlanes, math.max(NswMinPlanes,
+      (0 to NswMaxPlanes).find(p => n <= (NswBucketTarget << p))
+        .getOrElse(NswMaxPlanes)))
+  private[graft] val NswProbeFlips = 5 // multi-probe budget: ≤ 5 Hamming-1
+                                       // flips + the own bucket (6 keys) —
+                                       // the standard probe-count knob; at
+                                       // np = 5 every plane is probed, at
+                                       // adaptive np > 5 the budget caps
+                                       // local-layer candidate volume
+  private[graft] val NswLocalDeg = 8   // kNN degree on the local layer
+  private[graft] val NswNndRounds = 2  // NN-Descent refinement rounds
+  private[graft] val NswLongDeg = 4    // kNN degree on the long-link layer
+  private[graft] val NswRampDeg = 2    // on-ramps: nearest sample nodes
+  private[graft] val NswSampleMod = 16L // long-link layer = ids ≡ 0 (mod 16)
+  private[graft] val NswBeam = 32      // beam width per probe per round
+  private[graft] val NswRounds = 5     // expansion rounds (≤ 5 hops)
+  private[graft] val NswK = 10         // final top-k per probe
+  private[graft] val NswProbes = 8L    // probe set: vec_id < 8
+
+  /** Integer hyperplane component for q329's LSH: plane `p`, dim `d` →
+    * a value in [−5003, 5003] from the same arithmetic-hash family as
+    * [[graft.ops.Similarity]]'s float planes, but INTEGER so the
+    * projection sign is Σ q·plane over exact BIGINT-valued doubles —
+    * order-independent and bit-identical in Spark and DuckDB (a float
+    * plane's sign near 0 would hang on accumulation order). */
+  private[graft] def nswPlane(p: Int, d: Int): Long =
+    ((d.toLong * 1315423911L + p.toLong * 2654435761L + 97531L) % 10007L) - 5003L
+
   /** One-slot cache for q54's persisted LSH index (see its comment). */
   private val lshIndexCache =
     new java.util.concurrent.atomic.AtomicReference[Option[org.apache.spark.sql.DataFrame]](None)
@@ -3116,6 +3166,175 @@ object LlmQueries extends QueryPack {
             col("total_mass").cast("double") * lit(1e9) + lit(0.5))
             .cast("long").as("coll_rate9"))
         .orderBy("dsize")
+    }),
+
+    // ---------------------------------------------------------------
+    // q329: GRAPH ANN — NSW BEAM SEARCH (the Malkov et al. navigable-
+    // small-world family; closes the one ANN paradigm q56/q67/q319
+    // leave open: LSH buckets, inverted files, and PQ compression are
+    // all covered, but production vector stores serve point queries
+    // from a NEIGHBOR GRAPH walked greedily). Deterministic
+    // construction, every step an equi join:
+    //   - LOCAL layer seed: each vector's NswLocalDeg nearest among
+    //     candidates sharing any of its MULTI-PROBE buckets (own
+    //     integer-LSH fine bucket + one Hamming-1 flip per plane —
+    //     near neighbors straddling one hyperplane still collide);
+    //     the plane count is ADAPTIVE via nswPlanes (smallest p with
+    //     n ≤ 64·2^p, integer-derived so the oracle replays it) and
+    //     the probe fanout capped at NswProbeFlips+1 keys, so bucket
+    //     population stays ~64 and the candidate volume
+    //     (probes·Σ bucket²) is corpus-LINEAR — the log-n plane growth
+    //     the HNSW literature assumes, implemented rather than
+    //     asserted (fixed 5 planes measured 137 s at sf1's 10×-replica
+    //     scale-up; adaptive, the whole query is 22 s there vs 7 s at
+    //     sf0.1 — the replicas floor bucket occupancy at 10× no matter
+    //     the plane count, a fixture artifact a real corpus, or a
+    //     q105 dedup pass, would not have);
+    //   - NN-DESCENT refinement (Dong et al. 2011): NswNndRounds
+    //     rounds of "my neighbors' neighbors are candidate neighbors" —
+    //     re-rank the 2-hop candidate set by exact distance, keep
+    //     top-NswLocalDeg. Cost |V|·deg² per round, LINEAR in the
+    //     corpus; measured on this fixture it lifts beam recall@10
+    //     from ~0.4 to ~0.9 (LlmSpec pins the floor);
+    //   - LONG-LINK layer (the "small world" part): the 1/NswSampleMod
+    //     id-sample forms a coarser graph — kNN within COARSE buckets
+    //     (planes 0–1 only), so highways cross fine-bucket borders —
+    //     plus NswRampDeg on-ramps from every vector to its nearest
+    //     sample nodes; all layers symmetrized.
+    // SEARCH: each probe starts at its own node and runs NswRounds
+    // beam-expansion rounds (frontier ∪ graph-neighbors → exact
+    // distance → top-NswBeam), so per-probe cost is R × beam × degree
+    // distance evaluations — INDEPENDENT of corpus size, the graph-ANN
+    // pitch. In batch form each round is one broadcast-hash join of the
+    // tiny frontier against the once-materialized vector table (the
+    // random-access pattern a serving index does in RAM; here the
+    // corpus-side scan is localCheckpoint-cached and amortized over the
+    // whole probe set). EVERYTHING is integer: coordinates quantize to
+    // 1e-4 units once (float-exact ≤ 10⁴), distances are the norm+dot
+    // identity ‖a−b‖² = n2a + n2b − 2·a·b over exactly-integer-valued
+    // doubles (graft_dot accumulates float→double products; every term
+    // and partial sum < 2⁵³), plane projections are integer too — so
+    // bucket signs, edges, beams, and the final ranking all replay
+    // bit-exactly in the oracle's unrolled CTE rounds. Recall vs the
+    // exact ranking is property-tested in LlmSpec, not assumed.
+    "q329_ann_nsw_beam" -> ((s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      def dotp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        call_function("graft_dot", a, b)
+      // Adaptive plane count from the corpus row count (a metadata-only
+      // parquet count — the seedCentroids bounded-collect precedent);
+      // the fb expression is then built driver-side with exactly np
+      // planes, while the static oracle computes all NswMaxPlanes bits
+      // and masks p ≥ np.
+      val np = nswPlanes(Tables.embeddings(s, dir).count())
+      val planeLits = (0 until np).map(p =>
+        typedLit(Array.tabulate(64)(d => nswPlane(p, d).toFloat)))
+      val fineBits = planeLits.zipWithIndex.map { case (pl, p) =>
+        when(dotp(col("qv"), pl) >= 0.0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      // Quantized vector table: the one corpus-wide pass — qv (1e-4
+      // units as float, exact), its squared norm, and both bucket ids;
+      // cut once, feeds the edge layers and every search round.
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id").cast("long").as("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1e4 + lit(0.5)).cast("float")).as("qv"))
+        .withColumn("n2", dotp(col("qv"), col("qv")).cast("long"))
+        .withColumn("fb", fineBits)
+        .withColumn("cb", pmod(col("fb"), lit(NswCoarseBuckets)))
+        .localCheckpoint(false)
+      val distLong = (col("n2") + col("nc")
+        - (lit(2.0) * dotp(col("qv"), col("qc"))).cast("long")).as("dist")
+      // kNN joined on a bucket key column named "bk" on BOTH sides:
+      // rn=1..deg per source plans as a WindowGroupLimit (map-side
+      // capped); vec_id partitioning is the gate-approved per-entity
+      // key. Output keeps (vec_id, cand_id) naming so downstream
+      // windows stay on gate-approved keys.
+      def knn(l: DataFrame, r: DataFrame, deg: Int): DataFrame = {
+        val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cand_id"))
+        l.join(r, Seq("bk"))
+          .filter(col("vec_id") =!= col("cand_id"))
+          .withColumn("dist", distLong)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= deg)
+          .select(col("vec_id"), col("cand_id"))
+      }
+      def rhs(key: String) = base.select(col("vec_id").as("cand_id"),
+        col("qv").as("qc"), col("n2").as("nc"), col(key).as("bk"))
+      val sampled = (c: org.apache.spark.sql.Column) => c % NswSampleMod === 0L
+      // Multi-probe lhs: every vector probes its own bucket plus each
+      // Hamming-1 flip — (planes+1) keys, an explode not a theta join.
+      val probeKeys = array((col("fb") +:
+        (0 until math.min(np, NswProbeFlips))
+          .map(p => col("fb").bitwiseXOR(lit(1L << p)))): _*)
+      val lhsMp = base.select(col("vec_id"), col("qv"), col("n2"),
+        explode(probeKeys).as("bk"))
+      val lhsC = base.select(col("vec_id"), col("qv"), col("n2"),
+        col("cb").as("bk"))
+      var g = knn(lhsMp, rhs("fb"), NswLocalDeg)
+      // NN-Descent: 2-hop candidates re-ranked by exact distance.
+      val srcQ = base.select(col("vec_id"), col("qv"), col("n2"))
+      val dstQ = base.select(col("vec_id").as("cand_id"), col("qv").as("qc"),
+        col("n2").as("nc"))
+      // ops/Iterate rule 1: each NND round reads g three times (both
+      // 2-hop legs + the union), and each beam round below reads the
+      // beam twice — without a per-round cut the logical plan re-embeds
+      // the whole history and Catalyst grinds (measured at sf0.1: ~38 s
+      // uncut vs a few seconds cut, a ~6× planner tax on 8 rounds).
+      // State is tiny (|V|·deg edges, probes×beam rows).
+      for (r <- 1 to NswNndRounds) {
+        val twoHop = g.as("g1")
+          .join(g.as("g2"), col("g1.cand_id") === col("g2.vec_id"))
+          .filter(col("g2.cand_id") =!= col("g1.vec_id"))
+          .select(col("g1.vec_id").as("vec_id"), col("g2.cand_id").as("cand_id"))
+        val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cand_id"))
+        g = graft.ops.Iterate.cut(g.unionAll(twoHop).distinct()
+          .join(srcQ, "vec_id").join(dstQ, "cand_id")
+          .withColumn("dist", distLong)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= NswLocalDeg)
+          .select(col("vec_id"), col("cand_id")), r)
+      }
+      val longl = knn(lhsC.filter(sampled(col("vec_id"))),
+        rhs("cb").filter(sampled(col("cand_id"))), NswLongDeg)
+      val ramps = knn(lhsC, rhs("cb").filter(sampled(col("cand_id"))),
+        NswRampDeg)
+      val dir1 = g.unionAll(longl).unionAll(ramps)
+      val edges = dir1
+        .unionAll(dir1.select(col("cand_id").as("vec_id"),
+          col("vec_id").as("cand_id")))
+        .distinct()
+        .select(col("vec_id").as("src"), col("cand_id").as("dst"))
+        .localCheckpoint(false) // cut: joined once per search round
+      val probes = base.filter(col("vec_id") < NswProbes)
+        .select(col("vec_id").as("probe_id"), col("qv").as("pq"),
+          col("n2").as("pn"))
+      val nodes = base.select(col("vec_id").as("node"), col("qv").as("qc"),
+        col("n2").as("nc"))
+      val wBeam = Window.partitionBy("probe_id").orderBy(col("dist"), col("node"))
+      var beam = probes.select(col("probe_id"), col("probe_id").as("node"))
+      var scored: DataFrame = null
+      for (r <- 1 to NswRounds) {
+        val frontier = beam
+          .unionAll(beam.join(edges, beam("node") === edges("src"))
+            .select(col("probe_id"), col("dst").as("node")))
+          .distinct()
+        scored = nodes
+          .join(broadcast(frontier.join(broadcast(probes), "probe_id")), "node")
+          .withColumn("dist", (col("pn") + col("nc")
+            - (lit(2.0) * dotp(col("pq"), col("qc"))).cast("long")))
+          .select("probe_id", "node", "dist")
+        beam = graft.ops.Iterate.cut(scored.withColumn("rn", row_number().over(wBeam))
+          .filter(col("rn") <= NswBeam).select("probe_id", "node"), r)
+      }
+      // Final answer = top-k non-self of the LAST scored expansion
+      // (beam R's candidate set — one join cheaper than truncating
+      // first, and the oracle mirrors the same contract on s_R).
+      scored.filter(col("node") =!= col("probe_id"))
+        .withColumn("rnk", row_number().over(wBeam))
+        .filter(col("rnk") <= NswK)
+        .select(col("probe_id"), col("rnk"), col("node").as("cand_id"),
+          col("dist"))
+        .orderBy("probe_id", "rnk")
     })
   )
 
@@ -3358,7 +3577,134 @@ object LlmQueries extends QueryPack {
        |ORDER BY p.id_a""".stripMargin
   }
 
+  /** q329's oracle: the full NSW build + beam search replayed in
+    * DuckDB — integer plane projections from the same [[nswPlane]]
+    * formula (generated inline so the plane count tracks
+    * [[NswMaxPlanes]], with bits ≥ the replayed adaptive np masked
+    * off), the three kNN edge layers, symmetrize-by-
+    * UNION, and the beam unrolled to [[NswRounds]] CTE rounds. All
+    * distances are exactly-integer-valued doubles (`list_dot_product`
+    * over 1e-4-quantized lists; every term < 2⁵³), so CAST AS BIGINT
+    * agrees with Spark's cast despite the engines' different
+    * double→int rounding rules. Frontier/score CTEs are MATERIALIZED —
+    * DuckDB re-inlines multiply-referenced CTEs otherwise (the q184
+    * lesson), which would rebuild the graph once per beam round. */
+  private def nswOracle: String = {
+    def plane(p: Int) =
+      s"list_transform(generate_series(0, 63), d -> " +
+        s"CAST((d*1315423911 + $p*2654435761 + 97531) % 10007 - 5003 AS DOUBLE))"
+    // All NswMaxPlanes bits computed, bits p ≥ np masked off — the
+    // static-SQL replay of the engine's driver-side adaptive plane
+    // count (np itself is the same integer min-p scan, below).
+    val fb = (0 until NswMaxPlanes).map(p =>
+      s"(CASE WHEN $p < np.np AND list_dot_product(qv, ${plane(p)}) >= 0 " +
+        s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString("\n    + ")
+    val dist = (a: String, b: String) =>
+      s"$a.n2 + $b.n2 - CAST(2*list_dot_product($a.qv, $b.qv) AS BIGINT)"
+    // Hamming-1 multi-probe key list: own fine bucket + one flip per
+    // probed plane (min(np, NswProbeFlips) of them).
+    val probeKeys =
+      s"list_prepend(fb, list_transform(" +
+        s"generate_series(0, least(np.np, $NswProbeFlips) - 1), " +
+        "p -> xor(fb, CAST(1 AS BIGINT) << CAST(p AS INT))))"
+    def knn(name: String, cond: String, key: String, deg: Int) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT vec_id, cand_id FROM (
+         |    SELECT a.vec_id, b.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ${dist("a", "b")}, b.vec_id) AS rn
+         |    FROM nb a JOIN nb b
+         |      ON a.$key = b.$key AND a.vec_id <> b.vec_id$cond)
+         |  WHERE rn <= $deg)""".stripMargin
+    // NN-Descent rounds: g_{i+1} = top-deg of (g_i ∪ 2-hop(g_i)) by
+    // exact distance. Each g CTE is MATERIALIZED — it is referenced
+    // twice by the next round's union and once by edges.
+    val nnd = (1 to NswNndRounds).map { i =>
+      val prev = s"g${i - 1}"
+      s"""g$i AS MATERIALIZED (
+         |  SELECT vec_id, cand_id FROM (
+         |    SELECT c.vec_id, c.cand_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${dist("a", "b")}, c.cand_id) AS rn
+         |    FROM (SELECT DISTINCT vec_id, cand_id FROM (
+         |            SELECT vec_id, cand_id FROM $prev
+         |            UNION ALL
+         |            SELECT h1.vec_id, h2.cand_id
+         |            FROM $prev h1 JOIN $prev h2 ON h1.cand_id = h2.vec_id
+         |            WHERE h2.cand_id <> h1.vec_id)) c
+         |      JOIN nb a ON c.vec_id = a.vec_id
+         |      JOIN nb b ON c.cand_id = b.vec_id)
+         |  WHERE rn <= $NswLocalDeg)""".stripMargin
+    }.mkString(",\n")
+    val gFinal = s"g$NswNndRounds"
+    val rounds = (1 to NswRounds).map { r =>
+      val prev = if (r == 1) "b0" else s"b${r - 1}"
+      val beamCte = if (r == NswRounds) "" else s""",
+         |b$r AS (SELECT probe_id, node FROM (
+         |  SELECT probe_id, node, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY dist, node) AS rn FROM s$r) WHERE rn <= $NswBeam)"""
+      s"""c$r AS (SELECT DISTINCT probe_id, node FROM (
+         |  SELECT probe_id, node FROM $prev
+         |  UNION ALL
+         |  SELECT pb.probe_id, e.dst AS node
+         |  FROM $prev pb JOIN edges e ON pb.node = e.src)),
+         |s$r AS MATERIALIZED (
+         |  SELECT c.probe_id, c.node, ${dist("p", "t")} AS dist
+         |  FROM c$r c JOIN nb t ON c.node = t.vec_id
+         |    JOIN nb p ON c.probe_id = p.vec_id)$beamCte""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qt AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding, x ->
+       |      floor(CAST(x AS DOUBLE)*1e4 + 0.5)) AS qv
+       |  FROM embeddings),
+       |cnt AS (SELECT count(*) AS c FROM embeddings),
+       |np AS (SELECT least($NswMaxPlanes, greatest($NswMinPlanes, coalesce(
+       |    (SELECT min(CAST(r.range AS INT)) FROM range(0, ${NswMaxPlanes + 1}) r, cnt
+       |     WHERE cnt.c <= $NswBucketTarget
+       |       * (CAST(1 AS BIGINT) << CAST(r.range AS INT))),
+       |    $NswMaxPlanes))) AS np FROM cnt),
+       |nq AS (SELECT vec_id, qv,
+       |    CAST(list_dot_product(qv, qv) AS BIGINT) AS n2,
+       |    $fb AS fb
+       |  FROM qt, np),
+       |nb AS MATERIALIZED (SELECT vec_id, qv, n2, fb,
+       |    fb % $NswCoarseBuckets AS cb FROM nq),
+       |g0 AS MATERIALIZED (
+       |  SELECT vec_id, cand_id FROM (
+       |    SELECT a.vec_id, b.vec_id AS cand_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${dist("a", "b")}, b.vec_id) AS rn
+       |    FROM (SELECT vec_id, qv, n2, unnest($probeKeys) AS pk
+       |          FROM nb, np) a
+       |      JOIN nb b ON a.pk = b.fb AND a.vec_id <> b.vec_id)
+       |  WHERE rn <= $NswLocalDeg),
+       |$nnd,
+       |${knn("lng",
+          s" AND a.vec_id % $NswSampleMod = 0 AND b.vec_id % $NswSampleMod = 0",
+          "cb", NswLongDeg)},
+       |${knn("rmp", s" AND b.vec_id % $NswSampleMod = 0", "cb", NswRampDeg)},
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT vec_id AS src, cand_id AS dst FROM $gFinal
+       |    UNION ALL SELECT cand_id, vec_id FROM $gFinal
+       |    UNION ALL SELECT vec_id, cand_id FROM lng
+       |    UNION ALL SELECT cand_id, vec_id FROM lng
+       |    UNION ALL SELECT vec_id, cand_id FROM rmp
+       |    UNION ALL SELECT cand_id, vec_id FROM rmp)),
+       |b0 AS (SELECT vec_id AS probe_id, vec_id AS node FROM nb
+       |  WHERE vec_id < $NswProbes),
+       |$rounds
+       |SELECT probe_id, rnk, cand_id, dist FROM (
+       |  SELECT probe_id, node AS cand_id, dist,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY dist, node) AS INT) AS rnk
+       |  FROM s$NswRounds WHERE node <> probe_id)
+       |WHERE rnk <= $NswK ORDER BY probe_id, rnk""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
+    "q329_ann_nsw_beam" -> nswOracle,
 
     "q243_simhash_replayable" -> simhashOracleSql,
 

@@ -1256,4 +1256,42 @@ class LlmSpec extends SparkSpec {
       "cumulative weights must strictly increase in output order")
     assert(out.forall(_.getAs[Long]("n_slots") >= 0L))
   }
+
+  test("q329 NSW beam search: recall@10 vs the exact integer-L2 ranking") {
+    // The oracle replays the same graph walk bit-exactly, so hash
+    // equality alone can't tell whether the graph is NAVIGABLE — a
+    // disconnected graph would also replay perfectly. This is the
+    // quality leg: brute-force exact top-10 (same 1e-4 quantization,
+    // same (dist, cand_id) tie-break) against the beam result.
+    // Measured on this fixture: mean 0.925 / min 0.7 (the multi-probe
+    // + NN-Descent construction; the plain bucket-kNN graph read
+    // ~0.2 mean before round-13's refinement — the floor below is the
+    // regression tripwire, not the aspiration).
+    val out = SparkEntry.queries("q329_ann_nsw_beam")(spark, sfDir).collect()
+    val byProbe = out.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.size == 8 && out.length == 80,
+      s"expected 8 probes x 10 rows, got ${byProbe.size} x -> ${out.length}")
+    for ((_, rows) <- byProbe) {
+      val ds = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("dist"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
+        "per-probe distances must be nondecreasing in rank order")
+    }
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e4 + 0.5).toLong).toArray))
+      .toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val recalls = byProbe.map { case (p, rows) =>
+      val exact = (vecs - p).toSeq
+        .map { case (id, v) => (d2(vecs(p), v), id) }.sorted.take(10)
+        .map(_._2).toSet
+      val got = rows.map(_.getAs[Long]("cand_id")).toSet
+      (exact & got).size / 10.0
+    }.toSeq
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.85, s"mean recall@10 $mean below the 0.85 tripwire")
+    assert(recalls.min >= 0.6, s"min recall@10 ${recalls.min} below 0.6")
+  }
 }
