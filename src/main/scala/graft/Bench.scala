@@ -89,6 +89,10 @@ object Bench {
       graft.queries.LlmQueries.clearCaches()
       if (forQuery.startsWith("q109"))
         graft.queries.LlmQueries.resetIvfIndexState()
+      // Same build/probe split for the NSW graph index: q330 prices
+      // the COLD graph build, q331 a probe against the built graph.
+      if (forQuery.startsWith("q330"))
+        graft.queries.LlmQueries.resetNswIndexState()
       // Same build/probe split for the postings index: q133 prices the
       // COLD index build, q134 prices a probe against the built index.
       if (forQuery.startsWith("q133"))

@@ -196,6 +196,182 @@ object LlmQueries extends QueryPack {
       }
     }
 
+  /** q330/q331's persisted NSW graph state — the q109/q110
+    * build-once/probe-many lifecycle applied to the graph-ANN index:
+    * q330 prices the COLD build (quantize → multi-probe kNN →
+    * NN-Descent → long links → symmetrize → write), q331 prices a
+    * probe against the persisted tables. Memoized per (session, dir);
+    * Bench resets before q330's reps only. */
+  private val nswIndexState =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)]()
+
+  /** Forgets the persisted-graph state so the next invocation re-runs
+    * the full build (Bench calls this before q330's reps). */
+  def resetNswIndexState(): Unit = nswIndexState.set(null)
+
+  private def ensureNswIndex(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    nswIndexState.synchronized {
+      val key = (s.sparkContext.applicationId + "/" + System.identityHashCode(s), dir)
+      val cached = nswIndexState.get == key &&
+        s.catalog.tableExists("graft_nsw_vecs") &&
+        s.catalog.tableExists("graft_nsw_edges")
+      if (!cached) {
+        Seq("graft_nsw_vecs", "graft_nsw_edges")
+          .foreach(graft.sources.Staging.dropManagedTable(s, _))
+        val (base, edges) = nswBuild(s, dir)
+        // The vector table keeps only what the probe needs (id,
+        // quantized coords, norm) — fb/cb are build-time artifacts.
+        // No bucketBy: the beam joins stream these tables against a
+        // BROADCAST frontier, so there is no exchange to eliminate;
+        // what persistence buys is skipping the build itself.
+        base.select("vec_id", "qv", "n2")
+          .write.mode("overwrite").saveAsTable("graft_nsw_vecs")
+        edges.write.mode("overwrite").saveAsTable("graft_nsw_edges")
+        nswIndexState.set(key)
+      }
+    }
+
+  /** The NSW construction shared by q329 (ad-hoc) and q330/q331
+    * (persisted): returns (quantized vector table, symmetrized edge
+    * set), both localCheckpoint-cut. See q329's registry comment for
+    * the full design argument; constants above. */
+  private def nswBuild(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    def dotp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("graft_dot", a, b)
+    // Adaptive plane count from the corpus row count (a metadata-only
+    // parquet count — the seedCentroids bounded-collect precedent);
+    // the fb expression is then built driver-side with exactly np
+    // planes, while the static oracle computes all NswMaxPlanes bits
+    // and masks p ≥ np.
+    val np = nswPlanes(Tables.embeddings(s, dir).count())
+    val planeLits = (0 until np).map(p =>
+      typedLit(Array.tabulate(64)(d => nswPlane(p, d).toFloat)))
+    val fineBits = planeLits.zipWithIndex.map { case (pl, p) =>
+      when(dotp(col("qv"), pl) >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // Quantized vector table: the one corpus-wide pass — qv (1e-4
+    // units as float, exact), its squared norm, and both bucket ids;
+    // cut once, feeds the edge layers and every search round.
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1e4 + lit(0.5)).cast("float")).as("qv"))
+      .withColumn("n2", dotp(col("qv"), col("qv")).cast("long"))
+      .withColumn("fb", fineBits)
+      .withColumn("cb", pmod(col("fb"), lit(NswCoarseBuckets)))
+      .localCheckpoint(false)
+    val distLong = (col("n2") + col("nc")
+      - (lit(2.0) * dotp(col("qv"), col("qc"))).cast("long")).as("dist")
+    // kNN joined on a bucket key column named "bk" on BOTH sides:
+    // rn=1..deg per source plans as a WindowGroupLimit (map-side
+    // capped); vec_id partitioning is the gate-approved per-entity
+    // key. Output keeps (vec_id, cand_id) naming so downstream
+    // windows stay on gate-approved keys.
+    def knn(l: DataFrame, r: DataFrame, deg: Int): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cand_id"))
+      l.join(r, Seq("bk"))
+        .filter(col("vec_id") =!= col("cand_id"))
+        .withColumn("dist", distLong)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= deg)
+        .select(col("vec_id"), col("cand_id"))
+    }
+    def rhs(key: String) = base.select(col("vec_id").as("cand_id"),
+      col("qv").as("qc"), col("n2").as("nc"), col(key).as("bk"))
+    val sampled = (c: org.apache.spark.sql.Column) => c % NswSampleMod === 0L
+    // Multi-probe lhs: every vector probes its own bucket plus each
+    // Hamming-1 flip — min(np, NswProbeFlips)+1 keys, an explode not a
+    // theta join.
+    val probeKeys = array((col("fb") +:
+      (0 until math.min(np, NswProbeFlips))
+        .map(p => col("fb").bitwiseXOR(lit(1L << p)))): _*)
+    val lhsMp = base.select(col("vec_id"), col("qv"), col("n2"),
+      explode(probeKeys).as("bk"))
+    val lhsC = base.select(col("vec_id"), col("qv"), col("n2"),
+      col("cb").as("bk"))
+    var g = knn(lhsMp, rhs("fb"), NswLocalDeg)
+    // NN-Descent: 2-hop candidates re-ranked by exact distance.
+    val srcQ = base.select(col("vec_id"), col("qv"), col("n2"))
+    val dstQ = base.select(col("vec_id").as("cand_id"), col("qv").as("qc"),
+      col("n2").as("nc"))
+    // ops/Iterate rule 1: each NND round reads g three times (both
+    // 2-hop legs + the union), and each beam round in nswBeamSearch
+    // reads the beam twice — without a per-round cut the logical plan
+    // re-embeds the whole history and Catalyst grinds (measured at
+    // sf0.1: ~38 s uncut vs a few seconds cut, a ~6× planner tax on 8
+    // rounds). State is tiny (|V|·deg edges, probes×beam rows).
+    for (r <- 1 to NswNndRounds) {
+      val twoHop = g.as("g1")
+        .join(g.as("g2"), col("g1.cand_id") === col("g2.vec_id"))
+        .filter(col("g2.cand_id") =!= col("g1.vec_id"))
+        .select(col("g1.vec_id").as("vec_id"), col("g2.cand_id").as("cand_id"))
+      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cand_id"))
+      g = graft.ops.Iterate.cut(g.unionAll(twoHop).distinct()
+        .join(srcQ, "vec_id").join(dstQ, "cand_id")
+        .withColumn("dist", distLong)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= NswLocalDeg)
+        .select(col("vec_id"), col("cand_id")), r)
+    }
+    val longl = knn(lhsC.filter(sampled(col("vec_id"))),
+      rhs("cb").filter(sampled(col("cand_id"))), NswLongDeg)
+    val ramps = knn(lhsC, rhs("cb").filter(sampled(col("cand_id"))),
+      NswRampDeg)
+    val dir1 = g.unionAll(longl).unionAll(ramps)
+    val edges = dir1
+      .unionAll(dir1.select(col("cand_id").as("vec_id"),
+        col("vec_id").as("cand_id")))
+      .distinct()
+      .select(col("vec_id").as("src"), col("cand_id").as("dst"))
+      .localCheckpoint(false) // cut: joined once per search round
+    (base, edges)
+  }
+
+  /** NSW beam search over a (vec_id, qv, n2) vector table and a
+    * (src, dst) edge set — NswRounds expansion rounds from each
+    * probe's own node, final top-NswK non-self of the last scored
+    * expansion. Shared verbatim by q329 (fresh build) and q331
+    * (persisted tables), so the probe result is bit-identical by
+    * construction — the q110/q67 contract. */
+  private def nswBeamSearch(vecs: org.apache.spark.sql.DataFrame,
+                            edges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dotp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("graft_dot", a, b)
+    val probes = vecs.filter(col("vec_id") < NswProbes)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pq"),
+        col("n2").as("pn"))
+    val nodes = vecs.select(col("vec_id").as("node"), col("qv").as("qc"),
+      col("n2").as("nc"))
+    val wBeam = Window.partitionBy("probe_id").orderBy(col("dist"), col("node"))
+    var beam = probes.select(col("probe_id"), col("probe_id").as("node"))
+    var scored: org.apache.spark.sql.DataFrame = null
+    for (r <- 1 to NswRounds) {
+      val frontier = beam
+        .unionAll(beam.join(edges, beam("node") === edges("src"))
+          .select(col("probe_id"), col("dst").as("node")))
+        .distinct()
+      scored = nodes
+        .join(broadcast(frontier.join(broadcast(probes), "probe_id")), "node")
+        .withColumn("dist", (col("pn") + col("nc")
+          - (lit(2.0) * dotp(col("pq"), col("qc"))).cast("long")))
+        .select("probe_id", "node", "dist")
+      beam = graft.ops.Iterate.cut(scored.withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= NswBeam).select("probe_id", "node"), r)
+    }
+    // Final answer = top-k non-self of the LAST scored expansion
+    // (beam R's candidate set — one join cheaper than truncating
+    // first, and the oracle mirrors the same contract on s_R).
+    scored.filter(col("node") =!= col("probe_id"))
+      .withColumn("rnk", row_number().over(wBeam))
+      .filter(col("rnk") <= NswK)
+      .select(col("probe_id"), col("rnk"), col("node").as("cand_id"),
+        col("dist"))
+      .orderBy("probe_id", "rnk")
+  }
+
   /** The q107/q209 shared fixture: a corpus with PLANTED near-dup
     * structure (scaled copies of the base embeddings — cosine-1 to
     * their original, so component membership has an exact ground
@@ -3218,123 +3394,39 @@ object LlmQueries extends QueryPack {
     // bit-exactly in the oracle's unrolled CTE rounds. Recall vs the
     // exact ranking is property-tested in LlmSpec, not assumed.
     "q329_ann_nsw_beam" -> ((s, dir) => {
-      import org.apache.spark.sql.DataFrame
-      import org.apache.spark.sql.expressions.Window
-      def dotp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        call_function("graft_dot", a, b)
-      // Adaptive plane count from the corpus row count (a metadata-only
-      // parquet count — the seedCentroids bounded-collect precedent);
-      // the fb expression is then built driver-side with exactly np
-      // planes, while the static oracle computes all NswMaxPlanes bits
-      // and masks p ≥ np.
-      val np = nswPlanes(Tables.embeddings(s, dir).count())
-      val planeLits = (0 until np).map(p =>
-        typedLit(Array.tabulate(64)(d => nswPlane(p, d).toFloat)))
-      val fineBits = planeLits.zipWithIndex.map { case (pl, p) =>
-        when(dotp(col("qv"), pl) >= 0.0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      // Quantized vector table: the one corpus-wide pass — qv (1e-4
-      // units as float, exact), its squared norm, and both bucket ids;
-      // cut once, feeds the edge layers and every search round.
-      val base = Tables.embeddings(s, dir)
-        .select(col("vec_id").cast("long").as("vec_id"),
-          transform(col("embedding"),
-            x => floor(x.cast("double") * 1e4 + lit(0.5)).cast("float")).as("qv"))
-        .withColumn("n2", dotp(col("qv"), col("qv")).cast("long"))
-        .withColumn("fb", fineBits)
-        .withColumn("cb", pmod(col("fb"), lit(NswCoarseBuckets)))
-        .localCheckpoint(false)
-      val distLong = (col("n2") + col("nc")
-        - (lit(2.0) * dotp(col("qv"), col("qc"))).cast("long")).as("dist")
-      // kNN joined on a bucket key column named "bk" on BOTH sides:
-      // rn=1..deg per source plans as a WindowGroupLimit (map-side
-      // capped); vec_id partitioning is the gate-approved per-entity
-      // key. Output keeps (vec_id, cand_id) naming so downstream
-      // windows stay on gate-approved keys.
-      def knn(l: DataFrame, r: DataFrame, deg: Int): DataFrame = {
-        val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cand_id"))
-        l.join(r, Seq("bk"))
-          .filter(col("vec_id") =!= col("cand_id"))
-          .withColumn("dist", distLong)
-          .withColumn("rn", row_number().over(w)).filter(col("rn") <= deg)
-          .select(col("vec_id"), col("cand_id"))
-      }
-      def rhs(key: String) = base.select(col("vec_id").as("cand_id"),
-        col("qv").as("qc"), col("n2").as("nc"), col(key).as("bk"))
-      val sampled = (c: org.apache.spark.sql.Column) => c % NswSampleMod === 0L
-      // Multi-probe lhs: every vector probes its own bucket plus each
-      // Hamming-1 flip — (planes+1) keys, an explode not a theta join.
-      val probeKeys = array((col("fb") +:
-        (0 until math.min(np, NswProbeFlips))
-          .map(p => col("fb").bitwiseXOR(lit(1L << p)))): _*)
-      val lhsMp = base.select(col("vec_id"), col("qv"), col("n2"),
-        explode(probeKeys).as("bk"))
-      val lhsC = base.select(col("vec_id"), col("qv"), col("n2"),
-        col("cb").as("bk"))
-      var g = knn(lhsMp, rhs("fb"), NswLocalDeg)
-      // NN-Descent: 2-hop candidates re-ranked by exact distance.
-      val srcQ = base.select(col("vec_id"), col("qv"), col("n2"))
-      val dstQ = base.select(col("vec_id").as("cand_id"), col("qv").as("qc"),
-        col("n2").as("nc"))
-      // ops/Iterate rule 1: each NND round reads g three times (both
-      // 2-hop legs + the union), and each beam round below reads the
-      // beam twice — without a per-round cut the logical plan re-embeds
-      // the whole history and Catalyst grinds (measured at sf0.1: ~38 s
-      // uncut vs a few seconds cut, a ~6× planner tax on 8 rounds).
-      // State is tiny (|V|·deg edges, probes×beam rows).
-      for (r <- 1 to NswNndRounds) {
-        val twoHop = g.as("g1")
-          .join(g.as("g2"), col("g1.cand_id") === col("g2.vec_id"))
-          .filter(col("g2.cand_id") =!= col("g1.vec_id"))
-          .select(col("g1.vec_id").as("vec_id"), col("g2.cand_id").as("cand_id"))
-        val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cand_id"))
-        g = graft.ops.Iterate.cut(g.unionAll(twoHop).distinct()
-          .join(srcQ, "vec_id").join(dstQ, "cand_id")
-          .withColumn("dist", distLong)
-          .withColumn("rn", row_number().over(w)).filter(col("rn") <= NswLocalDeg)
-          .select(col("vec_id"), col("cand_id")), r)
-      }
-      val longl = knn(lhsC.filter(sampled(col("vec_id"))),
-        rhs("cb").filter(sampled(col("cand_id"))), NswLongDeg)
-      val ramps = knn(lhsC, rhs("cb").filter(sampled(col("cand_id"))),
-        NswRampDeg)
-      val dir1 = g.unionAll(longl).unionAll(ramps)
-      val edges = dir1
-        .unionAll(dir1.select(col("cand_id").as("vec_id"),
-          col("vec_id").as("cand_id")))
-        .distinct()
-        .select(col("vec_id").as("src"), col("cand_id").as("dst"))
-        .localCheckpoint(false) // cut: joined once per search round
-      val probes = base.filter(col("vec_id") < NswProbes)
-        .select(col("vec_id").as("probe_id"), col("qv").as("pq"),
-          col("n2").as("pn"))
-      val nodes = base.select(col("vec_id").as("node"), col("qv").as("qc"),
-        col("n2").as("nc"))
-      val wBeam = Window.partitionBy("probe_id").orderBy(col("dist"), col("node"))
-      var beam = probes.select(col("probe_id"), col("probe_id").as("node"))
-      var scored: DataFrame = null
-      for (r <- 1 to NswRounds) {
-        val frontier = beam
-          .unionAll(beam.join(edges, beam("node") === edges("src"))
-            .select(col("probe_id"), col("dst").as("node")))
-          .distinct()
-        scored = nodes
-          .join(broadcast(frontier.join(broadcast(probes), "probe_id")), "node")
-          .withColumn("dist", (col("pn") + col("nc")
-            - (lit(2.0) * dotp(col("pq"), col("qc"))).cast("long")))
-          .select("probe_id", "node", "dist")
-        beam = graft.ops.Iterate.cut(scored.withColumn("rn", row_number().over(wBeam))
-          .filter(col("rn") <= NswBeam).select("probe_id", "node"), r)
-      }
-      // Final answer = top-k non-self of the LAST scored expansion
-      // (beam R's candidate set — one join cheaper than truncating
-      // first, and the oracle mirrors the same contract on s_R).
-      scored.filter(col("node") =!= col("probe_id"))
-        .withColumn("rnk", row_number().over(wBeam))
-        .filter(col("rnk") <= NswK)
-        .select(col("probe_id"), col("rnk"), col("node").as("cand_id"),
-          col("dist"))
-        .orderBy("probe_id", "rnk")
+      val (base, edges) = nswBuild(s, dir)
+      nswBeamSearch(base.select("vec_id", "qv", "n2"), edges)
+    }),
+
+    // ---------------------------------------------------------------
+    // q330/q331: the BUILD-ONCE / PROBE-MANY lifecycle for the graph
+    // index — q109/q110's persisted-IVF split applied to the NSW
+    // paradigm. q330 materializes the graph (graft_nsw_vecs +
+    // graft_nsw_edges via ensureNswIndex) and reports its DEGREE
+    // HISTOGRAM — the index-health audit (q208's cell-health analog):
+    // a degree-0 spike means orphaned nodes beam search can't reach,
+    // a heavy tail means hub blowup. The oracle re-derives the whole
+    // graph in SQL (the same generated CTEs as q329's prefix) and
+    // recounts the histogram, so a build bug hash-fails even though
+    // the persisted tables themselves are not oracle-readable.
+    "q330_nsw_index_build" -> ((s, dir) => {
+      ensureNswIndex(s, dir)
+      s.table("graft_nsw_edges")
+        .groupBy("src").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    }),
+
+    // q331: probe the persisted graph — bit-identical output to q329
+    // (shared nswBeamSearch, shared oracle; LlmSpec pins the equality)
+    // with the build cost paid once at q330 time: the probe is just
+    // table reads + NswRounds broadcast-frontier joins, the
+    // corpus-independent serving cost the graph index exists for.
+    "q331_ann_nsw_indexed" -> ((s, dir) => {
+      ensureNswIndex(s, dir)
+      nswBeamSearch(
+        s.table("graft_nsw_vecs").localCheckpoint(false),
+        s.table("graft_nsw_edges").localCheckpoint(false))
     })
   )
 
@@ -3577,19 +3669,29 @@ object LlmQueries extends QueryPack {
        |ORDER BY p.id_a""".stripMargin
   }
 
-  /** q329's oracle: the full NSW build + beam search replayed in
-    * DuckDB — integer plane projections from the same [[nswPlane]]
-    * formula (generated inline so the plane count tracks
-    * [[NswMaxPlanes]], with bits ≥ the replayed adaptive np masked
-    * off), the three kNN edge layers, symmetrize-by-
-    * UNION, and the beam unrolled to [[NswRounds]] CTE rounds. All
-    * distances are exactly-integer-valued doubles (`list_dot_product`
-    * over 1e-4-quantized lists; every term < 2⁵³), so CAST AS BIGINT
-    * agrees with Spark's cast despite the engines' different
-    * double→int rounding rules. Frontier/score CTEs are MATERIALIZED —
-    * DuckDB re-inlines multiply-referenced CTEs otherwise (the q184
-    * lesson), which would rebuild the graph once per beam round. */
-  private def nswOracle: String = {
+  // q329/q330/q331 oracle machinery: the full NSW build replayed in
+  // DuckDB — integer plane projections from the same nswPlane formula
+  // (generated inline so the plane count tracks NswMaxPlanes, with
+  // bits ≥ the replayed adaptive np masked off), the three kNN edge
+  // layers, symmetrize-by-UNION, and (for q329/q331) the beam unrolled
+  // to NswRounds CTE rounds. All distances are exactly-integer-valued
+  // doubles (list_dot_product over 1e-4-quantized lists; every term
+  // < 2⁵³), so CAST AS BIGINT agrees with Spark's cast despite the
+  // engines' different double→int rounding rules. Graph/score CTEs are
+  // MATERIALIZED — DuckDB re-inlines multiply-referenced CTEs
+  // otherwise (the q184 lesson), which would rebuild the graph once
+  // per beam round.
+
+  /** Integer-exact squared-L2 between two quantized lists (oracle
+    * side): the norm+dot identity over exactly-integer-valued doubles. */
+  private def nswDistSql(a: String, b: String): String =
+    s"$a.n2 + $b.n2 - CAST(2*list_dot_product($a.qv, $b.qv) AS BIGINT)"
+
+  /** The NSW graph construction as a WITH-body prefix (through the
+    * `edges` CTE) — shared by [[nswOracle]] (q329/q331's full
+    * build+search replay) and [[nswManifestOracle]] (q330's degree
+    * histogram over the same re-derived graph). */
+  private def nswGraphCtes: String = {
     def plane(p: Int) =
       s"list_transform(generate_series(0, 63), d -> " +
         s"CAST((d*1315423911 + $p*2654435761 + 97531) % 10007 - 5003 AS DOUBLE))"
@@ -3600,8 +3702,7 @@ object LlmQueries extends QueryPack {
       s"(CASE WHEN $p < np.np AND list_dot_product(qv, ${plane(p)}) >= 0 " +
         s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString("\n    + ")
-    val dist = (a: String, b: String) =>
-      s"$a.n2 + $b.n2 - CAST(2*list_dot_product($a.qv, $b.qv) AS BIGINT)"
+    val dist = nswDistSql _
     // Hamming-1 multi-probe key list: own fine bucket + one flip per
     // probed plane (min(np, NswProbeFlips) of them).
     val probeKeys =
@@ -3638,23 +3739,7 @@ object LlmQueries extends QueryPack {
          |  WHERE rn <= $NswLocalDeg)""".stripMargin
     }.mkString(",\n")
     val gFinal = s"g$NswNndRounds"
-    val rounds = (1 to NswRounds).map { r =>
-      val prev = if (r == 1) "b0" else s"b${r - 1}"
-      val beamCte = if (r == NswRounds) "" else s""",
-         |b$r AS (SELECT probe_id, node FROM (
-         |  SELECT probe_id, node, row_number() OVER (PARTITION BY probe_id
-         |    ORDER BY dist, node) AS rn FROM s$r) WHERE rn <= $NswBeam)"""
-      s"""c$r AS (SELECT DISTINCT probe_id, node FROM (
-         |  SELECT probe_id, node FROM $prev
-         |  UNION ALL
-         |  SELECT pb.probe_id, e.dst AS node
-         |  FROM $prev pb JOIN edges e ON pb.node = e.src)),
-         |s$r AS MATERIALIZED (
-         |  SELECT c.probe_id, c.node, ${dist("p", "t")} AS dist
-         |  FROM c$r c JOIN nb t ON c.node = t.vec_id
-         |    JOIN nb p ON c.probe_id = p.vec_id)$beamCte""".stripMargin
-    }.mkString(",\n")
-    s"""WITH qt AS MATERIALIZED (SELECT vec_id,
+    s"""qt AS MATERIALIZED (SELECT vec_id,
        |    list_transform(embedding, x ->
        |      floor(CAST(x AS DOUBLE)*1e4 + 0.5)) AS qv
        |  FROM embeddings),
@@ -3691,7 +3776,32 @@ object LlmQueries extends QueryPack {
        |    UNION ALL SELECT vec_id, cand_id FROM lng
        |    UNION ALL SELECT cand_id, vec_id FROM lng
        |    UNION ALL SELECT vec_id, cand_id FROM rmp
-       |    UNION ALL SELECT cand_id, vec_id FROM rmp)),
+       |    UNION ALL SELECT cand_id, vec_id FROM rmp))""".stripMargin
+  }
+
+  /** q329/q331's oracle: the graph prefix + the beam search unrolled
+    * to [[NswRounds]] CTE rounds. One string serves both queries —
+    * the persisted probe's contract is bit-equality with the ad-hoc
+    * build, exactly q110 sharing q67's replay. */
+  private def nswOracle: String = {
+    val dist = nswDistSql _
+    val rounds = (1 to NswRounds).map { r =>
+      val prev = if (r == 1) "b0" else s"b${r - 1}"
+      val beamCte = if (r == NswRounds) "" else s""",
+         |b$r AS (SELECT probe_id, node FROM (
+         |  SELECT probe_id, node, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY dist, node) AS rn FROM s$r) WHERE rn <= $NswBeam)"""
+      s"""c$r AS (SELECT DISTINCT probe_id, node FROM (
+         |  SELECT probe_id, node FROM $prev
+         |  UNION ALL
+         |  SELECT pb.probe_id, e.dst AS node
+         |  FROM $prev pb JOIN edges e ON pb.node = e.src)),
+         |s$r AS MATERIALIZED (
+         |  SELECT c.probe_id, c.node, ${dist("p", "t")} AS dist
+         |  FROM c$r c JOIN nb t ON c.node = t.vec_id
+         |    JOIN nb p ON c.probe_id = p.vec_id)$beamCte""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $nswGraphCtes,
        |b0 AS (SELECT vec_id AS probe_id, vec_id AS node FROM nb
        |  WHERE vec_id < $NswProbes),
        |$rounds
@@ -3703,8 +3813,18 @@ object LlmQueries extends QueryPack {
        |WHERE rnk <= $NswK ORDER BY probe_id, rnk""".stripMargin
   }
 
+  /** q330's oracle: re-derive the graph, recount the degree histogram. */
+  private def nswManifestOracle: String =
+    s"""WITH $nswGraphCtes
+       |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS degree
+       |  FROM edges GROUP BY src)
+       |GROUP BY degree ORDER BY degree""".stripMargin
+
   override val oracles: Map[String, String] = Map(
     "q329_ann_nsw_beam" -> nswOracle,
+    "q330_nsw_index_build" -> nswManifestOracle,
+    "q331_ann_nsw_indexed" -> nswOracle,
 
     "q243_simhash_replayable" -> simhashOracleSql,
 

@@ -1294,4 +1294,24 @@ class LlmSpec extends SparkSpec {
     assert(mean >= 0.85, s"mean recall@10 $mean below the 0.85 tripwire")
     assert(recalls.min >= 0.6, s"min recall@10 ${recalls.min} below 0.6")
   }
+
+  test("q331 persisted-graph probe is bit-identical to the ad-hoc q329") {
+    // The q110/q67 contract applied to the graph index: persistence is
+    // a PHYSICAL change (build paid once at q330 time) with zero
+    // logical drift — same beam walk, same ranking, same ties.
+    def rows(q: String) = SparkEntry.queries(q)(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("cand_id"), r.getAs[Long]("dist"))).toSeq
+    assert(rows("q331_ann_nsw_indexed") == rows("q329_ann_nsw_beam"),
+      "persisted-graph beam search diverged from the ad-hoc build")
+    // And the build manifest is a sane degree histogram: every node
+    // has at least 1 edge (beam search can reach it) and the mass
+    // accounts for every vector exactly once.
+    val hist = SparkEntry.queries("q330_nsw_index_build")(spark, sfDir)
+      .collect()
+    val nVecs = Tables.embeddings(spark, sfDir).count()
+    assert(hist.forall(_.getAs[Long]("degree") >= 1L))
+    assert(hist.map(_.getAs[Long]("n_nodes")).sum == nVecs,
+      "degree histogram must cover every vector exactly once")
+  }
 }
