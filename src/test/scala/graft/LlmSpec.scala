@@ -43,6 +43,102 @@ class LlmSpec extends SparkSpec {
       (3, "a", "b", 2L), (4, "aa", "ab", 2L)))
   }
 
+  test("q334 bpeEncode applies trained rules in order with training replace semantics") {
+    // Hand trace with the 4 rules the Sennrich fixture trains —
+    // (a,a), (x,y), (a,b), (aa,ab) — applied IN ORDER, each the same
+    // single-pass boundary-marked replace training used:
+    //   aaab: |a|a|a|b| →r1 |aa|a|b| →r3 |aa|ab| →r4 |aaab| = 1 subtok
+    //   aab:  |a|a|b|  →r1 |aa|b|   (r3 must NOT match the a inside
+    //         aa — boundary markers) = 2 subtoks
+    //   xy:   →r2 |xy| = 1
+    //   aaxb: |a|a|x|b| →r1 |aa|x|b|; r3's |a|b| absent = 3
+    //   ba:   no rule matches (order matters: (a,b) not (b,a)) = 2
+    import spark.implicits._
+    val words = Seq(("aaab", 2L), ("aab", 1L), ("xy", 3L)).toDF("tok", "freq")
+    val merges = Text.bpeMerges(words, rounds = 4)
+    val enc = Text.bpeEncode(
+        Seq("aaab", "aab", "xy", "aaxb", "ba").toDF("tok"), merges)
+      .collect()
+      .map(r => r.getAs[String]("tok") ->
+        (r.getAs[String]("encoded"), r.getAs[Long]("n_subtok"))).toMap
+    assert(enc("aaab") === ("|aaab|", 1L))
+    assert(enc("aab") === ("|aa|b|", 2L))
+    assert(enc("xy") === ("|xy|", 1L))
+    assert(enc("aaxb") === ("|aa|x|b|", 3L))
+    assert(enc("ba") === ("|b|a|", 2L))
+  }
+
+  test("q335 trigram KN: P3 normalizes over each context and doc sums match an independent model") {
+    // Independent Scala recomputation of the interpolated KN recursion
+    // from raw trigram counts (same double association order, so JVM
+    // Math.log makes the quantized values bit-identical).
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val docTgs = docs.map { case (id, t) =>
+      val ts = t.split(" ").filter(_.nonEmpty)
+      (id, if (ts.length < 3) Seq.empty[(String, String, String)]
+           else ts.sliding(3).map(a => (a(0), a(1), a(2))).toSeq)
+    }
+    val tgs = docTgs.flatMap(_._2)
+    val c123 = tgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val types = c123.keySet
+    val c12 = types.toSeq.map { case (w1, w2, _) => (w1, w2) }
+      .groupBy(identity).view.mapValues(_ => 0L).toMap.map { case (k, _) =>
+        k -> types.filter(t => (t._1, t._2) == k).toSeq.map(c123).sum }
+    val n3fw = types.groupBy(t => (t._1, t._2)).view.mapValues(_.size.toLong).toMap
+    val mid = types.groupBy(t => (t._2, t._3)).view.mapValues(_.size.toLong).toMap
+    val n2 = mid.keys.toSeq.groupBy(_._1).view
+      .mapValues(ks => ks.map(mid).sum).toMap
+    val t2 = mid.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ncw3 = mid.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nbbt = mid.size.toDouble
+    def p2(w2: String, w3: String): Double = {
+      val n24 = (4L * n2(w2)).toDouble
+      // Unseen continuation (w2,w3): zero retained mass, pure backoff
+      // through the unigram — the recursion's backoff-with-zero-count
+      // branch.
+      val c = mid.getOrElse((w2, w3), 0L)
+      math.max(4L * c - 3L, 0L).toDouble / n24 +
+        (3.0 / n24) * t2(w2).toDouble * (ncw3(w3).toDouble / nbbt)
+    }
+    def p3(w1: String, w2: String, w3: String): Double = {
+      val c124 = (4L * c12((w1, w2))).toDouble
+      // Unseen trigram (w3 in w2's support but never after w1w2):
+      // retained mass is 0, the probability is pure backoff — exactly
+      // what makes the normalization identity hold over the support.
+      val c = c123.getOrElse((w1, w2, w3), 0L)
+      math.max(4L * c - 3L, 0L).toDouble / c124 +
+        (3.0 / c124) * n3fw((w1, w2)).toDouble * p2(w2, w3)
+    }
+    // Normalization: for the 3 heaviest (w1,w2) contexts, ΣP3 over the
+    // FULL unigram support is exactly 1 (the interpolation identity:
+    // retained mass 1 − d·N₁₊(w1w2·)/c12 plus backoff mass
+    // d·N₁₊(w1w2·)/c12 · ΣP2; ΣP2 telescopes the same way into ΣP1,
+    // and P1 sums to 1 over the whole continuation vocabulary — the
+    // sum must range over every w3, not just w2's observed
+    // continuations, because unseen (w2,w3) still carries backoff
+    // mass).
+    val vocab3 = ncw3.keySet.toSeq
+    val heavy = c12.toSeq.sortBy { case (k, v) => (-v, k._1, k._2) }.take(3)
+    for (((w1, w2), _) <- heavy) {
+      val total = vocab3.map(w3 => p3(w1, w2, w3)).sum
+      assert(math.abs(total - 1.0) < 1e-9,
+        s"P3(·|$w1 $w2) sums to $total, not 1")
+    }
+    // And 5 docs' engine scores equal the independent model exactly.
+    val engine = SparkEntry.queries("q335_trigram_kn")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_trigrams"), r.getAs[Long]("nll_q_sum"))).toMap
+    val sample = docTgs.filter(_._2.nonEmpty).take(5)
+    for ((id, dt) <- sample) {
+      val nll = dt.map { case (w1, w2, w3) =>
+        math.floor(-math.log(p3(w1, w2, w3)) * 1e9 + 0.5).toLong }.sum
+      assert(engine(id) === ((dt.size.toLong, nll)),
+        s"doc $id: engine ${engine(id)} vs model (${dt.size}, $nll)")
+    }
+  }
+
   test("q275 plan depth stays bounded (lineage cut per merge round)") {
     // Six rounds of merge application must NOT compound into a plan
     // whose depth is exponential (or even deeply multiplicative) in
@@ -1304,13 +1400,15 @@ class LlmSpec extends SparkSpec {
         r.getAs[Long]("cand_id"), r.getAs[Long]("dist"))).toSeq
     assert(rows("q331_ann_nsw_indexed") == rows("q329_ann_nsw_beam"),
       "persisted-graph beam search diverged from the ad-hoc build")
-    // And the build manifest is a sane degree histogram: every node
-    // has at least 1 edge (beam search can reach it) and the mass
-    // accounts for every vector exactly once.
+    // And the build manifest is a sane degree histogram. Degrees come
+    // from GROUP BY src counts, so 0 is unrepresentable by
+    // construction — the real reachability guarantee is the mass
+    // check: sum(n_nodes) == |vectors| iff every vector appears as an
+    // edge source (an orphan node would simply be missing from the
+    // histogram and the sum would fall short).
     val hist = SparkEntry.queries("q330_nsw_index_build")(spark, sfDir)
       .collect()
     val nVecs = Tables.embeddings(spark, sfDir).count()
-    assert(hist.forall(_.getAs[Long]("degree") >= 1L))
     assert(hist.map(_.getAs[Long]("n_nodes")).sum == nVecs,
       "degree histogram must cover every vector exactly once")
   }

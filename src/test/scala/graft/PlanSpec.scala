@@ -671,7 +671,7 @@ class PlanSpec extends SparkSpec {
     // may read raw.
     def persistedOneRowStats(p: SparkPlan): Boolean = p match {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-        f.tableIdentifier.exists(_.table == "graft_bm25_stats")
+        f.tableIdentifier.exists(_.table.startsWith("graft_bm25_stats"))
       case _ => false
     }
     def bounded(p: SparkPlan): Boolean = p match {

@@ -468,4 +468,60 @@ class StreamingSpec extends SparkSpec {
     assert(strictlyClosed.subsetOf(streamed),
       s"watermark-closed windows missing from the stream: ${strictlyClosed -- streamed}")
   }
+
+  test("exactly-once TxTable sink: batch replay is idempotent, restart appends once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.TxTable
+    val root = graft.sources.Staging.dir(sfDir, "txsink_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_txsink_").toString
+    // v1: a static base the stream appends onto.
+    TxTable.create(
+      spark.range(0, 100).select(col("id").as("k"), lit("A").as("st"),
+        (col("id") * 2).as("c")),
+      root, nBuckets = 4)
+    def asKsc(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id").as("k"), col("event_type").as("st"),
+        (col("value") * 100).cast("long").as("c"))
+    // Drain batch 0 through the exactly-once sink.
+    val s1 = MemoryStream[Ev]
+    s1.addData(Seq(ev(9001, 1), ev(9002, 3, typ = "view")))
+    val q1 = Events.startTxSink(asKsc(s1.toDF()), root, "sink1", ckpt)
+    q1.awaitTermination(60000)
+    assert(!q1.isActive)
+    val afterB0 = TxTable.snapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(afterB0.size === 102, "base 100 + batch-0's 2 rows")
+    assert(afterB0.contains((9001L, "click", 100L)))
+    // Simulated failure replay: foreachBatch re-delivers (sink1, 0)
+    // (the at-least-once window). The commit log already carries it →
+    // no-op, table state unchanged — the exactly-once contract.
+    val replay = Seq((9001L, "click", 100L), (9002L, "view", 100L))
+      .toDF("k", "st", "c")
+    assert(TxTable.appendBatch(spark, root, "sink1", batchId = 0L, replay) === false)
+    assert(TxTable.snapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      === afterB0, "replayed batch must not change the table")
+    // A second, DIFFERENT sink (its own appId + checkpoint — the
+    // contract: appId is 1:1 with the checkpoint) starts at its own
+    // batch 0 and must land exactly once, NOT collide with sink1's
+    // batch 0 in the log.
+    val s2 = MemoryStream[Ev]
+    s2.addData(Seq(ev(9003, 7)))
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_txsink2_").toString
+    val q2 = Events.startTxSink(asKsc(s2.toDF()), root, "sink2", ckpt2)
+    q2.awaitTermination(60000)
+    val finalSet = TxTable.snapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(finalSet === afterB0 + ((9003L, "click", 100L)),
+      "second sink must append its batch exactly once")
+    // Batch-equivalence: the final table equals the batch-computed
+    // union of base and all streamed rows.
+    val batchEquiv = (spark.range(0, 100).select(col("id").as("k"),
+        lit("A").as("st"), (col("id") * 2).as("c"))
+      unionAll Seq((9001L, "click", 100L), (9002L, "view", 100L),
+        (9003L, "click", 100L)).toDF("k", "st", "c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(finalSet === batchEquiv)
+  }
 }

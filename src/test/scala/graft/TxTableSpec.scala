@@ -68,4 +68,163 @@ class TxTableSpec extends SparkSpec {
     assert(stOf(1, 10L) === "A" && stOf(2, 10L) === "X" && stOf(3, 10L) === "Y")
     assert(stOf(2, 20L) === "A" && stOf(3, 20L) === "X")
   }
+
+  test("two-distant-bucket delta: middle buckets survive untouched, " +
+       "merge output stays per-bucket") {
+    import spark.implicits._
+    val root = freshTable("txspec_distant")
+    // Keys 5 and 750 live in buckets 0 [0,99] and 7 [700,799]. Exact
+    // per-file pruning must rewrite EXACTLY those two — a global
+    // envelope [5,750] would drag the six middle buckets in.
+    val delta = Seq((5L, "X", 1L), (750L, "X", 2L)).toDF("k", "st", "c")
+    val (rewritten, carried) = TxTable.merge(spark, root, delta)
+    assert(rewritten === 2 && carried === 6)
+    val v1 = TxTable.liveFiles(spark, root, 1).sortBy(_.min)
+    val v2 = TxTable.liveFiles(spark, root, 2).sortBy(_.min)
+    // The untouched middle buckets carry IDENTICAL entries (same
+    // path, same envelope) — no decay.
+    assert(v2.size === 8, "per-bucket rewrite: still one file per bucket")
+    val middle1 = v1.slice(1, 7).toSet
+    assert(middle1.subsetOf(v2.toSet), "middle buckets must carry verbatim")
+    // The two rewritten entries keep bucket-granular envelopes — NOT
+    // one [5,750]-wide file.
+    val fresh = v2.filterNot(middle1)
+    assert(fresh.map(f => (f.min, f.max)).toSet === Set((0L, 99L), (700L, 799L)))
+    // Logical contents intact.
+    val snap = TxTable.snapshot(spark, root, 2)
+    assert(snap.count() === 800)
+    assert(snap.filter(col("st") === "X").count() === 2)
+  }
+
+  test("chained multi-bucket merges: pruning counts do not decay") {
+    import spark.implicits._
+    val root = freshTable("txspec_nodecay")
+    // Round 1 touches buckets 0 and 7; if the merge output collapsed
+    // into one wide file, round 2 (bucket 3 only) would be forced to
+    // rewrite it. Per-bucket output keeps round 2 at exactly 1 rewrite.
+    TxTable.merge(spark, root,
+      Seq((5L, "X", 1L), (750L, "X", 2L)).toDF("k", "st", "c"))
+    val (r2, c2) = TxTable.merge(spark, root,
+      Seq((350L, "Y", 3L)).toDF("k", "st", "c"))
+    assert(r2 === 1 && c2 === 7, "granularity must survive the chained merge")
+    // And a third pass back at bucket 0: still 1 rewrite.
+    val (r3, c3) = TxTable.merge(spark, root,
+      Seq((6L, "Z", 4L)).toDF("k", "st", "c"))
+    assert(r3 === 1 && c3 === 7)
+    val snap = TxTable.snapshot(spark, root)
+    assert(snap.count() === 800)
+    assert(snap.filter(col("st") =!= "A").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+      === Set(5L -> "X", 750L -> "X", 350L -> "Y", 6L -> "Z"))
+  }
+
+  test("optimistic concurrency: version collision fails atomically and " +
+       "concurrent merges both land") {
+    import spark.implicits._
+    val root = freshTable("txspec_occ")
+    // Direct collision: committing the same version twice must throw —
+    // last-rename-wins would silently drop a commit.
+    TxTable.tryCommit(root, TxTable.Commit(2, Seq.empty, Seq.empty))
+    intercept[TxTable.CommitConflictException] {
+      TxTable.tryCommit(root, TxTable.Commit(2, Seq.empty, Seq.empty))
+    }
+    // Remove the synthetic empty commit before the concurrent phase.
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/_log/2.json"))
+    // Two writers merging disjoint-key deltas concurrently: both must
+    // commit (one retries at the next version), and the final snapshot
+    // carries BOTH deltas.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(TxTable.merge(spark, root,
+      Seq((5L, "P", 1L)).toDF("k", "st", "c")))
+    val f2 = Future(TxTable.merge(spark, root,
+      Seq((750L, "Q", 2L)).toDF("k", "st", "c")))
+    Await.result(f1, 120.seconds); Await.result(f2, 120.seconds)
+    assert(TxTable.latestVersion(spark, root) === 3,
+      "both writers must land, as v2 and v3")
+    val snap = TxTable.snapshot(spark, root)
+    assert(snap.count() === 800)
+    assert(snap.filter(col("st").isin("P", "Q")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+      === Set(5L -> "P", 750L -> "Q"))
+  }
+
+  test("log checkpoint: replay reads O(interval) files and time travel " +
+       "across the checkpoint still works") {
+    import spark.implicits._
+    val root = freshTable("txspec_ckpt")
+    // Drive past the checkpoint interval (8): versions 2..10.
+    (1 to 9).foreach { i =>
+      TxTable.merge(spark, root,
+        Seq((i.toLong, s"M$i", i.toLong)).toDF("k", "st", "c"))
+    }
+    assert(TxTable.latestVersion(spark, root) === 10)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/_log/8.checkpoint.json")),
+      "a checkpoint must exist at the interval boundary")
+    // Checkpoint-assisted replay (v10 path goes through 8.checkpoint)
+    // must agree with a raw full-log replay.
+    val viaCkpt = TxTable.liveFiles(spark, root, 10).toSet
+    val raw = {
+      val cs = TxTable.commits(spark, root, 10)
+      val removed = cs.flatMap(_.remove).toSet
+      cs.flatMap(_.add).filterNot(f => removed(f.file)).toSet
+    }
+    assert(viaCkpt === raw, "checkpoint replay must equal raw replay")
+    // Time travel BEFORE the checkpoint (v3: merges 1..2 applied).
+    val v3 = TxTable.snapshot(spark, root, 3)
+    assert(v3.filter(col("st").startsWith("M")).count() === 2)
+    // And at the head: all 9 merges visible.
+    assert(TxTable.snapshot(spark, root)
+      .filter(col("st").startsWith("M")).count() === 9)
+  }
+
+  test("appendBatch: (appId, batchId)-keyed commits are exactly-once under replay") {
+    import spark.implicits._
+    val root = freshTable("txspec_batch")
+    val b7 = Seq((9001L, "B", 1L), (9002L, "B", 2L)).toDF("k", "st", "c")
+    assert(TxTable.appendBatch(spark, root, "sinkA", batchId = 7L, b7) === true)
+    val after = TxTable.snapshot(spark, root).count()
+    assert(after === 802)
+    // Replay of the same micro-batch (simulated failure/restart): the
+    // log already carries (sinkA, 7) → no-op, state unchanged.
+    assert(TxTable.appendBatch(spark, root, "sinkA", batchId = 7L, b7) === false)
+    assert(TxTable.latestVersion(spark, root) === 2)
+    assert(TxTable.snapshot(spark, root).count() === 802)
+    // A genuinely new batch still lands.
+    assert(TxTable.appendBatch(spark, root, "sinkA", batchId = 8L,
+      Seq((9003L, "B", 3L)).toDF("k", "st", "c")) === true)
+    assert(TxTable.snapshot(spark, root).count() === 803)
+    // A DIFFERENT sink's batch 7 is a different transaction — batchId
+    // alone must not collide across writer identities.
+    assert(TxTable.appendBatch(spark, root, "sinkB", batchId = 7L,
+      Seq((9004L, "B", 4L)).toDF("k", "st", "c")) === true)
+    assert(TxTable.snapshot(spark, root).count() === 804)
+  }
+
+  test("optimize: compaction drops file count, snapshot bit-identical") {
+    import spark.implicits._
+    val root = freshTable("txspec_opt")
+    // Scatter 6 tiny append commits → 8 + 6 = 14 live files.
+    (1 to 6).foreach { i =>
+      TxTable.appendBatch(spark, root, "opt", batchId = i.toLong,
+        Seq((1000L + i, "S", i.toLong)).toDF("k", "st", "c"))
+    }
+    val before = TxTable.snapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val nBefore = TxTable.liveFiles(spark, root).size
+    assert(nBefore === 14)
+    val (compacted, produced) = TxTable.optimize(spark, root, targetRows = 200L)
+    assert(compacted > produced && produced >= 1,
+      s"compaction must shrink: $compacted files -> $produced")
+    assert(TxTable.liveFiles(spark, root).size < nBefore)
+    val afterSet = TxTable.snapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(afterSet === before, "OPTIMIZE is pure layout — data identical")
+    // The pre-OPTIMIZE version still time-travels to the same data.
+    val prevSet = TxTable.snapshot(spark, root, TxTable.latestVersion(spark, root) - 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(prevSet === before)
+  }
 }
