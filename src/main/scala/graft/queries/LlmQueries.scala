@@ -231,31 +231,24 @@ object LlmQueries extends QueryPack {
       }
     }
 
-  /** The NSW construction shared by q329 (ad-hoc) and q330/q331
-    * (persisted): returns (quantized vector table, symmetrized edge
-    * set), both localCheckpoint-cut. See q329's registry comment for
-    * the full design argument; constants above. */
-  private def nswBuild(s: org.apache.spark.sql.SparkSession, dir: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    import org.apache.spark.sql.DataFrame
-    import org.apache.spark.sql.expressions.Window
+  /** Quantized vector table for an NSW graph — qv (1e-4 units as
+    * float, exact), its squared norm, and both bucket ids under an
+    * `np`-plane LSH. Extracted from the build so the INCREMENTAL
+    * insert (q336) can quantize a DELTA batch with the BASE build's
+    * plane count (a delta quantized under its own adaptive np would
+    * land in a different bucket space and never meet the base graph).
+    * One narrow pass over the input; cut once.
+    */
+  private def nswQuantize(vecs: org.apache.spark.sql.DataFrame, np: Int)
+      : org.apache.spark.sql.DataFrame = {
     def dotp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       call_function("graft_dot", a, b)
-    // Adaptive plane count from the corpus row count (a metadata-only
-    // parquet count — the seedCentroids bounded-collect precedent);
-    // the fb expression is then built driver-side with exactly np
-    // planes, while the static oracle computes all NswMaxPlanes bits
-    // and masks p ≥ np.
-    val np = nswPlanes(Tables.embeddings(s, dir).count())
     val planeLits = (0 until np).map(p =>
       typedLit(Array.tabulate(64)(d => nswPlane(p, d).toFloat)))
     val fineBits = planeLits.zipWithIndex.map { case (pl, p) =>
       when(dotp(col("qv"), pl) >= 0.0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    // Quantized vector table: the one corpus-wide pass — qv (1e-4
-    // units as float, exact), its squared norm, and both bucket ids;
-    // cut once, feeds the edge layers and every search round.
-    val base = Tables.embeddings(s, dir)
+    vecs
       .select(col("vec_id").cast("long").as("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * 1e4 + lit(0.5)).cast("float")).as("qv"))
@@ -263,32 +256,78 @@ object LlmQueries extends QueryPack {
       .withColumn("fb", fineBits)
       .withColumn("cb", pmod(col("fb"), lit(NswCoarseBuckets)))
       .localCheckpoint(false)
-    val distLong = (col("n2") + col("nc")
-      - (lit(2.0) * dotp(col("qv"), col("qc"))).cast("long")).as("dist")
-    // kNN joined on a bucket key column named "bk" on BOTH sides:
-    // rn=1..deg per source plans as a WindowGroupLimit (map-side
-    // capped); vec_id partitioning is the gate-approved per-entity
-    // key. Output keeps (vec_id, cand_id) naming so downstream
-    // windows stay on gate-approved keys.
-    def knn(l: DataFrame, r: DataFrame, deg: Int): DataFrame = {
-      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cand_id"))
-      l.join(r, Seq("bk"))
-        .filter(col("vec_id") =!= col("cand_id"))
-        .withColumn("dist", distLong)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= deg)
-        .select(col("vec_id"), col("cand_id"))
-    }
-    def rhs(key: String) = base.select(col("vec_id").as("cand_id"),
+  }
+
+  /** Exact squared-L2 distance over quantized coords, as the shared
+    * (n2, nc, qv, qc) column expression. */
+  private def nswDistLong: org.apache.spark.sql.Column =
+    (col("n2") + col("nc")
+      - (lit(2.0) * call_function("graft_dot", col("qv"), col("qc")))
+        .cast("long")).as("dist")
+
+  /** kNN joined on a bucket key column named "bk" on BOTH sides:
+    * rn=1..deg per source plans as a WindowGroupLimit (map-side
+    * capped); vec_id partitioning is the gate-approved per-entity
+    * key. Output keeps (vec_id, cand_id) naming so downstream
+    * windows stay on gate-approved keys.
+    */
+  private def nswKnn(l: org.apache.spark.sql.DataFrame,
+                     r: org.apache.spark.sql.DataFrame, deg: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cand_id"))
+    l.join(r, Seq("bk"))
+      .filter(col("vec_id") =!= col("cand_id"))
+      .withColumn("dist", nswDistLong)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= deg)
+      .select(col("vec_id"), col("cand_id"))
+  }
+
+  /** Candidate side of [[nswKnn]]: the quantized table keyed by one of
+    * its bucket columns. */
+  private def nswRhs(t: org.apache.spark.sql.DataFrame, key: String)
+      : org.apache.spark.sql.DataFrame =
+    t.select(col("vec_id").as("cand_id"),
       col("qv").as("qc"), col("n2").as("nc"), col(key).as("bk"))
-    val sampled = (c: org.apache.spark.sql.Column) => c % NswSampleMod === 0L
-    // Multi-probe lhs: every vector probes its own bucket plus each
-    // Hamming-1 flip — min(np, NswProbeFlips)+1 keys, an explode not a
-    // theta join.
-    val probeKeys = array((col("fb") +:
+
+  /** Multi-probe key list: own fine bucket plus each Hamming-1 flip —
+    * min(np, NswProbeFlips)+1 keys, an explode not a theta join. */
+  private def nswProbeKeysCol(np: Int): org.apache.spark.sql.Column =
+    array((col("fb") +:
       (0 until math.min(np, NswProbeFlips))
         .map(p => col("fb").bitwiseXOR(lit(1L << p)))): _*)
+
+  /** The NSW construction shared by q329 (ad-hoc) and q330/q331
+    * (persisted): returns (quantized vector table, symmetrized edge
+    * set), both localCheckpoint-cut. See q329's registry comment for
+    * the full design argument; constants above. */
+  private def nswBuild(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    nswBuildFrom(Tables.embeddings(s, dir))
+
+  /** [[nswBuild]] generalized to any (vec_id, embedding) input — the
+    * incremental-insert query builds its BASE graph over a corpus
+    * subset through this. */
+  private def nswBuildFrom(vecsSrc: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    // Adaptive plane count from the corpus row count (a metadata-only
+    // parquet count — the seedCentroids bounded-collect precedent);
+    // the fb expression is then built driver-side with exactly np
+    // planes, while the static oracle computes all NswMaxPlanes bits
+    // and masks p ≥ np.
+    val np = nswPlanes(vecsSrc.count())
+    // Quantized vector table: the one corpus-wide pass; cut once,
+    // feeds the edge layers and every search round.
+    val base = nswQuantize(vecsSrc, np)
+    val distLong = nswDistLong
+    def knn(l: DataFrame, r: DataFrame, deg: Int): DataFrame =
+      nswKnn(l, r, deg)
+    def rhs(key: String) = nswRhs(base, key)
+    val sampled = (c: org.apache.spark.sql.Column) => c % NswSampleMod === 0L
     val lhsMp = base.select(col("vec_id"), col("qv"), col("n2"),
-      explode(probeKeys).as("bk"))
+      explode(nswProbeKeysCol(np)).as("bk"))
     val lhsC = base.select(col("vec_id"), col("qv"), col("n2"),
       col("cb").as("bk"))
     var g = knn(lhsMp, rhs("fb"), NswLocalDeg)
@@ -334,8 +373,16 @@ object LlmQueries extends QueryPack {
     * expansion. Shared verbatim by q329 (fresh build) and q331
     * (persisted tables), so the probe result is bit-identical by
     * construction — the q110/q67 contract. */
+  /** @param tombstones optional (vec_id) set of SOFT-DELETED vectors
+    *   (q338): excluded from the FINAL answer by a broadcast anti-join
+    *   applied before ranking, but still present in the graph — a
+    *   deleted node keeps ROUTING (its edges are what connect its
+    *   neighborhood) and merely stops being RETURNED, the standard
+    *   graph-ANN tombstone semantics; physically removing nodes is
+    *   the rebuild event, not the delete path. */
   private def nswBeamSearch(vecs: org.apache.spark.sql.DataFrame,
-                            edges: org.apache.spark.sql.DataFrame)
+                            edges: org.apache.spark.sql.DataFrame,
+                            tombstones: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def dotp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
@@ -368,7 +415,15 @@ object LlmQueries extends QueryPack {
     // Final answer = top-k non-self of the LAST scored expansion
     // (beam R's candidate set — one join cheaper than truncating
     // first, and the oracle mirrors the same contract on s_R).
-    scored.filter(col("node") =!= col("probe_id"))
+    // Tombstones (when present) drop BEFORE ranking, so the top-k
+    // backfills from live candidates instead of leaving rank gaps.
+    val live = tombstones match {
+      case Some(t) =>
+        scored.join(broadcast(t.select(col("vec_id").as("__dead"))),
+          col("node") === col("__dead"), "left_anti")
+      case None => scored
+    }
+    live.filter(col("node") =!= col("probe_id"))
       .withColumn("rnk", row_number().over(wBeam))
       .filter(col("rnk") <= NswK)
       .select(col("probe_id"), col("rnk"), col("node").as("cand_id"),
@@ -891,6 +946,40 @@ object LlmQueries extends QueryPack {
       s.table(graft.sources.Staging.appTable(s, "graft_ivf_lists"))
         .groupBy("cell")
         .agg(count(lit(1)).as("n_vecs"),
+          min("cand_id").as("min_id"), max("cand_id").as("max_id"))
+        .orderBy("cell")
+    }),
+
+    // INCREMENTAL IVF INSERT — list maintenance without a rebuild
+    // (round-13 verdict, missing #3, the IVF half): base lists built
+    // over vec_id % 17 ≠ 0 with centroids FROZEN at base-build time;
+    // the delta (% 17 = 0) is then assigned against those SAME frozen
+    // centroids and APPENDED into the bucketed lists table — base
+    // list files are never rewritten, no re-clustering happens (the
+    // production IVF insert: re-clustering is a separate, rarer
+    // rebuild event; in between, inserts ride the frozen quantizer).
+    // The bucket-aligned append keeps the q110 exchange-free probe
+    // property intact for the combined table. Output: the per-cell
+    // manifest split base/delta, so a delta row silently re-clustered
+    // (different cell than the frozen assignment) or a lost/doubled
+    // append hash-fails against the relational replay.
+    "q337_ivf_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("vec_id", col("vec_id").cast("long"))
+      val base = emb.filter(col("vec_id") % 17 =!= 0)
+      val delta = emb.filter(col("vec_id") % 17 === 0)
+      val cents = Similarity.seedCentroids(base, IvfIndexLists)
+      val tbl = graft.sources.Staging.appTable(s, "graft_ivf_inc")
+      graft.sources.Staging.dropManagedTable(s, tbl)
+      Similarity.assignCells(base, cents).withColumn("is_delta", lit(0L))
+        .write.mode("overwrite")
+        .bucketBy(8, "cell").sortBy("cell").saveAsTable(tbl)
+      Similarity.assignCells(delta, cents).withColumn("is_delta", lit(1L))
+        .write.mode("append")
+        .bucketBy(8, "cell").sortBy("cell").saveAsTable(tbl)
+      s.table(tbl).groupBy("cell")
+        .agg(sum(lit(1L) - col("is_delta")).as("n_base"),
+          sum("is_delta").as("n_delta"),
           min("cand_id").as("min_id"), max("cand_id").as("max_id"))
         .orderBy("cell")
     }),
@@ -3530,6 +3619,75 @@ object LlmQueries extends QueryPack {
       nswBeamSearch(
         s.table(graft.sources.Staging.appTable(s, "graft_nsw_vecs")).localCheckpoint(false),
         s.table(graft.sources.Staging.appTable(s, "graft_nsw_edges")).localCheckpoint(false))
+    }),
+
+    // INCREMENTAL NSW INSERT — index maintenance without a rebuild
+    // (round-13 verdict, missing #3: q330/q331 are build-once/
+    // probe-many with no insert path). Base graph = the full NSW
+    // pipeline over vec_id % 17 ≠ 0; the DELTA (% 17 = 0) then
+    // attaches via the q115 delta-dedup pattern applied to the index:
+    // each delta vector runs the SAME multi-probe bucket kNN the
+    // build's local layer uses — but delta-side only, against the
+    // BASE table (the corpus never self-joins again) — plus the
+    // coarse-bucket on-ramp kNN into the sampled long-link layer, and
+    // ONLY those new edges (symmetrized) union into the edge set. No
+    // NN-Descent re-run, no base edge recomputed: insert cost is
+    // O(|delta| · bucket) however large the corpus. The delta MUST
+    // quantize under the BASE build's plane count (its own adaptive
+    // np would land it in a different bucket space — nswQuantize's
+    // raison d'être). Probes (vec_id < 8) include delta ids 0 and 17
+    // at every SF, so the beam walk is exercised THROUGH the new
+    // on-ramped nodes, not just near them. Oracle: the base-filtered
+    // graph CTEs + the delta-attach replayed relationally + the same
+    // unrolled beam walk over the merged graph — a wrong plane count,
+    // a base edge recomputed, or a missing symmetric edge all
+    // hash-fail.
+    "q336_nsw_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("vec_id", col("vec_id").cast("long"))
+      val np = nswPlanes(emb.filter(col("vec_id") % 17 =!= 0).count())
+      val (base, edges) = nswBuildFrom(emb.filter(col("vec_id") % 17 =!= 0))
+      val delta = nswQuantize(emb.filter(col("vec_id") % 17 === 0), np)
+      val dLocal = nswKnn(
+        delta.select(col("vec_id"), col("qv"), col("n2"),
+          explode(nswProbeKeysCol(np)).as("bk")),
+        nswRhs(base, "fb"), NswLocalDeg)
+      val dRamp = nswKnn(
+        delta.select(col("vec_id"), col("qv"), col("n2"),
+          col("cb").as("bk")),
+        nswRhs(base, "cb").filter(col("cand_id") % NswSampleMod === 0L),
+        NswRampDeg)
+      val dNew = dLocal.unionAll(dRamp)
+      val allEdges = edges
+        .unionAll(dNew.select(col("vec_id").as("src"), col("cand_id").as("dst")))
+        .unionAll(dNew.select(col("cand_id").as("src"), col("vec_id").as("dst")))
+        .distinct()
+        .localCheckpoint(false) // joined once per beam round
+      val allVecs = base.select("vec_id", "qv", "n2")
+        .unionAll(delta.select("vec_id", "qv", "n2"))
+        .localCheckpoint(false)
+      nswBeamSearch(allVecs, allEdges)
+    }),
+
+    // NSW TOMBSTONE DELETE — the other half of index maintenance
+    // (round-13 verdict, missing #3: no delete path). Soft-delete:
+    // vectors with vec_id % 51 = 0 (probes exempted so every probe
+    // still self-anchors) are tombstoned — they keep ROUTING (their
+    // edges stay in the graph; removing them would disconnect their
+    // neighborhood, which is why production graph indexes defer
+    // physical removal to the rebuild) but stop being RETURNED: the
+    // beam walk is identical to q329's, and the final top-k anti-joins
+    // the broadcast tombstone set BEFORE ranking, so ranks backfill
+    // from live candidates instead of leaving gaps. Delete cost is
+    // O(|tombstones|) metadata at any corpus size. Oracle: q329's
+    // replay with the same NOT-tombstoned predicate in the final
+    // WHERE — a rank gap, a returned deleted node, or a tombstone
+    // that stopped routing all hash-fail.
+    "q338_nsw_tombstone" -> ((s, dir) => {
+      val (base, edges) = nswBuild(s, dir)
+      val tomb = base.select("vec_id")
+        .filter(col("vec_id") % 51 === 0 && col("vec_id") >= NswProbes)
+      nswBeamSearch(base, edges, Some(tomb))
     })
   )
 
@@ -3790,28 +3948,38 @@ object LlmQueries extends QueryPack {
   private def nswDistSql(a: String, b: String): String =
     s"$a.n2 + $b.n2 - CAST(2*list_dot_product($a.qv, $b.qv) AS BIGINT)"
 
-  /** The NSW graph construction as a WITH-body prefix (through the
-    * `edges` CTE) — shared by [[nswOracle]] (q329/q331's full
-    * build+search replay) and [[nswManifestOracle]] (q330's degree
-    * histogram over the same re-derived graph). */
-  private def nswGraphCtes: String = {
+  /** The np-masked fine-bucket bit sum — all NswMaxPlanes bits
+    * computed, bits p ≥ np masked off: the static-SQL replay of the
+    * engine's driver-side adaptive plane count. Shared by the base
+    * graph CTEs and the incremental delta's quantization (which must
+    * reuse the BASE np). */
+  private def nswFbSql: String = {
     def plane(p: Int) =
       s"list_transform(generate_series(0, 63), d -> " +
         s"CAST((d*1315423911 + $p*2654435761 + 97531) % 10007 - 5003 AS DOUBLE))"
-    // All NswMaxPlanes bits computed, bits p ≥ np masked off — the
-    // static-SQL replay of the engine's driver-side adaptive plane
-    // count (np itself is the same integer min-p scan, below).
-    val fb = (0 until NswMaxPlanes).map(p =>
+    (0 until NswMaxPlanes).map(p =>
       s"(CASE WHEN $p < np.np AND list_dot_product(qv, ${plane(p)}) >= 0 " +
         s"THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString("\n    + ")
+  }
+
+  /** Hamming-1 multi-probe key list: own fine bucket + one flip per
+    * probed plane (min(np, NswProbeFlips) of them). */
+  private def nswProbeKeysSql: String =
+    s"list_prepend(fb, list_transform(" +
+      s"generate_series(0, least(np.np, $NswProbeFlips) - 1), " +
+      "p -> xor(fb, CAST(1 AS BIGINT) << CAST(p AS INT))))"
+
+  /** The NSW graph construction as a WITH-body prefix (through the
+    * `edges` CTE) — shared by [[nswOracle]] (q329/q331's full
+    * build+search replay), [[nswManifestOracle]] (q330's degree
+    * histogram over the same re-derived graph), and — with
+    * `baseWhere` restricting the corpus — the base half of
+    * [[nswIncOracle]] (q336). */
+  private def nswGraphCtes(baseWhere: String = ""): String = {
+    val fb = nswFbSql
     val dist = nswDistSql _
-    // Hamming-1 multi-probe key list: own fine bucket + one flip per
-    // probed plane (min(np, NswProbeFlips) of them).
-    val probeKeys =
-      s"list_prepend(fb, list_transform(" +
-        s"generate_series(0, least(np.np, $NswProbeFlips) - 1), " +
-        "p -> xor(fb, CAST(1 AS BIGINT) << CAST(p AS INT))))"
+    val probeKeys = nswProbeKeysSql
     def knn(name: String, cond: String, key: String, deg: Int) =
       s"""$name AS MATERIALIZED (
          |  SELECT vec_id, cand_id FROM (
@@ -3845,8 +4013,8 @@ object LlmQueries extends QueryPack {
     s"""qt AS MATERIALIZED (SELECT vec_id,
        |    list_transform(embedding, x ->
        |      floor(CAST(x AS DOUBLE)*1e4 + 0.5)) AS qv
-       |  FROM embeddings),
-       |cnt AS (SELECT count(*) AS c FROM embeddings),
+       |  FROM embeddings$baseWhere),
+       |cnt AS (SELECT count(*) AS c FROM embeddings$baseWhere),
        |np AS (SELECT least($NswMaxPlanes, greatest($NswMinPlanes, coalesce(
        |    (SELECT min(CAST(r.range AS INT)) FROM range(0, ${NswMaxPlanes + 1}) r, cnt
        |     WHERE cnt.c <= $NswBucketTarget
@@ -3882,11 +4050,13 @@ object LlmQueries extends QueryPack {
        |    UNION ALL SELECT cand_id, vec_id FROM rmp))""".stripMargin
   }
 
-  /** q329/q331's oracle: the graph prefix + the beam search unrolled
-    * to [[NswRounds]] CTE rounds. One string serves both queries —
-    * the persisted probe's contract is bit-equality with the ad-hoc
-    * build, exactly q110 sharing q67's replay. */
-  private def nswOracle: String = {
+  /** The beam-search walk unrolled to [[NswRounds]] CTE rounds plus
+    * the final top-k select, over a nodes CTE `nodes` (vec_id, qv,
+    * n2) and an edge CTE `edgesCte` (src, dst) — shared by
+    * [[nswOracle]] (nb/edges) and [[nswIncOracle]] (the merged
+    * nball/edges2). */
+  private def nswBeamSql(nodes: String, edgesCte: String,
+                         finalFilter: String = ""): String = {
     val dist = nswDistSql _
     val rounds = (1 to NswRounds).map { r =>
       val prev = if (r == 1) "b0" else s"b${r - 1}"
@@ -3898,36 +4068,101 @@ object LlmQueries extends QueryPack {
          |  SELECT probe_id, node FROM $prev
          |  UNION ALL
          |  SELECT pb.probe_id, e.dst AS node
-         |  FROM $prev pb JOIN edges e ON pb.node = e.src)),
+         |  FROM $prev pb JOIN $edgesCte e ON pb.node = e.src)),
          |s$r AS MATERIALIZED (
          |  SELECT c.probe_id, c.node, ${dist("p", "t")} AS dist
-         |  FROM c$r c JOIN nb t ON c.node = t.vec_id
-         |    JOIN nb p ON c.probe_id = p.vec_id)$beamCte""".stripMargin
+         |  FROM c$r c JOIN $nodes t ON c.node = t.vec_id
+         |    JOIN $nodes p ON c.probe_id = p.vec_id)$beamCte""".stripMargin
     }.mkString(",\n")
-    s"""WITH $nswGraphCtes,
-       |b0 AS (SELECT vec_id AS probe_id, vec_id AS node FROM nb
+    s"""b0 AS (SELECT vec_id AS probe_id, vec_id AS node FROM $nodes
        |  WHERE vec_id < $NswProbes),
        |$rounds
        |SELECT probe_id, rnk, cand_id, dist FROM (
        |  SELECT probe_id, node AS cand_id, dist,
        |    CAST(row_number() OVER (PARTITION BY probe_id
        |      ORDER BY dist, node) AS INT) AS rnk
-       |  FROM s$NswRounds WHERE node <> probe_id)
+       |  FROM s$NswRounds WHERE node <> probe_id$finalFilter)
        |WHERE rnk <= $NswK ORDER BY probe_id, rnk""".stripMargin
   }
 
+  /** q329/q331's oracle: the graph prefix + the beam search unrolled
+    * to [[NswRounds]] CTE rounds. One string serves both queries —
+    * the persisted probe's contract is bit-equality with the ad-hoc
+    * build, exactly q110 sharing q67's replay. */
+  private def nswOracle: String =
+    s"""WITH ${nswGraphCtes()},
+       |${nswBeamSql("nb", "edges")}""".stripMargin
+
+  /** q338's oracle: q329's replay with the tombstone predicate in the
+    * final WHERE — deleted nodes still route (the graph CTEs are
+    * untouched), they just can't be returned. */
+  private def nswTombstoneOracle: String =
+    s"""WITH ${nswGraphCtes()},
+       |${nswBeamSql("nb", "edges",
+          s" AND NOT (node % 51 = 0 AND node >= $NswProbes)")}""".stripMargin
+
   /** q330's oracle: re-derive the graph, recount the degree histogram. */
   private def nswManifestOracle: String =
-    s"""WITH $nswGraphCtes
+    s"""WITH ${nswGraphCtes()}
        |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM (
        |  SELECT src, CAST(count(*) AS BIGINT) AS degree
        |  FROM edges GROUP BY src)
        |GROUP BY degree ORDER BY degree""".stripMargin
 
+  /** q336's oracle: the base graph CTEs restricted to vec_id % 17 ≠ 0,
+    * the delta attach replayed relationally (delta quantized under the
+    * BASE np, multi-probe local kNN + sampled-layer on-ramps into the
+    * base table only, symmetrized new edges unioned), then the shared
+    * beam walk over the merged node/edge sets. */
+  private def nswIncOracle: String = {
+    val dist = nswDistSql _
+    s"""WITH ${nswGraphCtes(" WHERE vec_id % 17 <> 0")},
+       |qtd AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding, x ->
+       |      floor(CAST(x AS DOUBLE)*1e4 + 0.5)) AS qv
+       |  FROM embeddings WHERE vec_id % 17 = 0),
+       |nqd AS (SELECT vec_id, qv,
+       |    CAST(list_dot_product(qv, qv) AS BIGINT) AS n2,
+       |    $nswFbSql AS fb
+       |  FROM qtd, np),
+       |nbd AS MATERIALIZED (SELECT vec_id, qv, n2, fb,
+       |    fb % $NswCoarseBuckets AS cb FROM nqd),
+       |dl AS MATERIALIZED (
+       |  SELECT vec_id, cand_id FROM (
+       |    SELECT a.vec_id, b.vec_id AS cand_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${dist("a", "b")}, b.vec_id) AS rn
+       |    FROM (SELECT vec_id, qv, n2, unnest($nswProbeKeysSql) AS pk
+       |          FROM nbd, np) a
+       |      JOIN nb b ON a.pk = b.fb AND a.vec_id <> b.vec_id)
+       |  WHERE rn <= $NswLocalDeg),
+       |drp AS MATERIALIZED (
+       |  SELECT vec_id, cand_id FROM (
+       |    SELECT a.vec_id, b.vec_id AS cand_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${dist("a", "b")}, b.vec_id) AS rn
+       |    FROM nbd a JOIN nb b ON a.cb = b.cb AND a.vec_id <> b.vec_id
+       |      AND b.vec_id % $NswSampleMod = 0)
+       |  WHERE rn <= $NswRampDeg),
+       |edges2 AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM edges
+       |    UNION ALL SELECT vec_id AS src, cand_id AS dst FROM dl
+       |    UNION ALL SELECT cand_id, vec_id FROM dl
+       |    UNION ALL SELECT vec_id, cand_id FROM drp
+       |    UNION ALL SELECT cand_id, vec_id FROM drp)),
+       |nball AS MATERIALIZED (
+       |  SELECT vec_id, qv, n2 FROM nb
+       |  UNION ALL SELECT vec_id, qv, n2 FROM nbd),
+       |${nswBeamSql("nball", "edges2")}""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
     "q329_ann_nsw_beam" -> nswOracle,
     "q330_nsw_index_build" -> nswManifestOracle,
     "q331_ann_nsw_indexed" -> nswOracle,
+    "q336_nsw_incremental" -> nswIncOracle,
+    "q338_nsw_tombstone" -> nswTombstoneOracle,
 
     "q243_simhash_replayable" -> simhashOracleSql,
 
@@ -4236,6 +4471,46 @@ object LlmQueries extends QueryPack {
       """SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
         |  min(vec_id) AS min_id, max(vec_id) AS max_id
         |FROM cells GROUP BY cell ORDER BY cell""".stripMargin),
+
+    // q337: the incremental-insert manifest — centroids re-derived
+    // from the BASE subset only (the frozen-quantizer contract), then
+    // base AND delta assigned against them; the split counts replay
+    // the append.
+    "q337_ivf_incremental" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |b AS (SELECT * FROM e WHERE vec_id % 17 <> 0),
+        |mx AS (SELECT greatest(1, (max(vec_id)+1) // 4) AS stride FROM b),
+        |strided AS (
+        |  SELECT vec_id AS cid, v FROM b, mx
+        |  WHERE vec_id % mx.stride = 0 ORDER BY vec_id LIMIT 4),
+        |fallback AS (SELECT vec_id AS cid, v FROM b ORDER BY vec_id LIMIT 4),
+        |cents AS (
+        |  SELECT * FROM strided
+        |  UNION ALL
+        |  SELECT * FROM fallback
+        |  WHERE NOT EXISTS (SELECT 1 FROM strided)),
+        |assign AS (
+        |  SELECT e.vec_id, c.cid,
+        |    CASE WHEN list_dot_product(e.v, e.v) = 0
+        |           OR list_dot_product(c.v, c.v) = 0 THEN 0.0
+        |         ELSE list_dot_product(e.v, c.v) /
+        |           (sqrt(list_dot_product(e.v, e.v)) *
+        |            sqrt(list_dot_product(c.v, c.v))) END AS ccos
+        |  FROM e CROSS JOIN cents c),
+        |cells AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY ccos DESC, cid DESC) AS rn FROM assign)
+        |  WHERE rn = 1)
+        |SELECT cell,
+        |  CAST(sum(CASE WHEN vec_id % 17 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_base,
+        |  CAST(sum(CASE WHEN vec_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_delta,
+        |  min(vec_id) AS min_id, max(vec_id) AS max_id
+        |FROM cells GROUP BY cell ORDER BY cell""".stripMargin,
 
     // q111: 3-gram shingles replayed with q52's list idiom; eval =
     // doc_id ≡ 0 (mod 50), overlap counted distinct on both axes.

@@ -388,10 +388,56 @@ object TxTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Garbage collection (VACUUM): delete data files referenced by NO
+    * snapshot within the newest `retainVersions` versions — both files
+    * removed by old merges/compactions AND orphaned debris from failed
+    * or losing optimistic writers (which never made it into the log at
+    * all). Time travel to versions older than the retention window
+    * stops working afterward — exactly Delta's retention contract; the
+    * commit JSONs themselves are kept (driver-side KBs) so the log
+    * remains auditable. Returns the number of paths deleted.
+    */
+  def vacuum(s: SparkSession, root: String, retainVersions: Int): Int = {
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val latest = latestVersion(s, root)
+    if (latest == 0) return 0
+    val keepFrom = math.max(1, latest - retainVersions + 1)
+    val referenced = (keepFrom to latest)
+      .flatMap(v => liveFiles(s, root, v).map(_.file)).toSet
+    // Dead logged files: every path the log ever added, minus the
+    // retained snapshots' references.
+    val deadLogged = commits(s, root).flatMap(_.add).map(_.file).toSet -- referenced
+    // Orphan debris: dataDir children whose subtree contains no
+    // referenced path AND that the log never recorded (a losing
+    // writer's data files). Checked at child granularity so a parent
+    // dir (create's v1/) holding live bucket subdirs is never touched.
+    val dd = java.nio.file.Paths.get(dataDir(root))
+    val orphans =
+      if (!java.nio.file.Files.isDirectory(dd)) Seq.empty[String]
+      else {
+        import scala.jdk.CollectionConverters._
+        val logged = commits(s, root).flatMap(_.add).map(_.file).toSet
+        val st = java.nio.file.Files.list(dd)
+        val children = try st.iterator().asScala.map(_.toString).toSeq
+                       finally st.close()
+        children.filter { c =>
+          val covers = (p: String) => p == c || p.startsWith(c + "/")
+          !referenced.exists(covers) && !logged.exists(covers)
+        }
+      }
+    // Only count paths still on disk — dead LOG entries persist
+    // forever (the log is append-only), so without this filter a
+    // second vacuum would re-report the same long-gone files.
+    val dead = (deadLogged ++ orphans).toSeq.distinct
+      .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    dead.foreach(p => wipe(p))
+    dead.size
+  }
+
   /** Per-writer uniquifier for data-file paths: two writers racing on
     * the same version number must never overwrite each other's
     * parquet (the loser's files become unreferenced debris, exactly
-    * Delta's failed-txn semantics).
+    * Delta's failed-txn semantics — collectable by [[vacuum]]).
     */
   private def freshToken(): String =
     java.util.UUID.randomUUID().toString.take(8)

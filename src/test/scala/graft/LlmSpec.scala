@@ -139,6 +139,61 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("q336 incremental NSW insert: delta nodes reachable, recall vs fresh rebuild holds") {
+    // The incremental graph (base build on 16/17 of the corpus + the
+    // delta attached via local kNN and on-ramps, NO rebuild) must
+    // still serve: (a) delta vectors appear as candidates — the new
+    // edges are walkable, not just present; (b) per-probe top-10
+    // overlap with a FRESH full-corpus rebuild (q329) stays high —
+    // the round-13 verdict's ~5%-of-rebuild bar.
+    def top10(q: String) = SparkEntry.queries(q)(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("cand_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val inc = top10("q336_nsw_incremental")
+    val fresh = top10("q329_ann_nsw_beam")
+    assert(inc.keySet === fresh.keySet, "same probe set")
+    val deltaCands = inc.values.flatten.filter(_ % 17 == 0)
+    assert(deltaCands.nonEmpty,
+      "no delta vector ever surfaced as a candidate — new edges unreachable")
+    val recalls = inc.keys.toSeq.sorted.map { p =>
+      (inc(p) & fresh(p)).size.toDouble / fresh(p).size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.80,
+      s"mean top-10 overlap with the fresh rebuild fell to $mean " +
+      s"(per-probe: ${recalls.map(r => f"$r%.2f").mkString(", ")})")
+  }
+
+  test("q338 tombstones: deleted nodes never returned, ranks backfill, filter has bite") {
+    def rows(q: String) = SparkEntry.queries(q)(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("cand_id")))
+    val tomb = rows("q338_nsw_tombstone")
+    // (a) no tombstoned candidate survives the anti-join
+    assert(!tomb.exists { case (_, _, c) => c % 51 == 0 && c >= 8 })
+    // (b) ranks backfill: every probe still serves a full top-10 with
+    // contiguous ranks (a post-ranking filter would leave gaps)
+    tomb.groupBy(_._1).foreach { case (p, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to 10), s"rank gap for probe $p")
+    }
+    // (c) the filter has bite on this fixture: the fresh walk (q329)
+    // surfaces at least one tombstoned id that q338 must have dropped
+    val fresh = rows("q329_ann_nsw_beam")
+    assert(fresh.exists { case (_, _, c) => c % 51 == 0 && c >= 8 },
+      "fixture regression: no tombstoned id in the fresh top-10 — " +
+      "the delete path would be untested")
+    // (d) live candidates keep their relative order (same walk, same
+    // distances — deletion only removes, never reorders)
+    val freshByProbe = fresh.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    tomb.groupBy(_._1).foreach { case (p, rs) =>
+      val live = rs.sortBy(_._2).map(_._3).toSeq
+      val expectOrder = freshByProbe(p).filter(live.contains)
+      assert(live.take(expectOrder.size) == expectOrder ||
+        expectOrder.forall(live.contains),
+        s"probe $p: surviving candidates reordered")
+    }
+  }
+
   test("q275 plan depth stays bounded (lineage cut per merge round)") {
     // Six rounds of merge application must NOT compound into a plan
     // whose depth is exponential (or even deeply multiplicative) in

@@ -623,6 +623,8 @@ class PlanSpec extends SparkSpec {
       "q303_mmd_drift" -> "1-row population-count / moment-total broadcasts",
       "q314_top_supplier" -> "1-row global-max-revenue broadcast (q151 pattern)",
       "q321_bigram_kn" -> "1-row bigram-type-total broadcast (q179 pattern)",
+      "q335_trigram_kn" ->
+        "1-row trigram-suffix-type-total broadcast (q321's nbb at order 3)",
       "q325_neg_sample_table" ->
         "1-row weight-total broadcast over the vocab-bounded table",
       "q316_important_stock" ->

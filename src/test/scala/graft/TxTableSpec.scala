@@ -203,6 +203,43 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.snapshot(spark, root).count() === 804)
   }
 
+  test("vacuum: drops expired-version files and failed-writer debris, retained snapshots intact") {
+    import spark.implicits._
+    val root = freshTable("txspec_vac")
+    // Three merges all hitting bucket 0, so each version replaces the
+    // previous version's bucket-0 file — v1's and v2's bucket-0 files
+    // become unreferenced once retention moves past them.
+    (1 to 3).foreach { i =>
+      TxTable.merge(spark, root, Seq((5L, s"V$i", i.toLong)).toDF("k", "st", "c"))
+    }
+    assert(TxTable.latestVersion(spark, root) === 4)
+    // Failed-writer debris: a data dir the log never recorded.
+    val orphan = java.nio.file.Paths.get(s"$root/data/v9-deadbeef-0.parquet")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("junk"), "not parquet")
+    val v4Before = TxTable.snapshot(spark, root, 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val v3Before = TxTable.snapshot(spark, root, 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val deleted = TxTable.vacuum(spark, root, retainVersions = 2)
+    // v1's and v2's replaced bucket-0 files + the orphan must go.
+    assert(deleted >= 3, s"expected >= 3 deletions, got $deleted")
+    assert(!java.nio.file.Files.exists(orphan), "orphan debris survived")
+    // Retained snapshots (v3, v4) replay bit-identically.
+    assert(TxTable.snapshot(spark, root, 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet === v4Before)
+    assert(TxTable.snapshot(spark, root, 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet === v3Before)
+    // Time travel past retention is gone: v1's bucket-0 file was
+    // deleted, so the v1 snapshot can no longer be read in full.
+    val v1Gone = intercept[Exception] {
+      TxTable.snapshot(spark, root, 1).count()
+    }
+    assert(v1Gone != null)
+    // Vacuum is idempotent: nothing left to collect.
+    assert(TxTable.vacuum(spark, root, retainVersions = 2) === 0)
+  }
+
   test("optimize: compaction drops file count, snapshot bit-identical") {
     import spark.implicits._
     val root = freshTable("txspec_opt")
