@@ -267,4 +267,130 @@ object Text {
       size(filter(split(col("w"), "\\|"), x => x =!= "")).cast("long")
         .as("n_subtok"))
   }
+
+  /** Maximal cross-document duplicated character spans — the exact
+    * substring-level dedup class (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": boilerplate repeats
+    * as long VERBATIM runs that doc-level and near-dup hashing both
+    * miss). Semantics: every length-`L` character window that occurs
+    * in ≥ 2 DISTINCT documents is a duplicated window; per document,
+    * overlapping/adjacent duplicated windows merge into maximal spans
+    * (so a shared 100-char run reports as ONE span of 100 chars, not
+    * 71 windows). The paper's suffix array is a single-node
+    * construction; the Spark-first equivalent is window-group-join —
+    * every step a hash shuffle:
+    *
+    *  - windows: explode `sequence(1, len-L+1)` + substring — one
+    *    codegen'd pass, no shuffle of the full text (the shuffle
+    *    carries (doc_id, pos, window));
+    *  - duplicated keys: groupBy(window) HAVING n_docs ≥ 2 — at
+    *    100 TB the group key would be an 8-byte rolling hash (the
+    *    q43/q94 xxhash sketch-sibling pattern) cutting shuffle width
+    *    ~4×; the raw-string key here keeps the oracle exact;
+    *  - span merge: gaps-and-islands windows partitioned by doc_id —
+    *    per-partition cardinality bounded by DOC LENGTH, never corpus
+    *    size (the safe window class; PlanSpec's single-task gate
+    *    stays silent).
+    *
+    * The windows frame is lazily localCheckpoint'd — it feeds both
+    * the duplicate-key aggregate and the position join, and
+    * recomputing the explode would double the corpus scan.
+    *
+    * @param docs (doc_id, text, ...) — extra columns pass through to
+    *             nothing; only doc_id/text are read
+    * @return (doc_id, s0, e0) — 1-based inclusive character bounds of
+    *         each maximal duplicated span
+    */
+  def dupSpans(docs: org.apache.spark.sql.DataFrame,
+               L: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // sequence(1, n) is DESCENDING for n < 1 (the shinglesHof gotcha):
+    // docs shorter than L windows must be filtered, not sequenced.
+    // repartition: the harness scan is one small file = one task, and
+    // the explode fans every doc into len-L+1 rows — spread the fanout
+    // across cores (at real scale the scan has many splits and this
+    // becomes a no-op to drop; the q54 pattern).
+    val sh = docs
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .filter(col("len") >= L)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), col("len") - (L - 1))).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("i"),
+        expr(s"substring(text, i, $L)").as("s"))
+      .localCheckpoint(false)
+    val dup = sh.groupBy("s")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("s")
+    val hits = sh.join(dup, "s")
+      .select(col("doc_id"), col("i"), (col("i") + (L - 1)).as("e"))
+    // Gaps-and-islands: a window starts a new span iff the running
+    // max end of all earlier windows leaves a gap before it
+    // (adjacency e = i-1 still merges: zero chars survive between).
+    val prev = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hits
+      .withColumn("brk",
+        when(max(col("e")).over(prev) >= col("i") - 1, 0L).otherwise(1L))
+      .withColumn("g", sum(col("brk")).over(run))
+      .groupBy("doc_id", "g")
+      .agg(min("i").as("s0"), max("e").as("e0"))
+      .select("doc_id", "s0", "e0")
+  }
+
+  /** Excise spans from documents — the apply half of [[dupSpans]]
+    * (detect → excise closes the Lee-et-al loop: the cleaned corpus is
+    * what training actually consumes). Kept text = the complement
+    * segments of each doc's (non-overlapping) spans, concatenated in
+    * position order; a doc with no spans passes through verbatim, a
+    * fully-covered doc becomes the empty string. String surgery is
+    * per-doc local: complement bounds via one lag window (partitioned
+    * by doc_id — doc-length-bounded), segment extraction a codegen'd
+    * substring, reassembly an array_sort+array_join aggregate whose
+    * per-doc element count is the span count, never corpus-scale.
+    *
+    * @param docs  (doc_id, text, ...)
+    * @param spans [[dupSpans]] output (doc_id, s0, e0)
+    * @return (doc_id, clean)
+    */
+  def exciseSpans(docs: org.apache.spark.sql.DataFrame,
+                  spans: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"), col("text"),
+      length(col("text")).as("len"))
+    val byPos = Window.partitionBy("doc_id").orderBy("s0")
+    // Complement segments: before each span (from the previous span's
+    // end, or position 0) + one tail segment after the last span.
+    val mids = spans
+      .withColumn("gs", coalesce(lag(col("e0"), 1).over(byPos), lit(0)) + 1)
+      .select(col("doc_id"), col("gs"), (col("s0") - 1).as("ge"))
+    val tails = spans.groupBy("doc_id")
+      .agg((max("e0") + 1).as("gs"))
+      .join(d.select(col("doc_id"), col("len").as("ge")), "doc_id")
+      .select(col("doc_id"), col("gs"), col("ge"))
+    val pieces = mids.unionByName(tails)
+      .filter(col("ge") >= col("gs"))
+      .join(d.select("doc_id", "text"), "doc_id")
+      .select(col("doc_id"), col("gs"),
+        expr("substring(text, gs, ge - gs + 1)").as("piece"))
+    val reassembled = pieces.groupBy("doc_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("gs"), col("piece")))),
+          x => x.getField("piece")),
+        "").as("clean"))
+    // Three-way outcome: no spans → verbatim; spans but no surviving
+    // pieces (fully covered) → empty; otherwise the reassembly.
+    val spanDocs = spans.select("doc_id").distinct()
+      .withColumn("has_spans", lit(1))
+    d.join(spanDocs, Seq("doc_id"), "left")
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("has_spans").isNull, col("text"))
+          .otherwise(coalesce(col("clean"), lit(""))).as("clean"))
+  }
 }

@@ -3688,8 +3688,77 @@ object LlmQueries extends QueryPack {
       val tomb = base.select("vec_id")
         .filter(col("vec_id") % 51 === 0 && col("vec_id") >= NswProbes)
       nswBeamSearch(base, edges, Some(tomb))
+    }),
+
+    // EXACT SUBSTRING-SPAN DEDUP (detection) — the substring-level
+    // class the dedup family was missing: q43/q44 hash whole docs,
+    // MinHash/SimHash score doc-level similarity, but verbatim
+    // boilerplate REPEATS AS RUNS inside otherwise-distinct documents
+    // (Lee et al. 2022 excise any ≥50-token run occurring twice; this
+    // is their operator at L=30 chars, sized to the corpus's ~5-char
+    // words). ops/Text.dupSpans: every 30-char window occurring in
+    // ≥2 distinct docs is duplicated; per doc, overlapping/adjacent
+    // windows merge into maximal spans (gaps-and-islands — the window
+    // partitions by doc_id, so per-partition cardinality is DOC
+    // LENGTH, never corpus size). Output is the per-doc audit (span
+    // count, covered chars) every doc retained — the decision table a
+    // drop/excise policy consumes. Scale: the window groupBy is the
+    // only corpus-wide shuffle; at 100 TB its key would be an 8-byte
+    // rolling hash (the q43 xxhash sibling pattern) — the raw-string
+    // key here is what makes the oracle exact. Oracle: the identical
+    // window→dup→island pipeline in DuckDB SQL — a off-by-one in
+    // window bounds, adjacency, or merge semantics hash-fails.
+    "q339_substring_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val perdoc = Text.dupSpans(docs, SpanL)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("e0") - col("s0") + 1).cast("long").as("dup_chars"))
+      docs.select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("doc_len"))
+        .join(perdoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("doc_len"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // SUBSTRING-SPAN EXCISION (apply) — q339's other half: actually
+    // REMOVE the duplicated spans and emit the cleaned text, because
+    // the cleaned corpus is what training consumes (detect→excise
+    // closes the Lee-et-al loop the way q334 closed BPE train→apply).
+    // ops/Text.exciseSpans reassembles each doc from its complement
+    // segments (lag window for bounds, codegen'd substring per
+    // segment, array_sort+array_join to reassemble — per-doc element
+    // counts, never corpus-scale); a doc with no spans passes through
+    // verbatim, a fully-covered doc becomes empty (both cases live in
+    // this corpus). The output hash carries md5(clean) per doc, so a
+    // single misplaced character anywhere in any document hash-fails;
+    // clean_len = doc_len − q339.dup_chars by construction (LlmSpec
+    // pins the conservation identity across the corpus). The span
+    // frame is localCheckpoint'd — it feeds bounds, tails, and the
+    // has-spans flag, and recomputing the detection 3× would triple
+    // the corpus scan.
+    "q340_substring_excise" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val spans = Text.dupSpans(docs, SpanL).localCheckpoint(false)
+      Text.exciseSpans(docs, spans)
+        .join(docs.select(col("doc_id"),
+          length(col("text")).cast("long").as("doc_len")), "doc_id")
+        .select(col("doc_id"),
+          length(col("clean")).cast("long").as("clean_len"),
+          (col("doc_len") - length(col("clean"))).cast("long")
+            .as("removed_chars"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Duplicated-window length for q339/q340 (chars). Lee et al. use 50
+    * BPE tokens; 30 chars ≈ 6 corpus words is the same "long enough
+    * that chance collisions vanish" regime at this corpus's scale.
+    */
+  private val SpanL = 30
 
   /** q210's oracle: the greedy MMR selection unrolled to
     * [[MmrSelectK]] rounds of CTEs (generated, so the round count and
@@ -6523,5 +6592,76 @@ object LlmQueries extends QueryPack {
     // q54/q55: xxhash64-based sketches have no DuckDB equivalent →
     // rows-only + LlmSpec property tests. q56/q67 ARE oracle-checked
     // (their bucket math is plain arithmetic, replayed in SQL above).
+
+    // q339/q340: the identical window→dup→island pipeline in SQL.
+    // Shared prefix (spanCtes): 30-char windows at every position,
+    // cross-doc duplicated keys, gaps-and-islands span merge.
+    "q339_substring_dedup" ->
+      s"""WITH $spanCtes,
+         |perdoc AS (SELECT doc_id, count(*) AS n_spans,
+         |    sum(e0 - s0 + 1) AS dup_chars
+         |  FROM spans GROUP BY 1)
+         |SELECT d.doc_id, d.source, CAST(d.len AS BIGINT) AS doc_len,
+         |  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(p.dup_chars, 0) AS BIGINT) AS dup_chars
+         |FROM d LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // q340: complement segments via lag + tail, string_agg in
+    // position order; no-span docs pass through, fully-covered docs
+    // become '' (the COALESCE pair distinguishes the two).
+    "q340_substring_excise" ->
+      s"""WITH $spanCtes,
+         |mids AS (SELECT doc_id,
+         |    coalesce(lag(e0) OVER (PARTITION BY doc_id ORDER BY s0), 0)
+         |      + 1 AS gs,
+         |    s0 - 1 AS ge FROM spans),
+         |tails AS (SELECT s.doc_id, max(s.e0) + 1 AS gs,
+         |    CAST(any_value(d.len) AS BIGINT) AS ge
+         |  FROM spans s JOIN d USING (doc_id) GROUP BY s.doc_id),
+         |gaps AS (SELECT doc_id, gs, ge FROM mids
+         |  UNION ALL SELECT doc_id, gs, ge FROM tails),
+         |pieces AS (SELECT g.doc_id, g.gs,
+         |    substr(d.text, CAST(g.gs AS INTEGER),
+         |      CAST(g.ge - g.gs + 1 AS INTEGER)) AS piece
+         |  FROM gaps g JOIN d USING (doc_id) WHERE g.ge >= g.gs),
+         |cleaned AS (SELECT doc_id, string_agg(piece, '' ORDER BY gs)
+         |    AS clean
+         |  FROM pieces GROUP BY 1),
+         |sd AS (SELECT DISTINCT doc_id FROM spans),
+         |fin AS (SELECT d.doc_id,
+         |    CASE WHEN sd.doc_id IS NULL THEN d.text
+         |         ELSE coalesce(c.clean, '') END AS clean, d.len
+         |  FROM d LEFT JOIN sd USING (doc_id)
+         |    LEFT JOIN cleaned c USING (doc_id))
+         |SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len,
+         |  CAST(len - length(clean) AS BIGINT) AS removed_chars,
+         |  md5(clean) AS clean_md5
+         |FROM fin ORDER BY doc_id""".stripMargin
   )
+
+  /** Shared q339/q340 oracle prefix: windows → cross-doc duplicated
+    * keys → gaps-and-islands merged spans (mirrors [[Text.dupSpans]]
+    * structurally — window bounds, ≥2-distinct-docs rule, adjacency
+    * merge — so either side drifting hash-fails both queries).
+    */
+  private def spanCtes: String =
+    """d AS (SELECT doc_id, source, text, length(text) AS len
+      |  FROM documents),
+      |shw AS (SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 30) AS s
+      |  FROM d CROSS JOIN LATERAL
+      |    (SELECT unnest(range(1, CAST(len AS BIGINT) - 28)) AS i) t),
+      |dup AS (SELECT s FROM shw GROUP BY s
+      |  HAVING count(DISTINCT doc_id) >= 2),
+      |hits AS (SELECT doc_id, i, i + 29 AS e FROM shw JOIN dup USING (s)),
+      |isl AS (SELECT doc_id, i, e,
+      |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY i
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= i - 1
+      |         THEN 0 ELSE 1 END AS brk FROM hits),
+      |grp AS (SELECT doc_id, i, e,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      |  FROM isl),
+      |spans AS (SELECT doc_id, g, min(i) AS s0, max(e) AS e0
+      |  FROM grp GROUP BY 1, 2)""".stripMargin
 }

@@ -375,6 +375,77 @@ object SourceQueries extends QueryPack {
         .orderBy("state")
     }),
 
+    // CHANGE DATA FEED on the transactional format — the read side of
+    // CDC (q217 APPLIES a feed; this one PRODUCES it from the table's
+    // own history, the Delta CDF recipe): what changed v1→v2 (a merge:
+    // updates + inserts) and v2→v3 (a copy-on-write DELETE, the op
+    // this round adds to TxTable). The feed is reconstructed from the
+    // COW file diff — only files touched by the window's commits are
+    // read, never two full snapshots; carried-over rows inside
+    // rewritten files classify as unchanged and drop out. THAT
+    // equivalence (file-restricted diff = logical snapshot diff) is
+    // exactly the COW invariant, and it is what the oracle checks: the
+    // oracle recomputes the three logical states relationally and
+    // full-joins them — a carried row leaking into the feed, a
+    // misclassified change, or a rewrite that silently dropped a
+    // bucket all hash-fail. Output is per-window/per-type totals so
+    // the surface stays scale-invariant.
+    "q341_tx_change_feed" -> ((s, dir) => {
+      import graft.sources.TxTable
+      val root = tmp(dir, "txtable_q341")
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("c"))
+        .groupBy("k")
+        .agg(min("st").as("st"), sum("c").as("c"))
+      TxTable.create(base, root, nBuckets = 8)
+      val updates = base.filter(col("k") % 97 === 0)
+        .select(col("k"), lit("X").as("st"), (col("c") + 1L).as("c"))
+      val inserts = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+        .select((lit(-1L) - col("o_custkey")).as("k"),
+          lit("N").as("st"), (col("o_custkey") * 100L).as("c"))
+      TxTable.merge(s, root, updates.unionAll(inserts)) // v2
+      TxTable.delete(s, root,
+        TxTable.snapshot(s, root).filter(col("k") % 53 === 0)
+          .select("k")) // v3
+      def agg(fromV: Int, toV: Int) =
+        TxTable.changeFeed(s, root, fromV, toV)
+          .groupBy("change_type")
+          .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+            sum("c").as("sum_c"))
+          .select(lit(fromV.toLong).as("from_v"), lit(toV.toLong).as("to_v"),
+            col("change_type"), col("n"), col("sum_k"), col("sum_c"))
+      agg(1, 2).unionAll(agg(2, 3)).orderBy("from_v", "change_type")
+    }),
+
+    // SCHEMA EVOLUTION inside the transactional format (q171 covers
+    // the raw-parquet two-generation read; this one runs it THROUGH
+    // the commit log): create (k, st, c), then append a generation-2
+    // batch carrying a NEW `tag` column, then read the table with
+    // schema merging — generation-1 rows surface tag = NULL, folded to
+    // 'legacy' (the additive-widening contract: old files are never
+    // rewritten for a schema change; at 100 TB a backfill would be a
+    // merge, not a migration). The oracle recomputes the per-tag
+    // stats relationally — a dropped generation, a non-NULL default,
+    // or a lost new column all hash-fail.
+    "q342_tx_schema_evolution" -> ((s, dir) => {
+      import graft.sources.TxTable
+      val root = tmp(dir, "txtable_q342")
+      val base = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("st"), col("n_regionkey").cast("long").as("c"))
+      TxTable.create(base, root, nBuckets = 4)
+      val gen2 = Tables.region(s, dir)
+        .select((col("r_regionkey").cast("long") + 1000L).as("k"),
+          col("r_name").as("st"), col("r_regionkey").cast("long").as("c"),
+          concat(lit("t"), col("r_regionkey").cast("string")).as("tag"))
+      TxTable.appendBatch(s, root, "q342", 1L, gen2)
+      TxTable.snapshot(s, root, mergeSchema = true)
+        .groupBy(coalesce(col("tag"), lit("legacy")).as("tag"))
+        .agg(count(lit(1)).as("n_rows"), sum("c").as("sum_c"))
+        .orderBy("tag")
+    }),
+
     // Bucketed co-located join: both sides pre-bucketed on the join
     // key, so the join runs with ZERO exchanges (each bucket pair joins
     // locally). The 100 TB pattern for a fact⋈fact join that recurs —
@@ -560,6 +631,62 @@ object SourceQueries extends QueryPack {
         |SELECT 'pre_optimize', CAST(count(*) AS BIGINT),
         |  CAST(sum(c) AS BIGINT), CAST(sum(k) AS BIGINT), CAST(1 AS BIGINT)
         |FROM allr
-        |ORDER BY state""".stripMargin
+        |ORDER BY state""".stripMargin,
+
+    // q341: the three logical states recomputed relationally, each
+    // window classified by a full-outer key join — the same
+    // classification the engine derives from the COW file diff, so
+    // their equality IS the COW invariant (untouched files hold no
+    // changed row).
+    "q341_tx_change_feed" ->
+      """WITH base AS (SELECT o_orderkey AS k, min(o_orderstatus) AS st,
+        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |upd AS (SELECT k, 'X' AS st, c + 1 AS c FROM base WHERE k % 97 = 0),
+        |ins AS (SELECT -1 - o_custkey AS k, 'N' AS st,
+        |    CAST(o_custkey*100 AS BIGINT) AS c
+        |  FROM (SELECT DISTINCT o_custkey FROM orders)),
+        |v2 AS (SELECT * FROM base WHERE k % 97 <> 0
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins),
+        |v3 AS (SELECT * FROM v2 WHERE k % 53 <> 0),
+        |c12 AS (SELECT
+        |    CASE WHEN a.k IS NULL THEN 'insert'
+        |         WHEN b.k IS NULL THEN 'delete'
+        |         WHEN a.st = b.st AND a.c = b.c THEN 'unchanged'
+        |         ELSE 'update_post' END AS change_type,
+        |    coalesce(b.k, a.k) AS k, coalesce(b.c, a.c) AS c
+        |  FROM base a FULL JOIN v2 b ON a.k = b.k),
+        |c23 AS (SELECT
+        |    CASE WHEN a.k IS NULL THEN 'insert'
+        |         WHEN b.k IS NULL THEN 'delete'
+        |         WHEN a.st = b.st AND a.c = b.c THEN 'unchanged'
+        |         ELSE 'update_post' END AS change_type,
+        |    coalesce(b.k, a.k) AS k, coalesce(b.c, a.c) AS c
+        |  FROM v2 a FULL JOIN v3 b ON a.k = b.k)
+        |SELECT CAST(1 AS BIGINT) AS from_v, CAST(2 AS BIGINT) AS to_v,
+        |  change_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, CAST(sum(c) AS BIGINT) AS sum_c
+        |FROM c12 WHERE change_type <> 'unchanged' GROUP BY change_type
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT), change_type,
+        |  CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT)
+        |FROM c23 WHERE change_type <> 'unchanged' GROUP BY change_type
+        |ORDER BY from_v, change_type""".stripMargin,
+
+    // q342: generation-1 rows fold to 'legacy', generation-2 rows
+    // carry their own tag — the additive-widening contract.
+    "q342_tx_schema_evolution" ->
+      """WITH u AS (
+        |  SELECT 'legacy' AS tag, CAST(n_regionkey AS BIGINT) AS c
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 't' || CAST(r_regionkey AS VARCHAR),
+        |    CAST(r_regionkey AS BIGINT)
+        |  FROM region)
+        |SELECT tag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c) AS BIGINT) AS sum_c
+        |FROM u GROUP BY tag ORDER BY tag""".stripMargin
   )
 }

@@ -199,12 +199,22 @@ object TxTable {
 
   /** Snapshot read at `version` — a plain distributed parquet scan of
     * exactly the live files (TIME TRAVEL: pass an older version).
+    * `mergeSchema` unifies files written under different schema
+    * generations (SCHEMA EVOLUTION: a widened append's new column
+    * reads as NULL from pre-widening files). A production format
+    * records the schema in the log itself (Delta's metaData action)
+    * so reads never touch N footers; merging footers here keeps the
+    * minimal format honest about what the files actually contain —
+    * and the file count is log-scale metadata either way.
     */
   def snapshot(s: SparkSession, root: String,
-               version: Int = Int.MaxValue): DataFrame = {
+               version: Int = Int.MaxValue,
+               mergeSchema: Boolean = false): DataFrame = {
     val files = liveFiles(s, root, version)
     require(files.nonEmpty, s"TxTable at $root has no live files at v$version")
-    s.read.parquet(files.map(_.file): _*)
+    val r = s.read
+    (if (mergeSchema) r.option("mergeSchema", "true") else r)
+      .parquet(files.map(_.file): _*)
   }
 
   /** After committing `v`, summarize the live state into
@@ -319,6 +329,76 @@ object TxTable {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Copy-on-write DELETE by key: rows whose `k` appears in `keys`
+    * are removed; only live files that actually CONTAIN a matching
+    * key are rewritten (the same exact per-file pruning as [[merge]]),
+    * re-split on the touched files' own boundaries. Optimistically
+    * commits, retrying on a concurrent-writer collision. Returns
+    * (rewritten, carriedOver) file counts.
+    */
+  def delete(s: SparkSession, root: String, keys: DataFrame): (Int, Int) = {
+    val d = keys.select(col("k")).distinct().localCheckpoint(false)
+    while (true) {
+      val v = latestVersion(s, root) + 1
+      val live = liveFiles(s, root)
+      val hit = touchedFiles(s, d, live)
+      val (touched, untouched) = live.partition(f => hit(f.file))
+      if (touched.isEmpty) return (0, untouched.size)
+      val remaining = s.read.parquet(touched.map(_.file): _*)
+        .join(d, Seq("k"), "left_anti")
+      val entries = writeBucketed(remaining, root, v, touched.map(_.min).sorted)
+      try {
+        tryCommit(root, Commit(v, entries, touched.map(_.file)))
+        maybeCheckpoint(s, root, v)
+        return (touched.size, untouched.size)
+      } catch {
+        case _: CommitConflictException => () // loser: recompute against the new snapshot
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Row-level CHANGE DATA FEED between two versions — what changed
+    * from `vFrom` to `vTo`, reconstructed from the COW file diff (the
+    * Delta CDF-without-CDC-files recipe): files live at `vTo` but not
+    * `vFrom` hold every post-image, files live at `vFrom` but not
+    * `vTo` every pre-image, and files live at BOTH are untouched and
+    * provably change-free (the COW invariant: any changed key's file
+    * was rewritten). So the feed reads ONLY touched files — at 100 TB
+    * a narrow merge's feed scans two buckets, never two snapshots —
+    * and a full-outer key join classifies: new-side-only = insert,
+    * old-side-only = delete, both-with-different-payload =
+    * update_post (the post-image), both-identical = a carried-over
+    * row inside a rewritten file, filtered out.
+    */
+  def changeFeed(s: SparkSession, root: String,
+                 vFrom: Int, vTo: Int): DataFrame = {
+    require(vFrom < vTo, s"changeFeed needs vFrom < vTo (got $vFrom, $vTo)")
+    val before = liveFiles(s, root, vFrom).map(_.file).toSet
+    val after = liveFiles(s, root, vTo).map(_.file).toSet
+    def rd(fs: Seq[String]) =
+      if (fs.nonEmpty) s.read.parquet(fs: _*)
+      // Zero-file side (pure-insert or pure-delete window): an empty
+      // frame with the table schema keeps the join well-typed.
+      else s.range(0).select(col("id").as("k"),
+        lit("").as("st"), col("id").as("c"))
+    val o = rd((before -- after).toSeq.sorted).select(
+      col("k").as("ok"), col("st").as("ost"), col("c").as("oc"))
+    val n = rd((after -- before).toSeq.sorted).select(
+      col("k").as("nk"), col("st").as("nst"), col("c").as("nc"))
+    o.join(n, col("ok") === col("nk"), "full_outer")
+      .select(
+        when(col("ok").isNull, lit("insert"))
+          .when(col("nk").isNull, lit("delete"))
+          .when(col("ost") <=> col("nst") && col("oc") <=> col("nc"),
+            lit("unchanged"))
+          .otherwise(lit("update_post")).as("change_type"),
+        coalesce(col("nk"), col("ok")).as("k"),
+        coalesce(col("nst"), col("ost")).as("st"),
+        coalesce(col("nc"), col("oc")).as("c"))
+      .filter(col("change_type") =!= "unchanged")
   }
 
   /** Idempotent streaming append: commit `df` as new files keyed by

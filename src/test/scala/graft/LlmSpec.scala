@@ -1467,4 +1467,100 @@ class LlmSpec extends SparkSpec {
     assert(hist.map(_.getAs[Long]("n_nodes")).sum == nVecs,
       "degree histogram must cover every vector exactly once")
   }
+
+  test("q339 dupSpans follows the hand-traced fixture (merge, adjacency gap, full cover)") {
+    import spark.implicits._
+    // L = 10. shared (20 chars) sits at A[5..24] and B[3..22]: its 11
+    // interior windows are the only cross-doc duplicates, and the
+    // island merge must collapse them to ONE maximal span per doc —
+    // exactly the shared run's bounds. C shares no 10-char window
+    // with anything. D IS the shared run (full-cover edge). E/F share
+    // two 12-char runs separated by one unshared char ('Q'/'R'): the
+    // gap is 1 > 0, so the spans must stay SEPARATE (adjacency merges
+    // only zero-gap neighbors).
+    val shared = "0123456789ABCDEFGHIJ"
+    val docs = Seq(
+      (1L, "aaaa" + shared + "bbbbb"),
+      (2L, "cc" + shared + "dd"),
+      (3L, "completely distinct text zzqq"),
+      (4L, shared),
+      (5L, "000011112222Q333344445555"),
+      (6L, "000011112222R333344445555")).toDF("doc_id", "text")
+    val spans = Text.dupSpans(docs, L = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans === Set(
+      (1L, 5, 24), (2L, 3, 22), (4L, 1, 20),
+      (5L, 1, 12), (5L, 14, 25), (6L, 1, 12), (6L, 14, 25)))
+  }
+
+  test("q340 exciseSpans excises exactly the spans (verbatim, surgical, empty)") {
+    import spark.implicits._
+    val shared = "0123456789ABCDEFGHIJ"
+    val docs = Seq(
+      (1L, "aaaa" + shared + "bbbbb"),
+      (3L, "completely distinct text zzqq"),
+      (4L, shared),
+      (5L, "000011112222Q333344445555")).toDF("doc_id", "text")
+    val spans = Seq((1L, 5, 24), (4L, 1, 20), (5L, 1, 12), (5L, 14, 25))
+      .toDF("doc_id", "s0", "e0")
+    val clean = Text.exciseSpans(docs, spans).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean(1L) === "aaaabbbbb",
+      "flanks reattach around the excised middle")
+    assert(clean(3L) === "completely distinct text zzqq",
+      "a doc with no spans passes through verbatim")
+    assert(clean(4L) === "", "a fully-covered doc becomes empty")
+    assert(clean(5L) === "Q", "a 1-char survivor between two spans is kept")
+  }
+
+  test("q339/q340 conservation: clean_len = doc_len - dup_chars, corpus-wide") {
+    // The two queries share Text.dupSpans; this identity ties the
+    // detection audit to the excision output over the REAL corpus —
+    // if either side merged, bounded, or substringed differently, some
+    // doc would break it.
+    val audit = SparkEntry.queries("q339_substring_dedup")(spark, sfDir)
+      .select("doc_id", "doc_len", "dup_chars", "n_spans")
+    val excised = SparkEntry.queries("q340_substring_excise")(spark, sfDir)
+      .select("doc_id", "clean_len")
+    val joined = audit.join(excised, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("clean_len") ===
+        r.getAs[Long]("doc_len") - r.getAs[Long]("dup_chars"),
+        s"doc ${r.getAs[Long]("doc_id")}: excision disagrees with detection")
+    }
+    // The corpus genuinely exercises all three regimes at sf0.001:
+    // untouched docs, partially-excised docs, fully-covered docs.
+    val full = joined.count(r => r.getAs[Long]("clean_len") == 0L)
+    val part = joined.count(r => r.getAs[Long]("n_spans") > 0
+      && r.getAs[Long]("clean_len") > 0L)
+    val none = joined.count(r => r.getAs[Long]("n_spans") == 0L)
+    assert(full > 0 && part > 0 && none > 0,
+      s"regime coverage: full=$full part=$part none=$none")
+  }
+
+  test("q339 spans are valid intervals: in-bounds, >= L long, disjoint with gaps") {
+    val docs = Tables.documents(spark, sfDir)
+    val spans = graft.ops.Text.dupSpans(docs, L = 30)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1)
+    val lens = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).length).toMap
+    assert(spans.nonEmpty)
+    spans.foreach { case (doc, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.foreach { case (_, s0, e0) =>
+        assert(s0 >= 1 && e0 <= lens(doc), s"doc $doc: span out of bounds")
+        assert(e0 - s0 + 1 >= 30, s"doc $doc: span shorter than a window")
+      }
+      // MAXIMAL spans: consecutive spans must leave >= 1 uncovered
+      // char (zero-gap neighbors would have merged).
+      sorted.sliding(2).foreach {
+        case Array((_, s1, _), _) if sorted.length < 2 => ()
+        case Array((_, _, e1), (_, s2, _)) =>
+          assert(s2 > e1 + 1, s"doc $doc: adjacent spans failed to merge")
+        case _ => ()
+      }
+    }
+  }
 }

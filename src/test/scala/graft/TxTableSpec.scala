@@ -264,4 +264,70 @@ class TxTableSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(prevSet === before)
   }
+
+  test("delete: copy-on-write removal rewrites only touched files") {
+    import spark.implicits._
+    val root = freshTable("txspec_del")
+    // Keys 5/49 (bucket 0 [0,99]) and 750 (bucket 7 [700,799]) — exact
+    // per-file pruning must rewrite exactly those two buckets.
+    val (rewritten, carried) = TxTable.delete(spark, root,
+      Seq(5L, 49L, 750L).toDF("k"))
+    assert(rewritten === 2 && carried === 6)
+    val v2 = TxTable.snapshot(spark, root, 2)
+    assert(v2.count() === 797)
+    assert(v2.filter(col("k").isin(5L, 49L, 750L)).count() === 0)
+    // Untouched buckets carry verbatim; v1 still time-travels whole.
+    val v1Files = TxTable.liveFiles(spark, root, 1).sortBy(_.min)
+    val v2Files = TxTable.liveFiles(spark, root, 2).map(_.file).toSet
+    assert(v1Files.slice(1, 7).forall(f => v2Files(f.file)))
+    assert(TxTable.snapshot(spark, root, 1).count() === 800)
+    // Deleting keys no live file can contain is a no-op commit-wise.
+    val (r2, _) = TxTable.delete(spark, root, Seq(100000L).toDF("k"))
+    assert(r2 === 0 && TxTable.latestVersion(spark, root) === 2)
+  }
+
+  test("changeFeed: classification, carried-row suppression, window composition") {
+    import spark.implicits._
+    val root = freshTable("txspec_cdf")
+    TxTable.merge(spark, root,
+      Seq((10L, "X", 999L), (900L, "N", 42L)).toDF("k", "st", "c")) // v2
+    TxTable.delete(spark, root, Seq(20L).toDF("k"))                 // v3
+    def feed(a: Int, b: Int) = TxTable.changeFeed(spark, root, a, b)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // v1→v2: the update's post-image and the insert — and NOTHING
+    // else, although the rewritten bucket 0 carried 99 other rows.
+    assert(feed(1, 2) === Set(("update_post", 10L), ("insert", 900L)))
+    // v2→v3: just the delete.
+    assert(feed(2, 3) === Set(("delete", 20L)))
+    // v1→v3 composes: update + insert + delete, each exactly once.
+    assert(feed(1, 3) ===
+      Set(("update_post", 10L), ("insert", 900L), ("delete", 20L)))
+    // Post-image payloads ride along on updates/inserts.
+    val post = TxTable.changeFeed(spark, root, 1, 2)
+      .filter(col("change_type") === "update_post").collect()(0)
+    assert(post.getLong(1) === 10L && post.getString(2) === "X"
+      && post.getLong(3) === 999L)
+    // The pruning claim: the feed reads strictly fewer parquet files
+    // than one full snapshot — it scans the COW file diff, never two
+    // snapshots (here: 2 touched buckets vs 8 + 8).
+    val feedFiles = TxTable.changeFeed(spark, root, 1, 2).inputFiles.length
+    val snapFiles = TxTable.snapshot(spark, root, 1).inputFiles.length
+    assert(feedFiles < snapFiles,
+      s"feed reads $feedFiles files, a full v1 snapshot alone has $snapFiles")
+  }
+
+  test("schema evolution: a widened append reads back with NULL backfill") {
+    import spark.implicits._
+    val root = freshTable("txspec_evo")
+    TxTable.appendBatch(spark, root, "evo", 1L,
+      Seq((2000L, "G2", 7L, "extra")).toDF("k", "st", "c", "tag"))
+    val evolved = TxTable.snapshot(spark, root, mergeSchema = true)
+    assert(evolved.columns.toSet === Set("k", "st", "c", "tag"))
+    // Generation-1 rows backfill NULL; the new row round-trips its tag.
+    assert(evolved.filter(col("tag").isNull).count() === 800)
+    val g2 = evolved.filter(col("k") === 2000L).collect()(0)
+    assert(g2.getAs[String]("tag") === "extra" && g2.getAs[String]("st") === "G2")
+    // The un-merged read still serves the original schema's columns.
+    assert(TxTable.snapshot(spark, root).select("k", "st", "c").count() === 801)
+  }
 }
