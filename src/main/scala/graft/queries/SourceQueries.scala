@@ -375,6 +375,71 @@ object SourceQueries extends QueryPack {
         .orderBy("state")
     }),
 
+    // STREAMING SOURCE over the transactional format — the read half
+    // of the lakehouse/streaming connection (q332 streams INTO the
+    // table; this streams OUT of it): sources/TxTableStreamSource is a
+    // DataSourceV2 MicroBatchStream whose OFFSETS ARE LOG VERSIONS —
+    // a micro-batch reads exactly the files its window's commits
+    // added (per-trigger cost = the new appends, independent of table
+    // size), change commits are rejected rather than double-delivered,
+    // and checkpointed version offsets make restart resume exactly-
+    // once by construction. The query runs the full lifecycle: create
+    // + two appends, drain via Trigger.AvailableNow into a memory
+    // sink, append a THIRD batch, then RESTART from the same
+    // checkpoint — the resumed run must deliver ONLY the new commit
+    // (n_versions pins it: 3 then 1). The oracle recomputes both
+    // deliveries relationally; a re-delivered old version inflates the
+    // resumed run and hash-fails.
+    "q343_tx_stream_source" -> ((s, dir) => {
+      import graft.sources.TxTable
+      import org.apache.spark.sql.streaming.Trigger
+      val root = tmp(dir, "txtable_q343")
+      val ckpt = tmp(dir, "txtable_q343_ckpt")
+      TxTable.wipe(ckpt)
+      val base = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("st"), col("n_regionkey").cast("long").as("c"))
+      TxTable.create(base, root, nBuckets = 4) // v1: the initial snapshot
+      val r = Tables.region(s, dir)
+        .select(col("r_regionkey").cast("long").as("rk"), col("r_name"))
+      def app(i: Int) = r.filter(col("rk") === (i % 5).toLong)
+        .select((col("rk") + lit(1000L * i)).as("k"),
+          col("r_name").as("st"), lit(i.toLong).as("c"))
+      TxTable.appendBatch(s, root, "q343", 1L, app(1)) // v2
+      TxTable.appendBatch(s, root, "q343", 2L, app(2)) // v3
+      // foreachBatch collector (the memory sink refuses checkpoint
+      // recovery, which is the very thing this query tests). The
+      // collect is audit-scale rows; the scale path is a file/TxTable
+      // sink — q332 is that query.
+      def drain(): Seq[(Long, Long)] = {
+        val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        s.readStream.format("graft-txtable").option("root", root).load()
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val rows = b.select("c", "commit_version").collect()
+              .map(r => (r.getLong(0), r.getLong(1)))
+            buf.synchronized { buf ++= rows; () }
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+          .awaitTermination(300000)
+        buf.toSeq
+      }
+      val run1 = drain()
+      TxTable.appendBatch(s, root, "q343", 3L, app(3)) // v4, post-drain
+      val run2 = drain() // same checkpoint: must resume at v4
+      import s.implicits._
+      def stats(rows: Seq[(Long, Long)], label: String) =
+        rows.toDF("c", "commit_version")
+          .agg(count(lit(1)).as("n_rows"), sum("c").as("sum_c"),
+            countDistinct("commit_version").as("n_versions"))
+          .select(lit(label).as("run"), col("n_rows"), col("sum_c"),
+            col("n_versions"))
+      stats(run1, "initial_drain")
+        .unionAll(stats(run2, "resumed_drain"))
+        .orderBy("run")
+    }),
+
     // CHANGE DATA FEED on the transactional format — the read side of
     // CDC (q217 APPLIES a feed; this one PRODUCES it from the table's
     // own history, the Delta CDF recipe): what changed v1→v2 (a merge:
@@ -632,6 +697,27 @@ object SourceQueries extends QueryPack {
         |  CAST(sum(c) AS BIGINT), CAST(sum(k) AS BIGINT), CAST(1 AS BIGINT)
         |FROM allr
         |ORDER BY state""".stripMargin,
+
+    // q343: run 1 delivers the initial snapshot + both pre-drain
+    // appends (3 distinct versions); the resumed run delivers ONLY
+    // the post-drain append (1 version) — a re-delivery of any old
+    // version inflates n_rows/sum_c/n_versions and hash-fails.
+    "q343_tx_stream_source" ->
+      """WITH base AS (SELECT CAST(n_regionkey AS BIGINT) AS c FROM nation),
+        |apps AS (SELECT i, CAST(i AS BIGINT) AS c
+        |  FROM range(1, 4) t(i) JOIN region ON r_regionkey = i % 5)
+        |SELECT 'initial_drain' AS run,
+        |  CAST((SELECT count(*) FROM base)
+        |     + (SELECT count(*) FROM apps WHERE i <= 2) AS BIGINT) AS n_rows,
+        |  CAST((SELECT sum(c) FROM base)
+        |     + (SELECT sum(c) FROM apps WHERE i <= 2) AS BIGINT) AS sum_c,
+        |  CAST(3 AS BIGINT) AS n_versions
+        |UNION ALL
+        |SELECT 'resumed_drain',
+        |  CAST((SELECT count(*) FROM apps WHERE i = 3) AS BIGINT),
+        |  CAST((SELECT sum(c) FROM apps WHERE i = 3) AS BIGINT),
+        |  CAST(1 AS BIGINT)
+        |ORDER BY run""".stripMargin,
 
     // q341: the three logical states recomputed relationally, each
     // window classified by a full-outer key join — the same

@@ -524,4 +524,88 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(finalSet === batchEquiv)
   }
+
+  /** Drain the graft-txtable streaming source with AvailableNow into a
+    * driver buffer; returns (k, st, c, commit_version) tuples.
+    */
+  private def drainTxSource(root: String, ckpt: String,
+                            options: Map[String, String] = Map.empty)
+      : Seq[(Long, String, Long, Long)] = {
+    import org.apache.spark.sql.streaming.Trigger
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
+    val reader = spark.readStream.format("graft-txtable").option("root", root)
+    options.foreach { case (k, v) => reader.option(k, v) }
+    reader.load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        buf.synchronized { buf ++= rows; () }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination(120000)
+    buf.toSeq
+  }
+
+  test("txtable streaming source: delivery equals snapshot, resume is exactly-once") {
+    import graft.sources.TxTable
+    val root = graft.sources.Staging.dir(sfDir, "txsrc_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_txsrc_").toString
+    TxTable.create(
+      spark.range(0, 60).select(col("id").as("k"), lit("A").as("st"),
+        (col("id") * 3).as("c")),
+      root, nBuckets = 4)
+    TxTable.appendBatch(spark, root, "src", 1L,
+      spark.range(100, 110).select(col("id").as("k"), lit("B").as("st"),
+        col("id").as("c")))
+    val run1 = drainTxSource(root, ckpt)
+    // Batch-equivalence: the drain delivers exactly the snapshot.
+    val snap = TxTable.snapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(run1.map(t => (t._1, t._2, t._3)).toSet === snap)
+    assert(run1.map(_._4).distinct.sorted === Seq(1L, 2L),
+      "commit_version must label each row with its commit")
+    // Post-drain append → the resumed run delivers ONLY the new commit.
+    TxTable.appendBatch(spark, root, "src", 2L,
+      spark.range(200, 205).select(col("id").as("k"), lit("C").as("st"),
+        col("id").as("c")))
+    val run2 = drainTxSource(root, ckpt)
+    assert(run2.map(t => (t._1, t._4)).toSet ===
+      (200L to 204L).map(k => (k, 3L)).toSet,
+      "resume must deliver exactly the post-drain commit, once")
+  }
+
+  test("txtable streaming source: change commits fail by default, skip with the option") {
+    import spark.implicits._
+    import graft.sources.TxTable
+    val root = graft.sources.Staging.dir(sfDir, "txsrc_change")
+    TxTable.create(
+      spark.range(0, 40).select(col("id").as("k"), lit("A").as("st"),
+        (col("id") * 2).as("c")),
+      root, nBuckets = 4)
+    TxTable.merge(spark, root,
+      Seq((5L, "X", 0L)).toDF("k", "st", "c")) // v2: a CHANGE commit
+    TxTable.appendBatch(spark, root, "chg", 1L,
+      Seq((900L, "N", 1L)).toDF("k", "st", "c")) // v3: a plain append
+    // Default: the change commit poisons the stream — fail, loudly.
+    val ckptFail = java.nio.file.Files.createTempDirectory("graft_txsrcf_").toString
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainTxSource(root, ckptFail)
+    }
+    assert(e.getCause.getMessage.contains("CHANGE commit"),
+      s"unexpected failure: ${e.getCause}")
+    // skipChangeCommits=true: v2 is skipped, v1 and v3 still deliver.
+    val ckptSkip = java.nio.file.Files.createTempDirectory("graft_txsrcs_").toString
+    val got = drainTxSource(root, ckptSkip,
+      Map("skipChangeCommits" -> "true"))
+    assert(got.map(_._4).distinct.sorted === Seq(1L, 3L),
+      "version 2 (the merge) must be skipped, not delivered")
+    assert(got.map(_._1).toSet === (0L until 40L).toSet + 900L)
+    // startingVersion: begin AFTER the initial snapshot and the merge.
+    val ckptSv = java.nio.file.Files.createTempDirectory("graft_txsrcv_").toString
+    val tail = drainTxSource(root, ckptSv,
+      Map("startingVersion" -> "3"))
+    assert(tail.map(t => (t._1, t._4)).toSet === Set((900L, 3L)))
+  }
 }
