@@ -440,6 +440,69 @@ object SourceQueries extends QueryPack {
         .orderBy("run")
     }),
 
+    // MEDALLION HOP: TxTable → stream → transform → TxTable — the
+    // composition of q343's source and q332's sink into the pipeline
+    // both exist for (the bronze→silver incremental materialization):
+    // silver bootstraps from a batch transform of bronze's initial
+    // snapshot, the stream TAILS bronze from startingVersion=2, each
+    // micro-batch is transformed in flight (filter + derived column)
+    // and lands through the idempotent (appId, batchId)-keyed commit.
+    // Exactly-once END TO END is the claim: the crash window is
+    // replayed at BOTH ends (a re-delivered sink batch after drain 1,
+    // then a source restart from the same checkpoint after more
+    // bronze appends), and silver must still equal the batch
+    // transform of bronze's final state — which IS the oracle; any
+    // duplicate, loss, or transform drift at either end hash-fails.
+    "q344_tx_medallion_hop" -> ((s, dir) => {
+      import graft.sources.TxTable
+      import org.apache.spark.sql.streaming.Trigger
+      val bronze = tmp(dir, "txtable_q344_bronze")
+      val silver = tmp(dir, "txtable_q344_silver")
+      val ckpt = tmp(dir, "txtable_q344_ckpt")
+      TxTable.wipe(ckpt)
+      def xform(df: DataFrame) = df.filter(col("c") % 3 =!= 0)
+        .select(col("k"), col("st"), (col("c") * 7L).as("c"))
+      val base = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("st"), col("n_regionkey").cast("long").as("c"))
+      TxTable.create(base, bronze, nBuckets = 4) // bronze v1
+      TxTable.create(xform(base), silver, nBuckets = 4) // silver bootstrap
+      val r = Tables.region(s, dir)
+        .select(col("r_regionkey").cast("long").as("rk"), col("r_name"))
+      def app(i: Int) = r.filter(col("rk") === (i % 5).toLong)
+        .select((col("rk") + lit(1000L * i)).as("k"),
+          col("r_name").as("st"), lit(i.toLong).as("c"))
+      TxTable.appendBatch(s, bronze, "q344src", 1L, app(1)) // bronze v2
+      TxTable.appendBatch(s, bronze, "q344src", 2L, app(2)) // bronze v3
+      def hop(): Unit =
+        s.readStream.format("graft-txtable").option("root", bronze)
+          .option("startingVersion", "2") // silver already holds v1
+          .load()
+          .writeStream
+          .foreachBatch { (b: DataFrame, bid: Long) =>
+            TxTable.appendBatch(s, silver, "q344hop", bid,
+              xform(b.select("k", "st", "c")))
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+          .awaitTermination(300000)
+      hop()
+      // Crash window 1: the sink's batch 0 re-delivered → must no-op.
+      val sinkReplayNoop = !TxTable.appendBatch(s, silver, "q344hop", 0L,
+        xform(app(1).unionAll(app(2))))
+      // Crash window 2: more bronze appends, then the hop RESTARTS
+      // from the same checkpoint → must tail only the new commits.
+      TxTable.appendBatch(s, bronze, "q344src", 3L, app(3)) // bronze v4
+      hop()
+      TxTable.snapshot(s, silver)
+        .agg(count(lit(1)).as("n_rows"), sum("c").as("sum_c"),
+          sum("k").as("sum_k"))
+        .select(lit("silver_final").as("state"), col("n_rows"),
+          col("sum_c"), col("sum_k"),
+          lit(if (sinkReplayNoop) 1L else 0L).as("replay_skipped"))
+    }),
+
     // CHANGE DATA FEED on the transactional format — the read side of
     // CDC (q217 APPLIES a feed; this one PRODUCES it from the table's
     // own history, the Delta CDF recipe): what changed v1→v2 (a merge:
@@ -718,6 +781,24 @@ object SourceQueries extends QueryPack {
         |  CAST((SELECT sum(c) FROM apps WHERE i = 3) AS BIGINT),
         |  CAST(1 AS BIGINT)
         |ORDER BY run""".stripMargin,
+
+    // q344: silver must equal the batch transform (c % 3 <> 0,
+    // c × 7) of bronze's FINAL state — base plus all three appends —
+    // whatever crashed and replayed in between.
+    "q344_tx_medallion_hop" ->
+      """WITH bronze AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |    CAST(n_regionkey AS BIGINT) AS c FROM nation
+        |  UNION ALL
+        |  SELECT CAST(r_regionkey + 1000*i AS BIGINT), CAST(i AS BIGINT)
+        |  FROM region JOIN range(1, 4) t(i) ON r_regionkey = i % 5),
+        |silver AS (SELECT k, c * 7 AS c FROM bronze WHERE c % 3 <> 0)
+        |SELECT 'silver_final' AS state,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c) AS BIGINT) AS sum_c,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(1 AS BIGINT) AS replay_skipped
+        |FROM silver""".stripMargin,
 
     // q341: the three logical states recomputed relationally, each
     // window classified by a full-outer key join — the same
