@@ -303,14 +303,61 @@ object Text {
     */
   def dupSpans(docs: org.apache.spark.sql.DataFrame,
                L: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // sequence(1, n) is DESCENDING for n < 1 (the shinglesHof gotcha):
-    // docs shorter than L windows must be filtered, not sequenced.
-    // repartition: the harness scan is one small file = one task, and
-    // the explode fans every doc into len-L+1 rows — spread the fanout
-    // across cores (at real scale the scan has many splits and this
-    // becomes a no-op to drop; the q54 pattern).
-    val sh = docs
+    val sh = windowed(docs, L)
+    val dup = sh.groupBy("s")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("s")
+    islandMerge(sh.join(dup, "s")
+      .select(col("doc_id"), col("i"), (col("i") + (L - 1)).as("e")))
+  }
+
+  /** Keep-FIRST-occurrence variant of [[dupSpans]] — the Lee et al.
+    * semantic proper: a length-`L` window occurring ≥ 2 times anywhere
+    * in the corpus (across docs OR within one doc) keeps exactly its
+    * positionally-first occurrence (min (doc_id, pos)); every later
+    * occurrence is a duplicated window, merged into maximal spans per
+    * doc. [[dupSpans]] excises ALL copies of cross-doc content; this
+    * retains one — what a training corpus actually wants.
+    *
+    * The first-occurrence rank is an AGGREGATE (min position key per
+    * window string), not a window partitioned by the string: a
+    * pathological string repeated 10⁹ times would make that window a
+    * single 10⁹-row task, while the aggregate combines map-side (the
+    * WindowCardGate defect class, avoided by construction). The
+    * position key packs (doc_id, pos) into one BIGINT (pos < 2²²
+    * bounds docs at 4M chars; doc_id < 2⁴¹ — wider corpora would split
+    * the min into a two-pass (min doc, then min pos) instead).
+    *
+    * @return (doc_id, s0, e0) — spans covering every non-first
+    *         occurrence of every duplicated window
+    */
+  def dupSpansKeepFirst(docs: org.apache.spark.sql.DataFrame,
+                        L: Int): org.apache.spark.sql.DataFrame = {
+    val sh = windowed(docs, L)
+    val posKey = col("doc_id") * lit(1L << 22) + col("i")
+    val firsts = sh.groupBy("s")
+      .agg(count(lit(1)).as("n"), min(posKey).as("mk"))
+      .filter(col("n") >= 2)
+      .select("s", "mk")
+    islandMerge(sh.join(firsts, "s")
+      .filter(posKey =!= col("mk"))
+      .select(col("doc_id"), col("i"), (col("i") + (L - 1)).as("e")))
+  }
+
+  /** Length-L character windows at every position: (doc_id, i, s),
+    * i 1-based. sequence(1, n) is DESCENDING for n < 1 (the
+    * shinglesHof gotcha): docs shorter than L windows must be
+    * filtered, not sequenced. repartition: the harness scan is one
+    * small file = one task, and the explode fans every doc into
+    * len-L+1 rows — spread the fanout across cores (at real scale the
+    * scan has many splits and this becomes a no-op to drop; the q54
+    * pattern). Lazily checkpointed: every caller feeds it to both a
+    * duplicate-key aggregate and a position join, and recomputing the
+    * explode would double the corpus scan.
+    */
+  private def windowed(docs: org.apache.spark.sql.DataFrame,
+                       L: Int): org.apache.spark.sql.DataFrame =
+    docs
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
       .filter(col("len") >= L)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
@@ -320,14 +367,17 @@ object Text {
       .select(col("doc_id"), col("i"),
         expr(s"substring(text, i, $L)").as("s"))
       .localCheckpoint(false)
-    val dup = sh.groupBy("s")
-      .agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") >= 2).select("s")
-    val hits = sh.join(dup, "s")
-      .select(col("doc_id"), col("i"), (col("i") + (L - 1)).as("e"))
-    // Gaps-and-islands: a window starts a new span iff the running
-    // max end of all earlier windows leaves a gap before it
-    // (adjacency e = i-1 still merges: zero chars survive between).
+
+  /** Gaps-and-islands merge of duplicated windows (doc_id, i, e) into
+    * maximal per-doc spans: a window starts a new span iff the running
+    * max end of all earlier windows leaves a gap before it (adjacency
+    * e = i-1 still merges: zero chars survive between). Both windows
+    * partition by doc_id — per-partition cardinality is doc length,
+    * never corpus size.
+    */
+  private def islandMerge(hits: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val prev = Window.partitionBy("doc_id").orderBy("i")
       .rowsBetween(Window.unboundedPreceding, -1)
     val run = Window.partitionBy("doc_id").orderBy("i")

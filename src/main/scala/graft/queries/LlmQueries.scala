@@ -3751,6 +3751,36 @@ object LlmQueries extends QueryPack {
             .as("removed_chars"),
           md5(col("clean")).as("clean_md5"))
         .orderBy("doc_id")
+    }),
+
+    // KEEP-FIRST SUBSTRING DEDUP — the Lee et al. semantic proper,
+    // where q340 is the blunt variant: q340 excises EVERY copy of
+    // cross-doc duplicated content (both docs lose it); this one keeps
+    // exactly the positionally-FIRST occurrence of each duplicated
+    // window — min (doc_id, pos) — and excises the rest, which is what
+    // a training corpus wants (the content survives once), and it also
+    // catches WITHIN-doc repeats (a doc repeating its own run) that
+    // q339's distinct-docs rule ignores. The first-occurrence rank is
+    // an AGGREGATE (min packed position per window string), not a
+    // window partitioned by the string — a boilerplate string repeated
+    // 10⁹ times would make that window one 10⁹-row task, while the
+    // aggregate combines map-side (the WindowCardGate class, avoided
+    // by construction). Output = per-doc cleaned text md5 (one
+    // misplaced char hash-fails); LlmSpec pins that keep-first removes
+    // strictly less than excise-everywhere and that first occurrences
+    // survive verbatim.
+    "q345_substring_keep_first" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val spans = Text.dupSpansKeepFirst(docs, SpanL).localCheckpoint(false)
+      Text.exciseSpans(docs, spans)
+        .join(docs.select(col("doc_id"),
+          length(col("text")).cast("long").as("doc_len")), "doc_id")
+        .select(col("doc_id"),
+          length(col("clean")).cast("long").as("clean_len"),
+          (col("doc_len") - length(col("clean"))).cast("long")
+            .as("removed_chars"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -6610,51 +6640,30 @@ object LlmQueries extends QueryPack {
     // q340: complement segments via lag + tail, string_agg in
     // position order; no-span docs pass through, fully-covered docs
     // become '' (the COALESCE pair distinguishes the two).
-    "q340_substring_excise" ->
-      s"""WITH $spanCtes,
-         |mids AS (SELECT doc_id,
-         |    coalesce(lag(e0) OVER (PARTITION BY doc_id ORDER BY s0), 0)
-         |      + 1 AS gs,
-         |    s0 - 1 AS ge FROM spans),
-         |tails AS (SELECT s.doc_id, max(s.e0) + 1 AS gs,
-         |    CAST(any_value(d.len) AS BIGINT) AS ge
-         |  FROM spans s JOIN d USING (doc_id) GROUP BY s.doc_id),
-         |gaps AS (SELECT doc_id, gs, ge FROM mids
-         |  UNION ALL SELECT doc_id, gs, ge FROM tails),
-         |pieces AS (SELECT g.doc_id, g.gs,
-         |    substr(d.text, CAST(g.gs AS INTEGER),
-         |      CAST(g.ge - g.gs + 1 AS INTEGER)) AS piece
-         |  FROM gaps g JOIN d USING (doc_id) WHERE g.ge >= g.gs),
-         |cleaned AS (SELECT doc_id, string_agg(piece, '' ORDER BY gs)
-         |    AS clean
-         |  FROM pieces GROUP BY 1),
-         |sd AS (SELECT DISTINCT doc_id FROM spans),
-         |fin AS (SELECT d.doc_id,
-         |    CASE WHEN sd.doc_id IS NULL THEN d.text
-         |         ELSE coalesce(c.clean, '') END AS clean, d.len
-         |  FROM d LEFT JOIN sd USING (doc_id)
-         |    LEFT JOIN cleaned c USING (doc_id))
-         |SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len,
-         |  CAST(len - length(clean) AS BIGINT) AS removed_chars,
-         |  md5(clean) AS clean_md5
-         |FROM fin ORDER BY doc_id""".stripMargin
+    "q340_substring_excise" -> s"WITH $spanCtes,\n$exciseSql",
+
+    // q345: identical excision tail; the hits CTE keeps each
+    // duplicated window's min-packed-position occurrence instead.
+    "q345_substring_keep_first" -> s"WITH $spanCtesKeepFirst,\n$exciseSql"
   )
 
-  /** Shared q339/q340 oracle prefix: windows → cross-doc duplicated
-    * keys → gaps-and-islands merged spans (mirrors [[Text.dupSpans]]
-    * structurally — window bounds, ≥2-distinct-docs rule, adjacency
-    * merge — so either side drifting hash-fails both queries).
+  /** Shared d/shw oracle prefix for the substring-dedup family:
+    * 30-char windows at every position of every doc.
     */
-  private def spanCtes: String =
+  private def spanPrefix: String =
     """d AS (SELECT doc_id, source, text, length(text) AS len
       |  FROM documents),
       |shw AS (SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 30) AS s
       |  FROM d CROSS JOIN LATERAL
-      |    (SELECT unnest(range(1, CAST(len AS BIGINT) - 28)) AS i) t),
-      |dup AS (SELECT s FROM shw GROUP BY s
-      |  HAVING count(DISTINCT doc_id) >= 2),
-      |hits AS (SELECT doc_id, i, i + 29 AS e FROM shw JOIN dup USING (s)),
-      |isl AS (SELECT doc_id, i, e,
+      |    (SELECT unnest(range(1, CAST(len AS BIGINT) - 28)) AS i) t)"""
+      .stripMargin
+
+  /** Gaps-and-islands span merge over a `hits` CTE (doc_id, i, e) —
+    * mirrors [[Text.islandMerge]] structurally (adjacency rule,
+    * running-max break) so either side drifting hash-fails.
+    */
+  private def islandCtes: String =
+    """isl AS (SELECT doc_id, i, e,
       |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY i
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= i - 1
       |         THEN 0 ELSE 1 END AS brk FROM hits),
@@ -6664,4 +6673,59 @@ object LlmQueries extends QueryPack {
       |  FROM isl),
       |spans AS (SELECT doc_id, g, min(i) AS s0, max(e) AS e0
       |  FROM grp GROUP BY 1, 2)""".stripMargin
+
+  /** q339/q340 span chain: a window duplicated across ≥2 DISTINCT
+    * docs is a hit at every occurrence (mirrors [[Text.dupSpans]]).
+    */
+  private def spanCtes: String =
+    s"""$spanPrefix,
+       |dup AS (SELECT s FROM shw GROUP BY s
+       |  HAVING count(DISTINCT doc_id) >= 2),
+       |hits AS (SELECT doc_id, i, i + 29 AS e FROM shw JOIN dup USING (s)),
+       |$islandCtes""".stripMargin
+
+  /** q345 span chain: ≥2 occurrences ANYWHERE (across or within
+    * docs), hit = every occurrence EXCEPT the min-packed-position
+    * first (mirrors [[Text.dupSpansKeepFirst]], 2²² position pack
+    * included).
+    */
+  private def spanCtesKeepFirst: String =
+    s"""$spanPrefix,
+       |f AS (SELECT s, min(doc_id * 4194304 + i) AS mk FROM shw
+       |  GROUP BY s HAVING count(*) >= 2),
+       |hits AS (SELECT doc_id, i, i + 29 AS e FROM shw JOIN f USING (s)
+       |  WHERE doc_id * 4194304 + i <> mk),
+       |$islandCtes""".stripMargin
+
+  /** Shared excision tail over a `spans` CTE: complement segments via
+    * lag + tail, string_agg in position order; no-span docs pass
+    * through, fully-covered docs become ''.
+    */
+  private def exciseSql: String =
+    """mids AS (SELECT doc_id,
+      |    coalesce(lag(e0) OVER (PARTITION BY doc_id ORDER BY s0), 0)
+      |      + 1 AS gs,
+      |    s0 - 1 AS ge FROM spans),
+      |tails AS (SELECT s.doc_id, max(s.e0) + 1 AS gs,
+      |    CAST(any_value(d.len) AS BIGINT) AS ge
+      |  FROM spans s JOIN d USING (doc_id) GROUP BY s.doc_id),
+      |gaps AS (SELECT doc_id, gs, ge FROM mids
+      |  UNION ALL SELECT doc_id, gs, ge FROM tails),
+      |pieces AS (SELECT g.doc_id, g.gs,
+      |    substr(d.text, CAST(g.gs AS INTEGER),
+      |      CAST(g.ge - g.gs + 1 AS INTEGER)) AS piece
+      |  FROM gaps g JOIN d USING (doc_id) WHERE g.ge >= g.gs),
+      |cleaned AS (SELECT doc_id, string_agg(piece, '' ORDER BY gs)
+      |    AS clean
+      |  FROM pieces GROUP BY 1),
+      |sd AS (SELECT DISTINCT doc_id FROM spans),
+      |fin AS (SELECT d.doc_id,
+      |    CASE WHEN sd.doc_id IS NULL THEN d.text
+      |         ELSE coalesce(c.clean, '') END AS clean, d.len
+      |  FROM d LEFT JOIN sd USING (doc_id)
+      |    LEFT JOIN cleaned c USING (doc_id))
+      |SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len,
+      |  CAST(len - length(clean) AS BIGINT) AS removed_chars,
+      |  md5(clean) AS clean_md5
+      |FROM fin ORDER BY doc_id""".stripMargin
 }

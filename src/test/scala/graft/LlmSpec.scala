@@ -1539,6 +1539,48 @@ class LlmSpec extends SparkSpec {
       s"regime coverage: full=$full part=$part none=$none")
   }
 
+  test("q345 dupSpansKeepFirst keeps the positionally-first copy (cross-doc and within-doc)") {
+    import spark.implicits._
+    // L = 10. Docs 1/2 share a 20-char run: doc 1 is positionally
+    // first → keeps it; doc 2's copy is excised. Doc 7 repeats its OWN
+    // 12-char run (q339's distinct-docs rule ignores this): the first
+    // copy [1,12] survives, the second [15,26] is a span.
+    val shared = "0123456789ABCDEFGHIJ"
+    val docs = Seq(
+      (1L, "aaaa" + shared + "bbbbb"),
+      (2L, "cc" + shared + "dd"),
+      (7L, "555566667777ZZ555566667777")).toDF("doc_id", "text")
+    val spans = Text.dupSpansKeepFirst(docs, L = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans === Set((2L, 3, 22), (7L, 15, 26)))
+    // Excision: the keeper survives verbatim, the copies vanish.
+    val clean = Text.exciseSpans(docs,
+        Text.dupSpansKeepFirst(docs, L = 10))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean(1L) === "aaaa" + shared + "bbbbb",
+      "the first occurrence must survive untouched")
+    assert(clean(2L) === "ccdd")
+    assert(clean(7L) === "555566667777ZZ")
+  }
+
+  test("q345 keep-first removes strictly less than q340's excise-everywhere") {
+    val q340 = SparkEntry.queries("q340_substring_excise")(spark, sfDir)
+      .select("doc_id", "removed_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q345 = SparkEntry.queries("q345_substring_keep_first")(spark, sfDir)
+      .select("doc_id", "removed_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Keep-first can remove MORE on some docs (within-doc repeats are
+    // out of q340's scope) but across docs that q340 touches, some doc
+    // must be the keeper — strictly less removed in total over them.
+    val touched340 = q340.filter(_._2 > 0).keySet
+    assert(touched340.nonEmpty)
+    val t340 = touched340.toSeq.map(q340).sum
+    val t345 = touched340.toSeq.map(q345).sum
+    assert(t345 < t340,
+      s"keep-first must spare the first copies: $t345 !< $t340")
+  }
+
   test("q339 spans are valid intervals: in-bounds, >= L long, disjoint with gaps") {
     val docs = Tables.documents(spark, sfDir)
     val spans = graft.ops.Text.dupSpans(docs, L = 30)
