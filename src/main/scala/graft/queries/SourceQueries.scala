@@ -440,6 +440,52 @@ object SourceQueries extends QueryPack {
         .orderBy("run")
     }),
 
+    // MERGE INTO with full clause semantics — update + conditional
+    // delete + insert in ONE atomic commit (q328's merge is
+    // upsert-only; q341 needed TWO commits for update-then-delete,
+    // exposing the intermediate state to any concurrent reader; real
+    // MERGE INTO is one transaction and TxTable.mergeInto delivers
+    // it): WHEN MATCHED AND st='D' THEN DELETE, WHEN MATCHED THEN
+    // UPDATE, WHEN NOT MATCHED THEN INSERT — with delete-flagged
+    // unmatched rows a no-op (the standard clause ordering), exercised
+    // here by "ghost deletes" on keys the table never held. Same
+    // exact per-file pruning as merge. The oracle recomputes v1 and
+    // the post-merge v2 relationally — a row that survived deletion,
+    // died by update, double-inserted, or a ghost that materialized
+    // all hash-fail; version arithmetic pins single-commit atomicity
+    // (v2, not v3).
+    "q346_tx_merge_into" -> ((s, dir) => {
+      import graft.sources.TxTable
+      val root = tmp(dir, "txtable_q346")
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("c"))
+        .groupBy("k")
+        .agg(min("st").as("st"), sum("c").as("c"))
+      TxTable.create(base, root, nBuckets = 8)
+      val upd = base.filter(col("k") % 97 === 0)
+        .select(col("k"), lit("X").as("st"), (col("c") + 1L).as("c"))
+      val del = base.filter(col("k") % 89 === 0 && col("k") % 97 =!= 0)
+        .select(col("k"), lit("D").as("st"), lit(0L).as("c"))
+      val ins = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+        .select((lit(-1L) - col("o_custkey")).as("k"),
+          lit("N").as("st"), (col("o_custkey") * 100L).as("c"))
+      val ghost = Tables.region(s, dir).select(col("r_regionkey"))
+        .select((lit(-900000000L) - col("r_regionkey")).as("k"),
+          lit("D").as("st"), lit(0L).as("c"))
+      TxTable.mergeInto(s, root,
+        upd.unionAll(del).unionAll(ins).unionAll(ghost),
+        deleteWhen = col("st") === "D")
+      def stats(v: Int) = TxTable.snapshot(s, root, v)
+        .agg(count(lit(1)).as("n_rows"), sum("c").as("sum_cents"),
+          sum(when(col("st") === "X", 1L).otherwise(0L)).as("n_x"))
+        .select(lit(v.toLong).as("version"), col("n_rows"),
+          col("sum_cents"), col("n_x"))
+      // v2, not v3: update+delete+insert landed as ONE commit.
+      stats(1).unionAll(stats(TxTable.latestVersion(s, root)))
+        .orderBy("version")
+    }),
+
     // MEDALLION HOP: TxTable → stream → transform → TxTable — the
     // composition of q343's source and q332's sink into the pipeline
     // both exist for (the bronze→silver incremental materialization):
@@ -781,6 +827,32 @@ object SourceQueries extends QueryPack {
         |  CAST((SELECT sum(c) FROM apps WHERE i = 3) AS BIGINT),
         |  CAST(1 AS BIGINT)
         |ORDER BY run""".stripMargin,
+
+    // q346: v2 = base survivors (neither updated away nor deleted)
+    // ∪ updates ∪ inserts; ghost deletes contribute nothing. The
+    // version column pins that it all landed as ONE commit.
+    "q346_tx_merge_into" ->
+      """WITH base AS (SELECT o_orderkey AS k, min(o_orderstatus) AS st,
+        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |upd AS (SELECT k, 'X' AS st, c + 1 AS c FROM base WHERE k % 97 = 0),
+        |ins AS (SELECT -1 - o_custkey AS k, 'N' AS st,
+        |    CAST(o_custkey*100 AS BIGINT) AS c
+        |  FROM (SELECT DISTINCT o_custkey FROM orders)),
+        |v2 AS (SELECT * FROM base WHERE k % 97 <> 0 AND k % 89 <> 0
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c) AS BIGINT) AS sum_cents,
+        |  CAST(sum(CASE WHEN st = 'X' THEN 1 ELSE 0 END) AS BIGINT) AS n_x
+        |FROM base
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT),
+        |  CAST(sum(CASE WHEN st = 'X' THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM v2
+        |ORDER BY version""".stripMargin,
 
     // q344: silver must equal the batch transform (c % 3 <> 0,
     // c × 7) of bronze's FINAL state — base plus all three appends —

@@ -331,6 +331,61 @@ object TxTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Full MERGE INTO clause semantics in ONE atomic commit — what
+    * [[merge]] (upsert-only) and [[delete]] compose as TWO commits,
+    * collapsed into the single transaction real MERGE INTO is:
+    *
+    *  - WHEN MATCHED AND `deleteWhen`(delta row) THEN DELETE
+    *  - WHEN MATCHED THEN UPDATE (delta wins)
+    *  - WHEN NOT MATCHED THEN INSERT (delete-flagged delta rows with
+    *    no match are a no-op, per the standard clause ordering)
+    *
+    * Same exact per-file pruning and per-bucket rewrite as [[merge]];
+    * same optimistic-concurrency retry. A reader never observes the
+    * intermediate "updated but not yet deleted" state two commits
+    * would expose. Returns (rewritten, carriedOver) file counts.
+    *
+    * @param deleteWhen predicate over the DELTA row's columns
+    *                   (k/st/c), the WHEN MATCHED AND … THEN DELETE
+    *                   condition
+    */
+  def mergeInto(s: SparkSession, root: String, delta: DataFrame,
+                deleteWhen: org.apache.spark.sql.Column): (Int, Int) = {
+    val d = delta.localCheckpoint(false)
+    while (true) {
+      val v = latestVersion(s, root) + 1
+      val live = liveFiles(s, root)
+      val hit = touchedFiles(s, d, live)
+      val (touched, untouched) = live.partition(f => hit(f.file))
+      val base =
+        if (touched.isEmpty) null
+        else s.read.parquet(touched.map(_.file): _*)
+      val dd = d.select(col("k").as("dk"), col("st").as("dst"),
+        col("c").as("dc"), deleteWhen.as("ddel"))
+      val merged =
+        (if (base == null)
+           dd.filter(!col("ddel"))
+             .select(col("dk").as("k"), col("dst").as("st"), col("dc").as("c"))
+         else base.join(dd, col("k") === col("dk"), "full_outer")
+           // matched + delete-flagged rows drop here — atomically with
+           // the updates and inserts of the same commit.
+           .filter(col("k").isNull || col("dk").isNull || !col("ddel"))
+           .filter(!(col("k").isNull && col("ddel"))) // unmatched delete = no-op
+           .select(coalesce(col("dk"), col("k")).as("k"),
+             coalesce(col("dst"), col("st")).as("st"),
+             coalesce(col("dc"), col("c")).as("c")))
+      val entries = writeBucketed(merged, root, v, touched.map(_.min).sorted)
+      try {
+        tryCommit(root, Commit(v, entries, touched.map(_.file)))
+        maybeCheckpoint(s, root, v)
+        return (touched.size, untouched.size)
+      } catch {
+        case _: CommitConflictException => () // loser: recompute against the new snapshot
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Copy-on-write DELETE by key: rows whose `k` appears in `keys`
     * are removed; only live files that actually CONTAIN a matching
     * key are rewritten (the same exact per-file pruning as [[merge]]),

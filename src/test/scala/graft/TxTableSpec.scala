@@ -265,6 +265,32 @@ class TxTableSpec extends SparkSpec {
     assert(prevSet === before)
   }
 
+  test("mergeInto: update + conditional delete + insert land as ONE commit") {
+    import spark.implicits._
+    val root = freshTable("txspec_mi")
+    val delta = Seq(
+      (10L, "X", 1L),   // matched → update
+      (20L, "D", 0L),   // matched + delete-flagged → delete
+      (900L, "N", 5L),  // unmatched → insert
+      (950L, "D", 0L))  // unmatched + delete-flagged → no-op (ghost)
+      .toDF("k", "st", "c")
+    val (rewritten, carried) =
+      TxTable.mergeInto(spark, root, delta, deleteWhen = col("st") === "D")
+    // All four clauses in ONE commit; only bucket 0 held a matched key
+    // (the out-of-range insert lands in the nearest rewritten bucket).
+    assert(TxTable.latestVersion(spark, root) === 2)
+    assert(rewritten === 1 && carried === 7)
+    val v2 = TxTable.snapshot(spark, root, 2)
+    assert(v2.count() === 800, "800 - 1 delete + 1 insert")
+    assert(v2.filter(col("k") === 10L).collect()(0).getString(1) === "X")
+    assert(v2.filter(col("k") === 20L).count() === 0, "matched delete")
+    assert(v2.filter(col("k") === 900L).count() === 1, "insert")
+    assert(v2.filter(col("k") === 950L).count() === 0, "ghost delete = no-op")
+    // The pre-merge version still reads whole.
+    val v1 = TxTable.snapshot(spark, root, 1)
+    assert(v1.count() === 800 && v1.filter(col("k") === 20L).count() === 1)
+  }
+
   test("delete: copy-on-write removal rewrites only touched files") {
     import spark.implicits._
     val root = freshTable("txspec_del")
