@@ -344,6 +344,27 @@ object Text {
       .select(col("doc_id"), col("i"), (col("i") + (L - 1)).as("e")))
   }
 
+  /** Cross-corpus variant of [[dupSpans]]: spans of `docs` covered by
+    * any length-`L` window that ALSO occurs in `reference` — the
+    * exact-overlap decontamination primitive (the GPT-3 appendix-C
+    * rule: a training doc sharing a long verbatim run with an eval
+    * benchmark is contaminated). Only reference membership matters
+    * (distinct reference windows, corpus-side duplication irrelevant);
+    * the join is corpus-windows ⋈ distinct-reference-windows on the
+    * window string — at 100 TB the reference side (an eval suite, MBs)
+    * is the broadcast side of a hash join, so the corpus is never
+    * shuffled at all; here both stream through one shuffle.
+    *
+    * @return (doc_id, s0, e0) — maximal contaminated spans per doc
+    */
+  def overlapSpans(docs: org.apache.spark.sql.DataFrame,
+                   reference: org.apache.spark.sql.DataFrame,
+                   L: Int): org.apache.spark.sql.DataFrame = {
+    val refW = windowed(reference, L).select("s").distinct()
+    islandMerge(windowed(docs, L).join(refW, "s")
+      .select(col("doc_id"), col("i"), (col("i") + (L - 1)).as("e")))
+  }
+
   /** Length-L character windows at every position: (doc_id, i, s),
     * i 1-based. sequence(1, n) is DESCENDING for n < 1 (the
     * shinglesHof gotcha): docs shorter than L windows must be

@@ -3769,6 +3769,42 @@ object LlmQueries extends QueryPack {
     // misplaced char hash-fails); LlmSpec pins that keep-first removes
     // strictly less than excise-everywhere and that first occurrences
     // survive verbatim.
+    // EXACT-SUBSTRING DECONTAMINATION — the GPT-3 appendix-C rule
+    // applied verbatim (q111's MinHash decontamination is the
+    // approximate doc-level scrub; production ALSO runs the exact
+    // n-gram overlap pass, because a training doc QUOTING an eval
+    // benchmark inside otherwise-novel text fools doc-level
+    // similarity): a deterministic eval split (doc_id % 41 = 0 posing
+    // as the benchmark suite) is windowed at 30 chars; any corpus doc
+    // span covered by an eval window is contaminated; docs whose
+    // contaminated mass exceeds 20% of their length are dropped, the
+    // rest keep an audit trail. Scale: the eval side of the window
+    // join is an eval suite — MBs, the broadcast side of the hash
+    // join — so the corpus is never shuffled at all at 100 TB; the
+    // island merge partitions by doc_id (doc-length-bounded). The
+    // oracle replays window/join/merge/threshold in SQL — a span
+    // off-by-one or a mis-thresholded drop hash-fails.
+    "q347_substring_decontaminate" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      val eval = all.filter(col("doc_id") % 41 === 0)
+      val corpus = all.filter(col("doc_id") % 41 =!= 0)
+      val perdoc = Text.overlapSpans(corpus, eval, SpanL)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("e0") - col("s0") + 1).cast("long").as("contam_chars"))
+      corpus.select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("doc_len"))
+        .join(perdoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("doc_len"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("contam_chars"), lit(0L)).as("contam_chars"),
+          // Drop rule: contaminated mass > 20% of the doc — integer
+          // cross-multiplication, no float threshold.
+          when(coalesce(col("contam_chars"), lit(0L)) * 5 > col("doc_len"),
+            lit(1L)).otherwise(lit(0L)).as("dropped"))
+        .orderBy("doc_id")
+    }),
+
     "q345_substring_keep_first" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val spans = Text.dupSpansKeepFirst(docs, SpanL).localCheckpoint(false)
@@ -6644,7 +6680,33 @@ object LlmQueries extends QueryPack {
 
     // q345: identical excision tail; the hits CTE keeps each
     // duplicated window's min-packed-position occurrence instead.
-    "q345_substring_keep_first" -> s"WITH $spanCtesKeepFirst,\n$exciseSql"
+    "q345_substring_keep_first" -> s"WITH $spanCtesKeepFirst,\n$exciseSql",
+
+    // q347: corpus windows ⋈ distinct eval windows, the shared island
+    // merge, then the 20% integer cross-multiplied drop rule.
+    "q347_substring_decontaminate" ->
+      s"""WITH dall AS (SELECT doc_id, source, text, length(text) AS len
+         |  FROM documents),
+         |d AS (SELECT * FROM dall WHERE doc_id % 41 <> 0),
+         |ev AS (SELECT * FROM dall WHERE doc_id % 41 = 0),
+         |shw AS (SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 30) AS s
+         |  FROM d CROSS JOIN LATERAL
+         |    (SELECT unnest(range(1, CAST(len AS BIGINT) - 28)) AS i) t),
+         |evw AS (SELECT DISTINCT substr(text, CAST(i AS INTEGER), 30) AS s
+         |  FROM ev CROSS JOIN LATERAL
+         |    (SELECT unnest(range(1, CAST(len AS BIGINT) - 28)) AS i) t),
+         |hits AS (SELECT doc_id, i, i + 29 AS e FROM shw JOIN evw USING (s)),
+         |$islandCtes,
+         |perdoc AS (SELECT doc_id, count(*) AS n_spans,
+         |    sum(e0 - s0 + 1) AS contam_chars
+         |  FROM spans GROUP BY 1)
+         |SELECT d.doc_id, d.source, CAST(d.len AS BIGINT) AS doc_len,
+         |  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(p.contam_chars, 0) AS BIGINT) AS contam_chars,
+         |  CAST(CASE WHEN coalesce(p.contam_chars, 0) * 5 > d.len
+         |       THEN 1 ELSE 0 END AS BIGINT) AS dropped
+         |FROM d LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
   )
 
   /** Shared d/shw oracle prefix for the substring-dedup family:

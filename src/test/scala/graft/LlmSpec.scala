@@ -1581,6 +1581,46 @@ class LlmSpec extends SparkSpec {
       s"keep-first must spare the first copies: $t345 !< $t340")
   }
 
+  test("q347 overlapSpans marks exactly the reference-covered runs") {
+    import spark.implicits._
+    // L = 10. Corpus doc 1 QUOTES the eval run at [5,24] inside novel
+    // text; doc 2 shares nothing; doc 3 IS an eval doc verbatim
+    // (full-cover). Corpus-side duplication without eval overlap (docs
+    // 2/4 share a run) must NOT mark anything — only reference
+    // membership counts.
+    val evalRun = "0123456789ABCDEFGHIJ"
+    val corpusRun = "qqqqwwwweeee"
+    val docs = Seq(
+      (1L, "aaaa" + evalRun + "bbbbb"),
+      (2L, "zz" + corpusRun + "yy"),
+      (3L, evalRun),
+      (4L, "pp" + corpusRun + "oo")).toDF("doc_id", "text")
+    val eval = Seq((100L, "xx" + evalRun + "vv")).toDF("doc_id", "text")
+    val spans = Text.overlapSpans(docs, eval, L = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans === Set((1L, 5, 24), (3L, 1, 20)))
+  }
+
+  test("q347 corpus run: all three regimes live, drop rule consistent") {
+    val out = SparkEntry.queries("q347_substring_decontaminate")(spark, sfDir)
+      .collect()
+    val clean = out.count(_.getAs[Long]("n_spans") == 0L)
+    val dropped = out.count(_.getAs[Long]("dropped") == 1L)
+    // At sf0.001 every contaminated doc exceeds the 20% bar (planted
+    // duplicate runs are long relative to these short docs), so only
+    // clean+dropped are guaranteed here; the kept-with-audit regime
+    // is live from sf0.1 up (sf1: 14,858 contaminated / 12,136
+    // dropped → 2,722 kept) and the oracle hash pins it there.
+    assert(clean > 0 && dropped > 0,
+      s"regimes: clean=$clean dropped=$dropped of ${out.length}")
+    out.foreach { r =>
+      val over = r.getAs[Long]("contam_chars") * 5 > r.getAs[Long]("doc_len")
+      assert((r.getAs[Long]("dropped") == 1L) === over,
+        s"doc ${r.getAs[Long]("doc_id")}: drop flag disagrees with the 20% rule")
+      assert(r.getAs[Long]("contam_chars") <= r.getAs[Long]("doc_len"))
+    }
+  }
+
   test("q339 spans are valid intervals: in-bounds, >= L long, disjoint with gaps") {
     val docs = Tables.documents(spark, sfDir)
     val spans = graft.ops.Text.dupSpans(docs, L = 30)
