@@ -440,6 +440,43 @@ object SourceQueries extends QueryPack {
         .orderBy("run")
     }),
 
+    // CONNECTOR BATCH READ with time travel — the SQL-facing surface
+    // of the graft-txtable DataSourceV2 connector (q343 is its
+    // streaming leg): `spark.read.format("graft-txtable")` with
+    // `versionAsOf` plans the snapshot's live files through the same
+    // partition/reader machinery the stream uses, and every row
+    // carries `commit_version` = the commit that ADDED its file (the
+    // log is the provenance — no per-row bookkeeping). The scenario
+    // pins both halves: a narrow single-bucket merge means v2 is
+    // served by files from TWO commits (three carried v1 buckets +
+    // one rewritten bucket), so n_commits distinguishes a real
+    // file-level time-travel read from a naive latest-only scan —
+    // and versionAsOf=1 must reproduce v1 exactly after the merge.
+    "q348_tx_connector_read" -> ((s, dir) => {
+      import graft.sources.TxTable
+      val root = tmp(dir, "txtable_q348")
+      val base = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("st"), col("n_regionkey").cast("long").as("c"))
+      TxTable.create(base, root, nBuckets = 4)
+      TxTable.merge(s, root,
+        base.filter(col("k") === 3L)
+          .select(col("k"), lit("X").as("st"), (col("c") + 100L).as("c")))
+      def rd(opts: Map[String, String]) = {
+        val r = s.read.format("graft-txtable").option("root", root)
+        opts.foreach { case (k, v) => r.option(k, v) }
+        r.load()
+      }
+      def stats(df: DataFrame, v: Long) = df
+        .agg(count(lit(1)).as("n_rows"), sum("c").as("sum_c"),
+          countDistinct("commit_version").as("n_commits"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_c"),
+          col("n_commits"))
+      stats(rd(Map("versionAsOf" -> "1")), 1L)
+        .unionAll(stats(rd(Map.empty), 2L))
+        .orderBy("version")
+    }),
+
     // MERGE INTO with full clause semantics — update + conditional
     // delete + insert in ONE atomic commit (q328's merge is
     // upsert-only; q341 needed TWO commits for update-then-delete,
@@ -827,6 +864,22 @@ object SourceQueries extends QueryPack {
         |  CAST((SELECT sum(c) FROM apps WHERE i = 3) AS BIGINT),
         |  CAST(1 AS BIGINT)
         |ORDER BY run""".stripMargin,
+
+    // q348: v1 = the nation base verbatim; v2 adds 100 to one row's c
+    // and is served by files from exactly two commits.
+    "q348_tx_connector_read" ->
+      """WITH base AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |    CAST(n_regionkey AS BIGINT) AS c FROM nation)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c) AS BIGINT) AS sum_c,
+        |  CAST(1 AS BIGINT) AS n_commits
+        |FROM base
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) + 100 AS BIGINT), CAST(2 AS BIGINT)
+        |FROM base
+        |ORDER BY version""".stripMargin,
 
     // q346: v2 = base survivors (neither updated away nor deleted)
     // ∪ updates ∪ inserts; ghost deletes contribute nothing. The

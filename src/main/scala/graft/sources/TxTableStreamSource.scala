@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
@@ -69,6 +69,23 @@ object TxTableStreamSource {
     require(v != null && v.nonEmpty, s"graft-txtable needs option '$key'")
     v
   }
+
+  /** Part files inside one committed data file (a parquet directory);
+    * driver-side metadata listing, mirroring what a file index does.
+    * Regular files only: TxTable data DIRECTORIES are themselves named
+    * `*.parquet`, so a suffix filter alone would list the dir AND its
+    * part files — every row delivered twice.
+    */
+  private[sources] def partFiles(dir: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) return Seq(dir)
+    import scala.jdk.CollectionConverters._
+    val st = java.nio.file.Files.walk(p)
+    try st.iterator().asScala
+      .filter(f => java.nio.file.Files.isRegularFile(f))
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+    finally st.close()
+  }
 }
 
 private class TxStreamTable(props: JMap[String, String])
@@ -77,21 +94,45 @@ private class TxStreamTable(props: JMap[String, String])
   override def name(): String = s"graft_txtable_stream($root)"
   override def schema(): StructType = TxTableStreamSource.StreamSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new TxStreamScan(root,
         options.getBoolean("skipChangeCommits", false),
-        options.getInt("startingVersion", 1))
+        options.getInt("startingVersion", 1),
+        options.getInt("versionAsOf", Int.MaxValue))
     }
 }
 
 private class TxStreamScan(root: String, skipChangeCommits: Boolean,
-                           startingVersion: Int) extends Scan {
+                           startingVersion: Int, versionAsOf: Int)
+    extends Scan {
   override def readSchema(): StructType = TxTableStreamSource.StreamSchema
   override def description(): String = s"graft-txtable $root"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new TxTableMicroBatchStream(root, skipChangeCommits, startingVersion)
+  // BATCH read with time travel (`versionAsOf`, default latest): the
+  // snapshot's live files through the same partition/reader machinery
+  // the stream uses — `spark.read.format("graft-txtable")` is the
+  // connector surface a consumer actually points SQL at, and
+  // commit_version labels each row with the commit that ADDED its
+  // file (the log is the provenance, no per-row bookkeeping).
+  override def toBatch(): Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val s = SparkSession.active
+      val live = TxTable.liveFiles(s, root, versionAsOf).map(_.file).toSet
+      // file → adding commit version, from the raw log (KBs).
+      val addedBy = TxTable.commits(s, root, versionAsOf)
+        .flatMap(c => c.add.map(f => f.file -> c.version)).toMap
+      live.toSeq.sorted.flatMap(f =>
+        TxTableStreamSource.partFiles(f)
+          .map(p => TxFilePartition(p, addedBy(f)): InputPartition))
+        .toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      TxReaderFactory
+  }
 }
 
 /** A version-window offset; `json` is the bare version number. */
@@ -141,26 +182,9 @@ private[sources] class TxTableMicroBatchStream(
             "skipChangeCommits=true to skip change commits, or stream " +
             "row-level changes via TxTable.changeFeed.")
         Seq.empty // skipped: rewritten data is not an append
-      } else c.add.flatMap(f => partFiles(f.file)
+      } else c.add.flatMap(f => TxTableStreamSource.partFiles(f.file)
         .map(p => TxFilePartition(p, c.version): InputPartition))
     }.toArray
-  }
-
-  /** Part files inside one committed data file (a parquet directory);
-    * driver-side metadata listing, mirroring what a file index does.
-    */
-  private def partFiles(dir: String): Seq[String] = {
-    val p = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(p)) return Seq(dir)
-    import scala.jdk.CollectionConverters._
-    // Regular files only: TxTable data DIRECTORIES are themselves
-    // named `*.parquet`, so a suffix filter alone would list the dir
-    // AND its part files — every row delivered twice.
-    val st = java.nio.file.Files.walk(p)
-    try st.iterator().asScala
-      .filter(f => java.nio.file.Files.isRegularFile(f))
-      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
-    finally st.close()
   }
 
   override def createReaderFactory(): PartitionReaderFactory = TxReaderFactory

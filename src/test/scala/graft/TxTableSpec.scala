@@ -342,6 +342,33 @@ class TxTableSpec extends SparkSpec {
       s"feed reads $feedFiles files, a full v1 snapshot alone has $snapFiles")
   }
 
+  test("connector batch read: versionAsOf time travel equals snapshot, provenance labels") {
+    import spark.implicits._
+    val root = freshTable("txspec_connector")
+    TxTable.merge(spark, root,
+      Seq((5L, "X", 1L), (900L, "N", 7L)).toDF("k", "st", "c")) // v2
+    def rd(opts: (String, String)*) = {
+      val r = spark.read.format("graft-txtable").option("root", root)
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load()
+    }
+    // Time travel through the connector equals the log-level snapshot.
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "st", "c").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(asSet(rd("versionAsOf" -> "1")) ===
+      asSet(TxTable.snapshot(spark, root, 1)))
+    assert(asSet(rd()) === asSet(TxTable.snapshot(spark, root)))
+    // Provenance: carried rows keep commit 1, rewritten-bucket rows
+    // carry commit 2 (incl. the untouched rows the rewrite copied).
+    val byCommit = rd().groupBy("commit_version").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byCommit.keySet === Set(1L, 2L))
+    assert(byCommit(2L) >= 2L, "the rewritten bucket holds the upserts")
+    assert(rd("versionAsOf" -> "1").select("commit_version")
+      .distinct().collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
   test("schema evolution: a widened append reads back with NULL backfill") {
     import spark.implicits._
     val root = freshTable("txspec_evo")
