@@ -360,8 +360,11 @@ object Text {
   def overlapSpans(docs: org.apache.spark.sql.DataFrame,
                    reference: org.apache.spark.sql.DataFrame,
                    L: Int): org.apache.spark.sql.DataFrame = {
-    val refW = windowed(reference, L).select("s").distinct()
-    islandMerge(windowed(docs, L).join(refW, "s")
+    // Single-consumer frames: no checkpoint — materializing either
+    // side would be pure extra I/O, and caching the reference side
+    // would defeat its broadcast-side role.
+    val refW = windowed(reference, L, reuse = false).select("s").distinct()
+    islandMerge(windowed(docs, L, reuse = false).join(refW, "s")
       .select(col("doc_id"), col("i"), (col("i") + (L - 1)).as("e")))
   }
 
@@ -372,13 +375,15 @@ object Text {
     * small file = one task, and the explode fans every doc into
     * len-L+1 rows — spread the fanout across cores (at real scale the
     * scan has many splits and this becomes a no-op to drop; the q54
-    * pattern). Lazily checkpointed: every caller feeds it to both a
-    * duplicate-key aggregate and a position join, and recomputing the
-    * explode would double the corpus scan.
+    * pattern). `reuse=true` lazily checkpoints the frame — for the
+    * dedup callers that feed it to both a duplicate-key aggregate and
+    * a position join, where recomputing the explode would double the
+    * corpus scan; single-consumer callers (overlapSpans) pass false
+    * and pay no materialization.
     */
-  private def windowed(docs: org.apache.spark.sql.DataFrame,
-                       L: Int): org.apache.spark.sql.DataFrame =
-    docs
+  private def windowed(docs: org.apache.spark.sql.DataFrame, L: Int,
+                       reuse: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val w = docs
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
       .filter(col("len") >= L)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
@@ -387,7 +392,8 @@ object Text {
         col("text"))
       .select(col("doc_id"), col("i"),
         expr(s"substring(text, i, $L)").as("s"))
-      .localCheckpoint(false)
+    if (reuse) w.localCheckpoint(false) else w
+  }
 
   /** Gaps-and-islands merge of duplicated windows (doc_id, i, e) into
     * maximal per-doc spans: a window starts a new span iff the running

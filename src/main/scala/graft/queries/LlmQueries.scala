@@ -3769,6 +3769,20 @@ object LlmQueries extends QueryPack {
     // misplaced char hash-fails); LlmSpec pins that keep-first removes
     // strictly less than excise-everywhere and that first occurrences
     // survive verbatim.
+    "q345_substring_keep_first" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val spans = Text.dupSpansKeepFirst(docs, SpanL).localCheckpoint(false)
+      Text.exciseSpans(docs, spans)
+        .join(docs.select(col("doc_id"),
+          length(col("text")).cast("long").as("doc_len")), "doc_id")
+        .select(col("doc_id"),
+          length(col("clean")).cast("long").as("clean_len"),
+          (col("doc_len") - length(col("clean"))).cast("long")
+            .as("removed_chars"),
+          md5(col("clean")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // EXACT-SUBSTRING DECONTAMINATION — the GPT-3 appendix-C rule
     // applied verbatim (q111's MinHash decontamination is the
     // approximate doc-level scrub; production ALSO runs the exact
@@ -3802,20 +3816,6 @@ object LlmQueries extends QueryPack {
           // cross-multiplication, no float threshold.
           when(coalesce(col("contam_chars"), lit(0L)) * 5 > col("doc_len"),
             lit(1L)).otherwise(lit(0L)).as("dropped"))
-        .orderBy("doc_id")
-    }),
-
-    "q345_substring_keep_first" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val spans = Text.dupSpansKeepFirst(docs, SpanL).localCheckpoint(false)
-      Text.exciseSpans(docs, spans)
-        .join(docs.select(col("doc_id"),
-          length(col("text")).cast("long").as("doc_len")), "doc_id")
-        .select(col("doc_id"),
-          length(col("clean")).cast("long").as("clean_len"),
-          (col("doc_len") - length(col("clean"))).cast("long")
-            .as("removed_chars"),
-          md5(col("clean")).as("clean_md5"))
         .orderBy("doc_id")
     })
   )

@@ -298,38 +298,12 @@ object TxTable {
     * concurrent-writer collision. Returns (rewritten, carriedOver)
     * file counts for spec-level pruning assertions.
     */
-  def merge(s: SparkSession, root: String, delta: DataFrame): (Int, Int) = {
-    val d = delta.localCheckpoint(false)
-    while (true) {
-      val v = latestVersion(s, root) + 1
-      val live = liveFiles(s, root)
-      val hit = touchedFiles(s, d, live)
-      val (touched, untouched) = live.partition(f => hit(f.file))
-      val base =
-        if (touched.isEmpty) null
-        else s.read.parquet(touched.map(_.file): _*)
-      // Full-outer upsert: delta wins on key collision; base-only rows
-      // carry; delta-only rows (including keys outside every live
-      // range) insert.
-      val dd = d.select(col("k").as("dk"), col("st").as("dst"), col("c").as("dc"))
-      val merged =
-        (if (base == null) dd.select(col("dk").as("k"), col("dst").as("st"), col("dc").as("c"))
-         else base.join(dd, col("k") === col("dk"), "full_outer")
-           .select(coalesce(col("k"), col("dk")).as("k"),
-             coalesce(col("dst"), col("st")).as("st"),
-             coalesce(col("dc"), col("c")).as("c")))
-      val entries = writeBucketed(merged, root, v,
-        touched.map(_.min).sorted)
-      try {
-        tryCommit(root, Commit(v, entries, touched.map(_.file)))
-        maybeCheckpoint(s, root, v)
-        return (touched.size, untouched.size)
-      } catch {
-        case _: CommitConflictException => () // loser: recompute against the new snapshot
-      }
-    }
-    throw new IllegalStateException("unreachable")
-  }
+  def merge(s: SparkSession, root: String, delta: DataFrame): (Int, Int) =
+    // Upsert = MERGE INTO whose delete clause never fires; one copy of
+    // the prune/rewrite/OCC loop to maintain. (delete() keeps its own
+    // loop on purpose: its anti-join plan and touched-nothing
+    // early-return are genuinely different shapes.)
+    mergeInto(s, root, delta, deleteWhen = lit(false))
 
   /** Full MERGE INTO clause semantics in ONE atomic commit — what
     * [[merge]] (upsert-only) and [[delete]] compose as TWO commits,
@@ -360,8 +334,11 @@ object TxTable {
       val base =
         if (touched.isEmpty) null
         else s.read.parquet(touched.map(_.file): _*)
+      // NULL condition = not satisfied (SQL MERGE semantics): without
+      // the coalesce, a NULL predicate result would three-value its
+      // way through !ddel into a SILENT DELETE of the matched row.
       val dd = d.select(col("k").as("dk"), col("st").as("dst"),
-        col("c").as("dc"), deleteWhen.as("ddel"))
+        col("c").as("dc"), coalesce(deleteWhen, lit(false)).as("ddel"))
       val merged =
         (if (base == null)
            dd.filter(!col("ddel"))

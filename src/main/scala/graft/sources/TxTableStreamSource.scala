@@ -179,9 +179,11 @@ private[sources] class TxTableMicroBatchStream(
             s"graft-txtable: version ${c.version} of $root is a CHANGE " +
             "commit (merge/delete/compaction rewrote files); streaming " +
             "it as inserts would double-deliver carried rows. Set " +
-            "skipChangeCommits=true to skip change commits, or stream " +
-            "row-level changes via TxTable.changeFeed.")
-        Seq.empty // skipped: rewritten data is not an append
+            "skipChangeCommits=true to skip change commits — note that " +
+            "skipping loses rows the commit genuinely INSERTED too " +
+            "(the whole commit is skipped, the Delta caveat) — or " +
+            "stream row-level changes via TxTable.changeFeed.")
+        Seq.empty // skipped WHOLE: carried rows AND any new inserts
       } else c.add.flatMap(f => TxTableStreamSource.partFiles(f.file)
         .map(p => TxFilePartition(p, c.version): InputPartition))
     }.toArray
@@ -209,11 +211,17 @@ private[sources] object TxReaderFactory extends PartitionReaderFactory {
         .build()
       private var cur: org.apache.parquet.example.data.Group = _
       override def next(): Boolean = { cur = reader.read(); cur != null }
+      // NULL-safe field access: the stream schema declares every
+      // column nullable and nothing validates non-null on write, so a
+      // NULL value must surface as a NULL row field, not a parquet
+      // Group exception killing the query.
+      private def longAt(f: String): Any =
+        if (cur.getFieldRepetitionCount(f) == 0) null else cur.getLong(f, 0)
+      private def stringAt(f: String): Any =
+        if (cur.getFieldRepetitionCount(f) == 0) null
+        else UTF8String.fromString(cur.getString(f, 0))
       override def get(): InternalRow = new GenericInternalRow(Array[Any](
-        cur.getLong("k", 0),
-        UTF8String.fromString(cur.getString("st", 0)),
-        cur.getLong("c", 0),
-        p.version.toLong))
+        longAt("k"), stringAt("st"), longAt("c"), p.version.toLong))
       override def close(): Unit = reader.close()
     }
   }

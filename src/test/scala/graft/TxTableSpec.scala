@@ -291,6 +291,32 @@ class TxTableSpec extends SparkSpec {
     assert(v1.count() === 800 && v1.filter(col("k") === 20L).count() === 1)
   }
 
+  test("mergeInto: a NULL delete condition is NOT-satisfied (SQL MERGE semantics)") {
+    import spark.implicits._
+    val root = freshTable("txspec_mi_null")
+    // st = null makes (st === "D") evaluate to NULL for both rows: the
+    // matched row must take the UPDATE branch (not silently delete),
+    // the unmatched row must INSERT (not silently vanish).
+    val delta = Seq((10L, null.asInstanceOf[String], 42L),
+      (901L, null.asInstanceOf[String], 43L)).toDF("k", "st", "c")
+    TxTable.mergeInto(spark, root, delta, deleteWhen = col("st") === "D")
+    val v2 = TxTable.snapshot(spark, root, 2)
+    assert(v2.count() === 801, "NULL condition deleted or dropped a row")
+    assert(v2.filter(col("k") === 10L).collect()(0).getLong(2) === 42L)
+    assert(v2.filter(col("k") === 901L).count() === 1)
+  }
+
+  test("connector reads surface NULL fields as NULLs, not reader crashes") {
+    import spark.implicits._
+    val root = freshTable("txspec_nulls")
+    TxTable.appendBatch(spark, root, "nulls", 1L,
+      Seq((2000L, null.asInstanceOf[String], 9L)).toDF("k", "st", "c"))
+    val got = spark.read.format("graft-txtable").option("root", root).load()
+      .filter(col("k") === 2000L).collect()
+    assert(got.length === 1)
+    assert(got(0).isNullAt(1) && got(0).getLong(2) === 9L)
+  }
+
   test("delete: copy-on-write removal rewrites only touched files") {
     import spark.implicits._
     val root = freshTable("txspec_del")
