@@ -27,6 +27,65 @@ object SourceQueries extends QueryPack {
   private def tmp(dir: String, name: String): String =
     graft.sources.Staging.dir(dir, name)
 
+  /** Shared q341/q349 lifecycle: create from the aggregated orders
+    * projection (v1), MERGE status-X updates + negative-key inserts
+    * (v2), DELETE k % 53 (v3). Each query builds its own table (the
+    * roots are per-query so Verify/Bench runs stay independent); this
+    * builder keeps the two scenarios — and their shared oracle CTEs —
+    * from drifting apart.
+    */
+  private def buildCdcLifecycle(s: org.apache.spark.sql.SparkSession,
+                                dir: String, name: String): String = {
+    import graft.sources.TxTable
+    val root = tmp(dir, name)
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("c"))
+      .groupBy("k")
+      .agg(min("st").as("st"), sum("c").as("c"))
+    TxTable.create(base, root, nBuckets = 8)
+    val updates = base.filter(col("k") % 97 === 0)
+      .select(col("k"), lit("X").as("st"), (col("c") + 1L).as("c"))
+    val inserts = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+      .select((lit(-1L) - col("o_custkey")).as("k"),
+        lit("N").as("st"), (col("o_custkey") * 100L).as("c"))
+    TxTable.merge(s, root, updates.unionAll(inserts)) // v2
+    TxTable.delete(s, root,
+      TxTable.snapshot(s, root).filter(col("k") % 53 === 0).select("k")) // v3
+    root
+  }
+
+  /** The q341/q349 lifecycle's three logical states, relationally. */
+  private def q341States: String =
+    """base AS (SELECT o_orderkey AS k, min(o_orderstatus) AS st,
+      |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1),
+      |upd AS (SELECT k, 'X' AS st, c + 1 AS c FROM base WHERE k % 97 = 0),
+      |ins AS (SELECT -1 - o_custkey AS k, 'N' AS st,
+      |    CAST(o_custkey*100 AS BIGINT) AS c
+      |  FROM (SELECT DISTINCT o_custkey FROM orders)),
+      |v2 AS (SELECT * FROM base WHERE k % 97 <> 0
+      |  UNION ALL SELECT * FROM upd
+      |  UNION ALL SELECT * FROM ins),
+      |v3 AS (SELECT * FROM v2 WHERE k % 53 <> 0)""".stripMargin
+
+  /** CDF classification of state `a` → state `b`: insert / delete /
+    * the update_pre+update_post image pair (mirrors
+    * [[graft.sources.TxTable.changeFeed]]).
+    */
+  private def cdfClassSql(a: String, b: String): String =
+    s"""SELECT 'insert' AS change_type, x.k, x.c FROM $b x
+       |  WHERE x.k NOT IN (SELECT k FROM $a)
+       |UNION ALL
+       |SELECT 'delete', x.k, x.c FROM $a x
+       |  WHERE x.k NOT IN (SELECT k FROM $b)
+       |UNION ALL
+       |SELECT 'update_pre', p.k, p.c FROM $a p JOIN $b q ON p.k = q.k
+       |  WHERE p.st <> q.st OR p.c <> q.c
+       |UNION ALL
+       |SELECT 'update_post', q.k, q.c FROM $a p JOIN $b q ON p.k = q.k
+       |  WHERE p.st <> q.st OR p.c <> q.c""".stripMargin
+
   // q89's bucketed tables materialize lazily, once per live (session, dir):
   // plan-inspection tools (graft.Explain, PlanSpec) and bench re-runs build
   // the DataFrame without re-triggering the CTAS write jobs each time —
@@ -603,22 +662,7 @@ object SourceQueries extends QueryPack {
     // the surface stays scale-invariant.
     "q341_tx_change_feed" -> ((s, dir) => {
       import graft.sources.TxTable
-      val root = tmp(dir, "txtable_q341")
-      val base = Tables.orders(s, dir)
-        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
-          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("c"))
-        .groupBy("k")
-        .agg(min("st").as("st"), sum("c").as("c"))
-      TxTable.create(base, root, nBuckets = 8)
-      val updates = base.filter(col("k") % 97 === 0)
-        .select(col("k"), lit("X").as("st"), (col("c") + 1L).as("c"))
-      val inserts = Tables.orders(s, dir).select(col("o_custkey")).distinct()
-        .select((lit(-1L) - col("o_custkey")).as("k"),
-          lit("N").as("st"), (col("o_custkey") * 100L).as("c"))
-      TxTable.merge(s, root, updates.unionAll(inserts)) // v2
-      TxTable.delete(s, root,
-        TxTable.snapshot(s, root).filter(col("k") % 53 === 0)
-          .select("k")) // v3
+      val root = buildCdcLifecycle(s, dir, "txtable_q341")
       def agg(fromV: Int, toV: Int) =
         TxTable.changeFeed(s, root, fromV, toV)
           .groupBy("change_type")
@@ -627,6 +671,39 @@ object SourceQueries extends QueryPack {
           .select(lit(fromV.toLong).as("from_v"), lit(toV.toLong).as("to_v"),
             col("change_type"), col("n"), col("sum_k"), col("sum_c"))
       agg(1, 2).unionAll(agg(2, 3)).orderBy("from_v", "change_type")
+    }),
+
+    // INCREMENTAL VIEW MAINTENANCE driven by the change feed — the
+    // consumer the CDF pre-images exist for (q297 maintains a join
+    // delta relationally; this maintains an aggregate from the
+    // TABLE'S OWN history): a per-status aggregate computed at v1 is
+    // brought to the latest version by ADDING insert/update_post feed
+    // rows and SUBTRACTING delete/update_pre rows — never rescanning
+    // the base snapshot. The oracle recomputes the final state's
+    // aggregate DIRECTLY, so engine=oracle equality proves both the
+    // IVM algebra and the feed's pre-images (a post-only feed cannot
+    // retract the old contribution and would hash-fail here). At
+    // 100 TB the maintained path reads v1's aggregate (group-bounded)
+    // plus the touched files of the window — never the full table
+    // twice.
+    "q349_tx_ivm_cdf" -> ((s, dir) => {
+      import graft.sources.TxTable
+      val root = buildCdcLifecycle(s, dir, "txtable_q349")
+      val agg1 = TxTable.snapshot(s, root, 1).groupBy("st")
+        .agg(count(lit(1)).as("n_rows"), sum("c").as("sum_c"))
+      val delta = TxTable
+        .changeFeed(s, root, 1, TxTable.latestVersion(s, root))
+        .select(col("st"),
+          when(col("change_type").isin("insert", "update_post"), 1L)
+            .otherwise(-1L).as("sgn"), col("c"))
+        .groupBy("st")
+        .agg(sum(col("sgn")).as("n_rows"),
+          sum(col("sgn") * col("c")).as("sum_c"))
+      agg1.unionByName(delta)
+        .groupBy("st")
+        .agg(sum("n_rows").as("n_rows"), sum("sum_c").as("sum_c"))
+        .filter(col("n_rows") > 0) // a fully-retracted group vanishes
+        .orderBy("st")
     }),
 
     // SCHEMA EVOLUTION inside the transactional format (q171 covers
@@ -926,46 +1003,33 @@ object SourceQueries extends QueryPack {
         |FROM silver""".stripMargin,
 
     // q341: the three logical states recomputed relationally, each
-    // window classified by a full-outer key join — the same
-    // classification the engine derives from the COW file diff, so
-    // their equality IS the COW invariant (untouched files hold no
-    // changed row).
+    // window classified by key joins — the same classification the
+    // engine derives from the COW file diff, so their equality IS the
+    // COW invariant (untouched files hold no changed row). Updates
+    // emit BOTH images (the Delta CDF pair).
     "q341_tx_change_feed" ->
-      """WITH base AS (SELECT o_orderkey AS k, min(o_orderstatus) AS st,
-        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS c
-        |  FROM orders GROUP BY 1),
-        |upd AS (SELECT k, 'X' AS st, c + 1 AS c FROM base WHERE k % 97 = 0),
-        |ins AS (SELECT -1 - o_custkey AS k, 'N' AS st,
-        |    CAST(o_custkey*100 AS BIGINT) AS c
-        |  FROM (SELECT DISTINCT o_custkey FROM orders)),
-        |v2 AS (SELECT * FROM base WHERE k % 97 <> 0
-        |  UNION ALL SELECT * FROM upd
-        |  UNION ALL SELECT * FROM ins),
-        |v3 AS (SELECT * FROM v2 WHERE k % 53 <> 0),
-        |c12 AS (SELECT
-        |    CASE WHEN a.k IS NULL THEN 'insert'
-        |         WHEN b.k IS NULL THEN 'delete'
-        |         WHEN a.st = b.st AND a.c = b.c THEN 'unchanged'
-        |         ELSE 'update_post' END AS change_type,
-        |    coalesce(b.k, a.k) AS k, coalesce(b.c, a.c) AS c
-        |  FROM base a FULL JOIN v2 b ON a.k = b.k),
-        |c23 AS (SELECT
-        |    CASE WHEN a.k IS NULL THEN 'insert'
-        |         WHEN b.k IS NULL THEN 'delete'
-        |         WHEN a.st = b.st AND a.c = b.c THEN 'unchanged'
-        |         ELSE 'update_post' END AS change_type,
-        |    coalesce(b.k, a.k) AS k, coalesce(b.c, a.c) AS c
-        |  FROM v2 a FULL JOIN v3 b ON a.k = b.k)
-        |SELECT CAST(1 AS BIGINT) AS from_v, CAST(2 AS BIGINT) AS to_v,
-        |  change_type, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(k) AS BIGINT) AS sum_k, CAST(sum(c) AS BIGINT) AS sum_c
-        |FROM c12 WHERE change_type <> 'unchanged' GROUP BY change_type
-        |UNION ALL
-        |SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT), change_type,
-        |  CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT),
-        |  CAST(sum(c) AS BIGINT)
-        |FROM c23 WHERE change_type <> 'unchanged' GROUP BY change_type
-        |ORDER BY from_v, change_type""".stripMargin,
+      s"""WITH $q341States,
+         |c12 AS (${cdfClassSql("base", "v2")}),
+         |c23 AS (${cdfClassSql("v2", "v3")})
+         |SELECT CAST(1 AS BIGINT) AS from_v, CAST(2 AS BIGINT) AS to_v,
+         |  change_type, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(k) AS BIGINT) AS sum_k, CAST(sum(c) AS BIGINT) AS sum_c
+         |FROM c12 GROUP BY change_type
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), CAST(3 AS BIGINT), change_type,
+         |  CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT),
+         |  CAST(sum(c) AS BIGINT)
+         |FROM c23 GROUP BY change_type
+         |ORDER BY from_v, change_type""".stripMargin,
+
+    // q349: the maintained aggregate must equal the direct recompute
+    // of the final state — which is all the oracle computes; the
+    // ENGINE side took the incremental path through the feed.
+    "q349_tx_ivm_cdf" ->
+      s"""WITH $q341States
+         |SELECT st, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(c) AS BIGINT) AS sum_c
+         |FROM v3 GROUP BY st ORDER BY st""".stripMargin,
 
     // q342: generation-1 rows fold to 'legacy', generation-2 rows
     // carry their own tag — the additive-widening contract.

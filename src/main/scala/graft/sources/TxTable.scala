@@ -401,9 +401,17 @@ object TxTable {
     * was rewritten). So the feed reads ONLY touched files — at 100 TB
     * a narrow merge's feed scans two buckets, never two snapshots —
     * and a full-outer key join classifies: new-side-only = insert,
-    * old-side-only = delete, both-with-different-payload =
-    * update_post (the post-image), both-identical = a carried-over
-    * row inside a rewritten file, filtered out.
+    * old-side-only = delete, both-identical = a carried-over row
+    * inside a rewritten file (filtered out), and
+    * both-with-different-payload emits TWO rows — `update_pre` (the
+    * pre-image) and `update_post` (the post-image), the Delta CDF
+    * pair. Pre-images are what make the feed ALGEBRAIC: a downstream
+    * aggregate is maintained by adding insert/update_post rows and
+    * subtracting delete/update_pre rows (incremental view
+    * maintenance, q349) — a post-only feed cannot retract the old
+    * contribution. The pair is emitted by exploding a per-match
+    * 1-or-2-element array, so classification stays a single pass over
+    * the join (no second scan, no checkpoint).
     */
   def changeFeed(s: SparkSession, root: String,
                  vFrom: Int, vTo: Int): DataFrame = {
@@ -420,17 +428,22 @@ object TxTable {
       col("k").as("ok"), col("st").as("ost"), col("c").as("oc"))
     val n = rd((after -- before).toSeq.sorted).select(
       col("k").as("nk"), col("st").as("nst"), col("c").as("nc"))
+    def ev(ct: String, k: org.apache.spark.sql.Column,
+           st: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      struct(lit(ct).as("change_type"), k.as("k"), st.as("st"), c.as("c"))
     o.join(n, col("ok") === col("nk"), "full_outer")
-      .select(
-        when(col("ok").isNull, lit("insert"))
-          .when(col("nk").isNull, lit("delete"))
-          .when(col("ost") <=> col("nst") && col("oc") <=> col("nc"),
-            lit("unchanged"))
-          .otherwise(lit("update_post")).as("change_type"),
-        coalesce(col("nk"), col("ok")).as("k"),
-        coalesce(col("nst"), col("ost")).as("st"),
-        coalesce(col("nc"), col("oc")).as("c"))
-      .filter(col("change_type") =!= "unchanged")
+      .select(explode(
+        when(col("ok").isNull,
+          array(ev("insert", col("nk"), col("nst"), col("nc"))))
+        .when(col("nk").isNull,
+          array(ev("delete", col("ok"), col("ost"), col("oc"))))
+        .when(col("ost") <=> col("nst") && col("oc") <=> col("nc"),
+          array().cast(
+            "array<struct<change_type:string,k:bigint,st:string,c:bigint>>"))
+        .otherwise(array(
+          ev("update_pre", col("ok"), col("ost"), col("oc")),
+          ev("update_post", col("nk"), col("nst"), col("nc"))))).as("e"))
+      .select(col("e.change_type"), col("e.k"), col("e.st"), col("e.c"))
   }
 
   /** Idempotent streaming append: commit `df` as new files keyed by

@@ -346,19 +346,22 @@ class TxTableSpec extends SparkSpec {
     TxTable.delete(spark, root, Seq(20L).toDF("k"))                 // v3
     def feed(a: Int, b: Int) = TxTable.changeFeed(spark, root, a, b)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    // v1→v2: the update's post-image and the insert — and NOTHING
-    // else, although the rewritten bucket 0 carried 99 other rows.
-    assert(feed(1, 2) === Set(("update_post", 10L), ("insert", 900L)))
+    // v1→v2: the update's pre+post image PAIR and the insert — and
+    // NOTHING else, although the rewritten bucket carried 99 rows.
+    assert(feed(1, 2) === Set(("update_pre", 10L), ("update_post", 10L),
+      ("insert", 900L)))
     // v2→v3: just the delete.
     assert(feed(2, 3) === Set(("delete", 20L)))
-    // v1→v3 composes: update + insert + delete, each exactly once.
-    assert(feed(1, 3) ===
-      Set(("update_post", 10L), ("insert", 900L), ("delete", 20L)))
-    // Post-image payloads ride along on updates/inserts.
-    val post = TxTable.changeFeed(spark, root, 1, 2)
-      .filter(col("change_type") === "update_post").collect()(0)
-    assert(post.getLong(1) === 10L && post.getString(2) === "X"
-      && post.getLong(3) === 999L)
+    // v1→v3 composes: update pair + insert + delete, each once.
+    assert(feed(1, 3) === Set(("update_pre", 10L), ("update_post", 10L),
+      ("insert", 900L), ("delete", 20L)))
+    // The image pair carries OLD values on pre, NEW values on post —
+    // what lets a downstream aggregate retract and re-add (q349).
+    val images = TxTable.changeFeed(spark, root, 1, 2)
+      .filter(col("k") === 10L).collect()
+      .map(r => r.getString(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(images("update_pre") === ("A", 100L))
+    assert(images("update_post") === ("X", 999L))
     // The pruning claim: the feed reads strictly fewer parquet files
     // than one full snapshot — it scans the COW file diff, never two
     // snapshots (here: 2 touched buckets vs 8 + 8).
