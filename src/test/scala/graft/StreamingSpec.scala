@@ -576,7 +576,8 @@ class StreamingSpec extends SparkSpec {
       "resume must deliver exactly the post-drain commit, once")
   }
 
-  test("txtable streaming source: change commits fail by default, skip with the option") {
+  test("txtable streaming source: snapshot bootstrap by default; explicit " +
+       "tailing fails on change commits, skips with the option") {
     import spark.implicits._
     import graft.sources.TxTable
     val root = graft.sources.Staging.dir(sfDir, "txsrc_change")
@@ -588,17 +589,30 @@ class StreamingSpec extends SparkSpec {
       Seq((5L, "X", 0L)).toDF("k", "st", "c")) // v2: a CHANGE commit
     TxTable.appendBatch(spark, root, "chg", 1L,
       Seq((900L, "N", 1L)).toDF("k", "st", "c")) // v3: a plain append
-    // Default: the change commit poisons the stream — fail, loudly.
+    // DEFAULT = SNAPSHOT BOOTSTRAP (the Delta initial-snapshot
+    // semantics, round-14 ADVICE): a history containing a change
+    // commit streams fine — the first batch serves the CURRENT live
+    // snapshot (merge applied, nothing double-delivered), then tails.
+    val ckptBoot = java.nio.file.Files.createTempDirectory("graft_txsrcb_").toString
+    val boot = drainTxSource(root, ckptBoot)
+    val snapNow = TxTable.snapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(boot.map(t => (t._1, t._2, t._3)).toSet === snapNow,
+      "snapshot bootstrap must deliver exactly the live snapshot")
+    assert(boot.exists(t => t._1 == 5L && t._2 == "X"),
+      "the merged row must carry its POST-merge payload")
+    // EXPLICIT TAILING from v1: the change commit poisons the stream —
+    // fail, loudly (replaying it as inserts would double-deliver).
     val ckptFail = java.nio.file.Files.createTempDirectory("graft_txsrcf_").toString
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      drainTxSource(root, ckptFail)
+      drainTxSource(root, ckptFail, Map("startingVersion" -> "1"))
     }
     assert(e.getCause.getMessage.contains("CHANGE commit"),
       s"unexpected failure: ${e.getCause}")
     // skipChangeCommits=true: v2 is skipped, v1 and v3 still deliver.
     val ckptSkip = java.nio.file.Files.createTempDirectory("graft_txsrcs_").toString
     val got = drainTxSource(root, ckptSkip,
-      Map("skipChangeCommits" -> "true"))
+      Map("startingVersion" -> "1", "skipChangeCommits" -> "true"))
     assert(got.map(_._4).distinct.sorted === Seq(1L, 3L),
       "version 2 (the merge) must be skipped, not delivered")
     assert(got.map(_._1).toSet === (0L until 40L).toSet + 900L)
@@ -607,5 +621,45 @@ class StreamingSpec extends SparkSpec {
     val tail = drainTxSource(root, ckptSv,
       Map("startingVersion" -> "3"))
     assert(tail.map(t => (t._1, t._4)).toSet === Set((900L, 3L)))
+  }
+
+  test("txtable streaming source: maxFilesPerTrigger drains a backlog " +
+       "across batches, exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.TxTable
+    val root = graft.sources.Staging.dir(sfDir, "txsrc_admission")
+    TxTable.create(
+      spark.range(0, 20).select(col("id").as("k"), lit("A").as("st"),
+        (col("id") * 2).as("c")),
+      root, nBuckets = 2)
+    // A 4-commit backlog of single-file appends on top of the create.
+    (1 to 4).foreach { i =>
+      TxTable.appendBatch(spark, root, "adm", i.toLong,
+        Seq((1000L + i, "B", i.toLong)).toDF("k", "st", "c"))
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_txadm_").toString
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var nBatches = 0
+    spark.readStream.format("graft-txtable").option("root", root)
+      .option("startingVersion", "2") // tail the 4 appends only
+      .option("maxFilesPerTrigger", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.select("k", "commit_version").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        buf.synchronized { buf ++= rows; if (rows.nonEmpty) nBatches += 1; () }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination(120000)
+    // Each append added ONE file, so the 1-file budget admits one
+    // commit per batch: the backlog must drain across 4 batches —
+    // and still deliver every row exactly once.
+    assert(nBatches === 4,
+      s"a 4-commit backlog at maxFilesPerTrigger=1 must take 4 batches, took $nBatches")
+    assert(buf.toSet === (1 to 4).map(i => (1000L + i, (i + 1).toLong)).toSet,
+      "admission control must not lose or duplicate rows")
   }
 }

@@ -398,6 +398,203 @@ class TxTableSpec extends SparkSpec {
       .distinct().collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("mergeInto: a duplicate-key delta is rejected (SQL MERGE cardinality rule)") {
+    import spark.implicits._
+    val root = freshTable("txspec_dupkey")
+    val dupDelta = Seq((10L, "X", 1L), (10L, "Y", 2L), (11L, "Z", 3L))
+      .toDF("k", "st", "c")
+    val e = intercept[IllegalArgumentException] {
+      TxTable.merge(spark, root, dupDelta)
+    }
+    assert(e.getMessage.contains("multiple rows"),
+      s"unexpected message: ${e.getMessage}")
+    // Nothing committed: the table is untouched.
+    assert(TxTable.latestVersion(spark, root) === 1)
+    assert(TxTable.snapshot(spark, root).count() === 800)
+  }
+
+  test("mergeInto: UPDATE can set a column to NULL (delta wins outright)") {
+    import spark.implicits._
+    val root = freshTable("txspec_nullset")
+    // SQL MERGE 'UPDATE SET st = NULL': the delta's NULL must WIN over
+    // the base value — per-column coalesce would silently keep 'A'.
+    TxTable.merge(spark, root,
+      Seq((10L, null.asInstanceOf[String], 77L)).toDF("k", "st", "c"))
+    val row = TxTable.snapshot(spark, root)
+      .filter(col("k") === 10L).collect()(0)
+    assert(row.isNullAt(1), "the delta's NULL st must overwrite the base value")
+    assert(row.getLong(2) === 77L)
+  }
+
+  test("generic schema: a differently-shaped table runs the full lifecycle, " +
+       "schema and key from the log") {
+    import spark.implicits._
+    val root = graft.sources.Staging.dir(sfDir, "txspec_generic")
+    // (sk BIGINT key, name STRING, nk INT, bal BIGINT) — nothing named
+    // k/st/c anywhere.
+    val base = spark.range(0, 300).select(col("id").as("sk"),
+      concat(lit("n"), col("id")).as("name"),
+      (col("id") % 7).cast("int").as("nk"), (col("id") * 100).as("bal"))
+    TxTable.create(base, root, nBuckets = 4, key = "sk")
+    val m = TxTable.tableMeta(spark, root)
+    assert(m.key === "sk")
+    assert(m.schema.fieldNames.toSeq === Seq("sk", "name", "nk", "bal"))
+    // MERGE INTO keyed on sk: update, delete, insert in one commit.
+    val delta = Seq(
+      (5L, "upd", 1, 999L),     // matched → update
+      (6L, "DEL", 0, 0L),       // matched → delete
+      (900L, "ins", 2, 111L))   // unmatched → insert
+      .toDF("sk", "name", "nk", "bal")
+    val (rw, co) = TxTable.mergeInto(spark, root, delta,
+      deleteWhen = col("name") === "DEL")
+    assert(rw >= 1 && rw + co === 4)
+    val v2 = TxTable.snapshot(spark, root)
+    assert(v2.columns.toSeq === Seq("sk", "name", "nk", "bal"))
+    assert(v2.count() === 300, "300 - 1 delete + 1 insert")
+    assert(v2.filter(col("sk") === 5L).collect()(0).getString(1) === "upd")
+    assert(v2.filter(col("sk") === 6L).count() === 0)
+    assert(v2.filter(col("sk") === 900L).count() === 1)
+    // Copy-on-write DELETE keyed on sk.
+    TxTable.delete(spark, root, Seq(7L, 8L).toDF("sk"))
+    assert(TxTable.snapshot(spark, root).count() === 298)
+    // Change feed classifies on the generic key + payload columns.
+    val feed = TxTable.changeFeed(spark, root, 1, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(feed === Set(("update_pre", 5L), ("update_post", 5L),
+      ("delete", 6L), ("insert", 900L)))
+    // The connector derives its schema + row materializer from the
+    // log: generic columns (incl. the INT) round-trip, with
+    // commit_version appended.
+    val conn = spark.read.format("graft-txtable").option("root", root).load()
+    assert(conn.columns.toSeq === Seq("sk", "name", "nk", "bal", "commit_version"))
+    val got = conn.filter(col("sk") === 900L).collect()(0)
+    assert(got.getLong(0) === 900L && got.getString(1) === "ins" &&
+      got.getInt(2) === 2 && got.getLong(3) === 111L)
+    // Widening append: the new column lands in the LOG's schema and
+    // pre-widening rows NULL-backfill — through snapshot AND connector.
+    TxTable.appendBatch(spark, root, "gen", 1L,
+      Seq((2000L, "g2", 3, 5L, "extra")).toDF("sk", "name", "nk", "bal", "tag"))
+    assert(TxTable.tableMeta(spark, root).schema.fieldNames.toSeq ===
+      Seq("sk", "name", "nk", "bal", "tag"))
+    val snap = TxTable.snapshot(spark, root)
+    assert(snap.columns.toSeq === Seq("sk", "name", "nk", "bal", "tag"))
+    assert(snap.filter(col("tag").isNull).count() === 298)
+    // Time travel serves the PRE-widening schema from the log.
+    assert(TxTable.snapshot(spark, root, 2).columns.toSeq ===
+      Seq("sk", "name", "nk", "bal"))
+    val connWide = spark.read.format("graft-txtable").option("root", root).load()
+    assert(connWide.columns.contains("tag"))
+    assert(connWide.filter(col("sk") === 2000L).collect()(0)
+      .getAs[String]("tag") === "extra")
+    assert(connWide.filter(col("sk") === 5L).collect()(0).isNullAt(4),
+      "pre-widening rows must NULL-backfill through the connector reader")
+  }
+
+  test("connector data skipping: a point read plans only the matching bucket's files") {
+    import spark.implicits._
+    val root = freshTable("txspec_skip") // 8 buckets of 100 keys
+    def rd() = spark.read.format("graft-txtable").option("root", root).load()
+    val fullParts = rd().rdd.getNumPartitions
+    assert(fullParts >= 8, s"full scan should plan all 8 buckets, got $fullParts")
+    // Point lookup: the key-range pushdown prunes against the log's
+    // per-file [min,max] — exactly one bucket's part files remain.
+    val pointParts = rd().filter(col("k") === 250L).rdd.getNumPartitions
+    assert(pointParts === fullParts / 8,
+      s"a point read must plan 1 of 8 buckets: $pointParts vs $fullParts")
+    // Range spanning three buckets ([100,199],[200,299],[300,399])
+    // prunes to exactly those three.
+    val rangeParts = rd().filter(col("k") >= 150L && col("k") < 350L)
+      .rdd.getNumPartitions
+    assert(rangeParts === 3 * (fullParts / 8),
+      s"the range must plan 3 of 8 buckets, got $rangeParts")
+    // And the skipped plan still returns exact rows.
+    assert(rd().filter(col("k") === 250L).count() === 1)
+    assert(rd().filter(col("k") >= 150L && col("k") < 350L).count() === 200)
+  }
+
+  test("optimizeZorder: snapshot bit-identical, box pruning beats key-only layout") {
+    import spark.implicits._
+    val root = graft.sources.Staging.dir(sfDir, "txspec_zorder")
+    // c is DELIBERATELY key-uncorrelated (bit-reversed id): under the
+    // key-range layout every file spans ~the full c domain.
+    val base = spark.range(0, 4096).select(col("id").as("k"), lit("A").as("st"),
+      expr("CAST(conv(reverse(lpad(conv(id, 10, 2), 12, '0')), 2, 10) AS BIGINT)")
+        .as("c"))
+    TxTable.create(base, root, nBuckets = 8, stats2 = Some("c"))
+    val before = TxTable.snapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // Box: full key range × lowest quarter of c.
+    def boxFiles() = TxTable.filesOverlapping(spark, root, 0L, 4095L, 0L, 1023L)
+    val preBox = boxFiles()
+    assert(preBox === 8, "key-clustered files all span the full c domain")
+    val (removed, produced) = TxTable.optimizeZorder(spark, root, "c", nFiles = 8)
+    assert(removed === 8 && produced >= 4)
+    val after = TxTable.snapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(after === before, "OPTIMIZE ZORDER is pure layout — data identical")
+    val postBox = boxFiles()
+    assert(postBox < preBox,
+      s"z-order must prune the c-box: $postBox vs $preBox files")
+    // The pre-zorder version still time-travels.
+    assert(TxTable.snapshot(spark, root, 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet === before)
+  }
+
+  test("optimistic concurrency stress: N writers × random op mix all land, " +
+       "final state = serial result, vacuum clears loser debris") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = freshTable("txspec_occ_stress")
+    // 6 writers, op type drawn from a SEEDED rng, each on a disjoint
+    // key range — so the serial result is order-independent and the
+    // final state is checkable whatever interleaving the OCC race
+    // produced. Ops: merge (upsert st=W<i>), delete (2 keys), append
+    // (2 fresh rows).
+    val rng = new scala.util.Random(42)
+    val ops = (0 until 6).map(i => (i, rng.nextInt(3)))
+    val futures = ops.map { case (i, op) =>
+      Future {
+        val lo = i * 100L // writer i owns keys [100i, 100i+99]
+        op match {
+          case 0 => TxTable.merge(spark, root,
+            Seq((lo + 1, s"W$i", lo), (lo + 2, s"W$i", lo)).toDF("k", "st", "c"))
+          case 1 => TxTable.delete(spark, root,
+            Seq(lo + 10, lo + 11).toDF("k"))
+          case 2 => TxTable.appendBatch(spark, root, s"stress$i", 1L,
+            Seq((10000L + i * 10, s"N$i", 1L), (10001L + i * 10, s"N$i", 2L))
+              .toDF("k", "st", "c"))
+        }
+      }
+    }
+    futures.foreach(f => Await.result(f, 300.seconds))
+    // Every writer must have landed: 1 create + 6 commits.
+    assert(TxTable.latestVersion(spark, root) === 7,
+      "all 6 concurrent writers must commit (OCC retry, no lost commit)")
+    // Serial-equivalent expected state (disjoint ranges commute, so
+    // ANY landed order yields the same final table).
+    var exp = (0L until 800L).map(k => k -> (("A", k * 10))).toMap
+    ops.foreach { case (i, op) =>
+      val lo = i * 100L
+      op match {
+        case 0 => exp = exp + ((lo + 1) -> ((s"W$i", lo))) + ((lo + 2) -> ((s"W$i", lo)))
+        case 1 => exp = exp - (lo + 10) - (lo + 11)
+        case 2 => exp = exp + ((10000L + i * 10) -> ((s"N$i", 1L))) +
+          ((10001L + i * 10) -> ((s"N$i", 2L)))
+      }
+    }
+    val got = TxTable.snapshot(spark, root).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got === exp, "final state must equal the serial application")
+    // Losing-attempt debris (orphaned parquet from retried writers) is
+    // collectable; retained snapshots replay bit-identically after.
+    TxTable.vacuum(spark, root, retainVersions = 7)
+    val got2 = TxTable.snapshot(spark, root).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got2 === exp, "vacuum must not touch any retained snapshot's files")
+  }
+
   test("schema evolution: a widened append reads back with NULL backfill") {
     import spark.implicits._
     val root = freshTable("txspec_evo")
