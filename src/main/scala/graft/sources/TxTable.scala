@@ -68,13 +68,27 @@ import org.apache.spark.sql.types.{LongType, StructType}
   *    the live set on the Morton interleave of (key, dim2) and records
   *    BOTH dimensions' min/max per file, so a box predicate prunes
   *    files on either axis (Delta's OPTIMIZE ZORDER).
+  *  - **RESTORE.** [[restore]] rolls the table back to an earlier
+  *    version AS A NEW COMMIT — append-only history, metadata-only
+  *    cost (re-add the target's entries, remove the rest, re-declare
+  *    its schema and deletion-vector state). Log replay is SEQUENTIAL
+  *    in version order, so a re-added path is live again (the Delta
+  *    replay semantics restore depends on).
+  *  - **Merge-on-read DELETE.** [[deleteMor]] attaches a KB-scale
+  *    deletion-vector sidecar (the deleted KEYS) per touched file
+  *    instead of rewriting it (Delta's deletionVectors feature);
+  *    [[snapshot]] subtracts live vectors with one broadcast
+  *    anti-join, COW ops materialize the vectors of files they
+  *    rewrite, [[optimize]] repays all remaining debt, and readers
+  *    that cannot subtract vectors (the file-verbatim connector)
+  *    refuse loudly — the Delta reader-feature protocol rule.
   *
   * The log is driver-side metadata (KBs per thousand commits — exactly
   * the Delta regime); data reads stay fully distributed parquet scans.
   *
   * **Key-column contract**: the declared key column must be a
-  * non-null BIGINT and, for [[merge]]/[[mergeInto]]/[[changeFeed]]
-  * consumers, unique per row — [[mergeInto]] REJECTS a delta carrying
+  * non-null BIGINT and, for [[merge]]/[[mergeInto]]/[[deleteMor]]/
+  * [[changeFeed]] consumers, unique per row — [[mergeInto]] REJECTS a delta carrying
   * duplicate keys (the SQL MERGE cardinality rule), and [[appendBatch]]
   * does not enforce uniqueness (a fact-append table), so tables fed by
   * raw appends should be keyed accordingly before using the
@@ -103,16 +117,27 @@ object TxTable {
         .asInstanceOf[StructType]
   }
 
+  /** Merge-on-read DELETION VECTOR attachment (Delta's deletionVectors
+    * table feature): `path` holds the DELETED KEYS for `file` — a tiny
+    * parquet of the single key column, the key-domain equivalent of
+    * Delta's row-index roaring bitmap (exact under the key-uniqueness
+    * contract) — SUPERSEDING any earlier vector for the same file. A
+    * file that is removed or re-added sheds its vector.
+    */
+  case class DvEntry(file: String, path: String, n: Long)
+
   /** `txnApp`/`batchId` identify an idempotent streaming append: the
     * pair (writer identity, micro-batch id), because batchIds restart
     * from 0 for every fresh checkpoint — batchId alone would make two
     * DIFFERENT sinks' batch 0 collide (the Delta txnAppId/txnVersion
     * pair, verbatim). `meta`, when present, (re)declares the table
-    * metadata from this version on (create / schema widening).
+    * metadata from this version on (create / schema widening). `dv`
+    * entries attach merge-on-read deletion vectors to live files.
     */
   case class Commit(version: Int, add: Seq[FileEntry], remove: Seq[String],
                     txnApp: Option[String] = None, batchId: Option[Long] = None,
-                    meta: Option[TableMeta] = None)
+                    meta: Option[TableMeta] = None,
+                    dv: Seq[DvEntry] = Seq.empty)
 
   /** Thrown by [[tryCommit]] when the target version already exists —
     * the optimistic-concurrency conflict signal. Writers catch it,
@@ -169,7 +194,12 @@ object TxTable {
           m.stats2.map(s2 => s""","metaStats2":${q(s2)}""").getOrElse("")
       case None => ""
     }
-    val json = s"""{"version":${c.version},"add":$adds,"remove":$rms$txn$met}"""
+    val dvs =
+      if (c.dv.isEmpty) ""
+      else c.dv.map(d =>
+        s"""{"file":${q(d.file)},"path":${q(d.path)},"n":${d.n}}""")
+        .mkString(""","dv":[""", ",", "]")
+    val json = s"""{"version":${c.version},"add":$adds,"remove":$rms$txn$met$dvs}"""
     val dir = java.nio.file.Paths.get(logDir(root))
     java.nio.file.Files.createDirectories(dir)
     val tmp = dir.resolve(s".${c.version}-${java.util.UUID.randomUUID()}.tmp")
@@ -240,8 +270,13 @@ object TxTable {
       val meta = optStr(r, "metaSchema").map(sj =>
         TableMeta(sj, optStr(r, "metaKey").getOrElse("k"),
           optStr(r, "metaStats2")))
+      val dvs =
+        if (!cols("dv") || r.isNullAt(r.fieldIndex("dv"))) Seq.empty[DvEntry]
+        else r.getAs[scala.collection.Seq[Row]]("dv")
+          .map(d => DvEntry(d.getAs[String]("file"), d.getAs[String]("path"),
+            d.getAs[Long]("n"))).toSeq
       Commit(r.getAs[Long]("version").toInt, adds, rms,
-        optStr(r, "txnApp"), bid, meta)
+        optStr(r, "txnApp"), bid, meta, dvs)
     }.sortBy(_.version)
   }
 
@@ -290,8 +325,53 @@ object TxTable {
     val tailPaths = vs.filter(v => v <= version && v > ckpt.getOrElse(0))
       .map(v => s"${logDir(root)}/$v.json")
     val cs = parseCommits(s, basePaths ++ tailPaths)
-    val removed = cs.flatMap(_.remove).toSet
-    cs.flatMap(_.add).filterNot(f => removed(f.file))
+    // SEQUENTIAL replay in version order — NOT a global adds-minus-
+    // removes set difference: a path removed at v_i and re-added at
+    // v_j > v_i (RESTORE's whole mechanism, which re-adds the target
+    // version's entries verbatim) is live again, exactly Delta's
+    // log-replay semantics. The global-difference shortcut was
+    // equivalent only while no operation ever re-added a removed path.
+    val live = scala.collection.mutable.LinkedHashMap[String, FileEntry]()
+    cs.sortBy(_.version).foreach { c =>
+      c.add.foreach(f => live(f.file) = f)
+      c.remove.foreach(live -= _)
+    }
+    live.values.toSeq
+  }
+
+  /** The merge-on-read deletion vectors in force at `version`: file →
+    * newest [[DvEntry]], dropped when the file is removed or
+    * rewritten (a COW rewrite already materialized the deletions, so
+    * its fresh file starts vector-free). Raw-log replay like
+    * [[tableMetaOpt]] — vectors are KBs of driver metadata and must
+    * survive checkpointing, which summarizes only the file list.
+    */
+  def liveDvs(s: SparkSession, root: String,
+              version: Int = Int.MaxValue): Map[String, DvEntry] = {
+    val live = scala.collection.mutable.LinkedHashMap[String, DvEntry]()
+    commits(s, root, version).foreach { c =>
+      c.remove.foreach(live -= _)
+      c.add.foreach(f => live -= f.file)
+      c.dv.foreach(d => live(d.file) = d)
+    }
+    val lf = liveFiles(s, root, version).map(_.file).toSet
+    live.filter { case (f, _) => lf(f) }.toMap
+  }
+
+  /** Apply the deletion vectors covering `files` (if any) to a frame
+    * read from them: one anti-join against the union of their deleted
+    * keys — exact per-file semantics under the key-uniqueness
+    * contract that every keyed op ([[merge]]/[[deleteMor]]/
+    * [[changeFeed]]) already assumes. Zero plan change when no vector
+    * covers the set.
+    */
+  private def applyDvs(s: SparkSession, df: DataFrame, key: String,
+                       dvs: Map[String, DvEntry],
+                       files: Iterable[String]): DataFrame = {
+    val covering = files.flatMap(dvs.get).map(_.path).toSeq.sorted
+    if (covering.isEmpty) df
+    else df.join(s.read.parquet(covering: _*).select(col(key)),
+      Seq(key), "left_anti")
   }
 
   /** Latest committed version (0 = no table) — filename metadata only,
@@ -314,13 +394,20 @@ object TxTable {
                mergeSchema: Boolean = false): DataFrame = {
     val files = liveFiles(s, root, version)
     require(files.nonEmpty, s"TxTable at $root has no live files at v$version")
-    tableMetaOpt(s, root, version) match {
+    val base = tableMetaOpt(s, root, version) match {
       case Some(m) => s.read.schema(m.schema).parquet(files.map(_.file): _*)
       case None =>
         val r = s.read
         (if (mergeSchema) r.option("mergeSchema", "true") else r)
           .parquet(files.map(_.file): _*)
     }
+    // Merge-on-read: subtract the live deletion vectors (KB-scale
+    // sidecars, broadcast side of the anti-join). No-op plan when the
+    // table has none.
+    val dvs = liveDvs(s, root, version)
+    if (dvs.isEmpty) base
+    else applyDvs(s, base,
+      tableMeta(s, root, version).key, dvs, files.map(_.file))
   }
 
   /** After committing `v`, summarize the live state into
@@ -493,8 +580,11 @@ object TxTable {
           dd.filter(!col("__ddel"))
             .select(cols.map(c => col(s"__d_$c").as(c)): _*)
         else {
-          val base = s.read.schema(meta.schema)
-            .parquet(touched.map(_.file): _*)
+          // A touched file carrying a deletion vector materializes it
+          // here — the rewrite must not resurrect MOR-deleted rows.
+          val base = applyDvs(s, s.read.schema(meta.schema)
+              .parquet(touched.map(_.file): _*), key,
+              liveDvs(s, root), touched.map(_.file))
             .withColumn("__bm", lit(true))
           base.join(dd, col(key) === col(s"__d_$key"), "full_outer")
             // matched + delete-flagged rows drop here — atomically with
@@ -534,14 +624,70 @@ object TxTable {
       val hit = touchedFiles(s, d, key, live)
       val (touched, untouched) = live.partition(f => hit(f.file))
       if (touched.isEmpty) return (0, untouched.size)
-      val remaining = s.read.schema(meta.schema)
-        .parquet(touched.map(_.file): _*)
+      // Materialize any deletion vector on a touched file — the
+      // rewrite must not resurrect MOR-deleted rows.
+      val remaining = applyDvs(s, s.read.schema(meta.schema)
+          .parquet(touched.map(_.file): _*), key,
+          liveDvs(s, root), touched.map(_.file))
         .join(d, Seq(key), "left_anti")
       val entries = writeBucketed(remaining, root, v, touched.map(_.min).sorted, meta)
       try {
         tryCommit(root, Commit(v, entries, touched.map(_.file)))
         maybeCheckpoint(s, root, v)
         return (touched.size, untouched.size)
+      } catch {
+        case _: CommitConflictException => () // loser: recompute against the new snapshot
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** MERGE-ON-READ DELETE (Delta's deletion-vectors feature): instead
+    * of rewriting every touched file ([[delete]]'s copy-on-write), the
+    * commit attaches a tiny deletion-vector sidecar to each file that
+    * contains a matching key — the deleted KEYS as a parquet of the
+    * key column. NO DATA FILE IS REWRITTEN: a delete touching k
+    * buckets of a 100 TB table writes k KB-scale sidecars instead of
+    * rewriting k buckets, the write-amplification cure merge-on-read
+    * exists for. Readers subtract the vectors ([[snapshot]]); the
+    * debt is repaid when a COW op rewrites the file (materializing
+    * its vector) or at [[optimize]], which drops every vector it
+    * compacts away. A second MOR delete on the same file supersedes
+    * its vector with the UNION, so vectors never chain. Returns
+    * (filesVectored, keysDeleted-this-call).
+    */
+  def deleteMor(s: SparkSession, root: String, keys: DataFrame): (Int, Long) = {
+    val meta = tableMeta(s, root)
+    val key = meta.key
+    val d = keys.select(col(key)).distinct().localCheckpoint(false)
+    while (true) {
+      val v = latestVersion(s, root) + 1
+      val live = liveFiles(s, root)
+      val hit = touchedFiles(s, d, key, live)
+      if (hit.isEmpty) return (0, 0L)
+      val dvs = liveDvs(s, root)
+      val token = freshToken()
+      var newlyDeleted = 0L
+      val entries = hit.toSeq.sorted.zipWithIndex.map { case (f, i) =>
+        // Vector = old vector ∪ the delta keys PRESENT IN THE FILE
+        // (semi-join against the file, not its envelope — an absent
+        // key must not inflate the count). Per-file loop: touched
+        // files are the pruned few, each vector KB-scale.
+        val fileKeys = s.read.schema(meta.schema).parquet(f).select(col(key))
+        val fresh = fileKeys.join(d, Seq(key), "left_semi")
+        val old = dvs.get(f).map(e => s.read.parquet(e.path).select(col(key)))
+        val unioned = old.map(_.unionAll(fresh)).getOrElse(fresh)
+          .distinct().localCheckpoint(false)
+        val n = unioned.count()
+        newlyDeleted += n - dvs.get(f).map(_.n).getOrElse(0L)
+        val path = s"${dataDir(root)}/v$v-$token-dv$i.parquet"
+        unioned.coalesce(1).write.mode("overwrite").parquet(path)
+        DvEntry(f, path, n)
+      }
+      try {
+        tryCommit(root, Commit(v, Seq.empty, Seq.empty, dv = entries))
+        maybeCheckpoint(s, root, v)
+        return (entries.size, newlyDeleted)
       } catch {
         case _: CommitConflictException => () // loser: recompute against the new snapshot
       }
@@ -585,30 +731,58 @@ object TxTable {
     val others = cols.filterNot(_ == key)
     val before = liveFiles(s, root, vFrom).map(_.file).toSet
     val after = liveFiles(s, root, vTo).map(_.file).toSet
-    def rd(fs: Seq[String], pfx: String) = {
+    // Each side subtracts ITS version's deletion vectors: a row
+    // MOR-deleted before the window was never part of the vFrom
+    // state, and one MOR-deleted by vTo is not part of the vTo state.
+    val dvFrom = liveDvs(s, root, vFrom)
+    val dvTo = liveDvs(s, root, vTo)
+    def rd(fs: Seq[String], pfx: String, dvs: Map[String, DvEntry]) = {
       val side =
-        if (fs.nonEmpty) s.read.schema(meta.schema).parquet(fs: _*)
+        if (fs.nonEmpty)
+          applyDvs(s, s.read.schema(meta.schema).parquet(fs: _*), key, dvs, fs)
         // Zero-file side (pure-insert or pure-delete window): an empty
         // frame with the table schema keeps the join well-typed.
         else s.createDataFrame(new java.util.ArrayList[Row](), meta.schema)
       side.select(cols.map(c => col(c).as(s"__${pfx}_$c")): _*)
     }
-    val o = rd((before -- after).toSeq.sorted, "o")
-    val n = rd((after -- before).toSeq.sorted, "n")
+    val o = rd((before -- after).toSeq.sorted, "o", dvFrom)
+    val n = rd((after -- before).toSeq.sorted, "n", dvTo)
     def ev(ct: String, pfx: String) =
       struct(lit(ct).as("change_type") +:
         cols.map(c => col(s"__${pfx}_$c").as(c)): _*)
     val unchanged = others.map(c => col(s"__o_$c") <=> col(s"__n_$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
-    o.join(n, col(s"__o_$key") === col(s"__n_$key"), "full_outer")
-      .select(explode(
-        when(col(s"__o_$key").isNull, array(ev("insert", "n")))
-        .when(col(s"__n_$key").isNull, array(ev("delete", "o")))
-        // slice(.., 1, 0) = the same struct type, zero elements — the
-        // carried-row case drops without a hand-written cast string.
-        .when(unchanged, slice(array(ev("insert", "n")), 1, 0))
-        .otherwise(array(ev("update_pre", "o"), ev("update_post", "n")))).as("e"))
-      .select(col("e.change_type") +: cols.map(c => col(s"e.$c")): _*)
+    val fileDiffFeed =
+      o.join(n, col(s"__o_$key") === col(s"__n_$key"), "full_outer")
+        .select(explode(
+          when(col(s"__o_$key").isNull, array(ev("insert", "n")))
+          .when(col(s"__n_$key").isNull, array(ev("delete", "o")))
+          // slice(.., 1, 0) = the same struct type, zero elements — the
+          // carried-row case drops without a hand-written cast string.
+          .when(unchanged, slice(array(ev("insert", "n")), 1, 0))
+          .otherwise(array(ev("update_pre", "o"), ev("update_post", "n")))).as("e"))
+        .select(col("e.change_type") +: cols.map(c => col(s"e.$c")): _*)
+    // MERGE-ON-READ leg: a deleteMor in the window touches NO file, so
+    // the file diff above cannot see it — its deletes are the keys
+    // newly vectored on files live at BOTH versions, with pre-images
+    // read from exactly those files (still the touched-files-only
+    // contract: a vector names its file).
+    val common = before & after
+    val morFiles = common.filter(f => dvTo.get(f)
+      .exists(e => !dvFrom.get(f).map(_.path).contains(e.path))).toSeq.sorted
+    if (morFiles.isEmpty) fileDiffFeed
+    else {
+      val newKeys = s.read
+        .parquet(morFiles.flatMap(dvTo.get).map(_.path): _*).select(col(key))
+      val oldPaths = morFiles.flatMap(dvFrom.get).map(_.path)
+      val netNew =
+        if (oldPaths.isEmpty) newKeys
+        else newKeys.except(s.read.parquet(oldPaths: _*).select(col(key)))
+      fileDiffFeed.unionAll(
+        s.read.schema(meta.schema).parquet(morFiles: _*)
+          .join(netNew, Seq(key), "left_semi")
+          .select(lit("delete").as("change_type") +: cols.map(col): _*))
+    }
   }
 
   /** Idempotent streaming append: commit `df` as new files keyed by
@@ -668,19 +842,25 @@ object TxTable {
     while (true) {
       val v = latestVersion(s, root) + 1
       val live = liveFiles(s, root).sortBy(f => (f.min, f.file))
+      val dvs = liveDvs(s, root)
       // Greedy adjacent packing: a group closes when adding the next
-      // file would exceed the target. Only groups of ≥2 are rewritten.
+      // file would exceed the target. Groups of ≥2 are rewritten, and
+      // so is any lone file carrying a deletion vector — OPTIMIZE is
+      // where merge-on-read debt is repaid (Delta's PURGE semantics),
+      // so no vector survives a pass over its file.
       val groups = live.foldLeft(List.empty[List[FileEntry]]) {
         case (acc, f) => acc match {
           case g :: rest if g.map(_.rows).sum + f.rows <= targetRows =>
             (f :: g) :: rest
           case _ => List(f) :: acc
         }
-      }.map(_.reverse).reverse.filter(_.size > 1)
+      }.map(_.reverse).reverse
+        .filter(g => g.size > 1 || g.exists(f => dvs.contains(f.file)))
       if (groups.isEmpty) return (0, 0)
       val token = freshToken()
       val entries = groups.zipWithIndex.flatMap { case (g, i) =>
-        writeFile(s.read.schema(meta.schema).parquet(g.map(_.file): _*),
+        writeFile(applyDvs(s, s.read.schema(meta.schema)
+            .parquet(g.map(_.file): _*), meta.key, dvs, g.map(_.file)),
           root, v, token, idx = i, meta)
       }
       try {
@@ -732,7 +912,11 @@ object TxTable {
       val v = latestVersion(s, root) + 1
       val live = liveFiles(s, root)
       if (live.isEmpty) return (0, 0)
-      val snap = s.read.schema(meta.schema).parquet(live.map(_.file): _*)
+      // Deletion vectors materialize here — the rewrite covers every
+      // live file, so none survives the pass.
+      val snap = applyDvs(s,
+          s.read.schema(meta.schema).parquet(live.map(_.file): _*),
+          key, liveDvs(s, root), live.map(_.file))
         .localCheckpoint(false) // bounds + write share one materialization
       val b = snap.agg(min(col(key)), max(col(key)),
         floor(min(col(dim2))).cast("long"), ceil(max(col(dim2))).cast("long"))
@@ -798,11 +982,17 @@ object TxTable {
     val latest = latestVersion(s, root)
     if (latest == 0) return 0
     val keepFrom = math.max(1, latest - retainVersions + 1)
+    // Deletion-vector sidecars are first-class references: a vector
+    // live at a retained version must survive, a superseded one is
+    // collectable debris like any rewritten data file.
     val referenced = (keepFrom to latest)
-      .flatMap(v => liveFiles(s, root, v).map(_.file)).toSet
+      .flatMap(v => liveFiles(s, root, v).map(_.file) ++
+        liveDvs(s, root, v).values.map(_.path)).toSet
     // Dead logged files: every path the log ever added, minus the
     // retained snapshots' references.
-    val deadLogged = commits(s, root).flatMap(_.add).map(_.file).toSet -- referenced
+    val deadLogged = commits(s, root)
+      .flatMap(c => c.add.map(_.file) ++ c.dv.map(_.path))
+      .toSet -- referenced
     // Orphan debris: dataDir children whose subtree contains no
     // referenced path AND that the log never recorded (a losing
     // writer's data files). Checked at child granularity so a parent
@@ -812,7 +1002,8 @@ object TxTable {
       if (!java.nio.file.Files.isDirectory(dd)) Seq.empty[String]
       else {
         import scala.jdk.CollectionConverters._
-        val logged = commits(s, root).flatMap(_.add).map(_.file).toSet
+        val logged = commits(s, root)
+          .flatMap(c => c.add.map(_.file) ++ c.dv.map(_.path)).toSet
         val st = java.nio.file.Files.list(dd)
         val children = try st.iterator().asScala.map(_.toString).toSeq
                        finally st.close()
@@ -828,6 +1019,53 @@ object TxTable {
       .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
     dead.foreach(p => wipe(p))
     dead.size
+  }
+
+  /** RESTORE (Delta's RESTORE TABLE … TO VERSION AS OF): bring the
+    * table back to `toVersion`'s logical state as a NEW commit — the
+    * log stays append-only and the botched intermediate versions stay
+    * time-travelable (rolling back by deleting log entries would be
+    * history falsification; Delta restores forward the same way).
+    * METADATA-ONLY: no data file is read or written — the commit
+    * re-adds the target version's live entries (carrying their logged
+    * stats verbatim) and removes the current ones, so restoring a
+    * 100 TB table costs KBs of log I/O. The target version's schema
+    * is re-declared too (a restore across a widening narrows back —
+    * Delta semantics). Fails loudly if a re-added file was vacuumed
+    * (the retention window bounds restorability, exactly the
+    * [[vacuum]] contract). Returns (reAdded, removed) file counts; a
+    * restore to the current state is a no-op returning (0, 0).
+    */
+  def restore(s: SparkSession, root: String, toVersion: Int): (Int, Int) = {
+    val target = liveFiles(s, root, toVersion)
+    require(target.nonEmpty, s"restore: no live files at v$toVersion")
+    val targetMeta = tableMetaOpt(s, root, toVersion)
+    val targetDvs = liveDvs(s, root, toVersion)
+    (target.map(_.file) ++ targetDvs.values.map(_.path)).foreach(f =>
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(f)),
+        s"restore: $f was vacuumed — v$toVersion is outside the " +
+          "retention window"))
+    while (true) {
+      val v = latestVersion(s, root) + 1
+      val cur = liveFiles(s, root).map(_.file).toSet
+      val curDvs = liveDvs(s, root)
+      val tgt = target.map(_.file).toSet
+      if (cur == tgt && curDvs == targetDvs) return (0, 0)
+      // Re-add EVERY target entry (an add clears any vector the file
+      // accreted after toVersion — the replay's re-add rule), remove
+      // everything not in the target, then re-attach the target's own
+      // deletion-vector state. All metadata-sized.
+      val toRemove = cur.toSeq.filterNot(tgt).sorted
+      try {
+        tryCommit(root, Commit(v, target, toRemove, meta = targetMeta,
+          dv = targetDvs.values.toSeq.sortBy(_.file)))
+        maybeCheckpoint(s, root, v)
+        return (target.size, toRemove.size)
+      } catch {
+        case _: CommitConflictException => () // recompute against the new snapshot
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Per-writer uniquifier for data-file paths: two writers racing on

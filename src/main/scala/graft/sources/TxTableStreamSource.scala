@@ -224,6 +224,16 @@ private class TxStreamScan(root: String, tblSchema: StructType,
   override def toBatch(): Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val s = SparkSession.active
+      // Protocol guard (Delta's reader-feature rule): this reader
+      // materializes rows straight from part files and cannot subtract
+      // merge-on-read deletion vectors — serving the files verbatim
+      // would RESURRECT deleted rows. Fail loudly; TxTable.snapshot is
+      // the DV-aware read, OPTIMIZE materializes the debt away.
+      require(TxTable.liveDvs(s, root, versionAsOf).isEmpty,
+        s"graft-txtable: $root has live deletion vectors at " +
+          s"v$versionAsOf; this connector does not support the " +
+          "merge-on-read read path — read via TxTable.snapshot or run " +
+          "TxTable.optimize to materialize the vectors first")
       val meta = TxTable.tableMeta(s, root, versionAsOf)
       // DATA SKIPPING: intersect the pushed key-range (and stats2)
       // bounds with each live file's logged [min,max] — a point read
@@ -324,7 +334,13 @@ private[sources] class TxTableMicroBatchStream(
       // `hi` — live files only, no commit replay, so historical change
       // commits neither fail the stream nor double-deliver. Restart
       // mid-batch replans the same deterministic set (liveFiles at a
-      // fixed version is immutable).
+      // fixed version is immutable). Same deletion-vector protocol
+      // guard as the batch read: files-verbatim would resurrect
+      // MOR-deleted rows.
+      require(TxTable.liveDvs(session, root, hi).isEmpty,
+        s"graft-txtable: $root has live deletion vectors at v$hi; " +
+          "run TxTable.optimize to materialize them before streaming " +
+          "the snapshot")
       val addedBy = TxTable.commits(session, root, hi)
         .flatMap(c => c.add.map(f => f.file -> c.version)).toMap
       return TxTable.liveFiles(session, root, hi).map(_.file).sorted
@@ -334,11 +350,14 @@ private[sources] class TxTableMicroBatchStream(
     }
     val window = TxTable.commits(session, root, hi).filter(_.version > lo)
     window.flatMap { c =>
-      if (c.remove.nonEmpty) {
+      // A deletion-vector commit is a change commit too: it adds no
+      // file but logically removes rows the stream already delivered.
+      if (c.remove.nonEmpty || c.dv.nonEmpty) {
         if (!skipChangeCommits)
           throw new IllegalStateException(
             s"graft-txtable: version ${c.version} of $root is a CHANGE " +
-            "commit (merge/delete/compaction rewrote files); streaming " +
+            "commit (merge/delete/compaction rewrote files, or a " +
+            "merge-on-read delete attached deletion vectors); streaming " +
             "it as inserts would double-deliver carried rows. Set " +
             "skipChangeCommits=true to skip change commits — note that " +
             "skipping loses rows the commit genuinely INSERTED too " +

@@ -20,6 +20,110 @@ class TxTableSpec extends SparkSpec {
     root
   }
 
+  test("restore: metadata-only rollback, idempotent, schema narrows back, forward writes work") {
+    import spark.implicits._
+    val root = freshTable("txspec_restore")
+    val v1 = TxTable.snapshot(spark, root, 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    TxTable.merge(spark, root, Seq((5L, "X", 1L)).toDF("k", "st", "c")) // v2
+    // Widening append: restore must narrow the schema back.
+    TxTable.appendBatch(spark, root, "res", 1L,
+      Seq((9000L, "W", 2L, "extra")).toDF("k", "st", "c", "tag")) // v3
+    assert(TxTable.tableMeta(spark, root).schema.fieldNames.contains("tag"))
+    def dataDirs() = {
+      val dd = java.nio.file.Paths.get(s"$root/data")
+      val st = java.nio.file.Files.walk(dd)
+      try { import scala.jdk.CollectionConverters._
+        st.iterator().asScala.count(p =>
+          p.toString.endsWith(".parquet") || p.toString.endsWith(".snappy.parquet"))
+      } finally st.close()
+    }
+    val filesBefore = dataDirs()
+    val (reAdded, removed) = TxTable.restore(spark, root, 1) // v4
+    assert(reAdded > 0 && removed > 0)
+    // METADATA-ONLY: the restore wrote no data file.
+    assert(dataDirs() === filesBefore, "restore must not write data files")
+    // Logical state = v1 exactly; schema narrowed back.
+    val restored = TxTable.snapshot(spark, root)
+    assert(restored.columns.toSeq === Seq("k", "st", "c"))
+    assert(restored.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet === v1)
+    // The intermediates still time-travel (append-only log).
+    assert(TxTable.snapshot(spark, root, 2)
+      .filter(col("k") === 5L).collect()(0).getString(1) === "X")
+    // Idempotent: restoring to the current state is a no-op.
+    assert(TxTable.restore(spark, root, 4) === ((0, 0)))
+    // Forward writes keep working after the rollback.
+    TxTable.appendBatch(spark, root, "res", 2L,
+      Seq((9001L, "F", 3L)).toDF("k", "st", "c"))
+    assert(TxTable.snapshot(spark, root).count() === v1.size + 1)
+  }
+
+  test("deleteMor: vectors compose, COW materializes, optimize purges, " +
+       "vacuum keeps live vectors, connector guards") {
+    import spark.implicits._
+    val root = freshTable("txspec_mor") // 8 buckets of 100 keys
+    val files1 = TxTable.liveFiles(spark, root).map(_.file).toSet
+    // MOR delete: no data file changes, rows logically gone.
+    val (nf1, nd1) = TxTable.deleteMor(spark, root,
+      Seq(0L, 1L, 2L).toDF("k"))
+    assert(nf1 === 1 && nd1 === 3L)
+    assert(TxTable.liveFiles(spark, root).map(_.file).toSet === files1,
+      "merge-on-read must not rewrite data files")
+    assert(TxTable.snapshot(spark, root).count() === 797)
+    // Second delete on the same file SUPERSEDES with the union (plus a
+    // second bucket); deleting an already-deleted key adds nothing.
+    val (nf2, nd2) = TxTable.deleteMor(spark, root,
+      Seq(2L, 3L, 150L).toDF("k"))
+    assert(nf2 === 2 && nd2 === 2L, s"got ($nf2, $nd2)")
+    val dvs = TxTable.liveDvs(spark, root)
+    assert(dvs.size === 2 && dvs.values.map(_.n).toSeq.sorted === Seq(1L, 4L))
+    assert(TxTable.snapshot(spark, root).count() === 795)
+    // Time travel sees the vector state AT that version.
+    assert(TxTable.snapshot(spark, root, 2).count() === 797)
+    assert(TxTable.snapshot(spark, root, 1).count() === 800)
+    // A COW delete touching bucket 0 materializes ITS vector (rows
+    // 0-3 stay dead) and leaves bucket 1's vector live.
+    TxTable.delete(spark, root, Seq(4L).toDF("k"))
+    assert(TxTable.snapshot(spark, root).count() === 794)
+    assert(TxTable.liveDvs(spark, root).size === 1)
+    assert(TxTable.snapshot(spark, root).filter(col("k") <= 4L).count() === 0,
+      "COW rewrite must not resurrect MOR-deleted rows")
+    // A merge re-inserting a MOR-deleted key wins (upsert semantics)
+    // and materializes that bucket's vector.
+    TxTable.merge(spark, root, Seq((150L, "Z", 9L)).toDF("k", "st", "c"))
+    val r150 = TxTable.snapshot(spark, root).filter(col("k") === 150L).collect()
+    assert(r150.length === 1 && r150(0).getString(1) === "Z")
+    assert(TxTable.liveDvs(spark, root).isEmpty)
+    // Vacuum keeps a LIVE vector (and its table keeps filtering).
+    TxTable.deleteMor(spark, root, Seq(200L).toDF("k"))
+    TxTable.vacuum(spark, root, retainVersions = 1)
+    val dv200 = TxTable.liveDvs(spark, root)
+    assert(dv200.size === 1 &&
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dv200.values.head.path)),
+      "vacuum deleted a live deletion vector")
+    assert(TxTable.snapshot(spark, root).filter(col("k") === 200L).count() === 0)
+    // The connector cannot subtract vectors — it must refuse, not
+    // silently resurrect (the Delta reader-feature rule).
+    val e = intercept[Exception] {
+      spark.read.format("graft-txtable").option("root", root).load().count()
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+    // OPTIMIZE repays the debt: vectors purged, connector serves again.
+    val (rm, prod) = TxTable.optimize(spark, root, targetRows = 1000000L)
+    assert(rm > 0 && prod > 0)
+    assert(TxTable.liveDvs(spark, root).isEmpty)
+    val conn = spark.read.format("graft-txtable").option("root", root).load()
+    assert(conn.count() === 794)
+    assert(conn.filter(col("k") === 200L).count() === 0)
+    // The change feed saw the MOR delete as delete pre-images (v5→v6
+    // was the deleteMor of key 200).
+    val morWindow = TxTable.changeFeed(spark, root, 5, 6).collect()
+    assert(morWindow.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("delete", 200L)))
+  }
+
   test("merge rewrites only the files whose key range overlaps the delta") {
     import spark.implicits._
     val root = freshTable("txspec_prune")
