@@ -1025,6 +1025,61 @@ object SourceQueries extends QueryPack {
         .orderBy("state")
     }),
 
+    // CHECK CONSTRAINTS — data-quality contracts recorded in the log
+    // and enforced on EVERY write path (Delta's table constraints):
+    // a violating append is rejected BEFORE anything commits (the
+    // table is never dirtied — state_unchanged pins it), ADD
+    // CONSTRAINT scans the existing data once then binds all future
+    // writes (a metadata-only commit), DROP lifts it. SQL CHECK
+    // semantics: only a FALSE evaluation violates, NULL passes. At
+    // 100 TB enforcement is one extra codegen'd boolean projection
+    // over rows already being written — never a second table scan
+    // (only ADD pays one, by definition). The oracle recomputes the
+    // final state relationally: exactly base ∪ the two accepted
+    // appends, with rejected_neg/rejected_cap/state_unchanged pinned.
+    "q358_tx_constraints" -> ((s, dir) => {
+      import graft.sources.TxTable
+      val root = tmp(dir, "txtable_q358")
+      val base = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("st"), col("n_regionkey").cast("long").as("c"))
+      TxTable.create(base, root, nBuckets = 4,
+        constraints = Map("c_nonneg" -> "c >= 0"))
+      val bad = Tables.region(s, dir)
+        .select((col("r_regionkey").cast("long") + 2000L).as("k"),
+          col("r_name").as("st"),
+          (lit(-1L) - col("r_regionkey")).as("c"))
+      val rejectedNeg =
+        try { TxTable.appendBatch(s, root, "q358", 1L, bad); 0L }
+        catch {
+          case e: IllegalArgumentException
+            if e.getMessage.contains("c_nonneg") => 1L
+        }
+      val stateUnchanged =
+        if (TxTable.latestVersion(s, root) == 1) 1L else 0L
+      val good = Tables.region(s, dir)
+        .select((col("r_regionkey").cast("long") + 1000L).as("k"),
+          col("r_name").as("st"), col("r_regionkey").cast("long").as("c"))
+      TxTable.appendBatch(s, root, "q358", 2L, good) // v2
+      TxTable.addConstraint(s, root, "c_cap", "c < 100") // v3
+      val big = good.select((col("k") + 100L).as("k"), col("st"),
+        (col("c") + 500L).as("c"))
+      val rejectedCap =
+        try { TxTable.appendBatch(s, root, "q358", 3L, big); 0L }
+        catch {
+          case e: IllegalArgumentException
+            if e.getMessage.contains("c_cap") => 1L
+        }
+      TxTable.dropConstraint(s, root, "c_cap") // v4
+      TxTable.appendBatch(s, root, "q358", 3L, big) // v5
+      TxTable.snapshot(s, root)
+        .agg(count(lit(1)).as("n_rows"), sum("c").as("sum_c"))
+        .select(col("n_rows"), col("sum_c"),
+          lit(rejectedNeg).as("rejected_neg"),
+          lit(stateUnchanged).as("state_unchanged"),
+          lit(rejectedCap).as("rejected_cap"))
+    }),
+
     // Bucketed co-located join: both sides pre-bucketed on the join
     // key, so the join runs with ZERO exchanges (each bucket pair joins
     // locally). The 100 TB pattern for a fact⋈fact join that recurs —
@@ -1471,6 +1526,21 @@ object SourceQueries extends QueryPack {
         |SELECT 'v4_final', CAST(count(*) AS BIGINT), CAST(sum(c) AS BIGINT),
         |  CAST(1 AS BIGINT), CAST(1 AS BIGINT)
         |FROM v4
-        |ORDER BY state""".stripMargin
+        |ORDER BY state""".stripMargin,
+
+    // q358: the final table is exactly base ∪ the two ACCEPTED appends
+    // — a leaked rejected row inflates n_rows/sum_c; the pins assert
+    // both rejections happened and the first left no commit behind.
+    "q358_tx_constraints" ->
+      """WITH base AS (SELECT CAST(n_regionkey AS BIGINT) AS c FROM nation),
+        |g AS (SELECT CAST(r_regionkey AS BIGINT) AS c FROM region),
+        |b AS (SELECT CAST(r_regionkey + 500 AS BIGINT) AS c FROM region)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c) AS BIGINT) AS sum_c,
+        |  CAST(1 AS BIGINT) AS rejected_neg,
+        |  CAST(1 AS BIGINT) AS state_unchanged,
+        |  CAST(1 AS BIGINT) AS rejected_cap
+        |FROM (SELECT c FROM base UNION ALL SELECT c FROM g
+        |  UNION ALL SELECT c FROM b)""".stripMargin
   )
 }

@@ -108,10 +108,14 @@ object TxTable {
     * `schemaJson` is Spark's `StructType.json`, `key` the declared
     * merge/stats column (BIGINT), `stats2` an optional second
     * statistics dimension (any numeric column; bounds stored as
-    * floor/ceil longs).
+    * floor/ceil longs), `constraints` the named CHECK constraints
+    * (name → SQL boolean expression; SQL CHECK semantics — a row
+    * violates only when the expression is FALSE, NULL passes)
+    * enforced on every write path.
     */
   case class TableMeta(schemaJson: String, key: String,
-                       stats2: Option[String] = None) {
+                       stats2: Option[String] = None,
+                       constraints: Map[String, String] = Map.empty) {
     lazy val schema: StructType =
       org.apache.spark.sql.types.DataType.fromJson(schemaJson)
         .asInstanceOf[StructType]
@@ -137,7 +141,8 @@ object TxTable {
   case class Commit(version: Int, add: Seq[FileEntry], remove: Seq[String],
                     txnApp: Option[String] = None, batchId: Option[Long] = None,
                     meta: Option[TableMeta] = None,
-                    dv: Seq[DvEntry] = Seq.empty)
+                    dv: Seq[DvEntry] = Seq.empty,
+                    ts: Long = 0L)
 
   /** Thrown by [[tryCommit]] when the target version already exists —
     * the optimistic-concurrency conflict signal. Writers catch it,
@@ -191,7 +196,11 @@ object TxTable {
     val met = c.meta match {
       case Some(m) =>
         s""","metaSchema":${q(m.schemaJson)},"metaKey":${q(m.key)}""" +
-          m.stats2.map(s2 => s""","metaStats2":${q(s2)}""").getOrElse("")
+          m.stats2.map(s2 => s""","metaStats2":${q(s2)}""").getOrElse("") +
+          (if (m.constraints.isEmpty) ""
+           else m.constraints.toSeq.sortBy(_._1)
+             .map { case (n, e) => s"""{"name":${q(n)},"expr":${q(e)}}""" }
+             .mkString(""","metaConstraints":[""", ",", "]"))
       case None => ""
     }
     val dvs =
@@ -199,7 +208,10 @@ object TxTable {
       else c.dv.map(d =>
         s"""{"file":${q(d.file)},"path":${q(d.path)},"n":${d.n}}""")
         .mkString(""","dv":[""", ",", "]")
-    val json = s"""{"version":${c.version},"add":$adds,"remove":$rms$txn$met$dvs}"""
+    // Commit wall-clock: what TIMESTAMP AS OF resolves against
+    // (Delta's semantics — the timestamp is assigned at publication,
+    // so it is monotone with version order on one filesystem).
+    val json = s"""{"version":${c.version},"add":$adds,"remove":$rms$txn$met$dvs,"ts":${System.currentTimeMillis}}"""
     val dir = java.nio.file.Paths.get(logDir(root))
     java.nio.file.Files.createDirectories(dir)
     val tmp = dir.resolve(s".${c.version}-${java.util.UUID.randomUUID()}.tmp")
@@ -233,50 +245,46 @@ object TxTable {
     (commits, ckpts)
   }
 
-  /** Parse a set of commit/checkpoint JSON files (tiny driver-side
-    * metadata; Spark's own JSON reader handles the schema). An
-    * all-empty JSON array infers as array<string> (or drops), so field
-    * access is guarded by the inferred schema, not assumed — and the
-    * optional per-entry min2/max2 and per-commit meta fields are
-    * absent in most commits, so every access is null-guarded too.
+  /** Jackson mapper for log parsing — shipped with Spark, thread-safe
+    * for reads. The log is driver-side KBs; parsing it with a
+    * DISTRIBUTED json scan (the original implementation) cost one
+    * Spark job per replay, and every snapshot/merge/feed replays —
+    * at the bench that tax was several hundred ms per lifecycle step.
+    */
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Parse a set of commit/checkpoint JSON files driver-side (tiny
+    * metadata — no Spark job). Optional fields (min2/max2, meta,
+    * constraints, dv, txn, ts) are absent in most commits, so every
+    * access is null-guarded.
     */
   private def parseCommits(s: SparkSession, paths: Seq[String]): Seq[Commit] = {
-    if (paths.isEmpty) return Seq.empty
-    val df = s.read.json(paths: _*)
-    val cols = df.columns.toSet
-    def optStr(r: Row, f: String): Option[String] =
-      if (!cols(f) || r.isNullAt(r.fieldIndex(f))) None
-      else Some(r.getAs[String](f))
-    df.collect().map { r =>
-      val adds =
-        if (!cols("add") || r.isNullAt(r.fieldIndex("add"))) Seq.empty[FileEntry]
-        else r.getAs[scala.collection.Seq[Row]]("add")
-          .map { a =>
-            def opt(f: String): Option[Long] =
-              if (!a.schema.fieldNames.contains(f) ||
-                  a.isNullAt(a.fieldIndex(f))) None
-              else Some(a.getAs[Long](f))
-            FileEntry(a.getAs[String]("file"), a.getAs[Long]("min"),
-              a.getAs[Long]("max"), a.getAs[Long]("rows"),
-              opt("min2"), opt("max2"))
-          }.toSeq
-      val rms =
-        if (!cols("remove") || r.isNullAt(r.fieldIndex("remove")))
-          Seq.empty[String]
-        else r.getAs[scala.collection.Seq[String]]("remove").toSeq
-      val bid =
-        if (!cols("batchId") || r.isNullAt(r.fieldIndex("batchId"))) None
-        else Some(r.getAs[Long]("batchId"))
-      val meta = optStr(r, "metaSchema").map(sj =>
-        TableMeta(sj, optStr(r, "metaKey").getOrElse("k"),
-          optStr(r, "metaStats2")))
-      val dvs =
-        if (!cols("dv") || r.isNullAt(r.fieldIndex("dv"))) Seq.empty[DvEntry]
-        else r.getAs[scala.collection.Seq[Row]]("dv")
-          .map(d => DvEntry(d.getAs[String]("file"), d.getAs[String]("path"),
-            d.getAs[Long]("n"))).toSeq
-      Commit(r.getAs[Long]("version").toInt, adds, rms,
-        optStr(r, "txnApp"), bid, meta, dvs)
+    import scala.jdk.CollectionConverters._
+    import com.fasterxml.jackson.databind.JsonNode
+    paths.map { p =>
+      val r = jsonMapper.readTree(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
+      def opt(n: JsonNode, f: String): Option[JsonNode] =
+        Option(n.get(f)).filterNot(_.isNull)
+      def arr(f: String): Seq[JsonNode] =
+        opt(r, f).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+      val adds = arr("add").map { a =>
+        FileEntry(a.get("file").asText, a.get("min").asLong,
+          a.get("max").asLong, a.get("rows").asLong,
+          opt(a, "min2").map(_.asLong), opt(a, "max2").map(_.asLong))
+      }
+      val cons = arr("metaConstraints")
+        .map(x => x.get("name").asText -> x.get("expr").asText).toMap
+      val meta = opt(r, "metaSchema").map(_.asText).map(sj =>
+        TableMeta(sj, opt(r, "metaKey").map(_.asText).getOrElse("k"),
+          opt(r, "metaStats2").map(_.asText), cons))
+      val dvs = arr("dv").map(d => DvEntry(d.get("file").asText,
+        d.get("path").asText, d.get("n").asLong))
+      Commit(r.get("version").asInt, adds,
+        arr("remove").map(_.asText),
+        opt(r, "txnApp").map(_.asText),
+        opt(r, "batchId").map(_.asLong),
+        meta, dvs, opt(r, "ts").map(_.asLong).getOrElse(0L))
     }.sortBy(_.version)
   }
 
@@ -348,6 +356,16 @@ object TxTable {
     */
   def liveDvs(s: SparkSession, root: String,
               version: Int = Int.MaxValue): Map[String, DvEntry] = {
+    // Fast path: most tables never issue a merge-on-read delete, and
+    // every snapshot/merge/feed consults this — a raw string scan of
+    // the commit JSONs (driver-side KBs, no Spark job) decides whether
+    // the full parse is needed at all.
+    val (vs, _) = logVersions(root)
+    val hasDv = vs.filter(_ <= version).exists(v =>
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"${logDir(root)}/$v.json"))
+        .contains(""""dv":["""))
+    if (!hasDv) return Map.empty
     val live = scala.collection.mutable.LinkedHashMap[String, DvEntry]()
     commits(s, root, version).foreach { c =>
       c.remove.foreach(live -= _)
@@ -356,6 +374,75 @@ object TxTable {
     }
     val lf = liveFiles(s, root, version).map(_.file).toSet
     live.filter { case (f, _) => lf(f) }.toMap
+  }
+
+  /** Enforce the meta's CHECK constraints on rows about to be written
+    * (SQL CHECK semantics: a row violates only when the expression is
+    * FALSE — NULL passes, matching Delta). One combined pass over the
+    * frame (all constraints as boolean columns, fail on the first
+    * violating row found), throwing with the constraint name and the
+    * offending row — a constraint violation must abort the WRITE, not
+    * corrupt the table.
+    */
+  private def validateConstraints(df: DataFrame, meta: TableMeta): Unit = {
+    val cs = meta.constraints.toSeq.sortBy(_._1)
+    if (cs.isEmpty) return
+    val flagged = df.select(
+      struct(df.columns.map(col): _*).as("__row") +:
+        cs.zipWithIndex.map { case ((_, e), i) =>
+          (!coalesce(expr(e), lit(true))).as(s"__c$i")
+        }: _*)
+    val viol = flagged
+      .filter(cs.indices.map(i => col(s"__c$i")).reduce(_ || _))
+      .limit(1).collect()
+    if (viol.nonEmpty) {
+      val r = viol(0)
+      val (name, e) = cs(cs.indices.find(i => r.getAs[Boolean](s"__c$i")).get)
+      throw new IllegalArgumentException(
+        s"CHECK constraint '$name' ($e) violated by row ${r.getAs[Row]("__row")}")
+    }
+  }
+
+  /** ALTER TABLE ADD CONSTRAINT (Delta semantics): the EXISTING data
+    * is scanned once and must already satisfy the new constraint —
+    * otherwise readers of old snapshots would see "impossible" rows —
+    * then a metadata-only commit declares it for every future write.
+    */
+  def addConstraint(s: SparkSession, root: String,
+                    name: String, e: String): Unit = {
+    while (true) {
+      val v = latestVersion(s, root) + 1
+      val meta0 = tableMeta(s, root)
+      require(!meta0.constraints.contains(name),
+        s"constraint '$name' already exists")
+      validateConstraints(snapshot(s, root),
+        meta0.copy(constraints = Map(name -> e)))
+      val meta = meta0.copy(constraints = meta0.constraints + (name -> e))
+      try {
+        tryCommit(root, Commit(v, Seq.empty, Seq.empty, meta = Some(meta)))
+        maybeCheckpoint(s, root, v)
+        return
+      } catch {
+        case _: CommitConflictException => () // recompute against the new snapshot
+      }
+    }
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT: metadata-only commit. */
+  def dropConstraint(s: SparkSession, root: String, name: String): Unit = {
+    while (true) {
+      val v = latestVersion(s, root) + 1
+      val meta0 = tableMeta(s, root)
+      require(meta0.constraints.contains(name), s"no constraint '$name'")
+      val meta = meta0.copy(constraints = meta0.constraints - name)
+      try {
+        tryCommit(root, Commit(v, Seq.empty, Seq.empty, meta = Some(meta)))
+        maybeCheckpoint(s, root, v)
+        return
+      } catch {
+        case _: CommitConflictException => ()
+      }
+    }
   }
 
   /** Apply the deletion vectors covering `files` (if any) to a frame
@@ -379,6 +466,20 @@ object TxTable {
     */
   def latestVersion(s: SparkSession, root: String): Int =
     logVersions(root)._1.lastOption.getOrElse(0)
+
+  /** TIMESTAMP AS OF resolution (Delta's second time-travel axis):
+    * the newest version whose recorded commit wall-clock is ≤ `ts`
+    * (epoch millis). Raw-log replay — KBs of driver metadata.
+    */
+  def versionAt(s: SparkSession, root: String, ts: Long): Int = {
+    val vs = commits(s, root).filter(c => c.ts > 0 && c.ts <= ts)
+    require(vs.nonEmpty, s"no commit at or before ts=$ts")
+    vs.map(_.version).max
+  }
+
+  /** Snapshot at a wall-clock instant: [[snapshot]] at [[versionAt]]. */
+  def snapshotAsOf(s: SparkSession, root: String, ts: Long): DataFrame =
+    snapshot(s, root, versionAt(s, root, ts))
 
   /** Snapshot read at `version` — a plain distributed parquet scan of
     * exactly the live files (TIME TRAVEL: pass an older version), with
@@ -419,10 +520,16 @@ object TxTable {
     */
   private def maybeCheckpoint(s: SparkSession, root: String, v: Int): Unit =
     if (v % CheckpointInterval == 0) {
-      val live = commits(s, root, v) match {
-        case cs =>
-          val removed = cs.flatMap(_.remove).toSet
-          cs.flatMap(_.add).filterNot(f => removed(f.file))
+      // Sequential replay, same as liveFiles — the global
+      // adds-minus-removes shortcut would drop a RESTORE-re-added
+      // path from the summary forever.
+      val live = {
+        val m = scala.collection.mutable.LinkedHashMap[String, FileEntry]()
+        commits(s, root, v).foreach { c =>
+          c.add.foreach(f => m(f.file) = f)
+          c.remove.foreach(m -= _)
+        }
+        m.values.toSeq
       }
       val adds = live.map(entryJson).mkString("[", ",", "]")
       val json = s"""{"version":$v,"add":$adds,"remove":[]}"""
@@ -447,16 +554,20 @@ object TxTable {
     * @param stats2 optional second statistics column (numeric); every
     *               file write records its floor/ceil bounds, enabling
     *               [[optimizeZorder]] box pruning
+    * @param constraints named CHECK constraints (SQL boolean exprs),
+    *               validated against `df` now and every write after
     */
   def create(df: DataFrame, root: String, nBuckets: Int,
-             key: String = "k", stats2: Option[String] = None): Unit = {
+             key: String = "k", stats2: Option[String] = None,
+             constraints: Map[String, String] = Map.empty): Unit = {
     require(df.schema(key).dataType == LongType,
       s"TxTable key column '$key' must be BIGINT, got ${df.schema(key).dataType}")
     stats2.foreach(c2 => require(df.columns.contains(c2),
       s"stats2 column '$c2' is not in the schema"))
     wipe(root)
-    val meta = TableMeta(nullableJson(df.schema), key, stats2)
+    val meta = TableMeta(nullableJson(df.schema), key, stats2, constraints)
     val d = df.localCheckpoint(false) // bounds + stats + write share one materialization
+    validateConstraints(d, meta)
     val Array(lo, hi) = d.agg(min(col(key)), max(col(key))).collect()(0) match {
       case r => Array(r.getLong(0), r.getLong(1))
     }
@@ -568,6 +679,10 @@ object TxTable {
     require(dup.isEmpty,
       s"mergeInto: delta has multiple rows for $key=${dup.headOption.map(_.get(0)).orNull} " +
         "— SQL MERGE forbids a multi-match source; pre-aggregate the delta")
+    // CHECK constraints apply to the rows that will LAND (updates and
+    // inserts) — delete-flagged rows never materialize.
+    validateConstraints(
+      d.filter(!col("__ddel")).select(cols.map(col): _*), meta)
     val dd = d.select(cols.map(c => col(c).as(s"__d_$c")) ++
       Seq(col("__ddel"), lit(true).as("__dm")): _*)
     while (true) {
@@ -667,23 +782,37 @@ object TxTable {
       if (hit.isEmpty) return (0, 0L)
       val dvs = liveDvs(s, root)
       val token = freshToken()
-      var newlyDeleted = 0L
-      val entries = hit.toSeq.sorted.zipWithIndex.map { case (f, i) =>
-        // Vector = old vector ∪ the delta keys PRESENT IN THE FILE
-        // (semi-join against the file, not its envelope — an absent
-        // key must not inflate the count). Per-file loop: touched
-        // files are the pruned few, each vector KB-scale.
-        val fileKeys = s.read.schema(meta.schema).parquet(f).select(col(key))
-        val fresh = fileKeys.join(d, Seq(key), "left_semi")
-        val old = dvs.get(f).map(e => s.read.parquet(e.path).select(col(key)))
-        val unioned = old.map(_.unionAll(fresh)).getOrElse(fresh)
-          .distinct().localCheckpoint(false)
-        val n = unioned.count()
-        newlyDeleted += n - dvs.get(f).map(_.n).getOrElse(0L)
-        val path = s"${dataDir(root)}/v$v-$token-dv$i.parquet"
-        unioned.coalesce(1).write.mode("overwrite").parquet(path)
-        DvEntry(f, path, n)
+      val hitSeq = hit.toSeq.sorted
+      // Vector = old vector ∪ the delta keys PRESENT IN THE FILE
+      // (semi-join against the file, not its envelope — an absent key
+      // must not inflate the count). ONE distributed pass over all
+      // touched files (each row tagged with its file), not a job per
+      // file: at 100 TB a wide delete touches many buckets and the
+      // per-file formulation would serialize one scan each.
+      val tagged = hitSeq.map(f =>
+        s.read.schema(meta.schema).parquet(f).select(col(key))
+          .withColumn("__f", lit(f))).reduce(_ unionAll _)
+      val fresh = tagged.join(d, Seq(key), "left_semi")
+      val oldTagged = hitSeq
+        .flatMap(f => dvs.get(f).map(e =>
+          s.read.parquet(e.path).select(col(key)).withColumn("__f", lit(f))))
+        .reduceOption(_ unionAll _)
+      val unioned = oldTagged.map(fresh.unionAll).getOrElse(fresh)
+        .distinct().localCheckpoint(false) // counts + per-file writes reuse it
+      val counts = unioned.groupBy("__f").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val newlyDeleted =
+        counts.values.sum - hitSeq.flatMap(dvs.get).map(_.n).sum
+      // The writes stay per-file (a vector is its file's sidecar), but
+      // each is a KB-scale filter of the already-materialized union.
+      val entries = hitSeq.filter(counts.contains).zipWithIndex.map {
+        case (f, i) =>
+          val path = s"${dataDir(root)}/v$v-$token-dv$i.parquet"
+          unioned.filter(col("__f") === f).select(col(key))
+            .coalesce(1).write.mode("overwrite").parquet(path)
+          DvEntry(f, path, counts(f))
       }
+      if (entries.isEmpty) return (0, 0L) // envelopes hit, no actual key present
       try {
         tryCommit(root, Commit(v, Seq.empty, Seq.empty, dv = entries))
         maybeCheckpoint(s, root, v)
@@ -812,6 +941,7 @@ object TxTable {
     }
     val meta = widened.orElse(cur)
       .getOrElse(TableMeta(nullableJson(d.schema), "k", None))
+    validateConstraints(d, meta)
     while (true) {
       val v = latestVersion(s, root) + 1
       val entries = writeFile(d, root, v, freshToken(), idx = 0, meta).toSeq

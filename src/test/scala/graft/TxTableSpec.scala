@@ -124,6 +124,67 @@ class TxTableSpec extends SparkSpec {
       Seq(("delete", 200L)))
   }
 
+  test("CHECK constraints: every write path enforced, add scans existing data, " +
+       "drop lifts; timestampAsOf resolves against recorded commit times") {
+    import spark.implicits._
+    val root = graft.sources.Staging.dir(sfDir, "txspec_constraints")
+    val base = spark.range(0, 100)
+      .select(col("id").as("k"), lit("A").as("st"), (col("id") * 10).as("c"))
+    // create validates the initial data too.
+    intercept[IllegalArgumentException] {
+      TxTable.create(base, root, nBuckets = 4,
+        constraints = Map("c_neg" -> "c < 0"))
+    }
+    TxTable.create(base, root, nBuckets = 4,
+      constraints = Map("c_nonneg" -> "c >= 0"))
+    // A violating append is REJECTED and commits nothing.
+    val e = intercept[IllegalArgumentException] {
+      TxTable.appendBatch(spark, root, "cns", 1L,
+        Seq((500L, "B", -5L)).toDF("k", "st", "c"))
+    }
+    assert(e.getMessage.contains("c_nonneg"))
+    assert(TxTable.latestVersion(spark, root) === 1,
+      "a rejected write must not commit")
+    TxTable.appendBatch(spark, root, "cns", 2L,
+      Seq((500L, "B", 5L)).toDF("k", "st", "c"))
+    assert(TxTable.snapshot(spark, root).count() === 101)
+    // mergeInto: constraints bind the rows that LAND; a delete-flagged
+    // row (which never materializes) is exempt.
+    intercept[IllegalArgumentException] {
+      TxTable.mergeInto(spark, root,
+        Seq((1L, "U", -1L)).toDF("k", "st", "c"), deleteWhen = lit(false))
+    }
+    TxTable.mergeInto(spark, root,
+      Seq((1L, "D", -1L)).toDF("k", "st", "c"),
+      deleteWhen = col("st") === "D")
+    assert(TxTable.snapshot(spark, root).count() === 100)
+    // ADD CONSTRAINT scans the existing data first (Delta semantics).
+    intercept[IllegalArgumentException] {
+      TxTable.addConstraint(spark, root, "c_small", "c < 100")
+    }
+    TxTable.addConstraint(spark, root, "c_cap", "c < 10000")
+    intercept[IllegalArgumentException] {
+      TxTable.appendBatch(spark, root, "cns", 3L,
+        Seq((600L, "B", 20000L)).toDF("k", "st", "c"))
+    }
+    TxTable.dropConstraint(spark, root, "c_cap")
+    TxTable.appendBatch(spark, root, "cns", 3L,
+      Seq((600L, "B", 20000L)).toDF("k", "st", "c"))
+    assert(TxTable.snapshot(spark, root).count() === 101)
+    // Constraints round-trip the log (and would survive restore).
+    assert(TxTable.tableMeta(spark, root).constraints ===
+      Map("c_nonneg" -> "c >= 0"))
+    // timestampAsOf: resolve against the log's own recorded times.
+    val cs = TxTable.commits(spark, root)
+    assert(cs.forall(_.ts > 0), "every commit must record its wall-clock")
+    val last = cs.last
+    assert(TxTable.versionAt(spark, root, last.ts) === last.version)
+    assert(TxTable.snapshotAsOf(spark, root, last.ts).count() === 101)
+    intercept[IllegalArgumentException] {
+      TxTable.versionAt(spark, root, cs.head.ts - 1000)
+    }
+  }
+
   test("merge rewrites only the files whose key range overlaps the delta") {
     import spark.implicits._
     val root = freshTable("txspec_prune")
