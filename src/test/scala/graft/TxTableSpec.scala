@@ -716,9 +716,10 @@ class TxTableSpec extends SparkSpec {
     // key range — so the serial result is order-independent and the
     // final state is checkable whatever interleaving the OCC race
     // produced. Ops: merge (upsert st=W<i>), delete (2 keys), append
-    // (2 fresh rows).
+    // (2 fresh rows), MERGE-ON-READ delete (2 keys via deletion
+    // vector — racing sidecar commits must compose with COW rewrites).
     val rng = new scala.util.Random(42)
-    val ops = (0 until 6).map(i => (i, rng.nextInt(3)))
+    val ops = (0 until 6).map(i => (i, rng.nextInt(4)))
     val futures = ops.map { case (i, op) =>
       Future {
         val lo = i * 100L // writer i owns keys [100i, 100i+99]
@@ -730,6 +731,8 @@ class TxTableSpec extends SparkSpec {
           case 2 => TxTable.appendBatch(spark, root, s"stress$i", 1L,
             Seq((10000L + i * 10, s"N$i", 1L), (10001L + i * 10, s"N$i", 2L))
               .toDF("k", "st", "c"))
+          case 3 => TxTable.deleteMor(spark, root,
+            Seq(lo + 20, lo + 21).toDF("k"))
         }
       }
     }
@@ -747,6 +750,7 @@ class TxTableSpec extends SparkSpec {
         case 1 => exp = exp - (lo + 10) - (lo + 11)
         case 2 => exp = exp + ((10000L + i * 10) -> ((s"N$i", 1L))) +
           ((10001L + i * 10) -> ((s"N$i", 2L)))
+        case 3 => exp = exp - (lo + 20) - (lo + 21)
       }
     }
     val got = TxTable.snapshot(spark, root).collect()
