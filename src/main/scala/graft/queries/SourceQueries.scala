@@ -876,6 +876,43 @@ object SourceQueries extends QueryPack {
           lit(skipped).as("skipped_files"))
     }),
 
+    // Z-ORDER + CONNECTOR 2-D SKIPPING — q353 proves the Morton
+    // rewrite improves the metadata-only box audit and q354 proves the
+    // connector prunes on the KEY axis; this closes the loop: after
+    // OPTIMIZE ZORDER declares cents as the stats2 dimension, a BOX
+    // predicate (key range × cents range) pushed through the connector
+    // must prune against BOTH logged envelopes — planned input
+    // partitions strictly below the full scan AND strictly below what
+    // the key range alone admits (box_beats_key pins that the second
+    // dimension did real work — the property a key-only layout cannot
+    // deliver, since every key-range file spans the full cents
+    // domain). The box rows replay relationally in the oracle.
+    "q359_tx_zorder_scan" -> ((s, dir) => {
+      import graft.sources.TxTable
+      val root = tmp(dir, "txtable_q359")
+      val base = Tables.orders(s, dir)
+        .groupBy(col("o_orderkey").as("k"))
+        .agg(min("o_orderstatus").as("st"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("c"))
+      TxTable.create(base, root, nBuckets = 8)
+      TxTable.optimizeZorder(s, root, dim2 = "c", nFiles = 8) // v2
+      val hiK = base.agg(max("k")).collect()(0).getLong(0) / 2L
+      val (loC, hiC) = (0L, 2000000L)
+      def rd() = s.read.format("graft-txtable").option("root", root).load()
+      val fullParts = rd().rdd.getNumPartitions
+      val keyParts = rd().filter(col("k") <= hiK).rdd.getNumPartitions
+      val boxParts = rd()
+        .filter(col("k") <= hiK && col("c") >= loC && col("c") <= hiC)
+        .rdd.getNumPartitions
+      val boxBeatsKey = if (boxParts < keyParts && keyParts <= fullParts)
+        1L else 0L
+      rd().filter(col("k") <= hiK && col("c") >= loC && col("c") <= hiC)
+        .agg(count(lit(1)).as("n_rows"), sum("c").as("sum_c"),
+          max("k").as("max_k"))
+        .select(col("n_rows"), col("sum_c"), col("max_k"),
+          lit(boxBeatsKey).as("box_beats_key"))
+    }),
+
     // RESTORE — roll the table back to an earlier version AS A NEW
     // COMMIT (Delta's RESTORE TABLE … VERSION AS OF): the log stays
     // append-only, the botched intermediate versions stay
@@ -1462,6 +1499,22 @@ object SourceQueries extends QueryPack {
         |  CAST(max(k) AS BIGINT) AS max_k,
         |  CAST(1 AS BIGINT) AS skipped_files
         |FROM base, thr WHERE k <= thr.t""".stripMargin,
+
+    // q359: the 2-D box replayed relationally (same integer `div 2`
+    // key threshold, same cents bounds); box_beats_key pins that the
+    // connector pruned on the SECOND dimension too, which only the
+    // z-ordered layout's envelopes make possible.
+    "q359_tx_zorder_scan" ->
+      """WITH base AS (SELECT o_orderkey AS k, min(o_orderstatus) AS st,
+        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS c
+        |  FROM orders GROUP BY 1),
+        |thr AS (SELECT CAST(max(k) AS BIGINT) // 2 AS t FROM base)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c) AS BIGINT) AS sum_c,
+        |  CAST(max(k) AS BIGINT) AS max_k,
+        |  CAST(1 AS BIGINT) AS box_beats_key
+        |FROM base, thr WHERE k <= thr.t AND c >= 0 AND c <= 2000000""".stripMargin,
 
     // q355: v3 applies merge-then-delete to base, the restored v4 IS
     // base again, v5 is base plus the post-restore append — a restore
