@@ -679,13 +679,17 @@ object TxTable {
     require(dup.isEmpty,
       s"mergeInto: delta has multiple rows for $key=${dup.headOption.map(_.get(0)).orNull} " +
         "— SQL MERGE forbids a multi-match source; pre-aggregate the delta")
-    // CHECK constraints apply to the rows that will LAND (updates and
-    // inserts) — delete-flagged rows never materialize.
-    validateConstraints(
-      d.filter(!col("__ddel")).select(cols.map(col): _*), meta)
     val dd = d.select(cols.map(c => col(c).as(s"__d_$c")) ++
       Seq(col("__ddel"), lit(true).as("__dm")): _*)
     while (true) {
+      // CHECK constraints apply to the rows that will LAND (updates
+      // and inserts) — delete-flagged rows never materialize. The meta
+      // is RE-READ each attempt: a concurrent ADD CONSTRAINT forces a
+      // version collision (total order), and the retry must enforce
+      // the constraint that landed in between.
+      validateConstraints(
+        d.filter(!col("__ddel")).select(cols.map(col): _*),
+        tableMeta(s, root))
       val v = latestVersion(s, root) + 1
       val live = liveFiles(s, root)
       val hit = touchedFiles(s, d, key, live)
@@ -931,18 +935,24 @@ object TxTable {
       .exists(c => c.txnApp.contains(appId) && c.batchId.contains(batchId))
     if (seen()) return false
     val d = df.localCheckpoint(false)
-    val cur = tableMetaOpt(s, root)
-    val widened = cur.flatMap { m =>
-      val curNames = m.schema.fieldNames.toSet
-      val extra = d.schema.fields.filterNot(f => curNames(f.name))
-      if (extra.isEmpty) None
-      else Some(m.copy(schemaJson =
-        nullableJson(StructType(m.schema.fields ++ extra))))
-    }
-    val meta = widened.orElse(cur)
-      .getOrElse(TableMeta(nullableJson(d.schema), "k", None))
-    validateConstraints(d, meta)
     while (true) {
+      // Meta resolution and constraint validation live INSIDE the OCC
+      // loop: any commit landing between attempts (including a
+      // concurrent ADD CONSTRAINT — versions are a total order, so an
+      // intervening metadata commit always forces a collision here)
+      // must be re-read and re-enforced before this batch can land —
+      // the Delta MetadataChangedException retry semantics.
+      val cur = tableMetaOpt(s, root)
+      val widened = cur.flatMap { m =>
+        val curNames = m.schema.fieldNames.toSet
+        val extra = d.schema.fields.filterNot(f => curNames(f.name))
+        if (extra.isEmpty) None
+        else Some(m.copy(schemaJson =
+          nullableJson(StructType(m.schema.fields ++ extra))))
+      }
+      val meta = widened.orElse(cur)
+        .getOrElse(TableMeta(nullableJson(d.schema), "k", None))
+      validateConstraints(d, meta)
       val v = latestVersion(s, root) + 1
       val entries = writeFile(d, root, v, freshToken(), idx = 0, meta).toSeq
       try {

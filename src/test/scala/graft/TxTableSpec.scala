@@ -185,6 +185,47 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("constraint/append race: a declared constraint and a violating row never coexist") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // Race a violating append against ADD CONSTRAINT. Whatever the
+    // interleaving, the OCC total order + in-loop re-validation must
+    // leave the table in one of exactly two consistent states:
+    //  - append won: the violating row exists, addConstraint's
+    //    existing-data scan rejected the constraint;
+    //  - constraint won: the constraint is declared, the append's
+    //    retry re-read the new meta and rejected the batch.
+    // Both-succeed (a declared constraint coexisting with a violating
+    // row) is the serializability hole this pins shut.
+    for (round <- 1 to 3) {
+      val root = graft.sources.Staging.dir(sfDir, s"txspec_cns_race$round")
+      val base = spark.range(0, 200)
+        .select(col("id").as("k"), lit("A").as("st"), (col("id") * 10).as("c"))
+      TxTable.create(base, root, nBuckets = 4)
+      val appendF = Future {
+        try {
+          TxTable.appendBatch(spark, root, "race", 1L,
+            Seq((900L, "B", -5L)).toDF("k", "st", "c")); true
+        } catch { case _: IllegalArgumentException => false }
+      }
+      val added =
+        try { TxTable.addConstraint(spark, root, "c_nonneg", "c >= 0"); true }
+        catch { case _: IllegalArgumentException => false }
+      val appended = Await.result(appendF, 120.seconds)
+      assert(added || appended, "at least one racer must win")
+      val hasConstraint =
+        TxTable.tableMeta(spark, root).constraints.contains("c_nonneg")
+      val nViolating =
+        TxTable.snapshot(spark, root).filter(col("c") < 0).count()
+      assert(!(hasConstraint && nViolating > 0),
+        s"round $round: constraint declared AND violating row present")
+      assert(hasConstraint === added && (nViolating > 0) === appended,
+        s"round $round: reported outcomes must match table state")
+    }
+  }
+
   test("merge rewrites only the files whose key range overlaps the delta") {
     import spark.implicits._
     val root = freshTable("txspec_prune")
