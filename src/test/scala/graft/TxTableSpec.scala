@@ -777,10 +777,21 @@ class TxTableSpec extends SparkSpec {
         }
       }
     }
+    // A 7th racer: SCOPED OPTIMIZE over buckets 3–4 (writers 3 and 4's
+    // key ranges — deliberate contention with their rewrites). Pure
+    // layout, so it changes no expected logical state; it commits one
+    // extra version iff its final retry still found a packable group.
+    val optF = Future {
+      TxTable.optimize(spark, root, targetRows = 250L,
+        scopeLo = 300L, scopeHi = 499L)
+    }
     futures.foreach(f => Await.result(f, 300.seconds))
-    // Every writer must have landed: 1 create + 6 commits.
-    assert(TxTable.latestVersion(spark, root) === 7,
-      "all 6 concurrent writers must commit (OCC retry, no lost commit)")
+    val (optIn, optOut) = Await.result(optF, 300.seconds)
+    // Every writer must have landed: 1 create + 6 commits (+1 if the
+    // racing scoped compaction found work on its winning attempt).
+    val expectedLatest = if (optIn > 0) 8 else 7
+    assert(TxTable.latestVersion(spark, root) === expectedLatest,
+      s"all concurrent writers must commit (optimize: $optIn -> $optOut)")
     // Serial-equivalent expected state (disjoint ranges commute, so
     // ANY landed order yields the same final table).
     var exp = (0L until 800L).map(k => k -> (("A", k * 10))).toMap
@@ -803,6 +814,242 @@ class TxTableSpec extends SparkSpec {
     val got2 = TxTable.snapshot(spark, root).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     assert(got2 === exp, "vacuum must not touch any retained snapshot's files")
+  }
+
+  test("unique_key property: declared default is write-checked, undeclared " +
+       "refuses keyed ops, waived allows them unchecked") {
+    import spark.implicits._
+    // Default create declares + checks.
+    val root = freshTable("txspec_uk")
+    assert(TxTable.tableMeta(spark, root).uniqueKey === Some(true))
+    // In-batch duplicate keys are rejected BEFORE anything commits.
+    val e = intercept[IllegalArgumentException] {
+      TxTable.appendBatch(spark, root, "uk", 1L,
+        Seq((9000L, "B", 1L), (9000L, "B", 2L)).toDF("k", "st", "c"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+    assert(TxTable.latestVersion(spark, root) === 1)
+    // Cheap check is in-batch only: a cross-file duplicate passes…
+    TxTable.appendBatch(spark, root, "uk", 2L,
+      Seq((5L, "B", 1L)).toDF("k", "st", "c"))
+    // …but the documented full-scan opt-in catches it.
+    intercept[IllegalArgumentException] {
+      TxTable.appendBatch(spark, root, "uk", 3L,
+        Seq((7L, "B", 1L)).toDF("k", "st", "c"), uniqueCheckFull = true)
+    }
+    // create validates the INITIAL data too.
+    intercept[IllegalArgumentException] {
+      TxTable.create(Seq((1L, "A", 1L), (1L, "A", 2L)).toDF("k", "st", "c"),
+        graft.sources.Staging.dir(sfDir, "txspec_uk_dupinit"), nBuckets = 2)
+    }
+    // UNDECLARED (None): the keyed ops refuse — the silent-wrong-CDF trap.
+    val rootU = graft.sources.Staging.dir(sfDir, "txspec_uk_undeclared")
+    TxTable.create(spark.range(0, 100)
+      .select(col("id").as("k"), lit("A").as("st"), (col("id") * 10).as("c")),
+      rootU, nBuckets = 2, uniqueKey = None)
+    val e2 = intercept[IllegalArgumentException] {
+      TxTable.merge(spark, rootU, Seq((5L, "X", 1L)).toDF("k", "st", "c"))
+    }
+    assert(e2.getMessage.contains("unique_key"))
+    intercept[IllegalArgumentException] {
+      TxTable.deleteMor(spark, rootU, Seq(5L).toDF("k"))
+    }
+    TxTable.appendBatch(spark, rootU, "uk", 1L,
+      Seq((500L, "B", 1L)).toDF("k", "st", "c")) // raw appends still fine
+    intercept[IllegalArgumentException] {
+      TxTable.changeFeed(spark, rootU, 1, 2)
+    }
+    // WAIVED (Some(false)): keyed ops run, writes are unchecked (the
+    // caller asserted the contract), duplicate appends pass.
+    val rootW = graft.sources.Staging.dir(sfDir, "txspec_uk_waived")
+    TxTable.create(spark.range(0, 100)
+      .select(col("id").as("k"), lit("A").as("st"), (col("id") * 10).as("c")),
+      rootW, nBuckets = 2, uniqueKey = Some(false))
+    TxTable.merge(spark, rootW, Seq((5L, "X", 1L)).toDF("k", "st", "c"))
+    assert(TxTable.changeFeed(spark, rootW, 1, 2)
+      .filter(col("change_type") === "update_post").count() === 1)
+    TxTable.appendBatch(spark, rootW, "uk", 1L,
+      Seq((900L, "B", 1L), (900L, "B", 2L)).toDF("k", "st", "c"))
+    assert(TxTable.snapshot(spark, rootW).filter(col("k") === 900L).count() === 2)
+  }
+
+  test("scoped OPTIMIZE: only in-scope files rewritten, out-of-scope entries " +
+       "survive verbatim, snapshot identical") {
+    import spark.implicits._
+    val root = freshTable("txspec_opt_scoped")
+    (1 to 6).foreach { i =>
+      TxTable.appendBatch(spark, root, "opt", batchId = i.toLong,
+        Seq((1000L + i, "S", i.toLong)).toDF("k", "st", "c"))
+    }
+    val before = TxTable.snapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val baseEntries = TxTable.liveFiles(spark, root).filter(_.max < 1000L).toSet
+    assert(baseEntries.size === 8 && TxTable.liveFiles(spark, root).size === 14)
+    // Scope to the append range: the 8 base buckets are OUT of scope.
+    val (compacted, produced) =
+      TxTable.optimize(spark, root, targetRows = 200L, scopeLo = 1000L)
+    assert(compacted === 6 && produced === 1,
+      s"exactly the 6 in-scope appends compact: ($compacted, $produced)")
+    val after = TxTable.liveFiles(spark, root)
+    // Out-of-scope entries carried VERBATIM (same path, same stats).
+    assert(after.filter(_.max < 1000L).toSet === baseEntries,
+      "out-of-scope file entries must survive the scoped pass untouched")
+    assert(after.size === 9)
+    assert(TxTable.snapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      === before, "scoped OPTIMIZE is pure layout")
+  }
+
+  test("scoped OPTIMIZE ZORDER: re-clusters only the keyed scope, " +
+       "carries the rest verbatim") {
+    import spark.implicits._
+    val root = graft.sources.Staging.dir(sfDir, "txspec_zscope")
+    val base = spark.range(0, 4096).select(col("id").as("k"), lit("A").as("st"),
+      expr("CAST(conv(reverse(lpad(conv(id, 10, 2), 12, '0')), 2, 10) AS BIGINT)")
+        .as("c"))
+    TxTable.create(base, root, nBuckets = 8, stats2 = Some("c"))
+    val before = TxTable.snapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val outOfScope = TxTable.liveFiles(spark, root).filter(_.min >= 2048L).toSet
+    assert(outOfScope.size === 4)
+    // Re-cluster keys [0, 2047] only (buckets 0–3).
+    val (removed, produced) = TxTable.optimizeZorder(spark, root, "c",
+      nFiles = 8, scopeLo = 0L, scopeHi = 2047L)
+    assert(removed === 4 && produced >= 4)
+    val after = TxTable.liveFiles(spark, root)
+    assert(after.filter(_.min >= 2048L).toSet === outOfScope,
+      "out-of-scope entries must carry verbatim through scoped ZORDER")
+    assert(TxTable.snapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      === before, "scoped ZORDER is pure layout")
+    // In-scope box pruning improved: pre-zorder all 4 scoped files
+    // must-read the (keys 0–2047 × low-c) box; post, some drop out.
+    val postBox = TxTable.filesOverlapping(spark, root, 0L, 2047L, 0L, 1023L)
+    assert(postBox < 4,
+      s"scoped z-order must prune the in-scope c-box: $postBox vs 4")
+  }
+
+  test("OPTIMIZE ZORDER survives full-BIGINT key domains (±2^62)") {
+    import spark.implicits._
+    val root = graft.sources.Staging.dir(sfDir, "txspec_zwide")
+    val half = 1L << 62
+    // Two clusters at the BIGINT extremes: the historical rank math
+    // (((k-lo)*255) div range) overflows on BOTH the multiply and the
+    // subtraction here; the wide path must complete under ANSI.
+    val base = spark.range(0, 1000).select(
+      when(col("id") < 500, col("id") - lit(half))
+        .otherwise(col("id") - lit(500L) + lit(half - 500L)).as("k"),
+      lit("A").as("st"), (col("id") * 10L).as("c"))
+    TxTable.create(base, root, nBuckets = 4)
+    val before = TxTable.snapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(before.size === 1000)
+    val (removed, produced) = TxTable.optimizeZorder(spark, root, "c", nFiles = 8)
+    assert(removed >= 1 && produced >= 2)
+    assert(TxTable.snapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      === before, "wide-domain ZORDER is pure layout")
+    // Key pruning still works off the rewritten envelopes: a read of
+    // the HIGH cluster must not plan every file.
+    val total = TxTable.liveFiles(spark, root).size
+    val highOnly = TxTable.filesOverlapping(spark, root,
+      half - 500L, Long.MaxValue, Long.MinValue, Long.MaxValue)
+    assert(highOnly < total,
+      s"high-cluster read must prune: $highOnly of $total files")
+  }
+
+  test("liveDvs replay is checkpoint-bounded and survives the checkpoint") {
+    import spark.implicits._
+    val root = freshTable("txspec_dv_ckpt")
+    TxTable.deleteMor(spark, root, Seq(0L, 1L).toDF("k")) // v2: bucket-0 vector
+    // Drive past the checkpoint interval with merges on a DISTANT
+    // bucket (they must not materialize bucket 0's vector).
+    (1 to 7).foreach { i =>
+      TxTable.merge(spark, root,
+        Seq((750L, s"M$i", i.toLong)).toDF("k", "st", "c")) // v3..v9
+    }
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/_log/8.checkpoint.json")),
+      "the checkpoint at v8 must exist")
+    // The checkpoint summarized the vector: post-checkpoint replay
+    // (checkpoint + tail only) still sees it…
+    val dvs = TxTable.liveDvs(spark, root)
+    assert(dvs.size === 1 && dvs.values.head.n === 2L,
+      "the live vector must survive checkpoint-bounded replay")
+    // …and the snapshot still subtracts it.
+    assert(TxTable.snapshot(spark, root).filter(col("k") <= 1L).count() === 0)
+    assert(TxTable.snapshot(spark, root).count() === 798)
+    // Time travel BEFORE the vector existed is unaffected.
+    assert(TxTable.snapshot(spark, root, 1).count() === 800)
+  }
+
+  test("changeFeed across a restore that clears deletion vectors emits re-inserts") {
+    import spark.implicits._
+    val root = freshTable("txspec_cdf_restore")
+    TxTable.deleteMor(spark, root, Seq(0L, 1L).toDF("k")) // v2
+    TxTable.restore(spark, root, 1)                       // v3: same paths, vector cleared
+    // v2→v3 re-inserts the vectored keys even though before==after on
+    // file paths (the round-15 ADVICE hole: a path-diff-only feed is
+    // empty here).
+    val feed23 = TxTable.changeFeed(spark, root, 2, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(feed23 === Set(("insert", 0L), ("insert", 1L)))
+    // And the composed window v1→v3 is EMPTY: v3 is bit-identical to v1.
+    assert(TxTable.changeFeed(spark, root, 1, 3).count() === 0)
+    // The post-images carry the original payloads.
+    val img = TxTable.changeFeed(spark, root, 2, 3)
+      .filter(col("k") === 1L).collect()(0)
+    assert(img.getString(2) === "A" && img.getLong(3) === 10L)
+  }
+
+  test("a create rejected by its own constraint scan leaves the prior table intact") {
+    import spark.implicits._
+    val root = freshTable("txspec_create_intact")
+    val bad = Seq((1L, "B", -5L)).toDF("k", "st", "c")
+    intercept[IllegalArgumentException] {
+      TxTable.create(bad, root, nBuckets = 2,
+        constraints = Map("c_nonneg" -> "c >= 0"))
+    }
+    // The prior table at root survives whole — wipe must not have run.
+    assert(TxTable.snapshot(spark, root).count() === 800)
+    assert(TxTable.latestVersion(spark, root) === 1)
+  }
+
+  test("an explicit Commit.ts round-trips through the log") {
+    val root = freshTable("txspec_ts")
+    TxTable.tryCommit(root,
+      TxTable.Commit(2, Seq.empty, Seq.empty, ts = 1234567890123L))
+    val c2 = TxTable.commits(spark, root).find(_.version === 2).get
+    assert(c2.ts === 1234567890123L,
+      "an explicit nonzero ts must serialize verbatim, not be restamped")
+    // Unstamped commits still get publication wall-clock.
+    assert(TxTable.commits(spark, root).find(_.version === 1).get.ts > 0L)
+  }
+
+  test("restore to a legacy (pre-metadata) version re-declares a synthesized meta") {
+    import spark.implicits._
+    val root = graft.sources.Staging.dir(sfDir, "txspec_restore_legacy")
+    TxTable.wipe(root)
+    // Hand-build a LEGACY v1: data written directly, commit without meta.
+    val path = s"$root/data/legacy-0.parquet"
+    spark.range(0, 50)
+      .select(col("id").as("k"), lit("A").as("st"), (col("id") * 2).as("c"))
+      .write.mode("overwrite").parquet(path)
+    TxTable.tryCommit(root, TxTable.Commit(1,
+      Seq(TxTable.FileEntry(path, 0L, 49L, 50L)), Seq.empty))
+    assert(TxTable.tableMetaOpt(spark, root).isEmpty)
+    // Later-declared metadata (addConstraint commits the footer-derived
+    // meta), then restore back to the legacy version.
+    TxTable.addConstraint(spark, root, "c_nonneg", "c >= 0") // v2 declares meta
+    assert(TxTable.tableMetaOpt(spark, root).isDefined)
+    TxTable.restore(spark, root, 1) // v3
+    // The restore must RE-DECLARE a meta matching v1's state (footer
+    // synthesis) — not leave the v2 constraint in force.
+    val m = TxTable.tableMeta(spark, root)
+    assert(m.constraints.isEmpty,
+      "restore to a legacy version must not keep later-declared constraints")
+    assert(m.schema.fieldNames.toSeq === Seq("k", "st", "c"))
+    assert(TxTable.snapshot(spark, root).count() === 50)
   }
 
   test("schema evolution: a widened append reads back with NULL backfill") {
