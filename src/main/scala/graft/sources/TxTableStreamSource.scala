@@ -235,18 +235,18 @@ private class TxStreamScan(root: String, tblSchema: StructType,
           "merge-on-read read path — read via TxTable.snapshot or run " +
           "TxTable.optimize to materialize the vectors first")
       val meta = TxTable.tableMeta(s, root, versionAsOf)
-      // DATA SKIPPING: intersect the pushed key-range (and stats2)
-      // bounds with each live file's logged [min,max] — a point read
-      // plans one bucket's part files, however large the table.
-      val (kLo, kHi) = TxTableStreamSource.boundsFor(pushed.toSeq, meta.key)
-      val s2Bounds = meta.stats2.map(c2 =>
-        TxTableStreamSource.boundsFor(pushed.toSeq, c2))
+      // DATA SKIPPING: intersect the pushed per-column range bounds
+      // with each live file's logged stats — the key envelope, the
+      // stats2 bounds, AND the per-column stats vector (every declared
+      // statsCols column skips; a point read plans one bucket's part
+      // files however large the table, and a box predicate prunes on
+      // every dimension the log records).
+      val statCols = meta.key +: (meta.stats2.toSeq ++ meta.statsCols)
+      val box = statCols.distinct.map(c =>
+        c -> TxTableStreamSource.boundsFor(pushed.toSeq, c))
       val live = TxTable.liveFiles(s, root, versionAsOf)
-        .filter(f => f.min <= kHi && f.max >= kLo)
-        .filter(f => s2Bounds.forall { case (lo2, hi2) =>
-          f.min2.isEmpty || f.max2.isEmpty ||
-            (f.min2.get <= hi2 && f.max2.get >= lo2)
-        })
+        .filter(f => box.forall { case (c, (lo, hi)) =>
+          f.mayContain(c, meta.key, meta.stats2, lo, hi) })
         .map(_.file).toSet
       // file → adding commit version, from the raw log (KBs).
       val addedBy = TxTable.commits(s, root, versionAsOf)

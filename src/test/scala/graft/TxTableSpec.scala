@@ -1052,6 +1052,48 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.snapshot(spark, root).count() === 50)
   }
 
+  test("per-column stats vector: declared columns prune, undeclared stay conservative, " +
+       "stats survive compaction") {
+    import spark.implicits._
+    val root = graft.sources.Staging.dir(sfDir, "txspec_statsvec")
+    // 4 appended cells: k spans the full domain in EVERY file (key
+    // stats prune nothing); c and d are narrow per file.
+    def cell(i: Long) = spark.range(0, 400)
+      .filter(col("id") % 4 === i)
+      .select(col("id").as("k"), (lit(i * 100) + col("id") % 10).as("c"),
+        (lit(i * 1000) + col("id") % 10).as("d"), lit("x").as("e"))
+    TxTable.create(cell(0), root, nBuckets = 1, statsCols = Seq("c", "d"))
+    (1L to 3L).foreach(i => TxTable.appendBatch(spark, root, "sv", i, cell(i)))
+    assert(TxTable.tableMeta(spark, root).statsCols === Seq("c", "d"))
+    // Every file records bounds for both declared columns.
+    assert(TxTable.liveFiles(spark, root)
+      .forall(f => f.stats.map(_._1).toSet === Set("c", "d")))
+    def audit(box: (String, (Long, Long))*) =
+      TxTable.filesOverlappingBox(spark, root, box.toSeq)
+    // Key alone: must-read all 4 (spans every file).
+    assert(audit("k" -> (0L, 399L)) === 4)
+    // c picks cell 2; d agrees; the pair still lands on exactly 1 file.
+    assert(audit("c" -> (200L, 209L)) === 1)
+    assert(audit("c" -> (200L, 209L), "d" -> (2000L, 2009L)) === 1)
+    // Disjoint c × d boxes intersect NO file.
+    assert(audit("c" -> (200L, 209L), "d" -> (3000L, 3009L)) === 0)
+    // An UNDECLARED column is a conservative must-read, never a wrong prune.
+    assert(audit("e" -> (0L, 0L)) === 4)
+    // The connector pushdown consumes the vector: a c-range read plans
+    // strictly fewer partitions than the full scan.
+    def rd() = spark.read.format("graft-txtable").option("root", root).load()
+    val full = rd().rdd.getNumPartitions
+    val pruned = rd().filter(col("c") >= 200L && col("c") <= 209L)
+      .rdd.getNumPartitions
+    assert(pruned < full, s"vector pushdown must prune: $pruned vs $full")
+    assert(rd().filter(col("c") >= 200L && col("c") <= 209L).count() === 100)
+    // Compaction re-records the vector on its rewritten files.
+    TxTable.optimize(spark, root, targetRows = 1000000L)
+    assert(TxTable.liveFiles(spark, root)
+      .forall(f => f.stats.map(_._1).toSet === Set("c", "d")))
+    assert(audit("c" -> (200L, 209L), "d" -> (2000L, 2009L)) === 1)
+  }
+
   test("schema evolution: a widened append reads back with NULL backfill") {
     import spark.implicits._
     val root = freshTable("txspec_evo")
