@@ -1216,6 +1216,78 @@ object SourceQueries extends QueryPack {
           lit(auditFiles).as("audit_files"))
     }),
 
+    // CONNECTOR WRITE PATH (the round-15 verdict's missing #1: the
+    // connector was read-only, so a user's first instinct —
+    // df.write.format("graft-txtable") / writeStream.format(...) —
+    // failed; every write had to detour through the library API or a
+    // foreachBatch recipe). This is q344's medallion hop with the
+    // foreachBatch recipe DELETED from the hot path: bronze → silver
+    // runs connector-source → in-flight transform → CONNECTOR SINK,
+    // whose executors stream rows into per-task parquet files and
+    // whose driver commits them through the same OCC tryCommit door as
+    // the library API (constraints/unique_key/widening/metadata races
+    // all hold — TxTableSpec pins the rejected-write-leaves-nothing
+    // contract). Epochs commit keyed by (query id, epoch id), so the
+    // resumed drains are exactly-once BY THE SINK (exactly_once pins a
+    // fourth no-op drain); a batch df.write leg appends through the
+    // same door, and n_versions pins the full commit provenance
+    // (bootstrap + two stream epochs + one batch write = 4). The
+    // oracle recomputes final silver relationally from bronze's
+    // final state — any duplicate, loss, or transform drift at either
+    // end hash-fails.
+    "q362_tx_connector_write" -> ((s, dir) => {
+      import graft.sources.TxTable
+      import org.apache.spark.sql.streaming.Trigger
+      val bronze = tmp(dir, "txtable_q362_bronze")
+      val silver = tmp(dir, "txtable_q362_silver")
+      val ckpt = tmp(dir, "txtable_q362_ckpt")
+      TxTable.wipe(ckpt)
+      val base = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("st"), col("n_regionkey").cast("long").as("c"))
+      def xform(df: DataFrame) =
+        df.select(col("k"), col("st"), (col("c") * 2 + 1).as("c"))
+      TxTable.create(base, bronze, nBuckets = 4)      // bronze v1
+      TxTable.create(xform(base), silver, nBuckets = 2) // silver bootstrap
+      val r = Tables.region(s, dir)
+        .select(col("r_regionkey").cast("long").as("rk"), col("r_name"))
+      def app(i: Int) = r.filter(col("rk") === (i % 5).toLong)
+        .select((col("rk") + lit(1000L * i)).as("k"),
+          col("r_name").as("st"), lit(i.toLong).as("c"))
+      def drain(): Unit = {
+        val q = s.readStream.format("graft-txtable").option("root", bronze)
+          .option("startingVersion", "2").load()
+          .select(col("k"), col("st"), col("c")) // drop commit_version
+          .transform(xform)
+          .writeStream.format("graft-txtable").option("root", silver)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        if (!q.awaitTermination(300000)) {
+          q.stop(); sys.error("q362: drain did not finish within 300 s")
+        }
+      }
+      drain()                                          // nothing yet: no commit
+      TxTable.appendBatch(s, bronze, "q362src", 1L, app(1)) // bronze v2
+      TxTable.appendBatch(s, bronze, "q362src", 2L, app(2)) // bronze v3
+      drain()                                          // epoch: v2+v3
+      TxTable.appendBatch(s, bronze, "q362src", 3L, app(3)) // bronze v4
+      drain()                                          // resumed: only v4
+      val vAfterStreams = TxTable.latestVersion(s, silver)
+      drain()                                          // nothing new
+      val exactlyOnce =
+        if (TxTable.latestVersion(s, silver) == vAfterStreams) 1L else 0L
+      // Batch write leg: the plain DataFrame door.
+      r.select((col("rk") + 5000L).as("k"), col("r_name").as("st"),
+          (col("rk") * 2L).as("c"))
+        .write.format("graft-txtable").option("root", silver)
+        .mode("append").save()
+      s.read.format("graft-txtable").option("root", silver).load()
+        .agg(count(lit(1)).as("n_rows"), sum("c").as("sum_c"),
+          countDistinct("commit_version").as("n_versions"))
+        .select(col("n_rows"), col("sum_c"), col("n_versions"),
+          lit(exactlyOnce).as("exactly_once"))
+    }),
+
     // Bucketed co-located join: both sides pre-bucketed on the join
     // key, so the join runs with ZERO exchanges (each bucket pair joins
     // locally). The 100 TB pattern for a fact⋈fact join that recurs —
@@ -1720,6 +1792,25 @@ object SourceQueries extends QueryPack {
         |  CAST(1 AS BIGINT) AS audit_files
         |FROM base, mx
         |WHERE d >= 2*mx.w AND d <= 3*mx.w - 1 AND c < 2000000""".stripMargin,
+
+    // q362: final silver = transformed bronze final state ∪ the batch
+    // write; n_versions pins the commit provenance (bootstrap + two
+    // stream epochs + one batch commit), exactly_once the no-op drain.
+    "q362_tx_connector_write" ->
+      """WITH base AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |    CAST(n_regionkey*2 + 1 AS BIGINT) AS c FROM nation),
+        |apps AS (SELECT CAST(r_regionkey + 1000*i AS BIGINT) AS k,
+        |    CAST(i*2 + 1 AS BIGINT) AS c
+        |  FROM region JOIN range(1,4) t(i) ON r_regionkey = i % 5),
+        |bat AS (SELECT CAST(r_regionkey + 5000 AS BIGINT) AS k,
+        |    CAST(r_regionkey*2 AS BIGINT) AS c FROM region),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM apps
+        |  UNION ALL SELECT * FROM bat)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c) AS BIGINT) AS sum_c,
+        |  CAST(4 AS BIGINT) AS n_versions,
+        |  CAST(1 AS BIGINT) AS exactly_once
+        |FROM u""".stripMargin,
 
     // q358: the final table is exactly base ∪ the two ACCEPTED appends
     // — a leaked rejected row inflates n_rows/sum_c; the pins assert

@@ -1163,6 +1163,89 @@ object TxTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Commit files ALREADY WRITTEN by the DSv2 connector's executor
+    * writers ([[TxTableStreamSource]]'s write path) as one atomic
+    * version — the driver half of `df.writeTo` /
+    * `df.writeStream.format("graft-txtable")`. Same contract as
+    * [[appendBatch]] (constraints, unique_key cheap check, additive
+    * schema widening, OCC retry, optional (appId, batchId)
+    * idempotency) except the data files exist on disk: validation
+    * reads THEM back (one scan of the new files only — never the
+    * table), so a rejected batch deletes its files and commits
+    * nothing. Returns true iff this call committed (false = the
+    * (appId, batchId) pair was already in the log; the duplicate
+    * files are deleted as losing-writer debris).
+    */
+  private[sources] def commitWrittenFiles(
+      s: SparkSession, root: String, paths: Seq[String],
+      schema: StructType, txn: Option[(String, Long)]): Boolean = {
+    def dropFiles(): Unit = paths.foreach(wipe)
+    def seen() = txn.exists { case (a, b) =>
+      commits(s, root).exists(c => c.txnApp.contains(a) && c.batchId.contains(b))
+    }
+    if (seen()) { dropFiles(); return false }
+    if (paths.isEmpty) return false
+    val d = s.read.schema(StructType(schema.fields.map(_.copy(nullable = true))))
+      .parquet(paths: _*)
+    while (true) {
+      val v = latestVersion(s, root) + 1
+      val cur = tableMetaOpt(s, root)
+      require(cur.isDefined || v > 1,
+        s"graft-txtable write: no table at $root — create it first " +
+          "(TxTable.create declares the key/stats/constraint metadata " +
+          "the connector write path enforces)")
+      val widened = cur.flatMap { m =>
+        val curNames = m.schema.fieldNames.toSet
+        val extra = d.schema.fields.filterNot(f => curNames(f.name))
+        if (extra.isEmpty) None
+        else Some(m.copy(schemaJson =
+          nullableJson(StructType(m.schema.fields ++ extra))))
+      }
+      val meta = widened.orElse(cur)
+        .getOrElse(TableMeta(nullableJson(d.schema), "k", None))
+      try {
+        validateConstraints(d, meta)
+        validateUnique(d, meta, "connector write")
+      } catch {
+        case e: IllegalArgumentException => dropFiles(); throw e
+      }
+      // Per-file stats from the files themselves: one aggregate over
+      // the new files, grouped by their physical path.
+      val entries = {
+        val vecCols = meta.statsCols.filter(d.columns.contains)
+        val hasS2 = meta.stats2.exists(d.columns.contains)
+        val keyed = d.withColumn("__f", input_file_name())
+        val aggs = Seq(count(lit(1)).as("n"), min(col(meta.key)).as("mn"),
+          max(col(meta.key)).as("mx")) ++
+          meta.stats2.filter(_ => hasS2).toSeq.flatMap(c2 => Seq(
+            floor(min(col(c2))).cast("long").as("mn2"),
+            ceil(max(col(c2))).cast("long").as("mx2"))) ++
+          vecCols.zipWithIndex.flatMap { case (c, i) => Seq(
+            floor(min(col(c))).cast("long").as(s"__vlo$i"),
+            ceil(max(col(c))).cast("long").as(s"__vhi$i")) }
+        keyed.groupBy("__f").agg(aggs.head, aggs.tail: _*).collect().map { r =>
+          val file = r.getAs[String]("__f").stripPrefix("file://")
+          FileEntry(file, r.getAs[Long]("mn"), r.getAs[Long]("mx"),
+            r.getAs[Long]("n"),
+            if (hasS2) Some(r.getAs[Long]("mn2")) else None,
+            if (hasS2) Some(r.getAs[Long]("mx2")) else None,
+            vecCols.zipWithIndex.map { case (c, i) =>
+              (c, r.getAs[Long](s"__vlo$i"), r.getAs[Long](s"__vhi$i")) })
+        }.toSeq.sortBy(_.file)
+      }
+      try {
+        tryCommit(root, Commit(v, entries, Seq.empty,
+          txn.map(_._1), txn.map(_._2), widened))
+        maybeCheckpoint(s, root, v)
+        return true
+      } catch {
+        case _: CommitConflictException =>
+          if (seen()) { dropFiles(); return false }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Compaction (OPTIMIZE): bin-pack adjacent (by key range) live
     * files whose row counts sum to ≤ `targetRows` and rewrite each
     * multi-file group as one file, in one new commit. Pure layout —

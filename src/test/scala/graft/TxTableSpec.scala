@@ -1094,6 +1094,115 @@ class TxTableSpec extends SparkSpec {
     assert(audit("c" -> (200L, 209L), "d" -> (2000L, 2009L)) === 1)
   }
 
+  test("connector batch write: df.write appends through the OCC commit path, " +
+       "constraints and unique_key enforced, rejected writes leave no commit") {
+    import spark.implicits._
+    val root = graft.sources.Staging.dir(sfDir, "txspec_connwrite")
+    val base = spark.range(0, 200)
+      .select(col("id").as("k"), lit("A").as("st"), (col("id") * 10).as("c"))
+    TxTable.create(base, root, nBuckets = 4,
+      constraints = Map("c_nonneg" -> "c >= 0"))
+    // The user's first instinct — df.write.format("graft-txtable") —
+    // must work and land as one committed version.
+    Seq((1000L, "W", 1L), (1001L, "W", 2L)).toDF("k", "st", "c")
+      .write.format("graft-txtable").option("root", root)
+      .mode("append").save()
+    assert(TxTable.latestVersion(spark, root) === 2)
+    val snap = TxTable.snapshot(spark, root)
+    assert(snap.count() === 202)
+    assert(snap.filter(col("st") === "W").count() === 2)
+    // Round trip through the connector read too.
+    assert(spark.read.format("graft-txtable").option("root", root).load()
+      .filter(col("k") >= 1000L).count() === 2)
+    // A constraint-violating connector write is rejected, commits
+    // nothing, and leaves no file debris behind.
+    def dataFiles() = {
+      val st = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$root/data"))
+      try { import scala.jdk.CollectionConverters._
+        st.iterator().asScala.size } finally st.close()
+    }
+    val filesBefore = dataFiles()
+    val e = intercept[Exception] {
+      Seq((2000L, "B", -7L)).toDF("k", "st", "c")
+        .write.format("graft-txtable").option("root", root)
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("c_nonneg") ||
+      Option(e.getCause).exists(_.getMessage.contains("c_nonneg")))
+    assert(TxTable.latestVersion(spark, root) === 2,
+      "a rejected connector write must not commit")
+    assert(dataFiles() === filesBefore,
+      "a rejected connector write must delete its files")
+    // unique_key: an in-batch duplicate is rejected through the
+    // connector door too.
+    intercept[Exception] {
+      Seq((3000L, "D", 1L), (3000L, "D", 2L)).toDF("k", "st", "c")
+        .write.format("graft-txtable").option("root", root)
+        .mode("append").save()
+    }
+    assert(TxTable.latestVersion(spark, root) === 2)
+    // Widening append through the connector: additive evolution.
+    Seq((4000L, "G", 5L, "extra")).toDF("k", "st", "c", "tag")
+      .write.format("graft-txtable").option("root", root)
+      .mode("append").save()
+    assert(TxTable.tableMeta(spark, root).schema.fieldNames.contains("tag"))
+    assert(TxTable.snapshot(spark, root).filter(col("tag").isNotNull).count() === 1)
+    // Batch idempotency via the explicit txn options (the Delta
+    // txnAppId/txnVersion pair on DataFrameWriter).
+    def idem() = Seq((5000L, "I", 1L)).toDF("k", "st", "c")
+      .write.format("graft-txtable").option("root", root)
+      .option("txnAppId", "job42").option("txnVersion", "1")
+      .mode("append").save()
+    idem(); idem()
+    assert(TxTable.snapshot(spark, root).filter(col("k") === 5000L).count() === 1,
+      "a replayed (txnAppId, txnVersion) batch write must be a no-op")
+  }
+
+  test("connector streaming write: writeStream lands epochs exactly-once " +
+       "through the OCC commit path") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val src = graft.sources.Staging.dir(sfDir, "txspec_sw_src")
+    val dst = graft.sources.Staging.dir(sfDir, "txspec_sw_dst")
+    val ckpt = graft.sources.Staging.dir(sfDir, "txspec_sw_ckpt")
+    TxTable.wipe(ckpt)
+    val base = spark.range(0, 100)
+      .select(col("id").as("k"), lit("A").as("st"), (col("id") * 10).as("c"))
+    TxTable.create(base, src, nBuckets = 2)               // source table
+    TxTable.create(Seq((-1L, "SEED", 0L)).toDF("k", "st", "c"),
+      dst, nBuckets = 1)                                  // dest bootstrap
+    // table → table, transformed in flight, NO foreachBatch: the
+    // connector is both the source and the sink.
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-txtable").option("root", src)
+        .option("startingVersion", "1").load()
+        .select(col("k"), col("st"), (col("c") * 2).as("c"))
+        .writeStream.format("graft-txtable").option("root", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(300000), "stream drain timed out")
+    }
+    drain()
+    val snap1 = TxTable.snapshot(spark, dst)
+    assert(snap1.count() === 101, "seed + 100 streamed rows")
+    assert(snap1.filter(col("k") === 10L).collect()(0).getLong(2) === 200L)
+    // Replaying the SAME drain (no new source commits) must deliver
+    // and commit nothing: source offsets + epoch idempotency compose.
+    val vBefore = TxTable.latestVersion(spark, dst)
+    drain()
+    assert(TxTable.latestVersion(spark, dst) === vBefore,
+      "an empty resumed drain must not commit")
+    assert(TxTable.snapshot(spark, dst).count() === 101)
+    // New source data: the resumed stream moves ONLY the new commit.
+    TxTable.appendBatch(spark, src, "sw", 1L,
+      Seq((500L, "B", 5L)).toDF("k", "st", "c"))
+    drain()
+    val snap2 = TxTable.snapshot(spark, dst)
+    assert(snap2.count() === 102)
+    assert(snap2.filter(col("k") === 500L).collect()(0).getLong(2) === 10L)
+  }
+
   test("schema evolution: a widened append reads back with NULL backfill") {
     import spark.implicits._
     val root = freshTable("txspec_evo")
