@@ -154,7 +154,8 @@ object TxTable {
                        stats2: Option[String] = None,
                        constraints: Map[String, String] = Map.empty,
                        uniqueKey: Option[Boolean] = None,
-                       statsCols: Seq[String] = Seq.empty) {
+                       statsCols: Seq[String] = Seq.empty,
+                       changeFeed: Boolean = false) {
     lazy val schema: StructType =
       org.apache.spark.sql.types.DataType.fromJson(schemaJson)
         .asInstanceOf[StructType]
@@ -181,7 +182,9 @@ object TxTable {
                     txnApp: Option[String] = None, batchId: Option[Long] = None,
                     meta: Option[TableMeta] = None,
                     dv: Seq[DvEntry] = Seq.empty,
-                    ts: Long = 0L)
+                    ts: Long = 0L,
+                    cdc: Option[String] = None,
+                    layoutOnly: Boolean = false)
 
   /** Thrown by [[tryCommit]] when the target version already exists —
     * the optimistic-concurrency conflict signal. Writers catch it,
@@ -244,6 +247,7 @@ object TxTable {
           m.uniqueKey.map(u => s""","metaUnique":$u""").getOrElse("") +
           (if (m.statsCols.isEmpty) ""
            else m.statsCols.map(q).mkString(""","metaStatsCols":[""", ",", "]")) +
+          (if (m.changeFeed) s""","metaCdf":true""" else "") +
           (if (m.constraints.isEmpty) ""
            else m.constraints.toSeq.sortBy(_._1)
              .map { case (n, e) => s"""{"name":${q(n)},"expr":${q(e)}}""" }
@@ -255,6 +259,8 @@ object TxTable {
       else c.dv.map(d =>
         s"""{"file":${q(d.file)},"path":${q(d.path)},"n":${d.n}}""")
         .mkString(""","dv":[""", ",", "]")
+    val cdc = c.cdc.map(p => s""","cdc":${q(p)}""").getOrElse("") +
+      (if (c.layoutOnly) s""","layoutOnly":true""" else "")
     // Commit wall-clock: what TIMESTAMP AS OF resolves against
     // (Delta's semantics — the timestamp is assigned at publication,
     // so it is monotone with version order on one filesystem). A
@@ -262,7 +268,7 @@ object TxTable {
     // round-15 ADVICE asymmetry: the case class must round-trip
     // through the log, and deterministic-ts tests need the override).
     val stamp = if (c.ts > 0L) c.ts else System.currentTimeMillis
-    val json = s"""{"version":${c.version},"add":$adds,"remove":$rms$txn$met$dvs,"ts":$stamp}"""
+    val json = s"""{"version":${c.version},"add":$adds,"remove":$rms$txn$met$dvs$cdc,"ts":$stamp}"""
     val dir = java.nio.file.Paths.get(logDir(root))
     java.nio.file.Files.createDirectories(dir)
     val tmp = dir.resolve(s".${c.version}-${java.util.UUID.randomUUID()}.tmp")
@@ -333,14 +339,17 @@ object TxTable {
         TableMeta(sj, opt(r, "metaKey").map(_.asText).getOrElse("k"),
           opt(r, "metaStats2").map(_.asText), cons,
           opt(r, "metaUnique").map(_.asBoolean),
-          arr("metaStatsCols").map(_.asText)))
+          arr("metaStatsCols").map(_.asText),
+          opt(r, "metaCdf").exists(_.asBoolean)))
       val dvs = arr("dv").map(d => DvEntry(d.get("file").asText,
         d.get("path").asText, d.get("n").asLong))
       Commit(r.get("version").asInt, adds,
         arr("remove").map(_.asText),
         opt(r, "txnApp").map(_.asText),
         opt(r, "batchId").map(_.asLong),
-        meta, dvs, opt(r, "ts").map(_.asLong).getOrElse(0L))
+        meta, dvs, opt(r, "ts").map(_.asLong).getOrElse(0L),
+        opt(r, "cdc").map(_.asText),
+        opt(r, "layoutOnly").exists(_.asBoolean))
     }.sortBy(_.version)
   }
 
@@ -678,7 +687,8 @@ object TxTable {
              key: String = "k", stats2: Option[String] = None,
              constraints: Map[String, String] = Map.empty,
              uniqueKey: Option[Boolean] = Some(true),
-             statsCols: Seq[String] = Seq.empty): Unit = {
+             statsCols: Seq[String] = Seq.empty,
+             changeFeed: Boolean = false): Unit = {
     require(df.schema(key).dataType == LongType,
       s"TxTable key column '$key' must be BIGINT, got ${df.schema(key).dataType}")
     stats2.foreach(c2 => require(df.columns.contains(c2),
@@ -686,7 +696,7 @@ object TxTable {
     statsCols.foreach(c => require(df.columns.contains(c),
       s"statsCols column '$c' is not in the schema"))
     val meta = TableMeta(nullableJson(df.schema), key, stats2, constraints,
-      uniqueKey, statsCols)
+      uniqueKey, statsCols, changeFeed)
     val d = df.localCheckpoint(false) // bounds + stats + write share one materialization
     // Validate BEFORE wiping any prior table at root (round-15 ADVICE:
     // a create rejected by its own initial-data constraint scan must
@@ -755,6 +765,26 @@ object TxTable {
           vec)
       }
       .toSeq
+  }
+
+  /** Write commit `v`'s CHANGE-DATA file (the Delta `_change_data`
+    * recipe, gated on [[TableMeta.changeFeed]]): the op's row-level
+    * changes with a leading `_change_type` column, recorded in the
+    * commit and served by the streaming CDF source mode — change rows
+    * are computed AT WRITE TIME from frames the op already holds
+    * (never recomputed by readers), which is what makes a streaming
+    * change feed scale: each tailed commit reads its own KB–MB change
+    * file, never two snapshots. Returns None for an empty change set.
+    */
+  private def writeCdc(changes: DataFrame, root: String, v: Int,
+                       token: String): Option[String] = {
+    val chg = changes.localCheckpoint(false) // emptiness probe + write share it
+    if (chg.isEmpty) None
+    else {
+      val path = s"${dataDir(root)}/v$v-$token-cdc.parquet"
+      chg.write.mode("overwrite").parquet(path)
+      Some(path)
+    }
   }
 
   /** Exact per-file pruning: which live files contain at least one
@@ -850,18 +880,30 @@ object TxTable {
       val live = liveFiles(s, root)
       val hit = touchedFiles(s, d, key, live)
       val (touched, untouched) = live.partition(f => hit(f.file))
-      val merged =
-        if (touched.isEmpty)
-          dd.filter(!col("__ddel"))
+      def ctEv(ct: String, g: String => Column) =
+        struct(lit(ct).as("_change_type") +: cols.map(c => g(c).as(c)): _*)
+      val (merged, cdcPath) =
+        if (touched.isEmpty) {
+          val m = dd.filter(!col("__ddel"))
             .select(cols.map(c => col(s"__d_$c").as(c)): _*)
-        else {
+          val p =
+            if (!meta.changeFeed) None
+            else writeCdc(m.select(lit("insert").as("_change_type") +:
+              cols.map(col): _*), root, v, freshToken())
+          (m, p)
+        } else {
           // A touched file carrying a deletion vector materializes it
           // here — the rewrite must not resurrect MOR-deleted rows.
           val base = applyDvs(s, s.read.schema(meta.schema)
               .parquet(touched.map(_.file): _*), key,
               liveDvs(s, root), touched.map(_.file))
             .withColumn("__bm", lit(true))
-          base.join(dd, col(key) === col(s"__d_$key"), "full_outer")
+          val joined0 = base.join(dd, col(key) === col(s"__d_$key"), "full_outer")
+          // With the change feed on, the classifying join feeds BOTH
+          // the rewrite and the change-data file — cut it once.
+          val joined =
+            if (meta.changeFeed) joined0.localCheckpoint(false) else joined0
+          val m = joined
             // matched + delete-flagged rows drop here — atomically with
             // the updates and inserts of the same commit.
             .filter(col("__bm").isNull || col("__dm").isNull || !col("__ddel"))
@@ -869,10 +911,29 @@ object TxTable {
             .select(cols.map(c =>
               when(col("__dm").isNotNull, col(s"__d_$c"))
                 .otherwise(col(c)).as(c)): _*)
+          val p =
+            if (!meta.changeFeed) None
+            else {
+              // slice(.., 1, 0): same struct type, zero elements — the
+              // carried-row / ghost-delete cases emit nothing.
+              val none = slice(array(ctEv("insert", c => col(s"__d_$c"))), 1, 0)
+              val chg = joined.select(explode(
+                when(col("__bm").isNull && col("__ddel"), none)
+                .when(col("__bm").isNull,
+                  array(ctEv("insert", c => col(s"__d_$c"))))
+                .when(col("__dm").isNull, none)
+                .when(col("__ddel"), array(ctEv("delete", c => col(c))))
+                .otherwise(array(ctEv("update_pre", c => col(c)),
+                  ctEv("update_post", c => col(s"__d_$c"))))).as("e"))
+                .select(col("e._change_type").as("_change_type") +:
+                  cols.map(c => col(s"e.$c").as(c)): _*)
+              writeCdc(chg, root, v, freshToken())
+            }
+          (m, p)
         }
       val entries = writeBucketed(merged, root, v, touched.map(_.min).sorted, meta)
       try {
-        tryCommit(root, Commit(v, entries, touched.map(_.file)))
+        tryCommit(root, Commit(v, entries, touched.map(_.file), cdc = cdcPath))
         maybeCheckpoint(s, root, v)
         return (touched.size, untouched.size)
       } catch {
@@ -901,13 +962,19 @@ object TxTable {
       if (touched.isEmpty) return (0, untouched.size)
       // Materialize any deletion vector on a touched file — the
       // rewrite must not resurrect MOR-deleted rows.
-      val remaining = applyDvs(s, s.read.schema(meta.schema)
+      val tDf = applyDvs(s, s.read.schema(meta.schema)
           .parquet(touched.map(_.file): _*), key,
           liveDvs(s, root), touched.map(_.file))
-        .join(d, Seq(key), "left_anti")
+      val remaining = tDf.join(d, Seq(key), "left_anti")
+      val cdcPath =
+        if (!meta.changeFeed) None
+        else writeCdc(tDf.join(d, Seq(key), "left_semi")
+            .select(lit("delete").as("_change_type") +:
+              meta.schema.fieldNames.toSeq.map(col): _*),
+          root, v, freshToken())
       val entries = writeBucketed(remaining, root, v, touched.map(_.min).sorted, meta)
       try {
-        tryCommit(root, Commit(v, entries, touched.map(_.file)))
+        tryCommit(root, Commit(v, entries, touched.map(_.file), cdc = cdcPath))
         maybeCheckpoint(s, root, v)
         return (touched.size, untouched.size)
       } catch {
@@ -974,8 +1041,25 @@ object TxTable {
           DvEntry(f, path, counts(f))
       }
       if (entries.isEmpty) return (0, 0L) // envelopes hit, no actual key present
+      val cdcPath =
+        if (!meta.changeFeed) None
+        else {
+          // Pre-images of the NET-NEW deleted keys (already-vectored
+          // keys re-deleted add nothing), read from exactly the
+          // touched files.
+          val newKeys0 = fresh.select(col(key)).distinct()
+          val netNew = oldTagged
+            .map(ot => newKeys0.except(ot.select(col(key)).distinct()))
+            .getOrElse(newKeys0)
+          writeCdc(s.read.schema(meta.schema).parquet(hitSeq: _*)
+              .join(netNew, Seq(key), "left_semi")
+              .select(lit("delete").as("_change_type") +:
+                meta.schema.fieldNames.toSeq.map(col): _*),
+            root, v, token)
+        }
       try {
-        tryCommit(root, Commit(v, Seq.empty, Seq.empty, dv = entries))
+        tryCommit(root, Commit(v, Seq.empty, Seq.empty, dv = entries,
+          cdc = cdcPath))
         maybeCheckpoint(s, root, v)
         return (entries.size, newlyDeleted)
       } catch {
@@ -1293,7 +1377,10 @@ object TxTable {
           root, v, token, idx = i, meta)
       }
       try {
-        tryCommit(root, Commit(v, entries, groups.flatten.map(_.file)))
+        // layoutOnly = Delta's dataChange=false: compaction changes no
+        // logical row, so the streaming CDF mode skips the commit.
+        tryCommit(root, Commit(v, entries, groups.flatten.map(_.file),
+          layoutOnly = true))
         maybeCheckpoint(s, root, v)
         return (groups.map(_.size).sum, entries.size)
       } catch {
@@ -1404,7 +1491,8 @@ object TxTable {
         .map { case (bk, e) => e.copy(file = s"$path/__b=$bk") }
         .sortBy(_.min)
       try {
-        tryCommit(root, Commit(v, entries, live.map(_.file), meta = Some(meta)))
+        tryCommit(root, Commit(v, entries, live.map(_.file),
+          meta = Some(meta), layoutOnly = true))
         maybeCheckpoint(s, root, v)
         return (live.size, entries.size)
       } catch {
@@ -1463,11 +1551,14 @@ object TxTable {
     // collectable debris like any rewritten data file.
     val referenced = (keepFrom to latest)
       .flatMap(v => liveFiles(s, root, v).map(_.file) ++
-        liveDvs(s, root, v).values.map(_.path)).toSet
+        liveDvs(s, root, v).values.map(_.path)).toSet ++
+      // A retained commit's change-data file stays readable (the
+      // streaming CDF mode may still tail it).
+      commits(s, root).filter(_.version >= keepFrom).flatMap(_.cdc)
     // Dead logged files: every path the log ever added, minus the
     // retained snapshots' references.
     val deadLogged = commits(s, root)
-      .flatMap(c => c.add.map(_.file) ++ c.dv.map(_.path))
+      .flatMap(c => c.add.map(_.file) ++ c.dv.map(_.path) ++ c.cdc)
       .toSet -- referenced
     // Orphan debris: dataDir children whose subtree contains no
     // referenced path AND that the log never recorded (a losing
@@ -1479,7 +1570,7 @@ object TxTable {
       else {
         import scala.jdk.CollectionConverters._
         val logged = commits(s, root)
-          .flatMap(c => c.add.map(_.file) ++ c.dv.map(_.path)).toSet
+          .flatMap(c => c.add.map(_.file) ++ c.dv.map(_.path) ++ c.cdc).toSet
         val st = java.nio.file.Files.list(dd)
         val children = try st.iterator().asScala.map(_.toString).toSeq
                        finally st.close()

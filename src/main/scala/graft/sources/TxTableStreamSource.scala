@@ -86,7 +86,13 @@ class TxTableStreamSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = options.get("root")
     require(root != null && root.nonEmpty, "graft-txtable needs option 'root'")
-    TxTableStreamSource.schemaFor(root)
+    val base = TxTableStreamSource.schemaFor(root)
+    // readChangeFeed mode: rows are change images, labeled by the
+    // Delta CDF column (_change_type precedes the audit column).
+    if (options.getBoolean("readChangeFeed", false))
+      StructType(base.fields.dropRight(1))
+        .add("_change_type", StringType).add("commit_version", LongType)
+    else base
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
@@ -240,7 +246,8 @@ private class TxStreamTable(props: JMap[String, String], tblSchema: StructType)
         Option(options.get("startingVersion")).map(_.toInt),
         options.getInt("versionAsOf", Int.MaxValue),
         options.getInt("maxFilesPerTrigger", Int.MaxValue),
-        accepted)
+        accepted,
+        options.getBoolean("readChangeFeed", false))
     }
 }
 
@@ -248,7 +255,8 @@ private class TxStreamScan(root: String, tblSchema: StructType,
                            skipChangeCommits: Boolean,
                            startingVersion: Option[Int], versionAsOf: Int,
                            maxFilesPerTrigger: Int,
-                           pushed: Array[Filter])
+                           pushed: Array[Filter],
+                           readChangeFeed: Boolean = false)
     extends Scan {
   override def readSchema(): StructType = tblSchema
   override def description(): String = s"graft-txtable $root"
@@ -256,7 +264,7 @@ private class TxStreamScan(root: String, tblSchema: StructType,
     TxReaderFactory(tblSchema.fields.map(f => (f.name, f.dataType.typeName)))
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new TxTableMicroBatchStream(root, skipChangeCommits, startingVersion,
-      maxFilesPerTrigger, readerFactory)
+      maxFilesPerTrigger, readerFactory, readChangeFeed)
   // BATCH read with time travel (`versionAsOf`, default latest): the
   // snapshot's live files through the same partition/reader machinery
   // the stream uses — `spark.read.format("graft-txtable")` is the
@@ -266,6 +274,9 @@ private class TxStreamScan(root: String, tblSchema: StructType,
   override def toBatch(): Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val s = SparkSession.active
+      require(!readChangeFeed,
+        "graft-txtable: readChangeFeed is a STREAMING mode — batch " +
+          "row-level history is TxTable.changeFeed(vFrom, vTo)")
       // Protocol guard (Delta's reader-feature rule): this reader
       // materializes rows straight from part files and cannot subtract
       // merge-on-read deletion vectors — serving the files verbatim
@@ -309,7 +320,8 @@ private[sources] case class TxOffset(v: Int) extends Offset {
 
 private[sources] class TxTableMicroBatchStream(
     root: String, skipChangeCommits: Boolean, startingVersion: Option[Int],
-    maxFilesPerTrigger: Int, readerFactory: PartitionReaderFactory)
+    maxFilesPerTrigger: Int, readerFactory: PartitionReaderFactory,
+    readChangeFeed: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def session = SparkSession.active
@@ -387,10 +399,38 @@ private[sources] class TxTableMicroBatchStream(
         .flatMap(c => c.add.map(f => f.file -> c.version)).toMap
       return TxTable.liveFiles(session, root, hi).map(_.file).sorted
         .flatMap(f => TxTableStreamSource.partFiles(f)
-          .map(p => TxFilePartition(p, addedBy(f)): InputPartition))
+          // CDF bootstrap: the initial snapshot delivers as inserts
+          // (Delta's readChangeFeed initial-snapshot semantics).
+          .map(p => TxFilePartition(p, addedBy(f),
+            if (readChangeFeed) "insert" else null): InputPartition))
         .toArray
     }
     val window = TxTable.commits(session, root, hi).filter(_.version > lo)
+    if (readChangeFeed) {
+      // CHANGE-FEED TAIL: each commit serves its own row-level images —
+      // append commits derive inserts from their added files, change
+      // commits serve the change-data file the WRITER recorded
+      // (TxTable.writeCdc — computed once at write time, so the
+      // per-trigger cost is the commit's own KB–MB change file, never
+      // a snapshot diff), layout-only commits (OPTIMIZE) change no
+      // logical row and are skipped.
+      return window.flatMap { c =>
+        if (c.layoutOnly) Seq.empty
+        else c.cdc match {
+          case Some(p) => TxTableStreamSource.partFiles(p)
+            .map(f => TxFilePartition(f, c.version): InputPartition)
+          case None if c.remove.isEmpty && c.dv.isEmpty =>
+            c.add.flatMap(f => TxTableStreamSource.partFiles(f.file)
+              .map(p => TxFilePartition(p, c.version, "insert"): InputPartition))
+          case None => throw new IllegalStateException(
+            s"graft-txtable: version ${c.version} of $root is a change " +
+              "commit with no recorded change data — create the table " +
+              "with changeFeed = true before the commit (or, for a " +
+              "RESTORE window, use the batch TxTable.changeFeed, which " +
+              "reconstructs images from the file diff)")
+        }
+      }.toArray
+    }
     window.flatMap { c =>
       // A deletion-vector commit is a change commit too: it adds no
       // file but logically removes rows the stream already delivered.
@@ -404,7 +444,8 @@ private[sources] class TxTableMicroBatchStream(
             "skipChangeCommits=true to skip change commits — note that " +
             "skipping loses rows the commit genuinely INSERTED too " +
             "(the whole commit is skipped, the Delta caveat) — or " +
-            "stream row-level changes via TxTable.changeFeed.")
+            "stream row-level changes with option(\"readChangeFeed\", " +
+            "\"true\") on a changeFeed-enabled table.")
         Seq.empty // skipped WHOLE: carried rows AND any new inserts
       } else c.add.flatMap(f => TxTableStreamSource.partFiles(f.file)
         .map(p => TxFilePartition(p, c.version): InputPartition))
@@ -414,7 +455,12 @@ private[sources] class TxTableMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory = readerFactory
 }
 
-private[sources] case class TxFilePartition(path: String, version: Int)
+/** `ct`: constant `_change_type` for rows of this partition (CDF mode
+  * partitions whose file carries no such column — derived inserts and
+  * the bootstrap snapshot); null outside CDF mode.
+  */
+private[sources] case class TxFilePartition(path: String, version: Int,
+                                            ct: String = null)
     extends InputPartition
 
 /** Commit message: the path of the one parquet file this task wrote,
@@ -572,6 +618,12 @@ private[sources] case class TxReaderFactory(fields: Array[(String, String)])
         extract = fields.map { case (name, tpe) =>
           if (name == "commit_version")
             (_: org.apache.parquet.example.data.Group) => p.version.toLong
+          else if (name == "_change_type" && !ft.containsField(name))
+            // CDF partitions backed by plain data files (derived
+            // inserts / bootstrap snapshot) label every row with the
+            // partition's constant change type.
+            (_: org.apache.parquet.example.data.Group) =>
+              UTF8String.fromString(p.ct)
           else if (!ft.containsField(name))
             (_: org.apache.parquet.example.data.Group) => null
           else tpe match {

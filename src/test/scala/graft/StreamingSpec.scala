@@ -662,4 +662,99 @@ class StreamingSpec extends SparkSpec {
     assert(buf.toSet === (1 to 4).map(i => (1000L + i, (i + 1).toLong)).toSet,
       "admission control must not lose or duplicate rows")
   }
+
+  /** Drain the CHANGE FEED stream (readChangeFeed mode): rows are
+    * (change_type, key, st, c, commit_version).
+    */
+  private def drainTxCdf(root: String, ckpt: String,
+                         options: Map[String, String] = Map.empty)
+      : Seq[(String, Long, String, Long, Long)] = {
+    import org.apache.spark.sql.streaming.Trigger
+    val buf = scala.collection.mutable.ArrayBuffer[(String, Long, String, Long, Long)]()
+    val reader = spark.readStream.format("graft-txtable").option("root", root)
+      .option("readChangeFeed", "true")
+    options.foreach { case (k, v) => reader.option(k, v) }
+    reader.load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.select("_change_type", "k", "st", "c", "commit_version")
+          .collect().map(r =>
+            (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+              r.getLong(4)))
+        buf.synchronized { buf ++= rows; () }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+      .awaitTermination(120000)
+    buf.toSeq
+  }
+
+  test("txtable streaming CDF source: per-commit images equal the batch " +
+       "changeFeed, layout commits skipped, appends stream as inserts") {
+    import spark.implicits._
+    import graft.sources.TxTable
+    val root = graft.sources.Staging.dir(sfDir, "txsrc_cdf")
+    TxTable.create(
+      spark.range(0, 40).select(col("id").as("k"), lit("A").as("st"),
+        (col("id") * 2).as("c")),
+      root, nBuckets = 4, changeFeed = true)
+    TxTable.merge(spark, root,
+      Seq((5L, "X", 999L), (900L, "N", 42L)).toDF("k", "st", "c")) // v2
+    TxTable.delete(spark, root, Seq(7L).toDF("k"))                 // v3
+    TxTable.appendBatch(spark, root, "cdf", 1L,
+      Seq((901L, "P", 1L)).toDF("k", "st", "c"))                   // v4
+    TxTable.deleteMor(spark, root, Seq(10L).toDF("k"))             // v5
+    TxTable.optimize(spark, root, targetRows = 1000000L)           // v6: layout only
+    // Tail the whole change history from v2 on.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdf_").toString
+    val got = drainTxCdf(root, ckpt, Map("startingVersion" -> "2"))
+    // BATCH-EQUIVALENCE: the streamed images equal the batch feed over
+    // the same window (1 -> 5; v6 is layout-only and must not appear).
+    val batch = TxTable.changeFeed(spark, root, 1, 5)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSet === batch,
+      "streamed CDF images must equal the batch changeFeed")
+    assert(!got.exists(_._5 == 6L), "layout-only commits must be skipped")
+    // Per-commit labels: the update pair on v2, the delete on v3, the
+    // derived insert on v4, the MOR delete pre-image on v5.
+    val byVersion = got.groupBy(_._5)
+    assert(byVersion(2L).map(_._1).sorted ===
+      Seq("insert", "update_pre", "update_post").sorted)
+    assert(byVersion(3L).map(t => (t._1, t._2)) === Seq(("delete", 7L)))
+    assert(byVersion(4L).map(t => (t._1, t._2)) === Seq(("insert", 901L)))
+    assert(byVersion(5L).map(t => (t._1, t._2)) === Seq(("delete", 10L)))
+    // Pre/post payloads: what lets a downstream aggregate retract.
+    val v2imgs = got.filter(t => t._5 == 2L && t._2 == 5L)
+      .map(t => t._1 -> ((t._3, t._4))).toMap
+    assert(v2imgs("update_pre") === (("A", 10L)))
+    assert(v2imgs("update_post") === (("X", 999L)))
+    // Resume: nothing new -> nothing delivered; a fresh change commit
+    // streams its own images only.
+    assert(drainTxCdf(root, ckpt).isEmpty)
+    TxTable.delete(spark, root, Seq(11L).toDF("k")) // v7
+    val resumed = drainTxCdf(root, ckpt)
+    assert(resumed.map(t => (t._1, t._2, t._5)) === Seq(("delete", 11L, 7L)))
+    // BOOTSTRAP mode (no startingVersion): initial snapshot as inserts.
+    val ckptB = java.nio.file.Files.createTempDirectory("graft_cdfb_").toString
+    val boot = drainTxCdf(root, ckptB)
+    val snap = TxTable.snapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(boot.forall(_._1 == "insert"))
+    assert(boot.map(t => (t._2, t._3, t._4)).toSet === snap,
+      "CDF bootstrap must serve the live snapshot as inserts")
+    // A change commit on a table WITHOUT the feed enabled fails loudly.
+    val root2 = graft.sources.Staging.dir(sfDir, "txsrc_cdf_off")
+    TxTable.create(
+      spark.range(0, 10).select(col("id").as("k"), lit("A").as("st"),
+        col("id").as("c")),
+      root2, nBuckets = 2)
+    TxTable.delete(spark, root2, Seq(3L).toDF("k"))
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_cdfo_").toString
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainTxCdf(root2, ckpt2, Map("startingVersion" -> "2"))
+    }
+    assert(e.getCause.getMessage.contains("no recorded change data"),
+      s"unexpected failure: ${e.getCause}")
+  }
 }
