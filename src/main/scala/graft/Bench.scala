@@ -122,6 +122,33 @@ object Bench {
     resetMemoizedState("warmup")
 
     val failures = scala.collection.mutable.ListBuffer[String]()
+
+    // NSW BUILD LEGS (round-15 verdict #8): the maintenance family
+    // (q336 delta-attach / q351 rebuild-serve) probes STAGED graphs;
+    // their builds are priced HERE, once, as a separate metric — the
+    // headline then carries the per-query probe cost a deployment
+    // actually pays per search, mirroring how 100 TB index maintenance
+    // amortizes. (q330 already prices the full-index build that q331
+    // and q338 probe.) Skipped in ONLY-filtered runs that exclude the
+    // family — the staged builds then self-heal on first touch.
+    val nswBuildLegs: Seq[(String, Double)] =
+      if (only.exists(f => !f.contains("q336") && !f.contains("q351"))) Seq.empty
+      else {
+        graft.queries.LlmQueries.resetNswAuxState()
+        def timeIt(label: String)(body: => Unit): (String, Double) = {
+          val t0 = System.nanoTime()
+          try { body; (label, (System.nanoTime() - t0) / 1e9) }
+          catch {
+            case e: Throwable =>
+              failures += s"nsw_build_$label: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
+              (label, -1.0)
+          }
+        }
+        Seq(
+          timeIt("base17")(graft.queries.LlmQueries.ensureNswBase17(spark, sfDir)),
+          timeIt("rebuilt")(graft.queries.LlmQueries.ensureNswRebuilt(spark, sfDir)))
+      }
+
     // (name, minSec, maxSec); -1 on failure.
     val allSelected = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(f => f.contains(n.takeWhile(_ != '_')) || f.contains(n)))
@@ -192,13 +219,24 @@ object Bench {
       selected.find(_.startsWith("q269")) ++
       selected.find(_.startsWith("q103")) ++
       selected.find(_.startsWith("q106"))).toSet
+    // Round-15 verdict #6 (the BENCH_r15 contamination lesson): the
+    // isolated pass now covers EVERY query above a fixed threshold —
+    // not just the slowest 15 — so a contention-phantom anywhere in
+    // the suite is adjudicated in the artifact itself, and the
+    // isolated_adjusted_total is stable across driver runs. The
+    // threshold (1.5 s at sf0.1) sits well above the sub-second noise
+    // floor; everything below it contributes bounded error even under
+    // 6x skew.
+    val isolateThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_THRESHOLD", "1.5").toDouble
     val isolated: Seq[(String, Double)] =
       if (only.isDefined) Seq.empty
       else {
-        val top = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
-        val extra = results.filter(r => alwaysIsolate(r._1) && r._2 >= 0
-          && !top.exists(_._1 == r._1))
-        (top ++ extra)
+        val ok = results.filter(_._2 >= 0)
+        val above = ok.filter(_._2 > isolateThreshold)
+        val top = ok.sortBy(-_._2).take(15)
+        val extra = ok.filter(r => alwaysIsolate(r._1))
+        (above ++ top ++ extra).distinctBy(_._1)
       }.map { case (name, _, _) =>
         var minT = Double.MaxValue
         for (_ <- 1 to 3) {
@@ -230,20 +268,36 @@ object Bench {
     // intervalJoin watermarks both sides itself, and re-defining a
     // watermark already set on the source is disallowed once multiple
     // stateful operators are allowed (Spark 4 default).
+    // Streaming legs run BEST-OF-N like the batch queries (round-15
+    // verdict #6: BENCH_r15's 121 s interval-join reading was pure
+    // host contention — 10.7 s on the same commit in isolation; a
+    // single-shot reading cannot be told apart from signal, the min
+    // of N can).
+    val streamReps =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM_REPS", "2").toInt.max(1)
     def streamLeg(label: String)(build: org.apache.spark.sql.DataFrame
         => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Double = {
-      val t0 = System.nanoTime()
-      try {
-        val src = graft.streaming.Events.parquetStream(spark, sfDir)
-        build(src)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start().awaitTermination()
-        (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          failures += s"$label: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
-          -1.0
+      var minT = Double.MaxValue
+      var rep = 0
+      var failed = false
+      while (rep < streamReps && !failed) {
+        val t0 = System.nanoTime()
+        try {
+          val src = graft.streaming.Events.parquetStream(spark, sfDir)
+          build(src)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start().awaitTermination()
+          minT = math.min(minT, (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            if (minT == Double.MaxValue) {
+              failures += s"$label: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
+              failed = true
+            }
+        }
+        rep += 1
       }
+      if (minT == Double.MaxValue) -1.0 else minT
     }
     // Leg 1: watermarked tumbling-window agg (the bounded-state path).
     val streamingSec: Option[Double] =
@@ -275,7 +329,12 @@ object Bench {
     val streamField =
       streamingSec.map(v => s""","streaming_sec":$v""").getOrElse("") +
       streamingSessionSec.map(v => s""","streaming_session_sec":$v""").getOrElse("") +
-      streamingJoinSec.map(v => s""","streaming_interval_join_sec":$v""").getOrElse("")
+      streamingJoinSec.map(v => s""","streaming_interval_join_sec":$v""").getOrElse("") +
+      s""","streaming_reps":$streamReps"""
+    val nswBuildField =
+      if (nswBuildLegs.isEmpty) ""
+      else nswBuildLegs.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","nsw_build_sec":{""", ",", "}")
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qsMax = results.map { case (k, _, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -309,7 +368,7 @@ object Bench {
     // multi-line, and a raw newline would invalidate the whole file.
     val fstr = failures.map(JsonOut.q).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_max":$qsMax,"failures":$fstr$streamField$annexField$isoField,"sf":${JsonOut.q(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queries_max":$qsMax,"failures":$fstr$streamField$nswBuildField$annexField$isoField,"sf":${JsonOut.q(sfDir)}}"""
     Files.writeString(
       Paths.get(if (only.isDefined) "BENCH_DEBUG.json" else "BENCH_LOCAL.json"), line)
 
@@ -325,7 +384,7 @@ object Bench {
     // ≈ 1k chars, half the window.
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val topN = 60
+    val topN = 45
     val slowest = results.sortBy { case (_, v, _) => -v }.take(topN)
     val qsShort = slowest
       .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
@@ -336,7 +395,11 @@ object Bench {
     val streamShort =
       streamingSec.map(v => s""","streaming_sec":${r3(v)}""").getOrElse("") +
       streamingSessionSec.map(v => s""","streaming_session_sec":${r3(v)}""").getOrElse("") +
-      streamingJoinSec.map(v => s""","streaming_interval_join_sec":${r3(v)}""").getOrElse("")
+      streamingJoinSec.map(v => s""","streaming_interval_join_sec":${r3(v)}""").getOrElse("") +
+      s""","streaming_reps":$streamReps""" +
+      (if (nswBuildLegs.isEmpty) ""
+       else nswBuildLegs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+         .mkString(""","nsw_build_sec":{""", ",", "}"))
     val annexShort =
       if (annexResults.isEmpty) ""
       else annexResults
@@ -345,14 +408,17 @@ object Bench {
     // The isolated best-of-3 map rides in the short line too (10 bare-qNN
     // entries ≈ 140 chars): per-query regression attribution must be
     // possible from the driver artifact alone, without BENCH_LOCAL.json.
+    // The printed isolated map is capped to the 20 slowest adjudicated
+    // entries (the full threshold-wide map is in BENCH_LOCAL.json) —
+    // the whole line must survive the driver's ~2400-char capture.
     val isoShort =
       if (isolated.isEmpty) ""
-      else (isolated
+      else (isolated.sortBy(-_._2).take(20)
         .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
         .mkString(""","isolated":{""", ",", "}") +
         s""","isolated_adjusted_total":${r3(isoAdjustedTotal)}""")
     val shortLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"n_failures":${failures.size},"queries":$qsShort,"queries_note":"slowest ${slowest.size} of ${results.size}; headline excludes the ${annexResults.size}-query _demo_bounded compat annex; isolated = post-suite best-of-3 of the slowest 15 + always-isolate set; isolated_adjusted_total = in-suite total with adjudicated readings substituted; full map in BENCH_LOCAL.json","failures":$fShort$streamShort$annexShort$isoShort,"sf":${JsonOut.q(sfDir)}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"n_queries":${results.size},"n_failures":${failures.size},"queries":$qsShort,"queries_note":"slowest ${slowest.size} of ${results.size}; headline excludes the ${annexResults.size}-query _demo_bounded compat annex; isolated = post-suite best-of-3 of EVERY query above ${isolateThreshold}s (plus slowest-15 + always-isolate); isolated_adjusted_total = in-suite total with adjudicated readings substituted; streaming legs are best-of-$streamReps; nsw_build_sec = staged index builds priced outside the headline; full map in BENCH_LOCAL.json","failures":$fShort$streamShort$annexShort$isoShort,"sf":${JsonOut.q(sfDir)}}"""
     println(shortLine)
     System.out.flush()
     spark.stop()

@@ -231,6 +231,70 @@ object LlmQueries extends QueryPack {
       }
     }
 
+  /** q336/q338/q351's staged graphs (round-15 verdict #8: the NSW
+    * maintenance family re-paid its full graph build on every bench
+    * rep, inflating the headline with cost a deployment amortizes —
+    * the q109/q110 discipline applied to the whole family): the
+    * incremental-insert query's BASE graph (corpus % 17 ≠ 0, with the
+    * fb/cb bucket columns the delta-attach joins need) and the
+    * REBUILD's survivor graph are persisted once per (session, dir);
+    * the registered queries PROBE them, and Bench prices the builds in
+    * a separate build-leg metric. q338 needs no extra staging — its
+    * graph IS q330's full index.
+    */
+  private val nswBase17State =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)]()
+  private val nswRebuiltState =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)]()
+
+  /** Forgets the staged maintenance-family graphs (build-leg timing
+    * resets through this). */
+  def resetNswAuxState(): Unit = { nswBase17State.set(null); nswRebuiltState.set(null) }
+
+  private def stagedGraph(s: org.apache.spark.sql.SparkSession,
+                          state: java.util.concurrent.atomic.AtomicReference[(String, String)],
+                          dir: String, vecsTable: String, edgesTable: String,
+                          vecCols: Seq[String])(
+                          build: => (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)): Unit =
+    state.synchronized {
+      val key = (s.sparkContext.applicationId + "/" + System.identityHashCode(s), dir)
+      val cached = state.get == key &&
+        s.catalog.tableExists(graft.sources.Staging.appTable(s, vecsTable)) &&
+        s.catalog.tableExists(graft.sources.Staging.appTable(s, edgesTable))
+      if (!cached) {
+        Seq(graft.sources.Staging.appTable(s, vecsTable),
+          graft.sources.Staging.appTable(s, edgesTable))
+          .foreach(graft.sources.Staging.dropManagedTable(s, _))
+        val (base, edges) = build
+        base.select(vecCols.map(col): _*).write.mode("overwrite")
+          .saveAsTable(graft.sources.Staging.appTable(s, vecsTable))
+        edges.write.mode("overwrite")
+          .saveAsTable(graft.sources.Staging.appTable(s, edgesTable))
+        state.set(key)
+      }
+    }
+
+  /** Stage the % 17 ≠ 0 base graph (q336's insert target), keeping
+    * fb/cb — the delta-attach kNN joins on those bucket columns. */
+  private[graft] def ensureNswBase17(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    stagedGraph(s, nswBase17State, dir, "graft_nsw17_vecs", "graft_nsw17_edges",
+      Seq("vec_id", "qv", "n2", "fb", "cb")) {
+      nswBuildFrom(Tables.embeddings(s, dir)
+        .withColumn("vec_id", col("vec_id").cast("long"))
+        .filter(col("vec_id") % 17 =!= 0))
+    }
+
+  /** Stage the tombstone-survivor rebuild graph (q351's serve target):
+    * the rebuild event itself — survivor filter + full build with the
+    * re-derived plane count — runs here, once. */
+  private[graft] def ensureNswRebuilt(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    stagedGraph(s, nswRebuiltState, dir, "graft_nswrb_vecs", "graft_nswrb_edges",
+      Seq("vec_id", "qv", "n2")) {
+      nswBuildFrom(Tables.embeddings(s, dir)
+        .withColumn("vec_id", col("vec_id").cast("long"))
+        .filter(not(col("vec_id") % 51 === 0 && col("vec_id") >= NswProbes)))
+    }
+
   /** Quantized vector table for an NSW graph — qv (1e-4 units as
     * float, exact), its squared norm, and both bucket ids under an
     * `np`-plane LSH. Extracted from the build so the INCREMENTAL
@@ -3642,11 +3706,23 @@ object LlmQueries extends QueryPack {
     // unrolled beam walk over the merged graph — a wrong plane count,
     // a base edge recomputed, or a missing symmetric edge all
     // hash-fail.
+    // Round 16: the BASE graph is STAGED (ensureNswBase17 — built once
+    // per session/dir, priced in Bench's build-leg metric); the
+    // registered query is the PROBE-path operator a deployment runs
+    // per delta batch: quantize the delta, bucket-kNN it against the
+    // persisted base, union the new edges, beam — the base is never
+    // rebuilt (round-15 verdict #8).
     "q336_nsw_incremental" -> ((s, dir) => {
+      ensureNswBase17(s, dir)
+      val base = s.table(graft.sources.Staging.appTable(s, "graft_nsw17_vecs"))
+        .localCheckpoint(false)
+      val edges = s.table(graft.sources.Staging.appTable(s, "graft_nsw17_edges"))
+        .localCheckpoint(false)
       val emb = Tables.embeddings(s, dir)
         .withColumn("vec_id", col("vec_id").cast("long"))
-      val np = nswPlanes(emb.filter(col("vec_id") % 17 =!= 0).count())
-      val (base, edges) = nswBuildFrom(emb.filter(col("vec_id") % 17 =!= 0))
+      // The staged table's row count IS the base corpus count the
+      // adaptive plane derivation used — a metadata-only read.
+      val np = nswPlanes(base.count())
       val delta = nswQuantize(emb.filter(col("vec_id") % 17 === 0), np)
       val dLocal = nswKnn(
         delta.select(col("vec_id"), col("qv"), col("n2"),
@@ -3683,8 +3759,16 @@ object LlmQueries extends QueryPack {
     // replay with the same NOT-tombstoned predicate in the final
     // WHERE — a rank gap, a returned deleted node, or a tombstone
     // that stopped routing all hash-fail.
+    // Round 16: probes q330's PERSISTED index (its graph is exactly
+    // the full base graph) — the registered cost is what a deployment
+    // pays per tombstone-filtered search, not a rebuild per query
+    // (round-15 verdict #8).
     "q338_nsw_tombstone" -> ((s, dir) => {
-      val (base, edges) = nswBuild(s, dir)
+      ensureNswIndex(s, dir)
+      val base = s.table(graft.sources.Staging.appTable(s, "graft_nsw_vecs"))
+        .localCheckpoint(false)
+      val edges = s.table(graft.sources.Staging.appTable(s, "graft_nsw_edges"))
+        .localCheckpoint(false)
       val tomb = base.select("vec_id")
         .filter(col("vec_id") % 51 === 0 && col("vec_id") >= NswProbes)
       nswBeamSearch(base, edges, Some(tomb))
@@ -3711,13 +3795,18 @@ object LlmQueries extends QueryPack {
     // CTEs and beam walk replayed over the survivor-filtered corpus —
     // a stale np, a tombstone surviving into the rebuilt graph, or a
     // lost live node all hash-fail.
+    // Round 16: the rebuild EVENT runs in ensureNswRebuilt (staged
+    // once per session/dir, priced in Bench's build-leg metric — at
+    // 100 TB the rebuild is the amortized maintenance event, not a
+    // per-query cost); the registered query serves searches from the
+    // rebuilt graph (round-15 verdict #8).
     "q351_nsw_rebuild" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-        .withColumn("vec_id", col("vec_id").cast("long"))
-      val survivors = emb.filter(
-        not(col("vec_id") % 51 === 0 && col("vec_id") >= NswProbes))
-      val (base, edges) = nswBuildFrom(survivors)
-      nswBeamSearch(base, edges)
+      ensureNswRebuilt(s, dir)
+      nswBeamSearch(
+        s.table(graft.sources.Staging.appTable(s, "graft_nswrb_vecs"))
+          .localCheckpoint(false),
+        s.table(graft.sources.Staging.appTable(s, "graft_nswrb_edges"))
+          .localCheckpoint(false))
     }),
 
     // EXACT SUBSTRING-SPAN DEDUP (detection) — the substring-level
