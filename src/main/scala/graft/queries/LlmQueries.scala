@@ -72,6 +72,21 @@ object LlmQueries extends QueryPack {
   private[graft] val NswK = 10         // final top-k per probe
   private[graft] val NswProbes = 8L    // probe set: vec_id < 8
 
+  /** q364's HNSW geometry (round-15 verdict #9): geometric layer
+    * sampling — L0 = all, L1 = ids ≡ 0 (mod [[NswSampleMod]] = 16),
+    * L2 = ids ≡ 0 (mod 64). The top layer is SCANNED outright at
+    * entry (|L2| = n/64 — scoring it costs less than one expansion
+    * round and finds the globally best entries, the degenerate-but-
+    * exact form of HNSW's upper-layer greedy walk), then ONE beam
+    * round on the L1 long-link graph, then [[HnswL0Rounds]] rounds on
+    * the full L0 graph — 3 expansion joins total vs the flat walk's
+    * [[NswRounds]] = 5, with the probe's own node self-anchored into
+    * the L0 entry beam so the local neighborhood is never lost. */
+  private[graft] val HnswL2Mod = 64L
+  private[graft] val HnswEntryK = 8    // L2 entries carried into the L1 round
+  private[graft] val HnswL0Rounds = 2
+  private[graft] val HnswExpansionRounds = 1 + HnswL0Rounds // the q364 claim
+
   /** Integer hyperplane component for q329's LSH: plane `p`, dim `d` →
     * a value in [−5003, 5003] from the same arithmetic-hash family as
     * [[graft.ops.Similarity]]'s float planes, but INTEGER so the
@@ -249,7 +264,10 @@ object LlmQueries extends QueryPack {
 
   /** Forgets the staged maintenance-family graphs (build-leg timing
     * resets through this). */
-  def resetNswAuxState(): Unit = { nswBase17State.set(null); nswRebuiltState.set(null) }
+  def resetNswAuxState(): Unit = {
+    nswBase17State.set(null); nswRebuiltState.set(null)
+    hnswLayersState.set(null)
+  }
 
   private def stagedGraph(s: org.apache.spark.sql.SparkSession,
                           state: java.util.concurrent.atomic.AtomicReference[(String, String)],
@@ -294,6 +312,107 @@ object LlmQueries extends QueryPack {
         .withColumn("vec_id", col("vec_id").cast("long"))
         .filter(not(col("vec_id") % 51 === 0 && col("vec_id") >= NswProbes)))
     }
+
+  /** q364's staged L1 layer graph: the long-link kNN (ids ≡ 0 mod
+    * [[NswSampleMod]], coarse-bucket kNN at [[NswLongDeg]]),
+    * symmetrized, AS ITS OWN EDGE TABLE — the flat index's edge set
+    * contains these edges but merged with L0, and the staged descent
+    * must expand the L1 round over L1 edges ONLY (expanding over the
+    * merged set would pull the whole L0 frontier one layer early).
+    * The coarse bucket is planes 0–1 (cb = fb mod 4), so the layer
+    * build needs no adaptive plane count.
+    */
+  private val hnswLayersState =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)]()
+
+  private[graft] def ensureHnswLayers(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    hnswLayersState.synchronized {
+      val key = (s.sparkContext.applicationId + "/" + System.identityHashCode(s), dir)
+      val tbl = graft.sources.Staging.appTable(s, "graft_hnsw_e1")
+      val cached = hnswLayersState.get == key && s.catalog.tableExists(tbl)
+      if (!cached) {
+        graft.sources.Staging.dropManagedTable(s, tbl)
+        def dotp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          call_function("graft_dot", a, b)
+        val p0 = typedLit(Array.tabulate(64)(d => nswPlane(0, d).toFloat))
+        val p1 = typedLit(Array.tabulate(64)(d => nswPlane(1, d).toFloat))
+        val l1 = Tables.embeddings(s, dir)
+          .filter(col("vec_id").cast("long") % NswSampleMod === 0)
+          .select(col("vec_id").cast("long").as("vec_id"),
+            transform(col("embedding"),
+              x => floor(x.cast("double") * 1e4 + lit(0.5)).cast("float")).as("qv"))
+          .withColumn("n2", dotp(col("qv"), col("qv")).cast("long"))
+          .withColumn("bk",
+            when(dotp(col("qv"), p0) >= 0.0, lit(1L)).otherwise(lit(0L)) +
+              when(dotp(col("qv"), p1) >= 0.0, lit(2L)).otherwise(lit(0L)))
+          .localCheckpoint(false)
+        val knn = nswKnn(l1.select(col("vec_id"), col("qv"), col("n2"), col("bk")),
+          nswRhs(l1, "bk"), NswLongDeg)
+        knn.select(col("vec_id").as("src"), col("cand_id").as("dst"))
+          .unionAll(knn.select(col("cand_id").as("src"), col("vec_id").as("dst")))
+          .distinct()
+          .write.mode("overwrite").saveAsTable(tbl)
+        hnswLayersState.set(key)
+      }
+    }
+
+  /** Staged HNSW descent (q364): score ALL L2 nodes per probe (the
+    * scan-the-top-layer entry), carry the best [[HnswEntryK]] into ONE
+    * beam round over the L1 edge table, then [[HnswL0Rounds]] rounds
+    * over the full graph with the probe self-anchored — same scoring,
+    * beam width, tie-breaks and final-top-k contract as
+    * [[nswBeamSearch]], in [[HnswExpansionRounds]] expansion joins
+    * instead of [[NswRounds]].
+    */
+  private def hnswSearch(vecs: org.apache.spark.sql.DataFrame,
+                         e0: org.apache.spark.sql.DataFrame,
+                         e1: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dotp(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("graft_dot", a, b)
+    val probes = vecs.filter(col("vec_id") < NswProbes)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pq"),
+        col("n2").as("pn"))
+    val nodes = vecs.select(col("vec_id").as("node"), col("qv").as("qc"),
+      col("n2").as("nc"))
+    val wBeam = Window.partitionBy("probe_id").orderBy(col("dist"), col("node"))
+    def score(frontier: org.apache.spark.sql.DataFrame) = nodes
+      .join(broadcast(frontier.join(broadcast(probes), "probe_id")), "node")
+      .withColumn("dist", (col("pn") + col("nc")
+        - (lit(2.0) * dotp(col("pq"), col("qc"))).cast("long")))
+      .select("probe_id", "node", "dist")
+    def topN(scored: org.apache.spark.sql.DataFrame, n: Int) =
+      scored.withColumn("rn", row_number().over(wBeam))
+        .filter(col("rn") <= n).select("probe_id", "node")
+    def expand(beam: org.apache.spark.sql.DataFrame,
+               edges: org.apache.spark.sql.DataFrame) =
+      beam.unionAll(beam.join(edges, beam("node") === edges("src"))
+        .select(col("probe_id"), col("dst").as("node"))).distinct()
+    // L2 entry: every top-layer node scored per probe (8 × n/64 rows).
+    val l2 = vecs.filter(col("vec_id") % HnswL2Mod === 0)
+      .select(col("vec_id").as("node"))
+    val b2 = topN(score(probes.select("probe_id").crossJoin(broadcast(l2))),
+      HnswEntryK)
+    // L1: one beam round over the long-link layer only.
+    val b1 = graft.ops.Iterate.cut(
+      topN(score(expand(b2, e1)), NswBeam), 1)
+    // L0: self-anchor + HnswL0Rounds rounds over the full graph.
+    val self = probes.select(col("probe_id"), col("probe_id").as("node"))
+    var beam = b1.unionAll(self).distinct()
+    var scored: org.apache.spark.sql.DataFrame = null
+    for (r <- 1 to HnswL0Rounds) {
+      scored = score(expand(beam, e0))
+      if (r < HnswL0Rounds)
+        beam = graft.ops.Iterate.cut(topN(scored, NswBeam), r + 1)
+    }
+    scored.filter(col("node") =!= col("probe_id"))
+      .withColumn("rnk", row_number().over(wBeam))
+      .filter(col("rnk") <= NswK)
+      .select(col("probe_id"), col("rnk"), col("node").as("cand_id"),
+        col("dist"))
+      .orderBy("probe_id", "rnk")
+  }
 
   /** Quantized vector table for an NSW graph — qv (1e-4 units as
     * float, exact), its squared norm, and both bucket ids under an
@@ -3809,6 +3928,33 @@ object LlmQueries extends QueryPack {
           .localCheckpoint(false))
     }),
 
+    // HNSW — the LAYER HIERARCHY over the flat NSW graph (round-15
+    // verdict #9, the Malkov-Yashunin small-world hierarchy):
+    // geometric sampling assigns ids ≡ 0 (mod 16) to L1 and ≡ 0
+    // (mod 64) to L2; search SCANS the n/64-node top layer at entry
+    // (cheaper than one expansion round and exactly-greedy), runs ONE
+    // beam round over the staged L1 long-link edge table, then
+    // HnswL0Rounds = 2 rounds over the full graph with the probe
+    // self-anchored — 3 expansion joins vs the flat walk's 5, the
+    // log-hops descent a layered index exists for. Same beam width,
+    // tie-breaks and top-k contract as q329; LlmSpec pins recall@10 ≥
+    // the flat graph's at equal beam. The L0 graph is q330's persisted
+    // index; the L1 edge table is staged like it. Oracle: the graph
+    // CTEs + the staged descent unrolled (entry scan → L1 round → two
+    // L0 rounds) — a wrong layer assignment, a descent skipping the
+    // L1 round, or a lost self-anchor all hash-fail.
+    "q364_ann_hnsw" -> ((s, dir) => {
+      ensureNswIndex(s, dir)
+      ensureHnswLayers(s, dir)
+      hnswSearch(
+        s.table(graft.sources.Staging.appTable(s, "graft_nsw_vecs"))
+          .localCheckpoint(false),
+        s.table(graft.sources.Staging.appTable(s, "graft_nsw_edges"))
+          .localCheckpoint(false),
+        s.table(graft.sources.Staging.appTable(s, "graft_hnsw_e1"))
+          .localCheckpoint(false))
+    }),
+
     // EXACT SUBSTRING-SPAN DEDUP (detection) — the substring-level
     // class the dedup family was missing: q43/q44 hash whole docs,
     // MinHash/SimHash score doc-level similarity, but verbatim
@@ -4393,6 +4539,63 @@ object LlmQueries extends QueryPack {
           s" WHERE NOT (vec_id % 51 = 0 AND vec_id >= $NswProbes)")},
        |${nswBeamSql("nb", "edges")}""".stripMargin
 
+  /** q364's oracle: the graph prefix (nb + lng + edges) extended with
+    * the symmetrized L1 edge table, then the STAGED DESCENT unrolled —
+    * the entry scan of every mod-64 node, one L1 round, two L0 rounds
+    * with the self-anchor unioned in, final top-k. Tie-breaks and beam
+    * widths match [[nswBeamSql]]'s contract exactly.
+    */
+  private def hnswOracle: String = {
+    val dist = nswDistSql _
+    s"""WITH ${nswGraphCtes()},
+       |he1 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT vec_id AS src, cand_id AS dst FROM lng
+       |  UNION ALL SELECT cand_id, vec_id FROM lng)),
+       |hs0 AS (SELECT p.vec_id AS probe_id, t.vec_id AS node,
+       |    ${dist("p", "t")} AS dist
+       |  FROM nb p JOIN nb t ON t.vec_id % $HnswL2Mod = 0
+       |  WHERE p.vec_id < $NswProbes),
+       |hb2 AS (SELECT probe_id, node FROM (
+       |  SELECT probe_id, node, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY dist, node) AS rn FROM hs0) WHERE rn <= $HnswEntryK),
+       |hc1 AS (SELECT DISTINCT probe_id, node FROM (
+       |  SELECT probe_id, node FROM hb2
+       |  UNION ALL
+       |  SELECT pb.probe_id, e.dst FROM hb2 pb JOIN he1 e ON pb.node = e.src)),
+       |hs1 AS MATERIALIZED (SELECT c.probe_id, c.node, ${dist("p", "t")} AS dist
+       |  FROM hc1 c JOIN nb t ON c.node = t.vec_id
+       |    JOIN nb p ON c.probe_id = p.vec_id),
+       |hb1 AS (SELECT DISTINCT probe_id, node FROM (
+       |  SELECT probe_id, node FROM (
+       |    SELECT probe_id, node, row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY dist, node) AS rn FROM hs1) WHERE rn <= $NswBeam
+       |  UNION ALL
+       |  SELECT vec_id, vec_id FROM nb WHERE vec_id < $NswProbes)),
+       |hc2 AS (SELECT DISTINCT probe_id, node FROM (
+       |  SELECT probe_id, node FROM hb1
+       |  UNION ALL
+       |  SELECT pb.probe_id, e.dst FROM hb1 pb JOIN edges e ON pb.node = e.src)),
+       |hs2 AS MATERIALIZED (SELECT c.probe_id, c.node, ${dist("p", "t")} AS dist
+       |  FROM hc2 c JOIN nb t ON c.node = t.vec_id
+       |    JOIN nb p ON c.probe_id = p.vec_id),
+       |hb3 AS (SELECT probe_id, node FROM (
+       |  SELECT probe_id, node, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY dist, node) AS rn FROM hs2) WHERE rn <= $NswBeam),
+       |hc3 AS (SELECT DISTINCT probe_id, node FROM (
+       |  SELECT probe_id, node FROM hb3
+       |  UNION ALL
+       |  SELECT pb.probe_id, e.dst FROM hb3 pb JOIN edges e ON pb.node = e.src)),
+       |hs3 AS MATERIALIZED (SELECT c.probe_id, c.node, ${dist("p", "t")} AS dist
+       |  FROM hc3 c JOIN nb t ON c.node = t.vec_id
+       |    JOIN nb p ON c.probe_id = p.vec_id)
+       |SELECT probe_id, rnk, cand_id, dist FROM (
+       |  SELECT probe_id, node AS cand_id, dist,
+       |    CAST(row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY dist, node) AS INT) AS rnk
+       |  FROM hs3 WHERE node <> probe_id)
+       |WHERE rnk <= $NswK ORDER BY probe_id, rnk""".stripMargin
+  }
+
   /** q330's oracle: re-derive the graph, recount the degree histogram. */
   private def nswManifestOracle: String =
     s"""WITH ${nswGraphCtes()}
@@ -4456,6 +4659,7 @@ object LlmQueries extends QueryPack {
     "q336_nsw_incremental" -> nswIncOracle,
     "q338_nsw_tombstone" -> nswTombstoneOracle,
     "q351_nsw_rebuild" -> nswRebuildOracle,
+    "q364_ann_hnsw" -> hnswOracle,
 
     "q243_simhash_replayable" -> simhashOracleSql,
 

@@ -1517,6 +1517,45 @@ class LlmSpec extends SparkSpec {
     assert(recalls.min >= 0.6, s"min recall@10 ${recalls.min} below 0.6")
   }
 
+  test("q364 HNSW: recall@10 >= the flat walk's at equal beam, with fewer expansion rounds") {
+    // The verdict-#9 contract: the layer hierarchy must buy its
+    // fewer-rounds descent (3 expansion joins vs the flat walk's 5 —
+    // pinned structurally below) WITHOUT losing quality — recall@10
+    // against the exact integer-L2 ranking must be >= the flat
+    // graph's on the same probes.
+    assert(graft.queries.LlmQueries.HnswExpansionRounds <
+      graft.queries.LlmQueries.NswRounds,
+      "the hierarchy must search in fewer expansion rounds than the flat walk")
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e4 + 0.5).toLong).toArray))
+      .toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def recalls(name: String): Map[Long, Double] = {
+      val out = SparkEntry.queries(name)(spark, sfDir).collect()
+      val byProbe = out.groupBy(_.getAs[Long]("probe_id"))
+      assert(byProbe.size == 8 && out.length == 80,
+        s"$name: expected 8 probes x 10 rows, got ${out.length}")
+      byProbe.map { case (p, rows) =>
+        val exact = (vecs - p).toSeq
+          .map { case (id, v) => (d2(vecs(p), v), id) }.sorted.take(10)
+          .map(_._2).toSet
+        p -> (exact & rows.map(_.getAs[Long]("cand_id")).toSet).size / 10.0
+      }
+    }
+    val flat = recalls("q329_ann_nsw_beam")
+    val hnsw = recalls("q364_ann_hnsw")
+    val flatMean = flat.values.sum / flat.size
+    val hnswMean = hnsw.values.sum / hnsw.size
+    assert(hnswMean >= flatMean - 1e-9,
+      s"HNSW mean recall@10 $hnswMean must not trail the flat walk's $flatMean " +
+        s"(per-probe hnsw: ${hnsw.toSeq.sortBy(_._1).map(_._2).mkString(",")}; " +
+        s"flat: ${flat.toSeq.sortBy(_._1).map(_._2).mkString(",")})")
+    assert(hnswMean >= 0.85, s"HNSW mean recall@10 $hnswMean below the 0.85 tripwire")
+  }
+
   test("q331 persisted-graph probe is bit-identical to the ad-hoc q329") {
     // The q110/q67 contract applied to the graph index: persistence is
     // a PHYSICAL change (build paid once at q330 time) with zero
