@@ -88,6 +88,10 @@ case class DotProduct(left: Expression, right: Expression)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL MERGE front: MERGE INTO graft_tx.`<root>` plans onto
+    // TxTable.mergeInto (graft.plans.GraftMergeRule, q365).
+    ext.injectResolutionRule(session =>
+      graft.plans.GraftMergeRule(session.asInstanceOf[org.apache.spark.sql.SparkSession]))
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

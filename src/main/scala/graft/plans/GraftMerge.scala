@@ -1,0 +1,129 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateStarAction}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{expr, lit}
+import org.apache.spark.sql.types.LongType
+
+/** SQL MERGE front for the transactional format (round-15 verdict #10
+  * — the one declared-surface gap between "library" and "engine": the
+  * lakehouse DML was Scala API calls, unreachable from
+  * `spark.sql("MERGE INTO …")`). A resolution rule intercepts the
+  * PARSED MergeIntoTable whose target is the `graft_tx` pseudo-catalog
+  * (`MERGE INTO graft_tx.`/table/root`` — the path is the identifier,
+  * the Delta `delta.`/path`` convention), validates the clause shape,
+  * and rewrites it to a runnable command that plans onto
+  * [[graft.sources.TxTable.mergeInto]] — so the SQL form and the API
+  * form are THE SAME transaction: one commit, same per-file pruning,
+  * same OCC retry, same constraint / unique-key enforcement, bit-equal
+  * results (q365 pins it against the API form and the relational
+  * oracle). Validation and SQL-stringification happen HERE, at rule
+  * time: the rewritten command carries only plain data, so
+  * CheckAnalysis never sees the (deliberately unresolved — the target
+  * is not a catalog table) MERGE expressions.
+  *
+  * Supported clause shape = exactly the semantics `mergeInto` defines:
+  *
+  * {{{
+  *   MERGE INTO graft_tx.`<root>` [AS t]
+  *   USING <source> [AS s]
+  *   ON t.<key> = s.<key>                 -- the log-declared key
+  *   [WHEN MATCHED AND <cond> THEN DELETE]
+  *   WHEN MATCHED THEN UPDATE SET *
+  *   WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  *
+  * Anything else (column-level assignments, NOT MATCHED BY SOURCE,
+  * non-key ON conditions) fails loudly rather than silently diverging
+  * from the library semantics.
+  */
+case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
+  private def txRoot(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(_, child) => txRoot(child)
+    case u: UnresolvedRelation
+        if u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("graft_tx") =>
+      Some(u.multipartIdentifier(1))
+    case _ => None
+  }
+
+  private def lastName(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute => Some(a.nameParts.last)
+    case a: Attribute => Some(a.name)
+    case _ => None
+  }
+
+  /** Qualifiers are stripped before re-resolving a clause condition
+    * against the bare source frame: the SQL form writes `s.st = 'DEL'`
+    * but mergeInto evaluates deleteWhen over the delta's own columns.
+    */
+  private def strip(e: Expression): Expression = e.transform {
+    case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
+  }
+
+  private def toCommand(root: String, m: MergeIntoTable): GraftMergeCommand = {
+    val key = graft.sources.TxTable.tableMeta(session, root).key
+    m.mergeCondition match {
+      case EqualTo(l, r) if lastName(l).contains(key) &&
+        lastName(r).contains(key) => ()
+      case other => throw new UnsupportedOperationException(
+        s"graft_tx MERGE supports ON <target>.$key = <source>.$key " +
+          s"(the log-declared key) only, got: ${other.sql}")
+    }
+    var deleteWhen: Option[String] = None
+    var sawUpdateStar = false
+    m.matchedActions.foreach {
+      case DeleteAction(c) =>
+        require(deleteWhen.isEmpty, "graft_tx MERGE: one DELETE clause only")
+        deleteWhen = Some(c.map(x => strip(x).sql).getOrElse("true"))
+      case UpdateStarAction(None) => sawUpdateStar = true
+      case other: MergeAction => throw new UnsupportedOperationException(
+        "graft_tx MERGE: matched clauses must be UPDATE SET * and/or " +
+          s"[AND-conditioned] DELETE, got: $other")
+    }
+    require(sawUpdateStar || deleteWhen.isDefined,
+      "graft_tx MERGE needs at least one WHEN MATCHED clause")
+    m.notMatchedActions match {
+      case Seq(InsertStarAction(None)) => ()
+      case other => throw new UnsupportedOperationException(
+        s"graft_tx MERGE: the not-matched clause must be exactly " +
+          s"INSERT * (mergeInto's insert leg is unconditional), got: $other")
+    }
+    require(m.notMatchedBySourceActions.isEmpty,
+      "graft_tx MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
+    GraftMergeCommand(root, m.sourceTable, deleteWhen)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case m: MergeIntoTable =>
+      txRoot(m.targetTable).map(toCommand(_, m)).getOrElse(plan)
+    case _ => plan
+  }
+}
+
+/** The rewritten MERGE: plain data only (root path, the USING plan,
+  * the pre-stringified delete condition) — validation happened at rule
+  * time. Runs the library transaction; output is the
+  * (rewritten_files, carried_files) pruning pair — the same observable
+  * the API returns.
+  */
+case class GraftMergeCommand(root: String, source: LogicalPlan,
+                             deleteWhenSql: Option[String])
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("rewritten_files", LongType, nullable = false)(),
+    AttributeReference("carried_files", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val delta = org.apache.spark.sql.graftshim.GraftSqlBridge
+      .ofRows(session, source)
+    val dw = deleteWhenSql.map(expr).getOrElse(lit(false))
+    val (rw, co) = graft.sources.TxTable.mergeInto(session, root, delta, dw)
+    Seq(Row(rw.toLong, co.toLong))
+  }
+}

@@ -1372,6 +1372,53 @@ object SourceQueries extends QueryPack {
         .toDF("n_rows", "sum_c", "n_ins", "n_upd", "n_del")
     }),
 
+    // SQL MERGE SURFACE (round-15 verdict #10, the declared-surface
+    // gap between "library" and "engine": MERGE/DELETE/RESTORE were
+    // Scala API calls, unreachable from spark.sql): GraftMergeRule
+    // (injected via GraftExtensions) intercepts the parsed
+    // MergeIntoTable whose target is the graft_tx pseudo-catalog and
+    // plans it onto TxTable.mergeInto — same single transaction, same
+    // pruning, same OCC/constraint/unique-key enforcement. The query
+    // runs the SAME delta through the SQL form on one table and the
+    // API form on another: sql_equals_api pins row-set equality
+    // between the two final states (computed by a symmetric
+    // exceptAll), and the stats replay relationally in the oracle —
+    // the SQL door diverging from the API door on any row fails both
+    // pins.
+    "q365_tx_sql_merge" -> ((s, dir) => {
+      import graft.sources.TxTable
+      val rootSql = tmp(dir, "txtable_q365_sql")
+      val rootApi = tmp(dir, "txtable_q365_api")
+      val base = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("st"), col("n_regionkey").cast("long").as("c"))
+      TxTable.create(base, rootSql, nBuckets = 4)
+      TxTable.create(base, rootApi, nBuckets = 4)
+      val delta = base.filter(col("k") % 3 === 0 && col("k") % 5 =!= 0)
+        .select(col("k"), lit("U").as("st"), (col("c") + 100L).as("c"))
+        .unionAll(base.filter(col("k") % 5 === 0)
+          .select(col("k"), lit("DEL").as("st"), col("c")))
+        .unionAll(Tables.region(s, dir)
+          .select((col("r_regionkey").cast("long") + 1000L).as("k"),
+            col("r_name").as("st"), col("r_regionkey").cast("long").as("c")))
+      delta.createOrReplaceTempView("graft_q365_delta")
+      s.sql(
+        s"""MERGE INTO graft_tx.`$rootSql` AS t
+           |USING graft_q365_delta AS s
+           |ON t.k = s.k
+           |WHEN MATCHED AND s.st = 'DEL' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      TxTable.mergeInto(s, rootApi, delta, deleteWhen = col("st") === "DEL")
+      val a = TxTable.snapshot(s, rootSql)
+      val b = TxTable.snapshot(s, rootApi)
+      val sqlEqApi =
+        if (a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty) 1L else 0L
+      a.agg(count(lit(1)).as("n_rows"), sum("c").as("sum_c"))
+        .select(col("n_rows"), col("sum_c"),
+          lit(sqlEqApi).as("sql_equals_api"))
+    }),
+
     // Bucketed co-located join: both sides pre-bucketed on the join
     // key, so the join runs with ZERO exchanges (each bucket pair joins
     // locally). The 100 TB pattern for a fact⋈fact join that recurs —
@@ -1927,6 +1974,25 @@ object SourceQueries extends QueryPack {
         |  CAST(n_upd AS BIGINT) AS n_upd,
         |  CAST(n_del AS BIGINT) AS n_del
         |FROM v4, cnt GROUP BY n_ins, n_upd, n_del""".stripMargin,
+
+    // q365: the merged state recomputed relationally (updates win,
+    // delete-flagged matched rows vanish, the ghost semantics never
+    // arise — every DEL key exists); sql_equals_api pins the SQL door
+    // ≡ API door row-set equality.
+    "q365_tx_sql_merge" ->
+      """WITH base AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |    CAST(n_regionkey AS BIGINT) AS c FROM nation),
+        |merged AS (
+        |  SELECT k, CASE WHEN k % 3 = 0 AND k % 5 <> 0 THEN c + 100
+        |    ELSE c END AS c
+        |  FROM base WHERE k % 5 <> 0
+        |  UNION ALL
+        |  SELECT CAST(r_regionkey + 1000 AS BIGINT),
+        |    CAST(r_regionkey AS BIGINT) FROM region)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c) AS BIGINT) AS sum_c,
+        |  CAST(1 AS BIGINT) AS sql_equals_api
+        |FROM merged""".stripMargin,
 
     // q358: the final table is exactly base ∪ the two ACCEPTED appends
     // — a leaked rejected row inflates n_rows/sum_c; the pins assert

@@ -1203,6 +1203,52 @@ class TxTableSpec extends SparkSpec {
     assert(snap2.filter(col("k") === 500L).collect()(0).getLong(2) === 10L)
   }
 
+  test("SQL MERGE INTO graft_tx.`root` plans onto TxTable.mergeInto: " +
+       "one commit, same clause semantics, unsupported shapes refused") {
+    import spark.implicits._
+    val root = freshTable("txspec_sqlmerge")
+    Seq(
+      (10L, "X", 1L),   // matched → update
+      (20L, "D", 0L),   // matched + delete-flagged → delete
+      (900L, "N", 5L),  // unmatched → insert
+      (950L, "D", 0L))  // unmatched + delete-flagged → ghost no-op
+      .toDF("k", "st", "c").createOrReplaceTempView("graft_sqlmerge_delta")
+    val res = spark.sql(
+      s"""MERGE INTO graft_tx.`$root` AS t
+         |USING graft_sqlmerge_delta AS s
+         |ON t.k = s.k
+         |WHEN MATCHED AND s.st = 'D' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    // The command reports the API's pruning pair; one atomic commit.
+    assert(res.length === 1 &&
+      res(0).getLong(0) === 1L && res(0).getLong(1) === 7L)
+    assert(TxTable.latestVersion(spark, root) === 2)
+    val v2 = TxTable.snapshot(spark, root)
+    assert(v2.count() === 800)
+    assert(v2.filter(col("k") === 10L).collect()(0).getString(1) === "X")
+    assert(v2.filter(col("k") === 20L).count() === 0)
+    assert(v2.filter(col("k") === 900L).count() === 1)
+    assert(v2.filter(col("k") === 950L).count() === 0)
+    // Unsupported shapes fail loudly, not silently diverge.
+    intercept[Exception] {
+      spark.sql(s"""MERGE INTO graft_tx.`$root` t USING graft_sqlmerge_delta s
+        |ON t.c = s.c WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"""MERGE INTO graft_tx.`$root` t USING graft_sqlmerge_delta s
+        |ON t.k = s.k WHEN MATCHED THEN UPDATE SET st = s.st
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    }
+    // A non-graft_tx MERGE is untouched by the rule (fails resolution
+    // downstream as before, never silently handled).
+    intercept[Exception] {
+      spark.sql("""MERGE INTO some_missing_table t USING graft_sqlmerge_delta s
+        |ON t.k = s.k WHEN MATCHED THEN UPDATE SET *""".stripMargin).collect()
+    }
+  }
+
   test("schema evolution: a widened append reads back with NULL backfill") {
     import spark.implicits._
     val root = freshTable("txspec_evo")
