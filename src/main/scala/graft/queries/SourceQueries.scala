@@ -1419,6 +1419,78 @@ object SourceQueries extends QueryPack {
           lit(sqlEqApi).as("sql_equals_api"))
     }),
 
+    // CDF ACROSS RESTORE — the loop q363 couldn't close (a restore
+    // commit used to refuse the streaming feed; the batch changeFeed
+    // documented the same caveat Delta does): on a feed-enabled table,
+    // restore() now WRITES its change file as the INVERSE of the batch
+    // feed from the target version to the pre-restore head (inserts ↔
+    // deletes, pre ↔ post — touched-files-only I/O), so a downstream
+    // incrementally-maintained view crosses the rollback WITHOUT a
+    // rebuild: this query maintains a (n_rows, sum_c) aggregate from
+    // the stream across merge → MOR delete → RESTORE, and because the
+    // restore retracts everything, the maintained aggregate must land
+    // exactly back on the v1 truth (which is all the oracle computes —
+    // the whole journey nets to zero, pinned separately by net_zero).
+    // n_events pins the image count: the restore emits exactly one
+    // inverse image per forward image.
+    "q366_tx_cdf_restore" -> ((s, dir) => {
+      import graft.sources.TxTable
+      import org.apache.spark.sql.streaming.Trigger
+      val root = tmp(dir, "txtable_q366")
+      val ckpt = tmp(dir, "txtable_q366_ckpt")
+      TxTable.wipe(ckpt)
+      val base = Tables.orders(s, dir)
+        .groupBy(col("o_orderkey").as("k"))
+        .agg(min("o_orderstatus").as("st"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("c"))
+      TxTable.create(base, root, nBuckets = 8, changeFeed = true)
+      val upd = base.filter(col("k") % 53 === 0 && col("k") % 101 =!= 0)
+        .select(col("k"), lit("U").as("st"), (col("c") + 7L).as("c"))
+      val del = base.filter(col("k") % 101 === 0)
+        .select(col("k"), lit("DEL").as("st"), col("c"))
+      val ins = Tables.nation(s, dir)
+        .select((lit(-1L) - col("n_nationkey")).as("k"),
+          col("n_name").as("st"), col("n_nationkey").cast("long").as("c"))
+      TxTable.mergeInto(s, root, upd.unionAll(del).unionAll(ins),
+        deleteWhen = col("st") === "DEL")                          // v2
+      TxTable.deleteMor(s, root, base.filter(col("k") % 89 === 0)
+        .select("k"))                                              // v3
+      TxTable.restore(s, root, 1)                                  // v4
+      val acc = new java.util.concurrent.atomic.AtomicLongArray(4)
+      val q = s.readStream.format("graft-txtable").option("root", root)
+        .option("readChangeFeed", "true").option("startingVersion", "2")
+        .load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.groupBy("_change_type")
+            .agg(count(lit(1)).as("n"), sum("c").as("sc"))
+            .collect().foreach { r =>
+              val (n, sc) = (r.getLong(1), r.getLong(2))
+              acc.addAndGet(3, n) // total images
+              r.getString(0) match {
+                case "insert" => acc.addAndGet(0, n); acc.addAndGet(1, sc); ()
+                case "update_post" => acc.addAndGet(1, sc); ()
+                case "update_pre" => acc.addAndGet(1, -sc); ()
+                case "delete" => acc.addAndGet(2, n); acc.addAndGet(1, -sc); ()
+              }
+            }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000)) {
+        q.stop(); sys.error("q366: CDF drain did not finish within 300 s")
+      }
+      val v1 = TxTable.snapshot(s, root, 1)
+        .agg(count(lit(1)), sum("c")).collect()(0)
+      val netZero =
+        if (acc.get(0) == acc.get(2) && acc.get(1) == 0L) 1L else 0L
+      import s.implicits._
+      Seq((v1.getLong(0) + acc.get(0) - acc.get(2),
+        v1.getLong(1) + acc.get(1), acc.get(3), netZero))
+        .toDF("n_rows", "sum_c", "n_events", "net_zero")
+    }),
+
     // Bucketed co-located join: both sides pre-bucketed on the join
     // key, so the join runs with ZERO exchanges (each bucket pair joins
     // locally). The 100 TB pattern for a fact⋈fact join that recurs —
@@ -1993,6 +2065,35 @@ object SourceQueries extends QueryPack {
         |  CAST(sum(c) AS BIGINT) AS sum_c,
         |  CAST(1 AS BIGINT) AS sql_equals_api
         |FROM merged""".stripMargin,
+
+    // q366: the maintained aggregate lands back on the v1 truth (all
+    // the oracle computes); n_events = the per-commit forward images
+    // (v2: inserts + update pairs + merge deletes; v3: MOR deletes)
+    // plus the COMPOSED inverse images the restore writes — the
+    // composition deduplicates intermediate churn, so a key both
+    // updated at v2 and MOR-deleted at v3 contributes ONE composed
+    // insert on the way back, not an update pair plus an insert;
+    // net_zero pins the cancellation.
+    "q366_tx_cdf_restore" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS c
+        |  FROM orders GROUP BY 1),
+        |cnt AS (SELECT
+        |  (SELECT count(*) FROM nation) AS n_ins,
+        |  (SELECT count(*) FROM base WHERE k % 53 = 0 AND k % 101 <> 0)
+        |    AS n_upd,
+        |  (SELECT count(*) FROM base
+        |   WHERE k % 53 = 0 AND k % 101 <> 0 AND k % 89 <> 0) AS n_upd_s,
+        |  (SELECT count(*) FROM base WHERE k % 101 = 0) AS n_del2,
+        |  (SELECT count(*) FROM base WHERE k % 89 = 0 AND k % 101 <> 0)
+        |    AS n_del3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c) AS BIGINT) AS sum_c,
+        |  CAST(2*n_ins + 2*n_del2 + 2*n_del3 + 2*n_upd + 2*n_upd_s
+        |    AS BIGINT) AS n_events,
+        |  CAST(1 AS BIGINT) AS net_zero
+        |FROM base, cnt GROUP BY n_ins, n_upd, n_upd_s, n_del2, n_del3""".stripMargin,
 
     // q358: the final table is exactly base ∪ the two ACCEPTED appends
     // — a leaked rejected row inflates n_rows/sum_c; the pins assert

@@ -1628,11 +1628,43 @@ object TxTable {
       val curDvs = liveDvs(s, root)
       val tgt = target.map(_.file).toSet
       // A restore is a no-op only when files, vectors AND metadata all
-      // already match — a metadata-only difference (constraints/schema
-      // declared after the target version) still needs the commit, or
-      // the "target's schema is re-declared" contract silently fails.
-      if (cur == tgt && curDvs == targetDvs
-          && tableMetaOpt(s, root) == targetMeta) return (0, 0)
+      // already match. A METADATA-ONLY difference (constraints/schema
+      // declared after the target version) commits just the target
+      // meta — re-adding the unchanged files would make the tailing
+      // stream re-deliver them as fresh inserts.
+      if (cur == tgt && curDvs == targetDvs) {
+        if (tableMetaOpt(s, root) == targetMeta) return (0, 0)
+        try {
+          tryCommit(root, Commit(v, Seq.empty, Seq.empty, meta = targetMeta))
+          maybeCheckpoint(s, root, v)
+          return (0, 0)
+        } catch { case _: CommitConflictException => () }
+      } else {
+      // CHANGE DATA for the feed (when the table records one): the
+      // restore's row-level images are EXACTLY the inverse of the
+      // batch feed from the target version to the current head —
+      // inserts become deletes, pre-images become post-images. Still
+      // touched-files-only I/O (changeFeed's contract), computed
+      // BEFORE the commit so the streaming CDF mode can serve restore
+      // commits instead of refusing them.
+      val cdcPath =
+        if (!tableMetaOpt(s, root).exists(_.changeFeed)) None
+        else {
+          val curV = v - 1
+          if (toVersion >= curV) None
+          else {
+            val fwd = changeFeed(s, root, toVersion, curV)
+            val inverted = fwd.withColumn("_change_type",
+              when(col("change_type") === "insert", "delete")
+                .when(col("change_type") === "delete", "insert")
+                .when(col("change_type") === "update_pre", "update_post")
+                .otherwise("update_pre"))
+              .drop("change_type")
+            val cols = inverted.columns.filterNot(_ == "_change_type")
+            writeCdc(inverted.select(col("_change_type") +:
+              cols.toSeq.map(col): _*), root, v, freshToken())
+          }
+        }
       // Re-add EVERY target entry (an add clears any vector the file
       // accreted after toVersion — the replay's re-add rule), remove
       // everything not in the target, then re-attach the target's own
@@ -1640,11 +1672,12 @@ object TxTable {
       val toRemove = cur.toSeq.filterNot(tgt).sorted
       try {
         tryCommit(root, Commit(v, target, toRemove, meta = targetMeta,
-          dv = targetDvs.values.toSeq.sortBy(_.file)))
+          dv = targetDvs.values.toSeq.sortBy(_.file), cdc = cdcPath))
         maybeCheckpoint(s, root, v)
         return (target.size, toRemove.size)
       } catch {
         case _: CommitConflictException => () // recompute against the new snapshot
+      }
       }
     }
     throw new IllegalStateException("unreachable")

@@ -425,9 +425,10 @@ private[sources] class TxTableMicroBatchStream(
           case None => throw new IllegalStateException(
             s"graft-txtable: version ${c.version} of $root is a change " +
               "commit with no recorded change data — create the table " +
-              "with changeFeed = true before the commit (or, for a " +
-              "RESTORE window, use the batch TxTable.changeFeed, which " +
-              "reconstructs images from the file diff)")
+              "with changeFeed = true before the commit (feed-enabled " +
+              "tables record change files for merge/delete/deleteMor " +
+              "AND restore), or reconstruct the window with the batch " +
+              "TxTable.changeFeed")
         }
       }.toArray
     }

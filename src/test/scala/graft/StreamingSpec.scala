@@ -757,4 +757,43 @@ class StreamingSpec extends SparkSpec {
     assert(e.getCause.getMessage.contains("no recorded change data"),
       s"unexpected failure: ${e.getCause}")
   }
+
+  test("txtable streaming CDF source: a restore commit streams its inverted images") {
+    import spark.implicits._
+    import graft.sources.TxTable
+    val root = graft.sources.Staging.dir(sfDir, "txsrc_cdf_restore")
+    TxTable.create(
+      spark.range(0, 30).select(col("id").as("k"), lit("A").as("st"),
+        (col("id") * 2).as("c")),
+      root, nBuckets = 2, changeFeed = true)
+    TxTable.merge(spark, root,
+      Seq((5L, "X", 999L), (900L, "N", 42L)).toDF("k", "st", "c")) // v2
+    TxTable.deleteMor(spark, root, Seq(7L).toDF("k"))              // v3
+    TxTable.restore(spark, root, 1)                                // v4
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdfr_").toString
+    val got = drainTxCdf(root, ckpt, Map("startingVersion" -> "4"))
+    // The restore's images are the INVERSE of the v1->v3 feed: the v2
+    // insert becomes a delete, the v2 update pair swaps pre/post, the
+    // v3 MOR delete becomes an insert.
+    assert(got.map(t => (t._1, t._2)).toSet === Set(
+      ("delete", 900L), ("update_pre", 5L), ("update_post", 5L),
+      ("insert", 7L)))
+    val imgs = got.filter(_._2 == 5L).map(t => t._1 -> ((t._3, t._4))).toMap
+    assert(imgs("update_pre") === (("X", 999L)),
+      "the restore's pre-image is the pre-restore (merged) payload")
+    assert(imgs("update_post") === (("A", 10L)),
+      "the restore's post-image is the restored (original) payload")
+    // And a maintained aggregate folded over the WHOLE feed from v2
+    // returns exactly to the v1 state: the restore retracts everything.
+    val all = drainTxCdf(root,
+      java.nio.file.Files.createTempDirectory("graft_cdfr2_").toString,
+      Map("startingVersion" -> "2"))
+    val deltaSum = all.map {
+      case ("insert", _, _, c, _) => c
+      case ("update_post", _, _, c, _) => c
+      case ("update_pre", _, _, c, _) => -c
+      case ("delete", _, _, c, _) => -c
+    }.sum
+    assert(deltaSum === 0L, s"the net feed across merge+restore must cancel, got $deltaSum")
+  }
 }
