@@ -1491,6 +1491,48 @@ object SourceQueries extends QueryPack {
         .toDF("n_rows", "sum_c", "n_events", "net_zero")
     }),
 
+    // 3-D Z-ORDER — the N-dimensional composition q353's 2-D Morton
+    // and q361's stats vector exist for: cluster orders on the 24-bit
+    // interleave of (k, cents, custkey) ranks and record ALL THREE
+    // envelopes per file (cents as stats2, custkey through the stats
+    // vector). Both payload dimensions are key-UNCORRELATED, so under
+    // any 1-D or 2-D layout at least one of them spans every file;
+    // after the 3-D rewrite a box on (k × cents) must prune
+    // (c_prunes), and ADDING the custkey range must prune STRICTLY
+    // further (d_prunes — the claim a 2-D layout cannot deliver).
+    // Pure layout: full_post replays relationally; the box rows
+    // replay with the same integer-div thresholds.
+    "q367_tx_zorder3" -> ((s, dir) => {
+      import graft.sources.TxTable
+      val root = tmp(dir, "txtable_q367")
+      val base = Tables.orders(s, dir)
+        .groupBy(col("o_orderkey").as("k"))
+        .agg(min("o_orderstatus").as("st"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("c"),
+          min(col("o_custkey")).cast("long").as("d"))
+      TxTable.create(base, root, nBuckets = 8)
+      TxTable.optimizeZorder3(s, root, dim2 = "c", dim3 = "d", nFiles = 64) // v2
+      val maxD = base.agg(max("d")).collect()(0).getLong(0)
+      val (loC, hiC) = (0L, 2000000L)
+      val (loD, hiD) = (0L, maxD / 4L)
+      def audit(box: (String, (Long, Long))*) =
+        TxTable.filesOverlappingBox(s, root, box.toSeq)
+      val total = TxTable.liveFiles(s, root).size
+      val boxKC = audit("c" -> (loC, hiC))
+      val boxKCD = audit("c" -> (loC, hiC), "d" -> (loD, hiD))
+      val cPrunes = if (boxKC < total) 1L else 0L
+      val dPrunes = if (boxKCD < boxKC) 1L else 0L
+      def stats(label: String, df: DataFrame) = df
+        .agg(count(lit(1)).as("n_rows"), sum("c").as("sum_c"))
+        .select(lit(label).as("state"), col("n_rows"), col("sum_c"),
+          lit(cPrunes).as("c_prunes"), lit(dPrunes).as("d_prunes"))
+      stats("full_post", TxTable.snapshot(s, root))
+        .unionAll(stats("box", TxTable.snapshot(s, root)
+          .filter(col("c") >= loC && col("c") <= hiC &&
+            col("d") >= loD && col("d") <= hiD)))
+        .orderBy("state")
+    }),
+
     // Bucketed co-located join: both sides pre-bucketed on the join
     // key, so the join runs with ZERO exchanges (each bucket pair joins
     // locally). The 100 TB pattern for a fact⋈fact join that recurs —
@@ -2094,6 +2136,28 @@ object SourceQueries extends QueryPack {
         |    AS BIGINT) AS n_events,
         |  CAST(1 AS BIGINT) AS net_zero
         |FROM base, cnt GROUP BY n_ins, n_upd, n_upd_s, n_del2, n_del3""".stripMargin,
+
+    // q367: pure layout (full_post = base) and the 3-D box replayed
+    // relationally (same integer-div quarter threshold on custkey);
+    // the two pins assert cents pruned and custkey pruned strictly
+    // further — only the 3-D clustered envelopes can deliver both.
+    "q367_tx_zorder3" ->
+      """WITH base AS (SELECT o_orderkey AS k, min(o_orderstatus) AS st,
+        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS c,
+        |    CAST(min(o_custkey) AS BIGINT) AS d
+        |  FROM orders GROUP BY 1),
+        |thr AS (SELECT CAST(max(d) AS BIGINT) // 4 AS t FROM base)
+        |SELECT 'box' AS state, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c) AS BIGINT) AS sum_c,
+        |  CAST(1 AS BIGINT) AS c_prunes, CAST(1 AS BIGINT) AS d_prunes
+        |FROM base, thr
+        |WHERE c >= 0 AND c <= 2000000 AND d >= 0 AND d <= thr.t
+        |UNION ALL
+        |SELECT 'full_post', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        |FROM base
+        |ORDER BY state""".stripMargin,
 
     // q358: the final table is exactly base ∪ the two ACCEPTED appends
     // — a leaked rejected row inflates n_rows/sum_c; the pins assert

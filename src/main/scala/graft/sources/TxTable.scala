@@ -1502,6 +1502,83 @@ object TxTable {
     throw new IllegalStateException("unreachable")
   }
 
+  /** 3-D Morton spread: bit i → bit 3i (the canonical part-1-by-2
+    * shift/mask ladder, here for 8-bit inputs → a 24-bit interleave
+    * domain) — all codegen'd integer ops like [[zSpread]].
+    */
+  private def zSpread3(c: Column): Column = {
+    val b1 = c.bitwiseOR(shiftleft(c, 16)).bitwiseAND(lit(0xFF0000FFL))
+    val b2 = b1.bitwiseOR(shiftleft(b1, 8)).bitwiseAND(lit(0x0300F00FL))
+    val b3 = b2.bitwiseOR(shiftleft(b2, 4)).bitwiseAND(lit(0x030C30C3L))
+    b3.bitwiseOR(shiftleft(b3, 2)).bitwiseAND(lit(0x09249249L))
+  }
+
+  /** OPTIMIZE ZORDER over THREE dimensions (key, `dim2`, `dim3`) —
+    * the N-D composition [[optimizeZorder]]'s 2-D Morton and the
+    * per-column stats vector exist for: the rewrite clusters the
+    * scoped live set on the 24-bit interleave of the three 8-bit
+    * ranks, declares `dim2` as the stats2 dimension and `dim3` as a
+    * stats-vector column, and records all three envelopes per file —
+    * so a 3-D box predicate prunes on every axis
+    * ([[filesOverlappingBox]] / the connector pushdown), where 2-D
+    * clustering leaves every file spanning the full third domain.
+    * Same contracts as [[optimizeZorder]]: pure layout, deterministic
+    * fixed-width Morton cuts, overflow-safe ranks, OCC retry, scoped
+    * variant carries out-of-scope entries verbatim. Returns
+    * (filesRemoved, filesProduced).
+    */
+  def optimizeZorder3(s: SparkSession, root: String,
+                      dim2: String, dim3: String, nFiles: Int,
+                      scopeLo: Long = Long.MinValue,
+                      scopeHi: Long = Long.MaxValue): (Int, Int) = {
+    require(nFiles >= 1 && nFiles <= 256, s"nFiles must be in [1,256], got $nFiles")
+    val meta0 = tableMeta(s, root)
+    val meta = meta0.copy(stats2 = Some(dim2),
+      statsCols = (meta0.statsCols :+ dim3).distinct)
+    val key = meta.key
+    while (true) {
+      val v = latestVersion(s, root) + 1
+      val live = liveFiles(s, root)
+        .filter(f => f.min <= scopeHi && f.max >= scopeLo)
+      if (live.isEmpty) return (0, 0)
+      val snap = applyDvs(s,
+          s.read.schema(meta.schema).parquet(live.map(_.file): _*),
+          key, liveDvs(s, root), live.map(_.file))
+        .localCheckpoint(false)
+      val b = snap.agg(min(col(key)), max(col(key)),
+        floor(min(col(dim2))).cast("long"), ceil(max(col(dim2))).cast("long"),
+        floor(min(col(dim3))).cast("long"), ceil(max(col(dim3))).cast("long"))
+        .collect()(0)
+      val withZ = snap
+        .withColumn("__d2l", floor(col(dim2)).cast("long"))
+        .withColumn("__d3l", floor(col(dim3)).cast("long"))
+        .withColumn("__k8", expr(rank8Sql(key, b.getLong(0), b.getLong(1))))
+        .withColumn("__d8", expr(rank8Sql("__d2l", b.getLong(2), b.getLong(3))))
+        .withColumn("__e8", expr(rank8Sql("__d3l", b.getLong(4), b.getLong(5))))
+        .withColumn("__zv", zSpread3(col("__k8"))
+          .bitwiseOR(shiftleft(zSpread3(col("__d8")), 1))
+          .bitwiseOR(shiftleft(zSpread3(col("__e8")), 2)))
+        .withColumn("__b", expr(s"CAST((__zv * ${nFiles}L) div ${1L << 24}L AS INT)"))
+        .drop("__d2l", "__d3l", "__k8", "__d8", "__e8", "__zv")
+      val token = freshToken()
+      val path = s"${dataDir(root)}/v$v-$token-z3"
+      val wz = withZ.localCheckpoint(false)
+      wz.write.partitionBy("__b").mode("overwrite").parquet(path)
+      val entries = bucketStats(wz, meta)
+        .map { case (bk, e) => e.copy(file = s"$path/__b=$bk") }
+        .sortBy(_.min)
+      try {
+        tryCommit(root, Commit(v, entries, live.map(_.file),
+          meta = Some(meta), layoutOnly = true))
+        maybeCheckpoint(s, root, v)
+        return (live.size, entries.size)
+      } catch {
+        case _: CommitConflictException => ()
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Metadata-only pruning audit: how many live files at `version`
     * could contain a row in the (key ∈ [kLo,kHi]) × (stats2 ∈
     * [lo2,hi2]) box? Files without second-dimension stats are counted
