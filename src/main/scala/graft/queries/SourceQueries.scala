@@ -1533,6 +1533,70 @@ object SourceQueries extends QueryPack {
         .orderBy("state")
     }),
 
+    // CONNECTOR MERGE-ON-READ (the deletion-vector READER feature,
+    // implemented rather than refused — round 16: q357 established the
+    // write half, but the connector used to throw on any vectored
+    // table, forcing OPTIMIZE before every external read): each
+    // vectored file's partition now carries its sidecar path and the
+    // executor reader loads the KB-scale key set once per partition,
+    // filtering during the scan — so a 100 TB table with MOR debt
+    // serves through spark.read/readStream at full pruning, no
+    // compaction required. The lifecycle: create → deleteMor → batch
+    // connector read (must equal the DV-aware snapshot —
+    // conn_eq_snap pins row-set equality engine-side), time travel to
+    // v1 (pre-vector state through the same reader), and a streaming
+    // SNAPSHOT BOOTSTRAP over the vectored table (the path that used
+    // to refuse). All three states replay relationally in the oracle.
+    "q368_tx_mor_connector" -> ((s, dir) => {
+      import graft.sources.TxTable
+      import org.apache.spark.sql.streaming.Trigger
+      val root = tmp(dir, "txtable_q368")
+      val ckpt = tmp(dir, "txtable_q368_ckpt")
+      TxTable.wipe(ckpt)
+      val base = Tables.orders(s, dir)
+        .groupBy(col("o_orderkey").as("k"))
+        .agg(min("o_orderstatus").as("st"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("c"))
+      TxTable.create(base, root, nBuckets = 8)
+      TxTable.deleteMor(s, root,
+        base.filter(col("k") % 97 === 0).select("k")) // v2: sidecars only
+      def rd(opts: (String, String)*) = {
+        val r = s.read.format("graft-txtable").option("root", root)
+        opts.foreach { case (k2, v2) => r.option(k2, v2) }
+        r.load().select("k", "st", "c")
+      }
+      val conn = rd().localCheckpoint(false)
+      val snap = TxTable.snapshot(s, root).select("k", "st", "c")
+      val connEqSnap =
+        if (conn.exceptAll(snap).isEmpty && snap.exceptAll(conn).isEmpty) 1L
+        else 0L
+      // Streaming snapshot bootstrap over the vectored table.
+      val acc = new java.util.concurrent.atomic.AtomicLongArray(2)
+      val q = s.readStream.format("graft-txtable").option("root", root)
+        .load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val r = b.agg(count(lit(1)), sum("c")).collect()(0)
+          acc.addAndGet(0, r.getLong(0)); acc.addAndGet(1, r.getLong(1))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000)) {
+        q.stop(); sys.error("q368: bootstrap drain did not finish within 300 s")
+      }
+      import s.implicits._
+      def stats(label: String, df: DataFrame) = df
+        .agg(count(lit(1)).as("n_rows"), sum("c").as("sum_c"))
+        .select(lit(label).as("state"), col("n_rows"), col("sum_c"),
+          lit(connEqSnap).as("conn_eq_snap"))
+      stats("v1_travel", rd("versionAsOf" -> "1"))
+        .unionAll(stats("v2_batch", conn))
+        .unionAll(Seq(("v2_stream", acc.get(0), acc.get(1), connEqSnap))
+          .toDF("state", "n_rows", "sum_c", "conn_eq_snap"))
+        .orderBy("state")
+    }),
+
     // Bucketed co-located join: both sides pre-bucketed on the join
     // key, so the join runs with ZERO exchanges (each bucket pair joins
     // locally). The 100 TB pattern for a fact⋈fact join that recurs —
@@ -2157,6 +2221,28 @@ object SourceQueries extends QueryPack {
         |SELECT 'full_post', CAST(count(*) AS BIGINT),
         |  CAST(sum(c) AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
         |FROM base
+        |ORDER BY state""".stripMargin,
+
+    // q368: v1 is the pre-vector base, v2 (batch AND streamed
+    // bootstrap) is base minus the MOR-deleted keys; conn_eq_snap pins
+    // the connector ≡ DV-aware-snapshot row-set equality engine-side.
+    "q368_tx_mor_connector" ->
+      """WITH base AS (SELECT o_orderkey AS k, min(o_orderstatus) AS st,
+        |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS c
+        |  FROM orders GROUP BY 1),
+        |v2 AS (SELECT * FROM base WHERE k % 97 <> 0)
+        |SELECT 'v1_travel' AS state, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c) AS BIGINT) AS sum_c, CAST(1 AS BIGINT) AS conn_eq_snap
+        |FROM base
+        |UNION ALL
+        |SELECT 'v2_batch', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT), CAST(1 AS BIGINT)
+        |FROM v2
+        |UNION ALL
+        |SELECT 'v2_stream', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT), CAST(1 AS BIGINT)
+        |FROM v2
         |ORDER BY state""".stripMargin,
 
     // q358: the final table is exactly base ∪ the two ACCEPTED appends

@@ -79,9 +79,10 @@ import org.apache.spark.sql.types.{LongType, StructType}
   *    instead of rewriting it (Delta's deletionVectors feature);
   *    [[snapshot]] subtracts live vectors with one broadcast
   *    anti-join, COW ops materialize the vectors of files they
-  *    rewrite, [[optimize]] repays all remaining debt, and readers
-  *    that cannot subtract vectors (the file-verbatim connector)
-  *    refuse loudly — the Delta reader-feature protocol rule.
+  *    rewrite, [[optimize]] repays all remaining debt, and the
+  *    connector's raw reader subtracts each file's sidecar keys
+  *    executor-side — the Delta deletionVectors reader feature,
+  *    implemented rather than refused.
   *
   * The log is driver-side metadata (KBs per thousand commits — exactly
   * the Delta regime); data reads stay fully distributed parquet scans.

@@ -260,8 +260,12 @@ private class TxStreamScan(root: String, tblSchema: StructType,
     extends Scan {
   override def readSchema(): StructType = tblSchema
   override def description(): String = s"graft-txtable $root"
-  private def readerFactory =
-    TxReaderFactory(tblSchema.fields.map(f => (f.name, f.dataType.typeName)))
+  private def readerFactory = {
+    val key =
+      try TxTable.tableMeta(SparkSession.active, root).key
+      catch { case _: Exception => "k" }
+    TxReaderFactory(tblSchema.fields.map(f => (f.name, f.dataType.typeName)), key)
+  }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new TxTableMicroBatchStream(root, skipChangeCommits, startingVersion,
       maxFilesPerTrigger, readerFactory, readChangeFeed)
@@ -277,16 +281,12 @@ private class TxStreamScan(root: String, tblSchema: StructType,
       require(!readChangeFeed,
         "graft-txtable: readChangeFeed is a STREAMING mode — batch " +
           "row-level history is TxTable.changeFeed(vFrom, vTo)")
-      // Protocol guard (Delta's reader-feature rule): this reader
-      // materializes rows straight from part files and cannot subtract
-      // merge-on-read deletion vectors — serving the files verbatim
-      // would RESURRECT deleted rows. Fail loudly; TxTable.snapshot is
-      // the DV-aware read, OPTIMIZE materializes the debt away.
-      require(TxTable.liveDvs(s, root, versionAsOf).isEmpty,
-        s"graft-txtable: $root has live deletion vectors at " +
-          s"v$versionAsOf; this connector does not support the " +
-          "merge-on-read read path — read via TxTable.snapshot or run " +
-          "TxTable.optimize to materialize the vectors first")
+      // MERGE-ON-READ: each vectored file's partitions carry its
+      // sidecar path; the executor reader subtracts the keys (the
+      // round-16 upgrade — this reader used to REFUSE vectored
+      // tables under the Delta reader-feature rule; now it implements
+      // the feature).
+      val dvs = TxTable.liveDvs(s, root, versionAsOf)
       val meta = TxTable.tableMeta(s, root, versionAsOf)
       // DATA SKIPPING: intersect the pushed per-column range bounds
       // with each live file's logged stats — the key envelope, the
@@ -306,7 +306,8 @@ private class TxStreamScan(root: String, tblSchema: StructType,
         .flatMap(c => c.add.map(f => f.file -> c.version)).toMap
       live.toSeq.sorted.flatMap(f =>
         TxTableStreamSource.partFiles(f)
-          .map(p => TxFilePartition(p, addedBy(f)): InputPartition))
+          .map(p => TxFilePartition(p, addedBy(f),
+            dv = dvs.get(f).map(_.path).orNull): InputPartition))
         .toArray
     }
     override def createReaderFactory(): PartitionReaderFactory = readerFactory
@@ -388,13 +389,10 @@ private[sources] class TxTableMicroBatchStream(
       // `hi` — live files only, no commit replay, so historical change
       // commits neither fail the stream nor double-deliver. Restart
       // mid-batch replans the same deterministic set (liveFiles at a
-      // fixed version is immutable). Same deletion-vector protocol
-      // guard as the batch read: files-verbatim would resurrect
-      // MOR-deleted rows.
-      require(TxTable.liveDvs(session, root, hi).isEmpty,
-        s"graft-txtable: $root has live deletion vectors at v$hi; " +
-          "run TxTable.optimize to materialize them before streaming " +
-          "the snapshot")
+      // fixed version is immutable). Vectored files carry their
+      // sidecar so MOR-deleted rows never deliver (the reader's
+      // merge-on-read subtraction).
+      val dvs = TxTable.liveDvs(session, root, hi)
       val addedBy = TxTable.commits(session, root, hi)
         .flatMap(c => c.add.map(f => f.file -> c.version)).toMap
       return TxTable.liveFiles(session, root, hi).map(_.file).sorted
@@ -402,7 +400,8 @@ private[sources] class TxTableMicroBatchStream(
           // CDF bootstrap: the initial snapshot delivers as inserts
           // (Delta's readChangeFeed initial-snapshot semantics).
           .map(p => TxFilePartition(p, addedBy(f),
-            if (readChangeFeed) "insert" else null): InputPartition))
+            if (readChangeFeed) "insert" else null,
+            dv = dvs.get(f).map(_.path).orNull): InputPartition))
         .toArray
     }
     val window = TxTable.commits(session, root, hi).filter(_.version > lo)
@@ -458,10 +457,13 @@ private[sources] class TxTableMicroBatchStream(
 
 /** `ct`: constant `_change_type` for rows of this partition (CDF mode
   * partitions whose file carries no such column — derived inserts and
-  * the bootstrap snapshot); null outside CDF mode.
+  * the bootstrap snapshot); null outside CDF mode. `dv`: the file's
+  * live deletion-vector sidecar path (null when vector-free) — the
+  * reader subtracts its keys, the connector's merge-on-read read path.
   */
 private[sources] case class TxFilePartition(path: String, version: Int,
-                                            ct: String = null)
+                                            ct: String = null,
+                                            dv: String = null)
     extends InputPartition
 
 /** Commit message: the path of the one parquet file this task wrote,
@@ -599,8 +601,16 @@ private[sources] case class TxWriterFactory(fields: Array[(String, String)],
   * surface their missing columns as NULLs, and NULL field values
   * surface as NULL row fields (the stream schema declares everything
   * nullable and nothing validates non-null on write).
+  *
+  * MERGE-ON-READ: a partition carrying a deletion-vector path loads
+  * the vector's KEYS into a hash set at open (the sidecar is KBs — the
+  * key-domain equivalent of Delta's roaring bitmap) and filters rows
+  * during the scan, so the connector SERVES vectored tables instead of
+  * refusing them. `keyName` names the declared key column the filter
+  * reads.
   */
-private[sources] case class TxReaderFactory(fields: Array[(String, String)])
+private[sources] case class TxReaderFactory(fields: Array[(String, String)],
+                                            keyName: String = "k")
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TxFilePartition]
@@ -609,6 +619,32 @@ private[sources] case class TxReaderFactory(fields: Array[(String, String)])
         .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
           new org.apache.hadoop.fs.Path(p.path))
         .build()
+      // The deletion-vector key set, loaded once per partition open —
+      // each sidecar part file read with the same Group API.
+      private val deleted: java.util.HashSet[Long] =
+        if (p.dv == null) null
+        else {
+          val set = new java.util.HashSet[Long]()
+          TxTableStreamSource.partFiles(p.dv).foreach { f =>
+            val r = org.apache.parquet.hadoop.ParquetReader
+              .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+                new org.apache.hadoop.fs.Path(f))
+              .build()
+            try {
+              var g = r.read()
+              while (g != null) {
+                if (g.getFieldRepetitionCount(keyName) > 0)
+                  set.add(g.getLong(keyName, 0))
+                g = r.read()
+              }
+            } finally r.close()
+          }
+          set
+        }
+      private def rowDeleted(g: org.apache.parquet.example.data.Group): Boolean =
+        deleted != null && g.getType.containsField(keyName) &&
+          g.getFieldRepetitionCount(keyName) > 0 &&
+          deleted.contains(g.getLong(keyName, 0))
       private var cur: org.apache.parquet.example.data.Group = _
       // Built from the FIRST row's file schema: a column the file
       // predates is absent from its GroupType, and every access must
@@ -649,6 +685,9 @@ private[sources] case class TxReaderFactory(fields: Array[(String, String)])
       }
       override def next(): Boolean = {
         cur = reader.read()
+        // MOR subtraction happens inside the advance loop, so a
+        // deleted row never reaches get().
+        while (cur != null && rowDeleted(cur)) cur = reader.read()
         if (cur != null && extract == null) mkExtractors(cur)
         cur != null
       }

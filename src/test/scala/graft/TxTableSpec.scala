@@ -60,7 +60,7 @@ class TxTableSpec extends SparkSpec {
   }
 
   test("deleteMor: vectors compose, COW materializes, optimize purges, " +
-       "vacuum keeps live vectors, connector guards") {
+       "vacuum keeps live vectors, connector serves MOR") {
     import spark.implicits._
     val root = freshTable("txspec_mor") // 8 buckets of 100 keys
     val files1 = TxTable.liveFiles(spark, root).map(_.file).toSet
@@ -104,13 +104,15 @@ class TxTableSpec extends SparkSpec {
         java.nio.file.Paths.get(dv200.values.head.path)),
       "vacuum deleted a live deletion vector")
     assert(TxTable.snapshot(spark, root).filter(col("k") === 200L).count() === 0)
-    // The connector cannot subtract vectors — it must refuse, not
-    // silently resurrect (the Delta reader-feature rule).
-    val e = intercept[Exception] {
-      spark.read.format("graft-txtable").option("root", root).load().count()
-    }
-    assert(e.getMessage.contains("deletion vectors"))
-    // OPTIMIZE repays the debt: vectors purged, connector serves again.
+    // The connector IMPLEMENTS the deletion-vector reader feature
+    // (round-16 upgrade — it used to refuse): the vectored table
+    // serves through the raw reader minus exactly the deleted keys.
+    val connMor = spark.read.format("graft-txtable").option("root", root).load()
+    assert(connMor.count() === 794,
+      "the connector must subtract live deletion vectors")
+    assert(connMor.filter(col("k") === 200L).count() === 0,
+      "a MOR-deleted key must not resurrect through the connector")
+    // OPTIMIZE still repays the debt: vectors purged, same rows.
     val (rm, prod) = TxTable.optimize(spark, root, targetRows = 1000000L)
     assert(rm > 0 && prod > 0)
     assert(TxTable.liveDvs(spark, root).isEmpty)
