@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateStarAction}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.functions.{expr, lit}
@@ -101,6 +101,36 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case m: MergeIntoTable =>
       txRoot(m.targetTable).map(toCommand(_, m)).getOrElse(plan)
+    // SQL DELETE: DELETE FROM graft_tx.`root` WHERE <pred> — the
+    // predicate re-resolves against the snapshot frame at run time
+    // (qualifiers stripped), its matching KEYS feed the library's
+    // copy-on-write delete. An omitted WHERE is a full-table delete —
+    // refused, the standard lakehouse guard (TRUNCATE is a different
+    // intent than an unbounded COW rewrite).
+    case d: DeleteFromTable =>
+      txRoot(d.table) match {
+        case Some(root) =>
+          require(d.condition != null &&
+            !d.condition.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal],
+            "graft_tx DELETE requires a WHERE predicate")
+          GraftDeleteCommand(root, strip(d.condition).sql)
+        case None => plan
+      }
+    // SQL UPDATE: UPDATE graft_tx.`root` SET c = <expr> [WHERE <pred>]
+    // — all assignment RHS evaluate SIMULTANEOUSLY against the OLD row
+    // (standard UPDATE semantics), and the updated rows land through
+    // mergeInto's upsert leg (same transaction/pruning/OCC as MERGE).
+    case u: UpdateTable =>
+      txRoot(u.table) match {
+        case Some(root) =>
+          val sets = u.assignments.map { case Assignment(k, v) =>
+            val name = lastName(k).getOrElse(throw new UnsupportedOperationException(
+              s"graft_tx UPDATE: unsupported assignment target ${k.sql}"))
+            name -> strip(v).sql
+          }
+          GraftUpdateCommand(root, sets, u.condition.map(c => strip(c).sql))
+        case None => plan
+      }
     case _ => plan
   }
 }
@@ -124,6 +154,51 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
       .ofRows(session, source)
     val dw = deleteWhenSql.map(expr).getOrElse(lit(false))
     val (rw, co) = graft.sources.TxTable.mergeInto(session, root, delta, dw)
+    Seq(Row(rw.toLong, co.toLong))
+  }
+}
+
+/** SQL DELETE rewritten at rule time: the predicate's matching keys
+  * (one filtered read of the snapshot — predicate pushdown applies)
+  * feed [[graft.sources.TxTable.delete]]'s pruned copy-on-write.
+  */
+case class GraftDeleteCommand(root: String, condSql: String)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("rewritten_files", LongType, nullable = false)(),
+    AttributeReference("carried_files", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val meta = graft.sources.TxTable.tableMeta(session, root)
+    val keys = graft.sources.TxTable.snapshot(session, root)
+      .filter(expr(condSql)).select(meta.key)
+    val (rw, co) = graft.sources.TxTable.delete(session, root, keys)
+    Seq(Row(rw.toLong, co.toLong))
+  }
+}
+
+/** SQL UPDATE rewritten at rule time: the matching rows with every
+  * assignment evaluated simultaneously against the OLD row land
+  * through [[graft.sources.TxTable.mergeInto]]'s upsert leg — same
+  * transaction, pruning and OCC as MERGE.
+  */
+case class GraftUpdateCommand(root: String, sets: Seq[(String, String)],
+                              condSql: Option[String])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("rewritten_files", LongType, nullable = false)(),
+    AttributeReference("carried_files", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val meta = graft.sources.TxTable.tableMeta(session, root)
+    val setMap = sets.toMap
+    require(!setMap.contains(meta.key),
+      s"graft_tx UPDATE must not assign the key column '${meta.key}'")
+    val snap = graft.sources.TxTable.snapshot(session, root)
+    val matched = condSql.map(c => snap.filter(expr(c))).getOrElse(snap)
+    val delta = matched.select(meta.schema.fieldNames.toSeq.map(c =>
+      setMap.get(c).map(sql => expr(sql).as(c))
+        .getOrElse(org.apache.spark.sql.functions.col(c))): _*)
+    val (rw, co) = graft.sources.TxTable.mergeInto(session, root, delta,
+      deleteWhen = lit(false))
     Seq(Row(rw.toLong, co.toLong))
   }
 }

@@ -1597,6 +1597,38 @@ object SourceQueries extends QueryPack {
         .orderBy("state")
     }),
 
+    // SQL DELETE / UPDATE surface (completing q365's MERGE — the full
+    // DML triple is now reachable from spark.sql on graft_tx targets):
+    // DELETE resolves its arbitrary WHERE against the snapshot and
+    // feeds the matching keys to the pruned COW delete; UPDATE
+    // evaluates every assignment SIMULTANEOUSLY against the OLD row
+    // (standard UPDATE semantics — the oracle's CASE expressions
+    // replay exactly that) and lands through mergeInto's upsert leg.
+    // Both are the library transactions — same pruning, OCC,
+    // constraint and unique-key enforcement; two_commits pins one
+    // commit per statement. The final state replays relationally.
+    "q369_tx_sql_dml" -> ((s, dir) => {
+      import graft.sources.TxTable
+      val root = tmp(dir, "txtable_q369")
+      val base = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("st"), col("n_regionkey").cast("long").as("c"))
+      TxTable.create(base, root, nBuckets = 4)
+      s.sql(s"DELETE FROM graft_tx.`$root` WHERE k % 5 = 0").collect() // v2
+      s.sql(
+        s"""UPDATE graft_tx.`$root`
+           |SET st = concat(st, '_u'), c = c * 10 + 1
+           |WHERE k % 3 = 0""".stripMargin).collect()                  // v3
+      val twoCommits = if (TxTable.latestVersion(s, root) == 3) 1L else 0L
+      def stats(v: Int, label: String) = TxTable.snapshot(s, root, v)
+        .agg(count(lit(1)).as("n_rows"), sum("c").as("sum_c"),
+          sum(length(col("st")).cast("long")).as("sum_len"))
+        .select(lit(label).as("state"), col("n_rows"), col("sum_c"),
+          col("sum_len"), lit(twoCommits).as("two_commits"))
+      stats(2, "v2_deleted").unionAll(stats(3, "v3_updated"))
+        .orderBy("state")
+    }),
+
     // Bucketed co-located join: both sides pre-bucketed on the join
     // key, so the join runs with ZERO exchanges (each bucket pair joins
     // locally). The 100 TB pattern for a fact⋈fact join that recurs —
@@ -2243,6 +2275,29 @@ object SourceQueries extends QueryPack {
         |SELECT 'v2_stream', CAST(count(*) AS BIGINT),
         |  CAST(sum(c) AS BIGINT), CAST(1 AS BIGINT)
         |FROM v2
+        |ORDER BY state""".stripMargin,
+
+    // q369: v2 = base minus k%5; v3 applies the simultaneous-update
+    // CASE to the survivors (st grows by two chars, c → c*10+1 on
+    // k%3); two_commits pins one commit per SQL statement.
+    "q369_tx_sql_dml" ->
+      """WITH base AS (SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS st,
+        |    CAST(n_regionkey AS BIGINT) AS c FROM nation),
+        |v2 AS (SELECT * FROM base WHERE k % 5 <> 0),
+        |v3 AS (SELECT k,
+        |    CASE WHEN k % 3 = 0 THEN st || '_u' ELSE st END AS st,
+        |    CASE WHEN k % 3 = 0 THEN c * 10 + 1 ELSE c END AS c
+        |  FROM v2)
+        |SELECT 'v2_deleted' AS state, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c) AS BIGINT) AS sum_c,
+        |  CAST(sum(len(st)) AS BIGINT) AS sum_len,
+        |  CAST(1 AS BIGINT) AS two_commits
+        |FROM v2
+        |UNION ALL
+        |SELECT 'v3_updated', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT), CAST(sum(len(st)) AS BIGINT),
+        |  CAST(1 AS BIGINT)
+        |FROM v3
         |ORDER BY state""".stripMargin,
 
     // q358: the final table is exactly base ∪ the two ACCEPTED appends

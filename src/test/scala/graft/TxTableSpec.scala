@@ -1251,6 +1251,39 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("SQL DELETE and UPDATE on graft_tx plan onto the library COW ops") {
+    import spark.implicits._
+    val root = freshTable("txspec_sqldml")
+    // DELETE with an arbitrary predicate: keys resolved from the
+    // snapshot, COW delete prunes to the touched buckets.
+    val del = spark.sql(
+      s"DELETE FROM graft_tx.`$root` WHERE k % 100 = 5 AND k < 300").collect()
+    assert(del.length === 1 && del(0).getLong(0) === 3L,
+      "keys 5/105/205 live in 3 buckets")
+    val v2 = TxTable.snapshot(spark, root)
+    assert(v2.count() === 797)
+    assert(v2.filter(col("k").isin(5L, 105L, 205L)).count() === 0)
+    // UPDATE: simultaneous assignment against the OLD row — st reads
+    // the pre-update c, c doubles, both from the same old image.
+    spark.sql(
+      s"""UPDATE graft_tx.`$root`
+         |SET st = concat('v', CAST(c AS STRING)), c = c * 2
+         |WHERE k = 10""".stripMargin).collect()
+    val r10 = TxTable.snapshot(spark, root).filter(col("k") === 10L).collect()(0)
+    assert(r10.getString(1) === "v100", "st must read the OLD c (100)")
+    assert(r10.getLong(2) === 200L, "c must double from the old value")
+    assert(TxTable.snapshot(spark, root).count() === 797)
+    // Guard rails: WHERE-less DELETE and key assignment refused.
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM graft_tx.`$root`").collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"UPDATE graft_tx.`$root` SET k = k + 1 WHERE k = 1").collect()
+    }
+    assert(TxTable.snapshot(spark, root).count() === 797,
+      "refused statements must not commit")
+  }
+
   test("schema evolution: a widened append reads back with NULL backfill") {
     import spark.implicits._
     val root = freshTable("txspec_evo")
