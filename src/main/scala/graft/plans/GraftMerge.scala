@@ -131,7 +131,30 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
           GraftUpdateCommand(root, sets, u.condition.map(c => strip(c).sql))
         case None => plan
       }
-    case _ => plan
+    // SQL SELECT: any graft_tx relation ANYWHERE in the plan resolves
+    // to the connector read (full stats pruning, MOR subtraction,
+    // commit_version audit column). `graft_tx.`/root@vN`` is VERSION
+    // AS OF N — the Delta `table@vN` time-travel spelling — so the
+    // whole read surface (snapshot, time travel, joins across tables)
+    // is plain spark.sql.
+    case _ => plan.transformUp {
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.length == 2 &&
+            u.multipartIdentifier.head.equalsIgnoreCase("graft_tx") =>
+        readPlan(u.multipartIdentifier(1))
+    }
+  }
+
+  private def readPlan(spec: String): LogicalPlan = {
+    val at = spec.lastIndexOf("@v")
+    val (path, version) =
+      if (at > 0 && at + 2 < spec.length &&
+        spec.substring(at + 2).forall(_.isDigit))
+        (spec.substring(0, at), spec.substring(at + 2))
+      else (spec, null)
+    val r = session.read.format("graft-txtable").option("root", path)
+    val df = (if (version != null) r.option("versionAsOf", version) else r).load()
+    df.queryExecution.logical
   }
 }
 

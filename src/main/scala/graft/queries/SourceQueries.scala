@@ -1629,6 +1629,42 @@ object SourceQueries extends QueryPack {
         .orderBy("state")
     }),
 
+    // ALL-SQL LAKEHOUSE LIFECYCLE — the read half of the SQL surface
+    // (q365/q369 cover the DML): any graft_tx relation anywhere in a
+    // spark.sql plan resolves to the connector read (stats pruning,
+    // MOR subtraction and the commit_version audit column included),
+    // and `graft_tx.`/root@vN`` is VERSION AS OF N — the Delta
+    // `table@vN` spelling — so time travel, cross-table joins, and
+    // even cross-VERSION self-joins are plain SQL. This query runs a
+    // create → SQL DELETE → one SQL statement that joins the CURRENT
+    // fact against a second graft_tx dim table per group AND unions
+    // the @v1 time-travel totals — the statement a user actually
+    // writes when auditing a deploy. Oracle replays relationally.
+    "q370_tx_sql_select" -> ((s, dir) => {
+      import graft.sources.TxTable
+      val fact = tmp(dir, "txtable_q370_fact")
+      val dim = tmp(dir, "txtable_q370_dim")
+      TxTable.create(Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("st"), col("n_regionkey").cast("long").as("c")),
+        fact, nBuckets = 4)
+      TxTable.create(Tables.region(s, dir)
+        .select(col("r_regionkey").cast("long").as("k"),
+          col("r_name").as("st"), col("r_regionkey").cast("long").as("c")),
+        dim, nBuckets = 2)
+      s.sql(s"DELETE FROM graft_tx.`$fact` WHERE k % 5 = 0").collect() // v2
+      s.sql(
+        s"""SELECT d.st AS rname, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(f.k) AS BIGINT) AS sum_k
+           |FROM graft_tx.`$fact` f JOIN graft_tx.`$dim` d ON f.c = d.k
+           |GROUP BY d.st
+           |UNION ALL
+           |SELECT '__v1_total', CAST(count(*) AS BIGINT),
+           |  CAST(sum(k) AS BIGINT)
+           |FROM graft_tx.`$fact@v1`
+           |ORDER BY rname""".stripMargin)
+    }),
+
     // Bucketed co-located join: both sides pre-bucketed on the join
     // key, so the join runs with ZERO exchanges (each bucket pair joins
     // locally). The 100 TB pattern for a fact⋈fact join that recurs —
@@ -2299,6 +2335,23 @@ object SourceQueries extends QueryPack {
         |  CAST(1 AS BIGINT)
         |FROM v3
         |ORDER BY state""".stripMargin,
+
+    // q370: the current-state per-region aggregate over the SQL-deleted
+    // fact joined to the dim, plus the @v1 time-travel totals — all
+    // recomputed relationally.
+    "q370_tx_sql_select" ->
+      """WITH base AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+        |    CAST(n_regionkey AS BIGINT) AS c FROM nation),
+        |v2 AS (SELECT * FROM base WHERE k % 5 <> 0)
+        |SELECT r_name AS rname, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM v2 JOIN region ON v2.c = r_regionkey
+        |GROUP BY r_name
+        |UNION ALL
+        |SELECT '__v1_total', CAST(count(*) AS BIGINT),
+        |  CAST(sum(k) AS BIGINT)
+        |FROM base
+        |ORDER BY rname""".stripMargin,
 
     // q358: the final table is exactly base ∪ the two ACCEPTED appends
     // — a leaked rejected row inflates n_rows/sum_c; the pins assert
