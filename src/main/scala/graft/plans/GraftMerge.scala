@@ -87,15 +87,20 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
     require(sawUpdateStar || deleteWhen.isDefined,
       "graft_tx MERGE needs at least one WHEN MATCHED clause")
-    m.notMatchedActions match {
-      case Seq(InsertStarAction(None)) => ()
+    // ANSI semantics: an UNCONDITIONAL `WHEN NOT MATCHED THEN INSERT *`
+    // inserts EVERY unmatched source row — including delete-flagged
+    // ones (the matched-DELETE condition only applies when matched) —
+    // so it maps to insertWhen = true, NOT the library default's
+    // CDC-pragmatic ghost no-op. `AND <cond>` maps straight through.
+    val insertWhen = m.notMatchedActions match {
+      case Seq(InsertStarAction(c)) => c.map(x => strip(x).sql).getOrElse("true")
       case other => throw new UnsupportedOperationException(
-        s"graft_tx MERGE: the not-matched clause must be exactly " +
-          s"INSERT * (mergeInto's insert leg is unconditional), got: $other")
+        s"graft_tx MERGE: the not-matched clause must be " +
+          s"[AND-conditioned] INSERT *, got: $other")
     }
     require(m.notMatchedBySourceActions.isEmpty,
       "graft_tx MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
-    GraftMergeCommand(root, m.sourceTable, deleteWhen)
+    GraftMergeCommand(root, m.sourceTable, deleteWhen, insertWhen)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
@@ -165,7 +170,8 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
   * the API returns.
   */
 case class GraftMergeCommand(root: String, source: LogicalPlan,
-                             deleteWhenSql: Option[String])
+                             deleteWhenSql: Option[String],
+                             insertWhenSql: String)
     extends LeafRunnableCommand {
 
   override def output: Seq[Attribute] = Seq(
@@ -176,7 +182,8 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
     val delta = org.apache.spark.sql.graftshim.GraftSqlBridge
       .ofRows(session, source)
     val dw = deleteWhenSql.map(expr).getOrElse(lit(false))
-    val (rw, co) = graft.sources.TxTable.mergeInto(session, root, delta, dw)
+    val (rw, co) = graft.sources.TxTable.mergeInto(session, root, delta, dw,
+      insertWhen = Some(expr(insertWhenSql)))
     Seq(Row(rw.toLong, co.toLong))
   }
 }

@@ -426,7 +426,15 @@ object TxTable {
   def liveDvs(s: SparkSession, root: String,
               version: Int = Int.MaxValue): Map[String, DvEntry] = {
     val (vs, ckpts) = logVersions(root)
-    val ckpt = ckpts.filter(_ <= version).lastOption
+    val ckpt0 = ckpts.filter(_ <= version).lastOption
+    // A checkpoint WITHOUT the ckptV marker predates the dv summary
+    // (written by an older engine): its file list is fine for
+    // [[liveFiles]] but it says nothing about vectors, so the dv
+    // replay must fall back to the raw log rather than silently
+    // resurrect MOR-deleted rows.
+    val ckpt = ckpt0.filter(v =>
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        s"${logDir(root)}/$v.checkpoint.json")).contains(""""ckptV":"""))
     val paths = ckpt.map(v => s"${logDir(root)}/$v.checkpoint.json").toSeq ++
       vs.filter(v => v <= version && v > ckpt.getOrElse(0))
         .map(v => s"${logDir(root)}/$v.json")
@@ -490,7 +498,10 @@ object TxTable {
   private def validateUnique(df: DataFrame, meta: TableMeta,
                              op: String): Unit =
     if (meta.uniqueKey.contains(true) && df.columns.contains(meta.key)) {
-      val r = df.agg(count(lit(1)), count_distinct(col(meta.key))).collect()(0)
+      // count(key) counts NON-NULL keys only — a NULL-keyed row (which
+      // belongs to no keyed op) must not read as a phantom duplicate.
+      val r = df.agg(count(col(meta.key)), count_distinct(col(meta.key)))
+        .collect()(0)
       require(r.getLong(0) == r.getLong(1),
         s"$op: unique_key table has ${r.getLong(0) - r.getLong(1)} duplicate " +
           s"'${meta.key}' rows in the batch — dedupe first, or create the " +
@@ -653,7 +664,11 @@ object TxTable {
             s"""{"file":${q(d.file)},"path":${q(d.path)},"n":${d.n}}""")
             .mkString(""","dv":[""", ",", "]")
         }
-      val json = s"""{"version":$v,"add":$adds,"remove":[]$dvs}"""
+      // ckptV 2 = "this checkpoint summarizes deletion vectors": the
+      // marker [[liveDvs]] keys its checkpoint-bounded fast path on —
+      // a checkpoint written before the dv summary existed must force
+      // the raw-log replay, not silently resurrect MOR-deleted rows.
+      val json = s"""{"version":$v,"ckptV":2,"add":$adds,"remove":[]$dvs}"""
       val dir = java.nio.file.Paths.get(logDir(root))
       val tmp = dir.resolve(s".$v-${java.util.UUID.randomUUID()}.ckpt.tmp")
       java.nio.file.Files.writeString(tmp, json)
@@ -775,17 +790,17 @@ object TxTable {
     * are computed AT WRITE TIME from frames the op already holds
     * (never recomputed by readers), which is what makes a streaming
     * change feed scale: each tailed commit reads its own KB–MB change
-    * file, never two snapshots. Returns None for an empty change set.
+    * file, never two snapshots. An EMPTY change set still writes (an
+    * empty parquet): "recorded and empty" must stay distinguishable
+    * from "not recorded", or a redundant deleteMor / a restore across
+    * layout-only history would commit a change commit with no cdc and
+    * permanently poison every readChangeFeed stream that reaches it.
     */
   private def writeCdc(changes: DataFrame, root: String, v: Int,
                        token: String): Option[String] = {
-    val chg = changes.localCheckpoint(false) // emptiness probe + write share it
-    if (chg.isEmpty) None
-    else {
-      val path = s"${dataDir(root)}/v$v-$token-cdc.parquet"
-      chg.write.mode("overwrite").parquet(path)
-      Some(path)
-    }
+    val path = s"${dataDir(root)}/v$v-$token-cdc.parquet"
+    changes.write.mode("overwrite").parquet(path)
+    Some(path)
   }
 
   /** Exact per-file pruning: which live files contain at least one
@@ -828,8 +843,16 @@ object TxTable {
     *  - WHEN MATCHED THEN UPDATE (delta wins — OUTRIGHT, including
     *    setting a column to NULL: presence in the delta is tracked by
     *    a join-side marker, never by per-column coalesce)
-    *  - WHEN NOT MATCHED THEN INSERT (delete-flagged delta rows with
-    *    no match are a no-op, per the standard clause ordering)
+    *  - WHEN NOT MATCHED THEN INSERT, gated by `insertWhen`: the
+    *    DEFAULT (None) keeps the CDC-pragmatic contract — a
+    *    delete-flagged unmatched row is a no-op (a CDC delete event
+    *    for a row the table never held should not materialize it).
+    *    NOTE this deviates from ANSI MERGE, where an unconditional
+    *    INSERT clause inserts every unmatched source row regardless
+    *    of matched-clause conditions; pass
+    *    `insertWhen = Some(lit(true))` for the ANSI behavior (the SQL
+    *    front maps `WHEN NOT MATCHED [AND c] THEN INSERT *` onto this
+    *    parameter, so spark.sql is ANSI-faithful).
     *
     * The delta must carry every column of the log-declared schema and
     * a UNIQUE key per row — a delta with duplicate keys is rejected
@@ -844,17 +867,25 @@ object TxTable {
     *                   WHEN MATCHED AND … THEN DELETE condition
     */
   def mergeInto(s: SparkSession, root: String, delta: DataFrame,
-                deleteWhen: Column): (Int, Int) = {
-    val meta = tableMeta(s, root)
-    requireKeyedContract(meta, "mergeInto")
-    val key = meta.key
-    val cols = meta.schema.fieldNames.toSeq
+                deleteWhen: Column,
+                insertWhen: Option[Column] = None): (Int, Int) = {
+    // Prep-time meta: fixes the delta's column list and key. The loop
+    // below RE-READS the metadata each attempt and fails loudly if the
+    // schema moved under the prepared delta.
+    val meta0 = tableMeta(s, root)
+    requireKeyedContract(meta0, "mergeInto")
+    val key = meta0.key
+    val cols = meta0.schema.fieldNames.toSeq
     // NULL condition = not satisfied (SQL MERGE semantics): without
     // the coalesce, a NULL predicate result would three-value its
     // way through the delete filter into a SILENT DELETE of the
     // matched row. Resolved against the delta BEFORE renaming.
-    val d = delta.select(cols.map(col) :+
-      coalesce(deleteWhen, lit(false)).as("__ddel"): _*).localCheckpoint(false)
+    val d = delta.select(cols.map(col) ++ Seq(
+      coalesce(deleteWhen, lit(false)).as("__ddel"),
+      // The insert gate, resolved against the delta like deleteWhen;
+      // the default (!deleteWhen) is the legacy ghost-no-op contract.
+      coalesce(insertWhen.getOrElse(!coalesce(deleteWhen, lit(false))),
+        lit(false)).as("__insw")): _*).localCheckpoint(false)
     // Source-cardinality check (SQL MERGE rule): two delta rows with
     // one key would BOTH match the same base row through the join and
     // silently duplicate it. One delta-sized aggregate, paid once.
@@ -864,7 +895,7 @@ object TxTable {
       s"mergeInto: delta has multiple rows for $key=${dup.headOption.map(_.get(0)).orNull} " +
         "— SQL MERGE forbids a multi-match source; pre-aggregate the delta")
     val dd = d.select(cols.map(c => col(c).as(s"__d_$c")) ++
-      Seq(col("__ddel"), lit(true).as("__dm")): _*)
+      Seq(col("__ddel"), col("__insw"), lit(true).as("__dm")): _*)
     while (true) {
       // CHECK constraints apply to the rows that will LAND (updates
       // and inserts) — delete-flagged rows never materialize. The
@@ -875,9 +906,27 @@ object TxTable {
       // absorbed into v without ever being validated — the round-16
       // ordering fix, same as appendBatch).
       val v = latestVersion(s, root) + 1
+      // The WHOLE metadata is re-read each attempt — not just the
+      // constraints: a concurrent schema-widening append landing
+      // between attempts would otherwise be rewritten through the
+      // stale pre-widening schema, silently dropping the new column's
+      // values from carried rows (the round-16 review's finding). A
+      // widening that invalidates the prepared delta fails loudly.
+      val meta = tableMeta(s, root)
+      require(meta.schema.fieldNames.toSeq == cols,
+        s"mergeInto: table schema changed concurrently (now " +
+          s"${meta.schema.fieldNames.mkString(",")}, delta has " +
+          s"${cols.mkString(",")}) — recompute the delta against the " +
+          "new schema")
+      // Validation covers the conservative superset of rows that can
+      // LAND: non-delete-flagged (matched updates / plain inserts)
+      // plus delete-flagged rows the insert gate would admit when
+      // unmatched (the ANSI path) — a landing row must never skip
+      // validation, even if some validated delete-flagged rows end up
+      // matched and dropped.
       validateConstraints(
-        d.filter(!col("__ddel")).select(cols.map(col): _*),
-        tableMeta(s, root))
+        d.filter(!col("__ddel") || col("__insw"))
+          .select(cols.map(col): _*), meta)
       val live = liveFiles(s, root)
       val hit = touchedFiles(s, d, key, live)
       val (touched, untouched) = live.partition(f => hit(f.file))
@@ -885,7 +934,9 @@ object TxTable {
         struct(lit(ct).as("_change_type") +: cols.map(c => g(c).as(c)): _*)
       val (merged, cdcPath) =
         if (touched.isEmpty) {
-          val m = dd.filter(!col("__ddel"))
+          // No file can hold a delta key → every row is UNMATCHED:
+          // the insert gate decides.
+          val m = dd.filter(col("__insw"))
             .select(cols.map(c => col(s"__d_$c").as(c)): _*)
           val p =
             if (!meta.changeFeed) None
@@ -908,7 +959,7 @@ object TxTable {
             // matched + delete-flagged rows drop here — atomically with
             // the updates and inserts of the same commit.
             .filter(col("__bm").isNull || col("__dm").isNull || !col("__ddel"))
-            .filter(!(col("__bm").isNull && col("__ddel"))) // unmatched delete = no-op
+            .filter(col("__bm").isNotNull || col("__insw")) // unmatched: insert gate
             .select(cols.map(c =>
               when(col("__dm").isNotNull, col(s"__d_$c"))
                 .otherwise(col(c)).as(c)): _*)
@@ -919,7 +970,7 @@ object TxTable {
               // carried-row / ghost-delete cases emit nothing.
               val none = slice(array(ctEv("insert", c => col(s"__d_$c"))), 1, 0)
               val chg = joined.select(explode(
-                when(col("__bm").isNull && col("__ddel"), none)
+                when(col("__bm").isNull && !col("__insw"), none)
                 .when(col("__bm").isNull,
                   array(ctEv("insert", c => col(s"__d_$c"))))
                 .when(col("__dm").isNull, none)
@@ -952,11 +1003,13 @@ object TxTable {
     * (rewritten, carriedOver) file counts.
     */
   def delete(s: SparkSession, root: String, keys: DataFrame): (Int, Int) = {
-    val meta = tableMeta(s, root)
-    val key = meta.key
+    val key = tableMeta(s, root).key
     val d = keys.select(col(key)).distinct().localCheckpoint(false)
     while (true) {
       val v = latestVersion(s, root) + 1
+      // Fresh meta per attempt: a concurrent widening must not make
+      // the retry rewrite touched files through a stale schema.
+      val meta = tableMeta(s, root)
       val live = liveFiles(s, root)
       val hit = touchedFiles(s, d, key, live)
       val (touched, untouched) = live.partition(f => hit(f.file))
@@ -1000,12 +1053,14 @@ object TxTable {
     * (filesVectored, keysDeleted-this-call).
     */
   def deleteMor(s: SparkSession, root: String, keys: DataFrame): (Int, Long) = {
-    val meta = tableMeta(s, root)
-    requireKeyedContract(meta, "deleteMor")
-    val key = meta.key
+    val meta0 = tableMeta(s, root)
+    requireKeyedContract(meta0, "deleteMor")
+    val key = meta0.key
     val d = keys.select(col(key)).distinct().localCheckpoint(false)
     while (true) {
       val v = latestVersion(s, root) + 1
+      // Fresh meta per attempt (stale-schema retry guard, as delete).
+      val meta = tableMeta(s, root)
       val live = liveFiles(s, root)
       val hit = touchedFiles(s, d, key, live)
       if (hit.isEmpty) return (0, 0L)
@@ -1350,9 +1405,11 @@ object TxTable {
   def optimize(s: SparkSession, root: String, targetRows: Long,
                scopeLo: Long = Long.MinValue,
                scopeHi: Long = Long.MaxValue): (Int, Int) = {
-    val meta = tableMeta(s, root)
     while (true) {
       val v = latestVersion(s, root) + 1
+      // Fresh meta per attempt: a concurrent widening must not make a
+      // retried compaction rewrite files through a stale schema.
+      val meta = tableMeta(s, root)
       val live = liveFiles(s, root)
         .filter(f => f.min <= scopeHi && f.max >= scopeLo)
         .sortBy(f => (f.min, f.file))
@@ -1454,14 +1511,30 @@ object TxTable {
                      scopeLo: Long = Long.MinValue,
                      scopeHi: Long = Long.MaxValue): (Int, Int) = {
     require(nFiles >= 1 && nFiles <= 256, s"nFiles must be in [1,256], got $nFiles")
-    val meta0 = tableMeta(s, root)
-    val meta = meta0.copy(stats2 = Some(dim2))
-    val key = meta.key
     while (true) {
       val v = latestVersion(s, root) + 1
-      val live = liveFiles(s, root)
-        .filter(f => f.min <= scopeHi && f.max >= scopeLo)
+      // Meta read INSIDE the loop: the commit below carries a meta
+      // action, and building it from a pre-loop snapshot would clobber
+      // a concurrently-declared constraint/widening (the same race
+      // class appendBatch/mergeInto pin — the round-16 review caught
+      // both zorder paths still reading meta early).
+      val meta0 = tableMeta(s, root)
+      val meta = meta0.copy(stats2 = Some(dim2))
+      val key = meta.key
+      val allLive = liveFiles(s, root)
+      val live = allLive.filter(f => f.min <= scopeHi && f.max >= scopeLo)
       if (live.isEmpty) return (0, 0)
+      // A SCOPED pass must not reinterpret the stats2 column:
+      // out-of-scope entries carry verbatim, so their positional
+      // min2/max2 would be OLD-column bounds under the NEW declaration
+      // — a silently-wrong prune. (A fresh stats2 on a table that
+      // never declared one is safe: out-of-scope files simply have no
+      // bounds and stay conservative must-reads.)
+      require(live.size == allLive.size || meta0.stats2.forall(_ == dim2),
+        s"scoped OPTIMIZE ZORDER cannot change the stats2 dimension " +
+          s"(declared ${meta0.stats2.orNull}, requested $dim2): " +
+          "out-of-scope files would keep the old column's bounds under " +
+          "the new declaration — run the re-dimensioning pass unscoped")
       // Deletion vectors materialize here — the rewrite covers every
       // in-scope live file, so none survives the pass.
       val snap = applyDvs(s,
@@ -1533,15 +1606,24 @@ object TxTable {
                       scopeLo: Long = Long.MinValue,
                       scopeHi: Long = Long.MaxValue): (Int, Int) = {
     require(nFiles >= 1 && nFiles <= 256, s"nFiles must be in [1,256], got $nFiles")
-    val meta0 = tableMeta(s, root)
-    val meta = meta0.copy(stats2 = Some(dim2),
-      statsCols = (meta0.statsCols :+ dim3).distinct)
-    val key = meta.key
     while (true) {
       val v = latestVersion(s, root) + 1
-      val live = liveFiles(s, root)
-        .filter(f => f.min <= scopeHi && f.max >= scopeLo)
+      // Meta inside the loop + the scoped stats2-reinterpretation
+      // guard — see [[optimizeZorder]]. (dim3 is immune: the stats
+      // vector is NAME-keyed, so out-of-scope files lacking it stay
+      // conservative must-reads.)
+      val meta0 = tableMeta(s, root)
+      val meta = meta0.copy(stats2 = Some(dim2),
+        statsCols = (meta0.statsCols :+ dim3).distinct)
+      val key = meta.key
+      val allLive = liveFiles(s, root)
+      val live = allLive.filter(f => f.min <= scopeHi && f.max >= scopeLo)
       if (live.isEmpty) return (0, 0)
+      require(live.size == allLive.size || meta0.stats2.forall(_ == dim2),
+        s"scoped OPTIMIZE ZORDER cannot change the stats2 dimension " +
+          s"(declared ${meta0.stats2.orNull}, requested $dim2): " +
+          "out-of-scope files would keep the old column's bounds under " +
+          "the new declaration — run the re-dimensioning pass unscoped")
       val snap = applyDvs(s,
           s.read.schema(meta.schema).parquet(live.map(_.file): _*),
           key, liveDvs(s, root), live.map(_.file))

@@ -214,13 +214,18 @@ private class TxStreamTable(props: JMap[String, String], tblSchema: StructType)
     fields.foreach { case (n, t) => require(
       Set("long", "integer", "double", "float", "boolean", "string")(t),
       s"graft-txtable write: unsupported column type '$t' for '$n'") }
-    val appId = Option(props.get("txnAppId")).getOrElse(info.queryId())
+    val txnApp = Option(props.get("txnAppId"))
+    val txnVer = Option(props.get("txnVersion")).map(_.toLong)
+    // The Delta rule: the idempotency pair comes TOGETHER or not at
+    // all — defaulting a missing txnVersion would make every later
+    // same-appId write silently read as a replay of version 0.
+    require(txnApp.isDefined == txnVer.isDefined,
+      "graft-txtable: txnAppId and txnVersion must be set together")
+    val appId = txnApp.getOrElse(info.queryId())
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new TxBatchWrite(
-          root, info.schema(), fields,
-          Option(props.get("txnAppId")).map(a =>
-            (a, Option(props.get("txnVersion")).map(_.toLong).getOrElse(0L))))
+          root, info.schema(), fields, txnApp.zip(txnVer))
         override def toStreaming: StreamingWrite =
           new TxStreamingWrite(root, info.schema(), fields, appId)
       }

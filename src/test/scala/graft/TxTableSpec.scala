@@ -1227,11 +1227,31 @@ class TxTableSpec extends SparkSpec {
       res(0).getLong(0) === 1L && res(0).getLong(1) === 7L)
     assert(TxTable.latestVersion(spark, root) === 2)
     val v2 = TxTable.snapshot(spark, root)
-    assert(v2.count() === 800)
+    // ANSI semantics through the SQL door: the UNCONDITIONAL INSERT *
+    // inserts the unmatched delete-flagged row too (the matched-DELETE
+    // condition applies only when matched) — 800 - 1 delete + 2 inserts.
+    assert(v2.count() === 801)
     assert(v2.filter(col("k") === 10L).collect()(0).getString(1) === "X")
     assert(v2.filter(col("k") === 20L).count() === 0)
     assert(v2.filter(col("k") === 900L).count() === 1)
-    assert(v2.filter(col("k") === 950L).count() === 0)
+    assert(v2.filter(col("k") === 950L).count() === 1,
+      "ANSI: an unconditional INSERT * must insert the unmatched " +
+        "delete-flagged row")
+    // The CDC spelling gates the insert — the ghost is a no-op, which
+    // is also the library API's DEFAULT contract (q346 pins that).
+    val root2 = freshTable("txspec_sqlmerge_cdc")
+    spark.sql(
+      s"""MERGE INTO graft_tx.`$root2` AS t
+         |USING graft_sqlmerge_delta AS s
+         |ON t.k = s.k
+         |WHEN MATCHED AND s.st = 'D' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED AND s.st <> 'D' THEN INSERT *""".stripMargin).collect()
+    val w2 = TxTable.snapshot(spark, root2)
+    assert(w2.count() === 800, "800 - 1 delete + 1 gated insert")
+    assert(w2.filter(col("k") === 950L).count() === 0,
+      "the AND-conditioned INSERT must gate out the ghost")
+    assert(w2.filter(col("k") === 900L).count() === 1)
     // Unsupported shapes fail loudly, not silently diverge.
     intercept[Exception] {
       spark.sql(s"""MERGE INTO graft_tx.`$root` t USING graft_sqlmerge_delta s
