@@ -1254,6 +1254,14 @@ object TxTable {
       .exists(c => c.txnApp.contains(appId) && c.batchId.contains(batchId))
     if (seen()) return false
     val d = df.localCheckpoint(false)
+    // Data files are written ONCE and reused across OCC retries (an
+    // append's content does not depend on the competing commit, so a
+    // losing writer re-attempts only the KB-scale log work — under
+    // N-writer contention the old write-per-retry amplified data I/O
+    // by the retry count and left identical debris each round). The
+    // one invalidator is a metadata change (widening/stats columns
+    // alter the recorded entry), which re-validates AND rewrites.
+    var written: Option[(TableMeta, Seq[FileEntry])] = None
     while (true) {
       // Meta resolution and constraint validation live INSIDE the OCC
       // loop, and the TARGET VERSION is pinned BEFORE the meta read:
@@ -1287,7 +1295,14 @@ object TxTable {
           s"appendBatch: unique_key full check found existing key " +
             s"${meta.key}=${hit.headOption.map(_.get(0)).orNull} in the table")
       }
-      val entries = writeFile(d, root, v, freshToken(), idx = 0, meta).toSeq
+      val entries = written match {
+        case Some((m, e)) if m == meta => e
+        case _ =>
+          written.foreach(_._2.foreach(e => wipe(e.file))) // stale-meta attempt
+          val e = writeFile(d, root, v, freshToken(), idx = 0, meta).toSeq
+          written = Some((meta, e))
+          e
+      }
       try {
         tryCommit(root, Commit(v, entries, Seq.empty, Some(appId),
           Some(batchId), widened))
